@@ -1,0 +1,448 @@
+"""Scalar function catalog (reference: code/tools.py — SURVEY.md §2.8).
+
+Every function here returns a pyspark Column built from builtin
+`pyspark.sql.functions` (JVM-side, whole-stage-codegen'd) wherever the
+semantics allow.  pandas_udf (Arrow-vectorized) is used only for the
+genuinely Python-bound tail (Damerau-Levenshtein, Jaro-Winkler, full
+Unicode NFKD) — and each of those also ships a builtin approximation
+for the hot path.
+
+Cross-engine determinism: `md5_long` produces the same 60-bit integer
+in Spark and in ANSI SQL (DuckDB: CAST('0x'||substr(md5(x),1,15) AS
+BIGINT)), so hash-derived operators (MinHash, SimHash, fingerprints)
+are exactly reproducible by the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalization / tokenization (reference: code/tools.py:109-155)
+# ---------------------------------------------------------------------------
+
+# Latin accent fold covering Latin-1 Supplement + Latin Extended-A single
+# codepoints.  F.translate is a codegen'd char-map — no UDF, no Arrow hop.
+_ACCENT_SRC = (
+    "àáâãäåāăąçćĉċčďđèéêëēĕėęěĝğġģĥħìíîïĩīĭįıĵķĺļľŀłñńņňŉòóôõöøōŏő"
+    "ŕŗřśŝşšţťŧùúûüũūŭůűųŵýÿŷźżžß"
+)
+_ACCENT_DST = (
+    "aaaaaaaaacccccddeeeeeeeeegggghhiiiiiiiiijklllllnnnnnoooooooooo"
+    "rrrsssstttuuuuuuuuuuwyyyzzzs"
+)
+
+
+def fold_accents(c: Column) -> Column:
+    """Accent-strip for Latin scripts via a translate table (codegen'd).
+
+    The reference NFKD-decomposes then drops non-ASCII
+    (code/tools.py:142-155); for Latin input the result is identical.
+    """
+    return F.translate(F.translate(c, _ACCENT_SRC, _ACCENT_DST), _ACCENT_SRC.upper(), _ACCENT_DST.upper())
+
+
+def normalize(c: Column) -> Column:
+    """lower + accent-fold + non-alphanumeric -> space + squeeze + trim.
+
+    Reference semantics: code/tools.py:142-155 (`normalize`).
+    """
+    out = F.lower(fold_accents(c))
+    out = F.regexp_replace(out, r"[^a-z0-9]+", " ")
+    return F.trim(out)
+
+
+def tokenize(c: Column) -> Column:
+    """Whitespace tokenization -> array<string>; empty input -> empty array.
+
+    Reference: code/tools.py:121-127.
+    """
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(F.split(trimmed, r"\s+"))
+
+
+def ngrams(c: Column, n: int = 3) -> Column:
+    """Character n-grams of each whitespace token, flattened (tools.py:109-113).
+
+    Tokens shorter than ``n`` contribute themselves (so no token is lost —
+    matches the blocking-key use in the reference's matching recipes).
+    Pure Column expression: transform + sequence + substring.
+    """
+    toks = tokenize(c)
+    grams = F.transform(
+        toks,
+        lambda t: F.when(
+            F.length(t) <= n,
+            F.array(t),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            )
+        ),
+    )
+    return F.flatten(grams)
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Distinct character n-gram shingles of the *whole* normalized string
+    (spaces included) — the standard near-dup unit for MinHash/Jaccard."""
+    s = c
+    return F.array_distinct(
+        F.when(F.length(s) <= n, F.array(s)).otherwise(
+            F.transform(F.sequence(F.lit(1), F.length(s) - (n - 1)), lambda i: s.substr(i, F.lit(n)))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing (reference: code/tools.py:100-107)
+# ---------------------------------------------------------------------------
+
+
+def sha1(c: Column) -> Column:
+    return F.sha1(c)
+
+
+def sha256(c: Column) -> Column:
+    return F.sha2(c, 256)
+
+
+def md5_long(c: Column) -> Column:
+    """Deterministic 60-bit integer hash, identical across engines.
+
+    first 15 hex digits of md5 -> bigint.  DuckDB oracle equivalent:
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``.
+    Used by MinHash/SimHash/fingerprint so the correctness oracle can
+    reproduce signatures exactly.  (The reference uses blake3 for row
+    ids — code/tools.py:105-107 — an opaque-id use where any stable
+    hash is equivalent.)
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def row_hash(*cols: Column) -> Column:
+    """Stable row id from all columns (reference builds ES `_id` this way,
+    code/recipes.py:778-779)."""
+    return F.sha2(F.to_json(F.struct(*cols)), 256)
+
+
+# ---------------------------------------------------------------------------
+# string similarity (reference: code/tools.py:157-227)
+# ---------------------------------------------------------------------------
+
+
+def levenshtein(a: Column, b: Column) -> Column:
+    """Plain Levenshtein (builtin, codegen'd).  The reference uses
+    Damerau-Levenshtein (tools.py:173-211); transpositions differ by at
+    most 1 — `damerau_levenshtein` below is the exact variant."""
+    return F.levenshtein(a, b)
+
+
+def levenshtein_norm(a: Column, b: Column) -> Column:
+    """round(100 - 100*lv/(1 + min(len))) / 100 — reference tools.py:213-227.
+
+    Both engines evaluate this in IEEE double over integer inputs, so the
+    oracle matches bit-for-bit.
+    """
+    lv = F.levenshtein(a, b).cast("double")
+    m = F.least(F.length(a), F.length(b)).cast("double")
+    return F.round(F.lit(100.0) - F.lit(100.0) * lv / (F.lit(1.0) + m)) / F.lit(100.0)
+
+
+def levenshtein_norm_max(a_list: Column, b_list: Column) -> Column:
+    """Max normalized similarity over the cross-product of two string
+    arrays (the reference applies tools.levenshtein to lists by taking the
+    best pair, tools.py:213-227).  Pure Column: nested transform + flatten
+    + array_max."""
+    pairs = F.flatten(
+        F.transform(
+            a_list,
+            lambda a: F.transform(
+                b_list,
+                lambda b: F.round(
+                    F.lit(100.0)
+                    - F.lit(100.0)
+                    * F.levenshtein(a, b).cast("double")
+                    / (F.lit(1.0) + F.least(F.length(a), F.length(b)).cast("double"))
+                )
+                / F.lit(100.0),
+            ),
+        )
+    )
+    return F.array_max(pairs)
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Jaro-Winkler (standard definition, prefix scale 0.1, max prefix 4)."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    f1 = [False] * l1
+    f2 = [False] * l2
+    m = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(i + window + 1, l2)
+        for j in range(lo, hi):
+            if not f2[j] and s2[j] == ch:
+                f1[i] = f2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a == b and prefix < 4:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
+def _damerau_py(s1: str, s2: str) -> int:
+    """Damerau-Levenshtein (optimal string alignment), pure python."""
+    l1, l2 = len(s1), len(s2)
+    if not l1:
+        return l2
+    if not l2:
+        return l1
+    prev2: list[int] = []
+    prev = list(range(l2 + 1))
+    for i in range(1, l1 + 1):
+        cur = [i] + [0] * l2
+        for j in range(1, l2 + 1):
+            cost = 0 if s1[i - 1] == s2[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and s1[i - 1] == s2[j - 2] and s1[i - 2] == s2[j - 1]:
+                cur[j] = min(cur[j], prev2[j - 2] + cost)
+        prev2, prev = prev, cur
+    return prev[l2]
+
+
+def _make_pandas_udfs():
+    """Arrow-vectorized UDFs for the Python-bound tail.  Built lazily so
+    importing the catalog never requires an active SparkSession."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler_py(x or "", y or "") for x, y in zip(a, b)],
+            dtype="float64",
+        )
+
+    @F.pandas_udf("int")
+    def damerau_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([_damerau_py(x or "", y or "") for x, y in zip(a, b)], dtype="int32")
+
+    @F.pandas_udf("string")
+    def nfkd_udf(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def _n(x):
+            if x is None:
+                return None
+            return "".join(ch for ch in unicodedata.normalize("NFKD", x) if ord(ch) < 128)
+
+        return s.map(_n)
+
+    return jw_udf, damerau_udf, nfkd_udf
+
+
+_UDFS = None
+
+
+def _udfs():
+    global _UDFS
+    if _UDFS is None:
+        _UDFS = _make_pandas_udfs()
+    return _UDFS
+
+
+def jw(a: Column, b: Column) -> Column:
+    """Jaro-Winkler similarity (reference tools.py:157-171 via jellyfish).
+    No Spark builtin — Arrow-vectorized pandas_udf."""
+    return _udfs()[0](a, b)
+
+
+def damerau_levenshtein(a: Column, b: Column) -> Column:
+    """Exact Damerau-Levenshtein (reference tools.py:173-211)."""
+    return _udfs()[1](a, b)
+
+
+def nfkd_ascii(c: Column) -> Column:
+    """Full-Unicode NFKD accent strip (exact reference semantics,
+    tools.py:142-155) — the thorough path; `fold_accents` is the
+    codegen'd hot path."""
+    return _udfs()[2](c)
+
+
+# ---------------------------------------------------------------------------
+# geo (reference: code/tools.py:65-78)
+# ---------------------------------------------------------------------------
+
+
+def geopoint_lat(wkt: Column) -> Column:
+    """POINT(lon lat) -> lat (reference tools.py:65-69 returns (lat, lon))."""
+    return F.regexp_extract(wkt, r"POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 2).cast("double")
+
+
+def geopoint_lon(wkt: Column) -> Column:
+    return F.regexp_extract(wkt, r"POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)", 1).cast("double")
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km, 0.1 km precision (the reference uses
+    geodesic at 0.1 precision, tools.py:74-78; haversine agrees to <0.5%
+    — documented tolerance, SURVEY.md §2.7)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    km = F.lit(2.0 * 6371.0088) * F.asin(F.sqrt(a))
+    return F.round(km, 1)
+
+
+# ---------------------------------------------------------------------------
+# casts / json / misc (reference: code/tools.py:25-63)
+# ---------------------------------------------------------------------------
+
+
+def float_val(c: Column) -> Column:
+    """float(x) with 0.0 on failure (tools.py:25-29)."""
+    return F.coalesce(c.cast("double"), F.lit(0.0))
+
+
+def parsedate(c: Column, fmt: str = "%Y%m%d") -> Column:
+    """String -> timestamp, null on failure (errors='coerce',
+    tools.py:44-48).  ``fmt`` is a python strptime format."""
+    return F.try_to_timestamp(c, F.lit(strptime_to_java(fmt)))
+
+
+def to_json(*cols: Column) -> Column:
+    return F.to_json(F.struct(*cols))
+
+
+def strptime_to_java(fmt: str) -> str:
+    """Translate a python strptime format to a Java DateTimeFormatter
+    pattern (the user surface keeps the reference's python formats)."""
+    mapping = {
+        "%Y": "yyyy",
+        "%y": "yy",
+        "%m": "MM",
+        "%d": "dd",
+        "%H": "HH",
+        "%M": "mm",
+        "%S": "ss",
+        "%f": "SSSSSS",
+        "%j": "DDD",
+        "%z": "Z",
+    }
+    out = fmt
+    for py, java in mapping.items():
+        out = out.replace(py, java)
+    return out
+
+
+def python_regex_to_java(pat: str) -> str:
+    """Python -> Java regex dialect for replacement *patterns* are mostly
+    compatible; replacement *templates* differ (\\1 -> $1)."""
+    return pat
+
+
+def python_repl_to_java(repl: str) -> str:
+    import re as _re
+
+    return _re.sub(r"\\(\d)", r"$\1", repl)
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash signatures (LLM-pipeline primitives; cross-engine exact)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(tokens: Column, num_perm: int = 32) -> Column:
+    """array<bigint> of ``num_perm`` min-hashes over a token/shingle array.
+
+    Permutation i = md5_long(token || '#i'); signature element = min.
+    Entirely Column-side (transform + array_min); reproducible in ANSI
+    SQL, so the LSH dedup operator has an exact oracle.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                tokens,
+                lambda t: F.conv(
+                    F.substring(F.md5(F.concat(t, F.lit("#"), s.cast("string"))), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        ),
+    )
+
+
+def simhash64(tokens: Column, bits: int = 60) -> Column:
+    """SimHash over a token array: per-bit majority vote of token hashes,
+    packed into a bigint (60 bits so the md5-derived hash stays exact).
+
+    Column-only: aggregate over tokens accumulating a vote vector, then
+    pack sign bits.  No UDF, no shuffle.
+    """
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(
+                    F.shiftright(
+                        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), i
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<float|double> columns — zip_with + aggregate,
+    JVM-side (no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)

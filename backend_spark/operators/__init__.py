@@ -1,0 +1,29 @@
+from backend_spark.operators.columns import (
+    op_delete,
+    op_eval,
+    op_exec,
+    op_fillna,
+    op_keep,
+    op_map,
+    op_normalize,
+    op_parsedate,
+    op_pause,
+    op_rename,
+    op_replace,
+    op_shuffle,
+    op_to_float,
+    op_to_integer,
+)
+from backend_spark.operators.groupby import op_groupby
+from backend_spark.operators.joins import join_strict, join_fuzzy, join_topk
+from backend_spark.operators.reshape import op_nest, op_ngram, op_unfold, op_unnest
+from backend_spark.operators.graph import connected_components, op_clique
+
+__all__ = [
+    "op_map", "op_rename", "op_keep", "op_delete", "op_fillna",
+    "op_to_integer", "op_to_float", "op_parsedate", "op_replace",
+    "op_normalize", "op_eval", "op_exec", "op_shuffle", "op_pause",
+    "op_groupby", "op_unfold", "op_unnest", "op_nest", "op_ngram",
+    "join_strict", "join_fuzzy", "join_topk",
+    "connected_components", "op_clique",
+]

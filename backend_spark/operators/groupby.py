@@ -1,0 +1,74 @@
+"""Grouping operators (reference: code/recipes.py:2087-2108, SURVEY.md §2.3).
+
+`agg` reduces, `transform` window-broadcasts the aggregate back to every
+row, `rank` dense-ranks within the group.  The reference computes these
+per-chunk (accidental locality); Spark's global groupBy/Window is the
+intended semantics (SURVEY.md §2.3 note).
+
+Scale note: groupBy is a map-side-combined hash aggregate — one shuffle
+on the group keys; transform/rank are window functions over the same
+partitioning, so chaining them after an agg on identical keys reuses
+the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_AGG = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "avg": F.avg,
+    "count": F.count,
+    "max": F.max,
+    "min": F.min,
+    "first": F.first,
+    "last": F.last,
+    "std": F.stddev,
+    "var": F.variance,
+    "nunique": F.countDistinct,
+    "list": F.collect_list,
+    "set": F.collect_set,
+}
+
+
+def op_groupby(
+    df: DataFrame,
+    select: list[str],
+    agg: dict | None = None,
+    transform: dict | None = None,
+    rank: list[str] | dict | None = None,
+) -> DataFrame:
+    """Reference internal_groupby.  Exactly one of agg/transform/rank.
+
+    agg:       {col: fn | [fns]} -> one row per group, columns col_fn
+               ('list' -> collect_list, reference tools.union).
+    transform: {col: fn} -> per-group aggregate appended to every row
+               as col_fn (window aggregate, no frame).
+    rank:      [col] -> dense_rank desc within group as col_rank.
+    """
+    if agg:
+        exprs = []
+        for col, fns in agg.items():
+            for f in fns if isinstance(fns, (list, tuple)) else [fns]:
+                if f not in _AGG:
+                    raise ValueError(f"unknown aggregation: {f}")
+                exprs.append(_AGG[f](col).alias(f"{col}_{f}" if f != "first" else col))
+        return df.groupBy(*select).agg(*exprs)
+    if transform:
+        out = df
+        w = Window.partitionBy(*select)
+        for col, f in transform.items():
+            if f not in _AGG:
+                raise ValueError(f"unknown aggregation: {f}")
+            out = out.withColumn(f"{col}_{f}", _AGG[f](col).over(w))
+        return out
+    if rank:
+        cols = list(rank) if not isinstance(rank, dict) else list(rank.keys())
+        out = df
+        for col in cols:
+            w = Window.partitionBy(*select).orderBy(F.col(col).desc())
+            out = out.withColumn(f"{col}_rank", F.dense_rank().over(w))
+        return out
+    raise ValueError("groupby requires one of agg/transform/rank")

@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Defaults are chosen for the two deployment shapes this engine targets:
+
+* local[N] correctness/bench runs (what the driver executes), and
+* a real multi-executor cluster at ~100 TB, where the same code must
+  rely on AQE (runtime re-planning, skew-join splitting, partition
+  coalescing) instead of hand-tuned constants.
+
+Nothing in the engine caches a session; every public API takes the
+session (or a DataFrame) as input, so the same code runs under any
+externally-managed session (notebooks, spark-submit, the driver).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_session(app_name: str = "backend_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    AQE is on so that at cluster scale the runtime re-plans joins
+    (broadcast conversion, skew splitting) from real statistics; the
+    static shuffle-partition count is only the AQE starting point.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

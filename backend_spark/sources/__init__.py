@@ -1,0 +1,144 @@
+"""Dataset readers / writers (reference: code/recipes.py:529-970, SURVEY.md §1.4).
+
+The reference reads everything as strings with ``""`` as the null
+sentinel (code/recipes.py:536-541) and writes nulls back as ``""``.
+This engine uses real Spark types and real nulls internally; the
+compatibility conventions are explicit reader/writer options:
+
+* ``empty_as_null=True``  — on read, string "" -> null.
+* ``null_as_empty=True``  — on write (csv/fwf), null -> "".
+* ``all_strings=True``    — on read, force every column to string
+  (the reference's dtype=object convention) so reference pipelines
+  that rely on opt-in typing (`to_integer`/`to_float`) behave the same.
+
+Formats: parquet, csv, jsonl, fwf (fixed-width — reference
+code/recipes.py:77-108 `to_fwf`).  hdf/msgpack are pandas interchange
+details with no Spark source — out of scope (SURVEY.md §1.4).
+JDBC is a thin passthrough to spark.read.jdbc, gated on a driver jar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _apply_empty_as_null(df: DataFrame) -> DataFrame:
+    cols = [
+        F.when(F.col(f.name) == "", None).otherwise(F.col(f.name)).alias(f.name)
+        if f.dataType.simpleString() == "string"
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
+
+
+def _apply_all_strings(df: DataFrame) -> DataFrame:
+    return df.select(*[F.col(f.name).cast("string").alias(f.name) for f in df.schema.fields])
+
+
+def read_dataset(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    empty_as_null: bool = False,
+    all_strings: bool = False,
+    select: list[str] | None = None,
+    header: bool = True,
+    sep: str = ",",
+    fwf_widths: list[tuple[str, int]] | None = None,
+    schema=None,
+) -> DataFrame:
+    """Read a dataset.  ``select`` prunes columns at the source so
+    Catalyst pushes the projection into the scan (ReadSchema)."""
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "csv":
+        reader = spark.read.option("header", header).option("sep", sep)
+        if schema is not None:
+            reader = reader.schema(schema)
+        # like the reference, csv arrives stringly unless a schema is given
+        df = reader.csv(path)
+    elif fmt in ("jsonl", "json"):
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.json(path)
+    elif fmt == "fwf":
+        if not fwf_widths:
+            raise ValueError("fwf requires fwf_widths=[(name, width), ...]")
+        raw = spark.read.text(path)
+        cols = []
+        off = 1
+        for name, width in fwf_widths:
+            cols.append(F.trim(F.substring("value", off, width)).alias(name))
+            off += width
+        df = raw.select(*cols)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    if all_strings:
+        df = _apply_all_strings(df)
+    if empty_as_null:
+        df = _apply_empty_as_null(df)
+    if select:
+        df = df.select(*select)
+    return df
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    *,
+    mode: str = "overwrite",
+    null_as_empty: bool = False,
+    header: bool = True,
+    sep: str = ",",
+    fwf_widths: list[tuple[str, int]] | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write a dataset.  ``mode`` maps the reference's create/append
+    (code/recipes.py:722-724) to overwrite/append; 'update' (ES upsert)
+    needs a connector with merge semantics and is documented out of
+    scope for the file formats."""
+    if null_as_empty and fmt in ("csv", "fwf"):
+        df = df.select(
+            *[
+                F.coalesce(F.col(f.name).cast("string"), F.lit("")).alias(f.name)
+                if f.dataType.simpleString() == "string"
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", header).option("sep", sep).option("emptyValue", "").csv(path)
+    elif fmt in ("jsonl", "json"):
+        writer.json(path)
+    elif fmt == "fwf":
+        if not fwf_widths:
+            raise ValueError("fwf requires fwf_widths=[(name, width), ...]")
+        # rpad each column to its width, concat into one line (reference
+        # to_fwf: code/recipes.py:77-108)
+        line = F.concat(
+            *[F.rpad(F.coalesce(F.col(n).cast("string"), F.lit("")), w, " ") for n, w in fwf_widths]
+        ).alias("value")
+        df.select(line).write.mode(mode).text(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC read (reference `sql` connector, code/recipes.py:481-510).
+    Partitioned reads via partitionColumn/lowerBound/upperBound/numPartitions
+    options; requires the JDBC driver jar on the classpath."""
+    return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options).load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **options) -> None:
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
