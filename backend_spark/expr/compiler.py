@@ -169,24 +169,58 @@ class _Compiler(ast.NodeVisitor):
     def visit_Subscript(self, node: ast.Subscript) -> Typed:
         base = self.visit(node.value)
         sl = node.slice
+
+        def _const_idx(n):
+            """Constant integer value of an index node (handles -k as
+            USub(Constant)); None when not a constant."""
+            if isinstance(n, ast.Constant) and isinstance(n.value, int):
+                return n.value
+            if (
+                isinstance(n, ast.UnaryOp)
+                and isinstance(n.op, ast.USub)
+                and isinstance(n.operand, ast.Constant)
+                and isinstance(n.operand.value, int)
+            ):
+                return -n.operand.value
+            return None
+
         if isinstance(sl, ast.Slice):
             if sl.step is not None:
                 raise CompileError("slice step unsupported")
-            lo = self.visit(sl.lower).col if sl.lower is not None else F.lit(0)
+            lo = _const_idx(sl.lower) if sl.lower is not None else 0
+            hi = _const_idx(sl.upper) if sl.upper is not None else None
+            if lo is None or (sl.upper is not None and hi is None):
+                raise CompileError("non-constant slice bounds -> tier 2")
+            if lo < 0 or (hi is not None and hi < 0):
+                # python negative-slice semantics need the length; keep
+                # the common x[:-k] / x[-k:] string forms, punt the rest
+                if base.kind != "str" and base.kind != "any":
+                    raise CompileError("negative array slice -> tier 2")
+                if lo == 0 and hi is not None and hi < 0:
+                    return _t(
+                        base.col.substr(F.lit(1), F.greatest(F.length(base.col) + hi, F.lit(0))),
+                        "str",
+                    )
+                if lo < 0 and sl.upper is None:
+                    return _t(F.substring(base.col, lo, -lo), "str")
+                raise CompileError("negative slice form -> tier 2")
             if base.kind == "array":
-                if sl.upper is None:
+                if hi is None:
                     raise CompileError("open-ended array slice unsupported")
-                hi = self.visit(sl.upper).col
                 return _t(F.slice(base.col, lo + 1, hi - lo), "array")
             # string slicing: x[:n] / x[a:b]  (python 0-based half-open)
-            if sl.upper is None:
+            if hi is None:
                 return _t(F.substring(base.col, lo + 1, 2_000_000), "str")
-            hi = self.visit(sl.upper).col
-            return _t(base.col.substr(lo + 1, hi - lo), "str")
-        idx = self.visit(sl)
+            return _t(base.col.substr(F.lit(lo + 1), F.lit(max(hi - lo, 0))), "str")
+        idx = _const_idx(sl)
+        if idx is None:
+            raise CompileError("non-constant subscript -> tier 2")
         if base.kind == "array":
-            return _t(F.element_at(base.col, idx.col + 1), "any")
-        return _t(base.col.substr(idx.col + 1, F.lit(1)), "str")
+            # element_at supports negative positions natively
+            return _t(F.element_at(base.col, idx + 1 if idx >= 0 else idx), "any")
+        if idx < 0:
+            return _t(F.substring(base.col, idx, 1), "str")
+        return _t(base.col.substr(F.lit(idx + 1), F.lit(1)), "str")
 
     # -- calls: the function catalog ----------------------------------------
     def visit_Call(self, node: ast.Call) -> Typed:
@@ -212,6 +246,8 @@ class _Compiler(ast.NodeVisitor):
                     a, b = (self.visit(x).col for x in node.args[:2])
                     return _t(F.replace(base.col, a, b), "str")
                 if m == "zfill":
+                    if not (node.args and isinstance(node.args[0], ast.Constant)):
+                        raise CompileError("zfill needs a constant width")
                     return _t(F.lpad(base.col, int(node.args[0].value), "0"), "str")
             raise CompileError("unsupported call target")
         name = node.func.id
@@ -232,6 +268,8 @@ class _Compiler(ast.NodeVisitor):
         if name == "abs":
             return _t(F.abs(c[0]), "num")
         if name == "round":
+            if len(node.args) > 1 and not isinstance(node.args[1], ast.Constant):
+                raise CompileError("round needs a constant scale")
             scale = int(node.args[1].value) if len(node.args) > 1 else 0
             out = F.round(c[0], scale)
             return _t(out if scale else out.cast("long"), "num")
@@ -256,6 +294,8 @@ class _Compiler(ast.NodeVisitor):
         if name == "tokenize":
             return _t(fn.tokenize(c[0]), "array")
         if name == "ngrams":
+            if len(node.args) > 1 and not isinstance(node.args[1], ast.Constant):
+                raise CompileError("ngrams needs a constant n")
             n = int(node.args[1].value) if len(node.args) > 1 else 3
             return _t(fn.ngrams(c[0], n), "array")
         if name == "flatten":
@@ -288,6 +328,8 @@ class _Compiler(ast.NodeVisitor):
         if name == "float_val":
             return _t(fn.float_val(c[0]), "num")
         if name == "parsedate":
+            if len(node.args) > 1 and not isinstance(node.args[1], ast.Constant):
+                raise CompileError("parsedate needs a constant format")
             fmt = node.args[1].value if len(node.args) > 1 else "%Y%m%d"
             return _t(fn.parsedate(c[0], fmt), "any")
         if name == "coalesce":

@@ -189,26 +189,48 @@ SAFE_GLOBALS = {
 
 def python_eval_column(expr: str, df, result_type: str = "string") -> Column:
     """Evaluate `expr` per row with row fields as locals (reference
-    safeeval semantics) as an Arrow-batched pandas UDF over a struct of
-    all columns.  Errors produce the reference's "Ooops" marker
-    (code/recipes.py:1680-1686) stringified into the result."""
+    safeeval semantics) as an Arrow-batched pandas UDF.  Errors produce
+    the reference's "Ooops" marker (code/recipes.py:1680-1686).
+
+    Only the columns the expression actually references are shipped
+    through Arrow (parsed from the AST) — on a wide table the transport
+    cost is proportional to the expression, not the schema.
+    """
+    import ast as _ast
+
     code = compile(expr, "<eval>", "eval")
-    colnames = list(df.columns)
+    tree = _ast.parse(expr, mode="eval")
+    referenced = {n.id for n in _ast.walk(tree) if isinstance(n, _ast.Name)}
+    names = [c for c in df.columns if c in referenced] or [df.columns[0]]
 
     import pandas as pd
 
-    @F.pandas_udf(result_type)
-    def _udf(rows: pd.DataFrame) -> pd.Series:
-        out = []
-        records = rows.to_dict("records")
-        for rec in records:
-            try:
-                out.append(eval(code, SAFE_GLOBALS, rec))
-            except Exception as e:  # reference keeps going, marks the cell
-                out.append(f"Ooops: {e}" if result_type == "string" else None)
-        return pd.Series(out)
+    stringify = result_type == "string"
 
-    return _udf(F.struct(*[F.col(c) for c in colnames]))
+    def _core(*series):
+        out = []
+        for vals in zip(*series):
+            loc = dict(zip(names, vals))
+            try:
+                v = eval(code, SAFE_GLOBALS, loc)
+                if stringify and v is not None and not isinstance(v, str):
+                    v = str(v)
+                out.append(v)
+            except Exception as e:  # reference keeps going, marks the cell
+                out.append(f"Ooops: {e}" if stringify else None)
+        return pd.Series(out, dtype=object)
+
+    # pandas_udf needs an exact-arity signature with pd.Series hints —
+    # generate one matching the referenced-column count.
+    args = ", ".join(f"s{i}" for i in range(len(names)))
+    ns = {"pd": pd, "_core": _core}
+    exec(
+        f"def _udf({', '.join(f's{i}: pd.Series' for i in range(len(names)))}) -> pd.Series:\n"
+        f"    return _core({args})\n",
+        ns,
+    )
+    udf = F.pandas_udf(result_type)(ns["_udf"])
+    return udf(*[F.col(c) for c in names])
 
 
 def python_exec(df, statements, schema=None):

@@ -22,25 +22,57 @@ from pyspark.sql import functions as F
 # normalization / tokenization (reference: code/tools.py:109-155)
 # ---------------------------------------------------------------------------
 
-# Latin accent fold covering Latin-1 Supplement + Latin Extended-A single
-# codepoints.  F.translate is a codegen'd char-map — no UDF, no Arrow hop.
-_ACCENT_SRC = (
-    "àáâãäåāăąçćĉċčďđèéêëēĕėęěĝğġģĥħìíîïĩīĭįıĵķĺļľŀłñńņňŉòóôõöøōŏő"
-    "ŕŗřśŝşšţťŧùúûüũūŭůűųŵýÿŷźżžß"
-)
-_ACCENT_DST = (
-    "aaaaaaaaacccccddeeeeeeeeegggghhiiiiiiiiijklllllnnnnnoooooooooo"
-    "rrrsssstttuuuuuuuuuuwyyyzzzs"
-)
+# Latin accent fold covering Latin-1 Supplement + Latin Extended-A/B head,
+# generated from NFKD at import time so it exactly matches the reference's
+# "NFKD then drop non-ASCII" (code/tools.py:142-155) for every covered
+# codepoint.  F.translate is a codegen'd char-map — no UDF, no Arrow hop.
+# Codepoints whose NFKD has no ASCII part (ß, ø, æ, þ, đ …) are *deleted*,
+# like the reference does: translate drops chars in src beyond len(dst),
+# so deletions sit at the end of the src string.
+
+
+def _build_accent_tables() -> tuple[str, str, list[tuple[str, str]]]:
+    import unicodedata
+
+    mapped_src, mapped_dst, deleted, multi = [], [], [], []
+    for cp in range(0xC0, 0x250):  # Latin-1 Supp + Extended-A/B
+        ch = chr(cp)
+        dec = "".join(c for c in unicodedata.normalize("NFKD", ch) if ord(c) < 128)
+        if dec == ch:
+            continue  # already ASCII-composable? (not in this range)
+        if len(dec) == 1:
+            mapped_src.append(ch)
+            mapped_dst.append(dec)
+        elif len(dec) == 0:
+            deleted.append(ch)
+        else:
+            # ligature-style folds (Ĳ -> IJ, ǅ -> Dz, ŉ -> 'n): translate
+            # is 1:1, these need a (short, fixed) replace chain pre-pass
+            multi.append((ch, dec))
+    src = "".join(mapped_src) + "".join(deleted)
+    dst = "".join(mapped_dst)
+    assert len(dst) <= len(src)
+    return src, dst, multi
+
+
+_ACCENT_SRC, _ACCENT_DST, _ACCENT_MULTI = _build_accent_tables()
 
 
 def fold_accents(c: Column) -> Column:
     """Accent-strip for Latin scripts via a translate table (codegen'd).
 
     The reference NFKD-decomposes then drops non-ASCII
-    (code/tools.py:142-155); for Latin input the result is identical.
+    (code/tools.py:142-155); for the covered Latin range the result is
+    identical: 1-char folds go through one `F.translate` (a codegen'd
+    char map), the ~15 ligature folds through a fixed `F.replace`
+    chain, chars with no ASCII decomposition are deleted (translate
+    drops src chars beyond len(dst)).  `nfkd_ascii` below is the exact
+    full-Unicode path.
     """
-    return F.translate(F.translate(c, _ACCENT_SRC, _ACCENT_DST), _ACCENT_SRC.upper(), _ACCENT_DST.upper())
+    out = c
+    for ch, dec in _ACCENT_MULTI:
+        out = F.replace(out, F.lit(ch), F.lit(dec))
+    return F.translate(out, _ACCENT_SRC, _ACCENT_DST)
 
 
 def normalize(c: Column) -> Column:

@@ -84,7 +84,7 @@ def op_to_integer(df: DataFrame, select) -> DataFrame:
     take per-value try_cast semantics, documented divergence)."""
     out = df
     for c in _select_columns(df, select):
-        out = out.withColumn(c, F.when(F.col(c).cast("string") == "", None).otherwise(F.try_cast(F.col(c), "long")))
+        out = out.withColumn(c, F.when(F.col(c).cast("string") == "", None).otherwise(F.col(c).try_cast("long")))
     return out
 
 
@@ -93,7 +93,7 @@ def op_to_float(df: DataFrame, select, na_value=None) -> DataFrame:
     (reference internal_to_float, code/recipes.py:1955-1970)."""
     out = df
     for c in _select_columns(df, select):
-        casted = F.try_cast(F.col(c), "double")
+        casted = F.col(c).try_cast("double")
         if na_value is not None:
             casted = F.coalesce(casted, F.lit(float(na_value)))
         out = out.withColumn(c, F.when(F.col(c).cast("string") == "", F.lit(na_value).cast("double")).otherwise(casted))
@@ -177,18 +177,28 @@ def op_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
     """Independently permute each column (anonymization; reference
     internal_shuffle, code/recipes.py:1717-1726).
 
-    Distributed construction: give every column its own random global
-    sort, then stitch columns back together by row_number.  Each column
-    costs one shuffle; there is no driver-side collection.
+    Partition-local permutation via one Arrow batch pass — no global
+    sort, no shuffle, scales linearly with partition count.  The
+    reference permutes per-chunk (code/recipes.py:1717-1726), so
+    batch-local permutation is the same semantics it ships; anonymity
+    holds identically (each column draws an independent permutation).
     """
-    from pyspark.sql import Window
+    import numpy as np
 
-    base = None
-    for i, c in enumerate(df.columns):
-        w = Window.orderBy(F.rand(seed + i))
-        piece = df.select(c).withColumn("__rn", F.row_number().over(w))
-        base = piece if base is None else base.join(piece, "__rn")
-    return base.drop("__rn")
+    schema = df.schema
+    cols = list(df.columns)
+
+    def _perm(batches):
+        rng = np.random.default_rng(seed)
+        for pdf in batches:
+            out = pdf
+            for c in cols:
+                out[c] = out[c].sample(
+                    frac=1, random_state=int(rng.integers(0, 2**31 - 1))
+                ).reset_index(drop=True)
+            yield out
+
+    return df.mapInPandas(_perm, schema=schema)
 
 
 def op_pause(df: DataFrame, select=None, head: int | None = None) -> DataFrame:

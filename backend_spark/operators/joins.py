@@ -1,0 +1,214 @@
+"""Join operators — the identity of the product (reference:
+code/recipes.py:2120-2370, SURVEY.md §2.2).  Every reference join is a
+left join against a referential that never fans out (strict / fuzzy) or
+a top-k candidate-retrieval join (the ES-style matching join).
+
+Scale posture:
+* `join_strict` broadcasts the referential (reference referentials are
+  <500k rows, docs/recipes.md:125-127) — a broadcast hash join, no
+  shuffle of the big side.
+* `join_fuzzy` replaces the reference's per-row Levenshtein automaton
+  (code/automata.py:152-191) with a **deletion-neighborhood (FastSS)
+  equi-join**: both sides generate their ≤1-deletion variants, the
+  dictionary side is broadcast, candidates are verified with the
+  codegen'd `F.levenshtein`, and the reference's tie-break is applied
+  with one window.  No cartesian product, no Python in the hot path;
+  the expansion factor is O(word_length) per row.
+* `join_topk` is blocking-join + per-left-row top-k window — the
+  pure-Spark mapping of the reference's Elasticsearch msearch join
+  (code/recipes.py:2265-2370): exploded blocking keys generate
+  candidates (never all-pairs), a score expression ranks them, and
+  `row_number() <= k` keeps the bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _apply_select(joined: DataFrame, select: dict[str, str] | None, drop: list[str]) -> DataFrame:
+    """Rename retrieved referential columns via {new: right_col} and drop
+    the right-side join keys (reference code/recipes.py:2244-2264)."""
+    out = joined
+    if select:
+        out = out.withColumnsRenamed({old: new for new, old in select.items()})
+        keep_old = set(select.values())
+    else:
+        keep_old = set()
+    out = out.drop(*[c for c in drop if c not in keep_old])
+    return out
+
+
+def join_strict(
+    df: DataFrame,
+    ref: DataFrame,
+    strict: dict[str, str],
+    select: dict[str, str] | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Equi left-outer join against a referential (reference in_memory
+    strict join, code/recipes.py:2244-2264).
+
+    ``strict`` maps {left_col: right_col}; ``select`` maps
+    {new_name: right_col} for the retrieved columns (right join keys are
+    dropped).  The referential is projected to only the needed columns
+    before the broadcast — the reference's filtered-projection cache
+    (code/recipes.py:2175-2187) is just column pruning here.
+    """
+    needed = list(dict.fromkeys(list(strict.values()) + list((select or {}).values())))
+    r = ref.select(*needed)
+    if broadcast:
+        r = F.broadcast(r)
+    cond = [df[l] == r[rt] for l, rt in strict.items()]
+    joined = df.join(r, cond, "left")
+    return _apply_select(joined, select, drop=list(strict.values()))
+
+
+def _deletion_variants(col: Column, max_len: int = 64) -> Column:
+    """word -> array of the word + all its 1-deletion variants (FastSS
+    neighborhood).  Two words are within Levenshtein distance 1 iff
+    their neighborhoods intersect.  Pure Column expression."""
+    word = F.substring(col, 1, max_len)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.concat(
+            F.substring(word, F.lit(1), (i - 1).cast("int")),
+            word.substr(i + 1, F.length(word)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(word), dels))
+
+
+def fuzzy_match(
+    df: DataFrame,
+    words: DataFrame,
+    left_col: str,
+    word_col: str,
+    out_col: str | None = None,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Attach to every row the reference's fuzzy match: the single
+    dictionary word within Levenshtein distance ≤1 of ``left_col``,
+    preferring distance 0, then the first word in sorted order
+    (reference tie-break, code/recipes.py:2200-2204; automaton search
+    code/automata.py:152-191).
+
+    FastSS deletion-neighborhood join: explode 1-deletion variants on
+    both sides, broadcast the (small) dictionary side, verify with the
+    builtin Levenshtein, window-pick the best.  Left rows without a
+    match keep a null ``out_col`` (never fans out, never drops rows).
+    """
+    out_col = out_col or f"{left_col}_match"
+    dict_side = (
+        words.select(F.col(word_col).alias("__w")).distinct()
+        .withColumn("__v", F.explode(_deletion_variants(F.col("__w"))))
+    )
+    left_keys = (
+        df.select(F.col(left_col).alias("__k")).where(F.col("__k").isNotNull()).distinct()
+        .withColumn("__v", F.explode(_deletion_variants(F.col("__k"))))
+    )
+    cand = (
+        left_keys.join(F.broadcast(dict_side), "__v")
+        .drop("__v")
+        .distinct()
+        .withColumn("__d", F.levenshtein("__k", "__w"))
+        .where(F.col("__d") <= max_dist)
+    )
+    w = Window.partitionBy("__k").orderBy(F.col("__d").asc(), F.col("__w").asc())
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("__k"), F.col("__w").alias(out_col))
+    )
+    return df.join(F.broadcast(best), df[left_col] == best["__k"], "left").drop("__k")
+
+
+def join_fuzzy(
+    df: DataFrame,
+    ref: DataFrame,
+    fuzzy: dict[str, str],
+    strict: dict[str, str] | None = None,
+    select: dict[str, str] | None = None,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy in-memory join (reference code/recipes.py:2189-2242): for
+    each fuzzy key pick the best dictionary word (see ``fuzzy_match``),
+    then strict-join on the matched word (+ any strict keys).
+
+    ``fuzzy`` maps {left_col: right_col} (single entry, like the
+    reference); the matched word lands in ``{left_col}_match`` and the
+    retrieved columns follow ``select`` renaming.
+    """
+    (left_col, right_col), = fuzzy.items()
+    match_col = f"{left_col}_match"
+    out = fuzzy_match(df, ref, left_col, right_col, out_col=match_col, max_dist=max_dist)
+    all_strict = {match_col: right_col, **(strict or {})}
+    return join_strict(out, ref, all_strict, select=select)
+
+
+def join_topk(
+    df: DataFrame,
+    ref: DataFrame,
+    left_id: str,
+    block_left: Column | str,
+    block_right: Column | str,
+    score: Callable[[DataFrame], Column],
+    k: int = 10,
+    keep_unmatched: bool = False,
+    prefix: str = "hit_",
+    broadcast_ref: bool = False,
+) -> DataFrame:
+    """Top-k candidate-retrieval join — the pure-Spark mapping of the
+    reference's Elasticsearch msearch join + unfold + unnest
+    (code/recipes.py:2265-2370; SURVEY.md §2.2).
+
+    * ``block_left`` / ``block_right``: array columns (or expressions)
+      of blocking keys (tokens / ngrams / phonetic codes).  Candidates
+      are pairs sharing ≥1 key — an equi-join on the exploded keys,
+      never a cartesian product.
+    * ``score``: callable building the ranking Column from the joined
+      frame (hit columns carry ``prefix``); replaces the BM25 score
+      (implementation-defined ranking, SURVEY.md §7 watch-list).
+    * result: one row per (left row, hit), already "unfolded/unnested":
+      hit columns prefixed, plus ``{prefix}score``,
+      ``matchid_hit_matches_unfiltered`` (candidate count per left row,
+      reference code/recipes.py:2341-2346) and ``{prefix}max_score``.
+    * ``keep_unmatched=False`` drops left rows with no candidate (the
+      reference's hits!="" filter, code/recipes.py:2348-2349);
+      ``True`` keeps them with null hit columns (left outer).
+    """
+    bl = F.col(block_left) if isinstance(block_left, str) else block_left
+    br = F.col(block_right) if isinstance(block_right, str) else block_right
+
+    # compute blocking keys on the original names, then prefix hit cols
+    hit_keys = (
+        ref.withColumn("__bk_arr", br)
+        .select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in ref.columns],
+            F.explode("__bk_arr").alias("__bk"),
+        )
+    )
+    if broadcast_ref:
+        hit_keys = F.broadcast(hit_keys)
+
+    left_keys = df.withColumn("__bk", F.explode(bl))
+    pairs = left_keys.join(hit_keys, "__bk").drop("__bk").dropDuplicates([left_id] + [f"{prefix}{c}" for c in ref.columns])
+
+    scored = pairs.withColumn(f"{prefix}score", score(pairs))
+    w = Window.partitionBy(left_id).orderBy(F.col(f"{prefix}score").desc())
+    agg_w = Window.partitionBy(left_id)
+    topk = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("matchid_hit_matches_unfiltered", F.count(F.lit(1)).over(agg_w))
+        .withColumn(f"{prefix}max_score", F.max(F.col(f"{prefix}score")).over(agg_w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    if keep_unmatched:
+        matched_ids = topk.select(left_id).distinct()
+        unmatched = df.join(matched_ids, left_id, "left_anti")
+        topk = topk.unionByName(unmatched, allowMissingColumns=True)
+    return topk

@@ -21,30 +21,46 @@ def op_unfold(df: DataFrame, select: list[str] | str, fill_na=None) -> DataFrame
     out = df
     for c in cols:
         if fill_na is not None:
-            out = out.withColumn(c, F.coalesce(F.explode_outer(c), F.lit(fill_na)))
+            # generators can't nest inside expressions: explode in its own
+            # projection, then fill (empty/null arrays -> one fill_na row)
+            out = out.withColumn(c, F.explode_outer(c))
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(fill_na)))
         else:
             out = out.withColumn(c, F.explode(c))
     return out
 
 
-def op_unnest(df: DataFrame, select: str, prefix: str = "", drop: bool = True) -> DataFrame:
+def op_unnest(
+    df: DataFrame,
+    select: str,
+    prefix: str = "",
+    drop: bool = True,
+    schema=None,
+    sample_rows: int = 1000,
+) -> DataFrame:
     """Struct / map / JSON-string column -> one column per key, optional
     prefix (reference internal_unnest, code/recipes.py:2378-2394).
 
-    JSON strings are schema-inferred from the data (one pass over the
-    column with schema_of_json_agg semantics via spark.read.json on the
-    projected column), then star-expanded — keys stay deterministic.
+    JSON strings are schema-inferred from a bounded sample (first
+    ``sample_rows`` non-null cells) — a plan-build step, not a data
+    pass; pass ``schema`` to skip sampling entirely.
     """
     dtype = dict(df.dtypes)[select]
     out = df
     if dtype == "string":
-        spark = df.sparkSession
-        schema = spark.read.json(df.select(select).rdd.map(lambda r: r[0] or "{}")).schema
+        if schema is None:
+            spark = df.sparkSession
+            sample = [
+                r[0]
+                for r in df.select(select).filter(F.col(select).isNotNull()).limit(sample_rows).collect()
+            ]
+            schema = spark.read.json(spark.sparkContext.parallelize(sample or ["{}"])).schema
         out = out.withColumn(select, F.from_json(F.col(select), schema))
         dtype = "struct"
     if dtype.startswith("map"):
         keys = sorted(
-            r[0] for r in out.select(F.explode(F.map_keys(select)).alias("k")).distinct().collect()
+            r[0]
+            for r in out.select(F.explode(F.map_keys(select)).alias("k")).distinct().limit(10000).collect()
         )
         for k in keys:
             out = out.withColumn(f"{prefix}{k}", F.col(select).getItem(k))
