@@ -1,38 +1,797 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship matching pipeline on sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2 +
+                  the LLM-pipeline extensions), each (spark, sf_dir) ->
+                  DataFrame.
+``oracle_sql()``— DuckDB-runnable ANSI SQL reproducing each query
+                  exactly (same column names, same values); omitted only
+                  for genuinely non-SQL-expressible ops (the driver then
+                  records a rows-only check).
+
+Design notes for oracle parity:
+* doubles aggregated across rows are rounded (2-6 digits) on BOTH
+  sides — summation order differs between engines;
+* timestamps are returned as formatted strings;
+* hash-derived operators (MinHash/LSH/fingerprint) use
+  functions.md5_long = CAST('0x'||substr(md5(x),1,15) AS BIGINT),
+  reproducible bit-for-bit in DuckDB.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from backend_spark import functions as fn
+from backend_spark import llm
+from backend_spark.operators import (
+    join_fuzzy,
+    join_strict,
+    join_topk,
+    op_clique,
+    op_delete,
+    op_eval,
+    op_exec,
+    op_fillna,
+    op_groupby,
+    op_keep,
+    op_map,
+    op_nest,
+    op_ngram,
+    op_normalize,
+    op_parsedate,
+    op_rename,
+    op_replace,
+    op_shuffle,
+    op_to_float,
+    op_to_integer,
+    op_unfold,
+    op_unnest,
+)
+from backend_spark.session import load_table
+from backend_spark.sources import read_dataset, write_dataset
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring backend_spark.functions
+# ---------------------------------------------------------------------------
+
+# fn.normalize for ASCII inputs (the synthetic tables are ASCII)
+_SQL_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+# fn.md5_long
+_SQL_H = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+# fn.ngrams: per-whitespace-token char n-grams, flattened
+_SQL_NGRAMS = (
+    "flatten(list_transform(string_split_regex(trim({c}), '\\s+'), "
+    "t -> CASE WHEN length(t) <= {n} THEN [t] "
+    "ELSE [substr(t, CAST(i AS INT), {n}) for i in range(1, length(t) - {n} + 2)] END))"
+)
+# fn.shingles: distinct char n-grams of the whole string
+_SQL_SHINGLES = (
+    "list_distinct(CASE WHEN length({s}) <= {n} THEN [{s}] "
+    "ELSE [substr({s}, CAST(i AS INT), {n}) for i in range(1, length({s}) - {n} + 2)] END)"
+)
+# fn.levenshtein_norm
+_SQL_LEVNORM = (
+    "round(100 - 100 * levenshtein({a}, {b}) / (1 + least(length({a}), length({b})))) / 100"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a miniature matching recipe on sf0.001 — normalize →
+    broadcast strict join → tier-1 eval scoring → groupby rollup
+    (SURVEY.md §7 step 1 slice)."""
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    df = op_map(cust, {"name_norm": "c_name"})
+    df = op_normalize(df, ["name_norm"])
+    df = join_strict(df, nat, {"c_nationkey": "n_nationkey"}, select={"nation_name": "n_name"})
+    df = op_eval(
+        df,
+        [
+            {"score_name": "levenshtein_norm(name_norm, normalize(nation_name))"},
+            {"bal_bucket": "'hi' if c_acctbal > 5000 else 'lo'"},
+        ],
+    )
+    return op_groupby(
+        df, ["nation_name", "bal_bucket"], agg={"c_acctbal": "sum", "c_custkey": "count"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_map(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    out = op_map(cust, {"cust_id": "c_custkey", "name_seg": ["c_name", "c_mktsegment"]})
+    return out.select("c_custkey", "cust_id", "name_seg")
+
+
+def _q_rename(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    out = op_rename(orders, {"order_id": "o_orderkey", "total": "o_totalprice"})
+    return op_keep(out, ["order_id", "total"])
+
+
+def _q_keep_where(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    return op_keep(cust, select=r"^c_(custkey|acctbal)$", where="c_acctbal > 1000")
+
+
+def _q_delete(spark, sf):
+    part = load_table(spark, sf, "part")
+    return op_delete(part, r"^p_(brand|type|retailprice)$")
+
+
+def _q_fillna(spark, sf):
+    part = load_table(spark, sf, "part")
+    out = op_map(part, {"brand_num": "p_brand"})
+    out = op_to_integer(out, ["brand_num"])  # 'Brand#13' -> null
+    out = op_fillna(out, [{"brand_num": -1}, {"flag": "x"}])
+    return out.select("p_partkey", "brand_num", "flag")
+
+
+def _q_to_integer(spark, sf):
+    part = load_table(spark, sf, "part")
+    out = op_eval(part, [{"size_str": "str(p_size)"}])
+    out = op_to_integer(out, ["size_str"])
+    return out.select("p_partkey", "size_str")
+
+
+def _q_to_float(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    out = op_eval(li, [{"qty_s": "str(l_quantity)"}])
+    out = op_to_float(out, ["qty_s"], na_value=0.0)
+    return out.select("l_orderkey", "l_linenumber", "qty_s")
+
+
+def _q_parsedate(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    out = orders.withColumn("ds", F.date_format("o_orderdate", "yyyyMMdd"))
+    out = op_parsedate(out, ["ds"], format="%Y%m%d")
+    return out.select("o_orderkey", F.date_format("ds", "yyyy-MM-dd").alias("ds"))
+
+
+def _q_replace(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    out = op_replace(cust, ["c_name"], [{"Customer#0*": "C"}, {"00": "0"}])
+    return out.select("c_custkey", "c_name")
+
+
+def _q_normalize(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    out = op_normalize(orders, ["o_orderpriority"])
+    return out.select("o_orderkey", "o_orderpriority")
+
+
+def _q_eval_tier1(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    # no rounding: both engines compute the identical IEEE double
+    out = op_eval(
+        li,
+        [
+            {"revenue": "l_extendedprice * (1 - l_discount)"},
+            {"margin_flag": "'hi' if l_discount > 0.05 else 'lo'"},
+        ],
+    )
+    return out.select("l_orderkey", "l_linenumber", "revenue", "margin_flag")
+
+
+def _q_eval_tier2(spark, sf):
+    part = load_table(spark, sf, "part")
+    out = op_eval(part, [{"initials": "'-'.join([t[0] for t in tokenize(p_name)])"}])
+    return out.select("p_partkey", "initials")
+
+
+def _q_exec(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cust.schema.fields)
+    out = op_exec(cust, "df['bal2'] = df['c_acctbal'] * 2", schema=f"{schema}, bal2 double")
+    return out.select("c_custkey", F.round("bal2", 2).alias("bal2"))
+
+
+def _q_shuffle(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    # single column: the permuted multiset equals the input multiset, so
+    # the order-insensitive oracle compare pins correctness exactly
+    return op_shuffle(cust.select("c_name"))
+
+
+def _q_groupby_agg(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    out = op_groupby(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        agg={"l_quantity": "sum", "l_extendedprice": ["sum", "mean"], "l_orderkey": "count"},
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity_sum", 2).alias("l_quantity_sum"),
+        F.round("l_extendedprice_sum", 2).alias("l_extendedprice_sum"),
+        F.round("l_extendedprice_mean", 2).alias("l_extendedprice_mean"),
+        "l_orderkey_count",
+    )
+
+
+def _q_groupby_agg_list(spark, sf):
+    nat = load_table(spark, sf, "nation")
+    out = op_groupby(nat, ["n_regionkey"], agg={"n_name": "list"})
+    return out.withColumn("n_name_list", F.sort_array("n_name_list"))
+
+
+def _q_groupby_transform(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    out = op_groupby(cust, ["c_mktsegment"], transform={"c_acctbal": "sum"})
+    return out.select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal_sum", 2).alias("c_acctbal_sum")
+    )
+
+
+def _q_groupby_rank(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    out = op_groupby(orders, ["o_orderpriority"], rank=["o_totalprice"])
+    return out.select("o_orderkey", "o_orderpriority", "o_totalprice_rank")
+
+
+def _q_unfold(spark, sf):
+    part = load_table(spark, sf, "part")
+    out = part.withColumn("token", F.split("p_name", " "))
+    out = op_unfold(out, "token")
+    return out.select("p_partkey", "token")
+
+
+def _q_unnest(spark, sf):
+    ev = load_table(spark, sf, "events")
+    out = op_unnest(ev, "props")
+    return out.select("event_id", "k")
+
+
+def _q_nest(spark, sf):
+    reg = load_table(spark, sf, "region")
+    return op_nest(reg, ["r_regionkey", "r_name"], target="payload")
+
+
+def _q_ngram(spark, sf):
+    nat = load_table(spark, sf, "nation")
+    out = op_ngram(nat, ["n_name"], n=2)
+    return out.select("n_nationkey", "n_name")
+
+
+def _q_join_strict(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    out = join_strict(cust, nat, {"c_nationkey": "n_nationkey"}, select={"nation_name": "n_name"})
+    return out.select("c_custkey", "c_name", "nation_name")
+
+
+def _fuzzy_left(spark, sf):
+    nat = load_table(spark, sf, "nation")
+    return nat.select(
+        F.col("n_nationkey").alias("id"),
+        F.concat(F.lower("n_name"), F.lit("x")).alias("key"),
+    )
+
+
+def _q_join_fuzzy(spark, sf):
+    nat = load_table(spark, sf, "nation")
+    left = _fuzzy_left(spark, sf)
+    ref = nat.select(F.lower("n_name").alias("w"))
+    out = join_fuzzy(left, ref, {"key": "w"})
+    return out.select("id", "key", "key_match")
+
+
+def _q_join_topk(spark, sf):
+    nat = load_table(spark, sf, "nation")
+    left = _fuzzy_left(spark, sf).withColumn("blk", fn.ngrams(F.col("key"), 3))
+    out = join_topk(
+        left,
+        nat.select("n_nationkey", "n_name"),
+        left_id="id",
+        block_left="blk",
+        block_right=fn.ngrams(F.lower(F.col("n_name")), 3),
+        score=lambda d: fn.levenshtein_norm(d["key"], F.lower(d["hit_n_name"])),
+        k=2,
+        tiebreak=["hit_n_nationkey"],
+    )
+    return out.select(
+        "id",
+        "key",
+        "hit_n_nationkey",
+        "hit_n_name",
+        "hit_score",
+        "matchid_hit_matches_unfiltered",
+        "hit_max_score",
+    )
+
+
+def _q_clique(spark, sf):
+    nat = load_table(spark, sf, "nation")
+    edges = nat.select(
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("x"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("y"),
+    )
+    return op_clique(edges, ["x", "y"])
+
+
+def _q_dedup_exact(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    out = llm.dedup_exact(docs.unionByName(dupes), "doc_id", "text")
+    return out.select("doc_id", "text")
+
+
+def _q_minhash_sig(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", fn.normalize(F.col("text")).alias("__n"))
+        .withColumn("__sh", fn.shingles(F.col("__n"), 3))
+        .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
+        .select("doc_id", fn.minhash_signature_from_hashes(F.col("__hs"), 8).alias("sig"))
+    )
+
+
+def _q_minhash_pairs(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    both = docs.unionByName(dupes)
+    return llm.minhash_lsh_pairs(
+        both, "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.8
+    )
+
+
+def _q_simhash(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.simhash_buckets(docs, "doc_id", "text", bits=60)
+
+
+def _q_fingerprint(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.doc_fingerprint(docs, "doc_id", "text", k=5, window=4)
+
+
+def _q_ann(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return llm.ann_topk_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+def _q_text_stats(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", *llm.text_stats(docs, "text"))
+
+
+def _q_language_id(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", llm.language_id(F.col("text")).alias("lang_guess"))
+
+
+def _q_token_count(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", llm.token_count_bpe(F.col("text")).alias("n_bpe"))
+
+
+def _q_win_agg(spark, sf):
+    ev = load_table(spark, sf, "events")
+    # ts arrives as int64 nanoseconds (see session nanosAsLong) -> timestamp
+    ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return out
+
+
+def _q_sql_direct(spark, sf):
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+def _q_fwf_roundtrip(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    widths = [("c_custkey", 8), ("c_name", 20), ("c_mktsegment", 12)]
+    path = tempfile.mkdtemp(prefix="sg_fwf_") + "/data"
+    write_dataset(cust.select(*[w[0] for w in widths]), path, fmt="fwf", fwf_widths=widths)
+    return read_dataset(spark, path, fmt="fwf", fwf_widths=widths)
+
+
+def _q_csv_roundtrip(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    df = cust.select(
+        F.col("c_custkey").cast("string").alias("c_custkey"),
+        F.when(F.col("c_mktsegment") == "MACHINERY", None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    path = tempfile.mkdtemp(prefix="sg_csv_") + "/data"
+    write_dataset(df, path, fmt="csv", null_as_empty=True)
+    return read_dataset(spark, path, fmt="csv", empty_as_null=True, all_strings=True)
+
+
+def _q_scoring(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    pair = cust.select(
+        "c_custkey",
+        F.col("c_name").alias("a"),
+        F.regexp_replace("c_name", "0", "O").alias("b"),
+    )
+    return pair.select(
+        "c_custkey",
+        fn.levenshtein_norm(F.col("a"), F.col("b")).alias("score_lv"),
+        F.round(fn.jw(F.col("a"), F.col("b")), 4).alias("score_jw"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "map": _q_map,
+        "rename": _q_rename,
+        "keep_where": _q_keep_where,
+        "delete": _q_delete,
+        "fillna": _q_fillna,
+        "to_integer": _q_to_integer,
+        "to_float": _q_to_float,
+        "parsedate": _q_parsedate,
+        "replace": _q_replace,
+        "normalize": _q_normalize,
+        "eval_tier1": _q_eval_tier1,
+        "eval_tier2": _q_eval_tier2,
+        "exec": _q_exec,
+        "shuffle": _q_shuffle,
+        "groupby_agg": _q_groupby_agg,
+        "groupby_agg_list": _q_groupby_agg_list,
+        "groupby_transform": _q_groupby_transform,
+        "groupby_rank": _q_groupby_rank,
+        "unfold": _q_unfold,
+        "unnest": _q_unnest,
+        "nest": _q_nest,
+        "ngram": _q_ngram,
+        "join_strict": _q_join_strict,
+        "join_fuzzy": _q_join_fuzzy,
+        "join_topk": _q_join_topk,
+        "clique": _q_clique,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_sig": _q_minhash_sig,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann,
+        "text_stats": _q_text_stats,
+        "language_id": _q_language_id,
+        "token_count": _q_token_count,
+        "win_agg": _q_win_agg,
+        "sql_direct": _q_sql_direct,
+        "fwf_roundtrip": _q_fwf_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "scoring": _q_scoring,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_text = _SQL_NORM.format(c="text")
+    shingles3 = _SQL_SHINGLES.format(s="s", n=3)
+    en = "['the','a','of','and','to','in','is','it','that','for']"
+    es = "['el','la','de','y','que','en','un','una','los','por']"
+    de = "['der','die','das','und','ist','ein','eine','zu','den','von']"
+    fr = "['le','la','de','et','est','un','une','les','des','que']"
+
+    return {
+        "map": """
+            SELECT c_custkey, c_custkey AS cust_id, [c_name, c_mktsegment] AS name_seg
+            FROM customer
+        """,
+        "rename": "SELECT o_orderkey AS order_id, o_totalprice AS total FROM orders",
+        "keep_where": "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 1000",
+        "delete": "SELECT p_partkey, p_name, p_size FROM part",
+        "fillna": """
+            SELECT p_partkey, COALESCE(TRY_CAST(p_brand AS BIGINT), -1) AS brand_num,
+                   'x' AS flag
+            FROM part
+        """,
+        "to_integer": """
+            SELECT p_partkey, TRY_CAST(CAST(p_size AS VARCHAR) AS BIGINT) AS size_str
+            FROM part
+        """,
+        "to_float": """
+            SELECT l_orderkey, l_linenumber,
+                   TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_s
+            FROM lineitem
+        """,
+        "parsedate": """
+            SELECT o_orderkey,
+                   strftime(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d'), '%Y-%m-%d') AS ds
+            FROM orders
+        """,
+        "replace": """
+            SELECT c_custkey,
+                   regexp_replace(regexp_replace(c_name, 'Customer#0*', 'C', 'g'), '00', '0', 'g')
+                     AS c_name
+            FROM customer
+        """,
+        "normalize": f"""
+            SELECT o_orderkey, {_SQL_NORM.format(c='o_orderpriority')} AS o_orderpriority
+            FROM orders
+        """,
+        "eval_tier1": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue,
+                   CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS margin_flag
+            FROM lineitem
+        """,
+        "eval_tier2": r"""
+            SELECT p_partkey,
+                   array_to_string(
+                     list_transform(string_split_regex(trim(p_name), '\s+'), t -> substr(t, 1, 1)),
+                     '-') AS initials
+            FROM part
+        """,
+        "exec": "SELECT c_custkey, round(c_acctbal * 2, 2) AS bal2 FROM customer",
+        "shuffle": "SELECT c_name FROM customer",
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS l_quantity_sum,
+                   round(sum(l_extendedprice), 2) AS l_extendedprice_sum,
+                   round(avg(l_extendedprice), 2) AS l_extendedprice_mean,
+                   count(l_orderkey) AS l_orderkey_count
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "groupby_agg_list": """
+            SELECT n_regionkey, list_sort(list(n_name)) AS n_name_list
+            FROM nation GROUP BY n_regionkey
+        """,
+        "groupby_transform": """
+            SELECT c_custkey, c_mktsegment,
+                   round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment), 2) AS c_acctbal_sum
+            FROM customer
+        """,
+        "groupby_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+                        AS INT) AS o_totalprice_rank
+            FROM orders
+        """,
+        "unfold": """
+            SELECT p_partkey, unnest(string_split(p_name, ' ')) AS token FROM part
+        """,
+        "unnest": "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events",
+        "nest": """
+            SELECT to_json(struct_pack(r_regionkey := r_regionkey, r_name := r_name)) AS payload
+            FROM region
+        """,
+        "ngram": f"""
+            SELECT n_nationkey,
+                   {_SQL_NGRAMS.format(c=_SQL_NORM.format(c='n_name'), n=2)} AS n_name
+            FROM nation
+        """,
+        "join_strict": """
+            SELECT c_custkey, c_name, n_name AS nation_name
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "join_fuzzy": f"""
+            WITH lk AS (SELECT n_nationkey AS id, lower(n_name) || 'x' AS key FROM nation),
+            d AS (SELECT DISTINCT lower(n_name) AS w FROM nation),
+            best AS (
+                SELECT key, w FROM (
+                    SELECT lk.key, d.w, levenshtein(lk.key, d.w) AS dist,
+                           row_number() OVER (PARTITION BY lk.key
+                                              ORDER BY levenshtein(lk.key, d.w), d.w) AS rn
+                    FROM lk CROSS JOIN d
+                    WHERE levenshtein(lk.key, d.w) <= 1
+                ) WHERE rn = 1
+            )
+            SELECT lk.id, lk.key, best.w AS key_match
+            FROM lk LEFT JOIN best ON lk.key = best.key
+        """,
+        "join_topk": f"""
+            WITH lk AS (
+                SELECT n_nationkey AS id, lower(n_name) || 'x' AS key,
+                       {_SQL_NGRAMS.format(c="lower(n_name) || 'x'", n=3)} AS blk
+                FROM nation
+            ),
+            rk AS (
+                SELECT n_nationkey, n_name,
+                       {_SQL_NGRAMS.format(c='lower(n_name)', n=3)} AS blk
+                FROM nation
+            ),
+            cand AS (
+                SELECT DISTINCT lk.id, lk.key, rk.n_nationkey AS hit_n_nationkey,
+                       rk.n_name AS hit_n_name
+                FROM lk JOIN rk ON list_has_any(lk.blk, rk.blk)
+            ),
+            scored AS (
+                SELECT *,
+                       {_SQL_LEVNORM.format(a='key', b='lower(hit_n_name)')} AS hit_score
+                FROM cand
+            )
+            SELECT id, key, hit_n_nationkey, hit_n_name, hit_score,
+                   count(*) OVER (PARTITION BY id) AS matchid_hit_matches_unfiltered,
+                   max(hit_score) OVER (PARTITION BY id) AS hit_max_score
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY id
+                                       ORDER BY hit_score DESC, hit_n_nationkey) <= 2
+        """,
+        "clique": """
+            SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS x,
+                   'n' || CAST(n_nationkey AS VARCHAR) AS y,
+                   min('n' || CAST(n_nationkey AS VARCHAR)) OVER (PARTITION BY n_regionkey)
+                     AS graph_clique_id,
+                   count(*) OVER (PARTITION BY n_regionkey) + 1 AS graph_clique_size
+            FROM nation
+        """,
+        "dedup_exact": "SELECT doc_id, text FROM documents",
+        "minhash_sig": f"""
+            WITH t AS (SELECT doc_id, {norm_text} AS s FROM documents),
+            sh AS (SELECT doc_id, {shingles3} AS shingles FROM t),
+            hs AS (SELECT doc_id,
+                          list_transform(shingles, g -> {_SQL_H.format(x='g')}) AS hs
+                   FROM sh)
+            SELECT doc_id,
+                   [list_min(list_transform(hs,
+                        h -> xor(h, {_SQL_H.format(x="'perm#' || CAST(p AS VARCHAR)")})))
+                    for p in range(0, 8)] AS sig
+            FROM hs
+        """,
+        "minhash_pairs": f"""
+            WITH all_docs AS (
+                SELECT doc_id AS id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text || ' zzz extra' FROM documents
+            ),
+            t AS (SELECT id, {norm_text} AS s FROM all_docs),
+            sh AS (SELECT id, {shingles3} AS shingles FROM t),
+            sig AS (
+                SELECT id, shingles,
+                       [list_min(list_transform(
+                            list_transform(shingles, g -> {_SQL_H.format(x='g')}),
+                            h -> xor(h, {_SQL_H.format(x="'perm#' || CAST(p AS VARCHAR)")})))
+                        for p in range(0, 16)] AS sg
+                FROM sh
+            ),
+            bands AS (
+                SELECT id, shingles, p.b AS band,
+                       CAST(sg[p.b * 2 + 1] AS VARCHAR) || '-' || CAST(sg[p.b * 2 + 2] AS VARCHAR)
+                         AS key
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) p
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id1, b.id AS id2
+                FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            ),
+            verified AS (
+                SELECT c.id1, c.id2,
+                       round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+                             / len(list_distinct(s1.shingles || s2.shingles)), 6) AS jaccard
+                FROM cand c
+                JOIN sh s1 ON s1.id = c.id1
+                JOIN sh s2 ON s2.id = c.id2
+            )
+            SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.8
+        """,
+        "simhash": f"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex({norm_text}, '\\s+') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 60), i ->
+                       CASE WHEN list_sum(list_transform(toks, tk ->
+                                CASE WHEN ({_SQL_H.format(x='tk')} >> CAST(i AS INT)) & 1 = 1
+                                     THEN 1 ELSE -1 END)) > 0
+                            THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
+                     AS simhash
+            FROM t
+        """,
+        "fingerprint": f"""
+            WITH t AS (SELECT doc_id, {norm_text} AS s FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN length(s) <= 5 THEN [s]
+                              ELSE [substr(s, CAST(i AS INT), 5) for i in range(1, length(s) - 3)]
+                         END AS grams
+                  FROM t),
+            h AS (SELECT doc_id,
+                         list_transform(grams, gr -> {_SQL_H.format(x='gr')}) AS hs
+                  FROM g)
+            SELECT doc_id,
+                   list_sort(list_distinct(
+                       [list_min(hs[CAST(i AS INT):CAST(i AS INT) + 3])
+                        for i in range(1, greatest(len(hs) - 3, 1) + 1)])) AS fp
+            FROM h
+        """,
+        "ann_topk": """
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY cosine DESC, c.vec_id) <= 5
+        """,
+        "text_stats": f"""
+            WITH t AS (SELECT doc_id, text,
+                              string_split_regex(trim(text), '\\s+') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   round(CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE)
+                         / greatest(len(toks), 1), 6) AS mean_token_len,
+                   round(CAST(len(list_filter(toks, tk -> list_contains({en}, tk))) AS DOUBLE)
+                         / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS punct_ratio
+            FROM t
+        """,
+        "language_id": f"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex({norm_text}, '\\s+') AS toks
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         len(list_filter(toks, tk -> list_contains({en}, tk))) AS c_en,
+                         len(list_filter(toks, tk -> list_contains({es}, tk))) AS c_es,
+                         len(list_filter(toks, tk -> list_contains({de}, tk))) AS c_de,
+                         len(list_filter(toks, tk -> list_contains({fr}, tk))) AS c_fr
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(c_en, c_es, c_de, c_fr) <= 0 THEN 'und'
+                        WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+                        WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+                        WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+                        ELSE 'fr' END AS lang_guess
+            FROM c
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe
+            FROM documents
+        """,
+        "win_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sql_direct": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "fwf_roundtrip": """
+            SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment FROM customer
+        """,
+        "csv_roundtrip": """
+            SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+                   CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL ELSE c_mktsegment END AS seg
+            FROM customer
+        """,
+        "scoring": f"""
+            SELECT c_custkey,
+                   {_SQL_LEVNORM.format(a='c_name', b="replace(c_name, '0', 'O')")} AS score_lv,
+                   round(jaro_winkler_similarity(c_name, replace(c_name, '0', 'O')), 4) AS score_jw
+            FROM customer
+        """,
+    }

@@ -244,12 +244,15 @@ def python_exec(df, statements, schema=None):
     """
     if isinstance(statements, str):
         statements = [statements]
-    codes = [compile(s, "<exec>", "exec") for s in statements]
+    statements = list(statements)
 
     def _run(pdf):
+        # compile worker-side: code objects don't ship through pickle
+        import builtins
+
         loc = {"df": pdf, "pd": __import__("pandas"), "np": __import__("numpy")}
-        for c in codes:
-            exec(c, SAFE_GLOBALS | {"__builtins__": __builtins__}, loc)
+        for s in statements:
+            exec(compile(s, "<exec>", "exec"), dict(SAFE_GLOBALS, __builtins__=builtins), loc)
         return loc["df"]
 
     if schema is None:

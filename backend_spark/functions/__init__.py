@@ -15,6 +15,8 @@ are exactly reproducible by the correctness oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves postponed pandas_udf type hints
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -240,6 +242,8 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
             k += 1
     t //= 2
     jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if jaro <= 0.7:  # winkler boost threshold (jellyfish/DuckDB parity)
+        return jaro
     prefix = 0
     for a, b in zip(s1, s2):
         if a == b and prefix < 4:
@@ -411,24 +415,39 @@ def python_repl_to_java(repl: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(tokens: Column, num_perm: int = 32) -> Column:
-    """array<bigint> of ``num_perm`` min-hashes over a token/shingle array.
+def _perm_constant(i: int) -> int:
+    """XOR-mix constant for permutation ``i`` — the same value both
+    engines derive as md5_long('perm#i'); precomputed in python so the
+    Spark expression tree stays flat."""
+    import hashlib
 
-    Permutation i = md5_long(token || '#i'); signature element = min.
-    Entirely Column-side (transform + array_min); reproducible in ANSI
-    SQL, so the LSH dedup operator has an exact oracle.
+    return int(hashlib.md5(f"perm#{i}".encode()).hexdigest()[:15], 16)
+
+
+def minhash_signature_from_hashes(hashes: Column, num_perm: int = 32) -> Column:
+    """array<bigint> of ``num_perm`` min-hashes over a pre-hashed
+    token array (one md5_long per token, staged by the caller so it
+    computes once).  Permutation i = base_hash XOR md5_long('perm#i');
+    signature element = min.  One md5 per token total — permutations
+    are single XORs.  DuckDB oracle: ``list_min(list_transform(hs,
+    h -> xor(h, <const>)))``.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                tokens,
-                lambda t: F.conv(
-                    F.substring(F.md5(F.concat(t, F.lit("#"), s.cast("string"))), 1, 15), 16, 10
-                ).cast("long"),
-            )
-        ),
+
+    def _mix(c):
+        return lambda h: h.bitwiseXOR(F.lit(c))
+
+    return F.array(
+        *[F.array_min(F.transform(hashes, _mix(_perm_constant(i)))) for i in range(num_perm)]
     )
+
+
+def minhash_signature(tokens: Column, num_perm: int = 32) -> Column:
+    """As above, from a raw token/shingle array.  NOTE: prefer staging
+    ``F.transform(tokens, md5_long)`` as its own column and calling
+    ``minhash_signature_from_hashes`` — expressions referenced inside
+    higher-order lambdas re-evaluate per element, so an inlined token
+    expression would be recomputed ``num_perm`` times."""
+    return minhash_signature_from_hashes(F.transform(tokens, lambda t: md5_long(t)), num_perm)
 
 
 def simhash64(tokens: Column, bits: int = 60) -> Column:

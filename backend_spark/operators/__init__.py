@@ -4,6 +4,7 @@ from backend_spark.operators.columns import (
     op_exec,
     op_fillna,
     op_keep,
+    op_list_to_tuple,
     op_map,
     op_normalize,
     op_parsedate,
@@ -13,6 +14,7 @@ from backend_spark.operators.columns import (
     op_shuffle,
     op_to_float,
     op_to_integer,
+    op_tuple_to_list,
 )
 from backend_spark.operators.groupby import op_groupby
 from backend_spark.operators.joins import join_strict, join_fuzzy, join_topk
@@ -24,6 +26,7 @@ __all__ = [
     "op_to_integer", "op_to_float", "op_parsedate", "op_replace",
     "op_normalize", "op_eval", "op_exec", "op_shuffle", "op_pause",
     "op_groupby", "op_unfold", "op_unnest", "op_nest", "op_ngram",
+    "op_list_to_tuple", "op_tuple_to_list",
     "join_strict", "join_fuzzy", "join_topk",
     "connected_components", "op_clique",
 ]

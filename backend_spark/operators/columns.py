@@ -119,13 +119,16 @@ def op_replace(df: DataFrame, select, regex: list[dict]) -> DataFrame:
     for d in regex:
         for pat, repl in d.items():
             steps.append((fn.python_regex_to_java(pat), fn.python_repl_to_java(str(repl))))
+    def _elem(p, r):
+        return lambda x: F.regexp_replace(x, p, r)
+
     out = df
     for c in _select_columns(df, select):
         col = F.col(c)
         is_array = dict(df.dtypes).get(c, "").startswith("array")
         for pat, repl in steps:
             if is_array:
-                col = F.transform(col, lambda x, p=pat, r=repl: F.regexp_replace(x, p, r))
+                col = F.transform(col, _elem(pat, repl))
             else:
                 col = F.regexp_replace(col, pat, repl)
         out = out.withColumn(c, col)
@@ -199,6 +202,18 @@ def op_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
             yield out
 
     return df.mapInPandas(_perm, schema=schema)
+
+
+def op_list_to_tuple(df: DataFrame, select=None) -> DataFrame:
+    """Identity in Spark: arrays are group-able, so the reference's
+    hashability conversion (internal_list_to_tuple,
+    code/recipes.py:1929-1940) has nothing to do."""
+    return df
+
+
+def op_tuple_to_list(df: DataFrame, select=None) -> DataFrame:
+    """Identity (reference internal_tuple_to_list, code/recipes.py:1942-1953)."""
+    return df
 
 
 def op_pause(df: DataFrame, select=None, head: int | None = None) -> DataFrame:

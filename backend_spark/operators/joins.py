@@ -160,6 +160,7 @@ def join_topk(
     keep_unmatched: bool = False,
     prefix: str = "hit_",
     broadcast_ref: bool = False,
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Top-k candidate-retrieval join — the pure-Spark mapping of the
     reference's Elasticsearch msearch join + unfold + unnest
@@ -198,7 +199,8 @@ def join_topk(
     pairs = left_keys.join(hit_keys, "__bk").drop("__bk").dropDuplicates([left_id] + [f"{prefix}{c}" for c in ref.columns])
 
     scored = pairs.withColumn(f"{prefix}score", score(pairs))
-    w = Window.partitionBy(left_id).orderBy(F.col(f"{prefix}score").desc())
+    order = [F.col(f"{prefix}score").desc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(left_id).orderBy(*order)
     agg_w = Window.partitionBy(left_id)
     topk = (
         scored.withColumn("__rn", F.row_number().over(w))

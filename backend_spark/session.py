@@ -49,6 +49,9 @@ def get_session(app_name: str = "backend_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the driver's events.parquet carries TIMESTAMP(NANOS); Spark has
+        # no nanos type — read as long (ns since epoch) and convert
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

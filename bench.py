@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (df.count() would
+let Catalyst prune the projections we mean to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from backend_spark.session import get_session
+
+HEADLINE = [
+    "groupby_agg",
+    "eval_tier1",
+    "join_strict",
+    "join_fuzzy",
+    "join_topk",
+    "normalize",
+    "win_agg",
+    "dedup_exact",
+    "minhash_sig",
+    "simhash",
+    "fingerprint",
+    "ann_topk",
+    "text_stats",
+    "clique",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+    qs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT + cache)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

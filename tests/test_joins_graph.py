@@ -1,0 +1,126 @@
+"""Join / graph / LLM operator tests, including plan assertions (no
+cartesian products, broadcast where intended)."""
+
+from pyspark.sql import functions as F
+
+from backend_spark import functions as fn
+from backend_spark import llm
+from backend_spark.operators import (
+    connected_components,
+    join_fuzzy,
+    join_strict,
+    join_topk,
+    op_clique,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_join_strict_broadcast_left(spark):
+    left = spark.createDataFrame([("a", 1), ("zz", 2)], "k string, id long")
+    ref = spark.createDataFrame([("a", 10)], "k2 string, v long")
+    out = join_strict(left, ref, {"k": "k2"}, select={"ref_v": "v"})
+    rows = {r.id: r.ref_v for r in out.collect()}
+    assert rows == {1: 10, 2: None}
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join_fuzzy_tiebreak_prefers_dist0_then_sorted(spark):
+    left = spark.createDataFrame([("lyon", 1), ("lyonn", 2), ("zzz", 3)], "k string, id long")
+    ref = spark.createDataFrame([("lyon",), ("lyons",), ("lyonne",)], "w string")
+    out = join_fuzzy(left, ref, {"k": "w"})
+    rows = {r.id: r.k_match for r in out.collect()}
+    # exact match wins; distance-1 tie ('lyon','lyons') -> sorted-first
+    assert rows == {1: "lyon", 2: "lyon", 3: None}
+
+
+def test_join_fuzzy_no_cartesian(spark):
+    left = spark.createDataFrame([("abc", 1)], "k string, id long")
+    ref = spark.createDataFrame([("abd",)], "w string")
+    assert "CartesianProduct" not in _plan(join_fuzzy(left, ref, {"k": "w"}))
+
+
+def test_join_topk_counts_and_scores(spark):
+    left = spark.createDataFrame([(1, "abcd")], "id long, name string")
+    left = left.withColumn("blk", fn.ngrams(F.col("name"), 2))
+    ref = spark.createDataFrame([(10, "abcd"), (11, "abce"), (12, "zzzz")], "rid long, rname string")
+    out = join_topk(
+        left,
+        ref,
+        left_id="id",
+        block_left="blk",
+        block_right=fn.ngrams(F.col("rname"), 2),
+        score=lambda d: fn.levenshtein_norm(d["name"], d["hit_rname"]),
+        k=1,
+        tiebreak=["hit_rid"],
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.hit_rid == 10 and r.matchid_hit_matches_unfiltered == 2
+    assert "CartesianProduct" not in _plan(out)
+
+
+def test_connected_components_and_clique(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "src string, dst string"
+    )
+    cc = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert cc == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")], "x string, y string")
+    out = op_clique(df, ["x", "y"], metrics=["degree"])
+    rows = {(r.x, r.y): r for r in out.collect()}
+    assert rows[("a", "b")].graph_clique_id == "a"
+    assert rows[("a", "b")].graph_clique_size == 3
+    assert rows[("b", "c")].graph_degree == 2
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (5, "same"), (3, "other")], "doc_id long, text string"
+    )
+    out = llm.dedup_exact(df, "doc_id", "text")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_minhash_dedup_removes_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = llm.minhash_lsh_pairs(df, "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.5)
+    assert {(r.id1, r.id2) for r in pairs.collect()} == {(1, 2)}
+    kept = llm.dedup_minhash(df, "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_ann_bruteforce_self_similarity_excluded(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = llm.ann_topk_bruteforce(df, df.where(F.col("vec_id") == 0), k=2)
+    got = [(r.neighbor_id, r.cosine) for r in out.collect()]
+    assert len(got) == 2 and all(n != 0 for n, _ in got)
+
+
+def test_language_id_und_on_no_stopwords(spark):
+    df = spark.createDataFrame([("qwerty zxcvb",), ("the cat sat on the mat",)], "t string")
+    out = df.select(llm.language_id(F.col("t")).alias("lang")).collect()
+    assert out[0].lang == "und" and out[1].lang == "en"
+
+
+def test_multimodal_decode_stub(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNG fake"))], "doc_id long, media binary")
+    out = llm.decode_image_features(df)
+    row = out.collect()[0]
+    assert row.feat_len == 9 and 16 <= row.feat_w < 256 and 16 <= row.feat_h < 256
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        llm.decode_image_features(df, real_decode=True).collect()

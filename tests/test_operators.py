@@ -1,0 +1,219 @@
+"""Operator unit tests, porting the reference's edge semantics
+(reference tests/test_recipes.py:37-380) onto Spark DataFrames.
+
+Documented divergences from the reference are asserted as such:
+* bad casts yield null per value (try_cast) instead of leaving the
+  whole chunk unchanged (SURVEY.md §2.1 note at to_integer);
+* groupby/clique are global, not per-chunk (SURVEY.md §2.3, §2.7).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.testing import assertDataFrameEqual
+
+from backend_spark.operators import (
+    op_delete,
+    op_eval,
+    op_exec,
+    op_fillna,
+    op_keep,
+    op_list_to_tuple,
+    op_map,
+    op_nest,
+    op_ngram,
+    op_normalize,
+    op_parsedate,
+    op_pause,
+    op_rename,
+    op_replace,
+    op_shuffle,
+    op_to_float,
+    op_to_integer,
+    op_groupby,
+    op_unfold,
+    op_unnest,
+)
+
+
+def test_map_copies_and_array(spark):
+    df = spark.createDataFrame([("a", "b")], "x string, y string")
+    out = op_map(df, {"z": "x", "both": ["x", "y"]})
+    assert out.collect()[0].asDict() == {"x": "a", "y": "b", "z": "a", "both": ["a", "b"]}
+
+
+def test_rename_new_old(spark):
+    df = spark.createDataFrame([(1,)], "old long")
+    assert op_rename(df, {"new": "old"}).columns == ["new"]
+
+
+def test_fillna_creates_missing_column(spark):
+    # reference tests/test_recipes.py:48-60 — fillna creates the column
+    df = spark.createDataFrame([("a", None), (None, "b")], "x string, y string")
+    out = op_fillna(df, [{"y": "-"}, {"z": "zz"}])
+    rows = [r.asDict() for r in out.orderBy("x").collect()]
+    assert rows[0] == {"x": None, "y": "b", "z": "zz"}
+    assert rows[1] == {"x": "a", "y": "-", "z": "zz"}
+
+
+def test_keep_regex_and_where(spark):
+    # reference tests/test_recipes.py:265-275
+    df = spark.createDataFrame([(1, "a", 5), (2, "b", 50)], "k long, name string, v long")
+    out = op_keep(df, select=r"^(k|v)$", where="v > 10")
+    assert out.columns == ["k", "v"]
+    assert out.collect() == [(2, 50)]
+
+
+def test_delete_regex(spark):
+    df = spark.createDataFrame([(1, "a")], "keepme long, dropme string")
+    assert op_delete(df, "^drop").columns == ["keepme"]
+
+
+def test_to_integer_empty_and_invalid_to_null(spark):
+    # "" -> null (reference semantics); invalid -> null per value
+    # (documented divergence from chunk-level leave-unchanged)
+    df = spark.createDataFrame([("1",), ("",), ("x",), (None,)], "v string")
+    vals = [r.v for r in op_to_integer(df, ["v"]).collect()]
+    assert vals == [1, None, None, None]
+
+
+def test_to_float_na_value(spark):
+    df = spark.createDataFrame([("1.5",), ("",), ("x",)], "v string")
+    vals = [r.v for r in op_to_float(df, ["v"], na_value=0.0).collect()]
+    assert vals == [1.5, 0.0, 0.0]
+
+
+def test_parsedate_coerce(spark):
+    # reference tests/test_recipes.py:197-201 — parse errors coerce to null
+    df = spark.createDataFrame([("20240131",), ("bogus",)], "d string")
+    vals = [r.d for r in op_parsedate(df, ["d"], format="%Y%m%d").collect()]
+    assert vals[0] is not None and vals[0].year == 2024 and vals[0].day == 31
+    assert vals[1] is None
+
+
+def test_replace_ordered_chain_and_backrefs(spark):
+    # reference tests/test_recipes.py:285-289 — order is load-bearing
+    df = spark.createDataFrame([("aab",)], "v string")
+    out = op_replace(df, ["v"], [{"a": "b"}, {"bbb": "x"}])
+    assert out.collect()[0].v == "x"
+    df2 = spark.createDataFrame([("ab12",)], "v string")
+    out2 = op_replace(df2, ["v"], [{r"([a-z]+)(\d+)": r"\2\1"}])
+    assert out2.collect()[0].v == "12ab"
+
+
+def test_replace_array_cells(spark):
+    df = spark.createDataFrame([(["aa", "ba"],)], "v array<string>")
+    out = op_replace(df, ["v"], [{"a": "x"}])
+    assert out.collect()[0].v == ["xx", "bx"]
+
+
+def test_normalize_accents(spark):
+    # reference tests/test_recipes.py:204-209
+    df = spark.createDataFrame([("ÉLODIE Straße-Nuñez",), (None,)], "v string")
+    vals = [r.v for r in op_normalize(df, ["v"]).collect()]
+    assert vals[0] == "elodie strae nunez"  # ß has no ASCII NFKD -> dropped
+    assert vals[1] is None
+
+
+def test_normalize_thorough_matches_fast_on_latin(spark):
+    df = spark.createDataFrame([("Ĳsselmeer çà-et-là",)], "v string")
+    fast = op_normalize(df, ["v"]).collect()[0].v
+    slow = op_normalize(df, ["v"], thorough=True).collect()[0].v
+    assert fast == slow == "ijsselmeer ca et la"
+
+
+def test_eval_tier1_arithmetic_and_ternary(spark):
+    # reference tests/test_recipes.py:317-321
+    df = spark.createDataFrame([(2, 3)], "a long, b long")
+    out = op_eval(df, [{"c": "a * b + 1"}, {"d": "'big' if a > 1 else 'small'"}])
+    assert out.collect()[0].asDict() == {"a": 2, "b": 3, "c": 7, "d": "big"}
+
+
+def test_eval_tier2_fallback_list_comprehension(spark):
+    df = spark.createDataFrame([("ab cd",)], "v string")
+    out = op_eval(df, [{"w": "''.join([t[0] for t in v.split()])"}])
+    assert out.collect()[0].w == "ac"
+
+
+def test_eval_error_marks_cell(spark):
+    # reference keeps going and marks the cell (code/recipes.py:1680-1686)
+    df = spark.createDataFrame([("x",), (None,)], "v string")
+    out = op_eval(df, [{"w": "v.upper() + nonexistent_fn(v)"}])
+    vals = [r.w for r in out.collect()]
+    assert all(v is not None and v.startswith("Ooops") for v in vals)
+
+
+def test_exec_mapinpandas(spark):
+    # reference tests/test_recipes.py:310-314
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    out = op_exec(df, "df['w'] = df['v'] * 10", schema="v long, w long")
+    assert sorted(r.w for r in out.collect()) == [10, 20]
+
+
+def test_shuffle_preserves_multisets(spark):
+    df = spark.createDataFrame([(i, str(i * 7)) for i in range(100)], "a long, b string")
+    out = op_shuffle(df).collect()
+    assert sorted(r.a for r in out) == list(range(100))
+    assert sorted(r.b for r in out) == sorted(str(i * 7) for i in range(100))
+
+
+def test_pause_truncates(spark):
+    # reference tests/test_recipes.py:212-216
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    assert op_pause(df, head=3).count() == 3
+    assert op_list_to_tuple(df) is df  # documented no-op
+
+
+def test_groupby_agg_sum_and_list(spark):
+    # reference tests/test_recipes.py:292-296
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "k string, v long")
+    out = op_groupby(df, ["k"], agg={"v": ["sum", "list"]})
+    rows = {r.k: r for r in out.collect()}
+    assert rows["a"].v_sum == 3 and sorted(rows["a"].v_list) == [1, 2]
+    assert rows["b"].v_sum == 5
+
+
+def test_groupby_transform_and_rank(spark):
+    # reference tests/test_recipes.py:328-364
+    df = spark.createDataFrame([("a", 1), ("a", 3), ("b", 5)], "k string, v long")
+    t = op_groupby(df, ["k"], transform={"v": "sum"})
+    assert {(r.k, r.v, r.v_sum) for r in t.collect()} == {("a", 1, 4), ("a", 3, 4), ("b", 5, 5)}
+    r = op_groupby(df, ["k"], rank=["v"])
+    assert {(r.k, r.v, r.v_rank) for r in r.collect()} == {("a", 3, 1), ("a", 1, 2), ("b", 5, 1)}
+
+
+def test_unfold_basic_and_empty_list(spark):
+    # reference tests/test_recipes.py:339-380 — empty list keeps the row
+    # only with fill_na; drops it otherwise
+    df = spark.createDataFrame([(1, ["x", "y"]), (2, []), (3, None)], "k long, v array<string>")
+    plain = op_unfold(df, "v")
+    assert {(r.k, r.v) for r in plain.collect()} == {(1, "x"), (1, "y")}
+    filled = op_unfold(df, "v", fill_na="-")
+    assert {(r.k, r.v) for r in filled.collect()} == {(1, "x"), (1, "y"), (2, "-"), (3, "-")}
+
+
+def test_unnest_struct_and_json(spark):
+    # reference tests/test_recipes.py:246-259
+    df = spark.createDataFrame([(1, '{"a": 5, "b": "x"}')], "k long, j string")
+    out = op_unnest(df, "j", prefix="j_")
+    row = out.collect()[0].asDict()
+    assert row == {"k": 1, "j_a": 5, "j_b": "x"}
+
+
+def test_nest_roundtrip(spark):
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    out = op_nest(df, ["a", "b"], target="payload")
+    assert out.columns == ["payload"]
+    assert out.collect()[0].payload == '{"a":1,"b":"x"}'
+
+
+def test_ngram_bigrams(spark):
+    # reference tests/test_recipes.py:299-307
+    df = spark.createDataFrame([("Paris",)], "v string")
+    out = op_ngram(df, ["v"], n=2)
+    assert out.collect()[0].v == ["pa", "ar", "ri", "is"]
+
+
+def test_ngram_short_token_kept(spark):
+    df = spark.createDataFrame([("ab x",)], "v string")
+    out = op_ngram(df, ["v"], n=3)
+    assert out.collect()[0].v == ["ab", "x"]
