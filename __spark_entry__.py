@@ -444,6 +444,76 @@ def _q_scoring(spark, sf):
     )
 
 
+_RECIPE_YAML = """
+recipes:
+  cust_enrich:
+    steps:
+      - map:
+          seg_norm: c_mktsegment
+      - normalize:
+          select: seg_norm
+      - join:
+          dataset: nation
+          strict:
+            c_nationkey: n_nationkey
+          select:
+            nation_name: n_name
+      - keep:
+          select: "^(c_custkey|seg_norm|nation_name)$"
+          where: "c_acctbal > 1000"
+"""
+
+
+def _q_recipe(spark, sf):
+    from backend_spark.plans import RecipeBook, load_conf
+
+    book = RecipeBook(
+        load_conf(_RECIPE_YAML),
+        datasets={"nation": load_table(spark, sf, "nation")},
+        spark=spark,
+    )
+    return book.compile("cust_enrich")(load_table(spark, sf, "customer"))
+
+
+_STREAM_N = [0]
+
+
+def _q_stream_win(spark, sf):
+    from backend_spark import streaming
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    path = tempfile.mkdtemp(prefix="sg_stream_") + "/events"
+    ev.write.parquet(path)
+    sdf = streaming.read_stream(spark, path)
+    agg = streaming.windowed_agg(
+        sdf, "ts", window="1 hour", watermark="2 hours",
+        group_by=["event_type"], aggs={"value": "sum", "*": "count"},
+    )
+    _STREAM_N[0] += 1
+    name = f"sg_winagg_{_STREAM_N[0]}"
+    streaming.run_to_memory(agg, name, output_mode="complete")
+    return spark.sql(
+        f"""
+        SELECT date_format(window_start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+               event_type, round(value_sum, 2) AS value_sum, rows_count
+        FROM {name}
+        """
+    )
+
+
+def _q_build_model(spark, sf):
+    from backend_spark import ml
+
+    cust = load_table(spark, sf, "customer")
+    df = cust.withColumn("y", (F.col("c_acctbal") > 5000).cast("double"))
+    scored = ml.build_model(
+        df, numerical=r"^c_acctbal$", target="y", tries=1, num_trees=10, max_depth=5
+    )
+    return scored.select("c_custkey", "matchid_hit_score_ml")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "map": _q_map,
@@ -486,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fwf_roundtrip": _q_fwf_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "scoring": _q_scoring,
+        "recipe_pipeline": _q_recipe,
+        "stream_win_agg": _q_stream_win,
+        "build_model": _q_build_model,
     }
 
 
@@ -794,4 +867,16 @@ def oracle_sql() -> dict[str, str]:
                    round(jaro_winkler_similarity(c_name, replace(c_name, '0', 'O')), 4) AS score_jw
             FROM customer
         """,
+        "recipe_pipeline": f"""
+            SELECT c_custkey, {_SQL_NORM.format(c='c_mktsegment')} AS seg_norm,
+                   n_name AS nation_name
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > 1000
+        """,
+        "stream_win_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, round(sum(value), 2) AS value_sum, count(*) AS rows_count
+            FROM events GROUP BY 1, 2
+        """,
+        # build_model: rows-only (RandomForest scores are engine-specific)
     }

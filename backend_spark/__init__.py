@@ -16,13 +16,16 @@ Layout:
                  expressions; pandas_udf only where no builtin exists.
   expr         — two-tier `eval` expression compiler (SURVEY.md §2.1).
   operators    — dataflow operators (SURVEY.md §2.1-2.7): column ops,
-                 groupby, reshaping, joins (strict/fuzzy/top-k), graph.
+                 groupby, reshaping, joins (strict/fuzzy/top-k), graph
+                 (connected components / clique).
   llm          — large-scale training-data pipeline operators: dedup
-                 (exact/MinHash/SimHash/ngram-Jaccard), similarity search,
-                 text analysis, multimodal column plumbing.
-  streaming    — Structured Streaming equivalents (windowed aggs,
-                 sessionization).
+                 (exact/MinHash-LSH/SimHash), similarity search
+                 (brute-force + hyperplane-LSH ANN), text analysis,
+                 multimodal column plumbing.
+  streaming    — Structured Streaming equivalents (watermarked windowed
+                 aggs, sessionization).
   plans        — the YAML recipe compiler (recipe tree -> DataFrame fn).
+  ml           — build_model/apply_model re-ranking on pyspark.ml.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -1,0 +1,133 @@
+"""ML re-ranking operators (reference build_model/apply_model,
+code/recipes.py:1728-1898; SURVEY.md §2.7) on pyspark.ml.
+
+The reference trains a sklearn RandomForest on regex-selected numeric
+features (""->0) + DictVectorizer'd categoricals against a binary
+target, keeps the best of ``tries`` random train/test splits by test
+ROC-AUC, persists with joblib, and scores rows 0-100.  Here:
+
+* features: numeric columns regex-selected, nulls->0, assembled with
+  VectorAssembler; categoricals via StringIndexer+OneHotEncoder;
+* estimator: RandomForestRegressor (same estimator family and the
+  reference's default hyperparameters, conf/conf.yml:38-42);
+* selection: ``tries`` seeded random splits, best test ROC-AUC
+  (BinaryClassificationEvaluator on the regression score — same
+  ranking-quality criterion the reference applies to predict() output);
+* persistence: PipelineModel.save/load;
+* scoring: round(100 * prediction) into the target column.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _feature_pipeline(df: DataFrame, numerical, categorical):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
+
+    num_cols = (
+        [c for c in df.columns if re.search(numerical, c)]
+        if isinstance(numerical, str)
+        else list(numerical or [])
+    )
+    cat_cols = list(categorical or [])
+    stages, assembled = [], []
+    for c in cat_cols:
+        stages.append(StringIndexer(inputCol=c, outputCol=f"__idx_{c}", handleInvalid="keep"))
+        stages.append(OneHotEncoder(inputCol=f"__idx_{c}", outputCol=f"__oh_{c}"))
+        assembled.append(f"__oh_{c}")
+    assembled.extend(num_cols)
+    stages.append(VectorAssembler(inputCols=assembled, outputCol="__features", handleInvalid="keep"))
+    return Pipeline(stages=stages), num_cols
+
+
+def _prep(df: DataFrame, num_cols) -> DataFrame:
+    # ""/null -> 0 on numeric features (reference prep, code/recipes.py:1610-1620)
+    out = df
+    for c in num_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c).cast("double"), F.lit(0.0)))
+    return out
+
+
+def build_model(
+    df: DataFrame,
+    numerical: str | list | None,
+    target: str,
+    categorical: list | None = None,
+    output: str = "matchid_hit_score_ml",
+    model_path: str | None = None,
+    tries: int = 2,
+    test_size: float = 0.33,
+    seed: int = 42,
+    num_trees: int = 50,
+    max_depth: int = 10,
+) -> DataFrame:
+    """Train, keep the best split by test ROC-AUC, persist, score the
+    full frame 0-100 into ``output`` (reference code/recipes.py:1728-1831).
+    Training materializes the input (the reference requires
+    ``chunked: False`` for the same reason, docs/recipes.md:224-231)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.regression import RandomForestRegressor
+
+    feats, num_cols = _feature_pipeline(df, numerical, categorical)
+    data = _prep(df, num_cols).withColumn("__label", F.col(target).cast("double"))
+
+    rf = RandomForestRegressor(
+        featuresCol="__features",
+        labelCol="__label",
+        predictionCol="__pred",
+        numTrees=num_trees,
+        maxDepth=max_depth,
+        seed=seed,
+    )
+    pipe = Pipeline(stages=[feats, rf])
+    evaluator = BinaryClassificationEvaluator(
+        labelCol="__label", rawPredictionCol="__pred", metricName="areaUnderROC"
+    )
+
+    best_model, best_auc = None, -1.0
+    for i in range(max(1, tries)):
+        train, test = data.randomSplit([1 - test_size, test_size], seed=seed + i)
+        model = pipe.fit(train)
+        auc = evaluator.evaluate(model.transform(test))
+        if auc > best_auc:
+            best_model, best_auc = model, auc
+
+    if model_path:
+        best_model.write().overwrite().save(model_path)
+
+    scored = best_model.transform(data)
+    return (
+        scored.withColumn(output, F.round(100 * F.col("__pred")).cast("int"))
+        .drop("__features", "__pred", "__label", *[c for c in scored.columns if c.startswith("__idx_") or c.startswith("__oh_")])
+    )
+
+
+def apply_model(
+    df: DataFrame,
+    model_path: str,
+    target: str = "matchid_hit_score_ml",
+    numerical: str | list | None = None,
+) -> DataFrame:
+    """Load a persisted PipelineModel and score rows 0-100 into
+    ``target`` (reference apply_model, code/recipes.py:1833-1898)."""
+    from pyspark.ml import PipelineModel
+
+    model = PipelineModel.load(model_path)
+    assembler_inputs: list[str] = []
+    for stage in model.stages:
+        inner = getattr(stage, "stages", [stage])
+        for s in inner:
+            if s.__class__.__name__ == "VectorAssembler":
+                assembler_inputs = [c for c in s.getInputCols() if not c.startswith("__oh_")]
+    data = _prep(df, [c for c in assembler_inputs if c in df.columns])
+    scored = model.transform(data)
+    return (
+        scored.withColumn(target, F.round(100 * F.col("__pred")).cast("int"))
+        .drop("__features", "__pred", *[c for c in scored.columns if c.startswith("__idx_") or c.startswith("__oh_")])
+    )

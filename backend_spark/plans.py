@@ -1,0 +1,223 @@
+"""Recipe compiler: the reference's YAML recipe tree -> a DataFrame
+transformation function (reference: Recipe.__init__ code/recipes.py:976-1139,
+step dispatch :1282-1283, run_chunk :1270-1307; SURVEY.md §3.1).
+
+The recipe tree IS the logical plan: each step is either an internal
+operator or another recipe (recursion).  Compilation is declarative —
+every step chains DataFrame transformations, so one recipe becomes one
+Catalyst plan and the reference's chunk loop / worker pool / write
+queue machinery has no equivalent here (SURVEY.md §4).
+
+YAML conventions preserved:
+* ``recipes: {name: {input?, steps: [...], output?}}``
+* each step is a one-key mapping ``{opname: args}``;
+* ``!ENV ${VAR}`` / ``${VAR}`` interpolation from the environment
+  (reference code/config.py:53-91);
+* ``pause`` short-circuits the remaining steps (code/recipes.py:1292-1293);
+* a step name that matches another recipe runs that recipe inline.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from backend_spark import operators as ops
+from backend_spark.sources import read_dataset, write_dataset
+
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def _interpolate(node):
+    if isinstance(node, str):
+        return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), ""), node)
+    if isinstance(node, dict):
+        return {k: _interpolate(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_interpolate(v) for v in node]
+    return node
+
+
+def load_conf(text_or_path: str) -> dict:
+    """Parse recipe YAML (string or file path) with env interpolation.
+    ``!ENV`` tags are treated as plain scalars then interpolated."""
+    import yaml
+
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    _Loader.add_constructor("!ENV", lambda loader, node: loader.construct_scalar(node))
+    if os.path.exists(text_or_path):
+        with open(text_or_path) as fh:
+            raw = yaml.load(fh, Loader=_Loader)
+    else:
+        raw = yaml.load(text_or_path, Loader=_Loader)
+    return _interpolate(raw or {})
+
+
+class RecipeBook:
+    """Compiles and runs recipes against named datasets.
+
+    ``datasets`` maps dataset names -> DataFrame (or zero-arg callables
+    returning one) — the referential side of joins and recipe inputs.
+    File-backed datasets can be declared in the conf under ``datasets:``
+    with {path, format, options}.
+    """
+
+    def __init__(self, conf: dict, datasets: dict | None = None, spark: SparkSession | None = None):
+        self.conf = conf
+        self.recipes: dict = conf.get("recipes", {})
+        self.dataset_conf: dict = conf.get("datasets", {})
+        self.datasets = dict(datasets or {})
+        self.spark = spark
+
+    # -- datasets ----------------------------------------------------------
+
+    def dataset(self, name: str) -> DataFrame:
+        if name in self.datasets:
+            ds = self.datasets[name]
+            return ds() if callable(ds) else ds
+        if name in self.dataset_conf:
+            c = self.dataset_conf[name]
+            df = read_dataset(
+                self.spark, c["path"], c.get("format", "parquet"), **c.get("options", {})
+            )
+            self.datasets[name] = df
+            return df
+        raise KeyError(f"unknown dataset: {name}")
+
+    # -- steps -------------------------------------------------------------
+
+    def _apply_step(self, df: DataFrame, name: str, args) -> DataFrame | None:
+        """One step; returns None to signal pause (stop chaining)."""
+        if name in self.recipes:  # sub-recipe, recursively compiled
+            return self._apply_steps(df, self.recipes[name].get("steps", []))
+
+        a = args if args is not None else {}
+        if name == "map":
+            return ops.op_map(df, a)
+        if name == "rename":
+            return ops.op_rename(df, a)
+        if name == "keep":
+            return ops.op_keep(df, a.get("select"), a.get("where"))
+        if name == "delete":
+            return ops.op_delete(df, a.get("select") if isinstance(a, dict) else a)
+        if name == "fillna":
+            return ops.op_fillna(df, a)
+        if name == "to_integer":
+            return ops.op_to_integer(df, a.get("select"))
+        if name == "to_float":
+            return ops.op_to_float(df, a.get("select"), a.get("na_value"))
+        if name == "parsedate":
+            return ops.op_parsedate(df, a.get("select"), a.get("format", "%Y%m%d"))
+        if name == "replace":
+            return ops.op_replace(df, a.get("select"), a.get("regex", []))
+        if name == "normalize":
+            return ops.op_normalize(df, a.get("select"))
+        if name == "eval":
+            return ops.op_eval(df, a)
+        if name == "exec":
+            return ops.op_exec(df, a if not isinstance(a, dict) else a.get("statements"),
+                               a.get("schema") if isinstance(a, dict) else None)
+        if name == "shuffle":
+            return ops.op_shuffle(df)
+        if name == "pause":
+            out = ops.op_pause(df, a.get("select"), a.get("head"))
+            return ("pause", out)
+        if name == "unfold":
+            return ops.op_unfold(df, a.get("select"), a.get("fill_na"))
+        if name == "unnest":
+            return ops.op_unnest(df, a.get("select"), a.get("prefix", ""))
+        if name == "nest":
+            return ops.op_nest(df, a.get("select"), a.get("target", "nested"))
+        if name == "ngram":
+            return ops.op_ngram(df, a.get("select"), a.get("n", [2, 3]))
+        if name == "list_to_tuple":
+            return ops.op_list_to_tuple(df)
+        if name == "tuple_to_list":
+            return ops.op_tuple_to_list(df)
+        if name == "groupby":
+            return ops.op_groupby(
+                df, a.get("select"), a.get("agg"), a.get("transform"), a.get("rank")
+            )
+        if name == "join":
+            return self._apply_join(df, a)
+        if name == "clique":
+            return ops.op_clique(df, a.get("select"), a.get("metrics"))
+        if name == "build_model":
+            from backend_spark import ml
+
+            return ml.build_model(
+                df,
+                numerical=a.get("numerical"),
+                categorical=a.get("categorical"),
+                target=a.get("target"),
+                output=a.get("output", "matchid_hit_score_ml"),
+                model_path=a.get("model", {}).get("name") if isinstance(a.get("model"), dict) else a.get("model_path"),
+                tries=a.get("tries", 2),
+                test_size=a.get("test_size", 0.33),
+                seed=a.get("seed", 42),
+            )
+        if name == "apply_model":
+            from backend_spark import ml
+
+            return ml.apply_model(
+                df,
+                model_path=a.get("model", {}).get("name") if isinstance(a.get("model"), dict) else a.get("model_path"),
+                target=a.get("target", "matchid_hit_score_ml"),
+            )
+        raise KeyError(f"unknown step: {name}")
+
+    def _apply_join(self, df: DataFrame, a: dict) -> DataFrame:
+        """The in_memory strict/fuzzy joins (reference code/recipes.py:2120-2264).
+        ES joins are expressed as top-k blocking joins — declare them
+        programmatically with operators.join_topk (SURVEY.md §2.2)."""
+        ref = self.dataset(a["dataset"])
+        select = a.get("select")
+        if a.get("fuzzy"):
+            return ops.join_fuzzy(df, ref, a["fuzzy"], strict=a.get("strict"), select=select)
+        return ops.join_strict(df, ref, a["strict"], select=select)
+
+    def _apply_steps(self, df: DataFrame, steps: list) -> DataFrame:
+        out = df
+        for step in steps:
+            if isinstance(step, str):
+                name, args = step, None
+            else:
+                (name, args), = step.items()
+            res = self._apply_step(out, name, args)
+            if isinstance(res, tuple) and res[0] == "pause":
+                return res[1]  # short-circuit: drop the remaining steps
+            out = res
+        return out
+
+    # -- public API --------------------------------------------------------
+
+    def compile(self, name: str) -> Callable[[DataFrame], DataFrame]:
+        """Recipe name -> DataFrame transformation function."""
+        recipe = self.recipes[name]
+        steps = recipe.get("steps", [])
+        return lambda df: self._apply_steps(df, steps)
+
+    def run(self, name: str, df: DataFrame | None = None, test: bool = False) -> DataFrame:
+        """Run a recipe: resolve its input dataset (unless ``df`` is
+        given), apply the steps, write the output dataset if declared
+        (skipped in test mode, like the reference's test entry point —
+        code/api.py:975-999 reads one truncated chunk and never writes).
+        """
+        recipe = self.recipes[name]
+        if df is None:
+            inp = recipe.get("input")
+            src = inp["dataset"] if isinstance(inp, dict) else inp
+            df = self.dataset(src)
+            if test:
+                df = df.limit(30)  # reference test_chunk_size (conf/conf.yml:23)
+        out = self.compile(name)(df)
+        output = recipe.get("output")
+        if output and not test:
+            c = output if isinstance(output, dict) else {"path": output}
+            write_dataset(out, c["path"], c.get("format", "parquet"), **c.get("options", {}))
+        return out

@@ -1,0 +1,104 @@
+"""Structured Streaming extensions (SURVEY.md §2.9 / §7 step 10).
+
+The reference is purely batch — its only "streaming" is incremental
+append writes (code/recipes.py:722-724).  These helpers give recipes a
+streaming input path with the canonical Spark constructs: file-source
+readStream, watermarked tumbling/sliding window aggregates, and
+stateful sessionization.  The same recipe step functions (pure
+DataFrame -> DataFrame Column transformations) apply unchanged to a
+streaming frame — that is the point of building on the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream (each new file is a micro-batch).  Schema is
+    required by Spark for file streams — pass one or point at a
+    directory with existing files to infer from."""
+    reader = spark.readStream.format(fmt)
+    if schema is None:
+        schema = spark.read.format(fmt).load(path).schema
+    reader = reader.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    group_by: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregate — the streaming
+    equivalent of ``groupby agg`` (late rows beyond ``watermark`` are
+    dropped; state is bounded, which is what makes this run forever at
+    100 TB/day ingest)."""
+    aggs = aggs or {"*": "count"}
+    agg_map = {"count": F.count, "sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}
+    exprs = []
+    for col, fname in aggs.items():
+        target = F.lit(1) if col == "*" else F.col(col)
+        exprs.append(agg_map[fname](target).alias(f"{col if col != '*' else 'rows'}_{fname}"))
+    w = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("window"), *(group_by or []))
+        .agg(*exprs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_by or []),
+            *[c for c in [f"{col if col != '*' else 'rows'}_{f}" for col, f in aggs.items()]],
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-based) per key — `F.session_window` keeps
+    state per open session only, the scalable construct for user
+    sessionization."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("session"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a stream into an in-memory table with availableNow (test
+    harness; production sinks are parquet/kafka via writeStream)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

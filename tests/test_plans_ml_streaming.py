@@ -1,0 +1,136 @@
+"""Recipe compiler, ML and streaming tests."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from backend_spark import ml, streaming
+from backend_spark.plans import RecipeBook, load_conf
+
+RECIPE_YAML = """
+recipes:
+  prep:
+    steps:
+      - map:
+          name2: name
+      - normalize:
+          select: name2
+  main:
+    steps:
+      - prep
+      - eval:
+          - score: "levenshtein_norm(name2, 'paris')"
+      - join:
+          dataset: cities
+          strict:
+            name2: city
+          select:
+            dep: dep
+      - keep:
+          select: "^(name2|score|dep)$"
+          where: "score > 0.5"
+"""
+
+
+def test_recipe_book_end_to_end(spark):
+    conf = load_conf(RECIPE_YAML)
+    cities = spark.createDataFrame([("paris", 75), ("lyon", 69)], "city string, dep int")
+    book = RecipeBook(conf, datasets={"cities": cities}, spark=spark)
+    df = spark.createDataFrame([("PÀRIS",), ("Lyon",), ("nope",)], "name string")
+    out = book.compile("main")(df)
+    rows = {r.name2: r for r in out.collect()}
+    assert rows["paris"].dep == 75 and rows["paris"].score == 1.0
+    assert "nope" not in rows  # filtered by where
+
+
+def test_recipe_pause_short_circuits(spark):
+    conf = load_conf(
+        """
+recipes:
+  r:
+    steps:
+      - pause:
+          head: 2
+      - delete:
+          select: ".*"
+"""
+    )
+    book = RecipeBook(conf)
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    out = book.compile("r")(df)
+    assert out.columns == ["v"] and out.count() == 2  # delete never ran
+
+
+def test_recipe_env_interpolation(monkeypatch):
+    monkeypatch.setenv("SG_TEST_VAL", "hello")
+    conf = load_conf("recipes:\n  r:\n    steps:\n      - eval:\n        - x: \"'${SG_TEST_VAL}'\"\n")
+    expr = conf["recipes"]["r"]["steps"][0]["eval"][0]["x"]
+    assert expr == "'hello'"
+
+
+def test_build_and_apply_model(spark, tmp_path):
+    # separable data: target = 1 iff a+b > 1
+    import random
+
+    random.seed(7)
+    rows = []
+    for _ in range(300):
+        a, b = random.random(), random.random()
+        rows.append((a, b, 1.0 if a + b > 1 else 0.0))
+    df = spark.createDataFrame(rows, "feat_a double, feat_b double, y double")
+    path = str(tmp_path / "model")
+    scored = ml.build_model(df, numerical=r"^feat_", target="y", model_path=path, tries=2)
+    vals = scored.select("matchid_hit_score_ml").collect()
+    assert all(0 <= r[0] <= 100 for r in vals)
+    # high-label rows should score higher on average
+    avg = scored.groupBy("y").agg(F.avg("matchid_hit_score_ml").alias("m")).collect()
+    m = {r.y: r.m for r in avg}
+    assert m[1.0] > m[0.0] + 20
+
+    applied = ml.apply_model(df, path, target="score2")
+    assert all(0 <= r[0] <= 100 for r in applied.select("score2").collect())
+
+
+def test_streaming_windowed_agg(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 3}:10:00", float(i)) for i in range(30)],
+        "id long, ts_s string, v double",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    df.write.parquet(src)
+
+    sdf = streaming.read_stream(spark, src)
+    agg = streaming.windowed_agg(
+        sdf, "ts", window="1 hour", watermark="2 hours", group_by=None, aggs={"v": "sum"}
+    )
+    assert agg.isStreaming
+    # append emits a window only after the watermark passes it — a single
+    # availableNow batch never finalizes, so the test drains in complete mode
+    streaming.run_to_memory(agg, "win_test", output_mode="complete")
+    got = spark.sql("SELECT * FROM win_test").collect()
+    assert len(got) == 3  # three distinct hours
+    assert {r.v_sum for r in got} == {
+        sum(float(i) for i in range(30) if i % 3 == h) for h in range(3)
+    }
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    src = str(tmp_path / "sess_src")
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:10:00"),  # same session (gap 30m)
+        ("u1", "2024-01-01 12:00:00"),  # new session
+        ("u2", "2024-01-01 10:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    df.write.parquet(src)
+    sdf = streaming.read_stream(spark, src)
+    sess = streaming.sessionize(sdf, "ts", "user", gap="30 minutes")
+    streaming.run_to_memory(sess, "sess_test", output_mode="complete")
+    got = spark.sql("SELECT * FROM sess_test").collect()
+    per_user = {}
+    for r in got:
+        per_user.setdefault(r.user, []).append(r.n_events)
+    assert sorted(per_user["u1"]) == [1, 2] and per_user["u2"] == [1]
