@@ -371,7 +371,11 @@ def _q_text_stats(spark, sf):
 
 def _q_language_id(spark, sf):
     docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", llm.language_id(F.col("text")).alias("lang_guess"))
+    return (
+        docs.select("doc_id", fn.normalize(F.col("text")).alias("__n"))
+        .withColumn("__toks", fn.tokenize(F.col("__n")))
+        .select("doc_id", llm.language_id_from_tokens(F.col("__toks")).alias("lang_guess"))
+    )
 
 
 def _q_token_count(spark, sf):

@@ -88,12 +88,13 @@ def normalize(c: Column) -> Column:
 
 
 def tokenize(c: Column) -> Column:
-    """Whitespace tokenization -> array<string>; empty input -> empty array.
-
-    Reference: code/tools.py:121-127.
+    """Whitespace tokenization -> array<string>; empty or null input ->
+    empty array (the reference returns [] for None, code/tools.py:121-127).
     """
     trimmed = F.trim(c)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(F.split(trimmed, r"\s+"))
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
 
 
 def ngrams(c: Column, n: int = 3) -> Column:
@@ -399,9 +400,19 @@ def strptime_to_java(fmt: str) -> str:
 
 
 def python_regex_to_java(pat: str) -> str:
-    """Python -> Java regex dialect for replacement *patterns* are mostly
-    compatible; replacement *templates* differ (\\1 -> $1)."""
-    return pat
+    """Python -> Java regex dialect translation for the constructs that
+    actually differ and appear in reference confs: named groups
+    ``(?P<x>)`` -> ``(?<x>)``, named backrefs ``(?P=x)`` -> ``\\k<x>``,
+    ``\\Z`` (py: end before final newline ≈ java ``\\z``).  Character
+    classes, anchors, quantifiers, inline flags ``(?i)`` are shared.
+    Unsupported python-isms (conditional groups) pass through and fail
+    loudly at Spark analysis time rather than silently diverging."""
+    import re as _re
+
+    out = _re.sub(r"\(\?P<([^>]+)>", r"(?<\1>", pat)
+    out = _re.sub(r"\(\?P=([A-Za-z_][A-Za-z0-9_]*)\)", r"\\k<\1>", out)
+    out = out.replace(r"\Z", r"\z")
+    return out
 
 
 def python_repl_to_java(repl: str) -> str:

@@ -315,10 +315,12 @@ def text_stats(df: DataFrame, text_col: str, lang: str = "en") -> list[Column]:
     ]
 
 
-def language_id(text: Column, langs: tuple[str, ...] = ("en", "es", "de", "fr")) -> Column:
-    """n-gram-free stopword-vote language id: count stopword hits per
-    language, argmax (first language wins ties, deterministic)."""
-    toks = fn.tokenize(fn.normalize(text))
+def language_id_from_tokens(toks: Column, langs: tuple[str, ...] = ("en", "es", "de", "fr")) -> Column:
+    """Stopword-vote language id over a pre-tokenized array: count
+    stopword hits per language, argmax (first language wins ties,
+    deterministic).  Pass a *materialized* token column — the votes
+    reference it len(langs) times and inlined expressions re-evaluate
+    per reference."""
 
     def _in(stop_arr):
         return lambda t: F.array_contains(stop_arr, t)
@@ -332,6 +334,13 @@ def language_id(text: Column, langs: tuple[str, ...] = ("en", "es", "de", "fr"))
     for lang, cnt in reversed(list(zip(langs, counts))):
         out = F.when(cnt == best, F.lit(lang)).otherwise(out)
     return F.when(best <= 0, F.lit("und")).otherwise(out)
+
+
+def language_id(text: Column, langs: tuple[str, ...] = ("en", "es", "de", "fr")) -> Column:
+    """As above from raw text.  Prefer staging
+    ``tokenize(normalize(text))`` as a column and calling
+    ``language_id_from_tokens`` (see that docstring)."""
+    return language_id_from_tokens(fn.tokenize(fn.normalize(text)), langs)
 
 
 def token_count_bpe(text: Column) -> Column:

@@ -217,3 +217,20 @@ def test_ngram_short_token_kept(spark):
     df = spark.createDataFrame([("ab x",)], "v string")
     out = op_ngram(df, ["v"], n=3)
     assert out.collect()[0].v == ["ab", "x"]
+
+
+def test_tokenize_null_returns_empty_array(spark):
+    from backend_spark import functions as fn
+
+    df = spark.createDataFrame([(None,), ("a b",), ("  ",)], "v string")
+    out = df.select(fn.tokenize(F.col("v")).alias("t")).collect()
+    assert [r.t for r in out] == [[], ["a", "b"], []]
+
+
+def test_python_regex_to_java_named_groups(spark):
+    from backend_spark import functions as fn
+
+    assert fn.python_regex_to_java(r"(?P<word>\w+)-(?P=word)") == r"(?<word>\w+)-\k<word>"
+    df = spark.createDataFrame([("ab-ab",)], "v string")
+    out = op_replace(df, ["v"], [{r"(?P<w>[a-z]+)-(?P=w)": r"\1!"}])
+    assert out.collect()[0].v == "ab!"
