@@ -761,15 +761,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT a.id AS id1, b.id AS id2
                 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
             ),
-            verified AS (
+            hs AS (SELECT id, list_transform(shingles, g -> {_SQL_H.format(x='g')}) AS h FROM sh),
+            inter AS (
                 SELECT c.id1, c.id2,
-                       round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
-                             / len(list_distinct(s1.shingles || s2.shingles)), 6) AS jaccard
+                       CAST(len(list_intersect(h1.h, h2.h)) AS DOUBLE) AS i,
+                       len(h1.h) + len(h2.h) AS n
                 FROM cand c
-                JOIN sh s1 ON s1.id = c.id1
-                JOIN sh s2 ON s2.id = c.id2
+                JOIN hs h1 ON h1.id = c.id1
+                JOIN hs h2 ON h2.id = c.id2
             )
-            SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.8
+            SELECT id1, id2, round(i / (n - i), 6) AS jaccard
+            FROM inter WHERE round(i / (n - i), 6) >= 0.8
         """,
         "simhash": f"""
             WITH t AS (SELECT doc_id,

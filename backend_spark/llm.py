@@ -75,12 +75,21 @@ def minhash_lsh_pairs(
         .withColumn("__sh", fn.shingles(F.col("__n"), shingle_n))
         .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
         .withColumn("__sig", fn.minhash_signature_from_hashes(F.col("__hs"), num_perm))
-        .drop("__n", "__hs")
+        .drop("__n")
     )
+    # three consumers (banding + both verify sides): materialize once
+    sig = sig.localCheckpoint(eager=False)
 
+    # verify on the (distinct) shingle *hashes*: same set cardinalities
+    # as the string shingles (md5_long is collision-free at corpus
+    # scale), but the 363k-pair intersect works on bigints, not strings
+    hash_tbl = sig.select(F.col(id_col), F.col("__hs"), F.size("__hs").alias("__n"))
+
+    # band the *ids only* — the heavy shingle arrays never enter the
+    # band self-join shuffle (they would otherwise ship `bands` copies
+    # of every array); candidates re-join the shingle table once each
     banded = sig.select(
         F.col(id_col),
-        F.col("__sh"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -96,24 +105,23 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("__b"),
-    ).select(id_col, "__sh", F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
+    ).select(id_col, F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
 
-    left = banded.select(
-        F.col(id_col).alias("id1"), F.col("__sh").alias("__sh1"), "__band", "__key"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id2"), F.col("__sh").alias("__sh2"), "__band", "__key"
-    )
+    left = banded.select(F.col(id_col).alias("id1"), "__band", "__key")
+    right = banded.select(F.col(id_col).alias("id2"), "__band", "__key")
     cand = (
         left.join(right, ["__band", "__key"])
         .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "__sh1", "__sh2")
-        .dropDuplicates(["id1", "id2"])
+        .select("id1", "id2")
+        .distinct()
     )
-    inter = F.size(F.array_intersect("__sh1", "__sh2")).cast("double")
-    union = F.size(F.array_union("__sh1", "__sh2")).cast("double")
+    s1 = hash_tbl.select(F.col(id_col).alias("id1"), F.col("__hs").alias("__h1"), F.col("__n").alias("__n1"))
+    s2 = hash_tbl.select(F.col(id_col).alias("id2"), F.col("__hs").alias("__h2"), F.col("__n").alias("__n2"))
+    verified = cand.join(s1, "id1").join(s2, "id2")
+    inter = F.size(F.array_intersect("__h1", "__h2")).cast("double")
+    union = (F.col("__n1") + F.col("__n2")).cast("double") - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id1", "id2", "jaccard")
     )
