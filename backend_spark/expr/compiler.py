@@ -37,14 +37,17 @@ class CompileError(Exception):
 class Typed:
     """A compiled sub-expression with a coarse kind tag ('str', 'num',
     'bool', 'array', 'any') so polymorphic builtins (len, max, +) pick
-    the right Column function."""
+    the right Column function.  ``const`` carries a plan-time constant
+    (e.g. a folded ``type(x)==list`` check) so conditionals on it can
+    emit only the taken branch."""
 
     col: Column
     kind: str = "any"
+    const: object = None
 
 
-def _t(col: Column, kind: str = "any") -> Typed:
-    return Typed(col, kind)
+def _t(col: Column, kind: str = "any", const=None) -> Typed:
+    return Typed(col, kind, const)
 
 
 _CMP = {
@@ -123,7 +126,44 @@ class _Compiler(ast.NodeVisitor):
             out = (out & v) if isinstance(node.op, ast.And) else (out | v)
         return _t(out, "bool")
 
+    _TYPE_KINDS = {"list": "array", "str": "str", "int": "num", "float": "num", "bool": "bool"}
+
+    def _fold_type_check(self, node: ast.Compare) -> Typed | None:
+        """Fold ``type(x) == list`` (and !=) to a plan-time constant —
+        the schema already knows the type.  The reference confs gate on
+        this to normalize scalars-vs-lists (conf/recipes/name.yml:5-6).
+        """
+        if len(node.ops) != 1 or not isinstance(node.ops[0], (ast.Eq, ast.NotEq)):
+            return None
+
+        def _type_call(n):
+            return (
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Name)
+                and n.func.id == "type"
+                and len(n.args) == 1
+            )
+
+        call, tname = None, None
+        comp = node.comparators[0]
+        if _type_call(node.left) and isinstance(comp, ast.Name):
+            call, tname = node.left, comp.id
+        elif _type_call(comp) and isinstance(node.left, ast.Name) and node.left.id in self._TYPE_KINDS:
+            call, tname = comp, node.left.id
+        if call is None or tname not in self._TYPE_KINDS:
+            return None
+        kind = self.visit(call.args[0]).kind
+        if kind == "any":
+            raise CompileError("type() on unknown kind -> tier 2")
+        val = kind == self._TYPE_KINDS[tname]
+        if isinstance(node.ops[0], ast.NotEq):
+            val = not val
+        return _t(F.lit(val), "bool", const=val)
+
     def visit_Compare(self, node: ast.Compare) -> Typed:
+        folded = self._fold_type_check(node)
+        if folded is not None:
+            return folded
         left = self.visit(node.left)
         out = None
         cur = left
@@ -162,6 +202,8 @@ class _Compiler(ast.NodeVisitor):
 
     def visit_IfExp(self, node: ast.IfExp) -> Typed:
         cond = self.visit(node.test)
+        if cond.const is not None:  # folded test: emit only the live branch
+            return self.visit(node.body if cond.const else node.orelse)
         a, b = self.visit(node.body), self.visit(node.orelse)
         kind = a.kind if a.kind == b.kind else "any"
         return _t(F.when(cond.col.cast("boolean"), a.col).otherwise(b.col), kind)
@@ -245,12 +287,34 @@ class _Compiler(ast.NodeVisitor):
                 if m == "replace":
                     a, b = (self.visit(x).col for x in node.args[:2])
                     return _t(F.replace(base.col, a, b), "str")
+                if m == "join":
+                    # '-'.join(arr) / str(' ').join(arr) -> array_join
+                    arr = self.visit(node.args[0])
+                    return _t(F.array_join(arr.col, self._const_str(node.func.value)), "str")
                 if m == "zfill":
                     if not (node.args and isinstance(node.args[0], ast.Constant)):
                         raise CompileError("zfill needs a constant width")
                     return _t(F.lpad(base.col, int(node.args[0].value), "0"), "str")
             raise CompileError("unsupported call target")
         name = node.func.id
+        # list(OrderedDict.fromkeys(x)) — the reference's order-preserving
+        # array dedup idiom (conf/recipes/name.yml:10-11); array_distinct
+        # keeps first occurrence, identical semantics
+        if (
+            name == "list"
+            and node.args
+            and isinstance(node.args[0], ast.Call)
+            and isinstance(node.args[0].func, ast.Attribute)
+            and node.args[0].func.attr == "fromkeys"
+            and isinstance(node.args[0].func.value, ast.Name)
+            and node.args[0].func.value.id == "OrderedDict"
+        ):
+            return _t(F.array_distinct(self.visit(node.args[0].args[0]).col), "array")
+        if name == "list":
+            inner = self.visit(node.args[0])
+            if inner.kind != "array":
+                raise CompileError("list() of non-array -> tier 2")
+            return inner
         args = [self.visit(a) for a in node.args]
         c = [a.col for a in args]
         if name == "len":
@@ -339,6 +403,20 @@ class _Compiler(ast.NodeVisitor):
             return _t(inter / F.greatest(F.least(F.size(c[0]), F.size(c[1])).cast("double"), F.lit(1.0)), "num")
         raise CompileError(f"unknown function: {name}")
 
+    def _const_str(self, n) -> str:
+        """Plan-time string value of a separator node: 'x' or str('x')."""
+        if isinstance(n, ast.Constant) and isinstance(n.value, str):
+            return n.value
+        if (
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Name)
+            and n.func.id == "str"
+            and n.args
+            and isinstance(n.args[0], ast.Constant)
+        ):
+            return str(n.args[0].value)
+        raise CompileError("non-constant join separator -> tier 2")
+
     def generic_visit(self, node):
         raise CompileError(f"unsupported syntax: {type(node).__name__}")
 
@@ -369,10 +447,16 @@ def compile_expr(expr: str, df) -> Column:
 
 def eval_expr_column(expr: str, df, result_type: str | None = None) -> Column:
     """Compile `expr` to a Column; transparently fall back to the
-    Arrow-vectorized Python evaluator when tier 1 can't express it."""
+    Arrow-vectorized Python evaluator when tier 1 can't express it —
+    including type errors the compiler only discovers at Spark
+    analysis time (e.g. mixed branch types)."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
     try:
-        return compile_expr(expr, df)
-    except CompileError:
+        col = compile_expr(expr, df)
+        df.select(col)  # force analysis so type errors fall back too
+        return col
+    except (CompileError, AnalysisException):
         from backend_spark.expr.fallback import python_eval_column
 
         return python_eval_column(expr, df, result_type or "string")

@@ -148,9 +148,20 @@ def replace_regex(x, regex):
     return s
 
 
+from collections import OrderedDict  # noqa: E402  (conf idiom: OrderedDict.fromkeys)
+
 SAFE_GLOBALS = {
     "re": re,
     "math": math,
+    "OrderedDict": OrderedDict,
+    "type": type,
+    "next": next,
+    "iter": iter,
+    "isinstance": isinstance,
+    "tuple": tuple,
+    "json": __import__("json"),
+    "datetime": __import__("datetime"),
+    "unicodedata": unicodedata,
     "normalize": normalize,
     "tokenize": tokenize,
     "ngrams": ngrams,

@@ -234,3 +234,42 @@ def test_python_regex_to_java_named_groups(spark):
     df = spark.createDataFrame([("ab-ab",)], "v string")
     out = op_replace(df, ["v"], [{r"(?P<w>[a-z]+)-(?P=w)": r"\1!"}])
     assert out.collect()[0].v == "ab!"
+
+
+def test_eval_conf_idioms_tier1(spark):
+    # reference conf idioms (conf/recipes/name.yml): type-check ternary,
+    # OrderedDict dedup, str join -- all compile to Columns (tier 1)
+    from backend_spark.expr.compiler import compile_expr
+
+    df = spark.createDataFrame([(["b", "a", "b"], "solo")], "names array<string>, one string")
+    out = op_eval(
+        df,
+        [
+            {"names2": "names if (type(names)==list) else [names]"},
+            {"one2": "one if (type(one)==list) else [one]"},
+            {"deduped": "list(OrderedDict.fromkeys(names))"},
+            {"joined": "str(' ').join(names)"},
+        ],
+    )
+    row = out.collect()[0]
+    assert row.names2 == ["b", "a", "b"]
+    assert row.one2 == ["solo"]
+    assert row.deduped == ["b", "a"]
+    assert row.joined == "b a b"
+    # and they really are tier-1 (no fallback): compile_expr must not raise
+    compile_expr("list(OrderedDict.fromkeys(names))", df)
+    compile_expr("names if (type(names)==list) else [names]", df)
+
+
+def test_eval_tier2_next_generator(spark):
+    # the matching.yml workaround expression needs tier 2 (generator)
+    df = spark.createDataFrame([(["", "x", "y"],)], "vals array<string>")
+    out = op_eval(df, [{"first": "next(s for s in vals if s)"}])
+    assert out.collect()[0].first == "x"
+
+
+def test_eval_analysis_error_falls_back(spark):
+    # branch types conflict at Spark analysis time -> tier 2 transparently
+    df = spark.createDataFrame([(["a"], 1)], "arr array<string>, n long")
+    out = op_eval(df, [{"mixed": "arr if n > 0 else 'scalar'"}])
+    assert out.collect()[0].mixed == "['a']"
