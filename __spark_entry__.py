@@ -80,26 +80,45 @@ _SQL_LEVNORM = (
 )
 
 
+_FLAGSHIP_YAML = """
+recipes:
+  flagship_matching:
+    steps:
+      - map:
+          name_norm: c_name
+      - normalize:
+          select: name_norm
+      - join:
+          dataset: nation
+          strict:
+            c_nationkey: n_nationkey
+          select:
+            nation_name: n_name
+      - eval:
+          - score_name: "levenshtein_norm(name_norm, normalize(nation_name))"
+          - bal_bucket: "'hi' if c_acctbal > 5000 else 'lo'"
+      - groupby:
+          select: [nation_name, bal_bucket]
+          agg:
+            c_acctbal: sum
+            c_custkey: count
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: a miniature matching recipe on sf0.001 — normalize →
-    broadcast strict join → tier-1 eval scoring → groupby rollup
-    (SURVEY.md §7 step 1 slice)."""
+    """Flagship on sf0.001: the matching-recipe shape driven through
+    the YAML user surface (SURVEY.md §7 step 1) — normalize → broadcast
+    strict join → tier-1 eval scoring → groupby rollup, compiled by
+    ``backend_spark.plans`` into one Catalyst plan."""
+    from backend_spark.plans import RecipeBook, load_conf
+
     sf = "/root/testdata/sf0.001"
-    cust = load_table(spark, sf, "customer")
-    nat = load_table(spark, sf, "nation")
-    df = op_map(cust, {"name_norm": "c_name"})
-    df = op_normalize(df, ["name_norm"])
-    df = join_strict(df, nat, {"c_nationkey": "n_nationkey"}, select={"nation_name": "n_name"})
-    df = op_eval(
-        df,
-        [
-            {"score_name": "levenshtein_norm(name_norm, normalize(nation_name))"},
-            {"bal_bucket": "'hi' if c_acctbal > 5000 else 'lo'"},
-        ],
+    book = RecipeBook(
+        load_conf(_FLAGSHIP_YAML),
+        datasets={"nation": load_table(spark, sf, "nation")},
+        spark=spark,
     )
-    return op_groupby(
-        df, ["nation_name", "bal_bucket"], agg={"c_acctbal": "sum", "c_custkey": "count"}
-    )
+    return book.compile("flagship_matching")(load_table(spark, sf, "customer"))
 
 
 # ---------------------------------------------------------------------------

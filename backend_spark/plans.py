@@ -143,6 +143,14 @@ class RecipeBook:
             return ops.op_groupby(
                 df, a.get("select"), a.get("agg"), a.get("transform"), a.get("rank")
             )
+        if name == "sql":
+            # SQL-direct step (reference CTAS pushdown, code/recipes.py:1487-1492):
+            # the incoming frame is registered as `df`, named datasets as views
+            spark = df.sparkSession
+            df.createOrReplaceTempView("df")
+            for ds_name in {**self.datasets, **self.dataset_conf}:
+                self.dataset(ds_name).createOrReplaceTempView(ds_name)
+            return spark.sql(a if isinstance(a, str) else a["query"])
         if name == "join":
             return self._apply_join(df, a)
         if name == "clique":

@@ -1,0 +1,69 @@
+"""Skew-handling utilities for cluster scale.
+
+AQE's skew-join splitting (enabled by the session factory) covers sort-
+merge joins at runtime; these helpers cover the two places AQE can't:
+aggregations over power-law keys, and broadcast-ineligible joins where
+one hot key floods a task.  Both are standard salting constructions,
+expressed as pure DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_AGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregate for skewed group keys: phase 1 aggregates on
+    (key, random salt) — spreading a hot key over ``salt`` reducers —
+    phase 2 merges the partials on the key alone.  Supports the
+    decomposable aggregates (sum/count/min/max); mean = sum/count by
+    the caller.  For uniform keys the plain ``op_groupby`` map-side
+    combine is already optimal — use this only when one key dominates.
+    """
+    for fname in aggs.values():
+        if fname not in ("sum", "count", "min", "max"):
+            raise ValueError(f"{fname} is not decomposable for salting")
+    salted = df.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[
+            (F.count(F.lit(1)) if fname == "count" else _AGG[fname](col)).alias(f"{col}_{fname}")
+            for col, fname in aggs.items()
+        ]
+    )
+    phase2 = phase1.groupBy(*keys).agg(
+        *[
+            _AGG[fname](f"{col}_{fname}").alias(f"{col}_{fname}")
+            for col, fname in aggs.items()
+        ]
+    )
+    return phase2
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skewed equi-join without broadcast: salt the big side's key with
+    a random suffix, replicate the small side ``salt`` times (one row
+    per salt value), join on (key, salt).  The hot key's rows spread
+    over ``salt`` tasks instead of one.  Prefer ``F.broadcast`` when
+    the small side fits in memory — this is for the middle ground."""
+    big_s = big.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+    small_s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = big_s.join(small_s, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -133,6 +133,42 @@ def write_dataset(
         raise ValueError(f"unsupported format: {fmt}")
 
 
+def read_elasticsearch(spark: SparkSession, resource: str, **options) -> DataFrame:
+    """Elasticsearch read via the es-hadoop connector
+    (`org.elasticsearch.spark.sql`; reference ES reader,
+    code/recipes.py:632-687).  Requires the elasticsearch-spark jar on
+    the classpath — absent in this container, so this raises a clear
+    error instead of a Py4J stack.  For a pure-Spark correctness path,
+    model the index as a DataFrame and the match query as
+    `operators.join_topk` (SURVEY.md §2.2)."""
+    try:
+        return (
+            spark.read.format("org.elasticsearch.spark.sql")
+            .options(**{"es.read.metadata": "true", **options})
+            .load(resource)
+        )
+    except Exception as e:  # jar missing -> actionable message
+        raise RuntimeError(
+            "elasticsearch read needs the es-hadoop connector jar "
+            "(spark.jars.packages=org.elasticsearch:elasticsearch-spark-30_2.13:<ver>); "
+            f"underlying error: {e}"
+        ) from e
+
+
+def write_elasticsearch(df: DataFrame, resource: str, mode: str = "append", **options) -> None:
+    """ES bulk write (reference code/recipes.py:771-850; upserts via
+    es.write.operation=upsert + es.mapping.id).  Same jar requirement
+    as `read_elasticsearch`; retry/backoff maps to
+    es.batch.write.retry.count / .wait."""
+    try:
+        df.write.format("org.elasticsearch.spark.sql").options(**options).mode(mode).save(resource)
+    except Exception as e:
+        raise RuntimeError(
+            "elasticsearch write needs the es-hadoop connector jar; "
+            f"underlying error: {e}"
+        ) from e
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC read (reference `sql` connector, code/recipes.py:481-510).
     Partitioned reads via partitionColumn/lowerBound/upperBound/numPartitions

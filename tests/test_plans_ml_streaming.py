@@ -134,3 +134,40 @@ def test_streaming_sessionize(spark, tmp_path):
     for r in got:
         per_user.setdefault(r.user, []).append(r.n_events)
     assert sorted(per_user["u1"]) == [1, 2] and per_user["u2"] == [1]
+
+
+def test_recipe_sql_step(spark):
+    conf = load_conf(
+        """
+recipes:
+  r:
+    steps:
+      - sql: "SELECT v, v * 2 AS v2 FROM df WHERE v > 1"
+"""
+    )
+    book = RecipeBook(conf, spark=spark)
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    out = book.compile("r")(df)
+    assert {(r.v, r.v2) for r in out.collect()} == {(2, 4), (3, 6)}
+
+
+def test_salted_agg_matches_plain(spark):
+    from backend_spark.scale import salted_agg
+
+    # one hot key + a long tail: salted result must equal plain groupBy
+    rows = [("hot", float(i)) for i in range(500)] + [(f"k{i}", 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = salted_agg(df, ["k"], {"v": "sum"}, salt=4)
+    got = {r.k: r.v_sum for r in out.collect()}
+    expect = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert got == expect
+
+
+def test_salted_join_matches_plain(spark):
+    from backend_spark.scale import salted_join
+
+    big = spark.createDataFrame([("hot", i) for i in range(200)] + [("cold", 0)], "k string, v long")
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C"), ("never", "N")], "k string, tag string")
+    got = salted_join(big, small, "k").orderBy("v")
+    plain = big.join(small, "k").orderBy("v")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))

@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis): the composite operators must
+agree with brute-force reference semantics on arbitrary inputs.
+
+SURVEY.md §7 step 3 calls for property-testing the fuzzy join against
+the reference automaton algorithm — FastSS blocking + verify must find
+exactly the same best-match as exhaustive search with the reference
+tie-break (distance 0 first, then first in sorted order,
+code/recipes.py:2200-2204).
+"""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from backend_spark import functions as fn
+from backend_spark.operators.joins import fuzzy_match
+
+WORD = st.text(alphabet="abcd", min_size=0, max_size=6)
+
+
+def _brute_best(key: str, words: list[str], max_dist: int = 1):
+    """Reference semantics: best dictionary word by (distance, sorted order)."""
+
+    def lev(a, b):
+        # plain Levenshtein, matching F.levenshtein
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    cands = sorted((lev(key, w), w) for w in set(words))
+    return cands[0][1] if cands and cands[0][0] <= max_dist else None
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    keys=st.lists(WORD, min_size=1, max_size=5, unique=True),
+    words=st.lists(st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=8, unique=True),
+)
+def test_fuzzy_match_equals_bruteforce(_spark, keys, words):
+    left = _spark.createDataFrame([(k,) for k in keys], "k string")
+    ref = _spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.k: r.m for r in fuzzy_match(left, ref, "k", "w", out_col="m").collect()}
+    for k in keys:
+        assert got[k] == _brute_best(k, words), (k, words)
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=st.text(max_size=12), b=st.text(max_size=12))
+def test_levenshtein_norm_column_matches_python(_spark, a, b):
+    df = _spark.createDataFrame([(a, b)], "a string, b string")
+    got = df.select(fn.levenshtein_norm(F.col("a"), F.col("b")).alias("v")).collect()[0].v
+    import pyspark.sql.functions as SF
+
+    lv = df.select(SF.levenshtein("a", "b").alias("d")).collect()[0].d
+    expect = round(100.0 - 100.0 * lv / (1.0 + min(len(a), len(b)))) / 100.0
+    assert got == pytest.approx(expect, abs=1e-9)
+
+
+@settings(max_examples=15, deadline=None)
+@given(a=st.text(alphabet="abcdef ", min_size=0, max_size=10), b=st.text(alphabet="abcdef ", min_size=0, max_size=10))
+def test_jw_udf_matches_python(_spark, a, b):
+    from backend_spark.functions import _jaro_winkler_py
+
+    df = _spark.createDataFrame([(a, b)], "a string, b string")
+    got = df.select(fn.jw(F.col("a"), F.col("b")).alias("v")).collect()[0].v
+    assert got == pytest.approx(_jaro_winkler_py(a, b), abs=1e-12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(s=st.text(alphabet="abcß é", min_size=0, max_size=15))
+def test_fold_accents_matches_nfkd(_spark, s):
+    # the translate-table fast path must equal full-Unicode NFKD for
+    # covered Latin inputs (backend_spark.functions.fold_accents)
+    import unicodedata
+
+    df = _spark.createDataFrame([(s,)], "v string")
+    got = df.select(fn.fold_accents(F.col("v")).alias("v")).collect()[0].v
+    expect = "".join(c for c in unicodedata.normalize("NFKD", s) if ord(c) < 128)
+    assert got == expect
