@@ -375,11 +375,15 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, windo
         )
         .withColumn("__hs", F.transform(F.col("__grams"), lambda g: fn.md5_long(g)))
     )
+    # rolling min over `window` = elementwise least of `window` shifted
+    # copies — `window` slices total instead of one slice per position
     n_win = F.greatest(F.size("__hs") - (window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.array_min(F.slice(F.col("__hs"), i, window)),
-    )
+    mins = F.slice(F.col("__hs"), 1, n_win)
+    for off in range(1, window):
+        # truncate to n_win so zip_with never pads mins; short arrays
+        # yield nulls on the shifted side -> keep the running min
+        shifted = F.slice(F.col("__hs"), off + 1, n_win)
+        mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, F.coalesce(b, a)))
     return staged.withColumn("fp", F.array_sort(F.array_distinct(mins))).select(id_col, "fp")
 
 

@@ -33,6 +33,7 @@ HEADLINE = [
     "ann_topk",
     "text_stats",
     "clique",
+    "recipe_pipeline",
 ]
 
 

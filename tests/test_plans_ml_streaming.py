@@ -171,3 +171,12 @@ def test_salted_join_matches_plain(spark):
     got = salted_join(big, small, "k").orderBy("v")
     plain = big.join(small, "k").orderBy("v")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_elasticsearch_actionable_error(spark):
+    import pytest as _pytest
+
+    from backend_spark.sources import read_elasticsearch
+
+    with _pytest.raises(RuntimeError, match="es-hadoop"):
+        read_elasticsearch(spark, "idx/doc")

@@ -1,0 +1,56 @@
+"""Plan audit: assert the physical-plan properties the 100 TB design
+depends on (see README "Design rules") over the driver queries.
+
+* filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+* referential joins are BroadcastHashJoin
+* no CartesianProduct anywhere except the intended broadcast
+  brute-force ANN (BroadcastNestedLoopJoin on the tiny query side)
+
+Usage: python tools/explain_audit.py   (exit 1 on violation)
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from backend_spark.session import get_session  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+EXPECT = {
+    # name: (must_contain, must_not_contain)
+    "keep_where": (["PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal"], ["CartesianProduct"]),
+    "join_strict": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    "join_fuzzy": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "join_topk": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "minhash_pairs": ([], ["CartesianProduct"]),
+    "clique": ([], ["CartesianProduct"]),
+    "ann_topk": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    "groupby_agg": (["partial"], ["CartesianProduct"]),  # map-side combine
+    "recipe_pipeline": (["PushedFilters", "BroadcastHashJoin"], ["CartesianProduct"]),
+}
+
+
+def main() -> int:
+    spark = get_session("plan-audit")
+    qs = entry_mod.queries()
+    failures = []
+    for name, (must, must_not) in EXPECT.items():
+        plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        for frag in must:
+            if frag not in plan:
+                failures.append(f"{name}: missing {frag!r}")
+        for frag in must_not:
+            if frag in plan:
+                failures.append(f"{name}: contains forbidden {frag!r}")
+        print(("OK   " if not any(f.startswith(name) for f in failures) else "FAIL ") + name)
+    for f in failures:
+        print("  !!", f)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
