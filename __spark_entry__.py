@@ -129,7 +129,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_map(spark, sf):
     cust = load_table(spark, sf, "customer")
     out = op_map(cust, {"cust_id": "c_custkey", "name_seg": ["c_name", "c_mktsegment"]})
-    return out.select("c_custkey", "cust_id", "name_seg")
+    # arrays returned as canonical JSON so any row serialization hashes alike
+    return out.select("c_custkey", "cust_id", F.to_json("name_seg").alias("name_seg"))
 
 
 def _q_rename(spark, sf):
@@ -242,7 +243,7 @@ def _q_groupby_agg(spark, sf):
 def _q_groupby_agg_list(spark, sf):
     nat = load_table(spark, sf, "nation")
     out = op_groupby(nat, ["n_regionkey"], agg={"n_name": "list"})
-    return out.withColumn("n_name_list", F.sort_array("n_name_list"))
+    return out.withColumn("n_name_list", F.to_json(F.sort_array("n_name_list")))
 
 
 def _q_groupby_transform(spark, sf):
@@ -280,7 +281,7 @@ def _q_nest(spark, sf):
 def _q_ngram(spark, sf):
     nat = load_table(spark, sf, "nation")
     out = op_ngram(nat, ["n_name"], n=2)
-    return out.select("n_nationkey", "n_name")
+    return out.select("n_nationkey", F.to_json("n_name").alias("n_name"))
 
 
 def _q_join_strict(spark, sf):
@@ -352,7 +353,7 @@ def _q_minhash_sig(spark, sf):
         docs.select("doc_id", fn.normalize(F.col("text")).alias("__n"))
         .withColumn("__sh", fn.shingles(F.col("__n"), 3))
         .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
-        .select("doc_id", fn.minhash_signature_from_hashes(F.col("__hs"), 8).alias("sig"))
+        .select("doc_id", F.to_json(fn.minhash_signature_from_hashes(F.col("__hs"), 8)).alias("sig"))
     )
 
 
@@ -375,7 +376,8 @@ def _q_simhash(spark, sf):
 
 def _q_fingerprint(spark, sf):
     docs = load_table(spark, sf, "documents")
-    return llm.doc_fingerprint(docs, "doc_id", "text", k=5, window=4)
+    out = llm.doc_fingerprint(docs, "doc_id", "text", k=5, window=4)
+    return out.withColumn("fp", F.to_json("fp"))
 
 
 def _q_ann(spark, sf):
@@ -600,7 +602,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "map": """
-            SELECT c_custkey, c_custkey AS cust_id, [c_name, c_mktsegment] AS name_seg
+            SELECT c_custkey, c_custkey AS cust_id, to_json([c_name, c_mktsegment]) AS name_seg
             FROM customer
         """,
         "rename": "SELECT o_orderkey AS order_id, o_totalprice AS total FROM orders",
@@ -659,7 +661,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "groupby_agg_list": """
-            SELECT n_regionkey, list_sort(list(n_name)) AS n_name_list
+            SELECT n_regionkey, to_json(list_sort(list(n_name))) AS n_name_list
             FROM nation GROUP BY n_regionkey
         """,
         "groupby_transform": """
@@ -683,7 +685,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram": f"""
             SELECT n_nationkey,
-                   {_SQL_NGRAMS.format(c=_SQL_NORM.format(c='n_name'), n=2)} AS n_name
+                   to_json({_SQL_NGRAMS.format(c=_SQL_NORM.format(c='n_name'), n=2)}) AS n_name
             FROM nation
         """,
         "join_strict": """
@@ -749,9 +751,9 @@ def oracle_sql() -> dict[str, str]:
                           list_transform(shingles, g -> {_SQL_H.format(x='g')}) AS hs
                    FROM sh)
             SELECT doc_id,
-                   [list_min(list_transform(hs,
+                   to_json([list_min(list_transform(hs,
                         h -> xor(h, {_SQL_H.format(x="'perm#' || CAST(p AS VARCHAR)")})))
-                    for p in range(0, 8)] AS sig
+                    for p in range(0, 8)]) AS sig
             FROM hs
         """,
         "minhash_pairs": f"""
@@ -816,9 +818,9 @@ def oracle_sql() -> dict[str, str]:
                          list_transform(grams, gr -> {_SQL_H.format(x='gr')}) AS hs
                   FROM g)
             SELECT doc_id,
-                   list_sort(list_distinct(
+                   to_json(list_sort(list_distinct(
                        [list_min(hs[CAST(i AS INT):CAST(i AS INT) + 3])
-                        for i in range(1, greatest(len(hs) - 3, 1) + 1)])) AS fp
+                        for i in range(1, greatest(len(hs) - 3, 1) + 1)]))) AS fp
             FROM h
         """,
         "ann_topk": """
