@@ -8,14 +8,13 @@ components are global, computed with an iterative min-label propagation
 expressed entirely as DataFrame joins/aggregations:
 
 * each iteration is one shuffle-join + one hash aggregate — both
-  map-side combinable;
+  map-side combinable — followed by a **pointer-jumping** shortcut
+  (``label(v) := label(label(v))``), so convergence is O(log diameter)
+  even on adversarial path graphs, not O(diameter);
 * lineage is truncated every iteration with ``localCheckpoint`` so the
   plan does not grow with iteration count;
-* entity-resolution graphs are near-cliques (match groups), so the
-  label front converges in O(log(diameter)) ≈ 2-4 iterations — there is
-  no long-chain pathology at 100 TB matching scale.  (For adversarial
-  long-path graphs the alternating large/small-star variant bounds the
-  rounds; the loop structure below is identical.)
+* entity-resolution graphs are near-cliques (match groups), so in
+  practice the loop exits after 2-4 iterations.
 """
 
 from __future__ import annotations
@@ -59,12 +58,25 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("__chg"),
+            )
+        )
+        # pointer jumping: label(v) := label(label(v)) — halves the depth
+        # of label chains each round, making long paths O(log n)
+        parents = stepped.select(
+            F.col("node").alias("comp"), F.col("comp").alias("__gcomp")
+        )
+        new_labels = (
+            stepped.join(parents, "comp", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("__gcomp"), F.col("comp"))).alias("comp"),
+                (F.col("__chg") | (F.col("__gcomp") < F.col("comp"))).alias("__chg"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)

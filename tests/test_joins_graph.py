@@ -124,3 +124,15 @@ def test_multimodal_decode_stub(spark):
 
     with _pytest.raises(Exception):
         llm.decode_image_features(df, real_decode=True).collect()
+
+
+def test_connected_components_deep_path(spark):
+    # a 200-node path: naive min-propagation needs 200 rounds; pointer
+    # jumping must converge within the 25-iteration cap
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(200)], "src string, dst string"
+    )
+    cc = connected_components(edges, max_iter=25)
+    comps = {r.comp for r in cc.collect()}
+    assert comps == {"n0000"}
+    assert cc.count() == 201
