@@ -90,15 +90,56 @@ def sessionize(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+def stateful_running_count(
+    df: DataFrame,
+    key_col: str,
+    key_type: str = "string",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    extension point SURVEY.md §2.9 names for operators Spark's windowed
+    aggs can't express): a per-key running total that survives across
+    micro-batches through the state store.  Emits one row per key per
+    batch with the batch's count and the all-time total.
+
+    The same pattern (state = arbitrary tuple, arrow-batched updates)
+    carries any reference-style accumulator — dedup-seen sets, session
+    carts, rate counters — with state bounded per active key, which is
+    what keeps it running at 100 TB/day.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _count(key, pdfs, state):
+        import pandas as pd
+
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "batch_events": [n], "total_events": [total]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _count,
+        outputStructType=f"{key_col} {key_type}, batch_events long, total_events long",
+        stateStructType="total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append", checkpoint: str | None = None):
     """Drain a stream into an in-memory table with availableNow (test
     harness; production sinks are parquet/kafka via writeStream)."""
-    q = (
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
     q.awaitTermination()
     return q

@@ -180,3 +180,18 @@ def test_elasticsearch_actionable_error(spark):
 
     with _pytest.raises(RuntimeError, match="es-hadoop"):
         read_elasticsearch(spark, "idx/doc")
+
+
+def test_streaming_stateful_running_count(spark, tmp_path):
+    src = str(tmp_path / "state_src")
+    ckpt = str(tmp_path / "state_ckpt")
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, "k string"
+    )
+    df.write.parquet(src)
+    sdf = streaming.read_stream(spark, src)
+    counted = streaming.stateful_running_count(sdf, "k")
+    assert counted.isStreaming
+    streaming.run_to_memory(counted, "state_test", checkpoint=ckpt)
+    got = {r.k: (r.batch_events, r.total_events) for r in spark.sql("SELECT * FROM state_test").collect()}
+    assert got == {"a": (5, 5), "b": (3, 3)}
