@@ -385,6 +385,47 @@ def _q_ann(spark, sf):
     return llm.ann_topk_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def _q_ngram_jaccard(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    return llm.ngram_jaccard_pairs(
+        docs.unionByName(dupes), "doc_id", "text", shingle_n=3, threshold=0.8
+    )
+
+
+def _q_embed_neardup(spark, sf):
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dupes = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5 + 0.01).alias("embedding"),
+    )
+    return llm.embed_cosine_pairs(
+        emb.unionByName(dupes), "vec_id", "embedding", threshold=0.9
+    )
+
+
+def _q_ann_lsh(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return llm.ann_topk_lsh(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_planes=6, dim=64
+    )
+
+
+def _q_multimodal(spark, sf):
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.lit("image").alias("media_type"),
+    )
+    out = llm.decode_image_features(docs, "media")
+    return out.select("doc_id", "media_type", "feat_len", "feat_w", "feat_h")
+
+
 def _q_text_stats(spark, sf):
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", *llm.text_stats(docs, "text"))
@@ -573,6 +614,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann,
+        "ann_lsh": _q_ann_lsh,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embed_neardup": _q_embed_neardup,
+        "multimodal": _q_multimodal,
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,
         "token_count": _q_token_count,
@@ -822,6 +867,48 @@ def oracle_sql() -> dict[str, str]:
                        [list_min(hs[CAST(i AS INT):CAST(i AS INT) + 3])
                         for i in range(1, greatest(len(hs) - 3, 1) + 1)]))) AS fp
             FROM h
+        """,
+        "ngram_jaccard": f"""
+            WITH all_docs AS (
+                SELECT doc_id AS id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text || ' zzz extra' FROM documents
+                WHERE doc_id < 100
+            ),
+            t AS (SELECT id, {norm_text} AS s FROM all_docs),
+            sh AS (SELECT id, {shingles3} AS shingles FROM t),
+            inter AS (
+                SELECT a.id AS id1, b.id AS id2,
+                       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS i,
+                       len(a.shingles) + len(b.shingles) AS n
+                FROM sh a JOIN sh b ON a.id < b.id
+            )
+            SELECT id1, id2, round(i / (n - i), 6) AS jaccard
+            FROM inter WHERE round(i / (n - i), 6) >= 0.8
+        """,
+        "embed_neardup": """
+            WITH all_vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5 + 0.01)
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+        """,
+        "multimodal": """
+            SELECT doc_id, 'image' AS media_type,
+                   octet_length(encode(text)) AS feat_len,
+                   CAST(16 + ((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) % 240
+                        AS INT) AS feat_w,
+                   CAST(16 + ((strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1) % 240
+                        AS INT) AS feat_h
+            FROM documents
         """,
         "ann_topk": """
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

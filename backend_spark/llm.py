@@ -142,6 +142,135 @@ def dedup_minhash(
     return df.join(losers, id_col, "left_anti")
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """**Exact** n-gram-Jaccard near-duplicate pairs via prefix
+    filtering (PPJoin-style) — unlike MinHash banding this misses
+    nothing: a pair with Jaccard(distinct shingle sets) >= t must share
+    at least one token in the rare-first *prefix* of length
+    ``|S| - ceil(t*|S|) + 1``, so blocking on prefix tokens is
+    exhaustive while joining on only a small, mostly-rare slice of each
+    document's shingles (the frequent shingles that would create hot
+    blocking keys sort to the suffix and never enter the join).
+
+    Shuffles: one groupBy for global shingle document-frequency, one
+    prefix-token equi-join, one verify join — all keyed, no all-pairs
+    stage.  Returns (id1, id2, jaccard), jaccard rounded to 6.
+    """
+    sh = (
+        df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
+        .withColumn("__sh", fn.shingles(F.col("__n"), shingle_n))
+        .withColumn("__hs", F.array_distinct(F.transform(F.col("__sh"), lambda t: fn.md5_long(t))))
+        .select(id_col, "__hs")
+    )
+    sh = sh.localCheckpoint(eager=False)  # reused by DF count, prefix, verify
+
+    tok = sh.select(F.col(id_col), F.explode("__hs").alias("__h"))
+    dfreq = tok.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    # rare-first ordering: (document frequency, hash) — deterministic
+    ranked = (
+        tok.join(dfreq, "__h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("__df", "__h"))).alias("__sorted"))
+        .select(
+            F.col(id_col),
+            F.transform("__sorted", lambda s: s["__h"]).alias("__ord"),
+        )
+        .withColumn(
+            "__plen",
+            F.size("__ord") - F.ceil(F.lit(threshold) * F.size("__ord")).cast("int") + 1,
+        )
+    )
+    pref = ranked.select(
+        F.col(id_col), F.explode(F.slice("__ord", 1, F.col("__plen"))).alias("__h")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("id1"), "__h")
+        .join(pref.select(F.col(id_col).alias("id2"), "__h"), "__h")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("__hs").alias("__h1"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("__hs").alias("__h2"))
+    inter = F.size(F.array_intersect("__h1", "__h2")).cast("double")
+    union = (F.size("__h1") + F.size("__h2")).cast("double") - inter
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def embed_cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 0,
+    n_bands: int = 1,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id1, id2, cosine) with
+    cosine >= threshold and id1 < id2.
+
+    ``n_planes=0`` (default) is the **exact** correctness baseline — a
+    self cross-join, quadratic, only for oracle-scale verification.
+    The production path is ``n_planes>0``: ``n_bands`` independent
+    random-hyperplane bucketings (md5-seeded, reproducible anywhere);
+    candidates = pairs sharing a bucket in *any* band, verified with
+    true cosine.  Cost scales with bucket occupancy; recall < 1 by
+    construction and rises with ``n_bands`` (each band is an
+    independent chance to collide — standard OR-amplification).
+    """
+    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if n_planes <= 0:
+        a = base.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1"))
+        b = base.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
+        cand = a.crossJoin(b).where(F.col("id1") < F.col("id2"))
+    else:
+        bucketed = base.select(
+            "__id",
+            "__v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            _hyperplane_bits(
+                                F.col("__v"), n_planes, dim, seed=f"band{band}"
+                            ).alias("bucket"),
+                        )
+                        for band in range(n_bands)
+                    ]
+                )
+            ).alias("__b"),
+        )
+        a = bucketed.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1"), "__b")
+        b = bucketed.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"), "__b")
+        cand = (
+            a.join(b, "__b")
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "__v1", "id2", "__v2")
+            .distinct()
+        )
+    return (
+        cand.withColumn(
+            "cosine", F.round(fn.cosine_similarity(F.col("__v1"), F.col("__v2")), round_to)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def simhash_buckets(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """(id, simhash) — exact-match buckets are near-dup candidates;
     hamming-≤k search is a band-join over bit slices of this value.
@@ -214,10 +343,11 @@ def ann_topk_bruteforce(
     )
 
 
-def _hyperplane_bits(vec: Column, n_planes: int, dim: int) -> Column:
+def _hyperplane_bits(vec: Column, n_planes: int, dim: int, seed: str = "plane") -> Column:
     """Deterministic random-hyperplane signature: plane p component j =
-    md5-derived value in [-1, 1] (seeded by (p, j) only — no RNG state,
-    reproducible anywhere).  Returns an int bucket id from sign bits."""
+    md5-derived value in [-1, 1] (seeded by (seed, p, j) only — no RNG
+    state, reproducible anywhere).  Returns an int bucket id from sign
+    bits."""
     def plane_dot(p):
         return F.aggregate(
             F.zip_with(
@@ -225,7 +355,7 @@ def _hyperplane_bits(vec: Column, n_planes: int, dim: int) -> Column:
                 F.transform(
                     F.sequence(F.lit(0), F.lit(dim - 1)),
                     lambda j: (
-                        fn.md5_long(F.concat_ws("_", F.lit("plane"), p.cast("string"), j.cast("string")))
+                        fn.md5_long(F.concat_ws("_", F.lit(seed), p.cast("string"), j.cast("string")))
                         % 20001 - 10000
                     ).cast("double") / 10000.0,
                 ),
@@ -235,13 +365,15 @@ def _hyperplane_bits(vec: Column, n_planes: int, dim: int) -> Column:
             lambda acc, x: acc + x,
         )
 
+    # bucket id = Σ bit_p · 2^p, folded as acc*2 + bit (F.shiftleft only
+    # accepts a literal shift count, not a per-plane Column)
     return F.aggregate(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda p: F.when(plane_dot(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")),
+            lambda p: F.when(plane_dot(p) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+        lambda acc, x: acc * 2 + x,
     )
 
 

@@ -136,3 +136,41 @@ def test_connected_components_deep_path(spark):
     comps = {r.comp for r in cc.collect()}
     assert comps == {"n0000"}
     assert cc.count() == 201
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = llm.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    got = {(r.id1, r.id2): r.jaccard for r in pairs.collect()}
+    assert set(got) == {(1, 2)} and got[(1, 2)] > 0.9
+
+
+def test_embed_cosine_pairs_exact_and_lsh(spark):
+    # 0 and 1 parallel (cosine 1), 2 orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = llm.embed_cosine_pairs(df, threshold=0.9)
+    assert {(r.id1, r.id2, r.cosine) for r in exact.collect()} == {(0, 1, 1.0)}
+    # LSH candidates are a subset of exact, verified with true cosine
+    lsh = llm.embed_cosine_pairs(df, threshold=0.9, n_planes=2, n_bands=4, dim=4)
+    assert {(r.id1, r.id2) for r in lsh.collect()} <= {(0, 1)}
+
+
+def test_ann_lsh_subset_of_bruteforce(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(4)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = llm.ann_topk_bruteforce(df, df.where(F.col("vec_id") == 0), k=3)
+    approx = llm.ann_topk_lsh(df, df.where(F.col("vec_id") == 0), k=3, n_planes=2, dim=4)
+    exact_ids = {r.neighbor_id for r in exact.collect()}
+    # same-bucket neighbors score identically to brute force
+    for r in approx.collect():
+        assert r.query_id == 0 and r.neighbor_id != 0
+    assert len(exact_ids) == 3
