@@ -426,6 +426,33 @@ def _q_multimodal(spark, sf):
     return out.select("doc_id", "media_type", "feat_len", "feat_w", "feat_h")
 
 
+def _q_simhash_neardup(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    return llm.simhash_neardup_pairs(
+        docs.unionByName(dupes), "doc_id", "text", bits=60, max_hamming=8
+    )
+
+
+def _q_audio_features(spark, sf):
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    out = llm.extract_audio_features(docs, "media")
+    return out.select("doc_id", "audio_bytes", "rms", "zcr")
+
+
+def _q_video_frames(spark, sf):
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    out = llm.sample_video_frames(docs, "media", "doc_id", n_frames=4)
+    return out.select("doc_id", "frame_idx", "frame_bytes")
+
+
 def _q_text_stats(spark, sf):
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", *llm.text_stats(docs, "text"))
@@ -618,6 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
         "multimodal": _q_multimodal,
+        "simhash_neardup": _q_simhash_neardup,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,
         "token_count": _q_token_count,
@@ -909,6 +939,51 @@ def oracle_sql() -> dict[str, str]:
                         + strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1) % 240
                         AS INT) AS feat_h
             FROM documents
+        """,
+        "simhash_neardup": f"""
+            WITH all_docs AS (
+                SELECT doc_id AS id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text || ' zzz extra' FROM documents
+                WHERE doc_id < 100
+            ),
+            t AS (SELECT id,
+                         string_split_regex({norm_text}, '\\s+') AS toks
+                  FROM all_docs),
+            sig AS (
+                SELECT id,
+                       CAST(list_sum(list_transform(range(0, 60), i ->
+                           CASE WHEN list_sum(list_transform(toks, tk ->
+                                    CASE WHEN ({_SQL_H.format(x='tk')} >> CAST(i AS INT)) & 1 = 1
+                                         THEN 1 ELSE -1 END)) > 0
+                                THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
+                         AS h
+                FROM t
+            )
+            SELECT a.id AS id1, b.id AS id2,
+                   CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE bit_count(xor(a.h, b.h)) <= 8
+        """,
+        "audio_features": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS audio_bytes,
+                   round(((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+                          + strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1)
+                         / 255.0, 6) AS rms,
+                   round(((strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+                          + strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1)
+                         / 255.0, 6) AS zcr
+            FROM documents
+        """,
+        "video_frames": """
+            WITH t AS (SELECT doc_id,
+                              greatest(octet_length(encode(text)) // 4, 1) AS step,
+                              octet_length(encode(text)) AS n
+                       FROM documents)
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   least(greatest(n - i * step, 0), step) AS frame_bytes
+            FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
         """,
         "ann_topk": """
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

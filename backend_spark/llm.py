@@ -309,6 +309,62 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """**Exact** hamming-distance near-duplicate join over SimHash by
+    pigeonhole banding: split the ``bits``-bit signature into
+    ``max_hamming + 1`` disjoint bit slices — a pair within hamming
+    distance ``max_hamming`` differs in at most ``max_hamming`` slices,
+    so it must agree exactly on at least one slice.  The slice
+    equi-join is therefore an exhaustive candidate generator (unlike
+    MinHash banding, zero recall loss), and the shuffle keys on
+    (slice_idx, slice_value) — never all-pairs.
+
+    Verification is one codegen'd ``bit_count(xor)`` per candidate.
+    Returns (id1, id2, hamming).
+    """
+    sig = simhash_buckets(df, id_col, text_col, bits=bits)
+    sig = sig.localCheckpoint(eager=False)  # banding + both verify sides
+    n_slices = max_hamming + 1
+    width = -(-bits // n_slices)  # ceil; trailing zero bits pad the last slice
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("slice"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(n_slices)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.col("simhash"), F.explode(slices).alias("__s"))
+    left = banded.select(
+        F.col(id_col).alias("id1"), F.col("simhash").alias("__h1"), "__s"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id2"), F.col("simhash").alias("__h2"), "__s"
+    )
+    cand = (
+        left.join(right, "__s")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "__h1", "id2", "__h2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__h1").bitwiseXOR(F.col("__h2"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search (ANN over array<float> embeddings)
 # ---------------------------------------------------------------------------
@@ -560,5 +616,84 @@ def decode_image_features(df: DataFrame, media_col: str = "media", real_decode: 
             pdf["feat_w"] = digests.map(lambda d: 16 + d[0] % 240)
             pdf["feat_h"] = digests.map(lambda d: 16 + d[1] % 240)
             yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
+def extract_audio_features(
+    df: DataFrame, media_col: str = "media", real_decode: bool = False
+) -> DataFrame:
+    """Audio feature extraction over opaque binary columns — same
+    mapInPandas plumbing as :func:`decode_image_features` (Arrow byte
+    batches, schema appended, partition-parallel); the codec stage is
+    STUBBED (no soundfile/librosa in this container).  Emits
+    deterministic fakes: payload length, an md5-derived pseudo RMS
+    level and zero-crossing rate."""
+    import hashlib
+
+    out_schema = (
+        f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, "
+        "audio_bytes bigint, rms double, zcr double"
+    )
+
+    def _batches(it):
+        for pdf in it:
+            if real_decode:
+                raise NotImplementedError(
+                    "audio decode requires soundfile/librosa — plug the codec in here"
+                )
+            payload = pdf[media_col]
+            pdf = pdf.copy()
+            pdf["audio_bytes"] = payload.map(lambda b: len(b) if b is not None else 0)
+            digests = payload.map(lambda b: hashlib.md5(b if b is not None else b"").digest())
+            pdf["rms"] = digests.map(lambda d: round(d[0] / 255.0, 6))
+            pdf["zcr"] = digests.map(lambda d: round(d[1] / 255.0, 6))
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Frame sampling over opaque video payloads: a table-generating
+    mapInPandas (one input row -> ``n_frames`` output rows), the shape
+    a real ffmpeg-backed sampler would have.  The demux stage is
+    STUBBED: frames are deterministic equal slices of the payload, so
+    row multiplication, frame indexing and byte-slicing are testable
+    end-to-end.  Output: (id, frame_idx, frame_bytes, frame binary)."""
+
+    out_schema = f"{id_col} bigint, frame_idx int, frame_bytes bigint, frame binary"
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if real_decode:
+                raise NotImplementedError(
+                    "video demux requires ffmpeg/pyav — plug the demuxer in here"
+                )
+            rows = {"id": [], "idx": [], "nb": [], "fr": []}
+            for rid, payload in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(payload) if payload is not None else b""
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = b[i * step : (i + 1) * step]
+                    rows["id"].append(rid)
+                    rows["idx"].append(i)
+                    rows["nb"].append(len(chunk))
+                    rows["fr"].append(chunk)
+            yield pd.DataFrame(
+                {
+                    id_col: rows["id"],
+                    "frame_idx": rows["idx"],
+                    "frame_bytes": rows["nb"],
+                    "frame": rows["fr"],
+                }
+            )
 
     return df.mapInPandas(_batches, schema=out_schema)

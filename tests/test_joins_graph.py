@@ -174,3 +174,29 @@ def test_ann_lsh_subset_of_bruteforce(spark):
     for r in approx.collect():
         assert r.query_id == 0 and r.neighbor_id != 0
     assert len(exact_ids) == 3
+
+
+def test_simhash_neardup_exact_banding(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = llm.simhash_neardup_pairs(df, "doc_id", "text", max_hamming=8)
+    got = {(r.id1, r.id2): r.hamming for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 8
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_audio_and_video_stubs(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"RIFF fake audio payload bytes"))], "doc_id long, media binary"
+    )
+    audio = llm.extract_audio_features(df).collect()[0]
+    assert audio.audio_bytes == 29 and 0.0 <= audio.rms <= 1.0
+    frames = llm.sample_video_frames(df, "media", "doc_id", n_frames=4).collect()
+    assert [r.frame_idx for r in frames] == [0, 1, 2, 3]
+    assert sum(r.frame_bytes for r in frames) <= 29
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        llm.extract_audio_features(df, real_decode=True).collect()
