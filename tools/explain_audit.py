@@ -29,6 +29,9 @@ EXPECT = {
     "minhash_pairs": ([], ["CartesianProduct"]),
     "clique": ([], ["CartesianProduct"]),
     "ann_topk": (["BroadcastNestedLoopJoin"], ["CartesianProduct"]),
+    "ann_lsh": ([], ["CartesianProduct"]),  # bucket equi-join, never NLJ
+    "ngram_jaccard": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "simhash_neardup": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "groupby_agg": (["partial"], ["CartesianProduct"]),  # map-side combine
     "recipe_pipeline": (["PushedFilters", "BroadcastHashJoin"], ["CartesianProduct"]),
 }
