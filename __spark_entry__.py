@@ -392,7 +392,7 @@ def _q_ngram_jaccard(spark, sf):
         F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
     )
     return llm.ngram_jaccard_pairs(
-        docs.unionByName(dupes), "doc_id", "text", shingle_n=3, threshold=0.8
+        docs.unionByName(dupes), "doc_id", "text", shingle_n=5, threshold=0.8
     )
 
 
@@ -670,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     norm_text = _SQL_NORM.format(c="text")
     shingles3 = _SQL_SHINGLES.format(s="s", n=3)
+    shingles5 = _SQL_SHINGLES.format(s="s", n=5)
     en = "['the','a','of','and','to','in','is','it','that','for']"
     es = "['el','la','de','y','que','en','un','una','los','por']"
     de = "['der','die','das','und','ist','ein','eine','zu','den','von']"
@@ -906,7 +907,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id < 100
             ),
             t AS (SELECT id, {norm_text} AS s FROM all_docs),
-            sh AS (SELECT id, {shingles3} AS shingles FROM t),
+            sh AS (SELECT id, {shingles5} AS shingles FROM t),
             inter AS (
                 SELECT a.id AS id1, b.id AS id2,
                        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS i,

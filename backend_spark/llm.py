@@ -181,20 +181,54 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             F.transform("__sorted", lambda s: s["__h"]).alias("__ord"),
         )
+        .withColumn("__n", F.size("__ord"))
         .withColumn(
             "__plen",
-            F.size("__ord") - F.ceil(F.lit(threshold) * F.size("__ord")).cast("int") + 1,
+            F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1,
         )
     )
+    # posexplode keeps each prefix token's position in the globally-ordered
+    # array — fuel for the PPJoin positional filter below
     pref = ranked.select(
-        F.col(id_col), F.explode(F.slice("__ord", 1, F.col("__plen"))).alias("__h")
+        F.col(id_col),
+        F.col("__n"),
+        F.posexplode(F.slice("__ord", 1, F.col("__plen"))).alias("__i", "__h"),
     )
+    left = pref.select(
+        F.col(id_col).alias("id1"), F.col("__n").alias("__n1"), F.col("__i").alias("__i1"), "__h"
+    )
+    right = pref.select(
+        F.col(id_col).alias("id2"), F.col("__n").alias("__n2"), F.col("__i").alias("__i2"), "__h"
+    )
+    # length filter in the join condition: Jaccard >= t forces t*|y| <= |x|
+    matches = left.join(right, "__h").where(
+        (F.col("id1") < F.col("id2"))
+        & (F.col("__n1") >= F.ceil(F.lit(threshold) * F.col("__n2")))
+        & (F.col("__n2") >= F.ceil(F.lit(threshold) * F.col("__n1")))
+    )
+    # positional filter: both arrays are sorted by the same global order,
+    # so the earliest shared prefix token sits at (min i1, min i2); the
+    # overlap can't exceed 1 + min(remaining suffix lengths) and Jaccard
+    # >= t needs overlap >= ceil(t/(1+t) * (n1+n2)).  This is a pure
+    # int aggregate over the match instances — the expensive array
+    # intersect below only runs on the few survivors.
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("__n1") + F.col("__n2")))
     cand = (
-        pref.select(F.col(id_col).alias("id1"), "__h")
-        .join(pref.select(F.col(id_col).alias("id2"), "__h"), "__h")
-        .where(F.col("id1") < F.col("id2"))
+        matches.groupBy("id1", "id2")
+        .agg(
+            F.min("__i1").alias("__mi1"),
+            F.min("__i2").alias("__mi2"),
+            F.first("__n1").alias("__n1"),
+            F.first("__n2").alias("__n2"),
+        )
+        .where(
+            1
+            + F.least(
+                F.col("__n1") - 1 - F.col("__mi1"), F.col("__n2") - 1 - F.col("__mi2")
+            )
+            >= alpha
+        )
         .select("id1", "id2")
-        .distinct()
     )
     s1 = sh.select(F.col(id_col).alias("id1"), F.col("__hs").alias("__h1"))
     s2 = sh.select(F.col(id_col).alias("id2"), F.col("__hs").alias("__h2"))
