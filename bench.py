@@ -29,6 +29,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_sig",
     "simhash",
+    "simhash_neardup",
     "fingerprint",
     "ann_topk",
     "text_stats",
