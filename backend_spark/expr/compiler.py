@@ -315,6 +315,16 @@ class _Compiler(ast.NodeVisitor):
             if inner.kind != "array":
                 raise CompileError("list() of non-array -> tier 2")
             return inner
+        # replace_dict/replace_regex take a literal-dict second arg —
+        # resolve it at plan time (before generic arg visitation, which
+        # has no Column meaning for a dict literal)
+        if name in ("replace_dict", "replace_regex") and len(node.args) == 2:
+            dic = self._const_dict(node.args[1])
+            target = self.visit(node.args[0])
+            col_fn = fn.replace_dict_col if name == "replace_dict" else fn.replace_regex_col
+            if target.kind == "array":
+                return _t(F.transform(target.col, lambda x: col_fn(x, dic)), "array")
+            return _t(col_fn(target.col, dic), "str")
         args = [self.visit(a) for a in node.args]
         c = [a.col for a in args]
         if name == "len":
@@ -402,6 +412,18 @@ class _Compiler(ast.NodeVisitor):
             inter = F.size(F.array_intersect(c[0], c[1])).cast("double")
             return _t(inter / F.greatest(F.least(F.size(c[0]), F.size(c[1])).cast("double"), F.lit(1.0)), "num")
         raise CompileError(f"unknown function: {name}")
+
+    def _const_dict(self, n) -> dict:
+        """Plan-time dict value of a literal-dict node; CompileError
+        (-> tier 2) when any key/value is not a constant."""
+        if not isinstance(n, ast.Dict):
+            raise CompileError("expected a literal dict argument")
+        out = {}
+        for k, v in zip(n.keys, n.values):
+            if not (isinstance(k, ast.Constant) and isinstance(v, ast.Constant)):
+                raise CompileError("dict argument must be constant -> tier 2")
+            out[k.value] = v.value
+        return out
 
     def _const_str(self, n) -> str:
         """Plan-time string value of a separator node: 'x' or str('x')."""

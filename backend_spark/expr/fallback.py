@@ -129,14 +129,13 @@ def parsedate(x, fmt="%Y%m%d"):
 
 
 def replace_dict(x, dic):
+    # whole-value exact match only (reference tools.py:90-98) — not a
+    # substring replace; non-string scalars pass through unchanged
     if isinstance(x, (list, tuple)):
         return [replace_dict(v, dic) for v in x]
     if isinstance(x, dict):
         return {k: replace_dict(v, dic) for k, v in x.items()}
-    s = str(x)
-    for k, v in dic.items():
-        s = s.replace(k, str(v))
-    return s
+    return dic.get(x, x) if isinstance(x, str) else x
 
 
 def replace_regex(x, regex):

@@ -378,6 +378,27 @@ def to_json(*cols: Column) -> Column:
     return F.to_json(F.struct(*cols))
 
 
+def replace_dict_col(c: Column, dic: dict) -> Column:
+    """Whole-value exact-match mapping (reference ``replace_dict``,
+    tools.py:90-98): the cell is replaced only when it *equals* a key,
+    otherwise it passes through unchanged.  Compiles to a when-chain —
+    pure codegen, no lookup table shipped to Python."""
+    out = None
+    for k, v in dic.items():
+        cond = c == F.lit(k)
+        out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+    return c if out is None else out.otherwise(c)
+
+
+def replace_regex_col(c: Column, regex: dict) -> Column:
+    """Ordered regex->replacement chain (reference ``replace_regex``,
+    tools.py:80-88), with python->java pattern/template dialect
+    translation."""
+    for pat, repl in regex.items():
+        c = F.regexp_replace(c, python_regex_to_java(pat), python_repl_to_java(str(repl)))
+    return c
+
+
 def strptime_to_java(fmt: str) -> str:
     """Translate a python strptime format to a Java DateTimeFormatter
     pattern (the user surface keeps the reference's python formats)."""

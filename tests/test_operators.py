@@ -273,3 +273,19 @@ def test_eval_analysis_error_falls_back(spark):
     df = spark.createDataFrame([(["a"], 1)], "arr array<string>, n long")
     out = op_eval(df, [{"mixed": "arr if n > 0 else 'scalar'"}])
     assert out.collect()[0].mixed == "['a']"
+
+
+def test_eval_replace_dict_and_regex_tier1(spark):
+    from backend_spark.expr.compiler import eval_expr_column
+
+    df = spark.createDataFrame([("alpha", ["x1", "beta"])], "s string, arr array<string>")
+    r = df.select(
+        eval_expr_column("replace_dict(s, {'alpha': 'A'})", df).alias("a"),
+        eval_expr_column("replace_dict(s, {'alph': 'NO'})", df).alias("exact_only"),
+        eval_expr_column("replace_dict(arr, {'beta': 'B'})", df).alias("arr_mapped"),
+        eval_expr_column("replace_regex(s, {'a+': 'X'})", df).alias("rx"),
+    ).first()
+    assert r.a == "A"
+    assert r.exact_only == "alpha"  # whole-value match only (tools.py:90-98)
+    assert r.arr_mapped == ["x1", "B"]
+    assert r.rx == "XlphX"
