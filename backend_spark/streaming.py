@@ -90,6 +90,50 @@ def sessionize(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication: keep the first event per key within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state per
+    live key only, evicted as the watermark passes, so memory is
+    bounded no matter how long the stream runs).  The streaming
+    counterpart of ``llm.dedup_exact`` for ingest pipelines."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    range_cond: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with watermarks on both sides plus a
+    required event-time range bound (Spark needs both to know when
+    buffered state can be evicted).  ``range_cond`` defaults to
+    "right within [left, left + 1 hour]"."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = None
+    for c in on:
+        eq = lw[c] == rw[c]
+        cond = eq if cond is None else cond & eq
+    rng = (
+        F.expr(range_cond)
+        if range_cond
+        else (rw[right_ts] >= lw[left_ts]) & (rw[right_ts] <= lw[left_ts] + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = lw.join(rw, cond & rng, how)
+    # drop the duplicated equi-key columns from the right side
+    return joined.drop(*[rw[c] for c in on])
+
+
 def stateful_running_count(
     df: DataFrame,
     key_col: str,

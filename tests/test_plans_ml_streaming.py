@@ -195,3 +195,38 @@ def test_streaming_stateful_running_count(spark, tmp_path):
     streaming.run_to_memory(counted, "state_test", checkpoint=ckpt)
     got = {r.k: (r.batch_events, r.total_events) for r in spark.sql("SELECT * FROM state_test").collect()}
     assert got == {"a": (5, 5), "b": (3, 3)}
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    df = spark.createDataFrame(
+        [("k1", "2024-01-01 10:00:00"), ("k1", "2024-01-01 10:05:00"), ("k2", "2024-01-01 10:01:00")],
+        "k string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.parquet(src)
+    sdf = streaming.read_stream(spark, src)
+    out = streaming.dedup_stream(sdf, ["k"], "ts")
+    streaming.run_to_memory(out, "dedup_test", checkpoint=str(tmp_path / "ck1"))
+    got = spark.sql("SELECT k FROM dedup_test").collect()
+    assert sorted(r.k for r in got) == ["k1", "k2"]
+
+
+def test_stream_stream_join(spark, tmp_path):
+    lsrc, rsrc = str(tmp_path / "l_src"), str(tmp_path / "r_src")
+    l = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", "view")], "uid string, lts_s string, act string"
+    ).withColumn("lts", F.to_timestamp("lts_s")).drop("lts_s")
+    r = spark.createDataFrame(
+        [("u1", "2024-01-01 10:30:00", "buy"), ("u1", "2024-01-01 13:00:00", "late")],
+        "uid string, rts_s string, act2 string",
+    ).withColumn("rts", F.to_timestamp("rts_s")).drop("rts_s")
+    l.write.parquet(lsrc)
+    r.write.parquet(rsrc)
+    out = streaming.join_streams(
+        streaming.read_stream(spark, lsrc), streaming.read_stream(spark, rsrc),
+        on=["uid"], left_ts="lts", right_ts="rts",
+    )
+    streaming.run_to_memory(out, "ssj_test", checkpoint=str(tmp_path / "ck2"))
+    got = spark.sql("SELECT uid, act, act2 FROM ssj_test").collect()
+    # only the within-range right event joins
+    assert [(r.uid, r.act, r.act2) for r in got] == [("u1", "view", "buy")]
