@@ -1,10 +1,10 @@
-"""Skew-handling utilities for cluster scale.
+"""Scale utilities: skew handling and shuffle-free co-located joins.
 
 AQE's skew-join splitting (enabled by the session factory) covers sort-
-merge joins at runtime; these helpers cover the two places AQE can't:
-aggregations over power-law keys, and broadcast-ineligible joins where
-one hot key floods a task.  Both are standard salting constructions,
-expressed as pure DataFrame ops.
+merge joins at runtime; these helpers cover the places AQE can't:
+aggregations over power-law keys, broadcast-ineligible joins where one
+hot key floods a task, and repeated big-big joins on a stable key where
+bucketed storage removes the shuffle entirely.
 """
 
 from __future__ import annotations
@@ -67,3 +67,32 @@ def salted_join(
     )
     out = big_s.join(small_s, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join
+    key.  Two tables bucketed on the same key with the same bucket
+    count join with **zero shuffle** — at 100 TB the shuffle IS the
+    join cost, so any dimension joined repeatedly (referentials,
+    entity tables) should live bucketed.  ``n_buckets`` should be
+    sized so one bucket ≈ one task's worth of data (128-512 MB)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, on: list[str], how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables.  With matching bucket specs the
+    plan contains no Exchange on either side (assert with
+    ``.explain()``; tests pin this)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

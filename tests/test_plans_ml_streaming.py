@@ -230,3 +230,24 @@ def test_stream_stream_join(spark, tmp_path):
     got = spark.sql("SELECT uid, act, act2 FROM ssj_test").collect()
     # only the within-range right event joins
     assert [(r.uid, r.act, r.act2) for r in got] == [("u1", "view", "buy")]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from backend_spark import scale
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    scale.write_bucketed(df, "bk_left", ["id"], n_buckets=4, path=str(tmp_path / "l"))
+    scale.write_bucketed(
+        df.withColumn("w", F.col("id") * 2), "bk_right", ["id"], n_buckets=4, path=str(tmp_path / "r")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = scale.bucketed_join(spark, "bk_left", "bk_right", ["id"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
