@@ -169,6 +169,23 @@ class RecipeBook:
                 test_size=a.get("test_size", 0.33),
                 seed=a.get("seed", 42),
             )
+        if name == "dedup":
+            # corpus dedup as a declarative step (beyond-reference; the
+            # LLM-pipeline operators from backend_spark.llm)
+            from backend_spark import llm
+
+            method = a.get("method", "exact")
+            id_col, text_col = a.get("id", "doc_id"), a.get("text", "text")
+            if method == "exact":
+                return llm.dedup_exact(df, id_col, text_col, normalize=a.get("normalize", False))
+            if method == "minhash":
+                kw = {
+                    k: a[k]
+                    for k in ("num_perm", "bands", "shingle_n", "jaccard_threshold")
+                    if k in a
+                }
+                return llm.dedup_minhash(df, id_col, text_col, **kw)
+            raise KeyError(f"unknown dedup method: {method}")
         if name == "apply_model":
             from backend_spark import ml
 

@@ -251,3 +251,22 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_recipe_dedup_step(spark):
+    from backend_spark.plans import RecipeBook
+
+    conf = {
+        "recipes": {
+            "clean": {
+                "steps": [
+                    {"dedup": {"method": "exact", "id": "doc_id", "text": "text"}},
+                ]
+            }
+        }
+    }
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string"
+    )
+    out = RecipeBook(conf, spark=spark).run("clean", df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
