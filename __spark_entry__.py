@@ -409,6 +409,15 @@ def _q_embed_neardup(spark, sf):
     )
 
 
+def _q_ann_ivf(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    # n_probe = n_centroids -> exhaustive, so the exact brute-force
+    # oracle applies; production sets n_probe << n_centroids
+    return llm.ann_topk_ivf(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=8
+    )
+
+
 def _q_ann_lsh(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return llm.ann_topk_lsh(
@@ -642,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
         "multimodal": _q_multimodal,
@@ -987,6 +997,16 @@ def oracle_sql() -> dict[str, str]:
             FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
         """,
         "ann_topk": """
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY cosine DESC, c.vec_id) <= 5
+        """,
+        # IVF with n_probe = n_centroids is exhaustive -> same exact oracle
+        "ann_ivf": """
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                                 CAST(c.embedding AS DOUBLE[])), 6) AS cosine

@@ -507,6 +507,77 @@ def ann_topk_lsh(
     )
 
 
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus into
+    ``n_centroids`` cells once (index build), then search only the
+    ``n_probe`` cells nearest each query — cost scales with
+    ``n_probe/n_centroids`` of the corpus instead of all of it, and the
+    corpus-side shuffle keys on the cell id.  ``n_probe = n_centroids``
+    degrades gracefully to exhaustive (exact) search — the correctness
+    gate runs it that way; production sets ``n_probe << n_centroids``.
+
+    Centroids are collected to the driver (``n_centroids`` × dim
+    doubles — KB-scale by construction) and broadcast back as a literal
+    table; the corpus itself never leaves executors.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__mlv", array_to_vector(F.col("__cv")))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__mlv", predictionCol="__cell"
+    ).fit(cb)
+    assigned = model.transform(cb).select("neighbor_id", "__cv", "__cell")
+
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(cents, "__cell int, __cent array<double>")
+
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__qd").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        qb.crossJoin(F.broadcast(cent_df))
+        .withColumn("__qd", fn.cosine_similarity(F.col("__qv"), F.col("__cent")))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .where(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", "__cell")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", F.round(fn.cosine_similarity(F.col("__qv"), F.col("__cv")), round_to)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -200,3 +200,18 @@ def test_audio_and_video_stubs(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         llm.extract_audio_features(df, real_decode=True).collect()
+
+
+def test_ann_ivf_exhaustive_equals_bruteforce(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(4)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 2)
+    exact = {(r.query_id, r.neighbor_id) for r in llm.ann_topk_bruteforce(df, q, k=3).collect()}
+    full_probe = {
+        (r.query_id, r.neighbor_id)
+        for r in llm.ann_topk_ivf(df, q, k=3, n_centroids=3, n_probe=3).collect()
+    }
+    assert full_probe == exact
+    # pruned probes return a subset of per-query candidates, all != self
+    pruned = llm.ann_topk_ivf(df, q, k=3, n_centroids=3, n_probe=1).collect()
+    assert all(r.query_id != r.neighbor_id for r in pruned)
