@@ -289,3 +289,32 @@ def test_eval_replace_dict_and_regex_tier1(spark):
     assert r.exact_only == "alpha"  # whole-value match only (tools.py:90-98)
     assert r.arr_mapped == ["x1", "B"]
     assert r.rx == "XlphX"
+
+
+def test_list_tuple_roundtrip_identity(spark):
+    from backend_spark.operators import op_list_to_tuple, op_tuple_to_list
+
+    # Spark arrays are group-able, so both ops are documented identities
+    # (reference code/recipes.py:1929-1953 converts only for pandas
+    # hashability); the roundtrip must preserve the frame exactly
+    df = spark.createDataFrame([(1, ["a", "b"])], "id long, xs array<string>")
+    out = op_tuple_to_list(op_list_to_tuple(df, ["xs"]), ["xs"])
+    assert out.collect() == df.collect()
+    assert out.schema == df.schema
+
+
+def test_fwf_write_read_roundtrip(spark, tmp_path):
+    from backend_spark.sources import read_dataset, write_dataset
+
+    # reference to_fwf left-justifies each value to its width
+    # (code/recipes.py:77-108); read slices+trims the same widths back
+    df = spark.createDataFrame(
+        [("ab", "1"), ("c", "23")], "name string, code string"
+    )
+    path = str(tmp_path / "fwf_out")
+    widths = [("name", 5), ("code", 3)]
+    write_dataset(df, path, fmt="fwf", fwf_widths=widths)
+    raw = spark.read.text(path).collect()
+    assert {r.value for r in raw} == {"ab   1  ", "c    23 "}
+    back = read_dataset(spark, path, fmt="fwf", fwf_widths=widths)
+    assert {(r.name, r.code) for r in back.collect()} == {("ab", "1"), ("c", "23")}
