@@ -228,12 +228,17 @@ class RecipeBook:
         return lambda df: self._apply_steps(df, steps)
 
     def run(self, name: str, df: DataFrame | None = None, test: bool = False) -> DataFrame:
-        """Run a recipe: resolve its input dataset (unless ``df`` is
-        given), apply the steps, write the output dataset if declared
-        (skipped in test mode, like the reference's test entry point —
-        code/api.py:975-999 reads one truncated chunk and never writes).
+        """Run a recipe: run its ``before`` dependency recipes, resolve
+        its input dataset (unless ``df`` is given), apply the steps,
+        write the output dataset if declared (skipped in test mode,
+        like the reference's test entry point — code/api.py:975-999
+        reads one truncated chunk and never writes), then run ``after``
+        recipes.  A dependency name suffixed ``&`` runs async in a
+        daemon thread (reference run_deps, code/recipes.py:1309-1350);
+        Spark schedules concurrent jobs from multiple threads natively.
         """
         recipe = self.recipes[name]
+        self._run_deps(recipe.get("before", []), test)
         if df is None:
             inp = recipe.get("input")
             src = inp["dataset"] if isinstance(inp, dict) else inp
@@ -245,4 +250,16 @@ class RecipeBook:
         if output and not test:
             c = output if isinstance(output, dict) else {"path": output}
             write_dataset(out, c["path"], c.get("format", "parquet"), **c.get("options", {}))
+        self._run_deps(recipe.get("after", []), test)
         return out
+
+    def _run_deps(self, deps: list, test: bool) -> None:
+        import threading
+
+        for dep in deps:
+            if dep.endswith("&"):
+                threading.Thread(
+                    target=self.run, args=(dep[:-1],), kwargs={"test": test}, daemon=True
+                ).start()
+            else:
+                self.run(dep, test=test)

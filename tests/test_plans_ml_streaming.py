@@ -270,3 +270,29 @@ def test_recipe_dedup_step(spark):
     )
     out = RecipeBook(conf, spark=spark).run("clean", df)
     assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_recipe_before_after_deps(spark, tmp_path):
+    from backend_spark.plans import RecipeBook
+
+    prep_out = str(tmp_path / "prep_out")
+    conf = {
+        "recipes": {
+            "prep": {
+                "input": "src",
+                "steps": [{"map": {"doubled": "v"}}],
+                "output": prep_out,
+            },
+            "main": {
+                "before": ["prep"],
+                "input": "src",
+                "steps": [{"keep": {"select": ["v"]}}],
+            },
+        }
+    }
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    book = RecipeBook(conf, datasets={"src": df}, spark=spark)
+    out = book.run("main", df)
+    assert out.columns == ["v"] and out.count() == 2
+    # the before-dependency ran and wrote its output dataset
+    assert spark.read.parquet(prep_out).count() == 2
