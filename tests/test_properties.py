@@ -86,3 +86,52 @@ def test_fold_accents_matches_nfkd(_spark, s):
     got = df.select(fn.fold_accents(F.col("v")).alias("v")).collect()[0].v
     expect = "".join(c for c in unicodedata.normalize("NFKD", s) if ord(c) < 128)
     assert got == expect
+
+
+def _py_norm(s: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9]+", " ", s.lower())).strip()
+
+
+def _py_shingles(s: str, n: int) -> frozenset:
+    s = _py_norm(s)
+    return frozenset([s]) if len(s) <= n else frozenset(s[i : i + n] for i in range(len(s) - n + 1))
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=1, max_size=12), min_size=2, max_size=5, unique=True))
+def test_ngram_jaccard_prefix_filter_is_exhaustive(_spark, texts):
+    # the PPJoin prefix+positional filters must lose NOTHING: operator
+    # output == brute-force all-pairs jaccard over distinct shingle sets
+    from backend_spark import llm
+
+    df = _spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {(r.id1, r.id2) for r in llm.ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.5).collect()}
+    expect = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = _py_shingles(texts[i], 3), _py_shingles(texts[j], 3)
+            jac = len(a & b) / len(a | b)
+            if round(jac, 6) >= 0.5:
+                expect.add((i, j))
+    assert got == expect, (texts, got, expect)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=1, max_size=14), min_size=2, max_size=5, unique=True))
+def test_simhash_banding_is_exhaustive(_spark, texts):
+    # pigeonhole banding must find every pair within the hamming budget
+    from backend_spark import llm
+
+    df = _spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    k = 20
+    got = {(r.id1, r.id2): r.hamming for r in llm.simhash_neardup_pairs(df, "doc_id", "text", max_hamming=k).collect()}
+    sigs = {r[0]: r.simhash for r in llm.simhash_buckets(df, "doc_id", "text").collect()}
+    expect = {}
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(sigs[i] ^ sigs[j]).count("1") <= k:
+                expect[(i, j)] = bin(sigs[i] ^ sigs[j]).count("1")
+    assert got == expect, (texts, got, expect)
