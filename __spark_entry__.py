@@ -349,11 +349,15 @@ def _q_dedup_exact(spark, sf):
 
 def _q_minhash_sig(spark, sf):
     docs = load_table(spark, sf, "documents")
-    return (
+    hs = (
         docs.select("doc_id", fn.normalize(F.col("text")).alias("__n"))
         .withColumn("__sh", fn.shingles(F.col("__n"), 3))
         .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
-        .select("doc_id", F.to_json(fn.minhash_signature_from_hashes(F.col("__hs"), 8)).alias("sig"))
+        .select("doc_id", "__hs")
+        .localCheckpoint(eager=False)  # 8 perm mins below each reference __hs
+    )
+    return hs.select(
+        "doc_id", F.to_json(fn.minhash_signature_from_hashes(F.col("__hs"), 8)).alias("sig")
     )
 
 

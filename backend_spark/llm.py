@@ -70,13 +70,17 @@ def minhash_lsh_pairs(
     # stage each expensive expression as its own column: expressions
     # referenced inside higher-order lambdas are re-evaluated per element,
     # so normalize/shingles must be materialized attributes, not inlined
-    sig = (
+    # barrier after the hash arrays: the signature's num_perm permutation
+    # mins each reference __hs, and an inlined chain would re-run
+    # normalize+shingle+md5 once per permutation (measured ~10x cost)
+    hs_df = (
         df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
         .withColumn("__sh", fn.shingles(F.col("__n"), shingle_n))
         .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
-        .withColumn("__sig", fn.minhash_signature_from_hashes(F.col("__hs"), num_perm))
-        .drop("__n")
+        .select(F.col(id_col), F.col("__hs"))
+        .localCheckpoint(eager=False)
     )
+    sig = hs_df.withColumn("__sig", fn.minhash_signature_from_hashes(F.col("__hs"), num_perm))
     # three consumers (banding + both verify sides): materialize once
     sig = sig.localCheckpoint(eager=False)
 
@@ -315,6 +319,10 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -
         df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
         .withColumn("__toks", fn.tokenize(F.col("__n")))
         .withColumn("__hs", F.transform(F.col("__toks"), lambda t: fn.md5_long(t)))
+        # barrier: the per-bit vote aggregates below all reference __hs;
+        # inlined, each would re-run the tokenize+md5 chain
+        .select(F.col(id_col), F.col("__hs"))
+        .localCheckpoint(eager=False)
     )
     # one vote aggregate per bit, with the mask as a python-int literal
     # ((h >> i) & 1 == 1  <=>  h & (1<<i) != 0 for the nonneg md5_long)
@@ -655,9 +663,14 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, windo
     sliding window → sorted distinct mins as (id, fp array<bigint>).
     Cross-engine exact via md5_long; each stage is a materialized column
     so nothing re-evaluates inside the lambdas."""
+    # barrier after normalize: the gram-builder lambda references __n per
+    # element, and an inlined normalize would re-run its regex chain once
+    # per gram (measured 2x the whole operator's cost at sf0.1)
+    norm = df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n")).localCheckpoint(
+        eager=False
+    )
     staged = (
-        df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
-        .withColumn(
+        norm.withColumn(
             "__grams",
             F.when(F.length("__n") <= k, F.array(F.col("__n"))).otherwise(
                 F.transform(
@@ -667,6 +680,10 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, windo
             ),
         )
         .withColumn("__hs", F.transform(F.col("__grams"), lambda g: fn.md5_long(g)))
+        .select(F.col(id_col), F.col("__hs"))
+        # barrier before the rolling min: 4 slice references below would
+        # otherwise re-evaluate the whole gram+hash chain 4x
+        .localCheckpoint(eager=False)
     )
     # rolling min over `window` = elementwise least of `window` shifted
     # copies — `window` slices total instead of one slice per position
