@@ -82,9 +82,15 @@ class RecipeBook:
             return ds() if callable(ds) else ds
         if name in self.dataset_conf:
             c = self.dataset_conf[name]
-            df = read_dataset(
-                self.spark, c["path"], c.get("format", "parquet"), **c.get("options", {})
-            )
+            opts = dict(c.get("options", {}))
+            if "select" in c:  # column pruning reaches the scan (ReadSchema)
+                opts.setdefault("select", c["select"])
+            df = read_dataset(self.spark, c["path"], c.get("format", "parquet"), **opts)
+            if "filter" in c:
+                # read-time filter recipe (reference input.filter,
+                # code/recipes.py:512-523) — a Column-only recipe here
+                # pushes its predicates into the scan via Catalyst
+                df = self._apply_steps(df, self.recipes[c["filter"]].get("steps", []))
             self.datasets[name] = df
             return df
         raise KeyError(f"unknown dataset: {name}")

@@ -296,3 +296,28 @@ def test_recipe_before_after_deps(spark, tmp_path):
     assert out.columns == ["v"] and out.count() == 2
     # the before-dependency ran and wrote its output dataset
     assert spark.read.parquet(prep_out).count() == 2
+
+
+def test_dataset_select_and_filter_pushdown(spark, tmp_path):
+    from backend_spark.plans import RecipeBook
+
+    src = str(tmp_path / "ds_src")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0)], "id long, name string, v double"
+    ).write.parquet(src)
+    conf = {
+        "datasets": {
+            "src": {"path": src, "select": ["id", "v"], "filter": "only_big"},
+        },
+        "recipes": {
+            "only_big": {"steps": [{"keep": {"where": "v > 50"}}]},
+            "main": {"input": "src", "steps": [{"map": {"v2": "v"}}]},
+        },
+    }
+    book = RecipeBook(conf, spark=spark)
+    out = book.run("main")
+    rows = out.collect()
+    assert [r.id for r in rows] == [2] and "name" not in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,50.0)]" in plan, plan
+    assert "name" not in plan.split("ReadSchema")[1][:80]
