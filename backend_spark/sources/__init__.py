@@ -155,13 +155,51 @@ def read_elasticsearch(spark: SparkSession, resource: str, **options) -> DataFra
         ) from e
 
 
-def write_elasticsearch(df: DataFrame, resource: str, mode: str = "append", **options) -> None:
-    """ES bulk write (reference code/recipes.py:771-850; upserts via
-    es.write.operation=upsert + es.mapping.id).  Same jar requirement
-    as `read_elasticsearch`; retry/backoff maps to
+def prepare_es_write(
+    df: DataFrame,
+    mode: str = "append",
+    id_col: str | None = None,
+    idempotent: bool = False,
+    options: dict | None = None,
+) -> tuple[DataFrame, str, dict]:
+    """Resolve the reference's ES-write semantics (code/recipes.py:771-850)
+    into es-hadoop options:
+
+    * ``id_col`` — `_id` from a column (`es.mapping.id`);
+    * ``idempotent=True`` without an id column — `_id` = sha256 row hash
+      of the full row JSON (reference row-hash ids, :778-779), so
+      re-running a job overwrites instead of duplicating;
+    * ``mode='update'`` — upsert (`es.write.operation=upsert`), mapped
+      onto the connector's append mode.
+
+    Pure function (no ES needed) so the mapping is unit-testable without
+    a cluster."""
+    opts = dict(options or {})
+    if idempotent and id_col is None:
+        df = df.withColumn("__row_id", F.sha2(F.to_json(F.struct(*df.columns)), 256))
+        id_col = "__row_id"
+    if id_col:
+        opts.setdefault("es.mapping.id", id_col)
+    if mode == "update":
+        opts.setdefault("es.write.operation", "upsert")
+        mode = "append"
+    return df, mode, opts
+
+
+def write_elasticsearch(
+    df: DataFrame,
+    resource: str,
+    mode: str = "append",
+    id_col: str | None = None,
+    idempotent: bool = False,
+    **options,
+) -> None:
+    """ES bulk write (reference code/recipes.py:771-850).  Same jar
+    requirement as `read_elasticsearch`; retry/backoff maps to
     es.batch.write.retry.count / .wait."""
+    df, mode, opts = prepare_es_write(df, mode, id_col, idempotent, options)
     try:
-        df.write.format("org.elasticsearch.spark.sql").options(**options).mode(mode).save(resource)
+        df.write.format("org.elasticsearch.spark.sql").options(**opts).mode(mode).save(resource)
     except Exception as e:
         raise RuntimeError(
             "elasticsearch write needs the es-hadoop connector jar; "

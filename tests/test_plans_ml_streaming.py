@@ -321,3 +321,19 @@ def test_dataset_select_and_filter_pushdown(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(v), GreaterThan(v,50.0)]" in plan, plan
     assert "name" not in plan.split("ReadSchema")[1][:80]
+
+
+def test_es_write_semantics_mapping(spark):
+    from backend_spark.sources import prepare_es_write
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    # explicit id column
+    out, mode, opts = prepare_es_write(df, mode="update", id_col="id")
+    assert mode == "append"
+    assert opts == {"es.mapping.id": "id", "es.write.operation": "upsert"}
+    # idempotent row-hash ids: deterministic for identical rows
+    out, mode, opts = prepare_es_write(df, idempotent=True)
+    assert opts["es.mapping.id"] == "__row_id"
+    h1 = out.select("__row_id").first()[0]
+    out2, _, _ = prepare_es_write(df, idempotent=True)
+    assert out2.select("__row_id").first()[0] == h1 and len(h1) == 64
