@@ -103,7 +103,11 @@ class ApiServer:
                         if action == "test":
                             df = outer.book.run(name, test=True)
                             rows = [r.asDict(recursive=True) for r in df.limit(30).collect()]
-                            return self._send(200, {"rows": rows, "schema": df.schema.simpleString()})
+                            steps = outer.book.trace(name)
+                            return self._send(
+                                200,
+                                {"rows": rows, "schema": df.schema.simpleString(), "steps": steps},
+                            )
                         if action == "run":
                             job_id = outer.jobs.start(
                                 name, lambda: outer.book.run(name).count()

@@ -259,6 +259,31 @@ class RecipeBook:
         self._run_deps(recipe.get("after", []), test)
         return out
 
+    def trace(self, name: str, df: DataFrame | None = None, n: int = 30) -> list[dict]:
+        """Test-mode per-step capture (reference test entry point returns
+        rows + per-step log, code/api.py:975-999): run the recipe on an
+        ``n``-row sample, recording after every step the step name, the
+        output columns and the sample row count.  Driver-side cost is
+        bounded by ``n`` — each prefix re-plans but only ``n`` rows flow.
+        """
+        recipe = self.recipes[name]
+        if df is None:
+            inp = recipe.get("input")
+            df = self.dataset(inp["dataset"] if isinstance(inp, dict) else inp)
+        out = df.limit(n)
+        records = []
+        for step in recipe.get("steps", []):
+            sname, args = (step, None) if isinstance(step, str) else next(iter(step.items()))
+            res = self._apply_step(out, sname, args)
+            paused = isinstance(res, tuple) and res[0] == "pause"
+            out = res[1] if paused else res
+            records.append(
+                {"step": sname, "columns": out.columns, "rows": out.count()}
+            )
+            if paused:
+                break
+        return records
+
     def _run_deps(self, deps: list, test: bool) -> None:
         import threading
 

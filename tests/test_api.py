@@ -92,3 +92,10 @@ def test_dataset_sample(server):
 def test_unknown_recipe_404(server):
     code, body = _req(server, "PUT", "/recipes/nope/test")
     assert code == 404
+
+
+def test_test_endpoint_per_step_trace(server):
+    code, body = _req(server, "PUT", "/recipes/from_ds/test")
+    assert code == 200 and body["steps"]
+    for rec in body["steps"]:
+        assert set(rec) == {"step", "columns", "rows"} and rec["rows"] <= 30

@@ -337,3 +337,18 @@ def test_es_write_semantics_mapping(spark):
     h1 = out.select("__row_id").first()[0]
     out2, _, _ = prepare_es_write(df, idempotent=True)
     assert out2.select("__row_id").first()[0] == h1 and len(h1) == 64
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from backend_spark.sources import write_dataset
+
+    path = str(tmp_path / "part_out")
+    df = spark.createDataFrame(
+        [(i, "click" if i % 2 else "view", float(i)) for i in range(100)],
+        "id long, event_type string, v double",
+    )
+    write_dataset(df, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == 50
