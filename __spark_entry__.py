@@ -609,6 +609,38 @@ def _q_stream_win(spark, sf):
     )
 
 
+def _q_stream_dedup(spark, sf):
+    from backend_spark import streaming
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    path = tempfile.mkdtemp(prefix="sg_sdedup_") + "/events"
+    ev.select("ts", "user_id", "event_type").write.parquet(path)
+    sdf = streaming.read_stream(spark, path)
+    out = streaming.dedup_stream(sdf, ["user_id", "event_type"], "ts", watermark="10 days")
+    _STREAM_N[0] += 1
+    name = f"sg_sdedup_{_STREAM_N[0]}"
+    streaming.run_to_memory(out, name, checkpoint=tempfile.mkdtemp(prefix="sg_sdedup_ck_"))
+    # project to the key columns: which event survives per key is
+    # arrival-order-dependent, the key set is deterministic
+    return spark.sql(f"SELECT DISTINCT user_id, event_type FROM {name}")
+
+
+def _q_salted_agg(spark, sf):
+    from backend_spark import scale
+
+    li = load_table(spark, sf, "lineitem")
+    out = scale.salted_agg(
+        li, ["l_returnflag"], {"l_quantity": "sum", "l_orderkey": "count"}, salt=16
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("l_quantity_sum", 2).alias("sum_qty"),
+        F.col("l_orderkey_count").alias("n_rows"),
+    )
+
+
 def _q_build_model(spark, sf):
     from backend_spark import ml
 
@@ -672,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoring": _q_scoring,
         "recipe_pipeline": _q_recipe,
         "stream_win_agg": _q_stream_win,
+        "stream_dedup": _q_stream_dedup,
+        "salted_agg": _q_salted_agg,
         "build_model": _q_build_model,
     }
 
@@ -1086,6 +1120,12 @@ def oracle_sql() -> dict[str, str]:
                    n_name AS nation_name
             FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
             WHERE c_acctbal > 1000
+        """,
+        "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "salted_agg": """
+            SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                   count(l_orderkey) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
         """,
         "stream_win_agg": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
