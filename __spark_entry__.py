@@ -373,6 +373,22 @@ def _q_minhash_pairs(spark, sf):
     )
 
 
+def _q_dedup_near(spark, sf):
+    # end-to-end near-dup dedup: LSH pairs -> connected components ->
+    # keep the smallest id per duplicate cluster.  rows-only: CC is not
+    # SQL-expressible; the stages are individually oracle-checked
+    # (minhash_pairs, clique, dedup_exact)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    out = llm.dedup_minhash(
+        docs.unionByName(dupes), "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.8
+    )
+    return out.select("doc_id")
+
+
 def _q_simhash(spark, sf):
     docs = load_table(spark, sf, "documents")
     return llm.simhash_buckets(docs, "doc_id", "text", bits=60)
@@ -681,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_topk": _q_join_topk,
         "clique": _q_clique,
         "dedup_exact": _q_dedup_exact,
+        "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
