@@ -74,9 +74,10 @@ _SQL_SHINGLES = (
     "list_distinct(CASE WHEN length({s}) <= {n} THEN [{s}] "
     "ELSE [substr({s}, CAST(i AS INT), {n}) for i in range(1, length({s}) - {n} + 2)] END)"
 )
-# fn.levenshtein_norm
+# fn.levenshtein_norm — round_even matches Python round() / Spark F.rint
+# (half-even) at .5 midpoints; plain round (HALF_UP) diverges there.
 _SQL_LEVNORM = (
-    "round(100 - 100 * levenshtein({a}, {b}) / (1 + least(length({a}), length({b})))) / 100"
+    "round_even(100 - 100 * levenshtein({a}, {b}) / (1 + least(length({a}), length({b}))), 0) / 100"
 )
 
 
@@ -503,8 +504,10 @@ def _q_token_count(spark, sf):
 
 def _q_win_agg(spark, sf):
     ev = load_table(spark, sf, "events")
-    # ts arrives as int64 nanoseconds (see session nanosAsLong) -> timestamp
-    ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # ts arrives as int64 nanoseconds (see session nanosAsLong) -> timestamp.
+    # Integer `div`, not `/`: double division on ~1.7e18 ns loses up to
+    # ~128 ns (> 2^53) and can push a boundary event into the wrong window.
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -604,7 +607,7 @@ def _q_stream_win(spark, sf):
     from backend_spark import streaming
 
     ev = load_table(spark, sf, "events").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     path = tempfile.mkdtemp(prefix="sg_stream_") + "/events"
     ev.write.parquet(path)
@@ -629,7 +632,7 @@ def _q_stream_dedup(spark, sf):
     from backend_spark import streaming
 
     ev = load_table(spark, sf, "events").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     path = tempfile.mkdtemp(prefix="sg_sdedup_") + "/events"
     ev.select("ts", "user_id", "event_type").write.parquet(path)

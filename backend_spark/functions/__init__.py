@@ -178,12 +178,15 @@ def levenshtein(a: Column, b: Column) -> Column:
 def levenshtein_norm(a: Column, b: Column) -> Column:
     """round(100 - 100*lv/(1 + min(len))) / 100 — reference tools.py:213-227.
 
+    Python's ``round`` is half-even on the exact binary double, which is
+    ``F.rint`` (IEEE roundTiesToEven) — NOT ``F.round`` (HALF_UP), which
+    diverges at .5 midpoints (e.g. lv=7, min=7 -> 12.5 -> 12, not 13).
     Both engines evaluate this in IEEE double over integer inputs, so the
-    oracle matches bit-for-bit.
+    oracle (DuckDB ``round_even``) matches bit-for-bit.
     """
     lv = F.levenshtein(a, b).cast("double")
     m = F.least(F.length(a), F.length(b)).cast("double")
-    return F.round(F.lit(100.0) - F.lit(100.0) * lv / (F.lit(1.0) + m)) / F.lit(100.0)
+    return F.rint(F.lit(100.0) - F.lit(100.0) * lv / (F.lit(1.0) + m)) / F.lit(100.0)
 
 
 def levenshtein_norm_max(a_list: Column, b_list: Column) -> Column:
@@ -196,7 +199,7 @@ def levenshtein_norm_max(a_list: Column, b_list: Column) -> Column:
             a_list,
             lambda a: F.transform(
                 b_list,
-                lambda b: F.round(
+                lambda b: F.rint(
                     F.lit(100.0)
                     - F.lit(100.0)
                     * F.levenshtein(a, b).cast("double")

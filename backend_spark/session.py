@@ -62,7 +62,14 @@ def get_session(app_name: str = "backend_spark", cpus: int | None = None) -> Spa
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated parquet table (TESTDATA.md)."""
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    The driver's oracle harness builds its own vanilla SparkSession, so
+    the nanos conf from ``get_session`` may be absent; events.parquet
+    carries TIMESTAMP(NANOS) which Spark rejects without it. The conf is
+    runtime-settable, so pin it here where the read actually happens.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
