@@ -67,19 +67,31 @@ def join_strict(
     return _apply_select(joined, select, drop=list(strict.values()))
 
 
-def _deletion_variants(col: Column, max_len: int = 64) -> Column:
-    """word -> array of the word + all its 1-deletion variants (FastSS
-    neighborhood).  Two words are within Levenshtein distance 1 iff
-    their neighborhoods intersect.  Pure Column expression."""
-    word = F.substring(col, 1, max_len)
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length(word)),
+def _one_deletions(word: Column) -> Column:
+    """All 1-deletion variants of a single word (array of strings)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(word), F.lit(1))),
         lambda i: F.concat(
             F.substring(word, F.lit(1), (i - 1).cast("int")),
             word.substr(i + 1, F.length(word)),
         ),
     )
-    return F.array_distinct(F.concat(F.array(word), dels))
+
+
+def _deletion_variants(col: Column, max_dist: int = 1, max_len: int = 64) -> Column:
+    """word -> array of the word + all its ≤``max_dist``-deletion variants
+    (FastSS neighborhood).  If lv(a, b) ≤ k then every edit op deletes at
+    most one char from each side of the alignment, so the two k-deletion
+    neighborhoods intersect — intersection is a *necessary* condition for
+    distance ≤ k (for k=1 it is also sufficient).  Candidates are always
+    re-verified with the exact ``F.levenshtein``, so false candidates
+    (distance up to 2k) only cost verify work, never correctness.
+    Pure Column expression; expansion is O(len^k) per word."""
+    word = F.substring(col, 1, max_len)
+    arr = F.array(word)
+    for _ in range(max_dist):
+        arr = F.array_distinct(F.concat(arr, F.flatten(F.transform(arr, _one_deletions))))
+    return arr
 
 
 def fuzzy_match(
@@ -89,41 +101,94 @@ def fuzzy_match(
     word_col: str,
     out_col: str | None = None,
     max_dist: int = 1,
+    method: str = "automata",
 ) -> DataFrame:
-    """Attach to every row the reference's fuzzy match: the single
-    dictionary word within Levenshtein distance ≤1 of ``left_col``,
-    preferring distance 0, then the first word in sorted order
-    (reference tie-break, code/recipes.py:2200-2204; automaton search
-    code/automata.py:152-191).
+    """Attach to every row the reference's fuzzy match against a word
+    dictionary.  ``method`` mirrors the reference's ``fuzzy_method``
+    (code/recipes.py:2192-2212):
 
-    FastSS deletion-neighborhood join: explode 1-deletion variants on
-    both sides, broadcast the (small) dictionary side, verify with the
-    builtin Levenshtein, window-pick the best.  Left rows without a
-    match keep a null ``out_col`` (never fans out, never drops rows).
-    """
+    * ``automata`` (default): best word within Levenshtein distance
+      ≤ ``max_dist``, preferring smaller distance, then sorted order
+      (automaton search code/automata.py:152-191, dist 0 first).
+    * ``fastcomp``: the reference's match_lv1 (tools.py:249-262) —
+      distance ≤ 1 only (its ``best_score >= 2 -> None`` guard rejects
+      distance-2 matches; its scan is also iteration-order-dependent —
+      here the tie-break is deterministic: distance, then word).
+    * ``jellyfish`` / ``jw``: best Jaro-Winkler match, kept only when
+      similarity ≥ 0.95 (tools.py:264-277).  Ties broken by word order
+      (the reference keeps the first scanned — order-dependent).
+
+    Scale posture: automata/fastcomp is a FastSS deletion-neighborhood
+    equi-join (explode ≤k-deletion variants both sides, broadcast the
+    dictionary side, verify with builtin ``F.levenshtein``).  jw has no
+    neighborhood structure; distinct left keys × broadcast dictionary,
+    pruned by an exact length-band filter (jw ≥ 0.95 forces jaro
+    ≥ 0.9167, hence matches m ≥ 0.75·max_len and min_len ≥ 0.75·max_len)
+    before the Arrow-vectorized jw verify — same work shape as the
+    reference's per-row dictionary scan, but vectorized and pruned.
+    Left rows without a match keep a null ``out_col`` (never fans out,
+    never drops rows)."""
     out_col = out_col or f"{left_col}_match"
-    dict_side = (
-        words.select(F.col(word_col).alias("__w")).distinct()
-        .withColumn("__v", F.explode(_deletion_variants(F.col("__w"))))
-    )
-    left_keys = (
-        df.select(F.col(left_col).alias("__k")).where(F.col("__k").isNotNull()).distinct()
-        .withColumn("__v", F.explode(_deletion_variants(F.col("__k"))))
-    )
+    if method in ("jellyfish", "jw"):
+        best = _jw_best_match(df, words, left_col, word_col)
+    elif method in ("automata", "fastcomp"):
+        if method == "fastcomp":
+            max_dist = 1
+        if not 1 <= max_dist <= 2:
+            raise ValueError(
+                f"max_dist={max_dist} unsupported: deletion-neighborhood expansion "
+                "is exact for 1-2 (the reference's automaton also stops at 2)"
+            )
+        dict_side = (
+            words.select(F.col(word_col).alias("__w")).distinct()
+            .withColumn("__v", F.explode(_deletion_variants(F.col("__w"), max_dist)))
+        )
+        left_keys = (
+            df.select(F.col(left_col).alias("__k")).where(F.col("__k").isNotNull()).distinct()
+            .withColumn("__v", F.explode(_deletion_variants(F.col("__k"), max_dist)))
+        )
+        cand = (
+            left_keys.join(F.broadcast(dict_side), "__v")
+            .drop("__v")
+            .distinct()
+            .withColumn("__d", F.levenshtein("__k", "__w"))
+            .where(F.col("__d") <= max_dist)
+        )
+        w = Window.partitionBy("__k").orderBy(F.col("__d").asc(), F.col("__w").asc())
+        best = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("__k"), F.col("__w").alias(out_col))
+        )
+    else:
+        raise ValueError(f"unknown fuzzy method {method!r} (automata|fastcomp|jellyfish|jw)")
+    best = best.withColumnRenamed(best.columns[1], out_col)
+    return df.join(F.broadcast(best), df[left_col] == best["__k"], "left").drop("__k")
+
+
+def _jw_best_match(df: DataFrame, words: DataFrame, left_col: str, word_col: str) -> DataFrame:
+    """Best Jaro-Winkler dictionary word per distinct left key, kept when
+    jw ≥ 0.95 (reference match_jw, tools.py:264-277).  Exact length-band
+    prune: jw = j + l·0.1·(1-j) with l ≤ 4, so jw ≥ 0.95 ⇒ j ≥ 11/12;
+    j ≤ (m/l1 + m/l2 + 1)/3 with m ≤ min(l1,l2) gives
+    min(l1,l2) ≥ 0.75·max(l1,l2) — rows outside the band can never pass
+    the threshold, so pruning them preserves exactness."""
+    from backend_spark import functions as fn
+
+    keys = df.select(F.col(left_col).alias("__k")).where(F.col("__k").isNotNull()).distinct()
+    dict_side = F.broadcast(words.select(F.col(word_col).alias("__w")).distinct())
+    lk, lw = F.length("__k"), F.length("__w")
     cand = (
-        left_keys.join(F.broadcast(dict_side), "__v")
-        .drop("__v")
-        .distinct()
-        .withColumn("__d", F.levenshtein("__k", "__w"))
-        .where(F.col("__d") <= max_dist)
+        keys.join(dict_side, F.least(lk, lw) * 4 >= F.greatest(lk, lw) * 3)
+        .withColumn("__s", fn.jw(F.col("__k"), F.col("__w")))
+        .where(F.col("__s") >= 0.95)
     )
-    w = Window.partitionBy("__k").orderBy(F.col("__d").asc(), F.col("__w").asc())
-    best = (
+    w = Window.partitionBy("__k").orderBy(F.col("__s").desc(), F.col("__w").asc())
+    return (
         cand.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select(F.col("__k"), F.col("__w").alias(out_col))
+        .select("__k", F.col("__w").alias("__match"))
     )
-    return df.join(F.broadcast(best), df[left_col] == best["__k"], "left").drop("__k")
 
 
 def join_fuzzy(
@@ -133,10 +198,12 @@ def join_fuzzy(
     strict: dict[str, str] | None = None,
     select: dict[str, str] | None = None,
     max_dist: int = 1,
+    fuzzy_method: str = "automata",
 ) -> DataFrame:
     """Fuzzy in-memory join (reference code/recipes.py:2189-2242): for
-    each fuzzy key pick the best dictionary word (see ``fuzzy_match``),
-    then strict-join on the matched word (+ any strict keys).
+    each fuzzy key pick the best dictionary word (see ``fuzzy_match``,
+    ``fuzzy_method`` ∈ automata|fastcomp|jellyfish|jw), then strict-join
+    on the matched word (+ any strict keys).
 
     ``fuzzy`` maps {left_col: right_col} (single entry, like the
     reference); the matched word lands in ``{left_col}_match`` and the
@@ -144,7 +211,9 @@ def join_fuzzy(
     """
     (left_col, right_col), = fuzzy.items()
     match_col = f"{left_col}_match"
-    out = fuzzy_match(df, ref, left_col, right_col, out_col=match_col, max_dist=max_dist)
+    out = fuzzy_match(
+        df, ref, left_col, right_col, out_col=match_col, max_dist=max_dist, method=fuzzy_method
+    )
     all_strict = {match_col: right_col, **(strict or {})}
     return join_strict(out, ref, all_strict, select=select)
 

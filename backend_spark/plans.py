@@ -209,7 +209,14 @@ class RecipeBook:
         ref = self.dataset(a["dataset"])
         select = a.get("select")
         if a.get("fuzzy"):
-            return ops.join_fuzzy(df, ref, a["fuzzy"], strict=a.get("strict"), select=select)
+            return ops.join_fuzzy(
+                df,
+                ref,
+                a["fuzzy"],
+                strict=a.get("strict"),
+                select=select,
+                fuzzy_method=a.get("fuzzy_method", "automata"),
+            )
         return ops.join_strict(df, ref, a["strict"], select=select)
 
     def _apply_steps(self, df: DataFrame, steps: list) -> DataFrame:

@@ -58,7 +58,16 @@ def salted_join(
     a random suffix, replicate the small side ``salt`` times (one row
     per salt value), join on (key, salt).  The hot key's rows spread
     over ``salt`` tasks instead of one.  Prefer ``F.broadcast`` when
-    the small side fits in memory — this is for the middle ground."""
+    the small side fits in memory — this is for the middle ground.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated once per salt value, so right/full-outer would emit each
+    unmatched small-side row ``salt`` times (null-padded duplicates)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only (got {how!r}); "
+            "the replicated small side would duplicate unmatched rows"
+        )
     big_s = big.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
     small_s = small.crossJoin(
         F.broadcast(

@@ -53,6 +53,45 @@ def test_fuzzy_match_equals_bruteforce(_spark, keys, words):
         assert got[k] == _brute_best(k, words), (k, words)
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(WORD, min_size=1, max_size=4, unique=True),
+    words=st.lists(st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=6, unique=True),
+)
+def test_fuzzy_match_dist2_equals_bruteforce(_spark, keys, words):
+    # 2-deletion neighborhoods must be exhaustive for max_dist=2
+    left = _spark.createDataFrame([(k,) for k in keys], "k string")
+    ref = _spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.k: r.m for r in fuzzy_match(left, ref, "k", "w", out_col="m", max_dist=2).collect()}
+    for k in keys:
+        assert got[k] == _brute_best(k, words, max_dist=2), (k, words)
+
+
+def _brute_jw(key: str, words: list[str]):
+    """Reference match_jw (tools.py:264-277): best jaro-winkler ≥ 0.95,
+    deterministic tie-break by word order (reference is scan-order)."""
+    from backend_spark.functions import _jaro_winkler_py
+
+    scored = sorted(((-_jaro_winkler_py(key, w), w) for w in set(words)))
+    if scored and -scored[0][0] >= 0.95:
+        return scored[0][1]
+    return None
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(st.text(alphabet="abc", min_size=1, max_size=8), min_size=1, max_size=4, unique=True),
+    words=st.lists(st.text(alphabet="abc", min_size=1, max_size=8), min_size=1, max_size=6, unique=True),
+)
+def test_fuzzy_match_jw_equals_bruteforce(_spark, keys, words):
+    # length-band prune + jw verify must equal exhaustive jw ≥ 0.95 best-match
+    left = _spark.createDataFrame([(k,) for k in keys], "k string")
+    ref = _spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.k: r.m for r in fuzzy_match(left, ref, "k", "w", out_col="m", method="jw").collect()}
+    for k in keys:
+        assert got[k] == _brute_jw(k, words), (k, words)
+
+
 @settings(max_examples=25, deadline=None)
 @given(a=st.text(max_size=12), b=st.text(max_size=12))
 def test_levenshtein_norm_column_matches_python(_spark, a, b):
