@@ -671,6 +671,24 @@ def _q_build_model(spark, sf):
     return scored.select("c_custkey", "matchid_hit_score_ml")
 
 
+def _q_apply_model(spark, sf):
+    """Persistence round-trip: train + save, then load + score through
+    the reference's production path (apply_model, code/recipes.py:1833-
+    1898).  Scores are engine-specific (rows-only oracle) but the row
+    count and schema pin the load path end-to-end."""
+    from backend_spark import ml
+
+    cust = load_table(spark, sf, "customer")
+    df = cust.withColumn("y", (F.col("c_acctbal") > 5000).cast("double"))
+    path = tempfile.mkdtemp(prefix="sg_model_") + "/rf"
+    ml.build_model(
+        df, numerical=r"^c_acctbal$", target="y", tries=1, num_trees=10, max_depth=5,
+        model_path=path,
+    ).count()  # materialize training before the load below
+    scored = ml.apply_model(cust, model_path=path, target="score_ml")
+    return scored.select("c_custkey", "score_ml")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "map": _q_map,
@@ -727,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "salted_agg": _q_salted_agg,
         "build_model": _q_build_model,
+        "apply_model": _q_apply_model,
     }
 
 
