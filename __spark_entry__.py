@@ -1092,6 +1092,38 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY q.vec_id
                                        ORDER BY cosine DESC, c.vec_id) <= 5
         """,
+        # _hyperplane_bits is deterministic md5 arithmetic (llm.py:444),
+        # so the LSH bucket assignment itself is oracle-reproducible:
+        # plane weights w(p,j) = (md5_long('plane_p_j') % 20001 - 10000)/1e4,
+        # bit = sign(dot), bucket = Σ bit_p·2^(n_planes-1-p); then exact
+        # cosine top-k within the query's bucket.
+        "ann_lsh": """
+            WITH wt AS (
+                SELECT p, list(wv ORDER BY j) AS wvec
+                FROM (SELECT p, j,
+                             (CAST('0x' || substr(md5('plane_' || p || '_' || j), 1, 15) AS BIGINT)
+                              % 20001 - 10000) / 10000.0 AS wv
+                      FROM range(6) t1(p) CROSS JOIN range(64) t2(j))
+                GROUP BY p
+            ),
+            bk AS (
+                SELECT e.vec_id,
+                       CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                                         i -> CAST(e.embedding[i] AS DOUBLE) * wt.wvec[i])) > 0
+                                THEN CAST(pow(2, 5 - wt.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                FROM embeddings e CROSS JOIN wt
+                GROUP BY e.vec_id
+            )
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                                CAST(ce.embedding AS DOUBLE[])), 6) AS cosine
+            FROM bk q JOIN bk c ON q.bucket = c.bucket
+            JOIN embeddings qe ON qe.vec_id = q.vec_id
+            JOIN embeddings ce ON ce.vec_id = c.vec_id
+            WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY cosine DESC, c.vec_id) <= 5
+        """,
         "text_stats": f"""
             WITH t AS (SELECT doc_id, text,
                               string_split_regex(trim(text), '\\s+') AS toks
