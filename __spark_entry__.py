@@ -425,6 +425,24 @@ def _q_embed_neardup(spark, sf):
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.transform("embedding", lambda x: x * 1.5 + 0.01).alias("embedding"),
     )
+    # n_planes=0 = exact quadratic mode, kept ONLY as the oracle
+    # baseline; the production default is the banded path (below)
+    return llm.embed_cosine_pairs(
+        emb.unionByName(dupes), "vec_id", "embedding", threshold=0.9, n_planes=0
+    )
+
+
+def _q_embed_banded(spark, sf):
+    """The production (default) banded-LSH near-dup path on the same
+    doubled corpus as embed_neardup — bucket assignment is md5-exact so
+    the DuckDB oracle reproduces candidates AND verified cosines."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dupes = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5 + 0.01).alias("embedding"),
+    )
     return llm.embed_cosine_pairs(
         emb.unionByName(dupes), "vec_id", "embedding", threshold=0.9
     )
@@ -728,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
+        "embed_banded": _q_embed_banded,
         "multimodal": _q_multimodal,
         "simhash_neardup": _q_simhash_neardup,
         "audio_features": _q_audio_features,
@@ -1016,6 +1035,43 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+        """,
+        # banded-LSH near-dup: band b, plane p weights seeded 'band{b}_{p}_{j}'
+        # (llm.py embed_cosine_pairs default n_planes=16, n_bands=4);
+        # candidates = pairs sharing any band bucket, verified with cosine
+        "embed_banded": """
+            WITH all_vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5 + 0.01)
+                FROM embeddings
+            ),
+            wt AS (
+                SELECT b, p, list(wv ORDER BY j) AS wvec
+                FROM (SELECT b, p, j,
+                             (CAST('0x' || substr(md5('band' || b || '_' || p || '_' || j), 1, 15) AS BIGINT)
+                              % 20001 - 10000) / 10000.0 AS wv
+                      FROM range(4) t0(b) CROSS JOIN range(16) t1(p) CROSS JOIN range(64) t2(j))
+                GROUP BY b, p
+            ),
+            bk AS (
+                SELECT v.vec_id, wt.b AS band,
+                       CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                                         i -> v.v[i] * wt.wvec[i])) > 0
+                                THEN CAST(pow(2, 15 - wt.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                FROM all_vecs v CROSS JOIN wt
+                GROUP BY v.vec_id, wt.b
+            ),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+                FROM bk a JOIN bk c ON a.band = c.band AND a.bucket = c.bucket
+                WHERE a.vec_id < c.vec_id
+            )
+            SELECT id1, id2, round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+            FROM cand JOIN all_vecs x ON x.vec_id = id1
+                      JOIN all_vecs y ON y.vec_id = id2
+            WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.9
         """,
         "multimodal": """
             SELECT doc_id, 'image' AS media_type,

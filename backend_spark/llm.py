@@ -252,22 +252,24 @@ def embed_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 0,
-    n_bands: int = 1,
+    n_planes: int = 16,
+    n_bands: int = 4,
     dim: int = 64,
     round_to: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id1, id2, cosine) with
     cosine >= threshold and id1 < id2.
 
-    ``n_planes=0`` (default) is the **exact** correctness baseline — a
-    self cross-join, quadratic, only for oracle-scale verification.
-    The production path is ``n_planes>0``: ``n_bands`` independent
-    random-hyperplane bucketings (md5-seeded, reproducible anywhere);
-    candidates = pairs sharing a bucket in *any* band, verified with
-    true cosine.  Cost scales with bucket occupancy; recall < 1 by
-    construction and rises with ``n_bands`` (each band is an
-    independent chance to collide — standard OR-amplification).
+    The default is the scale path: ``n_bands`` independent random-
+    hyperplane bucketings of ``n_planes`` bits (md5-seeded, reproducible
+    anywhere — DuckDB-oracle-checkable); candidates = pairs sharing a
+    bucket in *any* band, verified with true cosine.  Only ids enter the
+    band shuffle (vectors re-attach by id for the verify), so cost
+    scales with bucket occupancy, never corpus².  Recall < 1 by
+    construction and rises with ``n_bands`` (OR-amplification).
+
+    ``n_planes=0`` opts into the **exact** quadratic self cross-join —
+    the correctness baseline, for oracle-scale verification only.
     """
     base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if n_planes <= 0:
@@ -275,31 +277,43 @@ def embed_cosine_pairs(
         b = base.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
         cand = a.crossJoin(b).where(F.col("id1") < F.col("id2"))
     else:
-        bucketed = base.select(
+        # stage the signatures: explode re-evaluates the producing
+        # expression per output element, and the per-band bit folds are
+        # the expensive part — materialize them once
+        sig = base.select(
             "__id",
-            "__v",
+            *[
+                _hyperplane_bits(F.col("__v"), n_planes, dim, seed=f"band{band}").alias(
+                    f"__bk{band}"
+                )
+                for band in range(n_bands)
+            ],
+        ).localCheckpoint(eager=False)
+        bucketed = sig.select(
+            "__id",
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(band).alias("band"),
-                            _hyperplane_bits(
-                                F.col("__v"), n_planes, dim, seed=f"band{band}"
-                            ).alias("bucket"),
+                            F.col(f"__bk{band}").alias("bucket"),
                         )
                         for band in range(n_bands)
                     ]
                 )
             ).alias("__b"),
         )
-        a = bucketed.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1"), "__b")
-        b = bucketed.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"), "__b")
-        cand = (
-            a.join(b, "__b")
+        # ids-only candidate shuffle; vectors re-attach by id below
+        ids = (
+            bucketed.select(F.col("__id").alias("id1"), "__b")
+            .join(bucketed.select(F.col("__id").alias("id2"), "__b"), "__b")
             .where(F.col("id1") < F.col("id2"))
-            .select("id1", "__v1", "id2", "__v2")
+            .select("id1", "id2")
             .distinct()
         )
+        cand = ids.join(
+            base.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1")), "id1"
+        ).join(base.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2")), "id2")
     return (
         cand.withColumn(
             "cosine", F.round(fn.cosine_similarity(F.col("__v1"), F.col("__v2")), round_to)

@@ -157,11 +157,13 @@ def test_embed_cosine_pairs_exact_and_lsh(spark):
         (2, [0.0, 1.0, 0.0, 0.0]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    exact = llm.embed_cosine_pairs(df, threshold=0.9)
+    exact = llm.embed_cosine_pairs(df, threshold=0.9, n_planes=0)
     assert {(r.id1, r.id2, r.cosine) for r in exact.collect()} == {(0, 1, 1.0)}
-    # LSH candidates are a subset of exact, verified with true cosine
+    # LSH candidates (the default path) are a subset of exact, verified
+    # with true cosine; parallel vectors share every band bucket, so the
+    # banded path must find (0, 1)
     lsh = llm.embed_cosine_pairs(df, threshold=0.9, n_planes=2, n_bands=4, dim=4)
-    assert {(r.id1, r.id2) for r in lsh.collect()} <= {(0, 1)}
+    assert {(r.id1, r.id2) for r in lsh.collect()} == {(0, 1)}
 
 
 def test_ann_lsh_subset_of_bruteforce(spark):
