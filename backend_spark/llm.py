@@ -721,36 +721,90 @@ MULTIMODAL_SCHEMA = (
 )
 
 
+def _image_dims_from_header(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from PNG/GIF/BMP/JPEG headers — pure Python, no
+    image library (the formats' public specs put dimensions in fixed or
+    marker-addressed positions).  None when the payload is not a
+    recognized image."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+    # reserved bytes 6-10 must be zero — rules out text that starts "BM"
+    if len(b) >= 26 and b[:2] == b"BM" and b[6:10] == b"\x00\x00\x00\x00":
+        return (
+            int.from_bytes(b[18:22], "little", signed=True),
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+        )
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG: scan to an SOFn marker
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+    return None
+
+
 def decode_image_features(df: DataFrame, media_col: str = "media", real_decode: bool = False) -> DataFrame:
     """Image feature extraction over opaque binary columns via
-    mapInPandas (Arrow batches of bytes — the Spark-side plumbing is
-    real; the pixel decode is STUBBED because no image libs ship in
-    this container).
+    mapInPandas (Arrow batches of bytes).  Three decode tiers, best
+    available per payload:
 
-    real_decode=True raises NotImplementedError where PIL/libvips would
-    be called; the default path emits deterministic fake features
-    (payload length + md5-derived pseudo-dimensions) so schema,
-    batching and partitioning are testable end-to-end.
+    1. Pillow, when importable on the executor (full decode);
+    2. pure-Python header parsing for PNG/GIF/BMP/JPEG (real
+       dimensions, zero dependencies);
+    3. a deterministic md5 stub for unrecognized payloads (keeps
+       schema/batching/partitioning testable on synthetic bytes).
+
+    real_decode=True demands a real decode: unrecognized payloads raise
+    NotImplementedError instead of falling back to the stub.
     """
     import hashlib
 
     out_schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, feat_len bigint, feat_w int, feat_h int"
 
+    def _dims(b) -> tuple[int, int]:
+        b = bytes(b) if b is not None else b""
+        try:
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(b)) as im:
+                return im.width, im.height
+        except ImportError:
+            pass
+        except Exception:
+            pass  # not decodable by PIL; try the header parser
+        dims = _image_dims_from_header(b)
+        if dims is not None:
+            return dims
+        if real_decode:
+            raise NotImplementedError(
+                "payload is not a recognized image (PNG/GIF/BMP/JPEG) and PIL "
+                "is unavailable — plug a decoder in here when deploying"
+            )
+        d = hashlib.md5(b).digest()
+        return 16 + d[0] % 240, 16 + d[1] % 240
+
     def _batches(it):
         for pdf in it:
-            if real_decode:
-                raise NotImplementedError(
-                    "image decode requires PIL/pyvips — not available in this container; "
-                    "plug the decoder in here (bytes -> features) when deploying"
-                )
             payload = pdf[media_col]
             pdf = pdf.copy()
             pdf["feat_len"] = payload.map(lambda b: len(b) if b is not None else 0)
-            digests = payload.map(
-                lambda b: hashlib.md5(b if b is not None else b"").digest() if True else None
-            )
-            pdf["feat_w"] = digests.map(lambda d: 16 + d[0] % 240)
-            pdf["feat_h"] = digests.map(lambda d: 16 + d[1] % 240)
+            dims = payload.map(_dims)
+            pdf["feat_w"] = dims.map(lambda d: d[0])
+            pdf["feat_h"] = dims.map(lambda d: d[1])
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)

@@ -114,8 +114,14 @@ def test_language_id_und_on_no_stopwords(spark):
     assert out[0].lang == "und" and out[1].lang == "en"
 
 
+def _png_bytes(w: int, h: int) -> bytes:
+    ihdr = b"IHDR" + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return b"\x89PNG\r\n\x1a\n" + len(ihdr[4:]).to_bytes(4, "big") + ihdr + b"\x00" * 4
+
+
 def test_multimodal_decode_stub(spark):
-    df = spark.createDataFrame([(1, bytearray(b"\x89PNG fake"))], "doc_id long, media binary")
+    # not a recognized image -> md5 stub features
+    df = spark.createDataFrame([(1, bytearray(b"not a png"))], "doc_id long, media binary")
     out = llm.decode_image_features(df)
     row = out.collect()[0]
     assert row.feat_len == 9 and 16 <= row.feat_w < 256 and 16 <= row.feat_h < 256
@@ -124,6 +130,34 @@ def test_multimodal_decode_stub(spark):
 
     with _pytest.raises(Exception):
         llm.decode_image_features(df, real_decode=True).collect()
+
+
+def test_multimodal_decode_real_headers(spark):
+    # real container formats decode to real dimensions, no image lib
+    # needed (header parse); real_decode=True must accept them
+    gif = b"GIF89a" + (7).to_bytes(2, "little") + (11).to_bytes(2, "little") + b"\x00" * 6
+    bmp = (
+        b"BM" + b"\x00" * 8 + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (13).to_bytes(4, "little") + (17).to_bytes(4, "little") + b"\x00" * 28
+    )
+    jpg = (
+        b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (19).to_bytes(2, "big") + (23).to_bytes(2, "big") + b"\x03" + b"\x00" * 10
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(_png_bytes(640, 480))), (2, bytearray(gif)), (3, bytearray(bmp)), (4, bytearray(jpg))],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: (r.feat_w, r.feat_h) for r in llm.decode_image_features(df, real_decode=True).collect()}
+    assert rows == {1: (640, 480), 2: (7, 11), 3: (13, 17), 4: (23, 19)}
+
+
+def test_image_dims_header_parser_rejects_text():
+    # UTF-8 text (even starting with 'BM'/'GIF') must not parse as an image
+    assert llm._image_dims_from_header(b"BM settlement of 1862 was large") is None
+    assert llm._image_dims_from_header(b"the quick brown fox") is None
+    assert llm._image_dims_from_header(b"") is None
 
 
 def test_connected_components_deep_path(spark):
