@@ -74,6 +74,56 @@ _SQL_SHINGLES = (
     "list_distinct(CASE WHEN length({s}) <= {n} THEN [{s}] "
     "ELSE [substr({s}, CAST(i AS INT), {n}) for i in range(1, length({s}) - {n} + 2)] END)"
 )
+# the ring+chord test graph (see _ring_chord_edges) as DuckDB CTEs
+_SQL_GRAPH_SYM = """
+    e0 AS (
+        SELECT n_nationkey AS a, (n_nationkey + 1) % 25 AS b FROM nation
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey + 2) % 25 FROM nation WHERE n_nationkey % 2 = 0
+    ),
+    sym AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM e0 WHERE a != b
+            UNION ALL
+            SELECT b, a FROM e0 WHERE a != b
+        )
+    )
+"""
+
+
+def _sql_pagerank(n_iter: int = 20) -> str:
+    """Unrolled pagerank iterations (one CTE per round) — same IEEE ops
+    as graph.pagerank with tol=0: base (1.0-0.85)/25, damped neighbor
+    sums, fixed ``n_iter`` rounds, round 6 at the end only."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and 20
+    # unrolled rounds otherwise become a ~60-join tree whose join-order
+    # optimization takes minutes (measured 420s -> <1s with this)
+    ctes = [
+        "deg AS MATERIALIZED (SELECT a AS node, count(*) AS dg FROM sym GROUP BY a)",
+        "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / 25 AS r FROM deg)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+                SELECT d.node,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 25
+                       + CAST(0.85 AS DOUBLE) * coalesce(c.sum_in, CAST(0.0 AS DOUBLE)) AS r
+                FROM deg d LEFT JOIN (
+                    SELECT s.b AS node, sum(p.r / dg.dg) AS sum_in
+                    FROM sym s JOIN r{i - 1} p ON p.node = s.a JOIN deg dg ON dg.node = s.a
+                    GROUP BY s.b
+                ) c ON c.node = d.node
+            )"""
+        )
+    return (
+        "WITH "
+        + _SQL_GRAPH_SYM
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(r, 6) AS pagerank FROM r{n_iter}"
+    )
+
+
 # fn.levenshtein_norm — round_even matches Python round() / Spark F.rint
 # (half-even) at .5 midpoints; plain round (HALF_UP) diverges there.
 _SQL_LEVNORM = (
@@ -339,6 +389,40 @@ def _q_clique(spark, sf):
         F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("y"),
     )
     return op_clique(edges, ["x", "y"])
+
+
+def _ring_chord_edges(spark, sf):
+    """Deterministic 25-node test graph from nation: ring i—(i+1)%25
+    plus chords i—(i+2)%25 at even i (13 triangles). Fixed size at
+    every SF (nation is always 25 rows)."""
+    nat = load_table(spark, sf, "nation").select("n_nationkey")
+    ring = nat.select(
+        F.col("n_nationkey").alias("src"), ((F.col("n_nationkey") + 1) % 25).alias("dst")
+    )
+    chords = nat.where(F.col("n_nationkey") % 2 == 0).select(
+        F.col("n_nationkey").alias("src"), ((F.col("n_nationkey") + 2) % 25).alias("dst")
+    )
+    return ring.unionByName(chords)
+
+
+def _q_graph_metrics(spark, sf):
+    from backend_spark.operators.graph import node_metrics
+
+    return node_metrics(_ring_chord_edges(spark, sf)).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("triangles").cast("long").alias("triangles"),
+        F.col("degree").cast("long").alias("degree"),
+        "clustering",
+    ).select("node", "degree", "triangles", "clustering")
+
+
+def _q_pagerank(spark, sf):
+    from backend_spark.operators.graph import pagerank
+
+    # tol=0 -> exactly max_iter iterations, matching the unrolled oracle
+    return pagerank(_ring_chord_edges(spark, sf), max_iter=20, tol=0.0).select(
+        F.col("node").cast("long").alias("node"), "pagerank"
+    )
 
 
 def _q_dedup_exact(spark, sf):
@@ -735,6 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fuzzy": _q_join_fuzzy,
         "join_topk": _q_join_topk,
         "clique": _q_clique,
+        "graph_metrics": _q_graph_metrics,
+        "pagerank": _q_pagerank,
         "dedup_exact": _q_dedup_exact,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
@@ -925,6 +1011,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY n_regionkey) + 1 AS graph_clique_size
             FROM nation
         """,
+        "graph_metrics": f"""
+            WITH {_SQL_GRAPH_SYM},
+            canon AS (SELECT a, b FROM sym WHERE a < b),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+                JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ),
+            tc AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node),
+            deg AS (SELECT a AS node, count(*) AS degree FROM sym GROUP BY a)
+            SELECT CAST(d.node AS BIGINT) AS node, d.degree,
+                   coalesce(tc.triangles, 0) AS triangles,
+                   round(CASE WHEN d.degree < 2 THEN 0.0
+                              ELSE 2.0 * coalesce(tc.triangles, 0)
+                                   / (d.degree * (d.degree - 1.0)) END, 6) AS clustering
+            FROM deg d LEFT JOIN tc ON tc.node = d.node
+        """,
+        "pagerank": _sql_pagerank(20),
         "dedup_exact": "SELECT doc_id, text FROM documents",
         "minhash_sig": f"""
             WITH t AS (SELECT doc_id, {norm_text} AS s FROM documents),

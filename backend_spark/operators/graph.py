@@ -87,6 +87,127 @@ def connected_components(
     return labels
 
 
+def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected simple-graph edge list: both directions, self loops
+    and duplicates removed."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    )
+    return e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+
+def node_metrics(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    metrics: tuple[str, ...] = ("degree", "triangles", "clustering"),
+) -> DataFrame:
+    """Per-node graph metrics over the matched-pairs edge list — the
+    reference computes these with networkx per chunk
+    (code/recipes.py:2014-2034); here they are global DataFrame plans:
+
+    * ``degree``: distinct neighbors (self loops excluded);
+    * ``triangles``: triangles through the node — the canonical
+      (a<b) edge list joined to itself twice, each triangle a<b<c
+      enumerated exactly once, then exploded to its three corners.
+      Two equi-join shuffles on node ids — no adjacency lists are
+      materialized per node, so skewed (hub) nodes spread over tasks;
+    * ``clustering``: 2·tri / (deg·(deg−1)), 0 when deg < 2
+      (networkx definition).
+
+    Returns one row per node: (node, <metrics...>).
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    out = deg
+    if "triangles" in metrics or "clustering" in metrics:
+        canon = sym.where(F.col("a") < F.col("b"))
+        e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = canon.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        tcount = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+        out = out.join(tcount, "node", "left").withColumn(
+            "triangles", F.coalesce(F.col("triangles"), F.lit(0))
+        )
+        if "clustering" in metrics:
+            out = out.withColumn(
+                "clustering",
+                F.round(
+                    F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+                        2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1.0))
+                    ),
+                    6,
+                ),
+            )
+        if "triangles" not in metrics:
+            out = out.drop("triangles")
+    if "degree" not in metrics:
+        out = out.drop("degree")
+    return out
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1.0e-6,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """PageRank on the undirected matched-pairs graph (networkx
+    semantics: damping ``alpha``, uniform 1/N start, L1 convergence at
+    N·tol; undirected ⇒ out-degree = degree and no dangling mass).
+
+    Each iteration is one equi-join + one hash aggregate on node ids
+    (map-side combinable), lineage truncated per round — the same
+    shuffle budget as a groupBy per iteration, no driver-side state.
+    Returns (node, pagerank).
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return deg.select("node", F.lit(0.0).alias("pagerank"))
+    base = (1.0 - alpha) / n_nodes
+    ranks = deg.withColumn("__r", F.lit(1.0 / n_nodes))
+    for _ in range(max_iter):
+        contribs = (
+            sym.join(ranks.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__in"))
+        )
+        new_ranks = (
+            deg.join(contribs, "node", "left")
+            .select(
+                "node",
+                "__deg",
+                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))).alias("__r"),
+            )
+            # eager: truncate lineage NOW so the loop never builds a
+            # max_iter-deep nested plan for Catalyst to re-analyze
+            .localCheckpoint(eager=True)
+        )
+        if tol > 0:
+            delta = (
+                new_ranks.select("node", "__r")
+                .join(ranks.select("node", F.col("__r").alias("__old")), "node")
+                .agg(F.sum(F.abs(F.col("__r") - F.col("__old"))).alias("d"))
+                .collect()[0].d
+            )
+            if delta is not None and delta < n_nodes * tol:
+                ranks = new_ranks
+                break
+        ranks = new_ranks
+    out = ranks.select("node", F.col("__r").alias("pagerank"))
+    if round_to is not None:
+        out = out.withColumn("pagerank", F.round("pagerank", round_to))
+    return out
+
+
 def op_clique(
     df: DataFrame,
     select: list[str],
@@ -98,9 +219,10 @@ def op_clique(
     pairs), compute connected components, and left-join back — every
     row gains ``graph_clique_id`` (component id = min node),
     ``graph_clique_size`` (distinct nodes in the component) and any of
-    the optional per-node ``metrics`` (``degree`` supported; the
-    reference's centrality metrics are optional extensions,
-    SURVEY.md §2.7).
+    the optional per-node ``metrics``: ``degree``, ``triangles``,
+    ``clustering`` (see :func:`node_metrics`) and ``pagerank`` (see
+    :func:`pagerank`) — the reference's networkx ``compute`` list
+    (code/recipes.py:2003-2034).
 
     Join-back key is the *first* selected column, like the reference
     (code/recipes.py:2056-2060).
@@ -116,12 +238,18 @@ def op_clique(
             F.col(f"{prefix}clique_size"),
         )
     )
-    if metrics and "degree" in metrics:
-        e = df.select(F.col(a).alias("x"), F.col(b).alias("y")).where(
-            F.col("x").isNotNull() & F.col("y").isNotNull()
+    structural = tuple(m for m in (metrics or []) if m in ("degree", "triangles", "clustering"))
+    if structural:
+        nm = node_metrics(df.select(a, b), src=a, dst=b, metrics=structural)
+        node_info = node_info.join(
+            nm.select("node", *[F.col(m).alias(f"{prefix}{m}") for m in structural]),
+            "node",
+            "left",
         )
-        sym = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct()
-        deg = sym.groupBy("x").agg(F.countDistinct("y").alias(f"{prefix}degree")).withColumnRenamed("x", "node")
-        node_info = node_info.join(deg, "node", "left")
+    if metrics and "pagerank" in metrics:
+        pr = pagerank(df.select(a, b), src=a, dst=b)
+        node_info = node_info.join(
+            pr.select("node", F.col("pagerank").alias(f"{prefix}pagerank")), "node", "left"
+        )
     joined = df.join(node_info, df[a] == node_info["node"], "left").drop("node")
     return joined

@@ -1,6 +1,7 @@
 """Join / graph / LLM operator tests, including plan assertions (no
 cartesian products, broadcast where intended)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from backend_spark import functions as fn
@@ -158,6 +159,63 @@ def test_image_dims_header_parser_rejects_text():
     assert llm._image_dims_from_header(b"BM settlement of 1862 was large") is None
     assert llm._image_dims_from_header(b"the quick brown fox") is None
     assert llm._image_dims_from_header(b"") is None
+
+
+def test_node_metrics_k4_plus_tail(spark):
+    # K4 on {0,1,2,3} plus pendant edge 3-4 — hand-checkable networkx
+    # values: K4 corners have 3 triangles & clustering 1; node 3 gains a
+    # 4th neighbor (clustering 2*3/(4*3) = 0.5); node 4 is trivial
+    from backend_spark.operators.graph import node_metrics
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(k4 + [(3, 4)], "src long, dst long")
+    got = {r.node: (r.degree, r.triangles, r.clustering) for r in node_metrics(edges).collect()}
+    assert got == {
+        0: (3, 3, 1.0),
+        1: (3, 3, 1.0),
+        2: (3, 3, 1.0),
+        3: (4, 3, 0.5),
+        4: (1, 0, 0.0),
+    }
+
+
+def _pagerank_py(adj, alpha=0.85, max_iter=20, tol=1e-6):
+    n = len(adj)
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(max_iter):
+        new = {v: (1.0 - alpha) / n + alpha * sum(r[u] / len(adj[u]) for u in adj[v]) for v in adj}
+        delta = sum(abs(new[v] - r[v]) for v in adj)
+        r = new
+        if delta < n * tol:
+            break
+    return r
+
+
+def test_pagerank_matches_reference_algorithm(spark):
+    from backend_spark.operators.graph import pagerank
+
+    raw = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (1, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    adj = {}
+    for a, b in raw:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    expect = _pagerank_py(adj)
+    got = {r.node: r.pagerank for r in pagerank(edges).collect()}
+    assert set(got) == set(expect)
+    for v in expect:
+        assert got[v] == pytest.approx(round(expect[v], 6), abs=2e-6), v
+
+
+def test_op_clique_metric_columns(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 5)], "x long, y long")
+    out = op_clique(edges, ["x", "y"], metrics=["degree", "triangles", "clustering", "pagerank"])
+    cols = set(out.columns)
+    assert {"graph_degree", "graph_triangles", "graph_clustering", "graph_pagerank"} <= cols
+    row = {r.x: r for r in out.collect()}
+    assert row[1].graph_triangles == 1 and row[1].graph_clustering == 1.0
+    assert row[4].graph_triangles == 0 and row[4].graph_degree == 1
 
 
 def test_connected_components_deep_path(spark):
