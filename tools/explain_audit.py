@@ -34,22 +34,35 @@ EXPECT = {
     "simhash_neardup": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "groupby_agg": (["partial"], ["CartesianProduct"]),  # map-side combine
     "recipe_pipeline": (["PushedFilters", "BroadcastHashJoin"], ["CartesianProduct"]),
+    # banded LSH near-dup: bucket equi-join only — the quadratic
+    # cross-join must never appear on the default path
+    "embed_banded": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "graph_metrics": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
+
+
+def audit_query(spark, qs, name: str) -> list[str]:
+    """Plan-property failures for one driver query ([] = clean)."""
+    must, must_not = EXPECT[name]
+    plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    failures = []
+    for frag in must:
+        if frag not in plan:
+            failures.append(f"{name}: missing {frag!r}")
+    for frag in must_not:
+        if frag in plan:
+            failures.append(f"{name}: contains forbidden {frag!r}")
+    return failures
 
 
 def main() -> int:
     spark = get_session("plan-audit")
     qs = entry_mod.queries()
     failures = []
-    for name, (must, must_not) in EXPECT.items():
-        plan = qs[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        for frag in must:
-            if frag not in plan:
-                failures.append(f"{name}: missing {frag!r}")
-        for frag in must_not:
-            if frag in plan:
-                failures.append(f"{name}: contains forbidden {frag!r}")
-        print(("OK   " if not any(f.startswith(name) for f in failures) else "FAIL ") + name)
+    for name in EXPECT:
+        fails = audit_query(spark, qs, name)
+        failures.extend(fails)
+        print(("FAIL " if fails else "OK   ") + name)
     for f in failures:
         print("  !!", f)
     return 1 if failures else 0
