@@ -460,9 +460,8 @@ def _q_minhash_pairs(spark, sf):
 
 def _q_dedup_near(spark, sf):
     # end-to-end near-dup dedup: LSH pairs -> connected components ->
-    # keep the smallest id per duplicate cluster.  rows-only: CC is not
-    # SQL-expressible; the stages are individually oracle-checked
-    # (minhash_pairs, clique, dedup_exact)
+    # keep the smallest id per duplicate cluster.  The oracle reproduces
+    # the CC stage with a recursive min-label reachability CTE.
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     dupes = docs.where(F.col("doc_id") < 100).select(
         (F.col("doc_id") + 10000).alias("doc_id"),
@@ -1084,6 +1083,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id1, id2, round(i / (n - i), 6) AS jaccard
             FROM inter WHERE round(i / (n - i), 6) >= 0.8
+        """,
+        "dedup_near": f"""
+            WITH RECURSIVE all_docs AS (
+                SELECT doc_id AS id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text || ' zzz extra' FROM documents WHERE doc_id < 100
+            ),
+            t AS (SELECT id, {norm_text} AS s FROM all_docs),
+            sh AS (SELECT id, {shingles3} AS shingles FROM t),
+            sig AS (
+                SELECT id, shingles,
+                       [list_min(list_transform(
+                            list_transform(shingles, g -> {_SQL_H.format(x='g')}),
+                            h -> xor(h, {_SQL_H.format(x="'perm#' || CAST(p AS VARCHAR)")})))
+                        for p in range(0, 16)] AS sg
+                FROM sh
+            ),
+            bands AS (
+                SELECT id, shingles, p.b AS band,
+                       CAST(sg[p.b * 2 + 1] AS VARCHAR) || '-' || CAST(sg[p.b * 2 + 2] AS VARCHAR)
+                         AS key
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) p
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id1, b.id AS id2
+                FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            ),
+            hs AS (SELECT id, list_transform(shingles, g -> {_SQL_H.format(x='g')}) AS h FROM sh),
+            pairs AS MATERIALIZED (
+                SELECT c.id1, c.id2
+                FROM cand c
+                JOIN hs h1 ON h1.id = c.id1
+                JOIN hs h2 ON h2.id = c.id2
+                WHERE round(CAST(len(list_intersect(h1.h, h2.h)) AS DOUBLE)
+                            / (len(h1.h) + len(h2.h) - len(list_intersect(h1.h, h2.h))), 6) >= 0.8
+            ),
+            edges AS MATERIALIZED (
+                SELECT id1 AS a, id2 AS b FROM pairs
+                UNION
+                SELECT id2, id1 FROM pairs
+            ),
+            -- min-label reachability: every label walks its component; the
+            -- UNION dedup bounds the state at (node, reachable-label) pairs
+            reach(node, lbl) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            losers AS (
+                SELECT node FROM reach GROUP BY node HAVING node != min(lbl)
+            )
+            SELECT id AS doc_id FROM all_docs
+            WHERE id NOT IN (SELECT node FROM losers)
         """,
         "simhash": f"""
             WITH t AS (SELECT doc_id,
