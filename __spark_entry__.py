@@ -603,6 +603,41 @@ def _q_token_count(spark, sf):
     return docs.select("doc_id", llm.token_count_bpe(F.col("text")).alias("n_bpe"))
 
 
+def _q_pii_scan(spark, sf):
+    # synthesize PII into every third document so the counts and the
+    # redaction path are exercised on non-zero rows (the synthetic corpus
+    # itself contains none); same CASE in the oracle
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 ssn 123-45-6789 tel 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return llm.pii_scan(docs, "doc_id", "text")
+
+
+def _q_decontaminate(spark, sf):
+    # benchmark = every 20th document, so those docs (and any doc sharing
+    # a 5-gram with them through the tiny synthetic vocabulary) flag
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select("text")
+    return llm.decontaminate(docs, "doc_id", "text", bench, n=5)
+
+
+def _q_repetition(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.repetition_stats(docs, "doc_id", "text", ngram_n=2)
+
+
 def _q_win_agg(spark, sf):
     ev = load_table(spark, sf, "events")
     # ts arrives as int64 nanoseconds (see session nanosAsLong) -> timestamp.
@@ -839,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,
         "token_count": _q_token_count,
+        "pii_scan": _q_pii_scan,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition,
         "win_agg": _q_win_agg,
         "sql_direct": _q_sql_direct,
         "fwf_roundtrip": _q_fwf_roundtrip,
@@ -866,6 +904,22 @@ def oracle_sql() -> dict[str, str]:
     es = "['el','la','de','y','que','en','un','una','los','por']"
     de = "['der','die','das','und','ist','ein','eine','zu','den','von']"
     fr = "['le','la','de','et','est','un','une','les','des','que']"
+    # llm.PII_PATTERNS, same order (counts on original text, redaction nested)
+    pii = {name: pat for name, pat, _ in llm.PII_PATTERNS}
+    pii_red = "text"
+    for _n, _pat, _tok in llm.PII_PATTERNS:
+        pii_red = f"regexp_replace({pii_red}, '{_pat}', '{_tok}', 'g')"
+    pii_aug = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 ssn 123-45-6789 tel 555-123-4567' ELSE text END"
+    )
+    # word n-grams over normalized tokens (llm.word_ngrams_from_tokens)
+    wgrams = (
+        "CASE WHEN len(toks) < {n} THEN CAST([] AS VARCHAR[]) "
+        "ELSE [array_to_string(toks[CAST(i AS INT):CAST(i + {m} AS INT)], ' ') "
+        "for i in range(1, len(toks) - {m} + 1)] END"
+    )
 
     return {
         "map": """
@@ -1377,6 +1431,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe
             FROM documents
+        """,
+        "pii_scan": f"""
+            WITH aug AS (SELECT doc_id, {pii_aug} AS text FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{pii["email"]}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{pii["ipv4"]}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{pii["ssn"]}')) AS INT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text, '{pii["phone"]}')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '{pii["email"]}'))
+                        + len(regexp_extract_all(text, '{pii["ipv4"]}'))
+                        + len(regexp_extract_all(text, '{pii["ssn"]}'))
+                        + len(regexp_extract_all(text, '{pii["phone"]}')) AS INT) AS pii_total,
+                   {pii_red} AS text_redacted
+            FROM aug
+        """,
+        "decontaminate": f"""
+            WITH t AS (SELECT doc_id, {norm_text} AS s FROM documents),
+            tok AS (SELECT doc_id, string_split_regex(s, '\\s+') AS toks FROM t),
+            g AS (SELECT doc_id, {wgrams.format(n=5, m=4)} AS gs FROM tok),
+            dg AS (SELECT DISTINCT doc_id, {_SQL_H.format(x='g2')} AS h
+                   FROM (SELECT doc_id, unnest(gs) AS g2 FROM g)),
+            bg AS (SELECT DISTINCT h FROM dg WHERE doc_id % 20 = 0),
+            hits AS (SELECT d.doc_id, count(*) AS n
+                     FROM dg d JOIN bg USING (h) GROUP BY d.doc_id)
+            SELECT t.doc_id,
+                   coalesce(n, 0) AS n_contaminated_ngrams,
+                   coalesce(n, 0) > 0 AS contaminated
+            FROM t LEFT JOIN hits ON hits.doc_id = t.doc_id
+        """,
+        "repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {norm_text} AS s FROM documents),
+            tok AS (SELECT doc_id, string_split_regex(s, '\\s+') AS toks FROM t),
+            g AS (SELECT doc_id, toks, {wgrams.format(n=2, m=1)} AS grams FROM tok),
+            ws AS (SELECT doc_id,
+                          CAST(len(toks) AS INT) AS n_words,
+                          CASE WHEN len(toks) = 0 THEN 0.0
+                               ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                          / CAST(len(toks) AS DOUBLE), 6) END AS dup_word_frac,
+                          CASE WHEN len(grams) = 0 THEN 0.0
+                               ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                          / CAST(len(grams) AS DOUBLE), 6) END AS dup_ngram_frac
+                   FROM g),
+            pg AS (SELECT doc_id, unnest(grams) AS g2 FROM g),
+            cnt AS (SELECT doc_id, g2, count(*) AS c FROM pg GROUP BY 1, 2),
+            top AS (SELECT doc_id,
+                           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+                             AS top_ngram_frac
+                    FROM cnt GROUP BY 1)
+            SELECT w.doc_id, n_words, dup_word_frac, dup_ngram_frac,
+                   coalesce(top_ngram_frac, 0.0) AS top_ngram_frac
+            FROM ws w LEFT JOIN top ON top.doc_id = w.doc_id
         """,
         "win_agg": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

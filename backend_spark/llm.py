@@ -672,6 +672,185 @@ def token_count_bpe(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"\w+|[^\w\s]"))
 
 
+# (name, pattern, redaction token) — patterns restricted to syntax shared
+# by Java regex (Spark) and RE2 (DuckDB) so the oracle reproduces them
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str, redact: bool = True) -> DataFrame:
+    """Regex PII detection + redaction for training-data hygiene: per-doc
+    match counts for each :data:`PII_PATTERNS` kind plus an optionally
+    redacted text column.
+
+    Counts come from the *original* text; redaction applies the patterns
+    in declaration order (SSN before the more general phone shape).  All
+    work is ``regexp_count``/``regexp_replace`` Column expressions —
+    whole-stage codegen, no shuffle, scales with the scan.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    total = None
+    for c in counts:
+        total = c if total is None else total + c
+    cols = [F.col(id_col), *counts, total.alias("pii_total")]
+    if redact:
+        red = F.col(text_col)
+        for _, pat, tok in PII_PATTERNS:
+            red = F.regexp_replace(red, pat, tok)
+        cols.append(red.alias("text_redacted"))
+    return df.select(*cols)
+
+
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams over a pre-staged token array as space-joined strings
+    (the unit of LLM benchmark decontamination).  Pass a *materialized*
+    token column — the expression references ``toks`` several times and
+    inlined HOF lambdas re-evaluate per reference."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """As above from raw text (normalize → tokenize → n-grams).  Prefer
+    staging the token array and calling :func:`word_ngrams_from_tokens`
+    when the caller reuses the tokens."""
+    return word_ngrams_from_tokens(fn.tokenize(fn.normalize(text)), n)
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word
+    ``n``-gram with a benchmark/eval set (the GPT-3/PaLM training-data
+    protocol; 13-grams is the published default).
+
+    Scale shape: the benchmark side is tiny by construction (an eval
+    set), so its distinct gram hashes are **broadcast**; the corpus side
+    explodes to distinct (id, gram-hash) pairs and the hits aggregate
+    back per id — one keyed shuffle on the corpus, no all-pairs stage.
+    Returns (id, n_contaminated_ngrams, contaminated).
+    """
+    # two barriers per side: one after tokenize (the gram-builder lambda
+    # references the token array per element), one after the gram array
+    # (explode re-evaluates a computed array per output element)
+    def _grams(src: DataFrame, text: str, extra: list[str]) -> DataFrame:
+        toks = src.select(
+            *extra, fn.tokenize(fn.normalize(F.col(text))).alias("__toks")
+        ).localCheckpoint(eager=False)
+        return toks.select(
+            *extra, word_ngrams_from_tokens(F.col("__toks"), n).alias("__gs")
+        ).localCheckpoint(eager=False)
+
+    bench_grams = (
+        _grams(benchmark, bench_text_col, [])
+        .select(F.explode("__gs").alias("__g"))
+        .select(fn.md5_long(F.col("__g")).alias("__h"))
+        .distinct()
+    )
+    doc_grams = (
+        _grams(df, text_col, [id_col])
+        .select(F.col(id_col), F.explode_outer("__gs").alias("__g"))
+        .select(id_col, fn.md5_long(F.col("__g")).alias("__h"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__h", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)).alias("n_contaminated_ngrams"),
+            (F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    duplicate-word fraction, duplicate n-gram fraction, and the fraction
+    of all n-gram occurrences taken by the single most frequent n-gram.
+
+    The word-level fractions are pure Column math (array_distinct).  The
+    modal n-gram needs a per-(doc, gram) count: explode → two keyed
+    aggregations partitioned by id — map-side combinable, no wide rows,
+    scales with corpus size not vocabulary.
+    """
+    # barrier after tokens, and again after grams: both arrays are
+    # referenced by multiple downstream expressions (array_distinct +
+    # size + explode) and inlined HOF lambdas re-evaluate per reference
+    toks = df.select(
+        F.col(id_col),
+        fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks"),
+    ).localCheckpoint(eager=False)
+    base = toks.withColumn(
+        "__grams", word_ngrams_from_tokens(F.col("__toks"), ngram_n)
+    ).localCheckpoint(eager=False)
+    def _dup_frac(col: str) -> Column:
+        # 0.0 for an empty array (no occurrences -> nothing duplicated);
+        # col is materialized above so the repeated references are cheap
+        return F.when(F.size(col) <= 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(col)).cast("double")
+                / F.size(col).cast("double"),
+                6,
+            )
+        )
+
+    word_side = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_words"),
+        _dup_frac("__toks").alias("dup_word_frac"),
+        _dup_frac("__grams").alias("dup_ngram_frac"),
+    )
+    per_gram = (
+        base.select(F.col(id_col), F.explode_outer("__grams").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count("__g").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__tot"))
+        .select(
+            F.col(id_col),
+            F.round(
+                # guard, not try_divide: an empty doc groups as one
+                # null-gram row with count 0, so __tot can be 0
+                F.when(
+                    F.col("__tot") > 0,
+                    F.col("__top").cast("double") / F.col("__tot").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_ngram_frac"),
+        )
+    )
+    return word_side.join(per_gram, id_col, "left").select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        "dup_ngram_frac",
+        F.coalesce(F.col("top_ngram_frac"), F.lit(0.0)).alias("top_ngram_frac"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing fingerprint (Schleimer et al.): k-gram hashes → min per
     sliding window → sorted distinct mins as (id, fp array<bigint>).

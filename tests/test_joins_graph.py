@@ -309,3 +309,62 @@ def test_ann_ivf_exhaustive_equals_bruteforce(spark):
     # pruned probes return a subset of per-query candidates, all != self
     pruned = llm.ann_topk_ivf(df, q, k=3, n_centroids=3, n_probe=1).collect()
     assert all(r.query_id != r.neighbor_id for r in pruned)
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com twice alice@h.org ok"),
+            (2, "server at 10.0.0.1 ssn 123-45-6789"),
+            (3, "call 555-123-4567 now"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in llm.pii_scan(df, "doc_id", "text").collect()}
+    assert (rows[1].n_email, rows[1].pii_total) == (2, 2)
+    assert (rows[2].n_ipv4, rows[2].n_ssn, rows[2].pii_total) == (1, 1, 2)
+    assert rows[3].n_phone == 1
+    assert rows[4].pii_total == 0
+    assert rows[1].text_redacted == "mail <EMAIL> twice <EMAIL> ok"
+    assert rows[2].text_redacted == "server at <IP> ssn <SSN>"
+    assert rows[3].text_redacted == "call <PHONE> now"
+    assert rows[4].text_redacted == rows[4].text_redacted == "clean text with no pii at all"
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [("what is the capital of france and where is it",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quiz asks what is the capital of france today"),
+            (2, "an entirely unrelated document about spark joins"),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llm.decontaminate(docs, "doc_id", "text", bench, n=5).collect()}
+    # doc 1 shares the 5-grams "what is the capital of" and
+    # "is the capital of france" with the benchmark
+    assert out[1].contaminated and out[1].n_contaminated_ngrams == 2
+    assert not out[2].contaminated and out[2].n_contaminated_ngrams == 0
+    assert not out[3].contaminated  # shorter than n tokens -> no grams
+
+
+def test_repetition_stats_known_fractions(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y x"), (2, "all words here differ"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in llm.repetition_stats(df, "doc_id", "text").collect()}
+    # doc 1: toks [x y x y x] -> dup_word 1-2/5; grams [x y, y x, x y, y x]
+    # -> dup_ngram 1-2/4, modal gram "x y" twice of 4
+    assert rows[1].n_words == 5
+    assert rows[1].dup_word_frac == 0.6
+    assert rows[1].dup_ngram_frac == 0.5
+    assert rows[1].top_ngram_frac == 0.5
+    # doc 2: 4 distinct tokens -> 3 distinct bigrams, modal freq 1/3
+    assert rows[2].dup_word_frac == 0.0 and rows[2].top_ngram_frac == 0.333333
+    assert rows[3].n_words == 0
+    assert rows[3].dup_word_frac == 0.0 and rows[3].top_ngram_frac == 0.0

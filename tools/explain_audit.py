@@ -38,6 +38,10 @@ EXPECT = {
     # cross-join must never appear on the default path
     "embed_banded": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "graph_metrics": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # benchmark gram set is tiny by construction -> must broadcast
+    "decontaminate": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    "repetition_stats": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "pii_scan": ([], ["CartesianProduct", "Exchange"]),  # pure scan+project
 }
 
 
