@@ -638,6 +638,24 @@ def _q_repetition(spark, sf):
     return llm.repetition_stats(docs, "doc_id", "text", ngram_n=2)
 
 
+def _q_sessionize(spark, sf):
+    from backend_spark import streaming
+
+    # batch execution of the streaming construct: F.session_window merges
+    # events whose gap-extended windows overlap, INCLUDING a gap of
+    # exactly 8h (pinned by test_batch_sessionize_exact_gap_merges)
+    ev = load_table(spark, sf, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    out = streaming.sessionize(ev, "ts", "user_id", gap="8 hours")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+    )
+
+
 def _q_win_agg(spark, sf):
     ev = load_table(spark, sf, "events")
     # ts arrives as int64 nanoseconds (see session nanosAsLong) -> timestamp.
@@ -877,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition,
+        "sessionize": _q_sessionize,
         "win_agg": _q_win_agg,
         "sql_direct": _q_sql_direct,
         "fwf_roundtrip": _q_fwf_roundtrip,
@@ -1482,6 +1501,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, n_words, dup_word_frac, dup_ngram_frac,
                    coalesce(top_ngram_frac, 0.0) AS top_ngram_frac
             FROM ws w LEFT JOIN top ON top.doc_id = w.doc_id
+        """,
+        "sessionize": """
+            WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            m AS (SELECT user_id, ts,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 8 HOUR
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m),
+            g AS (SELECT user_id, min(ts) AS session_start,
+                         max(ts) + INTERVAL 8 HOUR AS session_end,
+                         count(*) AS n_events
+                  FROM s GROUP BY user_id, sid)
+            SELECT user_id,
+                   strftime(session_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(session_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   n_events
+            FROM g
         """,
         "win_agg": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

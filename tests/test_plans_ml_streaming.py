@@ -352,3 +352,21 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
     assert back.count() == 50
+
+
+def test_batch_sessionize_exact_gap_merges(spark):
+    # session_window merges an event exactly `gap` after the previous
+    # one (inclusive end); only diff > gap splits.  The driver oracle's
+    # strict `>` new-session test depends on this pinning.
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:30:00"),  # exactly gap later -> merges
+        ("u1", "2024-01-01 11:00:01"),  # gap + 1s -> new session
+    ]
+    df = spark.createDataFrame(rows, "user string, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    sess = streaming.sessionize(df, "ts", "user", gap="30 minutes")
+    got = sorted(sess.collect(), key=lambda r: r.session_start)
+    assert [r.n_events for r in got] == [2, 1]
+    assert got[0].session_end.strftime("%H:%M:%S") == "11:00:00"
