@@ -73,6 +73,11 @@ class RecipeBook:
         self.dataset_conf: dict = conf.get("datasets", {})
         self.datasets = dict(datasets or {})
         self.spark = spark
+        # test-mode row cap, set for the duration of run(test=True)/trace();
+        # the sql step reads it to rewrite queries (reference wraps input
+        # tables in a LIMIT CTE and the whole query in an outer LIMIT in
+        # test mode, code/recipes.py:487-505)
+        self._test_n: int | None = None
 
     # -- datasets ----------------------------------------------------------
 
@@ -151,12 +156,22 @@ class RecipeBook:
             )
         if name == "sql":
             # SQL-direct step (reference CTAS pushdown, code/recipes.py:1487-1492):
-            # the incoming frame is registered as `df`, named datasets as views
+            # the incoming frame is registered as `df`, named datasets as views.
+            # In test mode every view is LIMIT-capped and the query gets an
+            # outer LIMIT — the Spark shape of the reference's
+            # MATCHID_INPUT_TABLE CTE rewrite (code/recipes.py:487-505);
+            # Catalyst pushes the caps into the scans (LocalLimit).
             spark = df.sparkSession
             df.createOrReplaceTempView("df")
             for ds_name in {**self.datasets, **self.dataset_conf}:
-                self.dataset(ds_name).createOrReplaceTempView(ds_name)
-            return spark.sql(a if isinstance(a, str) else a["query"])
+                view = self.dataset(ds_name)
+                if self._test_n is not None:
+                    view = view.limit(self._test_n)
+                view.createOrReplaceTempView(ds_name)
+            query = a if isinstance(a, str) else a["query"]
+            if self._test_n is not None:
+                query = f"SELECT * FROM (\n{query}\n) query LIMIT {self._test_n}"
+            return spark.sql(query)
         if name == "join":
             return self._apply_join(df, a)
         if name == "clique":
@@ -258,7 +273,11 @@ class RecipeBook:
             df = self.dataset(src)
             if test:
                 df = df.limit(30)  # reference test_chunk_size (conf/conf.yml:23)
-        out = self.compile(name)(df)
+        self._test_n = 30 if test else None
+        try:
+            out = self.compile(name)(df)
+        finally:
+            self._test_n = None
         output = recipe.get("output")
         if output and not test:
             c = output if isinstance(output, dict) else {"path": output}
@@ -279,6 +298,13 @@ class RecipeBook:
             df = self.dataset(inp["dataset"] if isinstance(inp, dict) else inp)
         out = df.limit(n)
         records = []
+        self._test_n = n
+        try:
+            return self._trace_steps(recipe, out, records)
+        finally:
+            self._test_n = None
+
+    def _trace_steps(self, recipe: dict, out: DataFrame, records: list) -> list[dict]:
         for step in recipe.get("steps", []):
             sname, args = (step, None) if isinstance(step, str) else next(iter(step.items()))
             res = self._apply_step(out, sname, args)

@@ -35,6 +35,11 @@ HEADLINE = [
     "text_stats",
     "clique",
     "recipe_pipeline",
+    # LLM-pipeline hygiene ops (round 4)
+    "pii_scan",
+    "decontaminate",
+    "repetition_stats",
+    "sessionize",
 ]
 
 

@@ -370,3 +370,26 @@ def test_batch_sessionize_exact_gap_merges(spark):
     got = sorted(sess.collect(), key=lambda r: r.session_start)
     assert [r.n_events for r in got] == [2, 1]
     assert got[0].session_end.strftime("%H:%M:%S") == "11:00:00"
+
+
+def test_sql_step_test_mode_limit_rewrite(spark):
+    # reference wraps input tables in a LIMIT CTE and the query in an
+    # outer LIMIT in test mode (code/recipes.py:487-505); here both the
+    # registered views and the final query are capped at 30 rows
+    conf = load_conf(
+        """
+recipes:
+  r:
+    input: src
+    steps:
+      - sql: "SELECT df.v, big.w FROM df JOIN big ON big.w % 100 = df.v % 100"
+"""
+    )
+    src = spark.range(200).selectExpr("id AS v")
+    big = spark.range(5000).selectExpr("id AS w")
+    book = RecipeBook(conf, datasets={"src": src, "big": big}, spark=spark)
+    test_out = book.run("r", test=True)
+    # 30 src rows x (30 big rows / 100 residues) then outer LIMIT 30
+    assert test_out.count() <= 30
+    full_out = book.run("r")
+    assert full_out.count() == 200 * 50  # untouched outside test mode
