@@ -370,6 +370,7 @@ def _q_join_topk(spark, sf):
         score=lambda d: fn.levenshtein_norm(d["key"], F.lower(d["hit_n_name"])),
         k=2,
         tiebreak=["hit_n_nationkey"],
+        ref_id="n_nationkey",  # ids-only candidate dedup shuffle
     )
     return out.select(
         "id",

@@ -230,6 +230,7 @@ def join_topk(
     prefix: str = "hit_",
     broadcast_ref: bool = False,
     tiebreak: list[str] | None = None,
+    ref_id: str | None = None,
 ) -> DataFrame:
     """Top-k candidate-retrieval join — the pure-Spark mapping of the
     reference's Elasticsearch msearch join + unfold + unnest
@@ -249,23 +250,48 @@ def join_topk(
     * ``keep_unmatched=False`` drops left rows with no candidate (the
       reference's hits!="" filter, code/recipes.py:2348-2349);
       ``True`` keeps them with null hit columns (left outer).
+    * ``ref_id``: a unique ref key column.  When given, the candidate
+      dedup shuffles **ids only** — (left_id, ref_id) pairs — and the
+      left/hit attributes are re-attached afterwards (the left-attr join
+      is keyed on ``left_id``, the same partitioning the top-k window
+      needs, so it adds no extra Exchange).  Without it the dedup
+      shuffles full rows; prefer ``ref_id`` at scale.
     """
     bl = F.col(block_left) if isinstance(block_left, str) else block_left
     br = F.col(block_right) if isinstance(block_right, str) else block_right
 
-    # compute blocking keys on the original names, then prefix hit cols
-    hit_keys = (
-        ref.withColumn("__bk_arr", br)
-        .select(
-            *[F.col(c).alias(f"{prefix}{c}") for c in ref.columns],
-            F.explode("__bk_arr").alias("__bk"),
+    if ref_id is not None:
+        ref_keys = ref.select(F.col(ref_id).alias("__rid"), br.alias("__bk_arr")).select(
+            "__rid", F.explode("__bk_arr").alias("__bk")
         )
-    )
-    if broadcast_ref:
-        hit_keys = F.broadcast(hit_keys)
+        if broadcast_ref:
+            ref_keys = F.broadcast(ref_keys)
+        left_keys = df.select(F.col(left_id), bl.alias("__bk_arr")).select(
+            left_id, F.explode("__bk_arr").alias("__bk")
+        )
+        pair_ids = left_keys.join(ref_keys, "__bk").select(left_id, "__rid").distinct()
+        hit_attrs = ref.select(*[F.col(c).alias(f"{prefix}{c}") for c in ref.columns])
+        if broadcast_ref:
+            hit_attrs = F.broadcast(hit_attrs)
+        pairs = (
+            pair_ids.join(df, left_id)
+            .join(hit_attrs, F.col("__rid") == F.col(f"{prefix}{ref_id}"))
+            .drop("__rid")
+        )
+    else:
+        # compute blocking keys on the original names, then prefix hit cols
+        hit_keys = (
+            ref.withColumn("__bk_arr", br)
+            .select(
+                *[F.col(c).alias(f"{prefix}{c}") for c in ref.columns],
+                F.explode("__bk_arr").alias("__bk"),
+            )
+        )
+        if broadcast_ref:
+            hit_keys = F.broadcast(hit_keys)
 
-    left_keys = df.withColumn("__bk", F.explode(bl))
-    pairs = left_keys.join(hit_keys, "__bk").drop("__bk").dropDuplicates([left_id] + [f"{prefix}{c}" for c in ref.columns])
+        left_keys = df.withColumn("__bk", F.explode(bl))
+        pairs = left_keys.join(hit_keys, "__bk").drop("__bk").dropDuplicates([left_id] + [f"{prefix}{c}" for c in ref.columns])
 
     scored = pairs.withColumn(f"{prefix}score", score(pairs))
     order = [F.col(f"{prefix}score").desc()] + [F.col(c).asc() for c in (tiebreak or [])]

@@ -368,3 +368,24 @@ def test_repetition_stats_known_fractions(spark):
     assert rows[2].dup_word_frac == 0.0 and rows[2].top_ngram_frac == 0.333333
     assert rows[3].n_words == 0
     assert rows[3].dup_word_frac == 0.0 and rows[3].top_ngram_frac == 0.0
+
+
+def test_join_topk_ref_id_path_matches_legacy(spark):
+    left = spark.createDataFrame(
+        [(1, "abcd"), (2, "abce"), (3, "qqqq")], "id long, name string"
+    ).withColumn("blk", fn.ngrams(F.col("name"), 2))
+    ref = spark.createDataFrame(
+        [(10, "abcd"), (11, "abce"), (12, "zzzz")], "rid long, rname string"
+    )
+    kw = dict(
+        left_id="id",
+        block_left="blk",
+        block_right=fn.ngrams(F.col("rname"), 2),
+        score=lambda d: fn.levenshtein_norm(d["name"], d["hit_rname"]),
+        k=2,
+        tiebreak=["hit_rid"],
+    )
+    cols = ["id", "hit_rid", "hit_score", "matchid_hit_matches_unfiltered", "hit_max_score"]
+    legacy = join_topk(left, ref, **kw).select(*cols)
+    by_id = join_topk(left, ref, ref_id="rid", **kw).select(*cols)
+    assert sorted(map(tuple, legacy.collect())) == sorted(map(tuple, by_id.collect()))
