@@ -16,6 +16,17 @@ Endpoints (JSON in/out):
   (reference code/api.py:862-879, :1040-1074).
 * ``POST /datasets/<name>``      — sample rows + dtypes of a dataset
   (reference code/api.py:581-623).
+* ``GET  /recipes``              — all recipe confs (reference
+  code/api.py:814-825).
+* ``GET  /recipes/<name>``       — one recipe conf (code/api.py:827-837).
+* ``GET  /recipes/<name>/status``— up/done/down from the job registry
+  (code/api.py:851-877).
+* ``GET  /recipes/<name>/log``   — last job log; while the job runs the
+  response is a Server-Sent-Events tail like the reference's
+  ``tailLog`` (code/api.py:878-932).
+* ``POST /datasets/<name>/_search`` and ``/_update/<id>`` — HTTP proxy
+  to the dataset's Elasticsearch index (code/api.py:745-812); requires
+  an ``elasticsearch``-format dataset conf and a reachable ``url``.
 * ``GET  /health``               — liveness.
 """
 
@@ -24,7 +35,10 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 import traceback
+import urllib.error
+import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
@@ -40,20 +54,30 @@ class JobRegistry:
         self._lock = threading.Lock()
         self._n = 0
 
+    def log(self, job_id: str, line: str) -> None:
+        with self._lock:
+            if job_id in self._jobs:
+                self._jobs[job_id]["log"].append(line)
+
     def start(self, recipe: str, fn) -> str:
         with self._lock:
             self._n += 1
             job_id = f"{recipe}-{self._n}"
-            self._jobs[job_id] = {"recipe": recipe, "status": "up", "rows": None, "error": None}
+            self._jobs[job_id] = {
+                "recipe": recipe, "status": "up", "rows": None, "error": None,
+                "log": [f"start {job_id}"],
+            }
 
         def _run():
             try:
                 rows = fn()
                 with self._lock:
                     self._jobs[job_id].update(status="done", rows=rows)
+                    self._jobs[job_id]["log"].append(f"done {job_id}: {rows} rows")
             except Exception as e:  # job failure -> status down (reference semantics)
                 with self._lock:
                     self._jobs[job_id].update(status="down", error=f"{type(e).__name__}: {e}")
+                    self._jobs[job_id]["log"].append(f"error {job_id}: {e}")
 
         threading.Thread(target=_run, name=job_id, daemon=True).start()
         return job_id
@@ -61,6 +85,15 @@ class JobRegistry:
     def snapshot(self) -> dict:
         with self._lock:
             return {k: dict(v) for k, v in self._jobs.items()}
+
+    def latest_for(self, recipe: str) -> dict | None:
+        with self._lock:
+            jobs = [
+                {**v, "log": list(v["log"]), "id": k}
+                for k, v in self._jobs.items()
+                if v["recipe"] == recipe
+            ]
+        return jobs[-1] if jobs else None
 
 
 class ApiServer:
@@ -86,11 +119,63 @@ class ApiServer:
                 n = int(self.headers.get("Content-Length") or 0)
                 return self.rfile.read(n) if n else b""
 
+            def _send_text(self, code: int, text: str, ctype: str = "text/plain"):
+                body = text.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
                 if self.path == "/health":
                     return self._send(200, {"status": "up"})
                 if self.path == "/jobs":
                     return self._send(200, outer.jobs.snapshot())
+                parts = self.path.strip("/").split("/")
+                if parts[0] == "recipes":
+                    if len(parts) == 1:  # conf of every recipe
+                        return self._send(200, outer.book.recipes)
+                    name = parts[1]
+                    if name not in outer.book.recipes:
+                        return self._send(404, {"error": f"unknown recipe {name}"})
+                    if len(parts) == 2:  # conf of one recipe
+                        return self._send(200, outer.book.recipes[name])
+                    action = parts[2]
+                    job = outer.jobs.latest_for(name)
+                    if action == "status":
+                        return self._send(
+                            200, {"recipe": name, "status": job["status"] if job else "down"}
+                        )
+                    if action == "log":
+                        if job is None:
+                            return self._send_text(200, "")
+                        if job["status"] != "up":  # finished -> full log, plain
+                            return self._send_text(200, "\n".join(job["log"]))
+                        # running -> SSE tail (reference tailLog,
+                        # code/api.py:908-929): replay, poll, close
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/event-stream")
+                        self.send_header("X-Accel-Buffering", "no")
+                        self.end_headers()
+                        sent = 0
+                        wait = 0.0
+                        self.wfile.write(b"retry: 3000\n")
+                        while wait < 5.0:
+                            job = outer.jobs.latest_for(name) or job
+                            lines = job["log"]
+                            for line in lines[sent:]:
+                                self.wfile.write(
+                                    f"event: message\ndata: {line}\n\n".encode()
+                                )
+                            self.wfile.flush()
+                            sent = len(lines)
+                            if job["status"] != "up":
+                                break
+                            time.sleep(0.1)
+                            wait += 0.1
+                        self.wfile.write(b"event: close\ndata: end\n\n")
+                        return None
                 return self._send(404, {"error": "not found"})
 
             def do_PUT(self):
@@ -136,6 +221,32 @@ class ApiServer:
                         out = outer.book.compile(name)(df)
                         rows = [r.asDict(recursive=True) for r in out.collect()]
                         return self._send(200, {"rows": rows})
+                    if len(parts) >= 3 and parts[0] == "datasets" and parts[2] in ("_search", "_update"):
+                        # ES API proxy (reference code/api.py:745-812):
+                        # forward the JSON body to the dataset's index
+                        name, action = parts[1], parts[2]
+                        conf = outer.book.dataset_conf.get(name) or {}
+                        if conf.get("format") != "elasticsearch":
+                            return self._send(403, {"error": "not an elasticsearch dataset"})
+                        base = conf["url"].rstrip("/")
+                        index = conf.get("table", name)
+                        if action == "_search":
+                            url = f"{base}/{index}/_search"
+                        else:
+                            if len(parts) < 4:
+                                return self._send(403, {"error": "_update needs a doc id"})
+                            url = f"{base}/{index}/_update/{parts[3]}"
+                        req = urllib.request.Request(
+                            url, data=self._body() or b"{}",
+                            headers={"Content-Type": "application/json"}, method="POST",
+                        )
+                        try:
+                            with urllib.request.urlopen(req, timeout=30) as resp:
+                                return self._send_text(
+                                    resp.status, resp.read().decode(), "application/json"
+                                )
+                        except urllib.error.HTTPError as e:
+                            return self._send_text(e.code, e.read().decode(), "application/json")
                     if len(parts) == 2 and parts[0] == "datasets":
                         df = outer.book.dataset(parts[1])
                         opts = json.loads(self._body() or b"{}")

@@ -99,3 +99,110 @@ def test_test_endpoint_per_step_trace(server):
     assert code == 200 and body["steps"]
     for rec in body["steps"]:
         assert set(rec) == {"step", "columns", "rows"} and rec["rows"] <= 30
+
+
+def test_conf_crud_endpoints(server):
+    code, body = _req(server, "GET", "/recipes")
+    assert code == 200 and set(body) == {"upgrade", "from_ds"}
+    code, body = _req(server, "GET", "/recipes/upgrade")
+    assert code == 200 and body["steps"][0]["eval"][0]["v2"] == "v * 2"
+    code, _ = _req(server, "GET", "/recipes/nope")
+    assert code == 404
+
+
+def test_status_and_log_endpoints(server):
+    code, body = _req(server, "GET", "/recipes/upgrade/status")
+    assert code == 200 and body == {"recipe": "upgrade", "status": "down"}
+    _req(server, "PUT", "/recipes/from_ds/run")
+    for _ in range(100):
+        code, body = _req(server, "GET", "/recipes/from_ds/status")
+        if body["status"] != "up":
+            break
+        time.sleep(0.1)
+    assert body["status"] == "done"
+    # finished job -> plain-text full log
+    req = urllib.request.Request(f"http://127.0.0.1:{server.port}/recipes/from_ds/log")
+    with urllib.request.urlopen(req) as resp:
+        text = resp.read().decode()
+        assert resp.headers["Content-Type"].startswith("text/plain")
+    assert "start from_ds-" in text and "done from_ds-" in text
+
+
+def test_es_proxy_forwards_to_index(spark):
+    # stub "elasticsearch": a local HTTP server that echoes the path and
+    # body back, standing in for a real cluster
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    calls = []
+
+    class Stub(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            calls.append((self.path, self.rfile.read(n).decode()))
+            out = json.dumps({"ok": True, "path": self.path}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+    es = HTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=es.serve_forever, daemon=True).start()
+    conf = load_conf(
+        f"""
+recipes: {{}}
+datasets:
+  esidx:
+    format: elasticsearch
+    url: http://127.0.0.1:{es.server_address[1]}
+    table: myindex
+"""
+    )
+    srv = ApiServer(spark, RecipeBook(conf, spark=spark)).start()
+    try:
+        q = json.dumps({"query": {"match_all": {}}})
+        code, body = _req(srv, "POST", "/datasets/esidx/_search", q)
+        assert code == 200 and body["path"] == "/myindex/_search"
+        code, body = _req(srv, "POST", "/datasets/esidx/_update/42", json.dumps({"doc": {"x": 1}}))
+        assert code == 200 and body["path"] == "/myindex/_update/42"
+        assert calls[0] == ("/myindex/_search", q)
+        # non-ES dataset -> 403 like the reference
+        code, body = _req(srv, "POST", "/datasets/esidx2/_search", q)
+        assert code == 403
+    finally:
+        srv.stop()
+        es.shutdown()
+
+
+def test_log_sse_tail_while_running(spark):
+    conf = load_conf(
+        """
+recipes:
+  slow:
+    input: slowds
+    steps:
+      - eval:
+          - v2: "v + 1"
+"""
+    )
+
+    def slow_ds():
+        df = spark.createDataFrame([(1,)], "v long")
+        time.sleep(1.5)
+        return df
+
+    srv = ApiServer(spark, RecipeBook(conf, datasets={"slowds": slow_ds}, spark=spark)).start()
+    try:
+        _req(srv, "PUT", "/recipes/slow/run")
+        req = urllib.request.Request(f"http://127.0.0.1:{srv.port}/recipes/slow/log")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Type"].startswith("text/event-stream")
+            text = resp.read().decode()
+        assert "data: start slow-" in text
+        assert "event: close" in text  # stream closed after the job finished
+    finally:
+        srv.stop()
