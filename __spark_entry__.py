@@ -639,6 +639,24 @@ def _q_repetition(spark, sf):
     return llm.repetition_stats(docs, "doc_id", "text", ngram_n=2)
 
 
+def _q_quality_filter(spark, sf):
+    # thresholds tuned so every rule discriminates on the synthetic
+    # corpus (words 10-99 median 56, mean word len ~4.5, stop hits
+    # median ~2) — keep is a genuine mix of true/false
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.quality_filter(
+        docs,
+        "doc_id",
+        "text",
+        min_words=30,
+        max_words=90,
+        min_mean_word_len=4.5,
+        max_mean_word_len=8.0,
+        min_stopword_hits=3,
+        max_dup_ngram_frac=0.5,
+    )
+
+
 def _q_sessionize(spark, sf):
     from backend_spark import streaming
 
@@ -896,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition,
+        "quality_filter": _q_quality_filter,
         "sessionize": _q_sessionize,
         "win_agg": _q_win_agg,
         "sql_direct": _q_sql_direct,
@@ -1502,6 +1521,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, n_words, dup_word_frac, dup_ngram_frac,
                    coalesce(top_ngram_frac, 0.0) AS top_ngram_frac
             FROM ws w LEFT JOIN top ON top.doc_id = w.doc_id
+        """,
+        "quality_filter": f"""
+            WITH t AS (SELECT doc_id, text, {norm_text} AS s FROM documents),
+            tok AS (SELECT doc_id, text, string_split_regex(s, '\\s+') AS toks FROM t),
+            g AS (SELECT doc_id, text, toks, {wgrams.format(n=2, m=1)} AS grams FROM tok),
+            stats AS (SELECT doc_id,
+                CAST(len(toks) AS INT) AS n_words,
+                round(CAST(coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)
+                           AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_word_len,
+                round(CAST(len(regexp_extract_all(text, '{llm.QUALITY_SYMBOLS}')) AS DOUBLE)
+                      / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+                CAST(len(list_filter(toks, tk -> list_contains({en}, tk))) AS INT) AS stop_hits,
+                CASE WHEN len(grams) = 0 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                / CAST(len(grams) AS DOUBLE), 6) END AS dup_ngram_frac
+              FROM g)
+            SELECT *,
+                   (n_words BETWEEN 30 AND 90)
+                   AND (mean_word_len BETWEEN 4.5 AND 8.0)
+                   AND symbol_word_ratio <= 0.1
+                   AND stop_hits >= 3
+                   AND dup_ngram_frac <= 0.5 AS keep
+            FROM stats
         """,
         "sessionize": """
             WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -851,6 +851,81 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
     )
 
 
+# symbol characters for the Gopher symbol-to-word rule; ASCII-only so the
+# class means the same thing to Java regex and RE2
+QUALITY_SYMBOLS = r"[#%@$^*+=~|<>]"
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    max_dup_ngram_frac: float = 0.6,
+    ngram_n: int = 2,
+    lang: str = "en",
+) -> DataFrame:
+    """Composite C4/Gopher quality gate (Raffel et al. 2020 §2.2, Rae
+    et al. 2021 §A1.1): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, minimum stop-word evidence, duplicate-n-gram
+    cap — every rule a pure Column expression, so the whole gate is one
+    shuffle-free codegen'd projection over the scan.
+
+    Returns the per-doc stats plus ``keep`` (AND of all rules); filter
+    with ``.where("keep")`` or keep the stats for threshold tuning.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks"),
+    ).localCheckpoint(eager=False)
+    base = base.withColumn(
+        "__grams", word_ngrams_from_tokens(F.col("__toks"), ngram_n)
+    ).localCheckpoint(eager=False)
+
+    n = F.size("__toks")
+    safe_n = F.greatest(n.cast("double"), F.lit(1.0))
+    mean_len = F.round(
+        F.aggregate(F.col("__toks"), F.lit(0.0), lambda a, t: a + F.length(t).cast("double"))
+        / safe_n,
+        6,
+    )
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    stop_hits = F.size(F.filter(F.col("__toks"), lambda t: F.array_contains(stop, t)))
+    symbol_ratio = F.round(
+        F.regexp_count(F.col("__text"), F.lit(QUALITY_SYMBOLS)).cast("double") / safe_n, 6
+    )
+    dup_frac = F.when(F.size("__grams") <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("__grams")).cast("double")
+            / F.size("__grams").cast("double"),
+            6,
+        )
+    )
+    stats = base.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        dup_frac.alias("dup_ngram_frac"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("stop_hits") >= min_stopword_hits)
+        & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+    )
+    return stats.withColumn("keep", keep)
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing fingerprint (Schleimer et al.): k-gram hashes → min per
     sliding window → sorted distinct mins as (id, fp array<bigint>).

@@ -389,3 +389,23 @@ def test_join_topk_ref_id_path_matches_legacy(spark):
     legacy = join_topk(left, ref, **kw).select(*cols)
     by_id = join_topk(left, ref, ref_id="rid", **kw).select(*cols)
     assert sorted(map(tuple, legacy.collect())) == sorted(map(tuple, by_id.collect()))
+
+
+def test_quality_filter_rules(spark):
+    good = "the cat sat of the mat and the dog ran to the track " * 5  # stopwords + length
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short text only"),                    # too few words
+            (3, ("spam " * 60).strip()),               # duplicate n-grams, no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llm.quality_filter(
+        df, "doc_id", "text", min_words=20, max_words=100,
+        min_mean_word_len=2.0, max_mean_word_len=8.0,
+        min_stopword_hits=2, max_dup_ngram_frac=0.8,
+    ).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].n_words == 3
+    assert not out[3].keep and out[3].dup_ngram_frac > 0.9 and out[3].stop_hits == 0
