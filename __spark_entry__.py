@@ -657,6 +657,28 @@ def _q_quality_filter(spark, sf):
     )
 
 
+def _q_asof_join(spark, sf):
+    from backend_spark.operators import asof_join
+
+    # last view before each purchase per user — the point-in-time
+    # feature-join shape.  Both sides truncate ns -> us BEFORE the join
+    # so the comparison precision matches DuckDB's native ASOF JOIN
+    # (which reads the parquet nanos as microsecond timestamps).
+    ev = load_table(spark, sf, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts_us", "value")
+    out = asof_join(purchases, views, on="user_id", left_ts="ts_us", right_ts="ts_us")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "asof_ts_us",
+        F.round("asof_value", 2).alias("asof_value"),
+    )
+
+
 def _q_sessionize(spark, sf):
     from backend_spark import streaming
 
@@ -915,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition,
         "quality_filter": _q_quality_filter,
+        "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
         "win_agg": _q_win_agg,
         "sql_direct": _q_sql_direct,
@@ -1544,6 +1567,15 @@ def oracle_sql() -> dict[str, str]:
                    AND stop_hits >= 3
                    AND dup_ngram_frac <= 0.5 AS keep
             FROM stats
+        """,
+        "asof_join": """
+            SELECT p.event_id, p.user_id, p.ts_us,
+                   v.ts_us AS asof_ts_us, round(v.value, 2) AS asof_value
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us, value
+                            FROM events WHERE event_type = 'view') v
+            ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
         """,
         "sessionize": """
             WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -309,3 +309,69 @@ def join_topk(
         unmatched = df.join(matched_ids, left_id, "left_anti")
         topk = topk.unionByName(unmatched, allowMissingColumns=True)
     return topk
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Point-in-time (as-of) join: attach to every left row the single
+    right row with the greatest ``right_ts`` <= ``left_ts`` in the same
+    ``on`` group (pandas ``merge_asof`` backward semantics, exact
+    matches allowed) — the join a feature/training pipeline needs to
+    avoid time-travel leakage.
+
+    Scale shape: both sides union into ONE frame keyed on ``on``; a
+    running ``F.last(ignorenulls)`` window carries the latest right
+    payload forward through the ordered stream.  One shuffle + sort on
+    the key — no range-condition row explosion, no per-key loop, state
+    is a single struct per row.  Right rows sort before left rows at
+    equal timestamps so exact matches attach.  Left rows with a null
+    timestamp match nothing (nulls sort first).
+
+    ``tolerance`` (same units as the ts columns) drops matches older
+    than ``left_ts - tolerance``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_cols = [c for c in right.columns if c not in keys]
+    rp = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__pay"),
+    )
+    lrow_t = left.select(F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"))
+    lp = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rp.schema["__pay"].dataType).alias("__pay"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    u = lp.unionByName(
+        rp.withColumn("__lrow", F.lit(None).cast(lrow_t.schema["__lrow"].dataType))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = u.withColumn("__m", F.last("__pay", ignorenulls=True).over(w))
+    if tolerance is not None:
+        m = m.withColumn(
+            "__mts",
+            F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
+        ).withColumn(
+            "__m",
+            F.when(F.col("__mts") >= F.col("__ts") - F.lit(tolerance), F.col("__m")),
+        )
+    out = m.where(F.col("__side") == 1)
+    return out.select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        *[F.col("__m")[c].alias(f"{prefix}{c}") for c in payload_cols],
+    )

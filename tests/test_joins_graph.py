@@ -409,3 +409,26 @@ def test_quality_filter_rules(spark):
     assert out[1].keep
     assert not out[2].keep and out[2].n_words == 3
     assert not out[3].keep and out[3].dup_ngram_frac > 0.9 and out[3].stop_hits == 0
+
+
+def test_asof_join_backward_with_tolerance(spark):
+    from backend_spark.operators import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 300), (4, "b", 50)],
+        "tid long, sym string, ts long",
+    )
+    quotes = spark.createDataFrame(
+        [("a", 90, 1.0), ("a", 205, 2.0), ("a", 210, 9.9), ("b", 60, 3.0)],
+        "sym string, ts long, px double",
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts")
+    got = {r.tid: (r.asof_ts, r.asof_px) for r in out.collect()}
+    assert got[1] == (90, 1.0)      # strictly-before quote
+    assert got[2] == (205, 2.0)     # exact-ts match attaches
+    assert got[3] == (210, 9.9)     # latest of several
+    assert got[4] == (None, None)   # only future quotes -> no match
+    # tolerance: quote at 90 is 10 too old for trade at 100 with tol=5
+    tol = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts", tolerance=5)
+    got_tol = {r.tid: r.asof_px for r in tol.collect()}
+    assert got_tol[1] is None and got_tol[2] == 2.0
