@@ -639,6 +639,31 @@ def _q_repetition(spark, sf):
     return llm.repetition_stats(docs, "doc_id", "text", ngram_n=2)
 
 
+def _q_dedup_lines(spark, sf):
+    # the corpus has no newlines, so "lines" are 8-word chunks of the
+    # normalized text; every 5th doc gains a boilerplate line that
+    # line-dedup must strip everywhere but its owner (min doc_id = 0)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", fn.tokenize(fn.normalize(F.col("text"))).alias("__toks")
+    ).localCheckpoint(eager=False)
+    n = F.size("__toks")
+    chunks = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), ((n + 7) / F.lit(8)).cast("int") - 1),
+            lambda i: F.array_join(F.slice("__toks", i * 8 + 1, 8), " "),
+        )
+    )
+    lined = toks.withColumn("lines", chunks).withColumn(
+        "lines",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("lines"), F.array(F.lit("subscribe to our newsletter now"))),
+        ).otherwise(F.col("lines")),
+    ).localCheckpoint(eager=False)
+    return llm.dedup_lines(lined, "doc_id", "lines", min_df=2)
+
+
 def _q_quality_filter(spark, sf):
     # thresholds tuned so every rule discriminates on the synthetic
     # corpus (words 10-99 median 56, mean word len ~4.5, stop hits
@@ -937,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition,
         "quality_filter": _q_quality_filter,
+        "dedup_lines": _q_dedup_lines,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
         "win_agg": _q_win_agg,
@@ -1544,6 +1570,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, n_words, dup_word_frac, dup_ngram_frac,
                    coalesce(top_ngram_frac, 0.0) AS top_ngram_frac
             FROM ws w LEFT JOIN top ON top.doc_id = w.doc_id
+        """,
+        "dedup_lines": f"""
+            WITH t AS (SELECT doc_id, {norm_text} AS s FROM documents),
+            tok AS (SELECT doc_id, string_split_regex(s, '\\s+') AS toks FROM t),
+            ch AS (SELECT doc_id,
+                          CASE WHEN len(toks) <= 0 THEN CAST([] AS VARCHAR[])
+                               ELSE [array_to_string(toks[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], ' ')
+                                     for i in range(0, CAST(floor((len(toks) + 7) / 8) AS BIGINT))]
+                          END AS lines0
+                   FROM tok),
+            docs AS (SELECT doc_id,
+                            CASE WHEN doc_id % 5 = 0
+                                 THEN list_concat(lines0, ['subscribe to our newsletter now'])
+                                 ELSE lines0 END AS gs
+                     FROM ch),
+            ex0 AS (SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS pos FROM docs),
+            h AS (SELECT doc_id, pos, gs[CAST(pos AS INT)] AS line,
+                         {_SQL_H.format(x='gs[CAST(pos AS INT)]')} AS hh
+                  FROM ex0),
+            freq AS (SELECT hh, count(DISTINCT doc_id) AS df, min(doc_id) AS owner
+                     FROM h GROUP BY hh),
+            fl AS (SELECT doc_id, pos, line, (df < 2 OR doc_id = owner) AS keep
+                   FROM h JOIN freq USING (hh))
+            SELECT d.doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (keep), '')
+                     AS text_clean,
+                   coalesce(count(*) FILTER (NOT keep), 0) AS n_removed
+            FROM docs d LEFT JOIN fl ON fl.doc_id = d.doc_id
+            GROUP BY d.doc_id
         """,
         "quality_filter": f"""
             WITH t AS (SELECT doc_id, text, {norm_text} AS s FROM documents),

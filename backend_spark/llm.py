@@ -851,6 +851,56 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    lines_col: str,
+    min_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level corpus dedup (Raffel et al. 2020 §2.2 —
+    boilerplate removal): a line whose document frequency reaches
+    ``min_df`` is kept only in its *owner* document (the smallest id
+    containing it) and dropped everywhere else.  Deterministic, unlike
+    keep-first-seen policies that depend on scan order.
+
+    ``lines_col`` is an ``array<string>`` — split however the corpus
+    warrants (``F.split(text, '\\n')`` for real text).  Returns
+    (id, text_clean, n_removed) with surviving lines re-joined by
+    ``sep`` in original order.
+
+    Scale shape: posexplode → hash-keyed (df, owner) aggregation →
+    hash-keyed join back → id-keyed rebuild.  Three keyed shuffles over
+    (id, pos, 60-bit hash) rows — the line text itself crosses the wire
+    once; no corpus-wide sort, no driver state.
+    """
+    ex = df.select(
+        F.col(id_col), F.posexplode_outer(lines_col).alias("__pos", "__line")
+    ).withColumn("__h", fn.md5_long(F.col("__line")))
+    freq = ex.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__df"), F.min(id_col).alias("__owner")
+    )
+    flagged = ex.join(freq, "__h", "left").withColumn(
+        "__keep",
+        F.coalesce(
+            (F.col("__df") < min_df) | (F.col(id_col) == F.col("__owner")), F.lit(True)
+        ),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line", "__keep"))),
+                    lambda x: x["__keep"] & x["__line"].isNotNull(),
+                ),
+                lambda x: x["__line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_removed"),
+    )
+
+
 # symbol characters for the Gopher symbol-to-word rule; ASCII-only so the
 # class means the same thing to Java regex and RE2
 QUALITY_SYMBOLS = r"[#%@$^*+=~|<>]"

@@ -432,3 +432,21 @@ def test_asof_join_backward_with_tolerance(spark):
     tol = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts", tolerance=5)
     got_tol = {r.tid: r.asof_px for r in tol.collect()}
     assert got_tol[1] is None and got_tol[2] == 2.0
+
+
+def test_dedup_lines_owner_keeps_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["alpha beta", "SUBSCRIBE NOW", "gamma"]),
+            (2, ["SUBSCRIBE NOW", "delta"]),
+            (3, ["SUBSCRIBE NOW"]),
+            (4, []),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    out = {r.doc_id: r for r in llm.dedup_lines(df, "doc_id", "lines").collect()}
+    # doc 1 owns the boilerplate (min id) and keeps it, in position order
+    assert out[1].text_clean == "alpha beta\nSUBSCRIBE NOW\ngamma" and out[1].n_removed == 0
+    assert out[2].text_clean == "delta" and out[2].n_removed == 1
+    assert out[3].text_clean == "" and out[3].n_removed == 1
+    assert out[4].text_clean == "" and out[4].n_removed == 0  # empty doc survives
