@@ -42,6 +42,10 @@ EXPECT = {
     "decontaminate": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
     "repetition_stats": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "pii_scan": ([], ["CartesianProduct", "Exchange"]),  # pure scan+project
+    "quality_filter": ([], ["CartesianProduct", "Exchange"]),  # shuffle-free gate
+    "dedup_lines": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # one shuffle+sort then a running window — never a range join blowup
+    "asof_join": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
