@@ -24,6 +24,7 @@ import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from backend_spark import operators as ops
 from backend_spark.sources import read_dataset, write_dataset
@@ -207,6 +208,46 @@ class RecipeBook:
                 }
                 return llm.dedup_minhash(df, id_col, text_col, **kw)
             raise KeyError(f"unknown dedup method: {method}")
+        if name == "quality":
+            from backend_spark import llm
+
+            kw = {
+                k: a[k]
+                for k in (
+                    "min_words", "max_words", "min_mean_word_len", "max_mean_word_len",
+                    "max_symbol_word_ratio", "min_stopword_hits", "max_dup_ngram_frac",
+                    "ngram_n", "lang",
+                )
+                if k in a
+            }
+            out = llm.quality_filter(
+                df, a.get("id", "doc_id"), a.get("text", "text"), **kw
+            )
+            if a.get("drop", True):  # default: act as a filter on the corpus
+                return df.join(out.where("keep").select(a.get("id", "doc_id")),
+                               a.get("id", "doc_id"), "left_semi")
+            return out
+        if name == "pii":
+            from backend_spark import llm
+
+            return llm.pii_scan(
+                df, a.get("id", "doc_id"), a.get("text", "text"),
+                redact=a.get("redact", True),
+            )
+        if name == "decontaminate":
+            from backend_spark import llm
+
+            bench = self.dataset(a["benchmark"])
+            flags = llm.decontaminate(
+                df, a.get("id", "doc_id"), a.get("text", "text"), bench,
+                bench_text_col=a.get("benchmark_text", "text"), n=a.get("n", 13),
+            )
+            if a.get("drop", True):
+                return df.join(
+                    flags.where(~F.col("contaminated")).select(a.get("id", "doc_id")),
+                    a.get("id", "doc_id"), "left_semi",
+                )
+            return flags
         if name == "apply_model":
             from backend_spark import ml
 

@@ -450,3 +450,29 @@ def test_dedup_lines_owner_keeps_boilerplate(spark):
     assert out[2].text_clean == "delta" and out[2].n_removed == 1
     assert out[3].text_clean == "" and out[3].n_removed == 1
     assert out[4].text_clean == "" and out[4].n_removed == 0  # empty doc survives
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    left = [(i, rng.choice("xyz"), rng.randrange(0, 1000)) for i in range(120)]
+    right = [(rng.choice("xyz"), rng.randrange(0, 1000), float(j)) for j in range(80)]
+    # merge_asof needs unique right ts per key for a deterministic match
+    seen = set()
+    right = [r for r in right if not (r[:2] in seen or seen.add(r[:2]))]
+    from backend_spark.operators import asof_join
+
+    ldf = spark.createDataFrame(left, "lid long, k string, ts long")
+    rdf = spark.createDataFrame(right, "k string, ts long, px double")
+    got = {
+        r.lid: (r.asof_ts, r.asof_px)
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    lpd = pd.DataFrame(left, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(right, columns=["k", "ts", "px"]).sort_values("ts")
+    exp = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward", suffixes=("", "_r"))
+    for row in exp.itertuples():
+        assert got[row.lid][1] == (None if pd.isna(row.px) else row.px), row

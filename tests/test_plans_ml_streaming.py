@@ -393,3 +393,39 @@ recipes:
     assert test_out.count() <= 30
     full_out = book.run("r")
     assert full_out.count() == 200 * 50  # untouched outside test mode
+
+
+def test_recipe_hygiene_steps(spark):
+    conf = load_conf(
+        """
+recipes:
+  clean:
+    steps:
+      - quality:
+          min_words: 4
+          min_stopword_hits: 1
+          min_mean_word_len: 1.0
+      - pii:
+          redact: true
+  decon:
+    steps:
+      - decontaminate:
+          benchmark: bench
+          n: 3
+"""
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat quietly watching email a@b.io"),
+            (2, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("cat sat on",)], "text string")
+    book = RecipeBook(conf, datasets={"bench": bench}, spark=spark)
+    cleaned = book.compile("clean")(docs)
+    rows = cleaned.collect()
+    assert [r.doc_id for r in rows] == [1]           # doc 2 dropped by quality
+    assert "<EMAIL>" in rows[0].text_redacted        # pii step redacted
+    kept = book.compile("decon")(docs)
+    assert [r.doc_id for r in kept.collect()] == [2]  # doc 1 contaminated
