@@ -820,6 +820,38 @@ def _q_recipe(spark, sf):
     return book.compile("cust_enrich")(load_table(spark, sf, "customer"))
 
 
+_CORPUS_CLEAN_YAML = """
+recipes:
+  corpus_clean:
+    steps:
+      - quality:
+          min_words: 30
+          max_words: 90
+          min_mean_word_len: 4.5
+          max_mean_word_len: 8.0
+          min_stopword_hits: 3
+          max_dup_ngram_frac: 0.5
+      - dedup:
+          method: exact
+      - pii:
+          redact: true
+"""
+
+
+def _q_corpus_clean(spark, sf):
+    # the full declarative hygiene pipeline end-to-end: quality gate ->
+    # exact dedup (exact copies injected below must collapse to their
+    # owner) -> PII redaction, compiled by RecipeBook into one plan
+    from backend_spark.plans import RecipeBook, load_conf
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    book = RecipeBook(load_conf(_CORPUS_CLEAN_YAML), spark=spark)
+    return book.compile("corpus_clean")(docs.unionByName(dupes))
+
+
 _STREAM_N = [0]
 
 
@@ -971,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "scoring": _q_scoring,
         "recipe_pipeline": _q_recipe,
+        "corpus_clean": _q_corpus_clean,
         "stream_win_agg": _q_stream_win,
         "stream_dedup": _q_stream_dedup,
         "salted_agg": _q_salted_agg,
@@ -1683,6 +1716,47 @@ def oracle_sql() -> dict[str, str]:
                    n_name AS nation_name
             FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
             WHERE c_acctbal > 1000
+        """,
+        "corpus_clean": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+            ),
+            t AS (SELECT doc_id, text, {norm_text} AS s FROM corpus),
+            tok AS (SELECT doc_id, text, string_split_regex(s, '\\s+') AS toks FROM t),
+            g AS (SELECT doc_id, text, toks, {wgrams.format(n=2, m=1)} AS grams FROM tok),
+            stats AS (SELECT doc_id, text,
+                CAST(len(toks) AS INT) AS n_words,
+                round(CAST(coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0)
+                           AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_word_len,
+                round(CAST(len(regexp_extract_all(text, '{llm.QUALITY_SYMBOLS}')) AS DOUBLE)
+                      / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+                CAST(len(list_filter(toks, tk -> list_contains({en}, tk))) AS INT) AS stop_hits,
+                CASE WHEN len(grams) = 0 THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                / CAST(len(grams) AS DOUBLE), 6) END AS dup_ngram_frac
+              FROM g),
+            keepers AS (SELECT doc_id, text FROM stats
+                        WHERE (n_words BETWEEN 30 AND 90)
+                          AND (mean_word_len BETWEEN 4.5 AND 8.0)
+                          AND symbol_word_ratio <= 0.1
+                          AND stop_hits >= 3
+                          AND dup_ngram_frac <= 0.5),
+            own AS (SELECT min(doc_id) AS keeper FROM keepers GROUP BY text),
+            kept AS (SELECT k.doc_id, k.text FROM keepers k
+                     JOIN own ON own.keeper = k.doc_id)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{pii["email"]}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{pii["ipv4"]}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{pii["ssn"]}')) AS INT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text, '{pii["phone"]}')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '{pii["email"]}'))
+                        + len(regexp_extract_all(text, '{pii["ipv4"]}'))
+                        + len(regexp_extract_all(text, '{pii["ssn"]}'))
+                        + len(regexp_extract_all(text, '{pii["phone"]}')) AS INT) AS pii_total,
+                   {pii_red} AS text_redacted
+            FROM kept
         """,
         "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
         "salted_agg": """
