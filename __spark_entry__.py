@@ -664,6 +664,23 @@ def _q_dedup_lines(spark, sf):
     return llm.dedup_lines(lined, "doc_id", "lines", min_df=2)
 
 
+def _q_sample(spark, sf):
+    # stratified deterministic sample: 30% of views, 5% of everything
+    # else — reproducible because the keep decision is a pure hash
+    ev = load_table(spark, sf, "events").select("event_id", "event_type")
+    return llm.deterministic_sample(
+        ev, "event_id", rate=0.05, strata_col="event_type", strata_rates={"view": 0.3}
+    )
+
+
+def _q_pack(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sized = docs.select(
+        "doc_id", F.size(fn.tokenize(F.col("text"))).alias("n_toks")
+    )
+    return llm.pack_sequences(sized, "doc_id", "n_toks", budget=512, shards=8)
+
+
 def _q_quality_filter(spark, sf):
     # thresholds tuned so every rule discriminates on the synthetic
     # corpus (words 10-99 median 56, mean word len ~4.5, stop hits
@@ -994,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition,
         "quality_filter": _q_quality_filter,
+        "det_sample": _q_sample,
+        "pack_sequences": _q_pack,
         "dedup_lines": _q_dedup_lines,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
@@ -1603,6 +1622,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, n_words, dup_word_frac, dup_ngram_frac,
                    coalesce(top_ngram_frac, 0.0) AS top_ngram_frac
             FROM ws w LEFT JOIN top ON top.doc_id = w.doc_id
+        """,
+        "det_sample": """
+            SELECT event_id, event_type FROM events
+            WHERE CAST('0x' || substr(md5('sample:' || CAST(event_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 1000000
+                  < CASE WHEN event_type = 'view' THEN 300000 ELSE 50000 END
+        """,
+        "pack_sequences": r"""
+            WITH sized AS (SELECT doc_id,
+                                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                                    AS n_tokens
+                           FROM documents),
+            b AS (SELECT doc_id, n_tokens,
+                         CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                              AS BIGINT) % 8 AS shard
+                  FROM sized),
+            c AS (SELECT doc_id, n_tokens, shard,
+                         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens
+                           AS start_offset
+                  FROM b)
+            SELECT doc_id, n_tokens, shard, start_offset,
+                   shard * 8589934592 + CAST(floor(start_offset / 512) AS BIGINT) AS bin_id
+            FROM c
         """,
         "dedup_lines": f"""
             WITH t AS (SELECT doc_id, {norm_text} AS s FROM documents),

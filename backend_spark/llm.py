@@ -851,6 +851,83 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
     )
 
 
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: str = "sample",
+    strata_col: str | None = None,
+    strata_rates: dict | None = None,
+) -> DataFrame:
+    """Reproducible corpus sampling: keep a row iff
+    ``md5_long(salt || id) % 10^6 < rate * 10^6`` — a pure hash
+    decision, so the sample is identical on every engine, cluster
+    layout, and rerun (unlike ``df.sample``, whose RNG depends on
+    partitioning).  ``strata_rates`` maps ``strata_col`` values to
+    per-stratum rates (stratified sampling); unknown strata fall back
+    to ``rate``.
+
+    Shuffle-free — the predicate evaluates inside the scan stage and
+    pushes no data anywhere.
+    """
+    bucket = fn.md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))) % 1_000_000
+    if strata_rates:
+        thr = F.lit(int(rate * 1_000_000))
+        for val, r in strata_rates.items():
+            thr = F.when(F.col(strata_col) == val, F.lit(int(r * 1_000_000))).otherwise(thr)
+    else:
+        thr = F.lit(int(rate * 1_000_000))
+    return df.where(bucket < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    shards: int = 1024,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents concatenate into a token stream in deterministic
+    id order and the stream splits into ``budget``-token chunks;
+    every document is assigned the chunk containing its FIRST token
+    (``bin_id``) plus its ``start_offset`` in the stream, which is all
+    a chunk-builder needs to materialize batches.  Documents may
+    straddle chunk boundaries — that is the semantics of packed
+    pretraining data, not a defect; true no-split greedy bin packing
+    is order-unstable and needs sequential state.
+
+    Scale shape: a GLOBAL ordered cumulative sum would serialize the
+    corpus through one partition, so the stream is sharded — docs hash
+    into ``shards`` independent streams (``md5_long(id) % shards``),
+    each packed by a keyed window.  One shuffle, ``shards``-way
+    parallel, chunks never span shards.  ``bin_id`` is globally unique
+    (shard-prefixed).
+    """
+    n = F.col(tokens_col).cast("long")
+    shard = fn.md5_long(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    ) % shards
+    base = df.select(F.col(id_col), n.alias("n_tokens"), shard.alias("shard"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    packed = base.withColumn("start_offset", cum - F.col("n_tokens"))
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        "start_offset",
+        (F.col("shard") * F.lit(2**33) + F.floor(F.col("start_offset") / F.lit(budget))).alias(
+            "bin_id"
+        ),
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str,

@@ -476,3 +476,36 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     exp = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward", suffixes=("", "_r"))
     for row in exp.itertuples():
         assert got[row.lid][1] == (None if pd.isna(row.px) else row.px), row
+
+
+def test_deterministic_sample_reproducible_and_stratified(spark):
+    df = spark.createDataFrame([(i, "a" if i % 2 else "b") for i in range(2000)], "id long, cls string")
+    s1 = llm.deterministic_sample(df, "id", rate=0.1)
+    s2 = llm.deterministic_sample(df, "id", rate=0.1)
+    ids1 = sorted(r.id for r in s1.collect())
+    assert ids1 == sorted(r.id for r in s2.collect())  # bit-identical rerun
+    assert 120 < len(ids1) < 280  # ~10% of 2000
+    strat = llm.deterministic_sample(df, "id", rate=0.05, strata_col="cls", strata_rates={"a": 0.5})
+    by_cls = {r.cls: 0 for r in strat.collect()}
+    for r in strat.collect():
+        by_cls[r.cls] += 1
+    assert by_cls["a"] > 300 and by_cls.get("b", 0) < 120
+    # different salt -> different (still deterministic) sample
+    assert sorted(r.id for r in llm.deterministic_sample(df, "id", 0.1, salt="v2").collect()) != ids1
+
+
+def test_pack_sequences_chunk_invariants(spark):
+    df = spark.createDataFrame([(i, 100 + (i % 7) * 50) for i in range(300)], "id long, n long")
+    out = llm.pack_sequences(df, "id", "n", budget=1000, shards=4).collect()
+    assert len(out) == 300
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.id)
+        # offsets are a contiguous stream in id order within the shard
+        run = 0
+        for r in rows:
+            assert r.start_offset == run
+            assert r.bin_id == shard * 2**33 + run // 1000
+            run += r.n_tokens
