@@ -392,6 +392,18 @@ def _q_clique(spark, sf):
     return op_clique(edges, ["x", "y"])
 
 
+def _q_clique_list(spark, sf):
+    nat = load_table(spark, sf, "nation")
+    edges = nat.select(
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("x"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("y"),
+    )
+    out = op_clique(edges, ["x", "y"], metrics=["clique_list"])
+    return out.select(
+        "x", "y", "graph_clique_id", F.to_json("graph_clique_list").alias("clique_list")
+    )
+
+
 def _ring_chord_edges(spark, sf):
     """Deterministic 25-node test graph from nation: ring i—(i+1)%25
     plus chords i—(i+2)%25 at even i (13 triangles). Fixed size at
@@ -986,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fuzzy": _q_join_fuzzy,
         "join_topk": _q_join_topk,
         "clique": _q_clique,
+        "clique_list": _q_clique_list,
         "graph_metrics": _q_graph_metrics,
         "pagerank": _q_pagerank,
         "dedup_exact": _q_dedup_exact,
@@ -1203,6 +1216,21 @@ def oracle_sql() -> dict[str, str]:
                      AS graph_clique_id,
                    count(*) OVER (PARTITION BY n_regionkey) + 1 AS graph_clique_size
             FROM nation
+        """,
+        "clique_list": """
+            WITH mem AS (
+                SELECT n_regionkey AS rk,
+                       list_sort(list_prepend('r' || CAST(n_regionkey AS VARCHAR),
+                                              list('n' || CAST(n_nationkey AS VARCHAR))))
+                         AS lst
+                FROM nation GROUP BY n_regionkey
+            )
+            SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS x,
+                   'n' || CAST(n_nationkey AS VARCHAR) AS y,
+                   min('n' || CAST(n_nationkey AS VARCHAR)) OVER (PARTITION BY n_regionkey)
+                     AS graph_clique_id,
+                   to_json(mem.lst) AS clique_list
+            FROM nation JOIN mem ON mem.rk = n_regionkey
         """,
         "graph_metrics": f"""
             WITH {_SQL_GRAPH_SYM},

@@ -251,5 +251,16 @@ def op_clique(
         node_info = node_info.join(
             pr.select("node", F.col("pagerank").alias(f"{prefix}pagerank")), "node", "left"
         )
+    if metrics and "clique_list" in metrics:
+        # sorted component membership (reference clique_list,
+        # code/recipes.py:2030-2034).  The list lands on every member
+        # row — sized for entity-resolution cliques (small components),
+        # like the reference; not for web-scale giant components.
+        lists = cc.groupBy("comp").agg(
+            F.array_sort(F.collect_set("node")).alias(f"{prefix}clique_list")
+        )
+        node_info = node_info.join(
+            lists, node_info[f"{prefix}clique_id"] == lists["comp"], "left"
+        ).drop("comp")
     joined = df.join(node_info, df[a] == node_info["node"], "left").drop("node")
     return joined

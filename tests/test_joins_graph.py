@@ -509,3 +509,11 @@ def test_pack_sequences_chunk_invariants(spark):
             assert r.start_offset == run
             assert r.bin_id == shard * 2**33 + run // 1000
             run += r.n_tokens
+
+
+def test_op_clique_membership_list(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")], "x string, y string")
+    out = op_clique(df, ["x", "y"], metrics=["clique_list"])
+    rows = {r.x: r for r in out.collect()}
+    assert rows["a"].graph_clique_list == ["a", "b", "c"]
+    assert rows["d"].graph_clique_list == ["d", "e"]
