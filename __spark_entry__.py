@@ -502,6 +502,18 @@ def _q_ann(spark, sf):
     return llm.ann_topk_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def _q_ann_ivf_index(spark, sf):
+    # persisted-index path: build once (cell-partitioned parquet), then
+    # search loads cells+centroids and skips the fit.  Exhaustive probe
+    # -> identical to the exact brute-force oracle
+    emb = load_table(spark, sf, "embeddings")
+    path = tempfile.mkdtemp(prefix="sg_ivf_") + "/index"
+    llm.build_ivf_index(emb, path, n_centroids=8)
+    return llm.ann_topk_ivf(
+        None, emb.where(F.col("vec_id") < 5), k=5, n_probe=8, index_path=path
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     dupes = docs.where(F.col("doc_id") < 100).select(
@@ -1010,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
         "embed_banded": _q_embed_banded,
@@ -1074,7 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "for i in range(1, len(toks) - {m} + 1)] END"
     )
 
-    return {
+    out = {
         "map": """
             SELECT c_custkey, c_custkey AS cust_id, to_json([c_name, c_mktsegment]) AS name_seg
             FROM customer
@@ -1842,3 +1855,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }
+    # the persisted-index search is oracle-identical to the direct one
+    out["ann_ivf_index"] = out["ann_ivf"]
+    return out

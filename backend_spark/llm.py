@@ -529,29 +529,8 @@ def ann_topk_lsh(
     )
 
 
-def ann_topk_ivf(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_centroids: int = 8,
-    n_probe: int = 2,
-    seed: int = 42,
-    round_to: int = 6,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans-partition the corpus into
-    ``n_centroids`` cells once (index build), then search only the
-    ``n_probe`` cells nearest each query — cost scales with
-    ``n_probe/n_centroids`` of the corpus instead of all of it, and the
-    corpus-side shuffle keys on the cell id.  ``n_probe = n_centroids``
-    degrades gracefully to exhaustive (exact) search — the correctness
-    gate runs it that way; production sets ``n_probe << n_centroids``.
-
-    Centroids are collected to the driver (``n_centroids`` × dim
-    doubles — KB-scale by construction) and broadcast back as a literal
-    table; the corpus itself never leaves executors.
-    """
+def _ivf_fit(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int, seed: int):
+    """KMeans cell assignment + centroid table for the IVF index."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -564,11 +543,66 @@ def ann_topk_ivf(
         k=n_centroids, seed=seed, featuresCol="__mlv", predictionCol="__cell"
     ).fit(cb)
     assigned = model.transform(cb).select("neighbor_id", "__cv", "__cell")
-
     cents = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     cent_df = spark.createDataFrame(cents, "__cell int, __cent array<double>")
+    return assigned, cent_df
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: the cell-assigned corpus as parquet
+    **partitioned by cell** plus the centroid table.  Build once, then
+    every :func:`ann_topk_ivf` call with ``index_path`` skips the KMeans
+    fit AND scans only the probed cells — the broadcast cell join against
+    a cell-partitioned table triggers dynamic partition pruning, so an
+    ``n_probe/n_centroids`` search reads that fraction of the bytes,
+    which is the property that makes IVF pay off at 100 TB.
+    """
+    assigned, cent_df = _ivf_fit(corpus, id_col, vec_col, n_centroids, seed)
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(f"{path}/cells")
+    cent_df.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_topk_ivf(
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    round_to: int = 6,
+    index_path: str | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus into
+    ``n_centroids`` cells once (index build), then search only the
+    ``n_probe`` cells nearest each query — cost scales with
+    ``n_probe/n_centroids`` of the corpus instead of all of it, and the
+    corpus-side shuffle keys on the cell id.  ``n_probe = n_centroids``
+    degrades gracefully to exhaustive (exact) search — the correctness
+    gate runs it that way; production sets ``n_probe << n_centroids``.
+
+    Centroids are collected to the driver (``n_centroids`` × dim
+    doubles — KB-scale by construction) and broadcast back as a literal
+    table; the corpus itself never leaves executors.  With
+    ``index_path`` (see :func:`build_ivf_index`) the fit is skipped and
+    cells/centroids load from the persisted, cell-partitioned index.
+    """
+    if index_path is not None:
+        spark = queries.sparkSession
+        assigned = spark.read.parquet(f"{index_path}/cells")
+        cent_df = spark.read.parquet(f"{index_path}/centroids")
+    else:
+        assigned, cent_df = _ivf_fit(corpus, id_col, vec_col, n_centroids, seed)
 
     qb = queries.select(
         F.col(id_col).alias("query_id"),

@@ -517,3 +517,23 @@ def test_op_clique_membership_list(spark):
     rows = {r.x: r for r in out.collect()}
     assert rows["a"].graph_clique_list == ["a", "b", "c"]
     assert rows["d"].graph_clique_list == ["d", "e"]
+
+
+def test_ivf_index_roundtrip_matches_direct(spark, tmp_path):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    llm.build_ivf_index(df, path, n_centroids=4)
+    direct = llm.ann_topk_ivf(df, q, k=4, n_centroids=4, n_probe=4)
+    loaded = llm.ann_topk_ivf(None, q, k=4, n_probe=4, index_path=path)
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, loaded.collect()))
+    # partial probe still returns <= k rows per query from probed cells only
+    part = llm.ann_topk_ivf(None, q, k=4, n_probe=1, index_path=path).collect()
+    per_q = {}
+    for r in part:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) <= 4 for v in per_q.values())
