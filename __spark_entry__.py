@@ -392,6 +392,20 @@ def _q_clique(spark, sf):
     return op_clique(edges, ["x", "y"])
 
 
+def _q_closeness(spark, sf):
+    from backend_spark.operators.graph import closeness_centrality
+
+    # region-nation stars: closeness has a closed form per role
+    # (center m/(n-1); leaf (m/(n-1))*(m/(2m-1))) that the oracle
+    # computes analytically
+    nat = load_table(spark, sf, "nation")
+    edges = nat.select(
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("dst"),
+    )
+    return closeness_centrality(edges)
+
+
 def _q_clique_list(spark, sf):
     nat = load_table(spark, sf, "nation")
     edges = nat.select(
@@ -1011,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_topk": _q_join_topk,
         "clique": _q_clique,
         "clique_list": _q_clique_list,
+        "closeness": _q_closeness,
         "graph_metrics": _q_graph_metrics,
         "pagerank": _q_pagerank,
         "dedup_exact": _q_dedup_exact,
@@ -1229,6 +1244,18 @@ def oracle_sql() -> dict[str, str]:
                      AS graph_clique_id,
                    count(*) OVER (PARTITION BY n_regionkey) + 1 AS graph_clique_size
             FROM nation
+        """,
+        "closeness": """
+            WITH cnt AS (SELECT n_regionkey AS rk, count(*) AS m FROM nation GROUP BY 1),
+            tot AS (SELECT count(*) + (SELECT count(DISTINCT n_regionkey) FROM nation) AS n
+                    FROM nation)
+            SELECT 'r' || CAST(rk AS VARCHAR) AS node,
+                   round(CAST(m AS DOUBLE) / (n - 1), 6) AS closeness
+            FROM cnt, tot
+            UNION ALL
+            SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                   round((CAST(m AS DOUBLE) / (n - 1)) * (CAST(m AS DOUBLE) / (2 * m - 1)), 6)
+            FROM nation JOIN cnt ON rk = n_regionkey, tot
         """,
         "clique_list": """
             WITH mem AS (

@@ -251,6 +251,13 @@ def op_clique(
         node_info = node_info.join(
             pr.select("node", F.col("pagerank").alias(f"{prefix}pagerank")), "node", "left"
         )
+    if metrics and "closeness_centrality" in metrics:
+        cl = closeness_centrality(df.select(a, b), src=a, dst=b)
+        node_info = node_info.join(
+            cl.select("node", F.col("closeness").alias(f"{prefix}closeness_centrality")),
+            "node",
+            "left",
+        )
     if metrics and "clique_list" in metrics:
         # sorted component membership (reference clique_list,
         # code/recipes.py:2030-2034).  The list lands on every member
@@ -264,3 +271,60 @@ def op_clique(
         ).drop("comp")
     joined = df.join(node_info, df[a] == node_info["node"], "left").drop("node")
     return joined
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 30,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact closeness centrality for every node (networkx default
+    semantics, i.e. Wasserman-Faust improved:
+    ``C(u) = ((r-1)/(n-1)) * ((r-1)/Σdist)`` with ``r`` the nodes
+    reachable from ``u`` and ``n`` the graph size) — the remaining
+    metric of the reference's clique ``compute`` list
+    (code/recipes.py:2014-2034).
+
+    All-pairs BFS as iterated frontier joins: state is the set of known
+    (source, node, dist) triples, each hop one equi-join + anti-join,
+    lineage truncated per round, terminating when no new pairs appear
+    (≤ graph diameter rounds).  State is O(Σ component²) — sized for
+    entity-resolution components (near-cliques, diameter 2-4), like the
+    reference's per-group networkx call; not for one giant web graph.
+    Returns (node, closeness).
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("closeness"))
+    known = nodes.select(
+        F.col("node").alias("s"), F.col("node").alias("v"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = known
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["v"] == sym["a"])
+            .select("s", F.col("b").alias("v"), F.lit(hop).alias("d"))
+            .distinct()
+            .join(known.select("s", "v"), ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        known = known.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    per_src = known.groupBy("s").agg(
+        F.count(F.lit(1)).alias("__r"), F.sum("d").alias("__sum")
+    )
+    c = (
+        F.when(F.col("__sum") > 0,
+               ((F.col("__r") - 1) / F.lit(n_nodes - 1))
+               * ((F.col("__r") - 1) / F.col("__sum")))
+        .otherwise(F.lit(0.0))
+    )
+    if round_to is not None:
+        c = F.round(c, round_to)
+    return per_src.select(F.col("s").alias("node"), c.alias("closeness"))

@@ -537,3 +537,19 @@ def test_ivf_index_roundtrip_matches_direct(spark, tmp_path):
     for r in part:
         per_q.setdefault(r.query_id, []).append(r)
     assert all(len(v) <= 4 for v in per_q.values())
+
+
+def test_closeness_centrality_exact(spark):
+    from backend_spark.operators.graph import closeness_centrality
+
+    # K4 on {0..3} + pendant 3-4 (connected, n=5, wf factor 1):
+    # corners: sum=5 -> 4/5; node 3: sum=4 -> 1.0; node 4: sum=7 -> 4/7
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(k4 + [(3, 4)], "src long, dst long")
+    got = {r.node: r.closeness for r in closeness_centrality(edges).collect()}
+    assert got == {0: 0.8, 1: 0.8, 2: 0.8, 3: 1.0, 4: 0.571429}
+
+    # disconnected: a-b and c-d-e; wf scales by reachable fraction
+    e2 = spark.createDataFrame([("a", "b"), ("c", "d"), ("d", "e")], "src string, dst string")
+    got2 = {r.node: r.closeness for r in closeness_centrality(e2).collect()}
+    assert got2 == {"a": 0.25, "b": 0.25, "c": 0.333333, "e": 0.333333, "d": 0.5}
