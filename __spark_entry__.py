@@ -528,6 +528,13 @@ def _q_ann_ivf_index(spark, sf):
     )
 
 
+def _q_bm25(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.bm25_topk(
+        docs.where(F.col("doc_id") < 5), docs, query_id="doc_id", doc_id="doc_id", k=5
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     dupes = docs.where(F.col("doc_id") < 100).select(
@@ -1038,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_index": _q_ann_ivf_index,
+        "bm25_topk": _q_bm25,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
         "embed_banded": _q_embed_banded,
@@ -1427,6 +1435,30 @@ def oracle_sql() -> dict[str, str]:
                        [list_min(hs[CAST(i AS INT):CAST(i AS INT) + 3])
                         for i in range(1, greatest(len(hs) - 3, 1) + 1)]))) AS fp
             FROM h
+        """,
+        "bm25_topk": f"""
+            WITH q AS (SELECT doc_id AS qid,
+                              unnest(list_distinct(string_split_regex({norm_text}, '\\s+'))) AS t
+                       FROM documents WHERE doc_id < 5),
+            dt AS (SELECT doc_id AS did, string_split_regex({norm_text}, '\\s+') AS toks
+                   FROM documents),
+            post AS (SELECT did, dl, t, count(*) AS tf
+                     FROM (SELECT did, len(toks) AS dl, unnest(toks) AS t FROM dt)
+                     GROUP BY did, dl, t),
+            stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM dt),
+            dfq AS (SELECT t, count(DISTINCT did) AS df FROM post GROUP BY t),
+            sc AS (SELECT qid, did,
+                          round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                                    * (tf * 2.2)
+                                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+                            AS score
+                   FROM q JOIN post USING (t) JOIN dfq USING (t), stats
+                   GROUP BY qid, did),
+            r AS (SELECT qid, did, score,
+                         row_number() OVER (PARTITION BY qid ORDER BY score DESC, did ASC)
+                           AS rn
+                  FROM sc)
+            SELECT qid AS doc_id, did AS hit_id, score FROM r WHERE rn <= 5
         """,
         "ngram_jaccard": f"""
             WITH all_docs AS (

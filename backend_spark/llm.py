@@ -884,6 +884,82 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
     )
 
 
+def bm25_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    doc_id: str,
+    query_text: str = "text",
+    doc_text: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 top-k retrieval — the actual ranking function behind the
+    reference's Elasticsearch msearch join (Lucene practical scoring;
+    the pure-Spark ``join_topk`` replaces it with a caller-supplied
+    score, this operator supplies the real thing):
+
+    ``score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    with Lucene's ``idf = ln(1 + (N−df+0.5)/(df+0.5))`` summed over the
+    distinct query terms present in the document.
+
+    Scale shape: corpus explodes once into (doc, term, tf) postings;
+    df/avgdl are corpus aggregates (scalar avgdl broadcast via a
+    literal-free cross join of one row is avoided — it is folded into
+    the postings); candidates come from the term-keyed postings join
+    (an inverted index lookup, never all-pairs), and the final top-k is
+    one window per query id.  Ranking sorts on the ROUNDED score then
+    doc id so the order is reproducible across engines and summation
+    orders.
+    """
+    q_terms = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.explode(F.array_distinct(fn.tokenize(fn.normalize(F.col(query_text))))).alias(
+                "__t"
+            ),
+        )
+    )
+    d_toks = corpus.select(
+        F.col(doc_id).alias("__did"),
+        fn.tokenize(fn.normalize(F.col(doc_text))).alias("__toks"),
+    ).localCheckpoint(eager=False)
+    postings = (
+        d_toks.select("__did", F.size("__toks").alias("__dl"), F.explode("__toks").alias("__t"))
+        .groupBy("__did", "__dl", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    ).localCheckpoint(eager=False)
+    n_docs = d_toks.count()
+    avgdl = d_toks.select(F.avg(F.size("__toks"))).first()[0] or 1.0
+    dfreq = postings.groupBy("__t").agg(F.countDistinct("__did").alias("__df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    term_score = (
+        idf
+        * (F.col("__tf") * (k1 + 1))
+        / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.lit(float(avgdl))))
+    )
+    scored = (
+        q_terms.join(postings, "__t")
+        .join(dfreq, "__t")
+        .groupBy("__qid", "__did")
+        .agg(F.round(F.sum(term_score), round_to).alias("score"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col("__did").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__did").alias("hit_id"),
+            "score",
+        )
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     id_col: str,

@@ -553,3 +553,27 @@ def test_closeness_centrality_exact(spark):
     e2 = spark.createDataFrame([("a", "b"), ("c", "d"), ("d", "e")], "src string, dst string")
     got2 = {r.node: r.closeness for r in closeness_centrality(e2).collect()}
     assert got2 == {"a": 0.25, "b": 0.25, "c": 0.333333, "e": 0.333333, "d": 0.5}
+
+
+def test_bm25_topk_matches_formula(spark):
+    import math
+
+    corpus = [(1, "cat cat dog"), (2, "cat mouse"), (3, "bird bird bird")]
+    queries = [(10, "cat dog")]
+    qdf = spark.createDataFrame(queries, "qid long, text string")
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.hit_id: r.score
+        for r in llm.bm25_topk(qdf, cdf, query_id="qid", doc_id="doc_id", k=3).collect()
+    }
+
+    def idf(df_t, n=3):
+        return math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def term(tf, dl, avgdl=8 / 3, k1=1.2, b=0.75):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = round(idf(2) * term(2, 3) + idf(1) * term(1, 3), 4)  # cat tf2 + dog tf1
+    exp2 = round(idf(2) * term(1, 2), 4)                        # cat only, shorter doc
+    assert got == {1: exp1, 2: exp2}  # doc 3 shares no term -> absent
+    assert got[1] > got[2]
