@@ -528,6 +528,11 @@ def _q_ann_ivf_index(spark, sf):
     )
 
 
+def _q_vocab(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.build_vocab(docs, "doc_id", "text", min_df=2, top_k=40)
+
+
 def _q_bm25(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return llm.bm25_topk(
@@ -1046,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_index": _q_ann_ivf_index,
         "bm25_topk": _q_bm25,
+        "build_vocab": _q_vocab,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
         "embed_banded": _q_embed_banded,
@@ -1435,6 +1441,16 @@ def oracle_sql() -> dict[str, str]:
                        [list_min(hs[CAST(i AS INT):CAST(i AS INT) + 3])
                         for i in range(1, greatest(len(hs) - 3, 1) + 1)]))) AS fp
             FROM h
+        """,
+        "build_vocab": f"""
+            WITH t AS (SELECT doc_id, unnest(string_split_regex({norm_text}, '\\s+')) AS token
+                       FROM documents),
+            v AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+                  FROM t GROUP BY token HAVING count(DISTINCT doc_id) >= 2),
+            r AS (SELECT token, tf, df,
+                         CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS INT) AS rank
+                  FROM v)
+            SELECT token, tf, df, rank FROM r WHERE rank <= 40
         """,
         "bm25_topk": f"""
             WITH q AS (SELECT doc_id AS qid,

@@ -884,6 +884,40 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary — (token, tf, df) with term frequency and
+    document frequency, the first artifact of tokenizer training and
+    frequency-based filtering.  Optional ``top_k`` ranks by term
+    frequency with a deterministic (tf desc, token asc) tie-break.
+
+    One explode + one hash aggregate (map-side combined); the optional
+    global top-k is a single-partition window over the already-tiny
+    vocabulary, never over the corpus.
+    """
+    toks = df.select(
+        F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks")
+    ).localCheckpoint(eager=False)
+    vocab = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    if top_k is not None:
+        w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+        vocab = (
+            vocab.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+        )
+    return vocab
+
+
 def bm25_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -577,3 +577,13 @@ def test_bm25_topk_matches_formula(spark):
     exp2 = round(idf(2) * term(1, 2), 4)                        # cat only, shorter doc
     assert got == {1: exp1, 2: exp2}  # doc 3 shares no term -> absent
     assert got[1] > got[2]
+
+
+def test_build_vocab_counts_and_rank(spark):
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird"), (3, "dog")], "doc_id long, text string"
+    )
+    out = {r.token: (r.tf, r.df, r.rank) for r in llm.build_vocab(df, "doc_id", "text", top_k=2).collect()}
+    assert out == {"dog": (3, 3, 1), "cat": (2, 1, 2)}  # bird cut by top_k
+    no_rank = llm.build_vocab(df, "doc_id", "text", min_df=2)
+    assert [r.token for r in no_rank.collect()] == ["dog"]
