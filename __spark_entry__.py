@@ -533,6 +533,53 @@ def _q_vocab(spark, sf):
     return llm.build_vocab(docs, "doc_id", "text", min_df=2, top_k=40)
 
 
+def _q_bpe_pairs(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.bpe_pair_counts(docs, "doc_id", "text", min_count=2, top_k=40)
+
+
+def _q_percentile_gate(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(fn.tokenize(fn.normalize(F.col("text")))).alias("n_tokens"),
+    )
+    return llm.percentile_filter(scored, "n_tokens", "lang", q=0.5)
+
+
+def _q_range_join(spark, sf):
+    from backend_spark.operators import range_join
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    iv = (
+        cust.groupBy("c_nationkey")
+        .agg(F.min("c_acctbal").alias("lo"))
+        .withColumn("hi", F.col("lo") + F.lit(2000.0))
+        .select(F.col("c_nationkey").alias("iv_nation"), "lo", "hi")
+    )
+    return range_join(
+        cust.select("c_custkey", "c_acctbal"), iv, "c_acctbal", "lo", "hi",
+        bin_width=500.0,
+    )
+
+
+def _q_compact_latest(spark, sf):
+    from backend_spark.operators import compact_latest
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    return compact_latest(ev, "user_id", "ts_us", tiebreak_col="event_id")
+
+
 def _q_bm25(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return llm.bm25_topk(
@@ -1052,6 +1099,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_index": _q_ann_ivf_index,
         "bm25_topk": _q_bm25,
         "build_vocab": _q_vocab,
+        "bpe_pairs": _q_bpe_pairs,
+        "percentile_gate": _q_percentile_gate,
+        "range_join": _q_range_join,
+        "compact_latest": _q_compact_latest,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
         "embed_banded": _q_embed_banded,
@@ -1451,6 +1502,49 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS INT) AS rank
                   FROM v)
             SELECT token, tf, df, rank FROM r WHERE rank <= 40
+        """,
+        "bpe_pairs": f"""
+            WITH t AS (SELECT unnest(string_split_regex({norm_text}, '\\s+')) AS word
+                       FROM documents),
+            w AS (SELECT word, count(*) AS wf FROM t
+                  WHERE length(word) >= 2 GROUP BY word),
+            p AS (SELECT wf,
+                         unnest([substring(word, CAST(i AS INT), 2)
+                                 for i in range(1, length(word))]) AS pair
+                  FROM w),
+            c AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM p
+                  GROUP BY pair HAVING sum(wf) >= 2),
+            r AS (SELECT pair, cnt,
+                         CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS rank
+                  FROM c)
+            SELECT pair, cnt, rank FROM r WHERE rank <= 40
+        """,
+        "percentile_gate": f"""
+            WITH s AS (SELECT doc_id, lang,
+                              CAST(len(string_split_regex({norm_text}, '\\s+')) AS INT) AS n_tokens
+                       FROM documents),
+            t AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS thr FROM s GROUP BY lang)
+            SELECT s.lang, s.doc_id, s.n_tokens
+            FROM s JOIN t USING (lang) WHERE s.n_tokens >= t.thr
+        """,
+        "range_join": """
+            WITH iv AS (SELECT c_nationkey AS iv_nation,
+                               min(c_acctbal) AS lo,
+                               min(c_acctbal) + 2000.0 AS hi
+                        FROM customer GROUP BY c_nationkey)
+            SELECT c.c_custkey, c.c_acctbal, iv.iv_nation, iv.lo, iv.hi
+            FROM customer c JOIN iv
+              ON c.c_acctbal >= iv.lo AND c.c_acctbal < iv.hi
+        """,
+        "compact_latest": """
+            WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+                              event_type, value, props
+                       FROM events),
+            r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts_us DESC, event_id DESC) AS rn
+                  FROM e)
+            SELECT event_id, ts_us, user_id, event_type, value, props
+            FROM r WHERE rn = 1
         """,
         "bm25_topk": f"""
             WITH q AS (SELECT doc_id AS qid,

@@ -918,6 +918,75 @@ def build_vocab(
     return vocab
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """One iteration of byte-pair-encoding tokenizer training (Sennrich
+    et al. 2016 §3.2): adjacent character-pair frequencies weighted by
+    word frequency — the argmax pair is the next merge rule.
+
+    Corpus-side cost is a single tokenize + explode + hash aggregate
+    (word frequencies, map-side combined).  The pair-extraction stage
+    then runs over the *distinct-word vocabulary only* — at 100 TB the
+    vocabulary is millions of rows where the corpus is trillions, so the
+    per-character work never touches corpus-sized data.  The quadratic
+    explode re-evaluation (per-element transform recompute) is bounded
+    by word length, not doc length.
+    """
+    words = (
+        df.select(F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "wf",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+    )
+    out = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    if top_k is not None:
+        w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        out = out.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_k)
+    return out
+
+
+def percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    q: float = 0.5,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` is at or above the per-group exact
+    q-quantile — per-language quality floors, per-source length floors,
+    and similar corpus-relative thresholds (the reference filters on
+    absolute thresholds only; this is the corpus-calibrated variant a
+    100 TB pipeline needs because absolute cutoffs drift per language).
+
+    Thresholds are one hash aggregate producing |groups| rows, broadcast
+    back onto the scan — the corpus itself is never shuffled.  Exact
+    (interpolated) percentile, not approx: group cardinality is tiny, and
+    exactness is what makes the filter reproducible run-to-run.
+    """
+    thr = df.groupBy(group_col).agg(
+        F.percentile(F.col(score_col), F.lit(q)).alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(thr), group_col, "inner")
+        .where(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def bm25_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -17,7 +17,14 @@ from backend_spark.operators.columns import (
     op_tuple_to_list,
 )
 from backend_spark.operators.groupby import op_groupby
-from backend_spark.operators.joins import asof_join, join_strict, join_fuzzy, join_topk
+from backend_spark.operators.joins import (
+    asof_join,
+    join_strict,
+    join_fuzzy,
+    join_topk,
+    range_join,
+)
+from backend_spark.operators.groupby import compact_latest
 from backend_spark.operators.reshape import op_nest, op_ngram, op_unfold, op_unnest
 from backend_spark.operators.graph import connected_components, op_clique
 
@@ -27,6 +34,7 @@ __all__ = [
     "op_normalize", "op_eval", "op_exec", "op_shuffle", "op_pause",
     "op_groupby", "op_unfold", "op_unnest", "op_nest", "op_ngram",
     "op_list_to_tuple", "op_tuple_to_list",
-    "join_strict", "join_fuzzy", "join_topk", "asof_join",
+    "join_strict", "join_fuzzy", "join_topk", "asof_join", "range_join",
+    "compact_latest",
     "connected_components", "op_clique",
 ]

@@ -72,3 +72,30 @@ def op_groupby(
             out = out.withColumn(f"{col}_rank", F.dense_rank().over(w))
         return out
     raise ValueError("groupby requires one of agg/transform/rank")
+
+
+def compact_latest(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """CDC log compaction: keep only the newest row per key — the merge
+    step an incrementally-updated corpus or feature store runs on every
+    ingest (upsert semantics over an append-only event log).
+
+    One ``max_by(struct(all columns), (ts, tiebreak))`` hash aggregate:
+    map-side combine keeps one candidate row per key per task, so the
+    shuffle carries |keys| rows, not |log| rows — strictly cheaper than
+    the window/row_number formulation, which must shuffle and sort the
+    entire log.  Ties on ``ts_col`` break by ``tiebreak_col`` (highest
+    wins) for run-to-run determinism.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in df.columns if c not in keys]
+    order = F.struct(
+        F.col(ts_col), *( [F.col(tiebreak_col)] if tiebreak_col else [] )
+    )
+    row = F.max_by(F.struct(*[F.col(c) for c in payload]), order).alias("__row")
+    out = df.groupBy(*keys).agg(row)
+    return out.select(*keys, *[F.col("__row")[c].alias(c) for c in payload])

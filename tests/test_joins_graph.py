@@ -587,3 +587,65 @@ def test_build_vocab_counts_and_rank(spark):
     assert out == {"dog": (3, 3, 1), "cat": (2, 1, 2)}  # bird cut by top_k
     no_rank = llm.build_vocab(df, "doc_id", "text", min_df=2)
     assert [r.token for r in no_rank.collect()] == ["dog"]
+
+
+def test_range_join_inner_and_left(spark):
+    from backend_spark.operators import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0), (4, 99.0)], "pid long, x double"
+    )
+    iv = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 10.0, 20.0), (30, 4.0, 26.0)],
+        "iid long, lo double, hi double",
+    )
+    got = {(r.pid, r.iid) for r in
+           range_join(points, iv, "x", "lo", "hi", bin_width=7.0).collect()}
+    assert got == {(1, 10), (1, 30), (2, 20), (2, 30), (3, 30)}  # hi exclusive, 99 unmatched
+    left = range_join(points, iv, "x", "lo", "hi", bin_width=7.0, how="left")
+    rows = left.collect()
+    assert len(rows) == 6 and {r.pid for r in rows if r.iid is None} == {4}
+    plan = left._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    import pytest
+    with pytest.raises(ValueError):
+        range_join(points, iv, "x", "lo", "hi", 7.0, how="full")
+
+
+def test_compact_latest_keeps_newest_per_key(spark):
+    from backend_spark.operators import compact_latest
+
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (1, 300, "b"), (1, 200, "c"), (2, 50, "d"), (3, 50, "e"),
+         (3, 50, "f")],
+        "k long, ts long, v string",
+    )
+    got = {(r.k, r.ts, r.v) for r in compact_latest(df, "k", "ts", "v").collect()}
+    assert got == {(1, 300, "b"), (2, 50, "d"), (3, 50, "f")}  # tie at k=3 -> max v
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [(1, "abab cd"), (2, "abab"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r.pair: r.cnt for r in
+           llm.bpe_pair_counts(df, "doc_id", "text").collect()}
+    # "abab" wf=2 -> pairs ab,ba,ab each x2; "cd" wf=1; "x" dropped (len<2)
+    assert got == {"ab": 4, "ba": 2, "cd": 1}
+    top = llm.bpe_pair_counts(df, "doc_id", "text", top_k=1).collect()
+    assert [(r.pair, r.cnt, r.rank) for r in top] == [("ab", 4, 1)]
+
+
+def test_percentile_filter_exact_median_per_group(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [("en", 1, 10), ("en", 2, 20), ("en", 3, 30),
+         ("fr", 4, 5), ("fr", 5, 50)],
+        "g string, rid long, s long",
+    )
+    got = {r.rid for r in llm.percentile_filter(df, "s", "g", q=0.5).collect()}
+    # en median 20 -> keep 2,3; fr interpolated median 27.5 -> keep 5
+    assert got == {2, 3, 5}
