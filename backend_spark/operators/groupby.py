@@ -84,12 +84,15 @@ def compact_latest(
     step an incrementally-updated corpus or feature store runs on every
     ingest (upsert semantics over an append-only event log).
 
-    One ``max_by(struct(all columns), (ts, tiebreak))`` hash aggregate:
-    map-side combine keeps one candidate row per key per task, so the
-    shuffle carries |keys| rows, not |log| rows — strictly cheaper than
-    the window/row_number formulation, which must shuffle and sort the
-    entire log.  Ties on ``ts_col`` break by ``tiebreak_col`` (highest
-    wins) for run-to-run determinism.
+    One ``max_by(struct(all columns), (ts, tiebreak))`` aggregate with
+    partial (map-side) combine: each task keeps one candidate row per
+    key, so the shuffle carries ~|keys| rows, not |log| rows — strictly
+    cheaper than the window/row_number formulation, which must shuffle
+    and sort the entire log.  Struct aggregation buffers lower to
+    SortAggregate rather than HashAggregate, but those sorts are
+    partition-local (pinned in tools/explain_audit.py: partial_max_by
+    present, no Window).  Ties on ``ts_col`` break by ``tiebreak_col``
+    (highest wins) for run-to-run determinism.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload = [c for c in df.columns if c not in keys]

@@ -46,6 +46,16 @@ EXPECT = {
     "dedup_lines": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # one shuffle+sort then a running window — never a range join blowup
     "asof_join": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # binned interval join: hash equi-join on the bin key, never a
+    # nested-loop on the range predicate
+    "range_join": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # keep-latest compaction: two-phase max_by (map-side combine; struct
+    # buffers force SortAggregate, but its sorts are partition-local) —
+    # the one shuffle carries compacted per-key state, never the whole
+    # log through a global window sort
+    "compact_latest": (["partial_max_by"], ["CartesianProduct", "Window"]),
+    # per-group thresholds broadcast back; the corpus never shuffles
+    "percentile_gate": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
