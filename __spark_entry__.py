@@ -994,6 +994,36 @@ def _q_stream_win(spark, sf):
     )
 
 
+def _q_stream_sessionize(spark, sf):
+    # the real streaming path (readStream -> session_window -> sink) in
+    # complete mode over a bounded source must equal the batch
+    # gaps-and-islands result exactly -> shares the sessionize oracle
+    from backend_spark import streaming
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    path = tempfile.mkdtemp(prefix="sg_ssess_") + "/events"
+    ev.select("ts", "user_id").write.parquet(path)
+    sdf = streaming.read_stream(spark, path)
+    out = streaming.sessionize(sdf, "ts", "user_id", gap="8 hours", watermark="1 hour")
+    _STREAM_N[0] += 1
+    name = f"sg_ssess_{_STREAM_N[0]}"
+    streaming.run_to_memory(
+        out, name, output_mode="complete",
+        checkpoint=tempfile.mkdtemp(prefix="sg_ssess_ck_"),
+    )
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               date_format(session_start, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS session_start,
+               date_format(session_end, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS session_end,
+               n_events
+        FROM {name}
+        """
+    )
+
+
 def _q_stream_dedup(spark, sf):
     from backend_spark import streaming
 
@@ -1131,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "stream_win_agg": _q_stream_win,
         "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
         "salted_agg": _q_salted_agg,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -2026,4 +2057,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # the persisted-index search is oracle-identical to the direct one
     out["ann_ivf_index"] = out["ann_ivf"]
+    # complete-mode streaming sessionization over a bounded source must
+    # equal the batch gaps-and-islands result
+    out["stream_sessionize"] = out["sessionize"]
     return out
