@@ -566,6 +566,14 @@ def _q_range_join(spark, sf):
     )
 
 
+def _q_profile(spark, sf):
+    from backend_spark.profile import profile
+
+    # exact=True (countDistinct) so the stats are bit-reproducible for
+    # the oracle; the default approx (HLL++) path is the 100 TB mode
+    return profile(load_table(spark, sf, "customer"), exact=True)
+
+
 def _q_compact_latest(spark, sf):
     from backend_spark.operators import compact_latest
 
@@ -1133,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_gate": _q_percentile_gate,
         "range_join": _q_range_join,
         "compact_latest": _q_compact_latest,
+        "profile": _q_profile,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
         "embed_banded": _q_embed_banded,
@@ -1566,6 +1575,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_acctbal, iv.iv_nation, iv.lo, iv.hi
             FROM customer c JOIN iv
               ON c.c_acctbal >= iv.lo AND c.c_acctbal < iv.hi
+        """,
+        "profile": """
+            SELECT 'c_custkey' AS col_name, count(*) AS n,
+                   count(*) - count(c_custkey) AS n_null,
+                   count(DISTINCT c_custkey) AS n_distinct,
+                   CAST(min(c_custkey) AS DOUBLE) AS min_num,
+                   CAST(max(c_custkey) AS DOUBLE) AS max_num,
+                   CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', count(*), count(*) - count(c_name),
+                   count(DISTINCT c_name), NULL, NULL,
+                   min(length(c_name)), max(length(c_name))
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+                   count(DISTINCT c_nationkey),
+                   CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE),
+                   NULL, NULL
+            FROM customer
+            UNION ALL
+            SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+                   count(DISTINCT c_acctbal),
+                   min(c_acctbal), max(c_acctbal), NULL, NULL
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+                   count(DISTINCT c_mktsegment), NULL, NULL,
+                   min(length(c_mktsegment)), max(length(c_mktsegment))
+            FROM customer
         """,
         "compact_latest": """
             WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,

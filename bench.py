@@ -40,6 +40,11 @@ HEADLINE = [
     "decontaminate",
     "repetition_stats",
     "sessionize",
+    # engine ops (round 4, late)
+    "range_join",
+    "compact_latest",
+    "bm25_topk",
+    "profile",
 ]
 
 

@@ -318,3 +318,24 @@ def test_fwf_write_read_roundtrip(spark, tmp_path):
     assert {r.value for r in raw} == {"ab   1  ", "c    23 "}
     back = read_dataset(spark, path, fmt="fwf", fwf_widths=widths)
     assert {(r.name, r.code) for r in back.collect()} == {("ab", "1"), ("c", "23")}
+
+
+def test_profile_single_pass_stats(spark):
+    from backend_spark.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "ab", 1.5), (2, None, 2.5), (3, "abcd", None), (3, "ab", 4.0)],
+        "k long, s string, x double",
+    )
+    rows = {r.col_name: r for r in profile(df, exact=True).collect()}
+    assert set(rows) == {"k", "s", "x"}
+    k = rows["k"]
+    assert (k.n, k.n_null, k.n_distinct, k.min_num, k.max_num) == (4, 0, 3, 1.0, 3.0)
+    s = rows["s"]
+    assert (s.n_null, s.n_distinct, s.min_len, s.max_len) == (1, 2, 2, 4)
+    assert s.min_num is None
+    x = rows["x"]
+    assert (x.n_null, x.min_num, x.max_num) == (1, 1.5, 4.0)
+    # approx path: same shape, cardinalities within HLL++ error on tiny data
+    approx = {r.col_name: r.n_distinct for r in profile(df).collect()}
+    assert approx["k"] == 3 and approx["s"] == 2
