@@ -566,6 +566,61 @@ def _q_range_join(spark, sf):
     )
 
 
+def _q_pivot(spark, sf):
+    from backend_spark.operators import op_pivot
+
+    li = load_table(spark, sf, "lineitem")
+    # explicit values: skips the distinct-collection pre-pass (the 100 TB mode)
+    out = op_pivot(li, "l_returnflag", "l_linestatus", "l_quantity",
+                   agg="sum", values=["F", "O"])
+    return out.select(
+        "l_returnflag",
+        F.round("F", 2).alias("qty_f"),
+        F.round("O", 2).alias("qty_o"),
+    )
+
+
+def _q_melt(spark, sf):
+    from backend_spark.operators import op_melt
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal"),
+        F.col("c_nationkey").cast("double").alias("c_nationkey"),
+    )
+    return op_melt(cust, ["c_custkey"], ["c_acctbal", "c_nationkey"])
+
+
+def _q_rollup(spark, sf):
+    from backend_spark.operators import rollup_agg
+
+    li = load_table(spark, sf, "lineitem")
+    out = rollup_agg(li, ["l_returnflag", "l_linestatus"],
+                     {"l_quantity": "sum", "l_orderkey": "count"})
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("l_quantity_sum", 2).alias("sum_qty"),
+        F.col("l_orderkey_count").alias("n_rows"),
+        "gid",
+    )
+
+
+def _q_window_funcs(spark, sf):
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id", "ts_us",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.sum("value").over(wrun), 2).alias("run_value"),
+        F.lag("ts_us").over(w).alias("prev_ts"),
+        F.lead("ts_us").over(w).alias("next_ts"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+
+
 def _q_profile(spark, sf):
     from backend_spark.profile import profile
 
@@ -1142,6 +1197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "compact_latest": _q_compact_latest,
         "profile": _q_profile,
+        "pivot": _q_pivot,
+        "melt": _q_melt,
+        "rollup": _q_rollup,
+        "window_funcs": _q_window_funcs,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
         "embed_banded": _q_embed_banded,
@@ -1575,6 +1634,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, c.c_acctbal, iv.iv_nation, iv.lo, iv.hi
             FROM customer c JOIN iv
               ON c.c_acctbal >= iv.lo AND c.c_acctbal < iv.hi
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_f,
+                   round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_o
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "melt": """
+            SELECT c_custkey, 'c_acctbal' AS variable, c_acctbal AS value FROM customer
+            UNION ALL
+            SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(l_orderkey) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "window_funcs": """
+            WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+                       FROM events),
+            w AS (SELECT event_id, user_id, ts_us,
+                         CAST(row_number() OVER win AS INT) AS rn,
+                         round(sum(value) OVER (win ROWS UNBOUNDED PRECEDING), 2)
+                             AS run_value,
+                         lag(ts_us) OVER win AS prev_ts,
+                         lead(ts_us) OVER win AS next_ts,
+                         ts_us - lag(ts_us) OVER win AS gap_us
+                  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+            SELECT * FROM w
         """,
         "profile": """
             SELECT 'c_custkey' AS col_name, count(*) AS n,

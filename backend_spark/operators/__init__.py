@@ -24,8 +24,15 @@ from backend_spark.operators.joins import (
     join_topk,
     range_join,
 )
-from backend_spark.operators.groupby import compact_latest
-from backend_spark.operators.reshape import op_nest, op_ngram, op_unfold, op_unnest
+from backend_spark.operators.groupby import compact_latest, rollup_agg
+from backend_spark.operators.reshape import (
+    op_melt,
+    op_nest,
+    op_ngram,
+    op_pivot,
+    op_unfold,
+    op_unnest,
+)
 from backend_spark.operators.graph import connected_components, op_clique
 
 __all__ = [
@@ -33,6 +40,7 @@ __all__ = [
     "op_to_integer", "op_to_float", "op_parsedate", "op_replace",
     "op_normalize", "op_eval", "op_exec", "op_shuffle", "op_pause",
     "op_groupby", "op_unfold", "op_unnest", "op_nest", "op_ngram",
+    "op_pivot", "op_melt", "rollup_agg",
     "op_list_to_tuple", "op_tuple_to_list",
     "join_strict", "join_fuzzy", "join_topk", "asof_join", "range_join",
     "compact_latest",

@@ -102,3 +102,29 @@ def compact_latest(
     row = F.max_by(F.struct(*[F.col(c) for c in payload]), order).alias("__row")
     out = df.groupBy(*keys).agg(row)
     return out.select(*keys, *[F.col("__row")[c].alias(c) for c in payload])
+
+
+def rollup_agg(
+    df: DataFrame,
+    keys: list[str],
+    agg: dict[str, str | list[str]],
+    cube: bool = False,
+) -> DataFrame:
+    """Hierarchical subtotals (ROLLUP) or all-combination subtotals
+    (CUBE) with a ``gid`` grouping-id column disambiguating subtotal
+    rows from genuine-null keys.
+
+    One shuffle: Spark expands each input row into its grouping sets
+    map-side (Expand), then a single map-side-combined hash aggregate —
+    the same cost shape as a plain groupBy, multiplied by the number of
+    grouping sets (|keys|+1 for rollup, 2^|keys| for cube; keep key
+    lists short at 100 TB, which analysts' rollups are).
+    """
+    g = df.cube(*keys) if cube else df.rollup(*keys)
+    exprs = []
+    for col, fns in agg.items():
+        for f in fns if isinstance(fns, (list, tuple)) else [fns]:
+            if f not in _AGG:
+                raise ValueError(f"unknown aggregation: {f}")
+            exprs.append(_AGG[f](col).alias(f"{col}_{f}"))
+    return g.agg(*exprs, F.grouping_id().alias("gid"))

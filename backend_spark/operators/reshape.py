@@ -93,3 +93,51 @@ def op_ngram(df: DataFrame, select, n: list[int] | int = (2, 3)) -> DataFrame:
             arr = F.concat(arr, p)
         out = out.withColumn(c, arr)
     return out
+
+
+def op_pivot(
+    df: DataFrame,
+    group_by: list[str] | str,
+    pivot_col: str,
+    value_col: str,
+    agg: str = "sum",
+    values: list | None = None,
+) -> DataFrame:
+    """Wide pivot: one output column per distinct ``pivot_col`` value,
+    aggregated from ``value_col``.  Passing explicit ``values`` skips
+    Spark's distinct-collection pre-pass (one extra job + driver
+    materialization) — at 100 TB always pass them.  Spark lowers the
+    pivot to two aggregates: the corpus-sized one shuffles once on
+    ``(group_by, pivot_col)`` with map-side combine; the second
+    shuffles only the reduced |groups| x |values| rows (verified on the
+    physical plan).
+    """
+    from backend_spark.operators.groupby import _AGG
+
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    if agg not in _AGG:
+        raise ValueError(f"unknown aggregation: {agg}")
+    g = df.groupBy(*keys)
+    p = g.pivot(pivot_col, values) if values is not None else g.pivot(pivot_col)
+    return p.agg(_AGG[agg](value_col))
+
+
+def op_melt(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Long unpivot (inverse of pivot): ``stack`` emits one row per
+    (id, value column) — a shuffle-free projection whose output is
+    |rows| x |value_cols|, entirely inside whole-stage codegen; no
+    shuffle, no Python.
+    """
+    pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    return df.select(
+        *id_cols,
+        F.expr(
+            f"stack({len(value_cols)}, {pairs}) AS (`{var_name}`, `{value_name}`)"
+        ),
+    )

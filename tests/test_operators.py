@@ -339,3 +339,45 @@ def test_profile_single_pass_stats(spark):
     # approx path: same shape, cardinalities within HLL++ error on tiny data
     approx = {r.col_name: r.n_distinct for r in profile(df).collect()}
     assert approx["k"] == 3 and approx["s"] == 2
+
+
+def test_pivot_melt_roundtrip(spark):
+    from backend_spark.operators import op_melt, op_pivot
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0), ("a", "x", 4.0)],
+        "k string, p string, v double",
+    )
+    wide = op_pivot(df, "k", "p", "v", agg="sum", values=["x", "y"])
+    got = {(r.k, r.x, r.y) for r in wide.collect()}
+    assert got == {("a", 5.0, 2.0), ("b", 3.0, None)}
+    # inferred-values path matches the explicit one
+    auto = {(r.k, r.x, r.y) for r in op_pivot(df, "k", "p", "v", agg="sum").collect()}
+    assert auto == got
+    back = op_melt(wide, ["k"], ["x", "y"], var_name="p", value_name="v")
+    assert back.columns == ["k", "p", "v"]
+    assert {(r.k, r.p, r.v) for r in back.collect()} == {
+        ("a", "x", 5.0), ("a", "y", 2.0), ("b", "x", 3.0), ("b", "y", None)}
+    # melt alone is a shuffle-free projection (the Exchange in `back`'s
+    # plan belongs to the upstream pivot aggregate)
+    plain = op_melt(df, ["k"], ["v"], var_name="p", value_name="v2")
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_rollup_agg_subtotals_and_gid(spark):
+    from backend_spark.operators import rollup_agg
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], "k1 string, k2 string, v long"
+    )
+    rows = {(r.k1, r.k2, r.gid): r.v_sum for r in
+            rollup_agg(df, ["k1", "k2"], {"v": "sum"}).collect()}
+    assert rows[("a", "x", 0)] == 1 and rows[("a", "y", 0)] == 2
+    assert rows[("a", None, 1)] == 3 and rows[("b", None, 1)] == 4
+    assert rows[(None, None, 3)] == 7  # grand total
+    cube = rollup_agg(df, ["k1", "k2"], {"v": "sum"}, cube=True).collect()
+    assert len(cube) == 8  # 3 exact + 2 k1-subtotals + 2 k2-subtotals + total
+    import pytest
+    with pytest.raises(ValueError):
+        rollup_agg(df, ["k1"], {"v": "median"})
