@@ -643,6 +643,11 @@ def _q_compact_latest(spark, sf):
     return compact_latest(ev, "user_id", "ts_us", tiebreak_col="event_id")
 
 
+def _q_tfidf(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.tfidf_topk_terms(docs, "doc_id", "text", k=3, min_df=2)
+
+
 def _q_bm25(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return llm.bm25_topk(
@@ -1193,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "build_vocab": _q_vocab,
         "bpe_pairs": _q_bpe_pairs,
+        "tfidf_topk": _q_tfidf,
         "percentile_gate": _q_percentile_gate,
         "range_join": _q_range_join,
         "compact_latest": _q_compact_latest,
@@ -1617,6 +1623,22 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS rank
                   FROM c)
             SELECT pair, cnt, rank FROM r WHERE rank <= 40
+        """,
+        "tfidf_topk": f"""
+            WITH t AS (SELECT doc_id,
+                              unnest(string_split_regex({norm_text}, '\\s+')) AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+                    HAVING count(*) >= 2),
+            n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+            s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                         round(tf.tf * ln(CAST(n.nd AS DOUBLE) / dfq.df), 4) AS score
+                  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS INT) AS rank
+                  FROM s)
+            SELECT term, doc_id, tf, df, score, rank FROM r WHERE rank <= 3
         """,
         "percentile_gate": f"""
             WITH s AS (SELECT doc_id, lang,

@@ -987,6 +987,51 @@ def percentile_filter(
     )
 
 
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (``tf * ln(N / df)``) — keyword extraction / topic tagging for
+    corpus curation.
+
+    Shuffle budget: term-frequency aggregate (corpus-sized, map-side
+    combined), document-frequency aggregate over the reduced (doc,term)
+    pairs, a join on ``term`` (AQE broadcasts the vocabulary side when
+    it fits), and one per-doc window.  The corpus count N is computed
+    in-plan and broadcast-cross-joined — nothing collects to the
+    driver.  Ranking uses the score rounded to 4 digits with a term
+    tie-break, so it is reproducible cross-engine (last-ulp ``ln``
+    differences cannot reorder).
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") >= min_df
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 4),
+        )
+        .drop("__n")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def bm25_topk(
     queries: DataFrame,
     corpus: DataFrame,

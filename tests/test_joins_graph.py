@@ -649,3 +649,21 @@ def test_percentile_filter_exact_median_per_group(spark):
     got = {r.rid for r in llm.percentile_filter(df, "s", "g", q=0.5).collect()}
     # en median 20 -> keep 2,3; fr interpolated median 27.5 -> keep 5
     assert got == {2, 3, 5}
+
+
+def test_tfidf_topk_terms_ranking(spark):
+    import math
+
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [(1, "rare cat cat"), (2, "cat dog"), (3, "dog dog")],
+        "doc_id long, text string",
+    )
+    out = llm.tfidf_topk_terms(df, "doc_id", "text", k=1)
+    got = {r.doc_id: (r.term, r.score) for r in out.collect()}
+    # doc 1: rare tf=1 df=1 -> ln(3); cat tf=2 df=2 -> 2*ln(1.5) < ln(3)
+    assert got[1] == ("rare", round(math.log(3), 4))
+    assert got[2][0] in ("cat", "dog")  # equal scores -> term tie-break
+    assert got[2] == ("cat", round(math.log(1.5), 4))
+    assert got[3] == ("dog", round(2 * math.log(1.5), 4))
