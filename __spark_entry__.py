@@ -621,6 +621,24 @@ def _q_window_funcs(spark, sf):
     )
 
 
+def _q_quantile_bins(spark, sf):
+    from backend_spark.features import quantile_bins
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "lang",
+        F.size(fn.tokenize(fn.normalize(F.col("text")))).alias("n_tokens"),
+    )
+    return quantile_bins(scored, "n_tokens", 4, group_col="lang")
+
+
+def _q_zscore(spark, sf):
+    from backend_spark.features import zscore
+
+    ev = load_table(spark, sf, "events").select("event_id", "event_type", "value")
+    return zscore(ev, "value", group_col="event_type")
+
+
 def _q_profile(spark, sf):
     from backend_spark.profile import profile
 
@@ -1207,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt": _q_melt,
         "rollup": _q_rollup,
         "window_funcs": _q_window_funcs,
+        "quantile_bins": _q_quantile_bins,
+        "zscore": _q_zscore,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
         "embed_banded": _q_embed_banded,
@@ -1687,6 +1707,24 @@ def oracle_sql() -> dict[str, str]:
                          ts_us - lag(ts_us) OVER win AS gap_us
                   FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
             SELECT * FROM w
+        """,
+        "quantile_bins": f"""
+            WITH s AS (SELECT doc_id, lang,
+                              CAST(len(string_split_regex({norm_text}, '\\s+')) AS INT) AS n_tokens
+                       FROM documents),
+            t AS (SELECT lang, quantile_cont(n_tokens, [0.25, 0.5, 0.75]) AS thr
+                  FROM s GROUP BY lang)
+            SELECT s.lang, s.doc_id, s.n_tokens,
+                   CAST(len(list_filter(t.thr, b -> s.n_tokens >= b)) AS INT)
+                       AS n_tokens_bin
+            FROM s JOIN t USING (lang)
+        """,
+        "zscore": """
+            WITH t AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+                       FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN t.sd > 0 THEN round((e.value - t.m) / t.sd, 4) END AS value_z
+            FROM events e JOIN t USING (event_type)
         """,
         "profile": """
             SELECT 'c_custkey' AS col_name, count(*) AS n,

@@ -381,3 +381,30 @@ def test_rollup_agg_subtotals_and_gid(spark):
     import pytest
     with pytest.raises(ValueError):
         rollup_agg(df, ["k1"], {"v": "median"})
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from backend_spark.features import quantile_bins
+
+    df = spark.createDataFrame([(i, i) for i in range(1, 9)], "rid long, x long")
+    out = {r.rid: r.x_bin for r in quantile_bins(df, "x", 4).collect()}
+    # boundaries at q=.25/.5/.75 of 1..8 -> 2.75, 4.5, 6.25
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+    grouped = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 100), ("b", 3, 1), ("b", 4, 100)],
+        "g string, rid long, x long",
+    )
+    g = {r.rid: r.x_bin for r in quantile_bins(grouped, "x", 2, group_col="g").collect()}
+    assert g == {1: 0, 2: 1, 3: 0, 4: 1}  # per-group medians, not global
+
+
+def test_zscore_per_group_and_degenerate(spark):
+    from backend_spark.features import zscore
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 4, 7.0)],
+        "g string, rid long, v double",
+    )
+    out = {r.rid: r.v_z for r in zscore(df, "v", group_col="g").collect()}
+    assert out[1] == -1.0 and out[2] == 0.0 and out[3] == 1.0
+    assert out[4] is None  # single-row group: null, not an ANSI division error
