@@ -661,6 +661,11 @@ def _q_compact_latest(spark, sf):
     return compact_latest(ev, "user_id", "ts_us", tiebreak_col="event_id")
 
 
+def _q_unigram_lp(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.unigram_logprob(docs, "doc_id", "text")
+
+
 def _q_tfidf(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return llm.tfidf_topk_terms(docs, "doc_id", "text", k=3, min_df=2)
@@ -1217,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": _q_vocab,
         "bpe_pairs": _q_bpe_pairs,
         "tfidf_topk": _q_tfidf,
+        "unigram_logprob": _q_unigram_lp,
         "percentile_gate": _q_percentile_gate,
         "range_join": _q_range_join,
         "compact_latest": _q_compact_latest,
@@ -1643,6 +1649,18 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS rank
                   FROM c)
             SELECT pair, cnt, rank FROM r WHERE rank <= 40
+        """,
+        "unigram_logprob": f"""
+            WITH t AS (SELECT doc_id,
+                              unnest(string_split_regex({norm_text}, '\\s+')) AS term
+                       FROM documents),
+            v AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+            tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM v)
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   round(avg(ln(v.tf / tot.total)), 4) AS avg_logprob
+            FROM t JOIN v USING (term) CROSS JOIN tot
+            GROUP BY t.doc_id
         """,
         "tfidf_topk": f"""
             WITH t AS (SELECT doc_id,

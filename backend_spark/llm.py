@@ -987,6 +987,39 @@ def percentile_filter(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the perplexity-style quality signal CCNet
+    (Wenzek et al. 2020 §4.3) filters on: gibberish and boilerplate
+    score far from the corpus mode.
+
+    Shuffle budget: one token aggregate (map-side combined) for the
+    unigram counts, a token->probability join (AQE broadcasts the
+    vocabulary when it fits), one per-doc aggregate.  The corpus total
+    is computed in-plan and broadcast — nothing collects.  Output
+    rounded so cross-engine ``ln`` summation drift cannot surface.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("__total"))
+    lp = (
+        toks.join(vocab, "term")
+        .join(F.broadcast(total))
+        .withColumn("__lp", F.log(F.col("tf") / F.col("__total")))
+    )
+    return lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__lp"), ndigits).alias("avg_logprob"),
+    )
+
+
 def tfidf_topk_terms(
     df: DataFrame,
     id_col: str,

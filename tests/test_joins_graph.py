@@ -667,3 +667,15 @@ def test_tfidf_topk_terms_ranking(spark):
     assert got[2][0] in ("cat", "dog")  # equal scores -> term tie-break
     assert got[2] == ("cat", round(math.log(1.5), 4))
     assert got[3] == ("dog", round(2 * math.log(1.5), 4))
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    import math
+
+    from backend_spark import llm
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "b")], "doc_id long, text string")
+    # corpus counts: a=2, b=2, total=4 -> p(a)=p(b)=0.5
+    out = {r.doc_id: (r.n_tokens, r.avg_logprob) for r in
+           llm.unigram_logprob(df, "doc_id", "text").collect()}
+    assert out == {1: (3, round(math.log(0.5), 4)), 2: (1, round(math.log(0.5), 4))}
