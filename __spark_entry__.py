@@ -661,6 +661,15 @@ def _q_compact_latest(spark, sf):
     return compact_latest(ev, "user_id", "ts_us", tiebreak_col="event_id")
 
 
+def _q_dedup_incremental(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # the "previous snapshot" store: signatures of the first fifth
+    store = docs.where(F.col("doc_id") < 100).select(
+        fn.md5_long(fn.normalize(F.col("text"))).alias("sig")
+    )
+    return llm.dedup_incremental(docs, store, "text")
+
+
 def _q_unigram_lp(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return llm.unigram_logprob(docs, "doc_id", "text")
@@ -1223,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": _q_bpe_pairs,
         "tfidf_topk": _q_tfidf,
         "unigram_logprob": _q_unigram_lp,
+        "dedup_incremental": _q_dedup_incremental,
         "percentile_gate": _q_percentile_gate,
         "range_join": _q_range_join,
         "compact_latest": _q_compact_latest,
@@ -1649,6 +1659,13 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS rank
                   FROM c)
             SELECT pair, cnt, rank FROM r WHERE rank <= 40
+        """,
+        "dedup_incremental": f"""
+            WITH d AS (SELECT doc_id, text,
+                              {_SQL_H.format(x=norm_text)} AS sig
+                       FROM documents)
+            SELECT d.sig, d.doc_id, d.text FROM d
+            WHERE d.sig NOT IN (SELECT sig FROM d WHERE doc_id < 100)
         """,
         "unigram_logprob": f"""
             WITH t AS (SELECT doc_id,

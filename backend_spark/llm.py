@@ -987,6 +987,29 @@ def percentile_filter(
     )
 
 
+def dedup_incremental(
+    df: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Cross-snapshot deduplication: drop rows whose normalized-content
+    signature already exists in ``store`` (the signature table persisted
+    from previous ingests) — the incremental counterpart of
+    ``dedup_exact`` for snapshot-over-snapshot corpus builds, where
+    re-deduplicating the full history every run is the scale-killer.
+
+    Signatures are ``md5_long`` so the store is engine-portable and the
+    oracle can reproduce it.  One left-anti hash join on the signature;
+    at 100 TB keep the store parquet bucketed on ``sig`` (see
+    ``scale.write_bucketed``) so only the new batch shuffles.  Returns
+    the surviving rows with their ``sig`` attached — union it into the
+    store for the next snapshot.
+    """
+    sigs = df.withColumn(sig_col, fn.md5_long(fn.normalize(F.col(text_col))))
+    return sigs.join(store.select(sig_col).distinct(), sig_col, "left_anti")
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str,

@@ -679,3 +679,21 @@ def test_unigram_logprob_matches_hand_computation(spark):
     out = {r.doc_id: (r.n_tokens, r.avg_logprob) for r in
            llm.unigram_logprob(df, "doc_id", "text").collect()}
     assert out == {1: (3, round(math.log(0.5), 4)), 2: (1, round(math.log(0.5), 4))}
+
+
+def test_dedup_incremental_anti_join_on_signature(spark):
+    from backend_spark import llm
+    from backend_spark import functions as fn
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new"), (3, "Seen   BEFORE")],
+        "doc_id long, text string",
+    )
+    store = spark.createDataFrame([("seen before",)], "t string").select(
+        fn.md5_long(fn.normalize(F.col("t"))).alias("sig")
+    )
+    out = llm.dedup_incremental(docs, store, "text")
+    # doc 3 normalizes to the same signature as the stored text -> dropped too
+    assert [r.doc_id for r in out.collect()] == [2]
+    assert "sig" in out.columns  # survivors carry sig for the next snapshot
