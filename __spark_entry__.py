@@ -1124,6 +1124,46 @@ def _q_stream_sessionize(spark, sf):
     )
 
 
+def _q_stream_join(spark, sf):
+    # stream-stream inner join (click -> purchase within 1h, per user):
+    # availableNow over a bounded source processes one micro-batch, so
+    # the result equals the batch interval join -> exact SQL oracle
+    from backend_spark import streaming
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    path = tempfile.mkdtemp(prefix="sg_sjoin_") + "/events"
+    ev.select("ts", "user_id", "event_type", "event_id").write.parquet(path)
+    clicks = (
+        streaming.read_stream(spark, path)
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+    )
+    purchases = (
+        streaming.read_stream(spark, path)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purch_ts"), F.col("event_id").alias("purch_id"))
+    )
+    out = streaming.join_streams(
+        clicks, purchases, ["user_id"], "click_ts", "purch_ts",
+        watermark="10 days",
+        range_cond="purch_ts >= click_ts AND purch_ts <= click_ts + INTERVAL 1 HOUR",
+    )
+    _STREAM_N[0] += 1
+    name = f"sg_sjoin_{_STREAM_N[0]}"
+    streaming.run_to_memory(
+        out, name, checkpoint=tempfile.mkdtemp(prefix="sg_sjoin_ck_")
+    )
+    return spark.sql(
+        f"""
+        SELECT user_id, click_id, purch_id,
+               unix_micros(click_ts) AS click_us, unix_micros(purch_ts) AS purch_us
+        FROM {name}
+        """
+    )
+
+
 def _q_stream_dedup(spark, sf):
     from backend_spark import streaming
 
@@ -1272,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_win_agg": _q_stream_win,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize": _q_stream_sessionize,
+        "stream_join": _q_stream_join,
         "salted_agg": _q_salted_agg,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -1790,6 +1831,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT c_mktsegment), NULL, NULL,
                    min(length(c_mktsegment)), max(length(c_mktsegment))
             FROM customer
+        """,
+        "stream_join": """
+            WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, event_id AS purch_id, epoch_us(ts) AS purch_us
+                  FROM events WHERE event_type = 'purchase')
+            SELECT c.user_id, c.click_id, p.purch_id, c.click_us, p.purch_us
+            FROM c JOIN p USING (user_id)
+            WHERE p.purch_us >= c.click_us
+              AND p.purch_us <= c.click_us + 3600000000
         """,
         "compact_latest": """
             WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id,
