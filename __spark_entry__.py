@@ -1182,6 +1182,15 @@ def _q_stream_dedup(spark, sf):
     return spark.sql(f"SELECT DISTINCT user_id, event_type FROM {name}")
 
 
+def _q_row_ids(spark, sf):
+    from backend_spark import scale
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    return scale.assign_row_ids(ev, ["ts_us", "event_id"])
+
+
 def _q_salted_agg(spark, sf):
     from backend_spark import scale
 
@@ -1314,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _q_stream_sessionize,
         "stream_join": _q_stream_join,
         "salted_agg": _q_salted_agg,
+        "row_ids": _q_row_ids,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
     }
@@ -1831,6 +1841,11 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT c_mktsegment), NULL, NULL,
                    min(length(c_mktsegment)), max(length(c_mktsegment))
             FROM customer
+        """,
+        "row_ids": """
+            SELECT event_id, epoch_us(ts) AS ts_us,
+                   row_number() OVER (ORDER BY epoch_us(ts), event_id) AS row_id
+            FROM events
         """,
         "stream_join": """
             WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us

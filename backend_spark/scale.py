@@ -105,3 +105,50 @@ def bucketed_join(spark, left_table: str, right_table: str, on: list[str], how: 
     plan contains no Exchange on either side (assert with
     ``.explain()``; tests pin this)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def assign_row_ids(
+    df: DataFrame,
+    order_cols: list[str] | str,
+    out_col: str = "row_id",
+) -> DataFrame:
+    """Global dense 1-based row numbers in ``order_cols`` order WITHOUT
+    the single-partition sort a bare
+    ``row_number().over(Window.orderBy(...))`` forces (Spark warns and
+    funnels the whole dataset through one task — the canonical
+    scale-killer for global ordering).
+
+    Strategy: range-repartition on the order key (Spark's distributed
+    sort), number rows partition-locally, then shift each partition by
+    the cumulative count of the partitions before it.  The offset table
+    is one row per partition — its window is trivially small — and is
+    broadcast back.  The partition-local stage is materialized once
+    (``localCheckpoint``) so the offset computation and the final join
+    see the identical range exchange (re-execution could re-sample
+    boundaries).
+
+    ``order_cols`` must be a total order (include a unique tie-break
+    column): ranges may split equal keys across partition boundaries,
+    which would otherwise make ids nondeterministic.
+    """
+    cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    from pyspark.sql import Window
+
+    base = (
+        df.repartitionByRange(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
+    local = base.withColumn(
+        "__local", F.row_number().over(w_local).cast("long")
+    ).localCheckpoint(eager=False)
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
+    )
+    return (
+        local.join(F.broadcast(offs.select("__pid", "__off")), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__local"))
+        .drop("__pid", "__local", "__off")
+    )

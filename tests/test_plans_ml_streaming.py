@@ -429,3 +429,18 @@ recipes:
     assert "<EMAIL>" in rows[0].text_redacted        # pii step redacted
     kept = book.compile("decon")(docs)
     assert [r.doc_id for r in kept.collect()] == [2]  # doc 1 contaminated
+
+
+def test_assign_row_ids_dense_global_order(spark):
+    from backend_spark import scale
+
+    df = spark.createDataFrame(
+        [(v,) for v in [30, 10, 50, 20, 40, 60]], "v long"
+    ).repartition(4)  # scatter across partitions first
+    out = {r.v: r.row_id for r in scale.assign_row_ids(df, "v").collect()}
+    assert out == {10: 1, 20: 2, 30: 3, 40: 4, 50: 5, 60: 6}
+    # the numbering window is partitioned (no global single-partition sort)
+    plan = scale.assign_row_ids(df, "v")._jdf.queryExecution().executedPlan().toString()
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("__pid" in s or "__cnt" in s or "__off" in s for s in specs)
