@@ -63,12 +63,16 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # the original 16-query subtotal, comparable across rounds (the
+    # suite grows as operators land; `value` covers everything)
+    r3_subtotal = round(sum(timings[n] for n in HEADLINE[:16]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "headline16": r3_subtotal,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
