@@ -1164,6 +1164,41 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_stream_compact(spark, sf):
+    # streaming CDC compaction: complete-mode max_by aggregate over the
+    # bounded event log == batch compact_latest -> shares its oracle
+    from backend_spark import streaming
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    path = tempfile.mkdtemp(prefix="sg_scompact_") + "/events"
+    ev.write.parquet(path)
+    sdf = spark.readStream.schema(ev.schema).parquet(path)
+    payload = [c for c in ev.columns if c != "user_id"]
+    agg = sdf.groupBy("user_id").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(F.col("ts_us"), F.col("event_id")),
+        ).alias("__row")
+    )
+    out = agg.select("user_id", *[F.col("__row")[c].alias(c) for c in payload])
+    _STREAM_N[0] += 1
+    name = f"sg_scompact_{_STREAM_N[0]}"
+    streaming.run_to_memory(
+        out, name, output_mode="complete",
+        checkpoint=tempfile.mkdtemp(prefix="sg_scompact_ck_"),
+    )
+    return spark.sql(
+        f"SELECT event_id, ts_us, user_id, event_type, value, props FROM {name}"
+    )
+
+
 def _q_stream_dedup(spark, sf):
     from backend_spark import streaming
 
@@ -1322,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize": _q_stream_sessionize,
         "stream_join": _q_stream_join,
+        "stream_compact": _q_stream_compact,
         "salted_agg": _q_salted_agg,
         "row_ids": _q_row_ids,
         "build_model": _q_build_model,
@@ -2347,7 +2383,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # the persisted-index search is oracle-identical to the direct one
     out["ann_ivf_index"] = out["ann_ivf"]
-    # complete-mode streaming sessionization over a bounded source must
-    # equal the batch gaps-and-islands result
+    # complete-mode streaming over a bounded source must equal batch
     out["stream_sessionize"] = out["sessionize"]
+    out["stream_compact"] = out["compact_latest"]
     return out
