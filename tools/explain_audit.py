@@ -56,6 +56,20 @@ EXPECT = {
     "compact_latest": (["partial_max_by"], ["CartesianProduct", "Window"]),
     # per-group thresholds broadcast back; the corpus never shuffles
     "percentile_gate": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # broadcast per-group stats onto the scan — no sort-merge, no window
+    "zscore": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
+    "quantile_bins": (["BroadcastHashJoin"], ["CartesianProduct", "Window"]),
+    # global top-k must lower to TakeOrderedAndProject, not a
+    # single-partition sort of the whole vocabulary
+    "build_vocab": (["TakeOrderedAndProject"], ["CartesianProduct"]),
+    "bpe_pairs": (["TakeOrderedAndProject"], ["CartesianProduct"]),
+    # melt is a pure stack projection over the scan
+    "melt": ([], ["Exchange", "CartesianProduct"]),
+    # signature anti-join: hash join, never a nested loop
+    "dedup_incremental": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "tfidf_topk": ([], ["CartesianProduct"]),
+    "unigram_logprob": ([], ["CartesianProduct"]),
+    "row_ids": ([], ["CartesianProduct"]),
 }
 
 
