@@ -621,6 +621,16 @@ def _q_window_funcs(spark, sf):
     )
 
 
+def _q_resample(spark, sf):
+    from backend_spark.features import resample_gapfill
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+    # daily buckets in epoch-microseconds
+    return resample_gapfill(ev, "user_id", "ts_us", 86_400_000_000, value_col="value")
+
+
 def _q_quantile_bins(spark, sf):
     from backend_spark.features import quantile_bins
 
@@ -1326,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": _q_rollup,
         "window_funcs": _q_window_funcs,
         "quantile_bins": _q_quantile_bins,
+        "resample": _q_resample,
         "zscore": _q_zscore,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
@@ -1829,6 +1840,22 @@ def oracle_sql() -> dict[str, str]:
                          ts_us - lag(ts_us) OVER win AS gap_us
                   FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
             SELECT * FROM w
+        """,
+        "resample": """
+            WITH b AS (SELECT user_id,
+                              (epoch_us(ts) // 86400000000) * 86400000000 AS bucket,
+                              value
+                       FROM events),
+            a AS (SELECT user_id, bucket, count(*) AS n_events,
+                         round(sum(value), 2) AS value_sum
+                  FROM b GROUP BY user_id, bucket),
+            s AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+                  FROM b GROUP BY user_id),
+            g AS (SELECT user_id, unnest(range(mn, mx + 1, 86400000000)) AS bucket
+                  FROM s)
+            SELECT g.user_id, g.bucket,
+                   coalesce(a.n_events, 0) AS n_events, a.value_sum
+            FROM g LEFT JOIN a USING (user_id, bucket)
         """,
         "quantile_bins": f"""
             WITH s AS (SELECT doc_id, lang,

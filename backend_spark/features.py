@@ -83,3 +83,42 @@ def zscore(
         ),
     )
     return scored.drop("__mean", "__std")
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Time-series resampling with gap fill: aggregate into fixed
+    ``bucket``-width bins (same units as ``ts_col``) and emit EVERY
+    bucket between each key's first and last event — empty buckets
+    appear with ``n_events = 0`` (and null sum), which downstream
+    models need and a plain groupBy silently omits.
+
+    Shuffle budget: one keyed aggregate for the bin stats and one for
+    the per-key span (same key — AQE reuses the exchange); the dense
+    grid explodes from |keys| span rows (bounded by time-span /
+    bucket, not by event count) and hash-joins back.  Nothing scans
+    the raw events twice.
+    """
+    b = df.withColumn(
+        "__bucket", (F.expr(f"{ts_col} div {bucket}") * F.lit(bucket)).cast("long")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias(f"{value_col}_sum"))
+    stats = b.groupBy(key_col, "__bucket").agg(*aggs)
+    span = b.groupBy(key_col).agg(
+        F.min("__bucket").alias("__mn"), F.max("__bucket").alias("__mx")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence("__mn", "__mx", F.lit(bucket))).alias("__bucket"),
+    )
+    out = grid.join(stats, [key_col, "__bucket"], "left").withColumn(
+        "n_events", F.coalesce(F.col("n_events"), F.lit(0))
+    )
+    return out.withColumnRenamed("__bucket", "bucket")

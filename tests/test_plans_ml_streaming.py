@@ -444,3 +444,21 @@ def test_assign_row_ids_dense_global_order(spark):
     import re
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert specs and all("__pid" in s or "__cnt" in s or "__off" in s for s in specs)
+
+
+def test_resample_gapfill_emits_empty_buckets(spark):
+    from backend_spark.features import resample_gapfill
+
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 105, 2.0), (1, 130, 4.0), (2, 100, 1.0)],
+        "k long, t long, v double",
+    )
+    out = {(r.k, r.bucket): (r.n_events, r.v_sum) for r in
+           resample_gapfill(df, "k", "t", 10, value_col="v").collect()}
+    assert out == {
+        (1, 100): (2, 3.0),
+        (1, 110): (0, None),  # the gap appears, with null sum
+        (1, 120): (0, None),
+        (1, 130): (1, 4.0),
+        (2, 100): (1, 1.0),  # span is per key, not global
+    }
