@@ -631,6 +631,15 @@ def _q_resample(spark, sf):
     return resample_gapfill(ev, "user_id", "ts_us", 86_400_000_000, value_col="value")
 
 
+def _q_funnel(spark, sf):
+    from backend_spark.features import funnel
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
+    )
+    return funnel(ev, "user_id", "ts_us", "event_type", ["click", "view", "purchase"])
+
+
 def _q_quantile_bins(spark, sf):
     from backend_spark.features import quantile_bins
 
@@ -1337,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs": _q_window_funcs,
         "quantile_bins": _q_quantile_bins,
         "resample": _q_resample,
+        "funnel": _q_funnel,
         "zscore": _q_zscore,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
@@ -1840,6 +1850,27 @@ def oracle_sql() -> dict[str, str]:
                          ts_us - lag(ts_us) OVER win AS gap_us
                   FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
             SELECT * FROM w
+        """,
+        "funnel": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+            k AS (SELECT DISTINCT user_id FROM e),
+            s0 AS (SELECT user_id, min(ts_us) AS step_0_ts FROM e
+                   WHERE event_type = 'click' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, min(e.ts_us) AS step_1_ts
+                   FROM e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts_us > s0.step_0_ts
+                   GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, min(e.ts_us) AS step_2_ts
+                   FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts_us > s1.step_1_ts
+                   GROUP BY e.user_id)
+            SELECT k.user_id, s0.step_0_ts, s1.step_1_ts, s2.step_2_ts,
+                   (CASE WHEN s0.step_0_ts IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s1.step_1_ts IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN s2.step_2_ts IS NOT NULL THEN 1 ELSE 0 END) AS reached
+            FROM k LEFT JOIN s0 USING (user_id)
+                   LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
         """,
         "resample": """
             WITH b AS (SELECT user_id,

@@ -122,3 +122,49 @@ def resample_gapfill(
         "n_events", F.coalesce(F.col("n_events"), F.lit(0))
     )
     return out.withColumnRenamed("__bucket", "bucket")
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest time each
+    step occurred strictly AFTER the previous step completed (classic
+    click → view → purchase conversion measurement).  Output has one
+    row per key with ``step_<i>_ts`` columns (null once the funnel
+    breaks) and ``reached`` = number of completed steps.
+
+    Each step is one conditional-min aggregate on the SAME key, joined
+    back — Spark reuses the key exchange across stages, so cost is
+    |steps| map-side-combined aggregates, never a per-key sort or a
+    pattern-match over raw rows.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    prev = None
+    out = df.select(key_col).distinct()
+    for i, step in enumerate(steps):
+        col = f"step_{i}_ts"
+        if prev is None:
+            agg = df.where(F.col(type_col) == step).groupBy(key_col).agg(
+                F.min(ts_col).alias(col)
+            )
+        else:
+            agg = (
+                df.join(out.select(key_col, prev), key_col)
+                .where((F.col(type_col) == step) & (F.col(ts_col) > F.col(prev)))
+                .groupBy(key_col)
+                .agg(F.min(ts_col).alias(col))
+            )
+        out = out.join(agg, key_col, "left")
+        prev = col
+    reached = None
+    for i in range(len(steps)):
+        c = F.when(F.col(f"step_{i}_ts").isNotNull(), 1).otherwise(0)
+        reached = c if reached is None else reached + c
+    # a null step nulls all later steps by construction (join condition
+    # references the previous step's timestamp)
+    return out.withColumn("reached", reached)

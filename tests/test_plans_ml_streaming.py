@@ -462,3 +462,21 @@ def test_resample_gapfill_emits_empty_buckets(spark):
         (1, 130): (1, 4.0),
         (2, 100): (1, 1.0),  # span is per key, not global
     }
+
+
+def test_funnel_ordered_steps_and_break(spark):
+    from backend_spark.features import funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"),     # full funnel
+         (2, 10, "b"), (2, 20, "a"), (2, 30, "b"),     # b-before-a ignored; a->b ok
+         (3, 10, "a"),                                  # breaks after a
+         (4, 10, "c")],                                 # never starts
+        "k long, t long, e string",
+    )
+    out = {r.k: (r.step_0_ts, r.step_1_ts, r.step_2_ts, r.reached)
+           for r in funnel(df, "k", "t", "e", ["a", "b", "c"]).collect()}
+    assert out[1] == (10, 20, 30, 3)
+    assert out[2] == (20, 30, None, 2)  # the t=10 'b' precedes 'a': not counted
+    assert out[3] == (10, None, None, 1)
+    assert out[4] == (None, None, None, 0)
