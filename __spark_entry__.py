@@ -680,6 +680,11 @@ def _q_compact_latest(spark, sf):
     return compact_latest(ev, "user_id", "ts_us", tiebreak_col="event_id")
 
 
+def _q_collocations(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.collocations(docs, "doc_id", "text", min_count=30)
+
+
 def _q_dedup_incremental(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     # the "previous snapshot" store: signatures of the first fifth
@@ -1336,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf,
         "unigram_logprob": _q_unigram_lp,
         "dedup_incremental": _q_dedup_incremental,
+        "collocations": _q_collocations,
         "percentile_gate": _q_percentile_gate,
         "range_join": _q_range_join,
         "compact_latest": _q_compact_latest,
@@ -1767,6 +1773,27 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS rank
                   FROM c)
             SELECT pair, cnt, rank FROM r WHERE rank <= 40
+        """,
+        "collocations": f"""
+            WITH t AS (SELECT string_split_regex({norm_text}, '\\s+') AS l
+                       FROM documents),
+            uc AS (SELECT w, count(*) AS cw
+                   FROM (SELECT unnest(l) AS w FROM t) GROUP BY w),
+            nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uc),
+            bc AS (SELECT pair, count(*) AS cab
+                   FROM (SELECT unnest([l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]
+                                        for i in range(1, len(l))]) AS pair
+                         FROM t)
+                   GROUP BY pair),
+            nb AS (SELECT CAST(sum(cab) AS DOUBLE) AS nb FROM bc)
+            SELECT bc.pair, bc.cab, u1.cw AS c1, u2.cw AS c2,
+                   round(ln((bc.cab / nb.nb)
+                            / ((u1.cw / nu.nu) * (u2.cw / nu.nu))), 4) AS pmi
+            FROM bc
+            JOIN uc u1 ON u1.w = string_split(bc.pair, ' ')[1]
+            JOIN uc u2 ON u2.w = string_split(bc.pair, ' ')[2]
+            CROSS JOIN nu CROSS JOIN nb
+            WHERE bc.cab >= 30
         """,
         "dedup_incremental": f"""
             WITH d AS (SELECT doc_id, text,

@@ -987,6 +987,56 @@ def percentile_filter(
     )
 
 
+def collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation extraction: adjacent word bigrams scored by pointwise
+    mutual information ``ln(p(w1,w2) / (p(w1) p(w2)))`` (Church & Hanks
+    1990) — multi-word-expression mining for tokenizer vocabularies and
+    corpus analysis.
+
+    Two corpus aggregates (unigrams, bigrams — both map-side combined
+    over materialized token arrays), totals in-plan, then two joins on
+    the term (AQE broadcasts the unigram vocabulary).  No ranking, so
+    cross-engine ``ln`` drift can't reorder anything; PMI is rounded.
+    """
+    toks = df.select(
+        fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks")
+    ).localCheckpoint(eager=False)
+    uni = toks.select(F.explode("__toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    n_uni = uni.agg(F.sum("cw").alias("__nu"))
+    bi = (
+        toks.select(F.explode(word_ngrams_from_tokens(F.col("__toks"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    n_bi = bi.agg(F.sum("cab").alias("__nb"))
+    w1 = F.split(F.col("pair"), " ").getItem(0)
+    w2 = F.split(F.col("pair"), " ").getItem(1)
+    out = (
+        bi.where(F.col("cab") >= min_count)
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cab") / F.col("__nb"))
+            / ((F.col("c1") / F.col("__nu")) * (F.col("c2") / F.col("__nu")))
+        ),
+        4,
+    )
+    return out.select("pair", "cab", "c1", "c2", pmi.alias("pmi"))
+
+
 def dedup_incremental(
     df: DataFrame,
     store: DataFrame,

@@ -697,3 +697,20 @@ def test_dedup_incremental_anti_join_on_signature(spark):
     # doc 3 normalizes to the same signature as the stored text -> dropped too
     assert [r.doc_id for r in out.collect()] == [2]
     assert "sig" in out.columns  # survivors carry sig for the next snapshot
+
+
+def test_collocations_pmi_hand_check(spark):
+    import math
+
+    from backend_spark import llm
+
+    # "x y" always together; "a b" sometimes apart
+    df = spark.createDataFrame(
+        [(1, "x y a"), (2, "x y b"), (3, "a b x")], "doc_id long, text string"
+    )
+    out = {r.pair: r for r in llm.collocations(df, "doc_id", "text", min_count=2).collect()}
+    assert set(out) == {"x y"}  # only pair with count >= 2
+    r = out["x y"]
+    # unigrams: x=3,y=2,a=2,b=2 -> nu=9; bigrams: 6 total, "x y" twice
+    assert (r.cab, r.c1, r.c2) == (2, 3, 2)
+    assert r.pmi == round(math.log((2 / 6) / ((3 / 9) * (2 / 9))), 4)
