@@ -680,6 +680,11 @@ def _q_compact_latest(spark, sf):
     return compact_latest(ev, "user_id", "ts_us", tiebreak_col="event_id")
 
 
+def _q_char_entropy(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.char_entropy(docs, "doc_id", "text")
+
+
 def _q_collocations(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return llm.collocations(docs, "doc_id", "text", min_count=30)
@@ -1342,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_lp,
         "dedup_incremental": _q_dedup_incremental,
         "collocations": _q_collocations,
+        "char_entropy": _q_char_entropy,
         "percentile_gate": _q_percentile_gate,
         "range_join": _q_range_join,
         "compact_latest": _q_compact_latest,
@@ -1773,6 +1779,15 @@ def oracle_sql() -> dict[str, str]:
                          CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS rank
                   FROM c)
             SELECT pair, cnt, rank FROM r WHERE rank <= 40
+        """,
+        "char_entropy": f"""
+            WITH c AS (SELECT doc_id, unnest(string_split({norm_text}, '')) AS ch
+                       FROM documents),
+            h AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
+            m AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s
+                  FROM h GROUP BY doc_id)
+            SELECT doc_id, n AS n_chars_norm, round(ln(n) - s / n, 4) AS entropy
+            FROM m
         """,
         "collocations": f"""
             WITH t AS (SELECT string_split_regex({norm_text}, '\\s+') AS l

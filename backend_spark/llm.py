@@ -987,6 +987,41 @@ def percentile_filter(
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-document Shannon entropy of the normalized character
+    distribution — a cheap gibberish/boilerplate signal (random byte
+    soup scores high, single-char runs score near zero; natural text
+    sits in a narrow band).
+
+    Identity ``H = ln(n) - (Σ c·ln c) / n`` turns the whole computation
+    into one explode + two keyed aggregates (char histogram, then per-doc
+    moments), both map-side combined — no per-doc probability arrays,
+    no second pass over the text.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(fn.normalize(F.col(text_col)), "")).alias("ch"),
+    )
+    hist = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        hist.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("__n"),
+            F.sum(F.col("c") * F.log("c")).alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n").alias("n_chars_norm"),
+            F.round(F.log("__n") - F.col("__s") / F.col("__n"), ndigits).alias("entropy"),
+        )
+    )
+
+
 def collocations(
     df: DataFrame,
     id_col: str,

@@ -714,3 +714,18 @@ def test_collocations_pmi_hand_check(spark):
     # unigrams: x=3,y=2,a=2,b=2 -> nu=9; bigrams: 6 total, "x y" twice
     assert (r.cab, r.c1, r.c2) == (2, 3, 2)
     assert r.pmi == round(math.log((2 / 6) / ((3 / 9) * (2 / 9))), 4)
+
+
+def test_char_entropy_hand_check(spark):
+    import math
+
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_chars_norm, r.entropy) for r in
+           llm.char_entropy(df, "doc_id", "text").collect()}
+    assert out[1] == (4, 0.0)                       # one symbol -> zero entropy
+    assert out[2] == (4, round(math.log(2), 4))     # two equiprobable symbols
+    assert out[3] == (4, round(math.log(4), 4))     # four equiprobable symbols
