@@ -52,7 +52,7 @@ from backend_spark.operators import (
     op_unfold,
     op_unnest,
 )
-from backend_spark.session import load_table
+from backend_spark.session import event_ts_us, load_table
 from backend_spark.sources import read_dataset, write_dataset
 
 # ---------------------------------------------------------------------------
@@ -606,9 +606,8 @@ def _q_rollup(spark, sf):
 
 
 def _q_window_funcs(spark, sf):
-    ev = load_table(spark, sf, "events").select(
-        "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id", "value"
-    )
+    ev = load_table(spark, sf, "events")
+    ev = ev.select("event_id", event_ts_us(ev).alias("ts_us"), "user_id", "value")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
@@ -624,9 +623,8 @@ def _q_window_funcs(spark, sf):
 def _q_resample(spark, sf):
     from backend_spark.features import resample_gapfill
 
-    ev = load_table(spark, sf, "events").select(
-        "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
-    )
+    ev = load_table(spark, sf, "events")
+    ev = ev.select("user_id", event_ts_us(ev).alias("ts_us"), "value")
     # daily buckets in epoch-microseconds
     return resample_gapfill(ev, "user_id", "ts_us", 86_400_000_000, value_col="value")
 
@@ -634,9 +632,8 @@ def _q_resample(spark, sf):
 def _q_funnel(spark, sf):
     from backend_spark.features import funnel
 
-    ev = load_table(spark, sf, "events").select(
-        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
-    )
+    ev = load_table(spark, sf, "events")
+    ev = ev.select("user_id", event_ts_us(ev).alias("ts_us"), "event_type")
     return funnel(ev, "user_id", "ts_us", "event_type", ["click", "view", "purchase"])
 
 
@@ -669,9 +666,10 @@ def _q_profile(spark, sf):
 def _q_compact_latest(spark, sf):
     from backend_spark.operators import compact_latest
 
-    ev = load_table(spark, sf, "events").select(
+    ev = load_table(spark, sf, "events")
+    ev = ev.select(
         "event_id",
-        F.expr("ts div 1000").alias("ts_us"),
+        event_ts_us(ev).alias("ts_us"),
         "user_id",
         "event_type",
         "value",
@@ -932,7 +930,8 @@ def _q_asof_join(spark, sf):
     # feature-join shape.  Both sides truncate ns -> us BEFORE the join
     # so the comparison precision matches DuckDB's native ASOF JOIN
     # (which reads the parquet nanos as microsecond timestamps).
-    ev = load_table(spark, sf, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("ts_us", event_ts_us(ev))
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us"
     )
@@ -953,9 +952,8 @@ def _q_sessionize(spark, sf):
     # batch execution of the streaming construct: F.session_window merges
     # events whose gap-extended windows overlap, INCLUDING a gap of
     # exactly 8h (pinned by test_batch_sessionize_exact_gap_merges)
-    ev = load_table(spark, sf, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(event_ts_us(ev)))
     out = streaming.sessionize(ev, "ts", "user_id", gap="8 hours")
     return out.select(
         "user_id",
@@ -967,10 +965,9 @@ def _q_sessionize(spark, sf):
 
 def _q_win_agg(spark, sf):
     ev = load_table(spark, sf, "events")
-    # ts arrives as int64 nanoseconds (see session nanosAsLong) -> timestamp.
-    # Integer `div`, not `/`: double division on ~1.7e18 ns loses up to
-    # ~128 ns (> 2^53) and can push a boundary event into the wrong window.
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # event_ts_us handles whichever physical type the round's parquet
+    # carries (nanos-as-long or micros timestamp) with exact integer math.
+    ev = ev.withColumn("ts", F.timestamp_micros(event_ts_us(ev)))
     out = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -1101,9 +1098,8 @@ _STREAM_N = [0]
 def _q_stream_win(spark, sf):
     from backend_spark import streaming
 
-    ev = load_table(spark, sf, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(event_ts_us(ev)))
     path = tempfile.mkdtemp(prefix="sg_stream_") + "/events"
     ev.write.parquet(path)
     sdf = streaming.read_stream(spark, path)
@@ -1129,9 +1125,8 @@ def _q_stream_sessionize(spark, sf):
     # gaps-and-islands result exactly -> shares the sessionize oracle
     from backend_spark import streaming
 
-    ev = load_table(spark, sf, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(event_ts_us(ev)))
     path = tempfile.mkdtemp(prefix="sg_ssess_") + "/events"
     ev.select("ts", "user_id").write.parquet(path)
     sdf = streaming.read_stream(spark, path)
@@ -1159,9 +1154,8 @@ def _q_stream_join(spark, sf):
     # the result equals the batch interval join -> exact SQL oracle
     from backend_spark import streaming
 
-    ev = load_table(spark, sf, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(event_ts_us(ev)))
     path = tempfile.mkdtemp(prefix="sg_sjoin_") + "/events"
     ev.select("ts", "user_id", "event_type", "event_id").write.parquet(path)
     clicks = (
@@ -1198,9 +1192,10 @@ def _q_stream_compact(spark, sf):
     # bounded event log == batch compact_latest -> shares its oracle
     from backend_spark import streaming
 
-    ev = load_table(spark, sf, "events").select(
+    ev = load_table(spark, sf, "events")
+    ev = ev.select(
         "event_id",
-        F.expr("ts div 1000").alias("ts_us"),
+        event_ts_us(ev).alias("ts_us"),
         "user_id",
         "event_type",
         "value",
@@ -1231,9 +1226,8 @@ def _q_stream_compact(spark, sf):
 def _q_stream_dedup(spark, sf):
     from backend_spark import streaming
 
-    ev = load_table(spark, sf, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(event_ts_us(ev)))
     path = tempfile.mkdtemp(prefix="sg_sdedup_") + "/events"
     ev.select("ts", "user_id", "event_type").write.parquet(path)
     sdf = streaming.read_stream(spark, path)
@@ -1249,9 +1243,8 @@ def _q_stream_dedup(spark, sf):
 def _q_row_ids(spark, sf):
     from backend_spark import scale
 
-    ev = load_table(spark, sf, "events").select(
-        "event_id", F.expr("ts div 1000").alias("ts_us")
-    )
+    ev = load_table(spark, sf, "events")
+    ev = ev.select("event_id", event_ts_us(ev).alias("ts_us"))
     return scale.assign_row_ids(ev, ["ts_us", "event_id"])
 
 

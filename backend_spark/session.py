@@ -75,3 +75,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def event_ts_us(df: DataFrame, col: str = "ts"):
+    """Epoch-microseconds Column for an event-time column, whatever the
+    physical type the parquet round delivered:
+
+    * TIMESTAMP(NANOS) read as bigint nanos (``nanosAsLong``) -> integer
+      ``div 1000`` (never double division: ~1.7e18 ns exceeds 2^53 and
+      float rounding can move a window-boundary event).
+    * TIMESTAMP(MICROS) read as timestamp/timestamp_ntz -> exact
+      ``timestampdiff(MICROSECOND, epoch, ts)`` on the *naive* value, so
+      the result is session-timezone-independent and matches DuckDB's
+      ``epoch_us(ts)`` bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+
+    t = dict(df.dtypes).get(col)
+    if t in ("bigint", "long"):
+        return F.expr(f"{col} div 1000")
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"cast({col} as timestamp_ntz))"
+    )

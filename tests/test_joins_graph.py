@@ -296,6 +296,82 @@ def test_audio_and_video_stubs(spark):
         llm.extract_audio_features(df, real_decode=True).collect()
 
 
+def _make_wav(samples, sampwidth=2, framerate=8000, nchannels=1):
+    """Synthesize a PCM WAV via the stdlib wave module (float in [-1,1])."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nchannels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        if sampwidth == 1:
+            frames = bytes(int(round(s * 127)) + 128 for s in samples)
+        elif sampwidth == 2:
+            frames = b"".join(struct.pack("<h", int(round(s * 32767))) for s in samples)
+        else:
+            raise ValueError(sampwidth)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_real_wav_decode(spark):
+    import math
+
+    import numpy as np
+
+    # a 100 Hz sine at 8 kHz: known RMS ~ 1/sqrt(2), known ZCR
+    samples = [math.sin(2 * math.pi * 100 * i / 8000) * 0.5 for i in range(800)]
+    wav16 = _make_wav(samples, sampwidth=2)
+    wav8 = _make_wav(samples, sampwidth=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav16)), (2, bytearray(wav8))], "doc_id long, media binary"
+    )
+    rows = {r.doc_id: r for r in llm.extract_audio_features(df, real_decode=True).collect()}
+    x = np.array([int(round(s * 32767)) / 32768.0 for s in samples])
+    want_rms = float(np.sqrt(np.mean(x * x)))
+    assert abs(rows[1].rms - want_rms) < 1e-4
+    # 100 Hz over 0.1 s -> ~20 sign changes among 799 transitions
+    # (exact count depends on how the zero samples at phase boundaries
+    # quantize, so allow +-2 crossings)
+    assert abs(rows[1].zcr - 20 / 799) < 2.5 / 799
+    # 8-bit quantization is coarser but must land near the same level
+    assert abs(rows[2].rms - want_rms) < 0.01
+
+
+def test_audio_wav_stereo_and_float32(spark):
+    import struct
+
+    import numpy as np
+
+    # hand-rolled stereo 16-bit: L = 0.5, R = -0.5 -> mono mix 0
+    n = 64
+    frames = b"".join(
+        struct.pack("<hh", int(0.5 * 32767), int(-0.5 * 32767)) for _ in range(n)
+    )
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE"
+        b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    # IEEE float32 mono ramp
+    vals = np.linspace(-1, 1, 64, dtype="<f4")
+    f32 = (
+        b"RIFF" + struct.pack("<I", 36 + vals.nbytes) + b"WAVE"
+        b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 8000 * 4, 4, 32)
+        + b"data" + struct.pack("<I", vals.nbytes) + vals.tobytes()
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr)), (2, bytearray(f32))], "doc_id long, media binary"
+    )
+    rows = {r.doc_id: r for r in llm.extract_audio_features(df, real_decode=True).collect()}
+    assert abs(rows[1].rms) < 1e-4  # stereo mix cancels
+    want = float(np.sqrt(np.mean(vals.astype(np.float64) ** 2)))
+    assert abs(rows[2].rms - want) < 1e-6
+
+
 def test_ann_ivf_exhaustive_equals_bruteforce(spark):
     rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(4)]) for i in range(12)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")

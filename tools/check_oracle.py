@@ -45,8 +45,20 @@ def _canon(df):
     return sorted(rows, key=repr), list(df.columns)
 
 
-def main(only=None):
-    spark = get_session("oracle-check")
+def main(only=None, vanilla=False):
+    if vanilla:
+        # mimic the driver's harness: a plain session with none of the
+        # repo's confs, so queries() must work on any SparkSession
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -95,4 +107,7 @@ def main(only=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main(set(sys.argv[1:]) or None))
+    argv = sys.argv[1:]
+    vanilla = "--vanilla" in argv
+    names = {a for a in argv if a != "--vanilla"}
+    sys.exit(main(names or None, vanilla=vanilla))
