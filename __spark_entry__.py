@@ -794,6 +794,10 @@ def _q_simhash_neardup(spark, sf):
 
 
 def _q_audio_features(spark, sf):
+    # Invariant the md5-stub oracle relies on: the payloads here are
+    # UTF-8 text, which can never parse as RIFF/WAVE (a valid WAV starts
+    # with b"RIFF"..b"WAVE" and these documents don't), so every row
+    # takes the deterministic stub tier — never the real PCM decoder.
     docs = load_table(spark, sf, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
     )
@@ -1777,7 +1781,8 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT doc_id, unnest(string_split({norm_text}, '')) AS ch
                        FROM documents),
             h AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
-            m AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s
+            m AS (SELECT doc_id, sum(c) AS n,
+                         sum(c * ln(c) ORDER BY ch) AS s
                   FROM h GROUP BY doc_id)
             SELECT doc_id, n AS n_chars_norm, round(ln(n) - s / n, 4) AS entropy
             FROM m

@@ -1002,17 +1002,34 @@ def char_entropy(
     into one explode + two keyed aggregates (char histogram, then per-doc
     moments), both map-side combined — no per-doc probability arrays,
     no second pass over the text.
+
+    The float moment Σ c·ln c is folded over the per-doc histogram in
+    fixed ``ch`` order (the normalized alphabet is ≤ ~40 symbols, so the
+    collected array is tiny): ``F.sum`` over doubles is partition-order
+    dependent, which at round-boundary values made the result vary with
+    parallelism.  The oracle sums in the same order via DuckDB's
+    ``ORDER BY`` aggregate modifier, giving a bit-identical left fold at
+    any partition count on either engine.
     """
     chars = df.select(
         F.col(id_col),
         F.explode(F.split(fn.normalize(F.col(text_col)), "")).alias("ch"),
     )
     hist = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    h = F.array_sort(F.collect_list(F.struct("ch", "c")))
     return (
         hist.groupBy(id_col)
-        .agg(
-            F.sum("c").alias("__n"),
-            F.sum(F.col("c") * F.log("c")).alias("__s"),
+        .agg(h.alias("__h"))
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                "__h", F.lit(0).cast("long"), lambda a, x: a + x["c"]
+            ).alias("__n"),
+            F.aggregate(
+                "__h",
+                F.lit(0.0),
+                lambda a, x: a + x["c"].cast("double") * F.log(x["c"].cast("double")),
+            ).alias("__s"),
         )
         .select(
             F.col(id_col),
@@ -1612,6 +1629,10 @@ def _wav_pcm_samples(b: bytes):
                 int.from_bytes(body[14:16], "little"),  # bits/sample
             )
         elif cid == b"data" and fmt is not None:
+            if i + 8 + size > len(b):
+                # truncated/corrupt data chunk: reject rather than
+                # silently computing features from partial audio
+                return None
             audio_format, n_ch, bits = fmt
             if n_ch < 1:
                 return None

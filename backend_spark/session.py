@@ -84,16 +84,23 @@ def event_ts_us(df: DataFrame, col: str = "ts"):
     * TIMESTAMP(NANOS) read as bigint nanos (``nanosAsLong``) -> integer
       ``div 1000`` (never double division: ~1.7e18 ns exceeds 2^53 and
       float rounding can move a window-boundary event).
-    * TIMESTAMP(MICROS) read as timestamp/timestamp_ntz -> exact
-      ``timestampdiff(MICROSECOND, epoch, ts)`` on the *naive* value, so
-      the result is session-timezone-independent and matches DuckDB's
-      ``epoch_us(ts)`` bit-for-bit.
+    * TIMESTAMP(MICROS, adjustedToUTC) read as timestamp (LTZ) ->
+      ``unix_micros``, which is defined directly on the UTC instant the
+      parquet stores, so the session timezone can never shift it.
+      (Casting LTZ -> NTZ first would re-render the instant in the
+      session zone: with ``spark.sql.session.timeZone=America/New_York``
+      that returned micros shifted by -5 h.)
+    * TIMESTAMP_NTZ (no instant semantics) -> exact
+      ``timestampdiff(MICROSECOND, epoch, ts)`` on the naive value,
+      matching DuckDB's ``epoch_us(ts)`` bit-for-bit.
     """
     from pyspark.sql import functions as F
 
     t = dict(df.dtypes).get(col)
     if t in ("bigint", "long"):
         return F.expr(f"{col} div 1000")
+    if t == "timestamp":
+        return F.unix_micros(F.col(col))
     return F.expr(
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
         f"cast({col} as timestamp_ntz))"

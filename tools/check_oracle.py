@@ -48,14 +48,22 @@ def _canon(df):
 def main(only=None, vanilla=False):
     if vanilla:
         # mimic the driver's harness: a plain session with none of the
-        # repo's confs, so queries() must work on any SparkSession
+        # repo's confs, so queries() must work on any SparkSession.
+        # getOrCreate() reuses any live session (with repo confs still
+        # applied), which would make this check a silent no-op — stop it.
         from pyspark.sql import SparkSession
 
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
         spark = (
             SparkSession.builder.master("local[8]")
             .appName("oracle-check-vanilla")
             .config("spark.ui.enabled", "false")
             .getOrCreate()
+        )
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None, (
+            "vanilla session unexpectedly carries repo confs"
         )
     else:
         spark = get_session("oracle-check")
