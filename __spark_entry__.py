@@ -1296,7 +1296,56 @@ def _q_apply_model(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order = driver-evidence priority: the driver checks a
+    # 50-query prefix per round, so queries with the least driver history
+    # (never sampled, then stalest round, then freshest) come first.
     return {
+        "compact_latest": _q_compact_latest,
+        "profile": _q_profile,
+        "pivot": _q_pivot,
+        "melt": _q_melt,
+        "rollup": _q_rollup,
+        "window_funcs": _q_window_funcs,
+        "quantile_bins": _q_quantile_bins,
+        "resample": _q_resample,
+        "funnel": _q_funnel,
+        "zscore": _q_zscore,
+        "embed_banded": _q_embed_banded,
+        "pii_scan": _q_pii_scan,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition,
+        "quality_filter": _q_quality_filter,
+        "det_sample": _q_sample,
+        "pack_sequences": _q_pack,
+        "dedup_lines": _q_dedup_lines,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "corpus_clean": _q_corpus_clean,
+        "stream_win_agg": _q_stream_win,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_join": _q_stream_join,
+        "stream_compact": _q_stream_compact,
+        "salted_agg": _q_salted_agg,
+        "row_ids": _q_row_ids,
+        "build_model": _q_build_model,
+        "apply_model": _q_apply_model,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embed_neardup": _q_embed_neardup,
+        "multimodal": _q_multimodal,
+        "simhash_neardup": _q_simhash_neardup,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
+        "text_stats": _q_text_stats,
+        "language_id": _q_language_id,
+        "token_count": _q_token_count,
+        "win_agg": _q_win_agg,
+        "sql_direct": _q_sql_direct,
+        "fwf_roundtrip": _q_fwf_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "scoring": _q_scoring,
+        "recipe_pipeline": _q_recipe,
+        "char_entropy": _q_char_entropy,
         "map": _q_map,
         "rename": _q_rename,
         "keep_where": _q_keep_where,
@@ -1344,54 +1393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_lp,
         "dedup_incremental": _q_dedup_incremental,
         "collocations": _q_collocations,
-        "char_entropy": _q_char_entropy,
         "percentile_gate": _q_percentile_gate,
         "range_join": _q_range_join,
-        "compact_latest": _q_compact_latest,
-        "profile": _q_profile,
-        "pivot": _q_pivot,
-        "melt": _q_melt,
-        "rollup": _q_rollup,
-        "window_funcs": _q_window_funcs,
-        "quantile_bins": _q_quantile_bins,
-        "resample": _q_resample,
-        "funnel": _q_funnel,
-        "zscore": _q_zscore,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "embed_neardup": _q_embed_neardup,
-        "embed_banded": _q_embed_banded,
-        "multimodal": _q_multimodal,
-        "simhash_neardup": _q_simhash_neardup,
-        "audio_features": _q_audio_features,
-        "video_frames": _q_video_frames,
-        "text_stats": _q_text_stats,
-        "language_id": _q_language_id,
-        "token_count": _q_token_count,
-        "pii_scan": _q_pii_scan,
-        "decontaminate": _q_decontaminate,
-        "repetition_stats": _q_repetition,
-        "quality_filter": _q_quality_filter,
-        "det_sample": _q_sample,
-        "pack_sequences": _q_pack,
-        "dedup_lines": _q_dedup_lines,
-        "asof_join": _q_asof_join,
-        "sessionize": _q_sessionize,
-        "win_agg": _q_win_agg,
-        "sql_direct": _q_sql_direct,
-        "fwf_roundtrip": _q_fwf_roundtrip,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "scoring": _q_scoring,
-        "recipe_pipeline": _q_recipe,
-        "corpus_clean": _q_corpus_clean,
-        "stream_win_agg": _q_stream_win,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_join": _q_stream_join,
-        "stream_compact": _q_stream_compact,
-        "salted_agg": _q_salted_agg,
-        "row_ids": _q_row_ids,
-        "build_model": _q_build_model,
-        "apply_model": _q_apply_model,
     }
 
 
