@@ -88,6 +88,10 @@ def _deletion_variants(col: Column, max_dist: int = 1, max_len: int = 64) -> Col
     (distance up to 2k) only cost verify work, never correctness.
     Pure Column expression; expansion is O(len^k) per word."""
     word = F.substring(col, 1, max_len)
+    if max_dist == 1:
+        # common case (reference default): one flat transform, no
+        # nested flatten/transform over a singleton array
+        return F.array_distinct(F.concat(F.array(word), _one_deletions(word)))
     arr = F.array(word)
     for _ in range(max_dist):
         arr = F.array_distinct(F.concat(arr, F.flatten(F.transform(arr, _one_deletions))))
@@ -147,10 +151,13 @@ def fuzzy_match(
             df.select(F.col(left_col).alias("__k")).where(F.col("__k").isNotNull()).distinct()
             .withColumn("__v", F.explode(_deletion_variants(F.col("__k"), max_dist)))
         )
+        # no distinct on candidates: duplicate (k, w) pairs (matched via
+        # several variants) cost only repeated cheap verifies; the per-key
+        # window picks the same best row either way, and skipping the
+        # dedup saves a full (k, w) hash-aggregate exchange
         cand = (
             left_keys.join(F.broadcast(dict_side), "__v")
             .drop("__v")
-            .distinct()
             .withColumn("__d", F.levenshtein("__k", "__w"))
             .where(F.col("__d") <= max_dist)
         )
