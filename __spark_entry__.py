@@ -91,6 +91,81 @@ _SQL_GRAPH_SYM = """
 """
 
 
+def _sql_eigenvector(n_iter: int = 30) -> str:
+    """Unrolled power iterations matching graph.eigenvector_centrality
+    with tol=0: x' = x + A·x then L2-normalize, every float sum ordered
+    (``ORDER BY`` aggregate == the Spark side's fixed-order fold), so
+    both engines run the identical IEEE left fold."""
+    ctes = [
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym)",
+        "x0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / 25 AS x FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""u{i} AS MATERIALIZED (
+                SELECT p.node, p.x + coalesce(c.s, CAST(0.0 AS DOUBLE)) AS u
+                FROM x{i - 1} p LEFT JOIN (
+                    SELECT s.b AS node, sum(q.x ORDER BY s.a) AS s
+                    FROM sym s JOIN x{i - 1} q ON q.node = s.a
+                    GROUP BY s.b
+                ) c ON c.node = p.node
+            )"""
+        )
+        ctes.append(
+            f"""x{i} AS MATERIALIZED (
+                SELECT node,
+                       u / (SELECT sqrt(sum(u * u ORDER BY node)) FROM u{i}) AS x
+                FROM u{i}
+            )"""
+        )
+    return (
+        "WITH "
+        + _SQL_GRAPH_SYM
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(x, 6) AS eigenvector FROM x{n_iter}"
+    )
+
+
+_SQL_SQUARE_CLUSTERING = (
+    "WITH "
+    + _SQL_GRAPH_SYM
+    + """,
+    deg AS MATERIALIZED (SELECT a AS node, count(*) AS k FROM sym GROUP BY a),
+    p2 AS MATERIALIZED (
+        SELECT s1.b AS u, s2.b AS w, count(*) AS cn
+        FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b != s2.b
+        GROUP BY s1.b, s2.b
+    ),
+    pairs AS (
+        SELECT s1.a AS v, s1.b AS u, s2.b AS w
+        FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+    ),
+    per_pair AS (
+        SELECT p.v,
+               p2.cn - 1 AS sq,
+               p2.cn - 1 + 1 + CASE WHEN e.a IS NULL THEN 0 ELSE 1 END AS degm,
+               du.k AS ku, dw.k AS kw
+        FROM pairs p
+        JOIN p2 ON p2.u = p.u AND p2.w = p.w
+        LEFT JOIN (SELECT a, b FROM sym WHERE a < b) e ON e.a = p.u AND e.b = p.w
+        JOIN deg du ON du.node = p.u
+        JOIN deg dw ON dw.node = p.w
+    ),
+    agg AS (
+        SELECT v AS node, sum(sq) AS num,
+               sum(ku - degm + kw - degm + sq) AS pot
+        FROM per_pair GROUP BY v
+    )
+    SELECT CAST(d.node AS BIGINT) AS node,
+           coalesce(CASE WHEN a.pot > 0
+                         THEN round(CAST(a.num AS DOUBLE) / a.pot, 6)
+                         ELSE 0.0 END, 0.0) AS square_clustering
+    FROM deg d LEFT JOIN agg a ON a.node = d.node
+"""
+)
+
+
 def _sql_pagerank(n_iter: int = 20) -> str:
     """Unrolled pagerank iterations (one CTE per round) — same IEEE ops
     as graph.pagerank with tol=0: base (1.0-0.85)/25, damped neighbor
@@ -449,6 +524,23 @@ def _q_pagerank(spark, sf):
     # tol=0 -> exactly max_iter iterations, matching the unrolled oracle
     return pagerank(_ring_chord_edges(spark, sf), max_iter=20, tol=0.0).select(
         F.col("node").cast("long").alias("node"), "pagerank"
+    )
+
+
+def _q_eigenvector(spark, sf):
+    from backend_spark.operators.graph import eigenvector_centrality
+
+    # tol=0 -> exactly max_iter rounds, matching the unrolled oracle
+    return eigenvector_centrality(_ring_chord_edges(spark, sf), max_iter=30, tol=0.0).select(
+        F.col("node").cast("long").alias("node"), "eigenvector"
+    )
+
+
+def _q_square_clustering(spark, sf):
+    from backend_spark.operators.graph import square_clustering
+
+    return square_clustering(_ring_chord_edges(spark, sf)).select(
+        F.col("node").cast("long").alias("node"), "square_clustering"
     )
 
 
@@ -1300,6 +1392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query prefix per round, so queries with the least driver history
     # (never sampled, then stalest round, then freshest) come first.
     return {
+        "eigenvector": _q_eigenvector,
+        "square_clustering": _q_square_clustering,
         "compact_latest": _q_compact_latest,
         "profile": _q_profile,
         "pivot": _q_pivot,
@@ -1621,6 +1715,8 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tc ON tc.node = d.node
         """,
         "pagerank": _sql_pagerank(20),
+        "eigenvector": _sql_eigenvector(30),
+        "square_clustering": _SQL_SQUARE_CLUSTERING,
         "dedup_exact": "SELECT doc_id, text FROM documents",
         "minhash_sig": f"""
             WITH t AS (SELECT doc_id, {norm_text} AS s FROM documents),

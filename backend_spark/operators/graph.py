@@ -328,3 +328,155 @@ def closeness_centrality(
     if round_to is not None:
         c = F.round(c, round_to)
     return per_src.select(F.col("s").alias("node"), c.alias("closeness"))
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    tol: float = 1.0e-6,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Eigenvector centrality by power iteration (networkx
+    ``eigenvector_centrality`` semantics: uniform 1/N start,
+    ``x' = x + A·x`` per round, L2 normalization, L1 convergence at
+    N·tol; the reference's clique ``compute`` list calls the ``_numpy``
+    variant of the same fixed point, code/recipes.py:2014-2034).
+
+    Exactness posture: every float reduction is a fixed-order fold —
+    per-node neighbor contributions fold over the node's sorted
+    adjacency (``F.aggregate`` over ``array_sort(collect_list(...))``),
+    and the L2 norm folds over the sorted node vector — so the result is
+    bit-identical at any parallelism and reproducible by an oracle that
+    sums with ``ORDER BY``.  The per-node adjacency array makes a hub
+    node's row O(degree); sized for entity-resolution components
+    (bounded-degree near-cliques), same caveat as
+    :func:`closeness_centrality`.  With ``tol=0`` runs exactly
+    ``max_iter`` rounds (oracle-friendly).  Returns (node, eigenvector).
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("eigenvector"))
+
+    x = nodes.withColumn("__x", F.lit(1.0 / n_nodes)).localCheckpoint(eager=True)
+    ordered_sum = lambda col: F.aggregate(  # noqa: E731 — fixed-order float fold
+        F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, v: a + v["v"]
+    )
+    for _ in range(max_iter):
+        contrib = (
+            sym.join(x.select(F.col("node").alias("a"), "__x"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(ordered_sum(F.struct(F.col("a").alias("k"), F.col("__x").alias("v"))).alias("__in"))
+        )
+        unnorm = (
+            x.join(contrib, "node", "left")
+            .select("node", (F.col("__x") + F.coalesce(F.col("__in"), F.lit(0.0))).alias("__u"))
+        )
+        norm_df = unnorm.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct(F.col("node").alias("k"),
+                                                         (F.col("__u") * F.col("__u")).alias("v")))),
+                    F.lit(0.0),
+                    lambda a, v: a + v["v"],
+                )
+            ).alias("__norm")
+        )
+        # norm stays in-plan (broadcast 1-row cross join): one job per
+        # round instead of a collect + a checkpoint job
+        new_x = (
+            unnorm.crossJoin(F.broadcast(norm_df))
+            .select(
+                "node",
+                (F.col("__u") / F.when(F.col("__norm") > 0, F.col("__norm")).otherwise(F.lit(1.0))).alias("__x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol > 0:
+            delta = (
+                new_x.join(x.select("node", F.col("__x").alias("__old")), "node")
+                .agg(F.sum(F.abs(F.col("__x") - F.col("__old"))).alias("d"))
+                .collect()[0].d
+            )
+            if delta is not None and delta < n_nodes * tol:
+                x = new_x
+                break
+        x = new_x
+    out = x.select("node", F.col("__x").alias("eigenvector"))
+    if round_to is not None:
+        out = out.withColumn("eigenvector", F.round("eigenvector", round_to))
+    return out
+
+
+def square_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Square (C4) clustering coefficient per node — networkx
+    ``square_clustering`` (Lind et al. 2005), the last metric of the
+    reference's clique ``compute`` list (code/recipes.py:2014-2034):
+    over unordered neighbor pairs (u, w) of v,
+
+        sq(u,w)  = |N(u) ∩ N(w)| − 1          (common neighbors minus v)
+        degm     = sq + 1 + [u ~ w]
+        C4(v)    = Σ sq / Σ ((k_u − degm) + (k_w − degm) + sq)
+
+    with C4 = 0 when the denominator is 0 (e.g. degree < 2).
+
+    Plan: a two-path count table P2(u, w) (adjacency self-joined on the
+    middle node, one integer aggregate), joined to the neighbor-pair
+    enumeration of each v — all counting stays in integer arithmetic,
+    so there is no float-order nondeterminism anywhere; the single
+    division happens once per node at the end.  Work is O(Σ deg²) like
+    triangle counting, spread by equi-join shuffles, no per-node
+    adjacency materialization.  Returns (node, square_clustering).
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+
+    # P2(u, w): number of length-2 paths u—z—w (u ≠ w) == |N(u) ∩ N(w)|
+    p2 = (
+        sym.select(F.col("a").alias("z"), F.col("b").alias("u"))
+        .join(sym.select(F.col("a").alias("z"), F.col("b").alias("w")), "z")
+        .where(F.col("u") != F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    # unordered neighbor pairs (u < w) around each v
+    pairs = (
+        sym.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+        .where(F.col("u") < F.col("w"))
+    )
+    canon = sym.where(F.col("a") < F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("w"), F.lit(1).alias("e")
+    )
+    per_pair = (
+        pairs.join(p2, ["u", "w"])  # u,w share v, so cn ≥ 1 always
+        .join(canon, ["u", "w"], "left")
+        .join(deg.select(F.col("node").alias("u"), F.col("k").alias("ku")), "u")
+        .join(deg.select(F.col("node").alias("w"), F.col("k").alias("kw")), "w")
+        .select(
+            "v",
+            (F.col("cn") - 1).alias("sq"),
+            (F.col("cn") - 1 + 1 + F.coalesce(F.col("e"), F.lit(0))).alias("degm"),
+            "ku",
+            "kw",
+        )
+    )
+    agg = per_pair.groupBy(F.col("v").alias("node")).agg(
+        F.sum("sq").alias("num"),
+        F.sum(F.col("ku") - F.col("degm") + F.col("kw") - F.col("degm") + F.col("sq")).alias("pot"),
+    )
+    c = F.when(F.col("pot") > 0, F.col("num") / F.col("pot")).otherwise(F.lit(0.0))
+    if round_to is not None:
+        c = F.round(c, round_to)
+    return (
+        deg.join(agg, "node", "left")
+        .select("node", F.coalesce(c, F.lit(0.0)).alias("square_clustering"))
+    )

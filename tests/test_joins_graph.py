@@ -805,3 +805,65 @@ def test_char_entropy_hand_check(spark):
     assert out[1] == (4, 0.0)                       # one symbol -> zero entropy
     assert out[2] == (4, round(math.log(2), 4))     # two equiprobable symbols
     assert out[3] == (4, round(math.log(4), 4))     # four equiprobable symbols
+
+
+def test_eigenvector_centrality_matches_power_iteration(spark):
+    import math
+
+    from backend_spark.operators.graph import eigenvector_centrality
+
+    raw = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (1, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    adj = {}
+    for a, b in raw:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    x = {v: 1.0 / len(adj) for v in adj}
+    for _ in range(30):
+        xl = dict(x)
+        x = {b: xl[b] + sum(xl[a] for a in sorted(adj[b])) for b in adj}
+        norm = math.sqrt(sum(x[k] * x[k] for k in sorted(adj)))
+        x = {k: v / norm for k, v in x.items()}
+    got = {r.node: r.eigenvector for r in
+           eigenvector_centrality(edges, max_iter=30, tol=0.0).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v] == pytest.approx(round(x[v], 6), abs=2e-6), v
+
+
+def test_square_clustering_matches_lind_formula(spark):
+    import itertools
+
+    from backend_spark.operators.graph import square_clustering
+
+    # C4 on a 4-cycle with one chord and a pendant node
+    raw = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (3, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def expect(v):
+        num = pot = 0
+        for u, w in itertools.combinations(sorted(adj[v]), 2):
+            sq = len((adj[u] & adj[w]) - {v})
+            degm = sq + 1 + (1 if w in adj[u] else 0)
+            num += sq
+            pot += (len(adj[u]) - degm) + (len(adj[w]) - degm) + sq
+        return round(num / pot, 6) if pot > 0 else 0.0
+
+    got = {r.node: r.square_clustering for r in square_clustering(edges).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        assert got[v] == pytest.approx(expect(v), abs=1e-9), v
+
+
+def test_square_clustering_zero_on_pendant_and_no_squares(spark):
+    from backend_spark.operators.graph import square_clustering
+
+    # path graph: no squares anywhere, pendant nodes have deg < 2
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r.node: r.square_clustering for r in square_clustering(edges).collect()}
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0}
