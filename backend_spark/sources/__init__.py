@@ -216,3 +216,28 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
 
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **options) -> None:
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
+
+
+def read_sql_query(
+    spark: SparkSession, url: str, select: str, expert: bool = False, **options
+) -> DataFrame:
+    """Whole-query pushdown read — the reference's SQL 'expert' mode
+    (code/recipes.py:487-499) runs the user's SELECT entirely inside the
+    source database (COPY ... TO STDOUT as CSV) and streams the result.
+    Spark-first, the same semantic is the JDBC ``query`` option: the
+    SELECT executes source-side, Spark only ships the result set; the
+    reference's CSV transport is a wire-format artifact the connector
+    replaces.  ``expert=True`` reproduces the reference's documented
+    coercion ('all typed columns will be converted to string') by
+    casting every result column to string.  Partitioned-read options
+    still apply for parallel result fetch."""
+    df = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", select)
+        .options(**options)
+        .load()
+    )
+    if expert:
+        df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+    return df

@@ -480,3 +480,116 @@ def test_funnel_ordered_steps_and_break(spark):
     assert out[2] == (20, 30, None, 2)  # the t=10 'b' precedes 'a': not counted
     assert out[3] == (10, None, None, 1)
     assert out[4] == (None, None, None, 0)
+
+
+def test_es_read_wrapper_option_contract():
+    """Jar-free contract: read_elasticsearch must hit the es-hadoop
+    DataSource with metadata on by default and user options passed
+    through — regressions here only surface on a live cluster, so pin
+    the call surface against a mock."""
+    from unittest.mock import MagicMock
+
+    from backend_spark.sources import read_elasticsearch
+
+    spark = MagicMock()
+    reader = spark.read.format.return_value
+    read_elasticsearch(spark, "idx/doc", **{"es.nodes": "example:9200", "es.query": "?q=x"})
+    spark.read.format.assert_called_once_with("org.elasticsearch.spark.sql")
+    (opts,) = (reader.options.call_args.kwargs,)
+    assert opts["es.read.metadata"] == "true"
+    assert opts["es.nodes"] == "example:9200" and opts["es.query"] == "?q=x"
+    reader.options.return_value.load.assert_called_once_with("idx/doc")
+
+
+def test_es_write_wrapper_upsert_contract():
+    from unittest.mock import MagicMock
+
+    from backend_spark.sources import write_elasticsearch
+
+    df = MagicMock()
+    chain = df.write.format.return_value.options.return_value.mode.return_value
+    write_elasticsearch(df, "idx/doc", mode="update", id_col="id", **{"es.batch.write.retry.count": "5"})
+    df.write.format.assert_called_once_with("org.elasticsearch.spark.sql")
+    opts = df.write.format.return_value.options.call_args.kwargs
+    # reference update mode -> connector upsert on append (recipes.py:771-850)
+    assert opts["es.write.operation"] == "upsert"
+    assert opts["es.mapping.id"] == "id"
+    assert opts["es.batch.write.retry.count"] == "5"
+    df.write.format.return_value.options.return_value.mode.assert_called_once_with("append")
+    chain.save.assert_called_once_with("idx/doc")
+
+
+def test_jdbc_read_wrapper_partitioned_contract():
+    """Partitioned-read options (partitionColumn/bounds/numPartitions)
+    must reach the jdbc reader — that is what makes the 100 TB read
+    parallel instead of a single-connection scan."""
+    from unittest.mock import MagicMock
+
+    from backend_spark.sources import read_jdbc
+
+    spark = MagicMock()
+    reader = spark.read.format.return_value
+    reader.option.return_value = reader
+    reader.options.return_value = reader
+    read_jdbc(
+        spark, "jdbc:postgresql://h/db", "events",
+        partitionColumn="id", lowerBound="0", upperBound="1000000", numPartitions="64",
+    )
+    spark.read.format.assert_called_once_with("jdbc")
+    flat = {c.args[0]: c.args[1] for c in reader.option.call_args_list}
+    assert flat == {"url": "jdbc:postgresql://h/db", "dbtable": "events"}
+    opts = reader.options.call_args.kwargs
+    assert opts == {"partitionColumn": "id", "lowerBound": "0",
+                    "upperBound": "1000000", "numPartitions": "64"}
+    reader.load.assert_called_once_with()
+
+
+def test_jdbc_write_wrapper_contract():
+    from unittest.mock import MagicMock
+
+    from backend_spark.sources import write_jdbc
+
+    df = MagicMock()
+    w = df.write.format.return_value
+    w.option.return_value = w
+    w.options.return_value = w
+    w.mode.return_value = w
+    write_jdbc(df, "jdbc:postgresql://h/db", "out", mode="append", batchsize="10000")
+    df.write.format.assert_called_once_with("jdbc")
+    flat = {c.args[0]: c.args[1] for c in w.option.call_args_list}
+    assert flat == {"url": "jdbc:postgresql://h/db", "dbtable": "out"}
+    assert w.options.call_args.kwargs == {"batchsize": "10000"}
+    w.mode.assert_called_once_with("append")
+    w.save.assert_called_once_with()
+
+
+def test_sql_query_pushdown_wrapper_contract():
+    """The reference's SQL expert/COPY fast path == whole-query pushdown:
+    the SELECT must reach the jdbc source as the `query` option (executed
+    in the source database), never as a local table scan."""
+    from unittest.mock import MagicMock
+
+    from backend_spark.sources import read_sql_query
+
+    spark = MagicMock()
+    reader = spark.read.format.return_value
+    reader.option.return_value = reader
+    reader.options.return_value = reader
+    sel = "select a, count(*) c from t group by a"
+    read_sql_query(spark, "jdbc:postgresql://h/db", sel, fetchsize="5000")
+    flat = {c.args[0]: c.args[1] for c in reader.option.call_args_list}
+    assert flat == {"url": "jdbc:postgresql://h/db", "query": sel}
+    assert reader.options.call_args.kwargs == {"fetchsize": "5000"}
+    reader.load.assert_called_once_with()
+
+
+def test_sql_query_pushdown_expert_stringifies(spark):
+    from unittest.mock import patch
+
+    from backend_spark.sources import read_sql_query
+
+    real = spark.createDataFrame([(1, 2.5)], "a long, b double")
+    with patch.object(type(spark.read.format("jdbc")), "load", return_value=real):
+        out = read_sql_query(spark, "jdbc:x", "select 1", expert=True)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["string", "string"]
+    assert out.collect()[0] == ("1", "2.5")
