@@ -27,7 +27,13 @@ Endpoints (JSON in/out):
 * ``POST /datasets/<name>/_search`` and ``/_update/<id>`` — HTTP proxy
   to the dataset's Elasticsearch index (code/api.py:745-812); requires
   an ``elasticsearch``-format dataset conf and a reachable ``url``.
-* ``GET  /health``               — liveness.
+* ``GET  /health``               — liveness (always unauthenticated).
+
+Auth: pass ``security=SecurityConf(...)`` (``backend_spark.security``)
+to enable the reference's users/groups/roles rights model over HTTP
+Basic — GETs need ``read``, run/test/apply/_update need ``update``,
+mirroring the reference's ``@authorize`` decorators; ``no_auth`` or
+``security=None`` disables the layer (code/security.py:16-21).
 """
 
 from __future__ import annotations
@@ -97,15 +103,40 @@ class JobRegistry:
 
 
 class ApiServer:
-    def __init__(self, spark: SparkSession, book: RecipeBook, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        spark: SparkSession,
+        book: RecipeBook,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        security=None,
+    ):
         self.spark = spark
         self.book = book
         self.jobs = JobRegistry()
+        self.security = security  # SecurityConf | None; None == no auth layer
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
+
+            def _auth(self, right: str, project: str) -> bool:
+                """Reference @login_required + @authorize(right=...)
+                (code/api.py route decorators; rights walk
+                code/security.py:16-47).  Sends 401/403 and returns
+                False when the request may not proceed."""
+                sec = outer.security
+                if sec is None or sec.no_auth:
+                    return True
+                user = sec.authenticate_basic(self.headers.get("Authorization"))
+                if user is None:
+                    self._send(401, {"error": "authentication required"})
+                    return False
+                if not sec.check_rights(user, project, right):
+                    self._send(403, {"error": f"user {user} lacks {right} on {project}"})
+                    return False
+                return True
 
             def _send(self, code: int, payload):
                 body = json.dumps(payload, default=str).encode()
@@ -128,11 +159,15 @@ class ApiServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/health":
+                if self.path == "/health":  # liveness stays unauthenticated
                     return self._send(200, {"status": "up"})
                 if self.path == "/jobs":
+                    if not self._auth("read", "_all"):
+                        return None
                     return self._send(200, outer.jobs.snapshot())
                 parts = self.path.strip("/").split("/")
+                if not self._auth("read", parts[1] if len(parts) > 1 else "_all"):
+                    return None
                 if parts[0] == "recipes":
                     if len(parts) == 1:  # conf of every recipe
                         return self._send(200, outer.book.recipes)
@@ -182,6 +217,9 @@ class ApiServer:
                 parts = self.path.strip("/").split("/")
                 if len(parts) == 3 and parts[0] == "recipes":
                     name, action = parts[1], parts[2]
+                    # reference run/test routes carry @authorize(right="update")
+                    if not self._auth("update", name):
+                        return None
                     if name not in outer.book.recipes:
                         return self._send(404, {"error": f"unknown recipe {name}"})
                     try:
@@ -207,6 +245,8 @@ class ApiServer:
                 try:
                     if len(parts) == 3 and parts[0] == "recipes" and parts[2] == "apply":
                         name = parts[1]
+                        if not self._auth("update", name):
+                            return None
                         if name not in outer.book.recipes:
                             return self._send(404, {"error": f"unknown recipe {name}"})
                         ctype = self.headers.get("Content-Type", "application/json")
@@ -225,6 +265,10 @@ class ApiServer:
                         # ES API proxy (reference code/api.py:745-812):
                         # forward the JSON body to the dataset's index
                         name, action = parts[1], parts[2]
+                        if not self._auth(
+                            "update" if action == "_update" else "read", name
+                        ):
+                            return None
                         conf = outer.book.dataset_conf.get(name) or {}
                         if conf.get("format") != "elasticsearch":
                             return self._send(403, {"error": "not an elasticsearch dataset"})
@@ -248,6 +292,8 @@ class ApiServer:
                         except urllib.error.HTTPError as e:
                             return self._send_text(e.code, e.read().decode(), "application/json")
                     if len(parts) == 2 and parts[0] == "datasets":
+                        if not self._auth("read", parts[1]):
+                            return None
                         df = outer.book.dataset(parts[1])
                         opts = json.loads(self._body() or b"{}")
                         n = int(opts.get("size", 10))

@@ -406,11 +406,22 @@ def simhash_neardup_pairs(
     right = banded.select(
         F.col(id_col).alias("id2"), F.col("simhash").alias("__h2"), "__s"
     )
+    # a pair agreeing on several slices comes out of the join once per
+    # slice; keep only the row whose join slice is the pair's FIRST
+    # agreeing slice — a pure codegen predicate on xor, so no distinct
+    # shuffle is needed to dedup candidates
+    xor = F.col("__h1").bitwiseXOR(F.col("__h2"))
+    first_agree = F.when(
+        xor.bitwiseAND(F.lit(mask)) == 0, F.lit(0)
+    )
+    for i in range(1, n_slices):
+        first_agree = first_agree.when(
+            F.shiftrightunsigned(xor, i * width).bitwiseAND(F.lit(mask)) == 0, F.lit(i)
+        )
     cand = (
         left.join(right, "__s")
-        .where(F.col("id1") < F.col("id2"))
+        .where((F.col("id1") < F.col("id2")) & (F.col("__s.slice") == first_agree))
         .select("id1", "__h1", "id2", "__h2")
-        .distinct()
     )
     ham = F.bit_count(F.col("__h1").bitwiseXOR(F.col("__h2"))).cast("int")
     return (

@@ -206,3 +206,107 @@ recipes:
         assert "event: close" in text  # stream closed after the job finished
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# auth layer (backend_spark.security mirroring reference code/security.py)
+# ---------------------------------------------------------------------------
+
+SEC_CONF = {
+    "global": {"api": {"no_auth": False}},
+    "users": {
+        "alice": {"password": "pw-a"},
+        "bob": {"password": "pw-b"},
+        "carol": {"password": None},
+    },
+    "roles": {
+        "admin": {"create": True, "read": True, "update": True, "delete": True},
+        "viewer": {"read": True},
+    },
+    "groups": {
+        "ops": {"projects": {"_all": {"admin": {"alice": None}}}},
+        "watchers": {"projects": {"upgrade": {"viewer": "bob"}}},
+    },
+}
+
+
+def test_check_rights_walk_and_wildcards():
+    from backend_spark.security import SecurityConf
+
+    sec = SecurityConf.from_conf(SEC_CONF)
+    # _all project wildcard: alice is admin everywhere
+    assert sec.check_rights("alice", "anything", "update")
+    # bob: viewer on upgrade only, read only
+    assert sec.check_rights("bob", "upgrade", "read")
+    assert not sec.check_rights("bob", "upgrade", "update")
+    assert not sec.check_rights("bob", "other", "read")
+    # unknown user / unknown right default False (reference Role defaults)
+    assert not sec.check_rights("mallory", "upgrade", "read")
+    # no_auth switch grants everything
+    sec.no_auth = True
+    assert sec.check_rights("mallory", "upgrade", "delete")
+
+
+def test_basic_auth_resolution():
+    import base64
+
+    from backend_spark.security import SecurityConf
+
+    sec = SecurityConf.from_conf(SEC_CONF)
+
+    def hdr(u, p):
+        return "Basic " + base64.b64encode(f"{u}:{p}".encode()).decode()
+
+    assert sec.authenticate_basic(hdr("alice", "pw-a")) == "alice"
+    assert sec.authenticate_basic(hdr("alice", "wrong")) is None
+    # None-password users can never authenticate (reference check_password)
+    assert sec.authenticate_basic(hdr("carol", "")) is None
+    assert sec.authenticate_basic(None) is None
+    assert sec.authenticate_basic("Bearer xyz") is None
+    assert sec.authenticate_basic("Basic !!!notb64!!!") is None
+
+
+def _req_auth(srv, method, path, user=None, password=None, body=None):
+    import base64
+
+    headers = {"Content-Type": "application/json"}
+    if user is not None:
+        headers["Authorization"] = (
+            "Basic " + base64.b64encode(f"{user}:{password}".encode()).decode()
+        )
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=body.encode() if isinstance(body, str) else body,
+        method=method,
+        headers=headers,
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_api_auth_enforced(spark):
+    from backend_spark.security import SecurityConf
+
+    book = RecipeBook(load_conf(CONF), spark=spark)
+    srv = ApiServer(spark, book, security=SecurityConf.from_conf(SEC_CONF)).start()
+    try:
+        # health is always open
+        assert _req_auth(srv, "GET", "/health")[0] == 200
+        # anonymous read -> 401
+        assert _req_auth(srv, "GET", "/recipes")[0] == 401
+        # viewer can read its project, cannot run it
+        assert _req_auth(srv, "GET", "/recipes/upgrade", "bob", "pw-b")[0] == 200
+        assert _req_auth(srv, "PUT", "/recipes/upgrade/run", "bob", "pw-b")[0] == 403
+        # admin wildcard can run
+        code, body = _req_auth(
+            srv, "POST", "/recipes/upgrade/apply", "alice", "pw-a",
+            body=json.dumps([{"v": 1}]),
+        )
+        assert code == 200 and body["rows"][0]["v2"] == 2
+        # wrong password -> 401
+        assert _req_auth(srv, "GET", "/recipes", "alice", "nope")[0] == 401
+    finally:
+        srv.stop()
