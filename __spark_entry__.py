@@ -91,6 +91,45 @@ _SQL_GRAPH_SYM = """
 """
 
 
+def _sql_bpe_train(n_merges: int = 8) -> str:
+    """Unrolled BPE merge rounds matching llm.bpe_train: words as
+    space-joined symbol strings, argmax pair by (count desc, pair asc),
+    merge via the same left-to-right non-overlapping replace.  All
+    integer arithmetic — exact at any engine."""
+    ctes = [
+        """w AS MATERIALIZED (
+            SELECT word, count(*) AS wf
+            FROM (SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS word FROM documents)
+            WHERE length(word) >= 2 GROUP BY word)""",
+        """s0 AS MATERIALIZED (
+            SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq, wf
+            FROM w)""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""best{i} AS MATERIALIZED (
+                SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+                FROM (SELECT wf,
+                             unnest([toks[CAST(j AS INT)] || ' ' || toks[CAST(j AS INT) + 1]
+                                     for j in range(1, len(toks))]) AS pair
+                      FROM (SELECT wf, string_split(trim(seq), ' ') AS toks FROM s{i - 1}))
+                GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+                SELECT replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wf
+                FROM s{i - 1} CROSS JOIN best{i})"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, split_part(pair, ' ', 1) AS lhs, "
+        f"split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged, cnt "
+        f"FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 def _sql_eigenvector(n_iter: int = 30) -> str:
     """Unrolled power iterations matching graph.eigenvector_centrality
     with tol=0: x' = x + A·x then L2-normalize, every float sum ordered
@@ -525,6 +564,11 @@ def _q_pagerank(spark, sf):
     return pagerank(_ring_chord_edges(spark, sf), max_iter=20, tol=0.0).select(
         F.col("node").cast("long").alias("node"), "pagerank"
     )
+
+
+def _q_bpe_train(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.bpe_train(docs, "doc_id", "text", n_merges=8)
 
 
 def _q_eigenvector(spark, sf):
@@ -1392,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query prefix per round, so queries with the least driver history
     # (never sampled, then stalest round, then freshest) come first.
     return {
+        "bpe_train": _q_bpe_train,
         "eigenvector": _q_eigenvector,
         "square_clustering": _q_square_clustering,
         "compact_latest": _q_compact_latest,
@@ -1716,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _sql_pagerank(20),
         "eigenvector": _sql_eigenvector(30),
+        "bpe_train": _sql_bpe_train(8),
         "square_clustering": _SQL_SQUARE_CLUSTERING,
         "dedup_exact": "SELECT doc_id, text FROM documents",
         "minhash_sig": f"""

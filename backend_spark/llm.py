@@ -1479,6 +1479,73 @@ def quality_filter(
     return stats.withColumn("keep", keep)
 
 
+def bpe_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Iterative BPE tokenizer training (Sennrich et al. 2016 §3.2) —
+    the full merge loop, not just one pair count
+    (:func:`bpe_pair_counts` is the single-round primitive): each round
+    counts adjacent symbol pairs over the word-frequency table weighted
+    by word frequency, picks the most frequent pair (ties broken by
+    lexicographically smallest — a total order, so the winner is unique
+    and cross-engine deterministic), and merges every non-overlapping
+    left-to-right occurrence.
+
+    Words are represented as space-joined symbol strings, so a merge is
+    one ``replace(' l r ', ' lr ')`` over the vocabulary — the same
+    left-to-right non-overlap semantics in Spark and SQL engines.  Per
+    round: one explode + integer hash aggregate over the *vocabulary*
+    (millions of rows at 100 TB where the corpus is trillions; the
+    corpus itself is touched exactly once, by the word count) and a
+    1-row argmax collect (bounded driver state, like the KMeans
+    centroids).  All counts are integers — no float-order exposure.
+
+    Returns the learned merge table (rank, lhs, rhs, merged, cnt).
+    """
+    words = (
+        df.select(F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .where(F.length("word") >= 2)
+    )
+    seqs = words.select(
+        F.concat(F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")).alias("seq"),
+        "wf",
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        toks = F.split(F.trim("seq"), " ")
+        adj = F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        )
+        best = (
+            seqs.select("wf", F.explode(F.filter(adj, lambda p: p.isNotNull())).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("wf").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0].pair, best[0].cnt
+        lhs, _, rhs = pair.partition(" ")
+        merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+        seqs = seqs.select(
+            F.replace("seq", F.lit(f" {pair} "), F.lit(f" {lhs + rhs} ")).alias("seq"), "wf"
+        ).localCheckpoint(eager=False)
+
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, cnt bigint"
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing fingerprint (Schleimer et al.): k-gram hashes → min per
     sliding window → sorted distinct mins as (id, fp array<bigint>).

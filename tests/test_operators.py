@@ -408,3 +408,36 @@ def test_zscore_per_group_and_degenerate(spark):
     out = {r.rid: r.v_z for r in zscore(df, "v", group_col="g").collect()}
     assert out[1] == -1.0 and out[2] == 0.0 and out[3] == 1.0
     assert out[4] is None  # single-row group: null, not an ANSI division error
+
+
+def test_bpe_train_matches_reference_merge_loop(spark):
+    import collections
+    import re
+
+    from backend_spark import llm
+
+    texts = ["low lower lowest", "new newer newest", "low low new"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    # independent BPE on word frequencies (Sennrich et al. merge loop)
+    wf = collections.Counter(
+        w for t in texts for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if len(w) >= 2
+    )
+    vocab = {" ".join(w): c for w, c in wf.items()}
+    expect = []
+    for rank in range(1, 6):
+        pairs = collections.Counter()
+        for seq, c in vocab.items():
+            toks = seq.split()
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, lhs, rhs, lhs + rhs, cnt))
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        vocab = {(" " + s + " ").replace(pat, rep).strip(): c for s, c in vocab.items()}
+
+    got = [tuple(r) for r in llm.bpe_train(df, "doc_id", "text", n_merges=5)
+           .orderBy("rank").collect()]
+    assert got == expect
