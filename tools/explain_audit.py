@@ -38,6 +38,12 @@ EXPECT = {
     # cross-join must never appear on the default path
     "embed_banded": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "graph_metrics": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # two-path counting + pair enumeration: equi-joins only
+    "square_clustering": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # the returned merge table is driver-assembled (bounded: n_merges
+    # rows); the per-round vocabulary aggregates run inside the loop and
+    # are covered by bpe_pairs' audit of the same pair-count shape
+    "bpe_train": (["Scan ExistingRDD"], ["CartesianProduct", "Exchange"]),
     # benchmark gram set is tiny by construction -> must broadcast
     "decontaminate": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
     "repetition_stats": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
