@@ -1,0 +1,69 @@
+"""Parallelism-determinism gate: run every ``queries()`` entry under two
+deliberately different execution shapes (shuffle partitions 32 vs 3,
+file splits default vs tiny) and diff the canonical results.
+
+This targets the bug class behind the one red driver row of round 4
+(char_entropy): a float aggregate whose partial-sum order changes with
+partitioning can round differently at a value boundary, so it passes at
+one parallelism and fails at another.  Any query listed by this tool is
+nondeterministic under Spark's execution model and will eventually
+diverge from its oracle on some machine.
+
+Usage: python tools/determinism_check.py [name ...]   (exit 1 on diff)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from backend_spark.session import get_session  # noqa: E402
+from tools.check_oracle import SF_DIR, _canon  # noqa: E402
+
+SHAPES = (
+    {"spark.sql.shuffle.partitions": "32",
+     "spark.sql.files.maxPartitionBytes": "134217728"},
+    {"spark.sql.shuffle.partitions": "3",
+     "spark.sql.files.maxPartitionBytes": "65536"},
+)
+
+
+def main(only=None) -> int:
+    spark = get_session("determinism-check")
+    qs = entry_mod.queries()
+    bad, errs = [], []
+    for name, q in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        runs = []
+        try:
+            for shape in SHAPES:
+                for k, v in shape.items():
+                    spark.conf.set(k, v)
+                runs.append(_canon(q(spark, SF_DIR).toPandas())[0])
+        except Exception as e:
+            errs.append(name)
+            print(f"!  {name:20s} ERROR {type(e).__name__}: {str(e)[:160]}")
+            continue
+        finally:
+            for k, v in SHAPES[0].items():
+                spark.conf.set(k, v)
+        if runs[0] != runs[1]:
+            bad.append(name)
+            diff = next((i, a, b) for i, (a, b) in enumerate(zip(*runs)) if a != b)
+            print(f"✗ {name:20s} DIVERGES at sorted row {diff[0]}:\n"
+                  f"    shape A: {diff[1]}\n    shape B: {diff[2]}")
+        else:
+            print(f"✓ {name:20s} stable ({len(runs[0])} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{len(bad)} divergent, {len(errs)} errored")
+    if bad:
+        print("divergent:", " ".join(bad))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(set(sys.argv[1:]) or None))
