@@ -218,6 +218,66 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **o
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
 
 
+def read_mongodb(
+    spark: SparkSession, uri: str, database: str, collection: str, **options
+) -> DataFrame:
+    """MongoDB read via the official Spark connector (format
+    ``mongodb``; reference mongo connector, code/recipes.py — §2
+    inventory item 45).  Requires the mongo-spark-connector jar
+    (spark.jars.packages=org.mongodb.spark:mongo-spark-connector_2.13);
+    absent in this container, so errors surface with the jar hint, and
+    the option surface is pinned by jar-free contract tests."""
+    try:
+        return (
+            spark.read.format("mongodb")
+            .options(
+                **{
+                    "connection.uri": uri,
+                    "database": database,
+                    "collection": collection,
+                    **options,
+                }
+            )
+            .load()
+        )
+    except Exception as e:
+        raise RuntimeError(
+            "mongodb read needs the mongo-spark-connector jar "
+            "(spark.jars.packages=org.mongodb.spark:mongo-spark-connector_2.13:<ver>); "
+            f"underlying error: {e}"
+        ) from e
+
+
+def write_mongodb(
+    df: DataFrame,
+    uri: str,
+    database: str,
+    collection: str,
+    mode: str = "append",
+    id_col: str | None = None,
+    **options,
+) -> None:
+    """MongoDB write; ``id_col`` maps to the connector's ``idFieldList``
+    so re-runs upsert on that key instead of duplicating (the same
+    idempotency contract as :func:`prepare_es_write`)."""
+    opts = {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+        **options,
+    }
+    if id_col:
+        opts.setdefault("idFieldList", id_col)
+        opts.setdefault("operationType", "replace")
+    try:
+        df.write.format("mongodb").options(**opts).mode(mode).save()
+    except Exception as e:
+        raise RuntimeError(
+            "mongodb write needs the mongo-spark-connector jar; "
+            f"underlying error: {e}"
+        ) from e
+
+
 def read_sql_query(
     spark: SparkSession, url: str, select: str, expert: bool = False, **options
 ) -> DataFrame:

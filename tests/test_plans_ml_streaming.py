@@ -593,3 +593,29 @@ def test_sql_query_pushdown_expert_stringifies(spark):
         out = read_sql_query(spark, "jdbc:x", "select 1", expert=True)
     assert [f.dataType.simpleString() for f in out.schema.fields] == ["string", "string"]
     assert out.collect()[0] == ("1", "2.5")
+
+
+def test_mongodb_wrapper_contracts():
+    from unittest.mock import MagicMock
+
+    from backend_spark.sources import read_mongodb, write_mongodb
+
+    spark = MagicMock()
+    reader = spark.read.format.return_value
+    read_mongodb(spark, "mongodb://h:27017", "db", "events", **{"aggregation.pipeline": "[]"})
+    spark.read.format.assert_called_once_with("mongodb")
+    opts = reader.options.call_args.kwargs
+    assert opts["connection.uri"] == "mongodb://h:27017"
+    assert opts["database"] == "db" and opts["collection"] == "events"
+    assert opts["aggregation.pipeline"] == "[]"
+    reader.options.return_value.load.assert_called_once_with()
+
+    df = MagicMock()
+    w = df.write.format.return_value
+    write_mongodb(df, "mongodb://h:27017", "db", "out", id_col="doc_id")
+    df.write.format.assert_called_once_with("mongodb")
+    wopts = w.options.call_args.kwargs
+    # idempotent re-runs: replace on the id key, never duplicate
+    assert wopts["idFieldList"] == "doc_id" and wopts["operationType"] == "replace"
+    w.options.return_value.mode.assert_called_once_with("append")
+    w.options.return_value.mode.return_value.save.assert_called_once_with()
