@@ -811,12 +811,15 @@ def decontaminate(
         _grams(df, text_col, [id_col])
         .select(F.col(id_col), F.explode_outer("__gs").alias("__g"))
         .select(id_col, fn.md5_long(F.col("__g")).alias("__h"))
-        .distinct()
     )
+    # dedup AFTER the broadcast semi-join: the map-side join filters the
+    # corpus grams down to contaminated ones (a tiny fraction), so the
+    # countDistinct shuffle carries only hits — deduping before the join
+    # would shuffle every (id, gram) pair of the whole corpus instead
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "__h", "inner")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated_ngrams"))
+        .agg(F.count_distinct("__h").alias("n_contaminated_ngrams"))
     )
     return (
         df.select(id_col)
