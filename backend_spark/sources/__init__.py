@@ -218,6 +218,38 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite", **o
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
 
 
+def configure_s3a(
+    spark: SparkSession,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    path_style_access: bool | None = None,
+    anonymous: bool = False,
+) -> SparkSession:
+    """Point the Hadoop s3a filesystem at an object store (the
+    reference's s3 connector, code/recipes.py:111-246, rides boto-style
+    credentials; Spark-side the same knobs are hadoop confs).  After
+    this, every reader/writer in this module accepts ``s3a://`` paths —
+    s3 is a *path scheme*, not a separate connector.  Needs the
+    hadoop-aws + aws-sdk jars on the classpath at runtime; the conf
+    surface itself is jar-free and contract-tested."""
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    if anonymous:
+        hc.set(
+            "fs.s3a.aws.credentials.provider",
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider",
+        )
+    if access_key is not None:
+        hc.set("fs.s3a.access.key", access_key)
+    if secret_key is not None:
+        hc.set("fs.s3a.secret.key", secret_key)
+    if endpoint is not None:
+        hc.set("fs.s3a.endpoint", endpoint)
+    if path_style_access is not None:
+        hc.set("fs.s3a.path.style.access", "true" if path_style_access else "false")
+    return spark
+
+
 def read_mongodb(
     spark: SparkSession, uri: str, database: str, collection: str, **options
 ) -> DataFrame:

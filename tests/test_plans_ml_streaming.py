@@ -619,3 +619,19 @@ def test_mongodb_wrapper_contracts():
     assert wopts["idFieldList"] == "doc_id" and wopts["operationType"] == "replace"
     w.options.return_value.mode.assert_called_once_with("append")
     w.options.return_value.mode.return_value.save.assert_called_once_with()
+
+
+def test_s3a_conf_surface(spark):
+    from backend_spark.sources import configure_s3a
+
+    configure_s3a(
+        spark, access_key="AK", secret_key="SK",
+        endpoint="http://minio:9000", path_style_access=True,
+    )
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("fs.s3a.access.key") == "AK"
+    assert hc.get("fs.s3a.secret.key") == "SK"
+    assert hc.get("fs.s3a.endpoint") == "http://minio:9000"
+    assert hc.get("fs.s3a.path.style.access") == "true"
+    configure_s3a(spark, anonymous=True)
+    assert "Anonymous" in hc.get("fs.s3a.aws.credentials.provider")
