@@ -571,6 +571,17 @@ def _q_bpe_train(spark, sf):
     return llm.bpe_train(docs, "doc_id", "text", n_merges=8)
 
 
+def _q_closeness_approx(spark, sf):
+    from backend_spark.operators.graph import closeness_centrality_approx
+
+    # rows-only: DuckDB has no DataSketches-compatible HLL, so there is
+    # no exact cross-engine oracle; the op is deterministic (max-register
+    # merges) and is pinned against the exact kernel in tests/
+    return closeness_centrality_approx(_ring_chord_edges(spark, sf)).select(
+        F.col("node").cast("long").alias("node"), "closeness"
+    )
+
+
 def _q_eigenvector(spark, sf):
     from backend_spark.operators.graph import eigenvector_centrality
 
@@ -1437,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never sampled, then stalest round, then freshest) come first.
     return {
         "bpe_train": _q_bpe_train,
+        "closeness_approx": _q_closeness_approx,
         "eigenvector": _q_eigenvector,
         "square_clustering": _q_square_clustering,
         "compact_latest": _q_compact_latest,

@@ -480,3 +480,81 @@ def square_clustering(
         deg.join(agg, "node", "left")
         .select("node", F.coalesce(c, F.lit(0.0)).alias("square_clustering"))
     )
+
+
+def closeness_centrality_approx(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 30,
+    lg_config_k: int = 12,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate closeness centrality via the ANF/HyperANF
+    neighborhood-function algorithm (Palmer et al. 2002, Boldi et al.
+    2011): each node carries a mergeable HLL sketch of its ≤h-hop
+    neighborhood; one hop is one equi-join + one ``hll_union_agg`` —
+    state is **O(nodes · sketch)** instead of the exact
+    :func:`closeness_centrality`'s O(Σ component²) pair frontier, which
+    is the 100 TB path for graphs with giant components.
+
+    ``Σdist ≈ Σ_h h · (|N_h| − |N_{h-1}|)`` from the per-hop estimates,
+    then Wasserman-Faust normalization like the exact kernel.  HLL
+    merges are max-register (commutative, associative), so results are
+    partition-order deterministic — approximate in value (relative
+    error ~1.6%/√2^lg_config_k) but stable run-to-run.  Terminates when
+    no node's estimate grew in a round (≤ diameter rounds).
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    state = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(lg_config_k)).alias("__sk"))
+        .withColumn("__est", F.hll_sketch_estimate("__sk"))
+        .withColumn("__sumdist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = state.count()
+    if n_nodes == 0:
+        return state.select("node", F.lit(0.0).alias("closeness"))
+    for hop in range(1, max_hops + 1):
+        nbr = (
+            sym.join(state.select(F.col("node").alias("a"), "__sk"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.hll_union_agg("__sk", True).alias("__nsk"))
+        )
+        new_state = (
+            state.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("__nsk").isNotNull(), F.hll_union("__sk", "__nsk", True)
+                ).otherwise(F.col("__sk")).alias("__sk"),
+                F.col("__est").alias("__prev"),
+                "__sumdist",
+            )
+            .withColumn("__est", F.hll_sketch_estimate("__sk"))
+            .withColumn(
+                "__sumdist",
+                F.col("__sumdist")
+                + F.lit(float(hop)) * F.greatest(F.col("__est") - F.col("__prev"), F.lit(0)),
+            )
+            .drop("__prev")
+            .localCheckpoint(eager=True)
+        )
+        grew = new_state.join(
+            state.select("node", F.col("__est").alias("__old")), "node"
+        ).where(F.col("__est") > F.col("__old")).isEmpty()
+        state = new_state
+        if grew:  # no sketch grew -> every neighborhood is complete
+            break
+    c = (
+        F.when(F.col("__sumdist") > 0,
+               ((F.col("__est") - 1) / F.lit(float(n_nodes - 1)))
+               * ((F.col("__est") - 1) / F.col("__sumdist")))
+        .otherwise(F.lit(0.0))
+    )
+    if round_to is not None:
+        c = F.round(c, round_to)
+    return state.select("node", c.alias("closeness"))

@@ -867,3 +867,22 @@ def test_square_clustering_zero_on_pendant_and_no_squares(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
     got = {r.node: r.square_clustering for r in square_clustering(edges).collect()}
     assert got == {0: 0.0, 1: 0.0, 2: 0.0}
+
+
+def test_closeness_approx_tracks_exact_and_is_deterministic(spark):
+    from backend_spark.operators.graph import (
+        closeness_centrality,
+        closeness_centrality_approx,
+    )
+
+    raw = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    exact = {r.node: r.closeness for r in closeness_centrality(edges).collect()}
+    approx = {r.node: r.closeness for r in closeness_centrality_approx(edges).collect()}
+    assert set(approx) == set(exact)
+    # HLL is exact at these cardinalities; at scale error is ~1.6%
+    for n in exact:
+        assert approx[n] == pytest.approx(exact[n], rel=0.05), n
+    again = {r.node: r.closeness for r in
+             closeness_centrality_approx(edges.repartition(7)).collect()}
+    assert again == approx  # max-register merges are order-independent
