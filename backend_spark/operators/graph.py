@@ -292,8 +292,9 @@ def closeness_centrality(
     lineage truncated per round, terminating when no new pairs appear
     (≤ graph diameter rounds).  State is O(Σ component²) — sized for
     entity-resolution components (near-cliques, diameter 2-4), like the
-    reference's per-group networkx call; not for one giant web graph.
-    Returns (node, closeness).
+    reference's per-group networkx call; for graphs with a giant
+    component use :func:`closeness_centrality_approx` (ANF sketches,
+    O(nodes) state).  Returns (node, closeness).
     """
     sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
     nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
