@@ -45,6 +45,11 @@ HEADLINE = [
     "compact_latest",
     "bm25_topk",
     "profile",
+    # round 5 graph kernel (bpe_train is excluded: its merge loop runs
+    # eagerly at query construction, so this harness — which times the
+    # second noop save of one built DataFrame, checkpoint reuse and all,
+    # comparably with rounds 1-4 — would measure only its result save)
+    "square_clustering",
 ]
 
 
