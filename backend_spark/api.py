@@ -131,7 +131,15 @@ class ApiServer:
                     return True
                 user = sec.authenticate_basic(self.headers.get("Authorization"))
                 if user is None:
-                    self._send(401, {"error": "authentication required"})
+                    # RFC 7235: a 401 must carry the challenge, or
+                    # reactive-auth clients never retry with credentials
+                    body = json.dumps({"error": "authentication required"}).encode()
+                    self.send_response(401)
+                    self.send_header("WWW-Authenticate", 'Basic realm="backend_spark"')
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return False
                 if not sec.check_rights(user, project, right):
                     self._send(403, {"error": f"user {user} lacks {right} on {project}"})

@@ -509,8 +509,7 @@ def closeness_centrality_approx(
     sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
     state = (
         sym.select(F.col("a").alias("node"))
-        .distinct()
-        .groupBy("node")
+        .groupBy("node")  # the groupBy dedups; a prior distinct would be a second exchange
         .agg(F.hll_sketch_agg("node", F.lit(lg_config_k)).alias("__sk"))
         .withColumn("__est", F.hll_sketch_estimate("__sk"))
         .withColumn("__sumdist", F.lit(0.0))

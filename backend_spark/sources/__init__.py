@@ -148,6 +148,8 @@ def read_elasticsearch(spark: SparkSession, resource: str, **options) -> DataFra
             .load(resource)
         )
     except Exception as e:  # jar missing -> actionable message
+        if not _is_missing_datasource(e):
+            raise
         raise RuntimeError(
             "elasticsearch read needs the es-hadoop connector jar "
             "(spark.jars.packages=org.elasticsearch:elasticsearch-spark-30_2.13:<ver>); "
@@ -201,6 +203,8 @@ def write_elasticsearch(
     try:
         df.write.format("org.elasticsearch.spark.sql").options(**opts).mode(mode).save(resource)
     except Exception as e:
+        if not _is_missing_datasource(e):
+            raise
         raise RuntimeError(
             "elasticsearch write needs the es-hadoop connector jar; "
             f"underlying error: {e}"
@@ -273,6 +277,8 @@ def read_mongodb(
             .load()
         )
     except Exception as e:
+        if not _is_missing_datasource(e):
+            raise  # real connector errors (auth, URI, network) pass through
         raise RuntimeError(
             "mongodb read needs the mongo-spark-connector jar "
             "(spark.jars.packages=org.mongodb.spark:mongo-spark-connector_2.13:<ver>); "
@@ -304,10 +310,24 @@ def write_mongodb(
     try:
         df.write.format("mongodb").options(**opts).mode(mode).save()
     except Exception as e:
+        if not _is_missing_datasource(e):
+            raise
         raise RuntimeError(
             "mongodb write needs the mongo-spark-connector jar; "
             f"underlying error: {e}"
         ) from e
+
+
+def _is_missing_datasource(e: Exception) -> bool:
+    """True when the error means the DataSource/its jar is absent from
+    the classpath (vs a real connector error like bad auth or URI)."""
+    msg = str(e)
+    return (
+        "Failed to find data source" in msg
+        or "Failed to find the data source" in msg
+        or "ClassNotFoundException" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
+    )
 
 
 def read_sql_query(

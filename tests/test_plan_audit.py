@@ -34,21 +34,18 @@ def test_float_heavy_queries_parallelism_deterministic(spark):
     different shuffle/split shapes.  The full sweep lives in
     tools/determinism_check.py (98/98 stable); this pins the riskiest."""
     import __spark_entry__ as entry_mod
-    from tools.check_oracle import _canon
+    from tools.check_oracle import SF_DIR, _canon
+    from tools.determinism_check import SHAPES
 
     qs = entry_mod.queries()
-    shapes = (
-        {"spark.sql.shuffle.partitions": "32",
-         "spark.sql.files.maxPartitionBytes": "134217728"},
-        {"spark.sql.shuffle.partitions": "3",
-         "spark.sql.files.maxPartitionBytes": "65536"},
-    )
-    for name in ("char_entropy", "eigenvector", "collocations", "zscore"):
-        runs = []
-        for shape in shapes:
-            for k, v in shape.items():
-                spark.conf.set(k, v)
-            runs.append(_canon(qs[name](spark, "/root/testdata/sf0.01").toPandas())[0])
-        for k in shapes[1]:
+    try:
+        for name in ("char_entropy", "eigenvector", "collocations", "zscore"):
+            runs = []
+            for shape in SHAPES:
+                for k, v in shape.items():
+                    spark.conf.set(k, v)
+                runs.append(_canon(qs[name](spark, SF_DIR).toPandas())[0])
+            assert runs[0] == runs[1], f"{name} diverges across execution shapes"
+    finally:
+        for k in SHAPES[1]:
             spark.conf.unset(k)
-        assert runs[0] == runs[1], f"{name} diverges across execution shapes"

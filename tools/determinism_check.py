@@ -54,9 +54,15 @@ def main(only=None) -> int:
                 spark.conf.set(k, v)
         if runs[0] != runs[1]:
             bad.append(name)
-            diff = next((i, a, b) for i, (a, b) in enumerate(zip(*runs)) if a != b)
-            print(f"✗ {name:20s} DIVERGES at sorted row {diff[0]}:\n"
-                  f"    shape A: {diff[1]}\n    shape B: {diff[2]}")
+            diff = next(
+                ((i, a, b) for i, (a, b) in enumerate(zip(*runs)) if a != b), None
+            )
+            if diff is None:  # one result is a prefix of the other
+                print(f"✗ {name:20s} DIVERGES in row count: "
+                      f"shape A {len(runs[0])} rows, shape B {len(runs[1])} rows")
+            else:
+                print(f"✗ {name:20s} DIVERGES at sorted row {diff[0]}:\n"
+                      f"    shape A: {diff[1]}\n    shape B: {diff[2]}")
         else:
             print(f"✓ {name:20s} stable ({len(runs[0])} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(bad)} divergent, {len(errs)} errored")
