@@ -130,6 +130,46 @@ def _sql_bpe_train(n_merges: int = 8) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+def _sql_k_core(k: int = 3, n_iter: int = 20) -> str:
+    """Unrolled k-core peeling matching graph.k_core over the K5+path
+    fixture (_kcore_edges): peeling is monotone, so a fixed round count
+    past convergence reproduces the fixpoint exactly.  Integer-only."""
+    ctes = [
+        """e0 AS (
+            SELECT x.n_nationkey AS a, y.n_nationkey AS b
+            FROM nation x JOIN nation y
+              ON x.n_nationkey < 5 AND y.n_nationkey < 5
+             AND x.n_nationkey < y.n_nationkey
+            UNION ALL
+            SELECT n_nationkey, n_nationkey + 1 FROM nation
+            WHERE n_nationkey >= 4 AND n_nationkey < 24)""",
+        """sym2 AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM e0 WHERE a != b
+                UNION ALL
+                SELECT b, a FROM e0 WHERE a != b))""",
+        "a0 AS MATERIALIZED (SELECT a, b FROM sym2)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""keep{i} AS MATERIALIZED (
+                SELECT a FROM (SELECT a, count(*) AS c FROM a{i - 1} GROUP BY a)
+                WHERE c >= {k})"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+                SELECT t.a, t.b FROM a{i - 1} t
+                JOIN keep{i} x ON x.a = t.a
+                JOIN keep{i} y ON y.a = t.b)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(a AS BIGINT) AS node, count(*) AS core_degree "
+        f"FROM a{n_iter} GROUP BY a"
+    )
+
+
 def _sql_eigenvector(n_iter: int = 30) -> str:
     """Unrolled power iterations matching graph.eigenvector_centrality
     with tol=0: x' = x + A·x then L2-normalize, every float sum ordered
@@ -569,6 +609,28 @@ def _q_pagerank(spark, sf):
 def _q_bpe_train(spark, sf):
     docs = load_table(spark, sf, "documents")
     return llm.bpe_train(docs, "doc_id", "text", n_merges=8)
+
+
+def _kcore_edges(spark, sf):
+    """K5 on nodes 0-4 plus a path 4-5-...-24: the 3-core is exactly the
+    K5 (core_degree 4 each); the whole path peels away, exercising the
+    degree-drop cascade rather than a no-op fixture."""
+    nat = load_table(spark, sf, "nation").select("n_nationkey")
+    small = nat.where(F.col("n_nationkey") < 5).select(F.col("n_nationkey").alias("i"))
+    k5 = small.crossJoin(small.select(F.col("i").alias("j"))).where(F.col("i") < F.col("j"))
+    k5 = k5.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    path = nat.where((F.col("n_nationkey") >= 4) & (F.col("n_nationkey") < 24)).select(
+        F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 1).alias("dst")
+    )
+    return k5.unionByName(path)
+
+
+def _q_k_core(spark, sf):
+    from backend_spark.operators.graph import k_core
+
+    return k_core(_kcore_edges(spark, sf), k=3, max_iter=20).select(
+        F.col("node").cast("long").alias("node"), "core_degree"
+    )
 
 
 def _q_closeness_approx(spark, sf):
@@ -1448,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never sampled, then stalest round, then freshest) come first.
     return {
         "bpe_train": _q_bpe_train,
+        "k_core": _q_k_core,
         "closeness_approx": _q_closeness_approx,
         "eigenvector": _q_eigenvector,
         "square_clustering": _q_square_clustering,
@@ -1774,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(20),
         "eigenvector": _sql_eigenvector(30),
         "bpe_train": _sql_bpe_train(8),
+        "k_core": _sql_k_core(3, 20),
         "square_clustering": _SQL_SQUARE_CLUSTERING,
         "dedup_exact": "SELECT doc_id, text FROM documents",
         "minhash_sig": f"""

@@ -558,3 +558,42 @@ def closeness_centrality_approx(
     if round_to is not None:
         c = F.round(c, round_to)
     return state.select("node", c.alias("closeness"))
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The k-core of the matched-pairs graph: the maximal subgraph in
+    which every node has degree ≥ k (Seidman 1983) — dense-community /
+    spam-cluster extraction over entity-resolution graphs; networkx
+    ``k_core`` semantics on the same simple undirected graph as the
+    other kernels.
+
+    Iterative peeling: each round one integer degree aggregate and two
+    semi-joins that keep only edges whose both endpoints survive —
+    peeling is monotone, so extra rounds past convergence are no-ops,
+    which lets a fixed-round oracle reproduce the fixpoint exactly.
+    All arithmetic is integer counting; no float-order exposure.
+    Returns (node, core_degree) for the surviving nodes.
+    """
+    alive = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.where(F.col("__d") >= k).select("a")
+        pruned = (
+            alive.join(keep, "a")
+            .join(keep.withColumnRenamed("a", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == alive.count():  # fixpoint
+            alive = pruned
+            break
+        alive = pruned
+    return alive.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

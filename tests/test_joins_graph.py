@@ -886,3 +886,23 @@ def test_closeness_approx_tracks_exact_and_is_deterministic(spark):
     again = {r.node: r.closeness for r in
              closeness_centrality_approx(edges.repartition(7)).collect()}
     assert again == approx  # max-register merges are order-independent
+
+
+def test_k_core_peeling_cascade(spark):
+    from backend_spark.operators.graph import k_core
+
+    # K4 on 0-3; node 4 hangs off 0,1,2 (deg 3); node 5 hangs off 4
+    # (deg 1).  3-core: removing 5 drops 4 to deg 3 — but 4's neighbors
+    # 0,1,2 keep deg >= 3, so the 3-core is {0,1,2,3,4}; a second k=4
+    # pass cascades 4 out and leaves exactly the K4 at degree 3 — wait,
+    # k=4 needs deg >= 4: only possible in K5, so k=4 core is empty.
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (4, 0), (4, 1), (4, 2), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    core3 = {r.node: r.core_degree for r in k_core(df, k=3).collect()}
+    assert set(core3) == {0, 1, 2, 3, 4}
+    assert core3[4] == 3 and core3[3] == 3 and core3[0] == 4
+    assert k_core(df, k=4).count() == 0
+    # k=2: removing 5 is the only peel
+    core2 = {r.node for r in k_core(df, k=2).collect()}
+    assert core2 == {0, 1, 2, 3, 4}
