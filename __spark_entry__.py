@@ -1544,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_ids": _q_row_ids,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
+        "char_entropy": _q_char_entropy,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
         "multimodal": _q_multimodal,
@@ -1559,7 +1560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "scoring": _q_scoring,
         "recipe_pipeline": _q_recipe,
-        "char_entropy": _q_char_entropy,
         "map": _q_map,
         "rename": _q_rename,
         "keep_where": _q_keep_where,
