@@ -258,6 +258,27 @@ def op_clique(
             "node",
             "left",
         )
+    # the rest of the reference compute list (code/recipes.py:2003-2034):
+    # eigenvector_centrality_numpy == the same fixed point our power
+    # iteration converges to; square_clustering per Lind et al.
+    if metrics and any(m.startswith("eigenvector_centrality") for m in metrics):
+        ev = eigenvector_centrality(df.select(a, b), src=a, dst=b)
+        node_info = node_info.join(
+            ev.select(
+                "node", F.col("eigenvector").alias(f"{prefix}eigenvector_centrality")
+            ),
+            "node",
+            "left",
+        )
+    if metrics and "square_clustering" in metrics:
+        sq = square_clustering(df.select(a, b), src=a, dst=b)
+        node_info = node_info.join(
+            sq.select(
+                "node", F.col("square_clustering").alias(f"{prefix}square_clustering")
+            ),
+            "node",
+            "left",
+        )
     if metrics and "clique_list" in metrics:
         # sorted component membership (reference clique_list,
         # code/recipes.py:2030-2034).  The list lands on every member

@@ -906,3 +906,26 @@ def test_k_core_peeling_cascade(spark):
     # k=2: removing 5 is the only peel
     core2 = {r.node for r in k_core(df, k=2).collect()}
     assert core2 == {0, 1, 2, 3, 4}
+
+
+def test_op_clique_full_compute_list(spark):
+    from backend_spark.operators.graph import op_clique
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 5)], "x long, y long")
+    out = op_clique(
+        edges, ["x", "y"],
+        metrics=["degree", "triangles", "clustering", "pagerank",
+                 "closeness_centrality", "square_clustering",
+                 "eigenvector_centrality_numpy", "clique_list"],
+    )
+    cols = set(out.columns)
+    for m in ("graph_degree", "graph_triangles", "graph_clustering",
+              "graph_pagerank", "graph_closeness_centrality",
+              "graph_square_clustering", "graph_eigenvector_centrality",
+              "graph_clique_list", "graph_clique_id", "graph_clique_size"):
+        assert m in cols, m
+    row = {r.x: r for r in out.collect()}
+    assert row[1].graph_clique_size == 3 and row[4].graph_clique_size == 2
+    assert row[1].graph_triangles == 1
+    # triangle nodes dominate the eigenvector mass
+    assert row[1].graph_eigenvector_centrality > row[4].graph_eigenvector_centrality
