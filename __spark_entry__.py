@@ -131,9 +131,10 @@ def _sql_bpe_train(n_merges: int = 8) -> str:
 
 
 def _sql_k_core(k: int = 3, n_iter: int = 20) -> str:
-    """Unrolled k-core peeling matching graph.k_core over the K5+path
-    fixture (_kcore_edges): peeling is monotone, so a fixed round count
-    past convergence reproduces the fixpoint exactly.  Integer-only."""
+    """Unrolled k-core peeling matching graph.k_core over the
+    K5+bridge+path fixture (_kcore_edges): peeling is monotone, so a
+    fixed round count past convergence reproduces the multi-round
+    cascade's fixpoint exactly.  Integer-only."""
     ctes = [
         """e0 AS (
             SELECT x.n_nationkey AS a, y.n_nationkey AS b
@@ -141,8 +142,10 @@ def _sql_k_core(k: int = 3, n_iter: int = 20) -> str:
               ON x.n_nationkey < 5 AND y.n_nationkey < 5
              AND x.n_nationkey < y.n_nationkey
             UNION ALL
+            SELECT 5, 0 UNION ALL SELECT 5, 1 UNION ALL SELECT 5, 6
+            UNION ALL
             SELECT n_nationkey, n_nationkey + 1 FROM nation
-            WHERE n_nationkey >= 4 AND n_nationkey < 24)""",
+            WHERE n_nationkey >= 6 AND n_nationkey < 24)""",
         """sym2 AS MATERIALIZED (
             SELECT DISTINCT a, b FROM (
                 SELECT a, b FROM e0 WHERE a != b
@@ -612,17 +615,20 @@ def _q_bpe_train(spark, sf):
 
 
 def _kcore_edges(spark, sf):
-    """K5 on nodes 0-4 plus a path 4-5-...-24: the 3-core is exactly the
-    K5 (core_degree 4 each); the whole path peels away, exercising the
-    degree-drop cascade rather than a no-op fixture."""
+    """K5 on nodes 0-4, node 5 bridged to {0, 1, 6}, and a path
+    6-7-...-24.  At k=3 the peel is a genuine multi-round cascade: the
+    path and node 6 (degree 2) go in round 1, which only then drops
+    node 5 from degree 3 to 2 for round 2; the fixpoint (round 3) is
+    exactly the K5 at core_degree 4."""
     nat = load_table(spark, sf, "nation").select("n_nationkey")
     small = nat.where(F.col("n_nationkey") < 5).select(F.col("n_nationkey").alias("i"))
     k5 = small.crossJoin(small.select(F.col("i").alias("j"))).where(F.col("i") < F.col("j"))
     k5 = k5.select(F.col("i").alias("src"), F.col("j").alias("dst"))
-    path = nat.where((F.col("n_nationkey") >= 4) & (F.col("n_nationkey") < 24)).select(
+    bridge = spark.createDataFrame([(5, 0), (5, 1), (5, 6)], "src long, dst long")
+    path = nat.where((F.col("n_nationkey") >= 6) & (F.col("n_nationkey") < 24)).select(
         F.col("n_nationkey").alias("src"), (F.col("n_nationkey") + 1).alias("dst")
     )
-    return k5.unionByName(path)
+    return k5.unionByName(bridge).unionByName(path)
 
 
 def _q_k_core(spark, sf):

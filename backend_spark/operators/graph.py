@@ -225,8 +225,19 @@ def op_clique(
     (code/recipes.py:2003-2034).
 
     Join-back key is the *first* selected column, like the reference
-    (code/recipes.py:2056-2060).
+    (code/recipes.py:2056-2060).  ``metrics`` may be a list, a single
+    metric name, or ``"all"`` — the reference's full eight-metric list
+    (code/recipes.py:2005-2007); normalizing here keeps direct callers
+    and the recipe compiler consistent.
     """
+    if isinstance(metrics, str):
+        metrics = [metrics]
+    if metrics and "all" in metrics:
+        metrics = [
+            "clique_list", "degree", "clustering", "triangles",
+            "closeness_centrality", "pagerank", "square_clustering",
+            "eigenvector_centrality_numpy",
+        ]
     a, b = select[0], select[1]
     cc = connected_components(df.select(a, b), src=a, dst=b)
     sizes = cc.groupBy("comp").agg(F.countDistinct("node").alias(f"{prefix}clique_size"))
@@ -599,9 +610,14 @@ def k_core(
     peeling is monotone, so extra rounds past convergence are no-ops,
     which lets a fixed-round oracle reproduce the fixpoint exactly.
     All arithmetic is integer counting; no float-order exposure.
+    Core membership is discrete, so a truncated answer would be wrong,
+    not approximate: the loop runs to the fixpoint and raises if
+    ``max_iter`` rounds don't reach it (each round peels at least one
+    node, so ``max_iter`` bounds the node count peeled, not hops).
     Returns (node, core_degree) for the surviving nodes.
     """
     alive = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_alive = alive.count()
     for _ in range(max_iter):
         deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
         keep = deg.where(F.col("__d") >= k).select("a")
@@ -611,10 +627,16 @@ def k_core(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        if pruned.count() == alive.count():  # fixpoint
-            alive = pruned
+        n_pruned = pruned.count()
+        converged = n_pruned == n_alive
+        alive, n_alive = pruned, n_pruned
+        if converged:
             break
-        alive = pruned
+    else:
+        raise RuntimeError(
+            f"k_core did not reach its fixpoint in {max_iter} rounds; "
+            "raise max_iter (a correct-but-truncated core does not exist)"
+        )
     return alive.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )

@@ -176,14 +176,8 @@ class RecipeBook:
         if name == "join":
             return self._apply_join(df, a)
         if name == "clique":
-            metrics = a.get("metrics", a.get("compute"))  # reference key: compute
-            if metrics == "all":  # reference 'all' list, code/recipes.py:2005-2007
-                metrics = [
-                    "clique_list", "degree", "clustering", "triangles",
-                    "closeness_centrality", "pagerank", "square_clustering",
-                    "eigenvector_centrality_numpy",
-                ]
-            return ops.op_clique(df, a.get("select"), metrics)
+            # reference key is 'compute'; op_clique normalizes str/'all'
+            return ops.op_clique(df, a.get("select"), a.get("metrics", a.get("compute")))
         if name == "build_model":
             from backend_spark import ml
 

@@ -892,10 +892,9 @@ def test_k_core_peeling_cascade(spark):
     from backend_spark.operators.graph import k_core
 
     # K4 on 0-3; node 4 hangs off 0,1,2 (deg 3); node 5 hangs off 4
-    # (deg 1).  3-core: removing 5 drops 4 to deg 3 — but 4's neighbors
-    # 0,1,2 keep deg >= 3, so the 3-core is {0,1,2,3,4}; a second k=4
-    # pass cascades 4 out and leaves exactly the K4 at degree 3 — wait,
-    # k=4 needs deg >= 4: only possible in K5, so k=4 core is empty.
+    # (deg 1).  k=3: peeling 5 drops 4 to deg 3, which still qualifies,
+    # so the 3-core is {0,1,2,3,4}.  k=4 requires degree >= 4 for every
+    # member — impossible outside a K5 here, so the 4-core is empty.
     edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
              (4, 0), (4, 1), (4, 2), (5, 4)]
     df = spark.createDataFrame(edges, "src long, dst long")
@@ -929,3 +928,14 @@ def test_op_clique_full_compute_list(spark):
     assert row[1].graph_triangles == 1
     # triangle nodes dominate the eigenvector mass
     assert row[1].graph_eigenvector_centrality > row[4].graph_eigenvector_centrality
+
+
+def test_k_core_raises_instead_of_truncating(spark):
+    from backend_spark.operators.graph import k_core
+
+    # a long path peels only from the ends: core membership is discrete,
+    # so an under-iterated answer must raise, never silently return
+    path = spark.createDataFrame([(i, i + 1) for i in range(39)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(path, k=2, max_iter=3).collect()
+    assert k_core(path, k=2, max_iter=40).count() == 0
