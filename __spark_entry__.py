@@ -93,9 +93,12 @@ _SQL_GRAPH_SYM = """
 
 def _sql_bpe_train(n_merges: int = 8) -> str:
     """Unrolled BPE merge rounds matching llm.bpe_train: words as
-    space-joined symbol strings, argmax pair by (count desc, pair asc),
-    merge via the same left-to-right non-overlapping replace.  All
-    integer arithmetic — exact at any engine."""
+    DOUBLE-space-joined symbol strings (the match then consumes one of
+    the two delimiter spaces per side, so adjacent occurrences never
+    share a delimiter and plain replace() merges every non-overlapping
+    left-to-right occurrence — true Sennrich semantics), argmax pair by
+    (count desc, pair asc).  All integer arithmetic — exact at any
+    engine."""
     ctes = [
         """w AS MATERIALIZED (
             SELECT word, count(*) AS wf
@@ -103,7 +106,7 @@ def _sql_bpe_train(n_merges: int = 8) -> str:
                          '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS word FROM documents)
             WHERE length(word) >= 2 GROUP BY word)""",
         """s0 AS MATERIALIZED (
-            SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq, wf
+            SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq, wf
             FROM w)""",
     ]
     for i in range(1, n_merges + 1):
@@ -113,12 +116,13 @@ def _sql_bpe_train(n_merges: int = 8) -> str:
                 FROM (SELECT wf,
                              unnest([toks[CAST(j AS INT)] || ' ' || toks[CAST(j AS INT) + 1]
                                      for j in range(1, len(toks))]) AS pair
-                      FROM (SELECT wf, string_split(trim(seq), ' ') AS toks FROM s{i - 1}))
+                      FROM (SELECT wf, string_split_regex(trim(seq), ' +') AS toks FROM s{i - 1}))
                 GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)"""
         )
         ctes.append(
             f"""s{i} AS MATERIALIZED (
-                SELECT replace(seq, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS seq, wf
+                SELECT replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
+                               ' ' || replace(pair, ' ', '') || ' ') AS seq, wf
                 FROM s{i - 1} CROSS JOIN best{i})"""
         )
     finals = "\nUNION ALL\n".join(
@@ -2008,7 +2012,7 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT doc_id, unnest(string_split({norm_text}, '')) AS ch
                        FROM documents),
             h AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY doc_id, ch),
-            m AS (SELECT doc_id, sum(c) AS n,
+            m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
                          sum(c * ln(c) ORDER BY ch) AS s
                   FROM h GROUP BY doc_id)
             SELECT doc_id, n AS n_chars_norm, round(ln(n) - s / n, 4) AS entropy
@@ -2102,7 +2106,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
                    count(l_orderkey) AS n_rows,
-                   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "window_funcs": """
@@ -2531,8 +2535,9 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 8 AS shard
                   FROM sized),
             c AS (SELECT doc_id, n_tokens, shard,
-                         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                             ROWS UNBOUNDED PRECEDING) - n_tokens
+                         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+                              AS BIGINT)
                            AS start_offset
                   FROM b)
             SELECT doc_id, n_tokens, shard, start_offset,

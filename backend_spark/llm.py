@@ -1497,9 +1497,16 @@ def bpe_train(
     and cross-engine deterministic), and merges every non-overlapping
     left-to-right occurrence.
 
-    Words are represented as space-joined symbol strings, so a merge is
-    one ``replace(' l r ', ' lr ')`` over the vocabulary — the same
-    left-to-right non-overlap semantics in Spark and SQL engines.  Per
+    Words are represented as symbol strings joined by TWO spaces
+    (``"  l  o  w  "``), so a merge is one plain
+    ``replace(' l  r ', ' lr ')`` over the vocabulary: the match
+    consumes one of the two delimiter spaces on each side, so adjacent
+    occurrences never share a delimiter and every non-overlapping
+    left-to-right occurrence merges in a single pass (a single-space
+    representation under-merges runs — ``b a n a n a`` → ``b an a n a``
+    — because the shared middle space is consumed by the first match).
+    Identical plain-``replace`` semantics in Spark and SQL engines, no
+    regex lookarounds needed (DuckDB's RE2 has none).  Per
     round: one explode + integer hash aggregate over the *vocabulary*
     (millions of rows at 100 TB where the corpus is trillions; the
     corpus itself is touched exactly once, by the word count) and a
@@ -1515,13 +1522,13 @@ def bpe_train(
         .where(F.length("word") >= 2)
     )
     seqs = words.select(
-        F.concat(F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")).alias("seq"),
+        F.concat(F.lit("  "), F.concat_ws("  ", F.split("word", "")), F.lit("  ")).alias("seq"),
         "wf",
     ).localCheckpoint(eager=False)
 
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
-        toks = F.split(F.trim("seq"), " ")
+        toks = F.split(F.trim("seq"), " +")
         adj = F.zip_with(
             toks,
             F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -1541,7 +1548,8 @@ def bpe_train(
         lhs, _, rhs = pair.partition(" ")
         merges.append((rank, lhs, rhs, lhs + rhs, cnt))
         seqs = seqs.select(
-            F.replace("seq", F.lit(f" {pair} "), F.lit(f" {lhs + rhs} ")).alias("seq"), "wf"
+            F.replace("seq", F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs + rhs} ")).alias("seq"),
+            "wf",
         ).localCheckpoint(eager=False)
 
     return df.sparkSession.createDataFrame(

@@ -238,6 +238,10 @@ def op_clique(
             "closeness_centrality", "pagerank", "square_clustering",
             "eigenvector_centrality_numpy",
         ]
+    elif metrics and "clique_list" not in metrics:
+        # the reference always includes membership for an explicit list:
+        # set(['clique_list'] + compute), code/recipes.py:2009-2011
+        metrics = ["clique_list", *metrics]
     a, b = select[0], select[1]
     cc = connected_components(df.select(a, b), src=a, dst=b)
     sizes = cc.groupBy("comp").agg(F.countDistinct("node").alias(f"{prefix}clique_size"))
@@ -272,11 +276,15 @@ def op_clique(
     # the rest of the reference compute list (code/recipes.py:2003-2034):
     # eigenvector_centrality_numpy == the same fixed point our power
     # iteration converges to; square_clustering per Lind et al.
-    if metrics and any(m.startswith("eigenvector_centrality") for m in metrics):
+    ev_requested = [m for m in (metrics or []) if m.startswith("eigenvector_centrality")]
+    if ev_requested:
+        # column named after the requested compute method, like the
+        # reference (so 'eigenvector_centrality_numpy' in a ported
+        # recipe yields graph_eigenvector_centrality_numpy verbatim)
         ev = eigenvector_centrality(df.select(a, b), src=a, dst=b)
         node_info = node_info.join(
             ev.select(
-                "node", F.col("eigenvector").alias(f"{prefix}eigenvector_centrality")
+                "node", F.col("eigenvector").alias(f"{prefix}{ev_requested[0]}")
             ),
             "node",
             "left",
@@ -386,7 +394,11 @@ def eigenvector_centrality(
     node's row O(degree); sized for entity-resolution components
     (bounded-degree near-cliques), same caveat as
     :func:`closeness_centrality`.  With ``tol=0`` runs exactly
-    ``max_iter`` rounds (oracle-friendly).  Returns (node, eigenvector).
+    ``max_iter`` rounds (oracle-friendly); with ``tol>0`` raises
+    ``RuntimeError`` if the L1 delta never drops below ``n*tol`` within
+    ``max_iter`` rounds, mirroring networkx's
+    ``PowerIterationFailedConvergence`` (an unconverged vector is
+    silently wrong).  Returns (node, eigenvector).
     """
     sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
     nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
@@ -436,8 +448,19 @@ def eigenvector_centrality(
             )
             if delta is not None and delta < n_nodes * tol:
                 x = new_x
+                converged = True
                 break
         x = new_x
+    else:
+        converged = tol <= 0  # tol=0 is the explicit fixed-round mode
+    if not converged:
+        # networkx raises PowerIterationFailedConvergence here; an
+        # unconverged vector is silently wrong, same policy as k_core
+        raise RuntimeError(
+            f"eigenvector_centrality: no convergence within max_iter={max_iter} "
+            f"(L1 delta never dropped below n*tol); raise max_iter or pass "
+            f"tol=0 for an explicit fixed-round run"
+        )
     out = x.select("node", F.col("__x").alias("eigenvector"))
     if round_to is not None:
         out = out.withColumn("eigenvector", F.round("eigenvector", round_to))

@@ -920,14 +920,15 @@ def test_op_clique_full_compute_list(spark):
     cols = set(out.columns)
     for m in ("graph_degree", "graph_triangles", "graph_clustering",
               "graph_pagerank", "graph_closeness_centrality",
-              "graph_square_clustering", "graph_eigenvector_centrality",
+              "graph_square_clustering", "graph_eigenvector_centrality_numpy",
               "graph_clique_list", "graph_clique_id", "graph_clique_size"):
         assert m in cols, m
     row = {r.x: r for r in out.collect()}
     assert row[1].graph_clique_size == 3 and row[4].graph_clique_size == 2
     assert row[1].graph_triangles == 1
     # triangle nodes dominate the eigenvector mass
-    assert row[1].graph_eigenvector_centrality > row[4].graph_eigenvector_centrality
+    assert (row[1].graph_eigenvector_centrality_numpy
+            > row[4].graph_eigenvector_centrality_numpy)
 
 
 def test_k_core_raises_instead_of_truncating(spark):

@@ -416,27 +416,41 @@ def test_bpe_train_matches_reference_merge_loop(spark):
 
     from backend_spark import llm
 
-    texts = ["low lower lowest", "new newer newest", "low low new"]
+    # 'banana'/'aaaa' pin the non-overlap semantics: 'b a n a n a' must
+    # merge (a,n) twice in one round and 'a a a a' must become 'aa aa'
+    texts = ["low lower lowest", "new newer newest", "low low new", "banana banana aaaa"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
 
-    # independent BPE on word frequencies (Sennrich et al. merge loop)
+    # independent BPE on word frequencies (Sennrich et al. merge loop);
+    # the merge is token-level left-to-right non-overlapping — NOT a
+    # string replace, which consumes the shared delimiter and
+    # under-merges runs ('b a n a n a' -> 'b an a n a')
+    def merge_toks(toks, lhs, rhs):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == lhs and toks[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
     wf = collections.Counter(
         w for t in texts for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if len(w) >= 2
     )
-    vocab = {" ".join(w): c for w, c in wf.items()}
+    vocab = {tuple(w): c for w, c in wf.items()}
     expect = []
     for rank in range(1, 6):
         pairs = collections.Counter()
-        for seq, c in vocab.items():
-            toks = seq.split()
+        for toks, c in vocab.items():
             for a, b in zip(toks, toks[1:]):
                 pairs[(a, b)] += c
         if not pairs:
             break
         (lhs, rhs), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         expect.append((rank, lhs, rhs, lhs + rhs, cnt))
-        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
-        vocab = {(" " + s + " ").replace(pat, rep).strip(): c for s, c in vocab.items()}
+        vocab = {tuple(merge_toks(list(t), lhs, rhs)): c for t, c in vocab.items()}
 
     got = [tuple(r) for r in llm.bpe_train(df, "doc_id", "text", n_merges=5)
            .orderBy("rank").collect()]

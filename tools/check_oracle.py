@@ -23,6 +23,55 @@ TABLES = (
 )
 
 
+_SPARK_DTYPE = {
+    "tinyint": "int8", "smallint": "int16", "int": "int32", "bigint": "int64",
+    "float": "float32", "double": "float64", "string": "string",
+    "boolean": "bool", "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp", "binary": "binary", "void": "null",
+}
+
+_DUCK_DTYPE = {
+    "tinyint": "int8", "smallint": "int16", "integer": "int32", "bigint": "int64",
+    "utinyint": "uint8", "usmallint": "uint16", "uinteger": "uint32",
+    "ubigint": "uint64", "hugeint": "int128",  # int128 never matches Spark -> flagged
+    "float": "float32", "double": "float64", "varchar": "string", "json": "string",
+    "boolean": "bool", "date": "date", "blob": "binary", '"null"': "null",
+}
+
+
+def _canon_spark_type(t):
+    t = t.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"list<{_canon_spark_type(t[6:-1])}>"
+    if t.startswith("decimal"):
+        return "decimal"  # flagged: oracles should cast to BIGINT/DOUBLE
+    if t.startswith("map<") or t.startswith("struct<"):
+        return t  # compared verbatim; DuckDB side rarely produces these
+    return _SPARK_DTYPE.get(t, t)
+
+
+def _canon_duck_type(t):
+    t = str(t).strip().lower()
+    if t.endswith("[]"):
+        return f"list<{_canon_duck_type(t[:-2])}>"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("timestamp"):  # with/without tz, _s/_ms/_ns
+        return "timestamp"
+    return _DUCK_DTYPE.get(t, t)
+
+
+def _dtype_diff(spark_dtypes, duck_cols, duck_types):
+    """Return list of per-column canonical dtype mismatches (name, spark, duck)."""
+    s = {name: _canon_spark_type(t) for name, t in spark_dtypes}
+    d = {name: _canon_duck_type(t) for name, t in zip(duck_cols, duck_types)}
+    return [
+        (name, s[name], d[name])
+        for name in sorted(set(s) & set(d))
+        if s[name] != d[name]
+    ]
+
+
 def _canon(df):
     """pandas frame -> sorted-by-name columns, canonical value matrix."""
     import numpy as np
@@ -79,7 +128,9 @@ def main(only=None, vanilla=False):
             continue
         t0 = time.time()
         try:
-            sdf = q(spark, SF_DIR).toPandas()
+            sdf_spark = q(spark, SF_DIR)
+            spark_dtypes = sdf_spark.dtypes
+            sdf = sdf_spark.toPandas()
         except Exception as e:
             results[name] = f"SPARK-ERROR {type(e).__name__}: {str(e)[:200]}"
             continue
@@ -87,9 +138,19 @@ def main(only=None, vanilla=False):
             results[name] = f"rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)"
             continue
         try:
-            odf = con.execute(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            duck_cols, duck_types = rel.columns, rel.types
+            odf = rel.df()
         except Exception as e:
             results[name] = f"ORACLE-ERROR {type(e).__name__}: {str(e)[:200]}"
+            continue
+        # The driver's value hash is dtype-sensitive (Arrow), so a
+        # numerically-equal int128/int64 pair still reds out — catch it here.
+        dt = _dtype_diff(spark_dtypes, duck_cols, duck_types)
+        if dt:
+            results[name] = "DTYPE-MISMATCH " + ", ".join(
+                f"{c}: spark={s} oracle={d}" for c, s, d in dt
+            )
             continue
         srows, scols = _canon(sdf)
         orows, ocols = _canon(odf)
