@@ -91,8 +91,8 @@ _SQL_GRAPH_SYM = """
 """
 
 
-def _sql_bpe_train(n_merges: int = 8) -> str:
-    """Unrolled BPE merge rounds matching llm.bpe_train: words as
+def _bpe_train_ctes(n_merges: int = 8) -> list[str]:
+    """Shared CTE chain for the BPE oracles (train + encode): words as
     DOUBLE-space-joined symbol strings (the match then consumes one of
     the two delimiter spaces per side, so adjacent occurrences never
     share a delimiter and plain replace() merges every non-overlapping
@@ -125,13 +125,65 @@ def _sql_bpe_train(n_merges: int = 8) -> str:
                                ' ' || replace(pair, ' ', '') || ' ') AS seq, wf
                 FROM s{i - 1} CROSS JOIN best{i})"""
         )
+    return ctes
+
+
+def _sql_bpe_train(n_merges: int = 8) -> str:
+    """Learned merge table: the UNION of the per-round argmax CTEs."""
     finals = "\nUNION ALL\n".join(
         f"SELECT {i} AS rank, split_part(pair, ' ', 1) AS lhs, "
         f"split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged, cnt "
         f"FROM best{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + finals
+    return "WITH " + ",\n".join(_bpe_train_ctes(n_merges)) + "\n" + finals
+
+
+def _sql_bpe_encode(n_merges: int = 8, preview: int = 8) -> str:
+    """Apply the learned merges to the corpus: replay the ranked
+    replaces over the full distinct-word set (no length filter — encode
+    covers every word, unlike the training vocab), then rebuild each
+    document's piece stream in token order (matches llm.bpe_encode)."""
+    norm_text = _SQL_NORM.format(c="text")
+    ctes = _bpe_train_ctes(n_merges)
+    ctes.append(
+        f"""aw AS MATERIALIZED (
+            SELECT DISTINCT unnest(string_split_regex({norm_text}, '\\s+')) AS word
+            FROM documents)"""
+    )
+    ctes.append(
+        """e0 AS (SELECT word,
+                         '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq
+                  FROM aw)"""
+    )
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""e{i} AS (
+                SELECT word, replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
+                                     ' ' || replace(pair, ' ', '') || ' ') AS seq
+                FROM e{i - 1} CROSS JOIN best{i})"""
+        )
+    ctes.append(
+        f"""emap AS MATERIALIZED (
+            SELECT word, string_split_regex(trim(seq), ' +') AS pieces FROM e{n_merges})"""
+    )
+    ctes.append(
+        f"""pw AS (
+            SELECT doc_id, unnest([{{'pos': i, 'w': ws[CAST(i AS INT)]}}
+                                   for i in range(1, len(ws) + 1)]) AS s
+            FROM (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS ws
+                  FROM documents))"""
+    )
+    ctes.append(
+        """fl AS (
+            SELECT pw.doc_id, flatten(list(emap.pieces ORDER BY pw.s.pos)) AS f
+            FROM pw JOIN emap ON emap.word = pw.s.w
+            GROUP BY pw.doc_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, CAST(len(f) AS INT) AS n_bpe, f[1:{preview}] AS pieces_preview FROM fl"
+    )
 
 
 def _sql_k_core(k: int = 3, n_iter: int = 20) -> str:
@@ -616,6 +668,26 @@ def _q_pagerank(spark, sf):
 def _q_bpe_train(spark, sf):
     docs = load_table(spark, sf, "documents")
     return llm.bpe_train(docs, "doc_id", "text", n_merges=8)
+
+
+def _q_bpe_encode(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.bpe_encode(docs, "doc_id", "text", n_merges=8)
+
+
+def _q_chunk_documents(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.chunk_documents(docs, "doc_id", "text", chunk_size=32, overlap=8)
+
+
+def _q_source_mix(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.source_mix(docs)
+
+
+def _q_bigram_logprob(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.bigram_logprob(docs, "doc_id", "text")
 
 
 def _kcore_edges(spark, sf):
@@ -1496,6 +1568,15 @@ def _q_build_model(spark, sf):
     return scored.select("c_custkey", "matchid_hit_score_ml")
 
 
+def _q_model_features(spark, sf):
+    from backend_spark import ml
+
+    cust = load_table(spark, sf, "customer")
+    return ml.model_features(
+        cust, numerical=r"^c_acctbal$", categorical=["c_mktsegment"], id_col="c_custkey"
+    )
+
+
 def _q_apply_model(spark, sf):
     """Persistence round-trip: train + save, then load + score through
     the reference's production path (apply_model, code/recipes.py:1833-
@@ -1519,56 +1600,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query prefix per round, so queries with the least driver history
     # (never sampled, then stalest round, then freshest) come first.
     return {
-        "bpe_train": _q_bpe_train,
-        "k_core": _q_k_core,
-        "closeness_approx": _q_closeness_approx,
-        "eigenvector": _q_eigenvector,
-        "square_clustering": _q_square_clustering,
-        "compact_latest": _q_compact_latest,
-        "profile": _q_profile,
-        "pivot": _q_pivot,
-        "melt": _q_melt,
-        "rollup": _q_rollup,
-        "window_funcs": _q_window_funcs,
-        "quantile_bins": _q_quantile_bins,
-        "resample": _q_resample,
-        "funnel": _q_funnel,
-        "zscore": _q_zscore,
-        "embed_banded": _q_embed_banded,
-        "pii_scan": _q_pii_scan,
-        "decontaminate": _q_decontaminate,
-        "repetition_stats": _q_repetition,
-        "quality_filter": _q_quality_filter,
-        "det_sample": _q_sample,
-        "pack_sequences": _q_pack,
-        "dedup_lines": _q_dedup_lines,
-        "asof_join": _q_asof_join,
-        "sessionize": _q_sessionize,
-        "corpus_clean": _q_corpus_clean,
-        "stream_win_agg": _q_stream_win,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_join": _q_stream_join,
-        "stream_compact": _q_stream_compact,
-        "salted_agg": _q_salted_agg,
-        "row_ids": _q_row_ids,
-        "build_model": _q_build_model,
-        "apply_model": _q_apply_model,
         "char_entropy": _q_char_entropy,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "embed_neardup": _q_embed_neardup,
-        "multimodal": _q_multimodal,
-        "simhash_neardup": _q_simhash_neardup,
-        "audio_features": _q_audio_features,
-        "video_frames": _q_video_frames,
-        "text_stats": _q_text_stats,
-        "language_id": _q_language_id,
-        "token_count": _q_token_count,
-        "win_agg": _q_win_agg,
-        "sql_direct": _q_sql_direct,
-        "fwf_roundtrip": _q_fwf_roundtrip,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "scoring": _q_scoring,
+        "pack_sequences": _q_pack,
+        "rollup": _q_rollup,
+        "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
+        "chunk_documents": _q_chunk_documents,
+        "source_mix": _q_source_mix,
+        "bigram_logprob": _q_bigram_logprob,
+        "model_features": _q_model_features,
         "recipe_pipeline": _q_recipe,
         "map": _q_map,
         "rename": _q_rename,
@@ -1614,6 +1654,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": _q_vocab,
         "bpe_pairs": _q_bpe_pairs,
         "tfidf_topk": _q_tfidf,
+        "k_core": _q_k_core,
+        "closeness_approx": _q_closeness_approx,
+        "eigenvector": _q_eigenvector,
+        "square_clustering": _q_square_clustering,
+        "compact_latest": _q_compact_latest,
+        "profile": _q_profile,
+        "pivot": _q_pivot,
+        "melt": _q_melt,
+        "window_funcs": _q_window_funcs,
+        "quantile_bins": _q_quantile_bins,
+        "resample": _q_resample,
+        "funnel": _q_funnel,
+        "zscore": _q_zscore,
+        "embed_banded": _q_embed_banded,
+        "pii_scan": _q_pii_scan,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition,
+        "quality_filter": _q_quality_filter,
+        "det_sample": _q_sample,
+        "dedup_lines": _q_dedup_lines,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "corpus_clean": _q_corpus_clean,
+        "stream_win_agg": _q_stream_win,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_join": _q_stream_join,
+        "stream_compact": _q_stream_compact,
+        "salted_agg": _q_salted_agg,
+        "row_ids": _q_row_ids,
+        "build_model": _q_build_model,
+        "apply_model": _q_apply_model,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embed_neardup": _q_embed_neardup,
+        "multimodal": _q_multimodal,
+        "simhash_neardup": _q_simhash_neardup,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
+        "text_stats": _q_text_stats,
+        "language_id": _q_language_id,
+        "token_count": _q_token_count,
+        "win_agg": _q_win_agg,
+        "sql_direct": _q_sql_direct,
+        "fwf_roundtrip": _q_fwf_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "scoring": _q_scoring,
         "unigram_logprob": _q_unigram_lp,
         "dedup_incremental": _q_dedup_incremental,
         "collocations": _q_collocations,
@@ -1847,6 +1933,56 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(20),
         "eigenvector": _sql_eigenvector(30),
         "bpe_train": _sql_bpe_train(8),
+        "bpe_encode": _sql_bpe_encode(8),
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS ws
+                       FROM documents WHERE length({norm_text}) > 0),
+            s AS (SELECT doc_id, ws,
+                         [CAST(x AS BIGINT) for x in range(1, len(ws) + 1, 24)] AS starts
+                  FROM t),
+            u AS (SELECT doc_id, ws,
+                         unnest([{{'cid': CAST(i - 1 AS BIGINT),
+                                   'start': starts[CAST(i AS INT)]}}
+                                 for i in range(1, len(starts) + 1)]) AS c
+                  FROM s),
+            p AS (SELECT doc_id, c.cid AS chunk_id, c.start AS start_tok,
+                         ws[CAST(c.start AS INT):CAST(c.start + 31 AS INT)] AS piece
+                  FROM u)
+            SELECT doc_id, chunk_id, start_tok,
+                   CAST(len(piece) AS INT) AS n_tokens_chunk,
+                   array_to_string(piece, ' ') AS chunk_text
+            FROM p
+        """,
+        "source_mix": f"""
+            WITH per AS (SELECT source, lang,
+                                CAST(count(*) AS BIGINT) AS n_docs,
+                                CAST(sum(len(string_split_regex({norm_text}, '\\s+')))
+                                     AS BIGINT) AS n_tokens,
+                                CAST(sum(length(text)) AS BIGINT) AS n_chars
+                         FROM documents GROUP BY source, lang),
+            tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t FROM per)
+            SELECT source, lang, n_docs, n_tokens, n_chars,
+                   round(n_docs / tot.t, 6) AS doc_share
+            FROM per CROSS JOIN tot
+        """,
+        "bigram_logprob": f"""
+            WITH tok AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS ws
+                         FROM documents),
+            bi AS (SELECT doc_id,
+                          unnest([{{'pos': i, 'w1': ws[CAST(i AS INT)],
+                                    'w2': ws[CAST(i AS INT) + 1]}}
+                                  for i in range(1, len(ws))]) AS s
+                   FROM tok),
+            b2 AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2 FROM bi),
+            bc AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY w1, w2),
+            hc AS (SELECT w1, count(*) AS ch FROM b2 GROUP BY w1)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(sum(ln(CAST(cb AS DOUBLE) / CAST(ch AS DOUBLE)) ORDER BY pos)
+                         / count(*), 4) AS avg_bigram_lp
+            FROM b2 JOIN bc USING (w1, w2) JOIN hc USING (w1)
+            GROUP BY doc_id
+        """,
         "k_core": _sql_k_core(3, 20),
         "square_clustering": _SQL_SQUARE_CLUSTERING,
         "dedup_exact": "SELECT doc_id, text FROM documents",
@@ -2524,6 +2660,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST('0x' || substr(md5('sample:' || CAST(event_id AS VARCHAR)), 1, 15)
                        AS BIGINT) % 1000000
                   < CASE WHEN event_type = 'view' THEN 300000 ELSE 50000 END
+        """,
+        "model_features": """
+            WITH freq AS (SELECT c_mktsegment AS v, count(*) AS cnt
+                          FROM customer WHERE c_mktsegment IS NOT NULL
+                          GROUP BY c_mktsegment),
+            idx AS (SELECT v, CAST(row_number() OVER (ORDER BY cnt DESC, v ASC) - 1
+                                   AS BIGINT) AS i
+                    FROM freq),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM idx)
+            SELECT c_custkey,
+                   coalesce(CAST(c_acctbal AS DOUBLE), 0.0) AS c_acctbal,
+                   coalesce(idx.i, n.nl) AS c_mktsegment_idx,
+                   CAST('0x' || substr(md5('split:42:' || CAST(c_custkey AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 1000000 < 330000 AS is_test
+            FROM customer
+            LEFT JOIN idx ON idx.v = customer.c_mktsegment
+            CROSS JOIN n
         """,
         "pack_sequences": r"""
             WITH sized AS (SELECT doc_id,

@@ -146,6 +146,27 @@ class ApiServer:
                     return False
                 return True
 
+            def _auth_list(self) -> bool:
+                """List routes mirror the reference's bare
+                ``@login_required`` (no project authorize,
+                code/api.py list routes): any authenticated user may
+                enumerate — a user granted rights on one project must
+                not 403 on every listing for lacking an _all grant."""
+                sec = outer.security
+                if sec is None or sec.no_auth:
+                    return True
+                user = sec.authenticate_basic(self.headers.get("Authorization"))
+                if user is None:
+                    body = json.dumps({"error": "authentication required"}).encode()
+                    self.send_response(401)
+                    self.send_header("WWW-Authenticate", 'Basic realm="backend_spark"')
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return False
+                return True
+
             def _send(self, code: int, payload):
                 body = json.dumps(payload, default=str).encode()
                 self.send_response(code)
@@ -170,11 +191,14 @@ class ApiServer:
                 if self.path == "/health":  # liveness stays unauthenticated
                     return self._send(200, {"status": "up"})
                 if self.path == "/jobs":
-                    if not self._auth("read", "_all"):
+                    if not self._auth_list():
                         return None
                     return self._send(200, outer.jobs.snapshot())
                 parts = self.path.strip("/").split("/")
-                if not self._auth("read", parts[1] if len(parts) > 1 else "_all"):
+                if len(parts) == 1:  # bare listing: authenticated-only
+                    if not self._auth_list():
+                        return None
+                elif not self._auth("read", parts[1]):
                     return None
                 if parts[0] == "recipes":
                     if len(parts) == 1:  # conf of every recipe

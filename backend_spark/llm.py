@@ -1019,11 +1019,17 @@ def char_entropy(
 
     The float moment Σ c·ln c is folded over the per-doc histogram in
     fixed ``ch`` order (the normalized alphabet is ≤ ~40 symbols, so the
-    collected array is tiny): ``F.sum`` over doubles is partition-order
-    dependent, which at round-boundary values made the result vary with
-    parallelism.  The oracle sums in the same order via DuckDB's
-    ``ORDER BY`` aggregate modifier, giving a bit-identical left fold at
-    any partition count on either engine.
+    collected array is tiny).  Rationale: ``F.sum`` over doubles is
+    partition-order dependent, so a value sitting exactly on a
+    ``round(·, ndigits)`` boundary *could* flip with parallelism; the
+    fixed-order fold plus DuckDB's ``ORDER BY`` aggregate modifier in
+    the oracle makes both engines compute the same left fold
+    bit-identically at any partition count.  (Historical note: the
+    round-4 driver red on this query was NOT float ordering — it was
+    the oracle's uncast ``sum()`` widening to HUGEINT, fixed by a
+    ``CAST ... AS BIGINT``.  The fold is kept on its own merits:
+    measured ~0.2 s over plain ``F.sum`` at sf0.1, a fair price for a
+    hash-stable float column.)
     """
     chars = df.select(
         F.col(id_col),
@@ -1554,6 +1560,220 @@ def bpe_train(
 
     return df.sparkSession.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, cnt bigint"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: DataFrame | None = None,
+    n_merges: int = 8,
+    preview: int = 8,
+) -> DataFrame:
+    """Encode documents with a learned BPE merge table (the output of
+    :func:`bpe_train`) — the apply half of the tokenizer, so the
+    train→encode loop is closed inside the engine.
+
+    Scale design: the ranked merges are applied to the corpus's
+    DISTINCT-WORD VOCABULARY (n_merges chained ``replace``s over
+    millions of words — one narrow projection, no shuffle), never to
+    the corpus text itself; the corpus is touched exactly twice — once
+    to tokenize with position, once to join the word→pieces map back
+    (AQE broadcasts the vocabulary when it fits).  Same two-space
+    delimiter representation as training, so the per-word segmentation
+    is exactly the one the learned merges imply.
+
+    The merge table is collected driver-side — bounded state
+    (``n_merges`` rows), like the KMeans centroids.  Per-doc piece
+    arrays are O(doc length), the same posture as the text column.
+    Returns (id, n_bpe, pieces_preview) — count + first ``preview``
+    pieces per document.
+    """
+    if merges is None:
+        merges = bpe_train(df, id_col, text_col, n_merges=n_merges)
+    rules = [(r.lhs, r.rhs) for r in merges.orderBy("rank").collect()]
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("pos", "word"),
+    )
+    enc = toks.select("word").distinct().select(
+        "word",
+        F.concat(F.lit("  "), F.concat_ws("  ", F.split("word", "")), F.lit("  ")).alias("seq"),
+    )
+    for lhs, rhs in rules:
+        enc = enc.withColumn(
+            "seq", F.replace("seq", F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs + rhs} "))
+        )
+    enc = enc.select("word", F.split(F.trim("seq"), " +").alias("__pieces"))
+
+    per_doc = (
+        toks.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "__pieces"))),
+                    lambda x: x["__pieces"],
+                )
+            ).alias("__flat")
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.size("__flat").alias("n_bpe"),
+        F.slice("__flat", 1, preview).alias("pieces_preview"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split long documents into fixed-size overlapping token windows —
+    the long-document complement to :func:`pack_sequences` (which packs
+    short documents up to a budget): every context-length-bounded
+    training pipeline needs both halves.
+
+    Chunk starts step by ``chunk_size - overlap``; the final chunk may
+    be short (kept — downstream filters decide, the splitter stays
+    lossless).  Pure Column ops: one ``sequence`` of starts + ``slice``
+    per chunk, exploded — per-row work is O(doc length), no shuffle at
+    all (the explode is a narrow map), and every output value is an
+    integer or a substring, so the oracle is exact.
+
+    Returns (id, chunk_id, start_tok, n_tokens_chunk, chunk_text).
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    stride = chunk_size - overlap
+    toks = F.col("__toks")
+    staged = df.select(
+        F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    chunks = staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
+                lambda s: F.struct(
+                    s.alias("start"), F.slice(toks, s, chunk_size).alias("piece")
+                ),
+            )
+        ).alias("chunk_id", "__c"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint"),
+        F.col("__c.start").cast("bigint").alias("start_tok"),
+        F.size("__c.piece").alias("n_tokens_chunk"),
+        F.concat_ws(" ", "__c.piece").alias("chunk_text"),
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Corpus mixture report: per (source, lang) document counts, token
+    and character volume, and share of the corpus — the first table any
+    training-data curation pass produces (what goes into the mix, and
+    how much).
+
+    One keyed aggregate (map-side combined) + a broadcast 1-row total;
+    all sums are integers until the final share division, so the result
+    is exact at any parallelism.  Returns
+    (source, lang, n_docs, n_tokens, n_chars, doc_share).
+    """
+    per = df.groupBy(source_col, lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(fn.tokenize(fn.normalize(F.col(text_col))))).alias("n_tokens"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+    )
+    total = per.agg(F.sum("n_docs").alias("__total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            lang_col,
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.round(F.col("n_docs") / F.col("__total"), ndigits).alias("doc_share"),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability
+    ``mean(ln c(w_{i-1} w_i) / c(w_{i-1}·))`` under the corpus's own
+    bigram counts — the order-sensitive sibling of
+    :func:`unigram_logprob` (CCNet-style quality band): shuffled or
+    templated text scores far from the corpus mode even when its
+    unigram profile is normal.
+
+    ``c(w_{i-1}·)`` counts the token's occurrences *as a bigram head*
+    (n_tokens - 1 per doc), so probabilities condition on exactly the
+    events in the numerator table.  Bigrams come from a narrow
+    ``zip_with(toks, slice(toks, 2, ...))`` — no self-join, the pair
+    stream is one map pass.  Shuffle budget: one bigram aggregate + one
+    head aggregate (both map-side combined), two vocabulary joins
+    (AQE-broadcast), one per-doc aggregate.  The float mean folds per
+    doc in fixed position order (same hash-stability rationale as
+    :func:`char_entropy`).  Docs with < 2 tokens have no bigrams and
+    are absent from the output, matching the oracle.
+    Returns (id, n_bigrams, avg_bigram_lp).
+    """
+    arr = fn.tokenize(fn.normalize(F.col(text_col)))
+    pairs = F.zip_with(
+        arr,
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.when(
+            b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))
+        ),
+    )
+    bi = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.filter(pairs, lambda p: p.isNotNull())).alias("pos", "__p"),
+        )
+        .select(F.col(id_col), "pos", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    hc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__ch"))
+    lp = (
+        bi.join(bc, ["w1", "w2"]).join(hc, "w1")
+        .select(
+            F.col(id_col),
+            "pos",
+            F.log(F.col("__cb").cast("double") / F.col("__ch").cast("double")).alias("__lp"),
+        )
+    )
+    folded = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("pos").alias("k"), F.col("__lp").alias("v")))),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("__s"),
+    )
+    return folded.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round(F.col("__s") / F.col("n_bigrams"), ndigits).alias("avg_bigram_lp"),
     )
 
 

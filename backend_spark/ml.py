@@ -108,6 +108,73 @@ def build_model(
     )
 
 
+def model_features(
+    df: DataFrame,
+    numerical: str | list | None,
+    categorical: list | None = None,
+    id_col: str = "id",
+    test_size: float = 0.33,
+    seed: int = 42,
+) -> DataFrame:
+    """The deterministic half of :func:`build_model`'s pipeline — the
+    exact feature matrix the estimator consumes, with none of the RF
+    nondeterminism, so it is oracle-expressible end-to-end:
+
+    * numeric features: the same regex selection + ``""``/null → 0
+      coercion as :func:`_prep` (reference prep, code/recipes.py:1610-1620);
+    * categoricals: the exact MLlib ``StringIndexer`` label index under
+      its default ``frequencyDesc`` order (count desc, value asc; null →
+      ``numLabels``, matching ``handleInvalid="keep"``) — computed as a
+      broadcast frequency-rank join, pure Column ops, no MLlib, so the
+      one-hot layout of the trained pipeline is pinned by an ANSI-SQL
+      oracle;
+    * split membership: a seeded md5-hash rule (``hash(seed,id) %
+      1e6 < test_size·1e6``) — the hash-exact, partition-independent
+      stand-in for ``randomSplit`` (whose membership is
+      partition-dependent and unreproducible cross-engine; build_model
+      keeps randomSplit, this column documents a deterministic
+      alternative suitable for 100 TB reruns).
+
+    The categorical frequency rank uses a global (unpartitioned) window
+    over the *distinct label set* — cardinality-of-the-dim rows, the
+    same smallness assumption OneHotEncoder itself makes.
+    Returns (id, <numeric cols>, <cat>_idx ..., is_test).
+    """
+    from pyspark.sql import Window
+
+    from backend_spark import functions as fn
+
+    num_cols = (
+        [c for c in df.columns if re.search(numerical, c)]
+        if isinstance(numerical, str)
+        else list(numerical or [])
+    )
+    out = _prep(df, num_cols).select(id_col, *num_cols, *(categorical or []))
+    for c in categorical or []:
+        freq = df.where(F.col(c).isNotNull()).groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
+        w = Window.orderBy(F.col("__cnt").desc(), F.col(c).asc())
+        idx = freq.select(F.col(c), (F.row_number().over(w) - 1).cast("bigint").alias(f"__i_{c}"))
+        n_labels = idx.agg(F.count(F.lit(1)).alias(f"__n_{c}"))
+        out = (
+            out.join(F.broadcast(idx), c, "left")
+            .crossJoin(F.broadcast(n_labels))
+            .withColumn(
+                f"{c}_idx",
+                F.coalesce(F.col(f"__i_{c}"), F.col(f"__n_{c}")),
+            )
+            .drop(f"__i_{c}", f"__n_{c}", c)
+        )
+    out = out.withColumn(
+        "is_test",
+        (
+            fn.md5_long(F.concat(F.lit(f"split:{seed}:"), F.col(id_col).cast("string")))
+            % 1_000_000
+            < int(test_size * 1_000_000)
+        ),
+    )
+    return out
+
+
 def apply_model(
     df: DataFrame,
     model_path: str,

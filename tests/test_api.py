@@ -300,6 +300,11 @@ def test_api_auth_enforced(spark):
         # viewer can read its project, cannot run it
         assert _req_auth(srv, "GET", "/recipes/upgrade", "bob", "pw-b")[0] == 200
         assert _req_auth(srv, "PUT", "/recipes/upgrade/run", "bob", "pw-b")[0] == 403
+        # list routes are authenticated-only (reference @login_required
+        # without authorize): project-scoped bob must not 403
+        assert _req_auth(srv, "GET", "/recipes", "bob", "pw-b")[0] == 200
+        assert _req_auth(srv, "GET", "/jobs", "bob", "pw-b")[0] == 200
+        assert _req_auth(srv, "GET", "/jobs")[0] == 401
         # admin wildcard can run
         code, body = _req_auth(
             srv, "POST", "/recipes/upgrade/apply", "alice", "pw-a",

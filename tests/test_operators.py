@@ -455,3 +455,65 @@ def test_bpe_train_matches_reference_merge_loop(spark):
     got = [tuple(r) for r in llm.bpe_train(df, "doc_id", "text", n_merges=5)
            .orderBy("rank").collect()]
     assert got == expect
+
+
+def test_bpe_encode_pieces_reconstruct_words(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [(0, "banana banana banana"), (1, "low lower")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in llm.bpe_encode(df, "doc_id", "text", n_merges=2).collect()}
+    # merges learned: (a,n) then (an,a) -> banana = [b, an, ana]
+    assert out[0].pieces_preview[:3] == ["b", "an", "ana"]
+    assert out[0].n_bpe == 9  # 3 pieces x 3 words
+    # pieces always concatenate back to the normalized words
+    assert "".join(out[1].pieces_preview[: out[1].n_bpe]) == "lowlower"
+
+
+def test_chunk_documents_window_layout(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7"), (2, "a"), (3, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        llm.chunk_documents(df, "doc_id", "text", chunk_size=3, overlap=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    got = [(r.doc_id, r.chunk_id, r.start_tok, r.n_tokens_chunk, r.chunk_text) for r in rows]
+    assert got == [
+        (1, 0, 1, 3, "t1 t2 t3"),
+        (1, 1, 3, 3, "t3 t4 t5"),
+        (1, 2, 5, 3, "t5 t6 t7"),
+        (1, 3, 7, 1, "t7"),  # short tail kept: the splitter is lossless
+        (2, 0, 1, 1, "a"),  # empty doc 3 emits nothing
+    ]
+    with pytest.raises(ValueError, match="overlap"):
+        llm.chunk_documents(df, "doc_id", "text", chunk_size=3, overlap=3)
+
+
+def test_source_mix_shares(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [("web", "en", "one two"), ("web", "en", "three"), ("book", "fr", "quatre cinq six"), ("web", "de", "sieben")],
+        "source string, lang string, text string",
+    )
+    out = {(r.source, r.lang): r for r in llm.source_mix(df).collect()}
+    assert out[("web", "en")].n_docs == 2 and out[("web", "en")].n_tokens == 3
+    assert out[("book", "fr")].n_tokens == 3
+    assert abs(sum(r.doc_share for r in out.values()) - 1.0) < 1e-9
+
+
+def test_bigram_logprob_known_values(spark):
+    import math
+
+    from backend_spark import llm
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "x")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in llm.bigram_logprob(df, "doc_id", "text").collect()}
+    # doc 1: bigrams (a,a), (a,b); head a count 2 -> each lp = ln(1/2)
+    assert rows[1].n_bigrams == 2
+    assert rows[1].avg_bigram_lp == round(math.log(0.5), 4)
+    assert 2 not in rows  # <2 tokens: no bigrams, no row

@@ -91,6 +91,34 @@ def test_build_and_apply_model(spark, tmp_path):
     assert all(0 <= r[0] <= 100 for r in applied.select("score2").collect())
 
 
+def test_model_features_matches_string_indexer(spark):
+    # the *_idx column must reproduce MLlib StringIndexer's
+    # frequencyDesc labels exactly (count desc, value asc; null ->
+    # numLabels under handleInvalid='keep')
+    from pyspark.ml.feature import StringIndexer
+
+    rows = [
+        (1, "b", 10.0), (2, "b", None), (3, "a", 3.0), (4, "a", 1.0),
+        (5, "c", 2.0), (6, "a", 5.0), (7, None, 4.0), (8, "c", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, seg string, amt double")
+    out = ml.model_features(df, numerical=["amt"], categorical=["seg"], id_col="id")
+    got = {r.id: r for r in out.collect()}
+
+    idx = (
+        StringIndexer(inputCol="seg", outputCol="seg_sidx", handleInvalid="keep")
+        .fit(df.where(F.col("seg").isNotNull()))
+        .transform(df)
+    )
+    expect = {r.id: int(r.seg_sidx) for r in idx.collect()}
+    assert {i: int(r.seg_idx) for i, r in got.items()} == expect
+    # null numeric coerced to 0, split column is boolean + deterministic
+    assert got[2].amt == 0.0
+    rerun = {r.id: r.is_test for r in
+             ml.model_features(df, numerical=["amt"], categorical=["seg"], id_col="id").collect()}
+    assert rerun == {i: r.is_test for i, r in got.items()}
+
+
 def test_streaming_windowed_agg(spark, tmp_path):
     src = str(tmp_path / "stream_src")
     df = spark.createDataFrame(
