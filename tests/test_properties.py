@@ -174,3 +174,52 @@ def test_simhash_banding_is_exhaustive(_spark, texts):
             if i < j and bin(sigs[i] ^ sigs[j]).count("1") <= k:
                 expect[(i, j)] = bin(sigs[i] ^ sigs[j]).count("1")
     assert got == expect, (texts, got, expect)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=5)
+)
+def test_bpe_encode_pieces_concat_to_words(_spark, texts):
+    # segmentation invariant: whatever merges were learned, the encoded
+    # pieces of a document concatenate back to its normalized words
+    import re
+
+    from backend_spark import llm
+
+    df = _spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = llm.bpe_encode(df, "doc_id", "text", n_merges=3, preview=1000).collect()
+    for r in out:
+        norm = re.sub(r"[^a-z0-9]+", " ", texts[r.doc_id].lower()).strip()
+        assert "".join(r.pieces_preview) == norm.replace(" ", "")
+        assert r.n_bpe == len(r.pieces_preview)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 40),
+    chunk=st.integers(2, 10),
+    overlap=st.integers(0, 5),
+)
+def test_chunk_documents_lossless(_spark, n, chunk, overlap):
+    # every chunk is the exact token slice at its start, starts step by
+    # the stride, and the union of chunks covers every token
+    from hypothesis import assume
+
+    from backend_spark import llm
+
+    assume(overlap < chunk)
+    toks = [f"t{i}" for i in range(n)]
+    df = _spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        llm.chunk_documents(df, "doc_id", "text", chunk_size=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    stride = chunk - overlap
+    for r in rows:
+        piece = r.chunk_text.split()
+        assert piece == toks[r.start_tok - 1 : r.start_tok - 1 + chunk]
+        assert r.n_tokens_chunk == len(piece)
+    assert [r.start_tok for r in rows] == list(range(1, n + 1, stride))

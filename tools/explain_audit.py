@@ -76,6 +76,18 @@ EXPECT = {
     "tfidf_topk": ([], ["CartesianProduct"]),
     "unigram_logprob": ([], ["CartesianProduct"]),
     "row_ids": ([], ["CartesianProduct"]),
+    # chunker is a pure explode projection over the scan — no shuffle
+    "chunk_documents": ([], ["Exchange", "CartesianProduct"]),
+    # one keyed agg + broadcast 1-row total; big side never sort-merges
+    "source_mix": (["partial"], ["CartesianProduct", "SortMergeJoin"]),
+    # pair stream is a narrow zip_with — the only joins are the
+    # vocabulary count joins, never a self-join on (id, pos)
+    "bigram_logprob": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # word->pieces map joins back to the token stream; no nested loop
+    # (the merge replay happens on the distinct-word projection)
+    "bpe_encode": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # frequency-rank dim joins must broadcast; the fact side never sorts
+    "model_features": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
