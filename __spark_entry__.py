@@ -186,6 +186,51 @@ def _sql_bpe_encode(n_merges: int = 8, preview: int = 8) -> str:
     )
 
 
+def _sql_closeness_anf_exact(n_rounds: int = 13) -> str:
+    """Unrolled BFS over the ring-chord fixture: per-source shortest
+    distances by n_rounds frontier expansions (min-d fixpoint; the
+    graph's diameter is ~8, so 13 rounds are past convergence), then
+    the same Wasserman-Faust expression the ANF kernel computes —
+    division shapes match the Spark side exactly, so doubles agree
+    bit-for-bit before the round(6)."""
+    ctes = [
+        """e0 AS (SELECT n_nationkey AS a, (n_nationkey + 1) % 25 AS b FROM nation
+                  UNION ALL
+                  SELECT n_nationkey, (n_nationkey + 2) % 25 FROM nation
+                  WHERE n_nationkey % 2 = 0)""",
+        """bsym AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM e0 WHERE a != b
+                UNION ALL
+                SELECT b, a FROM e0 WHERE a != b))""",
+        "p0 AS MATERIALIZED (SELECT DISTINCT a AS s, a AS v, 0 AS d FROM bsym)",
+    ]
+    for i in range(1, n_rounds + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+                SELECT s, v, min(d) AS d FROM (
+                    SELECT s, v, d FROM p{i - 1}
+                    UNION ALL
+                    SELECT p.s, e.b AS v, p.d + 1
+                    FROM p{i - 1} p JOIN bsym e ON e.a = p.v)
+                GROUP BY s, v)"""
+        )
+    ctes.append(
+        f"""fin AS (SELECT s, CAST(count(*) AS DOUBLE) AS r,
+                           CAST(sum(d) AS DOUBLE) AS sd
+                    FROM p{n_rounds} GROUP BY s)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT CAST(s AS BIGINT) AS node,
+               CASE WHEN sd > 0
+                    THEN round(((r - 1) / 24) * ((r - 1) / sd), 6)
+                    ELSE 0.0 END AS closeness
+        FROM fin"""
+    )
+
+
 def _sql_k_core(k: int = 3, n_iter: int = 20) -> str:
     """Unrolled k-core peeling matching graph.k_core over the
     K5+bridge+path fixture (_kcore_edges): peeling is monotone, so a
@@ -722,6 +767,18 @@ def _q_closeness_approx(spark, sf):
     # no exact cross-engine oracle; the op is deterministic (max-register
     # merges) and is pinned against the exact kernel in tests/
     return closeness_centrality_approx(_ring_chord_edges(spark, sf)).select(
+        F.col("node").cast("long").alias("node"), "closeness"
+    )
+
+
+def _q_closeness_anf_exact(spark, sf):
+    from backend_spark.operators.graph import closeness_centrality_approx
+
+    # the ANF recursion in exact-set mode: neighborhood function is
+    # exact, so the multi-hop sketch propagation itself is pinned by an
+    # unrolled-BFS oracle (the HLL production path runs the same
+    # recursion with mergeable sketches; see closeness_approx rows-only)
+    return closeness_centrality_approx(_ring_chord_edges(spark, sf), exact_sets=True).select(
         F.col("node").cast("long").alias("node"), "closeness"
     )
 
@@ -1608,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "source_mix": _q_source_mix,
         "bigram_logprob": _q_bigram_logprob,
+        "closeness_anf_exact": _q_closeness_anf_exact,
         "model_features": _q_model_features,
         "recipe_pipeline": _q_recipe,
         "map": _q_map,
@@ -1934,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector": _sql_eigenvector(30),
         "bpe_train": _sql_bpe_train(8),
         "bpe_encode": _sql_bpe_encode(8),
+        "closeness_anf_exact": _sql_closeness_anf_exact(),
         "chunk_documents": f"""
             WITH t AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS ws
                        FROM documents WHERE length({norm_text}) > 0),

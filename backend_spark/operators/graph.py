@@ -545,6 +545,7 @@ def closeness_centrality_approx(
     max_hops: int = 30,
     lg_config_k: int = 12,
     round_to: int | None = 6,
+    exact_sets: bool = False,
 ) -> DataFrame:
     """Approximate closeness centrality via the ANF/HyperANF
     neighborhood-function algorithm (Palmer et al. 2002, Boldi et al.
@@ -560,13 +561,32 @@ def closeness_centrality_approx(
     partition-order deterministic — approximate in value (relative
     error ~1.6%/√2^lg_config_k) but stable run-to-run.  Terminates when
     no node's estimate grew in a round (≤ diameter rounds).
+
+    ``exact_sets=True`` swaps the HLL sketch for the actual neighbor-id
+    set (``array_union`` merges, ``size`` estimates): the neighborhood
+    function becomes exact, so the output equals
+    :func:`closeness_centrality` and is reproducible by an unrolled-BFS
+    SQL oracle — the correctness mode for the same recursion the HLL
+    path runs at scale (per-node state grows to O(component), so it is
+    a small-graph/oracle mode, not the 100 TB path).
     """
     sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    if exact_sets:
+        # sym has one row per incident edge: dedup to the singleton {node}
+        init_sk = F.array_distinct(F.array_agg("node"))
+        estimate = lambda c: F.size(c).cast("double")  # noqa: E731
+        union_agg = lambda c: F.array_distinct(F.flatten(F.collect_list(c)))  # noqa: E731
+        union2 = lambda a, b: F.array_union(a, b)  # noqa: E731
+    else:
+        init_sk = F.hll_sketch_agg("node", F.lit(lg_config_k))
+        estimate = F.hll_sketch_estimate
+        union_agg = lambda c: F.hll_union_agg(c, True)  # noqa: E731
+        union2 = lambda a, b: F.hll_union(a, b, True)  # noqa: E731
     state = (
         sym.select(F.col("a").alias("node"))
         .groupBy("node")  # the groupBy dedups; a prior distinct would be a second exchange
-        .agg(F.hll_sketch_agg("node", F.lit(lg_config_k)).alias("__sk"))
-        .withColumn("__est", F.hll_sketch_estimate("__sk"))
+        .agg(init_sk.alias("__sk"))
+        .withColumn("__est", estimate(F.col("__sk")))
         .withColumn("__sumdist", F.lit(0.0))
         .localCheckpoint(eager=True)
     )
@@ -577,19 +597,19 @@ def closeness_centrality_approx(
         nbr = (
             sym.join(state.select(F.col("node").alias("a"), "__sk"), "a")
             .groupBy(F.col("b").alias("node"))
-            .agg(F.hll_union_agg("__sk", True).alias("__nsk"))
+            .agg(union_agg(F.col("__sk")).alias("__nsk"))
         )
         new_state = (
             state.join(nbr, "node", "left")
             .select(
                 "node",
                 F.when(
-                    F.col("__nsk").isNotNull(), F.hll_union("__sk", "__nsk", True)
+                    F.col("__nsk").isNotNull(), union2(F.col("__sk"), F.col("__nsk"))
                 ).otherwise(F.col("__sk")).alias("__sk"),
                 F.col("__est").alias("__prev"),
                 "__sumdist",
             )
-            .withColumn("__est", F.hll_sketch_estimate("__sk"))
+            .withColumn("__est", estimate(F.col("__sk")))
             .withColumn(
                 "__sumdist",
                 F.col("__sumdist")

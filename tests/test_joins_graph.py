@@ -940,3 +940,25 @@ def test_k_core_raises_instead_of_truncating(spark):
     with pytest.raises(RuntimeError, match="fixpoint"):
         k_core(path, k=2, max_iter=3).collect()
     assert k_core(path, k=2, max_iter=40).count() == 0
+
+
+def test_closeness_anf_exact_sets_equals_exact_kernel(spark):
+    # the ANF recursion with exact sets must reproduce the exact kernel
+    # bit-for-bit — this is the correctness pin for the HLL scale path,
+    # which runs the same propagation with mergeable sketches
+    from backend_spark.operators.graph import (
+        closeness_centrality,
+        closeness_centrality_approx,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)]
+        + [(i, (i + 2) % 12) for i in range(0, 12, 2)],
+        "src long, dst long",
+    )
+    exact = {r.node: r.closeness for r in closeness_centrality(edges).collect()}
+    anf = {
+        r.node: r.closeness
+        for r in closeness_centrality_approx(edges, exact_sets=True).collect()
+    }
+    assert anf == exact
