@@ -31,8 +31,10 @@ Endpoints (JSON in/out):
 
 Auth: pass ``security=SecurityConf(...)`` (``backend_spark.security``)
 to enable the reference's users/groups/roles rights model over HTTP
-Basic — GETs need ``read``, run/test/apply/_update need ``update``,
-mirroring the reference's ``@authorize`` decorators; ``no_auth`` or
+Basic or Bearer tokens (the post-OAuth credential shape) — project GETs
+need ``read``, run/test/apply/_update need ``update``, mirroring the
+reference's ``@authorize`` decorators; bare list routes are
+authenticated-only like its ``@login_required``; ``no_auth`` or
 ``security=None`` disables the layer (code/security.py:16-21).
 """
 
@@ -129,7 +131,7 @@ class ApiServer:
                 sec = outer.security
                 if sec is None or sec.no_auth:
                     return True
-                user = sec.authenticate_basic(self.headers.get("Authorization"))
+                user = sec.authenticate(self.headers.get("Authorization"))
                 if user is None:
                     # RFC 7235: a 401 must carry the challenge, or
                     # reactive-auth clients never retry with credentials
@@ -155,7 +157,7 @@ class ApiServer:
                 sec = outer.security
                 if sec is None or sec.no_auth:
                     return True
-                user = sec.authenticate_basic(self.headers.get("Authorization"))
+                user = sec.authenticate(self.headers.get("Authorization"))
                 if user is None:
                     body = json.dumps({"error": "authentication required"}).encode()
                     self.send_response(401)

@@ -5,13 +5,15 @@ role-to-user assignments, roles granting CRUD rights, and a global
 ``no_auth`` switch that turns the whole layer off.
 
 The reference rides flask-login sessions + OAuth providers; here the
-transport is stateless HTTP Basic (no web-framework dependency, same
-check_password semantics) and the rights walk is a faithful
+transport is stateless — HTTP Basic (same check_password semantics)
+plus Bearer tokens (the post-OAuth credential shape: a provider's
+sign-in ends in a token the API maps to a user; the provider-redirect
+dance itself, code/oauth.py, is network transport glue out of scope
+for an engine library, SURVEY.md §3).  The rights walk is a faithful
 re-expression of ``check_rights`` / ``check_rights_groups``
 (code/security.py:16-47): a user holds a right on a project when any
 group grants it via a role, with ``_all`` wildcards on both the project
-and the user axis.  OAuth sign-in is transport glue out of scope for an
-engine library (SURVEY.md §3).
+and the user axis.
 """
 
 from __future__ import annotations
@@ -29,9 +31,10 @@ class SecurityConf:
     shape as the reference's conf tree) plus the ``no_auth`` switch
     (reference reads it at conf["global"]["api"]["no_auth"])."""
 
-    users: dict = field(default_factory=dict)    # name -> {"password": ...}
+    users: dict = field(default_factory=dict)    # name -> {"password": ..., "tokens": [...]}
     groups: dict = field(default_factory=dict)   # name -> {"projects": {proj: {role: user|{user:...}}}}
     roles: dict = field(default_factory=dict)    # name -> {right: bool}
+    tokens: dict = field(default_factory=dict)   # token -> user (top-level section)
     no_auth: bool = False
 
     @classmethod
@@ -39,10 +42,19 @@ class SecurityConf:
         no_auth = bool(
             (conf.get("global", {}).get("api", {}) or {}).get("no_auth", False)
         )
+        users = conf.get("users", {}) or {}
+        # token table: top-level `tokens: {token: user}` plus per-user
+        # `tokens: [...]` lists, merged (top-level wins on collision)
+        tokens: dict = {}
+        for name, u in users.items():
+            for t in (u or {}).get("tokens", []) or []:
+                tokens[str(t)] = name
+        tokens.update({str(t): u for t, u in (conf.get("tokens", {}) or {}).items()})
         return cls(
-            users=conf.get("users", {}) or {},
+            users=users,
             groups=conf.get("groups", {}) or {},
             roles=conf.get("roles", {}) or {},
+            tokens=tokens,
             no_auth=no_auth,
         )
 
@@ -87,3 +99,21 @@ class SecurityConf:
         if not sep or user not in self.users:
             return None
         return user if self.check_password(user, password) else None
+
+    def authenticate_bearer(self, authorization: str | None) -> str | None:
+        """Resolve an ``Authorization: Bearer <token>`` header to a user
+        name via the token table — the stateless equivalent of the
+        reference's post-OAuth session (a signed-in identity carried by
+        a credential, not a password).  Unknown/absent token -> None;
+        a token mapped to a user absent from ``users`` -> None (revoking
+        the user revokes every token)."""
+        if not authorization or not authorization.startswith("Bearer "):
+            return None
+        user = self.tokens.get(authorization[7:].strip())
+        return user if user is not None and user in self.users else None
+
+    def authenticate(self, authorization: str | None) -> str | None:
+        """Scheme dispatch: Basic (password) or Bearer (token)."""
+        if authorization and authorization.startswith("Bearer "):
+            return self.authenticate_bearer(authorization)
+        return self.authenticate_basic(authorization)

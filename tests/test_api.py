@@ -315,3 +315,51 @@ def test_api_auth_enforced(spark):
         assert _req_auth(srv, "GET", "/recipes", "alice", "nope")[0] == 401
     finally:
         srv.stop()
+
+
+def test_bearer_token_resolution():
+    from backend_spark.security import SecurityConf
+
+    conf = {
+        **SEC_CONF,
+        "users": {**SEC_CONF["users"], "alice": {"password": "pw-a", "tokens": ["tok-alice"]}},
+        "tokens": {"tok-bob": "bob", "tok-ghost": "nobody"},
+    }
+    sec = SecurityConf.from_conf(conf)
+    assert sec.authenticate("Bearer tok-alice") == "alice"  # per-user list
+    assert sec.authenticate("Bearer tok-bob") == "bob"      # top-level table
+    assert sec.authenticate("Bearer tok-ghost") is None     # unknown user -> revoked
+    assert sec.authenticate("Bearer nope") is None
+    assert sec.authenticate("Bearer ") is None
+    # Basic still dispatches through the same entry point
+    import base64
+    hdr = "Basic " + base64.b64encode(b"bob:pw-b").decode()
+    assert sec.authenticate(hdr) == "bob"
+
+
+def test_api_accepts_bearer(spark):
+    from backend_spark.security import SecurityConf
+
+    conf = {**SEC_CONF, "tokens": {"tok-bob": "bob"}}
+    book = RecipeBook(load_conf(CONF), spark=spark)
+    srv = ApiServer(spark, book, security=SecurityConf.from_conf(conf)).start()
+    try:
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/recipes",
+            headers={"Authorization": "Bearer tok-bob"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/recipes",
+            headers={"Authorization": "Bearer wrong"},
+        )
+        try:
+            urllib.request.urlopen(req2)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        srv.stop()
