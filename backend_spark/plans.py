@@ -192,6 +192,25 @@ class RecipeBook:
                 test_size=a.get("test_size", 0.33),
                 seed=a.get("seed", 42),
             )
+        if name == "apply_model":
+            # reference internal_apply_model (code/recipes.py:1833-1897):
+            # args are `name` (persisted model), `target` (output col);
+            # feature selection rides the persisted pipeline here, so
+            # numerical/categorical regexes are accepted but only the
+            # numeric null->0 prep needs them
+            from backend_spark import ml
+
+            model = a.get("model")
+            path = (
+                model.get("name") if isinstance(model, dict)
+                else (a.get("name") or a.get("model_path") or model)
+            )
+            return ml.apply_model(
+                df,
+                path,
+                target=a.get("target", "matchid_hit_score_ml"),
+                numerical=a.get("numerical"),
+            )
         if name == "dedup":
             # corpus dedup as a declarative step (beyond-reference; the
             # LLM-pipeline operators from backend_spark.llm)

@@ -663,3 +663,30 @@ def test_s3a_conf_surface(spark):
     assert hc.get("fs.s3a.path.style.access") == "true"
     configure_s3a(spark, anonymous=True)
     assert "Anonymous" in hc.get("fs.s3a.aws.credentials.provider")
+
+
+def test_apply_model_recipe_step(spark, tmp_path):
+    # the reference's internal_apply_model as a declarative step:
+    # train+persist, then a recipe scores new rows from the saved model
+    import random
+
+    random.seed(11)
+    rows = [(a, 1.0 if a > 0.5 else 0.0) for a in (random.random() for _ in range(200))]
+    df = spark.createDataFrame(rows, "feat_x double, y double")
+    path = str(tmp_path / "recipe_model")
+    ml.build_model(df, numerical=r"^feat_", target="y", model_path=path, tries=1)
+
+    conf = load_conf(
+        f"""
+recipes:
+  score:
+    steps:
+      - apply_model:
+          name: "{path}"
+          target: score
+"""
+    )
+    book = RecipeBook(conf, spark=spark)
+    out = book.compile("score")(df.drop("y"))
+    vals = [r.score for r in out.collect()]
+    assert len(vals) == 200 and all(0 <= v <= 100 for v in vals)
