@@ -1257,6 +1257,25 @@ def _q_pack(spark, sf):
     return llm.pack_sequences(sized, "doc_id", "n_toks", budget=512, shards=8)
 
 
+def _q_stream_pack(spark, sf):
+    # single-availableNow-batch drain reproduces the batch packer
+    # bit-for-bit (same shard hash, same in-shard id order), so this
+    # shares pack_sequences' exact oracle — a stateful streaming op
+    # with a full hash oracle, not just a rows-only check
+    from backend_spark import streaming
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sized = docs.select("doc_id", F.size(fn.tokenize(F.col("text"))).alias("n_tokens"))
+    path = tempfile.mkdtemp(prefix="sg_spack_") + "/sized"
+    sized.write.parquet(path)
+    sdf = streaming.read_stream(spark, path)
+    out = streaming.pack_stream(sdf, "doc_id", "n_tokens", budget=512, shards=8)
+    _STREAM_N[0] += 1
+    name = f"sg_spack_{_STREAM_N[0]}"
+    streaming.run_to_memory(out, name, checkpoint=tempfile.mkdtemp(prefix="sg_spack_ck_"))
+    return spark.sql(f"SELECT doc_id, n_tokens, shard, start_offset, bin_id FROM {name}")
+
+
 def _q_quality_filter(spark, sf):
     # thresholds tuned so every rule discriminates on the synthetic
     # corpus (words 10-99 median 56, mean word len ~4.5, stop hits
@@ -1666,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": _q_source_mix,
         "bigram_logprob": _q_bigram_logprob,
         "closeness_anf_exact": _q_closeness_anf_exact,
+        "stream_pack": _q_stream_pack,
         "model_features": _q_model_features,
         "recipe_pipeline": _q_recipe,
         "map": _q_map,
@@ -2928,4 +2948,6 @@ def oracle_sql() -> dict[str, str]:
     # complete-mode streaming over a bounded source must equal batch
     out["stream_sessionize"] = out["sessionize"]
     out["stream_compact"] = out["compact_latest"]
+    # one availableNow batch == the batch packer bit-for-bit
+    out["stream_pack"] = out["pack_sequences"]
     return out

@@ -173,6 +173,68 @@ def stateful_running_count(
     )
 
 
+def pack_stream(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int = 512,
+    shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Streaming sequence packing — the stateful counterpart of
+    :func:`backend_spark.llm.pack_sequences` for a continuously
+    arriving corpus: per-shard state is one running token total, and
+    each micro-batch's documents are appended to their shard's stream
+    at the offset where the previous batch left off (same shard
+    hashing, same ``bin_id`` layout, so a batch-packed corpus and a
+    stream-packed one address chunks identically).
+
+    Within a micro-batch, a shard's documents are ordered by id (the
+    batch kernel's deterministic order); across micro-batches the order
+    is arrival order — the defining difference of streaming ingestion.
+    Draining everything in ONE batch therefore reproduces the batch
+    kernel bit-for-bit, which is this operator's equivalence oracle.
+    State is O(1) per shard (a single long), the cheapest possible
+    stateful operator at 100 TB/day.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from backend_spark import functions as fn
+
+    shard = (
+        fn.md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))) % shards
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        shard.alias("shard"),
+    )
+
+    def _pack(key, pdfs, state):
+        import pandas as pd
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(id_col)
+        total = state.get[0] if state.exists else 0
+        cum = pdf["n_tokens"].cumsum()
+        pdf = pdf.assign(start_offset=total + cum - pdf["n_tokens"])
+        state.update((total + int(pdf["n_tokens"].sum()),))
+        pdf["bin_id"] = pdf["shard"] * 2**33 + pdf["start_offset"] // budget
+        yield pdf[[id_col, "n_tokens", "shard", "start_offset", "bin_id"]]
+
+    return base.groupBy("shard").applyInPandasWithState(
+        _pack,
+        outputStructType=(
+            f"{id_col} long, n_tokens long, shard long, start_offset long, bin_id long"
+        ),
+        stateStructType="total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append", checkpoint: str | None = None):
     """Drain a stream into an in-memory table with availableNow (test
     harness; production sinks are parquet/kafka via writeStream)."""

@@ -690,3 +690,36 @@ recipes:
     out = book.compile("score")(df.drop("y"))
     vals = [r.score for r in out.collect()]
     assert len(vals) == 200 and all(0 <= v <= 100 for v in vals)
+
+
+def test_pack_stream_state_continues_across_batches(spark, tmp_path):
+    # two micro-batches (maxFilesPerTrigger=1): the second batch's
+    # offsets must continue where the first left off — per shard, the
+    # packed stream is gapless and overlap-free
+    import os
+
+    src = str(tmp_path / "pack_src")
+    os.makedirs(src)
+    spark.createDataFrame([(i, 10 + i) for i in range(6)], "doc_id long, n_tokens long") \
+        .coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame([(i, 5) for i in range(6, 12)], "doc_id long, n_tokens long") \
+        .coalesce(1).write.parquet(src + "/f2")
+
+    sdf = streaming.read_stream(
+        spark, src + "/*", max_files_per_trigger=1,
+        schema="doc_id long, n_tokens long",
+    )
+    out = streaming.pack_stream(sdf, "doc_id", "n_tokens", budget=16, shards=2)
+    streaming.run_to_memory(out, "pack_stream_test", checkpoint=str(tmp_path / "ck"))
+    rows = spark.sql("SELECT * FROM pack_stream_test").collect()
+    assert len(rows) == 12
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in per_shard.items():
+        rs.sort(key=lambda r: r.start_offset)
+        expect_next = 0
+        for r in rs:
+            assert r.start_offset == expect_next, (shard, r)
+            expect_next = r.start_offset + r.n_tokens
+            assert r.bin_id == shard * 2**33 + r.start_offset // 16
