@@ -107,6 +107,33 @@ def bucketed_join(spark, left_table: str, right_table: str, on: list[str], how: 
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
+def sort_cluster(
+    df: DataFrame,
+    cluster_cols: list[str] | str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Range-cluster a frame for write layout: rows are range-
+    partitioned on ``cluster_cols`` (Spark's distributed sort — sampled
+    boundaries, no single-partition funnel) and sorted within each
+    partition.  Written as parquet, every file then covers a tight
+    min/max range of the cluster key, so readers' range predicates
+    prune whole files from the scan (parquet row-group statistics) —
+    the poor man's Z-order, and the right layout for time-series or
+    id-range access patterns at 100 TB.
+
+    Layout only: the row set is unchanged.  Use before
+    ``df.write.parquet`` the same way ``write_bucketed`` is used before
+    repeated equi-joins.
+    """
+    cols = [cluster_cols] if isinstance(cluster_cols, str) else list(cluster_cols)
+    parts = (
+        df.repartitionByRange(n_partitions, *cols)
+        if n_partitions
+        else df.repartitionByRange(*cols)
+    )
+    return parts.sortWithinPartitions(*cols)
+
+
 def assign_row_ids(
     df: DataFrame,
     order_cols: list[str] | str,
