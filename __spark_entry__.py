@@ -1671,6 +1671,36 @@ def _q_apply_model(spark, sf):
     return scored.select("c_custkey", "score_ml")
 
 
+def _q_semdedup(spark, sf):
+    """SemDeDup over the doubled embeddings corpus (same construction as
+    embed_neardup: +10000 ids carry scaled copies, guaranteed in-cluster
+    near-dups at cosine ~1)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dupes = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.5 + 0.01).alias("embedding"),
+    )
+    return llm.semdedup(
+        emb.unionByName(dupes), "vec_id", "embedding", n_clusters=8, threshold=0.95
+    )
+
+
+def _q_decontaminate_fuzzy(spark, sf):
+    """Cross-corpus MinHash contamination pairs: the 'benchmark' is every
+    20th doc with two junk tokens appended (near- but not exact-dup, the
+    case exact-ngram decontaminate can miss at small n)."""
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 50000).alias("bench_id"),
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+    )
+    return llm.crosscorpus_neardup(
+        docs, bench, "doc_id", "text", "bench_id", "text", jaccard_threshold=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority: the driver checks a
     # 50-query prefix per round, so queries with the least driver history
@@ -1678,6 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "char_entropy": _q_char_entropy,
         "pack_sequences": _q_pack,
+        "semdedup": _q_semdedup,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "rollup": _q_rollup,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
@@ -2115,6 +2147,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT id1, id2, round(i / (n - i), 6) AS jaccard
             FROM inter WHERE round(i / (n - i), 6) >= 0.8
         """,
+        # cross-corpus MinHash contamination (llm.crosscorpus_neardup
+        # defaults num_perm=16, bands=8 -> 2 rows/band); benchmark = every
+        # 20th doc + ' zz qq', ids + 50000
+        "decontaminate_fuzzy": f"""
+            WITH corpus AS (SELECT doc_id, {norm_text} AS s FROM documents),
+            bench AS (SELECT doc_id + 50000 AS bench_id,
+                             {_SQL_NORM.format(c="text || ' zz qq'")} AS s
+                      FROM documents WHERE doc_id % 20 = 0),
+            chs AS (SELECT doc_id,
+                           list_transform({shingles3}, g -> {_SQL_H.format(x='g')}) AS h
+                    FROM corpus),
+            bhs AS (SELECT bench_id,
+                           list_transform({shingles3}, g -> {_SQL_H.format(x='g')}) AS h
+                    FROM bench),
+            csig AS (SELECT doc_id,
+                            [list_min(list_transform(h,
+                                 x -> xor(x, {_SQL_H.format(x="'perm#' || CAST(p AS VARCHAR)")})))
+                             for p in range(0, 16)] AS sg
+                     FROM chs),
+            bsig AS (SELECT bench_id,
+                            [list_min(list_transform(h,
+                                 x -> xor(x, {_SQL_H.format(x="'perm#' || CAST(p AS VARCHAR)")})))
+                             for p in range(0, 16)] AS sg
+                     FROM bhs),
+            cb AS (SELECT doc_id, p.b AS band,
+                          CAST(sg[p.b * 2 + 1] AS VARCHAR) || '-' ||
+                          CAST(sg[p.b * 2 + 2] AS VARCHAR) AS key
+                   FROM csig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) p),
+            bb AS (SELECT bench_id, p.b AS band,
+                          CAST(sg[p.b * 2 + 1] AS VARCHAR) || '-' ||
+                          CAST(sg[p.b * 2 + 2] AS VARCHAR) AS key
+                   FROM bsig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) p),
+            cand AS (SELECT DISTINCT cb.doc_id, bb.bench_id
+                     FROM cb JOIN bb ON cb.band = bb.band AND cb.key = bb.key),
+            inter AS (SELECT c.doc_id, c.bench_id,
+                             CAST(len(list_intersect(h1.h, h2.h)) AS DOUBLE) AS i,
+                             len(h1.h) + len(h2.h) AS n
+                      FROM cand c
+                      JOIN chs h1 ON h1.doc_id = c.doc_id
+                      JOIN bhs h2 ON h2.bench_id = c.bench_id)
+            SELECT doc_id, bench_id, round(i / (n - i), 6) AS jaccard
+            FROM inter WHERE round(i / (n - i), 6) >= 0.5
+        """,
         "dedup_near": f"""
             WITH RECURSIVE all_docs AS (
                 SELECT doc_id AS id, text FROM documents
@@ -2538,6 +2613,48 @@ def oracle_sql() -> dict[str, str]:
             FROM cand JOIN all_vecs x ON x.vec_id = id1
                       JOIN all_vecs y ON y.vec_id = id2
             WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.9
+        """,
+        # SemDeDup: hash-ordered centroid reservoir, argmax-cosine
+        # assignment (ties -> smaller cluster), prefix drop rule
+        # (any smaller-id cluster member >= threshold); mirrors
+        # llm.semdedup defaults n_clusters=8, threshold=0.95
+        "semdedup": """
+            WITH all_vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5 + 0.01)
+                FROM embeddings
+            ),
+            h AS (
+                SELECT vec_id, v,
+                       CAST('0x' || substr(md5('sem:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) AS hk
+                FROM all_vecs
+            ),
+            cent AS (
+                SELECT CAST(row_number() OVER (ORDER BY hk ASC, vec_id ASC) AS INT) - 1
+                         AS cluster,
+                       v AS cv
+                FROM h
+                QUALIFY row_number() OVER (ORDER BY hk ASC, vec_id ASC) <= 8
+            ),
+            asg AS (
+                SELECT a.vec_id, a.v, c.cluster,
+                       round(list_cosine_similarity(a.v, c.cv), 6) AS centroid_sim
+                FROM h a CROSS JOIN cent c
+                QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                           ORDER BY centroid_sim DESC, c.cluster ASC) = 1
+            ),
+            prior AS (
+                SELECT a.vec_id,
+                       max(round(list_cosine_similarity(a.v, b.v), 6)) AS max_prior_sim
+                FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                GROUP BY a.vec_id
+            )
+            SELECT a.vec_id, a.cluster, a.centroid_sim, p.max_prior_sim,
+                   coalesce(p.max_prior_sim >= 0.95, false) = false AS keep
+            FROM asg a LEFT JOIN prior p USING (vec_id)
         """,
         "multimodal": """
             SELECT doc_id, 'image' AS media_type,

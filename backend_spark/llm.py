@@ -323,6 +323,190 @@ def embed_cosine_pairs(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup over an embedding
+    column — cluster the corpus, then inside each cluster drop every
+    vector whose cosine to an already-kept earlier member exceeds
+    ``threshold``.  Output: (id, cluster, centroid_sim, max_prior_sim,
+    keep) for every input row; a curation pipeline filters ``keep``.
+
+    Deterministic-by-construction so the DuckDB oracle reproduces it
+    bit-for-bit (no KMeans randomness):
+
+    * centroids = the ``n_clusters`` corpus vectors with the smallest
+      ``md5_long('sem:' || id)`` (hash-ordered reservoir — uniform,
+      engine-independent); cluster index = their hash rank.
+    * assignment = argmax cosine over the broadcast centroid table
+      (rounded to ``round_to`` first; ties → smaller cluster index).
+    * the intra-cluster rule is the *prefix* variant: a row is dropped
+      when ANY smaller-id cluster member (kept or not) is ≥ threshold.
+      True SemDeDup drops vs *kept* members only; the prefix rule is a
+      superset-drop (transitively-near chains lose more members), is
+      one self-join instead of a sequential scan, and is what a 1000-
+      executor run can actually compute — the divergence is documented
+      here and in SCALING.md.
+
+    Scale posture: the centroid table is ``n_clusters`` rows
+    (broadcast); assignment is a map-side argmax, one shuffle on
+    ``cluster`` for the self-join.  Intra-cluster candidate cost is
+    Σ cluster_size² — at 100 TB you raise ``n_clusters`` so clusters
+    stay bounded (SemDeDup's own regime: K ~ 10-100k for billions of
+    docs), which also keeps every executor's partition independent.
+    """
+    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    hk = fn.md5_long(F.concat(F.lit("sem:"), F.col("__id").cast("string")))
+    # top-K by hash via orderBy().limit() = TakeOrderedAndProject (each
+    # partition ships only its local top-K — no global sort); the
+    # row_number window then runs over the K-row result, not the corpus
+    cent = (
+        base.withColumn("__hk", hk)
+        .orderBy(F.col("__hk").asc(), F.col("__id").asc())
+        .limit(n_clusters)
+        .withColumn(
+            "cluster",
+            F.row_number().over(Window.orderBy(F.col("__hk").asc(), F.col("__id").asc())) - 1,
+        )
+        .select("cluster", F.col("__v").alias("__cent"))
+    )
+    sims = base.join(F.broadcast(cent)).withColumn(
+        "__s", F.round(fn.cosine_similarity(F.col("__v"), F.col("__cent")), round_to)
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__s").desc(), F.col("cluster").asc())
+    assigned = (
+        sims.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__id", "__v", "cluster", F.col("__s").alias("centroid_sim"))
+    )
+    a = assigned.select(
+        F.col("__id"), F.col("cluster"), F.col("centroid_sim"), F.col("__v")
+    )
+    b = assigned.select(
+        F.col("__id").alias("__jd"), F.col("cluster"), F.col("__v").alias("__vj")
+    )
+    prior = (
+        a.join(b, "cluster")
+        .where(F.col("__jd") < F.col("__id"))
+        .withColumn("__ps", F.round(fn.cosine_similarity(F.col("__v"), F.col("__vj")), round_to))
+        .groupBy("__id")
+        .agg(F.max("__ps").alias("max_prior_sim"))
+    )
+    return (
+        assigned.join(prior, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            "max_prior_sim",
+            (F.coalesce(F.col("max_prior_sim") >= threshold, F.lit(False)) == False).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+def crosscorpus_neardup(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    bench_id: str,
+    bench_text: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy contamination pairs between a training corpus and a
+    benchmark set: MinHash+LSH banding across the two corpora, exact
+    shingle-Jaccard verify — the near-dup companion to the exact-ngram
+    :func:`decontaminate` (Brown et al. GPT-3 App. C use 13-gram overlap;
+    MinHash catches the paraphrased/whitespace-mangled leaks exact
+    n-grams miss).  Returns (corpus_id, bench_id, jaccard).
+
+    Scale posture: the benchmark side is small by definition (eval sets,
+    ~1e4-1e6 rows) — its banded keys are **broadcast**, so the corpus is
+    scanned once with a map-side join and only candidate ids enter the
+    verify shuffle.  The corpus is never self-joined.
+    """
+    rows_per_band = num_perm // bands
+
+    def _sig(df: DataFrame, idc: str, txt: str) -> DataFrame:
+        hs = (
+            df.select(F.col(idc), fn.normalize(F.col(txt)).alias("__n"))
+            .withColumn("__sh", fn.shingles(F.col("__n"), shingle_n))
+            .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
+            .select(F.col(idc), F.col("__hs"))
+            .localCheckpoint(eager=False)
+        )
+        return hs.withColumn(
+            "__sig", fn.minhash_signature_from_hashes(F.col("__hs"), num_perm)
+        ).localCheckpoint(eager=False)
+
+    def _banded(sig: DataFrame, idc: str) -> DataFrame:
+        return sig.select(
+            F.col(idc),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("key"),
+                    ),
+                )
+            ).alias("__b"),
+        ).select(idc, F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
+
+    csig = _sig(corpus, corpus_id, corpus_text)
+    bsig = _sig(bench, bench_id, bench_text)
+    cand = (
+        _banded(csig, corpus_id)
+        .join(F.broadcast(_banded(bsig, bench_id)), ["__band", "__key"])
+        .select(corpus_id, bench_id)
+        .distinct()
+    )
+    s1 = csig.select(F.col(corpus_id), F.col("__hs").alias("__h1"), F.size("__hs").alias("__n1"))
+    s2 = bsig.select(F.col(bench_id), F.col("__hs").alias("__h2"), F.size("__hs").alias("__n2"))
+    verified = cand.join(s1, corpus_id).join(F.broadcast(s2), bench_id)
+    inter = F.size(F.array_intersect("__h1", "__h2")).cast("double")
+    union = (F.col("__n1") + F.col("__n2")).cast("double") - inter
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select(corpus_id, bench_id, "jaccard")
+    )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    bench_id: str,
+    bench_text: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop corpus docs that fuzzy-match any benchmark doc (see
+    :func:`crosscorpus_neardup`); the anti-join keys on corpus id only,
+    so corpus rows are never duplicated by multiple benchmark hits."""
+    hits = crosscorpus_neardup(
+        corpus, bench, corpus_id, corpus_text, bench_id, bench_text, **lsh_kwargs
+    ).select(corpus_id).distinct()
+    return corpus.join(hits, corpus_id, "left_anti")
+
+
 def simhash_buckets(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """(id, simhash) — exact-match buckets are near-dup candidates;
     hamming-≤k search is a band-join over bit slices of this value.

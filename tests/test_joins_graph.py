@@ -962,3 +962,40 @@ def test_closeness_anf_exact_sets_equals_exact_kernel(spark):
         for r in closeness_centrality_approx(edges, exact_sets=True).collect()
     }
     assert anf == exact
+
+
+def test_semdedup_drops_in_cluster_near_dups(spark):
+    # 0/1 parallel (near-dup), 2 orthogonal; whichever cluster 0 and 1
+    # land in, the larger id must be dropped and 2 must survive
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in llm.semdedup(df, n_clusters=2, threshold=0.95).collect()}
+    assert len(out) == 3
+    assert out[2].keep  # orthogonal vector always survives
+    assert out[0].cluster == out[1].cluster  # parallel vectors co-cluster
+    assert out[0].keep and not out[1].keep  # prefix rule: smaller id wins
+    assert out[1].max_prior_sim == 1.0
+    # every row keeps an assignment and a centroid similarity
+    assert all(r.cluster is not None and r.centroid_sim is not None for r in out.values())
+
+
+def test_crosscorpus_neardup_and_decontaminate_fuzzy(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(90, base + " x")], "bench_id long, text string")
+    pairs = llm.crosscorpus_neardup(
+        corpus, bench, "doc_id", "text", "bench_id", "text", jaccard_threshold=0.5
+    )
+    got = {(r.doc_id, r.bench_id): r.jaccard for r in pairs.collect()}
+    assert set(got) == {(1, 90)} and got[(1, 90)] > 0.8
+    kept = llm.decontaminate_fuzzy(
+        corpus, bench, "doc_id", "text", "bench_id", "text", jaccard_threshold=0.5
+    )
+    assert [r.doc_id for r in kept.collect()] == [2]
