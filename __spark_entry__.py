@@ -1701,6 +1701,20 @@ def _q_decontaminate_fuzzy(spark, sf):
     )
 
 
+def _q_nb_classify(spark, sf):
+    """Train the deterministic Naive Bayes classifier on (source, text)
+    and score the same corpus — the fastText-style quality/domain
+    classifier role, end-to-end hash-checkable."""
+    docs = load_table(spark, sf, "documents")
+    model = llm.nb_train(docs, "source", "text")
+    return llm.nb_score(docs, model, "doc_id", "text")
+
+
+def _q_dup_ngrams(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.dup_ngram_fraction(docs, "doc_id", "text", n=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority: the driver checks a
     # 50-query prefix per round, so queries with the least driver history
@@ -1710,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack,
         "semdedup": _q_semdedup,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "nb_classify": _q_nb_classify,
+        "dup_ngrams": _q_dup_ngrams,
         "rollup": _q_rollup,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
@@ -2093,6 +2109,58 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS avg_bigram_lp
             FROM b2 JOIN bc USING (w1, w2) JOIN hc USING (w1)
             GROUP BY doc_id
+        """,
+        # multinomial NB, add-one smoothing: dense (label, vocab-token)
+        # model, prior+fold score, argmax with label tie-break (mirrors
+        # llm.nb_train/nb_score; labels = source, train == test corpus)
+        "nb_classify": f"""
+            WITH tok AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS ws
+                         FROM documents),
+            pos0 AS (SELECT doc_id,
+                            unnest([{{'pos': i, 'token': ws[CAST(i AS INT)]}}
+                                    for i in range(1, len(ws) + 1)]) AS s
+                     FROM tok),
+            p2 AS (SELECT doc_id, s.pos AS pos, s.token AS token FROM pos0),
+            lab AS (SELECT doc_id, source AS label FROM documents),
+            counts AS (SELECT l.label, p.token, count(*) AS c
+                       FROM p2 p JOIN lab l USING (doc_id) GROUP BY l.label, p.token),
+            nl AS (SELECT label, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY label),
+            vocab AS (SELECT DISTINCT token FROM p2),
+            v AS (SELECT count(*) AS v FROM vocab),
+            prior AS (SELECT source AS label, count(*) AS d FROM documents GROUP BY source),
+            pt AS (SELECT CAST(sum(d) AS DOUBLE) AS dt FROM prior),
+            dense AS (SELECT nl.label, vo.token,
+                             ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                                / CAST(nl.n + v.v AS DOUBLE)) AS lp,
+                             ln(prior.d / pt.dt) AS log_prior
+                      FROM nl CROSS JOIN vocab vo CROSS JOIN v CROSS JOIN pt
+                      JOIN prior ON prior.label = nl.label
+                      LEFT JOIN counts c ON c.label = nl.label AND c.token = vo.token),
+            score AS (SELECT p.doc_id, d.label,
+                             min(d.log_prior) + sum(d.lp ORDER BY p.pos) AS sc
+                      FROM p2 p JOIN dense d ON d.token = p.token
+                      GROUP BY p.doc_id, d.label),
+            ranked AS (SELECT doc_id, label, sc,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY sc DESC, label ASC) AS rn,
+                              lead(sc) OVER (PARTITION BY doc_id
+                                             ORDER BY sc DESC, label ASC) AS nx
+                       FROM score)
+            SELECT doc_id, label, round(sc, 4) AS score, round(sc - nx, 4) AS margin
+            FROM ranked WHERE rn = 1
+        """,
+        # cross-doc duplicate n-gram fraction (llm.dup_ngram_fraction n=5)
+        "dup_ngrams": f"""
+            WITH tok AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS toks
+                         FROM documents),
+            g AS (SELECT doc_id, unnest(list_distinct({wgrams.format(n=5, m=4)})) AS gram
+                  FROM tok),
+            gh AS (SELECT doc_id, {_SQL_H.format(x='gram')} AS h FROM g),
+            own AS (SELECT h, count(*) AS docs FROM gh GROUP BY h)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   round(CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS dup_frac
+            FROM gh JOIN own USING (h) GROUP BY doc_id
         """,
         "k_core": _sql_k_core(3, 20),
         "square_clustering": _SQL_SQUARE_CLUSTERING,

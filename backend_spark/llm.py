@@ -1602,6 +1602,167 @@ def dedup_lines(
 QUALITY_SYMBOLS = r"[#%@$^*+=~|<>]"
 
 
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes text classifier with add-one
+    smoothing — the deterministic stand-in for the fastText-style
+    linear quality/domain classifiers real curation pipelines run
+    (CCNet, GPT-3's WebText-vs-CommonCrawl filter): integer count
+    aggregates only, so the model is bit-identical on any engine and
+    the DuckDB oracle can verify end-to-end classification.
+
+    Returns the **dense** model: one row per (label, token ∈ global
+    vocab) with ``log_cond = ln((c(token,label)+1) / (N_label+V))``,
+    plus the per-label document prior in ``log_prior`` (repeated on
+    every row, so the model stays one self-contained table).  Dense
+    means unseen-in-label tokens carry their smoothed floor explicitly
+    — scoring is then a plain equi-join, no per-label fallback logic.
+
+    Scale posture: the model is |vocab| × |labels| rows — vocabulary-
+    sized, not corpus-sized (the classifier regime is a handful of
+    labels), built from two map-side-combinable aggregates over the
+    token stream; AQE broadcasts it in :func:`nb_score`.
+    """
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("token"),
+    )
+    counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("__c"))
+    n_label = toks.groupBy("label").agg(F.count(F.lit(1)).alias("__n"))
+    vocab = toks.select("token").distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("__v"))
+    doc_prior = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .withColumn("__dt", F.sum("__d").over(Window.partitionBy()))
+        .select(
+            "label", F.log(F.col("__d").cast("double") / F.col("__dt")).alias("log_prior")
+        )
+    )
+    dense = vocab.crossJoin(F.broadcast(n_label.join(doc_prior, "label").join(v)))
+    return (
+        dense.join(counts, ["label", "token"], "left")
+        .select(
+            "label",
+            "token",
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + 1).cast("double")
+                / (F.col("__n") + F.col("__v")).cast("double")
+            ).alias("log_cond"),
+            "log_prior",
+        )
+    )
+
+
+def nb_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Score documents with an :func:`nb_train` model: per (doc, label),
+    ``log_prior + Σ_positions log_cond(token)``, tokens outside the
+    training vocabulary ignored (standard NB practice, and what keeps
+    the oracle exact).  Returns (id, label, score, margin) for the
+    argmax label; ``margin`` = lead over the runner-up label, the
+    confidence value a pipeline thresholds on (null when the model has
+    a single label).
+
+    The float fold runs in fixed position order per (doc, label) — the
+    same hash-stability rationale as :func:`char_entropy` — and the
+    token stream joins the vocabulary-sized model with AQE broadcast,
+    so the corpus shuffles once (the per-doc fold).
+    """
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("pos", "token"),
+    )
+    per_label = (
+        pos.join(model, "token")
+        .groupBy(id_col, "label")
+        .agg(
+            F.first("log_prior").alias("__p"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("k"), F.col("log_cond").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["v"],
+            ).alias("__s"),
+        )
+        .select(F.col(id_col), "label", (F.col("__p") + F.col("__s")).alias("__score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(), F.col("label").asc())
+    return (
+        per_label.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__next", F.lead("__score").over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            "label",
+            F.round("__score", ndigits).alias("score"),
+            F.round(F.col("__score") - F.col("__next"), ndigits).alias("margin"),
+        )
+    )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cross-document duplicate n-gram rate: for each doc, the fraction
+    of its distinct word ``n``-grams that also occur in at least one
+    *other* doc — the Dolma/Gopher "duplicate n-gram fraction" signal
+    that catches boilerplate and template farms which per-doc
+    :func:`repetition_stats` can't see.  Returns (id, n_grams,
+    dup_frac); docs with fewer than ``n`` tokens have no n-grams and
+    are absent, matching the oracle.
+
+    All integer counting (distinct grams per doc → gram owner-count →
+    join back → per-doc ratio), hashed to bigints via ``md5_long``
+    before any shuffle so gram *text* crosses the wire zero times.
+    Three keyed shuffles, all map-side combinable; the owner-count
+    table is gram-keyed (vocabulary-sized) and AQE handles its join.
+    """
+    # barrier after tokenize: the n-gram builder references the token
+    # array once per output element, and Catalyst's projection collapse
+    # would otherwise re-run tokenize per n-gram (same staging as
+    # decontaminate)
+    toks = df.select(
+        F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__t")
+    ).localCheckpoint(eager=False)
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams_from_tokens(F.col("__t"), n))).alias("__g"),
+        )
+        .withColumn("__h", fn.md5_long(F.col("__g")))
+        .select(F.col(id_col), "__h")
+        .localCheckpoint(eager=False)
+    )
+    owners = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__docs"))
+    return (
+        grams.join(owners, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__docs") > 1).cast("long")).alias("__dup"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.round(F.col("__dup").cast("double") / F.col("n_grams"), ndigits).alias("dup_frac"),
+        )
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str,

@@ -999,3 +999,45 @@ def test_crosscorpus_neardup_and_decontaminate_fuzzy(spark):
         corpus, bench, "doc_id", "text", "bench_id", "text", jaccard_threshold=0.5
     )
     assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_nb_classifier_separates_vocabularies(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "spam", "buy cheap pills now buy now"),
+            (2, "spam", "cheap pills cheap deals"),
+            (3, "ham", "meeting notes for the quarterly review"),
+            (4, "ham", "quarterly review notes attached"),
+        ],
+        "doc_id long, label string, text string",
+    )
+    model = llm.nb_train(train, "label", "text")
+    # dense model: every (label, vocab token) pair present
+    vocab_n = train.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).distinct().count()
+    assert model.count() == 2 * vocab_n
+    test = spark.createDataFrame(
+        [(10, "cheap pills"), (11, "quarterly review meeting")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in llm.nb_score(test, model, "doc_id", "text").collect()}
+    assert got[10].label == "spam" and got[11].label == "ham"
+    assert got[10].margin > 0 and got[11].margin > 0
+
+
+def test_dup_ngram_fraction_flags_shared_boilerplate(spark):
+    shared = "all rights reserved copyright acme corp"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta epsilon"),
+            (2, shared + " zeta eta theta iota kappa"),
+            (3, "entirely unique words with no overlap at all here"),
+            (4, "tiny"),  # < n tokens -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llm.dup_ngram_fraction(df, "doc_id", "text", n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    # the two shared 5-grams inside the boilerplate prefix are cross-doc dups
+    assert out[1].dup_frac > 0 and out[2].dup_frac > 0
+    assert out[3].dup_frac == 0.0
