@@ -953,6 +953,28 @@ def _q_rollup(spark, sf):
     )
 
 
+def _q_temperature_sample(spark, sf):
+    """Flatten the skewed per-language mixture (en dominates the
+    synthetic corpus) at alpha=0.5."""
+    docs = load_table(spark, sf, "documents")
+    out = llm.temperature_sample(docs, "lang", "doc_id", alpha=0.5)
+    return out.select("doc_id", "lang", "sample_rate")
+
+
+def _q_cube(spark, sf):
+    from backend_spark.operators import rollup_agg
+
+    li = load_table(spark, sf, "lineitem")
+    out = rollup_agg(li, ["l_returnflag", "l_linestatus"],
+                     {"l_quantity": "sum", "l_orderkey": "count"}, cube=True)
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("l_quantity_sum", 2).alias("sum_qty"),
+        F.col("l_orderkey_count").alias("n_rows"),
+        "gid",
+    )
+
+
 def _q_window_funcs(spark, sf):
     ev = load_table(spark, sf, "events")
     ev = ev.select("event_id", event_ts_us(ev).alias("ts_us"), "user_id", "value")
@@ -1726,6 +1748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "nb_classify": _q_nb_classify,
         "dup_ngrams": _q_dup_ngrams,
+        "cube": _q_cube,
+        "temperature_sample": _q_temperature_sample,
         "rollup": _q_rollup,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
@@ -2466,6 +2490,28 @@ def oracle_sql() -> dict[str, str]:
                    count(l_orderkey) AS n_rows,
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        # mT5 temperature resampling at alpha=0.5 over lang
+        # (llm.temperature_sample: rate = p^(alpha-1)/max, md5 row gate)
+        "temperature_sample": """
+            WITH st AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            t AS (SELECT lang, n, CAST(sum(n) OVER () AS DOUBLE) AS tot FROM st),
+            r AS (SELECT lang, pow(n / tot, -0.5) AS r FROM t),
+            rr AS (SELECT lang, round(r / max(r) OVER (), 6) AS sample_rate FROM r),
+            g AS (SELECT lang, sample_rate,
+                         CAST(round(sample_rate * 1000000) AS BIGINT) AS thr
+                  FROM rr)
+            SELECT d.doc_id, d.lang, g.sample_rate
+            FROM documents d JOIN g USING (lang)
+            WHERE CAST('0x' || substr(md5('ts:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 1000000 < g.thr
+        """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(l_orderkey) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "window_funcs": """
             WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, value

@@ -1499,6 +1499,59 @@ def deterministic_sample(
     return df.where(bucket < thr)
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    salt: str = "ts",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture resampling (mT5 §3.1 / XLM-R style):
+    downsample each group so the kept distribution follows
+    ``p_g^alpha`` (alpha < 1 flattens the mixture toward rare groups;
+    alpha = 1 is a no-op).  Keep rate per group is
+    ``p_g^(alpha-1) / max_h p_h^(alpha-1)`` — the rarest group keeps
+    everything, head groups shed mass; row membership is the same
+    ``md5_long(salt || id)`` hash gate as :func:`deterministic_sample`,
+    so the sample is identical on every engine and rerun.
+
+    Output = kept rows with a ``sample_rate`` column (rounded, the
+    value a mixture report would log).  The rate table is |groups|
+    rows, **broadcast** back onto the scan; like det_sample the gate
+    evaluates map-side, so the corpus never shuffles.
+    """
+    # NB: the share denominator must not be a case-variant of "__n" —
+    # both Spark and DuckDB resolve column names case-insensitively, so
+    # "__N" would silently alias "__n" and every rate would become 1
+    stats = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__tot", F.sum("__n").over(Window.partitionBy()))
+        .withColumn(
+            "__r", F.pow(F.col("__n").cast("double") / F.col("__tot"), F.lit(alpha - 1.0))
+        )
+        .withColumn("__rmax", F.max("__r").over(Window.partitionBy()))
+    )
+    rates = stats.select(
+        group_col,
+        F.round(F.col("__r") / F.col("__rmax"), ndigits).alias("sample_rate"),
+    ).withColumn(
+        # integer gate derived from the *rounded* rate: both engines
+        # round-then-scale, so the threshold can't split on a pow() ulp
+        "__thr",
+        F.round(F.col("sample_rate") * 1_000_000).cast("long"),
+    )
+    bucket = (
+        fn.md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))) % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(bucket < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -1041,3 +1041,21 @@ def test_dup_ngram_fraction_flags_shared_boilerplate(spark):
     # the two shared 5-grams inside the boilerplate prefix are cross-doc dups
     assert out[1].dup_frac > 0 and out[2].dup_frac > 0
     assert out[3].dup_frac == 0.0
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    # 80/20 mixture; alpha=0.5 keeps the rare group whole and halves
+    # the head group's keep-rate relative to it
+    rows = [(i, "head" if i < 80 else "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = llm.temperature_sample(df, "grp", "doc_id", alpha=0.5)
+    rates = {r.grp: r.sample_rate for r in out.select("grp", "sample_rate").distinct().collect()}
+    assert rates["tail"] == 1.0
+    assert abs(rates["head"] - 0.5) < 0.01  # sqrt(0.2/0.8)
+    kept = out.groupBy("grp").count().collect()
+    got = {r.grp: r["count"] for r in kept}
+    assert got["tail"] == 20  # rate 1 keeps everything
+    assert 0 < got["head"] < 80  # head group actually downsampled
+    # alpha=1 is a no-op mixture-wise: every rate is 1
+    noop = llm.temperature_sample(df, "grp", "doc_id", alpha=1.0)
+    assert noop.count() == 100
