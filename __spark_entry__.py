@@ -953,6 +953,25 @@ def _q_rollup(spark, sf):
     )
 
 
+def _q_dq_check(spark, sf):
+    """Deequ-style quality report over customer; the min/in_set rules
+    are deliberately violated by the data (negative balances, a
+    4-of-5 segment allow-list) so nonzero violation counts are
+    exercised."""
+    from backend_spark.quality import dq_check
+
+    cust = load_table(spark, sf, "customer")
+    return dq_check(cust, [
+        {"col": "c_custkey", "check": "unique"},
+        {"col": "c_name", "check": "not_null"},
+        {"col": "c_acctbal", "check": "min", "value": 0.0},
+        {"col": "c_acctbal", "check": "max", "value": 10000.0},
+        {"col": "c_mktsegment", "check": "in_set",
+         "values": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD"]},
+        {"col": "c_name", "check": "regex", "pattern": "^Customer#[0-9]+$"},
+    ])
+
+
 def _q_temperature_sample(spark, sf):
     """Flatten the skewed per-language mixture (en dominates the
     synthetic corpus) at alpha=0.5."""
@@ -1750,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": _q_dup_ngrams,
         "cube": _q_cube,
         "temperature_sample": _q_temperature_sample,
+        "dq_check": _q_dq_check,
         "rollup": _q_rollup,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
@@ -2490,6 +2510,34 @@ def oracle_sql() -> dict[str, str]:
                    count(l_orderkey) AS n_rows,
                    CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        # Deequ-style single-pass rule report (quality.dq_check); the
+        # measure CTE mirrors the one-aggregate compilation
+        "dq_check": """
+            WITH m AS (SELECT
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) - count(DISTINCT c_custkey)
+                     - max(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS m0,
+                CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                CAST(sum(CASE WHEN c_acctbal IS NULL OR c_acctbal < 0.0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+                CAST(sum(CASE WHEN c_acctbal IS NULL OR c_acctbal > 10000.0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+                CAST(sum(CASE WHEN NOT c_mktsegment IN
+                               ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+                CAST(sum(CASE WHEN c_name IS NULL
+                               OR NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS m5
+                FROM customer)
+            SELECT 0 AS rule_id, 'c_custkey' AS col, 'unique' AS "check",
+                   m0 AS violations, n AS n_rows, m0 = 0 AS passed FROM m
+            UNION ALL SELECT 1, 'c_name', 'not_null', m1, n, m1 = 0 FROM m
+            UNION ALL SELECT 2, 'c_acctbal', 'min', m2, n, m2 = 0 FROM m
+            UNION ALL SELECT 3, 'c_acctbal', 'max', m3, n, m3 = 0 FROM m
+            UNION ALL SELECT 4, 'c_mktsegment', 'in_set', m4, n, m4 = 0 FROM m
+            UNION ALL SELECT 5, 'c_name', 'regex', m5, n, m5 = 0 FROM m
         """,
         # mT5 temperature resampling at alpha=0.5 over lang
         # (llm.temperature_sample: rate = p^(alpha-1)/max, md5 row gate)

@@ -1,0 +1,109 @@
+"""Data-quality validation — Deequ-style declarative checks evaluated
+in a single scan (the reference has no equivalent; this is part of the
+"what a 100 TB pipeline needs" extension surface, like `profile`).
+
+A rule list compiles to ONE aggregate over the table: every row-level
+rule becomes a conditional count inside the same `agg()` (violations =
+rows failing the predicate), so N rules cost one pass, not N scans.
+`unique` rules need a distinct aggregate; Spark plans multiple
+count-distincts with Expand in the same single scan, which is the
+right trade until rule lists get pathological.
+
+Rules (dicts, validated eagerly):
+
+* ``{"col", "check": "not_null"}``            — null/NaN-free
+* ``{"col", "check": "unique"}``              — no duplicate values
+* ``{"col", "check": "min", "value": v}``     — col >= v (violation: < v)
+* ``{"col", "check": "max", "value": v}``     — col <= v
+* ``{"col", "check": "in_set", "values": [..]}`` — membership
+* ``{"col", "check": "regex", "pattern": p}`` — pattern compliance
+  (search semantics, like ``rlike``; anchor with ``^...$`` for a
+  full match)
+
+Output: one row per rule — (rule_id, col, check, violations, n_rows,
+passed) — ordered by rule_id, so the result is a machine-checkable
+quality report (and hash-stable for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_CHECKS = ("not_null", "unique", "min", "max", "in_set", "regex")
+
+
+def _violation_pred(df: DataFrame, rule: dict) -> Column:
+    """Boolean Column: True where the row VIOLATES the rule."""
+    c = F.col(rule["col"])
+    check = rule["check"]
+    if check == "not_null":
+        pred = c.isNull()
+        if dict(df.dtypes).get(rule["col"]) in ("float", "double"):
+            pred = pred | F.isnan(c)
+        return pred
+    if check == "min":
+        return c.isNull() | (c < F.lit(rule["value"]))
+    if check == "max":
+        return c.isNull() | (c > F.lit(rule["value"]))
+    if check == "in_set":
+        return ~c.isin(list(rule["values"]))
+    if check == "regex":
+        return c.isNull() | ~c.rlike(rule["pattern"])
+    raise AssertionError(check)
+
+
+def dq_check(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` in one aggregate pass; returns
+    the per-rule report described in the module docstring.
+
+    Scale posture: a global aggregate reduces to ONE row regardless of
+    table size (map-side partials, no keyed shuffle); `unique` adds a
+    distinct-expand over the checked column only.  The report pivot is
+    driver-side arithmetic on that single row — nothing collects but
+    the measure vector.
+    """
+    for i, r in enumerate(rules):
+        if r.get("check") not in _CHECKS:
+            raise ValueError(f"rule {i}: unknown check {r.get('check')!r} (use {_CHECKS})")
+        if r["col"] not in df.columns:
+            raise ValueError(f"rule {i}: column {r['col']!r} not in {df.columns}")
+
+    measures: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(rules):
+        if r["check"] == "unique":
+            # violations = excess duplicate rows: Σ (group_size - 1)
+            # over duplicated values = count - distinct-values (null
+            # counts as one value, like Deequ's uniqueness)
+            measures.append(
+                (F.count(F.lit(1)) - F.count_distinct(F.col(r["col"]))
+                 - F.max(F.col(r["col"]).isNull().cast("long"))).alias(f"__m{i}")
+            )
+        else:
+            measures.append(
+                F.sum(_violation_pred(df, r).cast("long")).alias(f"__m{i}")
+            )
+    one = df.agg(*measures)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("rule_id"),
+                F.lit(r["col"]).alias("col"),
+                F.lit(r["check"]).alias("check"),
+                F.col(f"__m{i}").cast("long").alias("violations"),
+            )
+            for i, r in enumerate(rules)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("__r"), F.col("__n"))
+        .select(
+            F.col("__r.rule_id").alias("rule_id"),
+            F.col("__r.col").alias("col"),
+            F.col("__r.check").alias("check"),
+            F.col("__r.violations").alias("violations"),
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col("__r.violations") == 0).alias("passed"),
+        )
+    )

@@ -134,6 +134,54 @@ def sort_cluster(
     return parts.sortWithinPartitions(*cols)
 
 
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of 2+ non-negative integer columns
+    into one bigint: bit j of each input lands at position
+    ``j * n_cols + i``.  ``bits`` per column (default 16 → 2 cols fill
+    32 bits); callers quantize floats/timestamps to integer rank first.
+    Pure Column bit-arithmetic — codegen'd, no UDF."""
+    n = len(cols)
+    if not 2 <= n <= 4:
+        raise ValueError("zorder_key interleaves 2-4 columns")
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits x {n} cols overflows a signed bigint")
+    out = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        col = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+        for j in range(bits):
+            out = out | (F.shiftleft(F.shiftright(col, j) & 1, j * n + i))
+    return out
+
+
+def zorder_cluster(
+    df: DataFrame,
+    cluster_cols: list[str],
+    n_partitions: int | None = None,
+    bits: int = 16,
+) -> DataFrame:
+    """Multi-dimensional write clustering: range-partition + sort on the
+    Morton interleave of ``cluster_cols`` (see :func:`zorder_key`), so
+    parquet files cover small *hyper-rectangles* of the key space and
+    row-group min/max statistics prune scans filtered on ANY of the
+    clustered columns — :func:`sort_cluster` only prunes on its leading
+    column.  The same layout trick Delta's OPTIMIZE ZORDER BY applies.
+
+    Columns must already be non-negative integers (quantize floats /
+    epoch-truncate timestamps first); values are masked to ``bits``
+    bits, so spread a skewed domain before clustering if it exceeds
+    2^bits.  Layout only — the row set is unchanged, the z key is not
+    kept.
+    """
+    z = zorder_key(cluster_cols, bits=bits).alias("__z")
+    tmp = df.withColumn("__z", z)
+    parts = (
+        tmp.repartitionByRange(n_partitions, "__z")
+        if n_partitions
+        else tmp.repartitionByRange("__z")
+    )
+    return parts.sortWithinPartitions("__z").drop("__z")
+
+
 def assign_row_ids(
     df: DataFrame,
     order_cols: list[str] | str,

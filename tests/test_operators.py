@@ -517,3 +517,37 @@ def test_bigram_logprob_known_values(spark):
     assert rows[1].n_bigrams == 2
     assert rows[1].avg_bigram_lp == round(math.log(0.5), 4)
     assert 2 not in rows  # <2 tokens: no bigrams, no row
+
+
+def test_dq_check_rules(spark):
+    from backend_spark.quality import dq_check
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.io", 5.0, "gold"),
+            (2, "b@x.io", -1.0, "gold"),
+            (2, None, 50.0, "iron"),
+            (3, "not-an-email", None, "silver"),
+        ],
+        "id long, email string, score double, tier string",
+    )
+    out = dq_check(df, [
+        {"col": "id", "check": "unique"},
+        {"col": "email", "check": "not_null"},
+        {"col": "score", "check": "min", "value": 0.0},
+        {"col": "score", "check": "max", "value": 10.0},
+        {"col": "tier", "check": "in_set", "values": ["gold", "silver"]},
+        {"col": "email", "check": "regex", "pattern": "^[^@]+@[^@]+$"},
+    ]).collect()
+    by_id = {r.rule_id: r for r in out}
+    assert [by_id[i].violations for i in range(6)] == [1, 1, 2, 2, 1, 2]
+    assert all(r.n_rows == 4 for r in out)
+    assert not any(by_id[i].passed for i in range(6))
+    ok = dq_check(df.select("id"), [{"col": "id", "check": "max", "value": 100}]).collect()
+    assert ok[0].passed and ok[0].violations == 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        dq_check(df, [{"col": "id", "check": "between"}])
+    with pytest.raises(ValueError):
+        dq_check(df, [{"col": "missing", "check": "not_null"}])

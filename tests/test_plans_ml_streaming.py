@@ -747,3 +747,48 @@ def test_sort_cluster_produces_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges -> file-level pruning works
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from backend_spark.scale import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    got = df.select(zorder_key(["x", "y"], bits=3).alias("z")).collect()[0].z
+    # x bits land at even positions, y bits at odd:
+    # x=101 -> 1<<0 | 0<<2 | 1<<4 ; y=011 -> 1<<1 | 1<<3 | 0<<5
+    assert got == (1 | 16) | (2 | 8)
+
+    import pytest
+    with pytest.raises(ValueError):
+        zorder_key(["x"], bits=3)
+    with pytest.raises(ValueError):
+        zorder_key(["x", "y"], bits=40)
+
+
+def test_zorder_cluster_covers_hyperrectangles(spark, tmp_path):
+    import glob
+
+    from backend_spark.scale import zorder_cluster
+
+    rows = [((i * 37) % 256, (i * 53) % 256, i) for i in range(2048)]
+    df = spark.createDataFrame(rows, "x long, y long, v long")
+    out = str(tmp_path / "zclustered")
+    zorder_cluster(df, ["x", "y"], n_partitions=8, bits=8).write.parquet(out)
+
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 4
+    total = 0
+    areas = []
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        if len(pdf):
+            total += len(pdf)
+            areas.append(
+                (pdf.x.max() - pdf.x.min() + 1) * (pdf.y.max() - pdf.y.min() + 1)
+            )
+    assert total == 2048  # layout only
+    assert "__z" not in spark.read.parquet(out).columns  # key not persisted
+    # each file covers a bounded rectangle of the 256x256 key space:
+    # substantially tighter than the full domain on average, which is
+    # what lets min/max stats prune on EITHER column
+    assert sum(areas) / len(areas) < 256 * 256 / 2
