@@ -182,7 +182,7 @@ def _sql_bpe_encode(n_merges: int = 8, preview: int = 8) -> str:
     )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT doc_id, CAST(len(f) AS INT) AS n_bpe, f[1:{preview}] AS pieces_preview FROM fl"
+        + f"\nSELECT doc_id, CAST(len(f) AS INT) AS n_bpe, to_json(f[1:{preview}]) AS pieces_preview FROM fl"
     )
 
 
@@ -717,7 +717,10 @@ def _q_bpe_train(spark, sf):
 
 def _q_bpe_encode(spark, sf):
     docs = load_table(spark, sf, "documents")
-    return llm.bpe_encode(docs, "doc_id", "text", n_merges=8)
+    out = llm.bpe_encode(docs, "doc_id", "text", n_merges=8)
+    # repo convention: array columns go out as JSON so the driver can
+    # sort/hash them (see _q_map)
+    return out.select("doc_id", "n_bpe", F.to_json("pieces_preview").alias("pieces_preview"))
 
 
 def _q_chunk_documents(spark, sf):
@@ -805,6 +808,36 @@ def _q_dedup_exact(spark, sf):
     dupes = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
     out = llm.dedup_exact(docs.unionByName(dupes), "doc_id", "text")
     return out.select("doc_id", "text")
+
+
+def _q_zorder(spark, sf):
+    """Morton (z-order) interleave of two TPC-H integer keys — the exact
+    bit-arithmetic :func:`backend_spark.scale.zorder_key` computes, so the
+    scale toolbox's write-clustering key gets a full hash oracle."""
+    from backend_spark.scale import zorder_key
+
+    cust = load_table(spark, sf, "customer")
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        zorder_key(["c_custkey", "c_nationkey"], bits=16).alias("zkey"),
+    )
+
+
+def _sql_zorder(bits: int = 16) -> str:
+    """DuckDB fold of the same Morton interleave: OR of
+    ((col >> j) & 1) << (j*n + i) over both columns' low ``bits`` bits."""
+    cols = ["c_custkey", "c_nationkey"]
+    n = len(cols)
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {j}) & 1) << {j * n + i})"
+        for i, c in enumerate(cols)
+        for j in range(bits)
+    ]
+    return (
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+        + " | ".join(terms)
+        + " AS zkey FROM customer"
+    )
 
 
 def _q_minhash_sig(spark, sf):
@@ -1757,10 +1790,61 @@ def _q_dup_ngrams(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registration order = driver-evidence priority: the driver checks a
-    # 50-query prefix per round, so queries with the least driver history
-    # (never sampled, then stalest round, then freshest) come first.
+    # Registration order = driver-evidence priority (the driver samples a
+    # 50-query prefix per round).  Round-7 rotation: the new zorder query,
+    # the 18 r4-stale queries, the bpe_encode retest (r6's one red), then
+    # r5-stale backfill; freshly-green r6 queries go last.
     return {
+        "zorder": _q_zorder,
+        "dedup_near": _q_dedup_near,
+        "minhash_sig": _q_minhash_sig,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
+        "bm25_topk": _q_bm25,
+        "build_vocab": _q_vocab,
+        "bpe_pairs": _q_bpe_pairs,
+        "tfidf_topk": _q_tfidf,
+        "unigram_logprob": _q_unigram_lp,
+        "dedup_incremental": _q_dedup_incremental,
+        "collocations": _q_collocations,
+        "percentile_gate": _q_percentile_gate,
+        "range_join": _q_range_join,
+        "bpe_encode": _q_bpe_encode,
+        "k_core": _q_k_core,
+        "closeness_approx": _q_closeness_approx,
+        "eigenvector": _q_eigenvector,
+        "square_clustering": _q_square_clustering,
+        "compact_latest": _q_compact_latest,
+        "profile": _q_profile,
+        "pivot": _q_pivot,
+        "melt": _q_melt,
+        "window_funcs": _q_window_funcs,
+        "quantile_bins": _q_quantile_bins,
+        "resample": _q_resample,
+        "funnel": _q_funnel,
+        "zscore": _q_zscore,
+        "embed_banded": _q_embed_banded,
+        "pii_scan": _q_pii_scan,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition,
+        "quality_filter": _q_quality_filter,
+        "det_sample": _q_sample,
+        "dedup_lines": _q_dedup_lines,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "corpus_clean": _q_corpus_clean,
+        "stream_win_agg": _q_stream_win,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_join": _q_stream_join,
+        "stream_compact": _q_stream_compact,
+        "salted_agg": _q_salted_agg,
+        "row_ids": _q_row_ids,
         "char_entropy": _q_char_entropy,
         "pack_sequences": _q_pack,
         "semdedup": _q_semdedup,
@@ -1772,7 +1856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_check": _q_dq_check,
         "rollup": _q_rollup,
         "bpe_train": _q_bpe_train,
-        "bpe_encode": _q_bpe_encode,
         "chunk_documents": _q_chunk_documents,
         "source_mix": _q_source_mix,
         "bigram_logprob": _q_bigram_logprob,
@@ -1811,49 +1894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metrics": _q_graph_metrics,
         "pagerank": _q_pagerank,
         "dedup_exact": _q_dedup_exact,
-        "dedup_near": _q_dedup_near,
-        "minhash_sig": _q_minhash_sig,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "fingerprint": _q_fingerprint,
-        "ann_topk": _q_ann,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "ann_ivf_index": _q_ann_ivf_index,
-        "bm25_topk": _q_bm25,
-        "build_vocab": _q_vocab,
-        "bpe_pairs": _q_bpe_pairs,
-        "tfidf_topk": _q_tfidf,
-        "k_core": _q_k_core,
-        "closeness_approx": _q_closeness_approx,
-        "eigenvector": _q_eigenvector,
-        "square_clustering": _q_square_clustering,
-        "compact_latest": _q_compact_latest,
-        "profile": _q_profile,
-        "pivot": _q_pivot,
-        "melt": _q_melt,
-        "window_funcs": _q_window_funcs,
-        "quantile_bins": _q_quantile_bins,
-        "resample": _q_resample,
-        "funnel": _q_funnel,
-        "zscore": _q_zscore,
-        "embed_banded": _q_embed_banded,
-        "pii_scan": _q_pii_scan,
-        "decontaminate": _q_decontaminate,
-        "repetition_stats": _q_repetition,
-        "quality_filter": _q_quality_filter,
-        "det_sample": _q_sample,
-        "dedup_lines": _q_dedup_lines,
-        "asof_join": _q_asof_join,
-        "sessionize": _q_sessionize,
-        "corpus_clean": _q_corpus_clean,
-        "stream_win_agg": _q_stream_win,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_join": _q_stream_join,
-        "stream_compact": _q_stream_compact,
-        "salted_agg": _q_salted_agg,
-        "row_ids": _q_row_ids,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1870,11 +1910,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fwf_roundtrip": _q_fwf_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "scoring": _q_scoring,
-        "unigram_logprob": _q_unigram_lp,
-        "dedup_incremental": _q_dedup_incremental,
-        "collocations": _q_collocations,
-        "percentile_gate": _q_percentile_gate,
-        "range_join": _q_range_join,
     }
 
 
@@ -2209,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _sql_k_core(3, 20),
         "square_clustering": _SQL_SQUARE_CLUSTERING,
         "dedup_exact": "SELECT doc_id, text FROM documents",
+        "zorder": _sql_zorder(),
         "minhash_sig": f"""
             WITH t AS (SELECT doc_id, {norm_text} AS s FROM documents),
             sh AS (SELECT doc_id, {shingles3} AS shingles FROM t),

@@ -66,6 +66,12 @@ def minhash_lsh_pairs(
     join; no all-pairs stage exists at any scale.  Returns
     (id1, id2, jaccard).
     """
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); a "
+            "remainder would compute signature permutations that never get "
+            "banded, silently lowering recall vs the requested num_perm"
+        )
     rows_per_band = num_perm // bands
     # stage each expensive expression as its own column: expressions
     # referenced inside higher-order lambdas are re-evaluated per element,
@@ -435,6 +441,12 @@ def crosscorpus_neardup(
     scanned once with a map-side join and only candidate ids enter the
     verify shuffle.  The corpus is never self-joined.
     """
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); a "
+            "remainder would compute signature permutations that never get "
+            "banded, silently lowering recall vs the requested num_perm"
+        )
     rows_per_band = num_perm // bands
 
     def _sig(df: DataFrame, idc: str, txt: str) -> DataFrame:
@@ -1720,7 +1732,13 @@ def nb_score(
     """Score documents with an :func:`nb_train` model: per (doc, label),
     ``log_prior + Σ_positions log_cond(token)``, tokens outside the
     training vocabulary ignored (standard NB practice, and what keeps
-    the oracle exact).  Returns (id, label, score, margin) for the
+    the oracle exact).  Because the token stream INNER-joins the model,
+    a document whose tokens are ALL out-of-vocabulary (or whose text is
+    empty after normalize/tokenize) produces no (doc, label) rows and
+    is absent from the output entirely — it is not scored on priors
+    alone.  Left-join the result back to your id universe if downstream
+    code needs every document represented.
+    Returns (id, label, score, margin) for the
     argmax label; ``margin`` = lead over the runner-up label, the
     confidence value a pipeline thresholds on (null when the model has
     a single label).

@@ -47,6 +47,11 @@ def _violation_pred(df: DataFrame, rule: dict) -> Column:
     if check == "max":
         return c.isNull() | (c > F.lit(rule["value"]))
     if check == "in_set":
+        # NULL is NOT a violation here: ~isin(NULL) yields NULL, which the
+        # counting F.sum skips.  Deliberate asymmetry with min/max/regex
+        # (which count NULL as violating) — in_set checks domain membership
+        # of present values only; pair with a not_null rule to also reject
+        # missing values.
         return ~c.isin(list(rule["values"]))
     if check == "regex":
         return c.isNull() | ~c.rlike(rule["pattern"])

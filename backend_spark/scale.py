@@ -149,7 +149,9 @@ def zorder_key(cols: list, bits: int = 16):
     for i, c in enumerate(cols):
         col = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
         for j in range(bits):
-            out = out | (F.shiftleft(F.shiftright(col, j) & 1, j * n + i))
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(col, j).bitwiseAND(F.lit(1).cast("long")), j * n + i)
+            )
     return out
 
 

@@ -223,3 +223,56 @@ def test_chunk_documents_lossless(_spark, n, chunk, overlap):
         assert piece == toks[r.start_tok - 1 : r.start_tok - 1 + chunk]
         assert r.n_tokens_chunk == len(piece)
     assert [r.start_tok for r in rows] == list(range(1, n + 1, stride))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    steps=st.lists(st.sampled_from([10.0, 60.0]), min_size=2, max_size=7),
+)
+def test_semdedup_prefix_rule_drops_superset_of_kept_only(_spark, steps):
+    # llm.py semdedup documents a deliberate divergence from Abbas et al.:
+    # a row is dropped when ANY smaller-id cluster member (kept or not)
+    # is >= threshold, whereas true SemDeDup compares against KEPT members
+    # only.  On a chain fixture (v1~v2~v3, v1!~v3) the prefix rule must
+    # drop a superset: kept-only keeps v3 (its only near neighbor v2 was
+    # itself dropped), the prefix rule drops it.  This pins the documented
+    # contract rather than just narrating it.
+    import math
+
+    from backend_spark import llm
+
+    threshold = 0.9  # step 10deg -> cos 0.985 (near); 60deg -> 0.5 (far)
+    angles = [0.0]
+    for s in steps:
+        angles.append(angles[-1] + s)
+    vecs = [
+        [float(math.cos(math.radians(a))), float(math.sin(math.radians(a)))]
+        for a in angles
+    ]
+    ids = list(range(1, len(vecs) + 1))
+
+    def cos_r(u, v):
+        num = u[0] * v[0] + u[1] * v[1]
+        den = math.sqrt(u[0] ** 2 + u[1] ** 2) * math.sqrt(v[0] ** 2 + v[1] ** 2)
+        return round(num / den, 6)  # same round_to=6 as the operator
+
+    # reference kept-only SemDeDup: sequential scan in id order
+    kept = []
+    kept_only_dropped = set()
+    for i, v in zip(ids, vecs):
+        if any(cos_r(v, vecs[j - 1]) >= threshold for j in kept):
+            kept_only_dropped.add(i)
+        else:
+            kept.append(i)
+
+    df = _spark.createDataFrame(
+        list(zip(ids, vecs)), "vec_id long, embedding array<double>"
+    )
+    out = llm.semdedup(df, "vec_id", "embedding", n_clusters=1, threshold=threshold)
+    prefix_dropped = {r.vec_id for r in out.collect() if not r.keep}
+
+    assert prefix_dropped >= kept_only_dropped
+    # and on a pure near-chain (all steps small) the divergence is real:
+    # everything after the head is dropped by the prefix rule
+    if all(s == 10.0 for s in steps):
+        assert prefix_dropped == set(ids[1:])

@@ -134,6 +134,23 @@ def main(only=None, vanilla=False):
         except Exception as e:
             results[name] = f"SPARK-ERROR {type(e).__name__}: {str(e)[:200]}"
             continue
+        # The driver's canonicalizer (pandas sort_values -> factorize)
+        # cannot sort list/struct/map cells — it dies with "unhashable
+        # type" on any non-scalar column.  _canon below is MORE
+        # permissive (repr-sort handles lists), so mirror the driver
+        # here: demand to_json on complex columns before they leave a
+        # query.  (r6 post-mortem: bpe_encode shipped a raw
+        # array<string> that only the driver could catch.)
+        complex_cols = [
+            (c, t) for c, t in spark_dtypes
+            if t.startswith(("array", "struct", "map"))
+        ]
+        if complex_cols:
+            results[name] = (
+                "NON-SCALAR-COLUMN (driver canon cannot sort; wrap in F.to_json): "
+                + ", ".join(f"{c}: {t}" for c, t in complex_cols)
+            )
+            continue
         if name not in oracles:
             results[name] = f"rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)"
             continue
