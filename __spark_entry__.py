@@ -881,6 +881,45 @@ def _q_dedup_near(spark, sf):
     return out.select("doc_id")
 
 
+def _q_dedup_keep_best(spark, sf):
+    # representative selection: same LSH fixture as dedup_near, but the
+    # survivor is the LONGEST cluster member (length(text) desc), so the
+    # synthetic "+ zzz extra" dupes win over their originals — proving
+    # the op differs from dedup_minhash's keep-smallest-id
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    both = docs.unionByName(dupes)
+    pairs = llm.minhash_lsh_pairs(
+        both, "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.8
+    )
+    out = llm.dedup_keep_best(both, "doc_id", pairs, score=F.length("text"))
+    return out.select("doc_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def _q_shuffle_order(spark, sf):
+    ev = load_table(spark, sf, "events").select("event_id")
+    return llm.shuffle_order(ev, "event_id", salt="shuf").select(
+        "event_id", "shuffle_pos"
+    )
+
+
+def _q_stratified_topn(spark, sf):
+    ev = load_table(spark, sf, "events").select("event_id", "event_type")
+    return llm.stratified_topn(ev, "event_id", "event_type", n_per_stratum=50)
+
+
+def _q_orc_roundtrip(spark, sf):
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="sg_orc_") + "/data"
+    write_dataset(cust, path, fmt="orc")
+    return read_dataset(spark, path, fmt="orc")
+
+
 def _q_simhash(spark, sf):
     docs = load_table(spark, sf, "documents")
     return llm.simhash_buckets(docs, "doc_id", "text", bits=60)
@@ -1796,6 +1835,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5-stale backfill; freshly-green r6 queries go last.
     return {
         "zorder": _q_zorder,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "shuffle_order": _q_shuffle_order,
+        "stratified_topn": _q_stratified_topn,
+        "orc_roundtrip": _q_orc_roundtrip,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2390,6 +2433,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id FROM all_docs
             WHERE id NOT IN (SELECT node FROM losers)
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE all_docs AS (
+                SELECT doc_id AS id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text || ' zzz extra' FROM documents WHERE doc_id < 100
+            ),
+            t AS (SELECT id, {norm_text} AS s FROM all_docs),
+            sh AS (SELECT id, {shingles3} AS shingles FROM t),
+            sig AS (
+                SELECT id, shingles,
+                       [list_min(list_transform(
+                            list_transform(shingles, g -> {_SQL_H.format(x='g')}),
+                            h -> xor(h, {_SQL_H.format(x="'perm#' || CAST(p AS VARCHAR)")})))
+                        for p in range(0, 16)] AS sg
+                FROM sh
+            ),
+            bands AS (
+                SELECT id, shingles, p.b AS band,
+                       CAST(sg[p.b * 2 + 1] AS VARCHAR) || '-' || CAST(sg[p.b * 2 + 2] AS VARCHAR)
+                         AS key
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) p
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id1, b.id AS id2
+                FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            ),
+            hs AS (SELECT id, list_transform(shingles, g -> {_SQL_H.format(x='g')}) AS h FROM sh),
+            pairs AS MATERIALIZED (
+                SELECT c.id1, c.id2
+                FROM cand c
+                JOIN hs h1 ON h1.id = c.id1
+                JOIN hs h2 ON h2.id = c.id2
+                WHERE round(CAST(len(list_intersect(h1.h, h2.h)) AS DOUBLE)
+                            / (len(h1.h) + len(h2.h) - len(list_intersect(h1.h, h2.h))), 6) >= 0.8
+            ),
+            edges AS MATERIALIZED (
+                SELECT id1 AS a, id2 AS b FROM pairs
+                UNION
+                SELECT id2, id1 FROM pairs
+            ),
+            reach(node, lbl) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+            lab AS (SELECT d.id, d.text, coalesce(c.comp, d.id) AS cluster
+                    FROM all_docs d LEFT JOIN comp c ON c.node = d.id)
+            SELECT id AS doc_id, cluster FROM lab
+            QUALIFY row_number() OVER (PARTITION BY cluster
+                                       ORDER BY length(text) DESC, id ASC) = 1
+        """,
+        "shuffle_order": f"""
+            SELECT event_id,
+                   row_number() OVER (
+                       ORDER BY {_SQL_H.format(x="'shuf:' || CAST(event_id AS VARCHAR)")} ASC,
+                                event_id ASC) AS shuffle_pos
+            FROM events
+        """,
+        "stratified_topn": f"""
+            SELECT event_id, event_type FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY {_SQL_H.format(x="'strat:' || CAST(event_id AS VARCHAR)")} ASC,
+                         event_id ASC) <= 50
+        """,
+        "orc_roundtrip": """
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
         """,
         "simhash": f"""
             WITH t AS (SELECT doc_id,

@@ -152,6 +152,49 @@ def dedup_minhash(
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score: Column,
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Cluster-level representative selection over a duplicate-pair list:
+    connected components → keep the argmax-``score`` member of every
+    cluster (tie → smallest id).  :func:`dedup_minhash` keeps the
+    smallest id — an arbitrary survivor; curation pipelines
+    (RefinedWeb/Dolma style) keep the *best* duplicate instead (longest,
+    highest quality score, freshest crawl), which this op implements for
+    any Column-expressible score.  Docs absent from ``pairs`` are
+    singleton clusters and always survive.
+
+    Returns the surviving rows of ``df`` plus a ``cluster`` column (the
+    min-id label of the duplicate cluster, = own id for singletons).
+
+    Scale posture: the pair list is ids-only (the expensive text never
+    enters the CC loop); component labels converge in O(log n) pointer-
+    jumping rounds; survivor choice is one window over ``cluster`` —
+    a single keyed shuffle on cluster label, which is bounded by the
+    duplicate-cluster count, not the corpus.
+    """
+    cc = connected_components(pairs, src="id1", dst="id2")
+    labeled = df.withColumn("__score", score).join(
+        cc.select(F.col("node").alias(id_col), F.col("comp").alias("cluster")),
+        id_col,
+        "left",
+    ).withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+    order = [
+        F.col("__score").desc() if higher_is_better else F.col("__score").asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy("cluster").orderBy(*order)
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__score")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -1509,6 +1552,60 @@ def deterministic_sample(
     else:
         thr = F.lit(int(rate * 1_000_000))
     return df.where(bucket < thr)
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuf",
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    dense 1-based position in ``md5_long(salt || id)`` order — the
+    "shuffle the corpus once before sequence packing" step of an LLM
+    data pipeline, reproducible across engines/reruns (unlike
+    ``orderBy(rand())``) and re-shuffleable by changing ``salt``
+    (epoch-keyed salts give per-epoch orders without re-hashing design).
+
+    Scale posture: the hash is computed in the scan stage; the global
+    rank comes from :func:`backend_spark.scale.assign_row_ids` — a
+    range-repartition distributed sort plus a broadcast per-partition
+    offset table, NEVER the single-task ``Window.orderBy`` funnel.
+    """
+    from backend_spark.scale import assign_row_ids
+
+    hashed = df.withColumn(
+        "__h", fn.md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    )
+    return assign_row_ids(hashed, ["__h", id_col], out_col=out_col).drop("__h")
+
+
+def stratified_topn(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact-count stratified sampling: keep exactly
+    ``min(n_per_stratum, |stratum|)`` rows per stratum, chosen by
+    deterministic hash rank (``md5_long(salt || id)``, id tie-break) —
+    the balanced-budget complement to :func:`deterministic_sample`'s
+    rate-based strata.  Used to build eval slices and class-balanced
+    fine-tuning mixtures where "300 docs per language" is the contract,
+    not "0.1% of each".
+
+    One keyed shuffle on ``strata_col``; the per-stratum window ranks
+    hash order, so the choice is uniform within each stratum and
+    identical on every engine and rerun.
+    """
+    h = fn.md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
 
 
 def temperature_sample(

@@ -54,6 +54,11 @@ def read_dataset(
     Catalyst pushes the projection into the scan (ReadSchema)."""
     if fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        # ORC is a first-class Spark source: same predicate pushdown /
+        # column pruning / vectorized reader as parquet, common in Hive-
+        # era lakes that a migration pipeline must ingest
+        df = spark.read.orc(path)
     elif fmt == "csv":
         reader = spark.read.option("header", header).option("sep", sep)
         if schema is not None:
@@ -116,6 +121,8 @@ def write_dataset(
         writer = writer.partitionBy(*partition_by)
     if fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
     elif fmt == "csv":
         writer.option("header", header).option("sep", sep).option("emptyValue", "").csv(path)
     elif fmt in ("jsonl", "json"):

@@ -792,3 +792,59 @@ def test_zorder_cluster_covers_hyperrectangles(spark, tmp_path):
     # substantially tighter than the full domain on average, which is
     # what lets min/max stats prune on EITHER column
     assert sum(areas) / len(areas) < 256 * 256 / 2
+
+
+def test_dedup_keep_best_keeps_argmax_per_cluster(spark):
+    # cluster {1,2,3} (chain via pairs), singleton 4.  Scores pick doc 2
+    # (not the smallest id), proving this differs from dedup_minhash.
+    from backend_spark import llm
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0), (4, 5.0)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    out = llm.dedup_keep_best(docs, "doc_id", pairs, score=F.col("q"))
+    rows = {r.doc_id: r.cluster for r in out.collect()}
+    assert rows == {2: 1, 4: 4}  # argmax of cluster 1 is doc 2; singleton kept
+    # lower-is-better flips the survivor
+    out2 = llm.dedup_keep_best(docs, "doc_id", pairs, score=F.col("q"), higher_is_better=False)
+    assert {r.doc_id for r in out2.collect()} == {1, 4}
+
+
+def test_shuffle_order_is_deterministic_permutation(spark):
+    from backend_spark import llm
+
+    df = spark.range(1, 201).withColumnRenamed("id", "doc_id")
+    a = llm.shuffle_order(df, "doc_id", salt="s1")
+    pos = [r.shuffle_pos for r in a.collect()]
+    assert sorted(pos) == list(range(1, 201))  # dense permutation
+    b = {r.doc_id: r.shuffle_pos for r in llm.shuffle_order(df, "doc_id", salt="s1").collect()}
+    assert {r.doc_id: r.shuffle_pos for r in a.collect()} == b  # rerun-stable
+    c = {r.doc_id: r.shuffle_pos for r in llm.shuffle_order(df, "doc_id", salt="s2").collect()}
+    assert b != c  # epoch-keyed salt gives a different order
+
+
+def test_stratified_topn_exact_counts(spark):
+    from backend_spark import llm
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = llm.stratified_topn(df, "doc_id", "stratum", n_per_stratum=20)
+    counts = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 20, "small": 10}  # exact cap; small stratum kept whole
+    again = llm.stratified_topn(df, "doc_id", "stratum", n_per_stratum=20)
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_orc_write_read_roundtrip(spark, tmp_path):
+    from backend_spark.sources import read_dataset, write_dataset
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, -2.0), (3, "c", None)],
+        "k long, s string, v double",
+    )
+    path = str(tmp_path / "orc_rt")
+    write_dataset(df, path, fmt="orc")
+    back = read_dataset(spark, path, fmt="orc")
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())

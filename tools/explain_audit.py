@@ -88,6 +88,20 @@ EXPECT = {
     "bpe_encode": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # frequency-rank dim joins must broadcast; the fact side never sorts
     "model_features": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # Morton key is pure Column bit-arithmetic over the scan — no shuffle
+    "zorder": ([], ["Exchange", "CartesianProduct"]),
+    # global shuffle rank: range-repartition + broadcast offsets, NEVER
+    # the single-task global Window.orderBy funnel.  The range exchange
+    # itself sits behind assign_row_ids' localCheckpoint (lineage cut ->
+    # Scan ExistingRDD), so pin the visible half: the offset table joins
+    # back via broadcast, and no sort-merge/cartesian appears.  The two
+    # WindowExec single-partition warnings are the per-partition offset
+    # table (rows = partition count, bounded), not the corpus.
+    "shuffle_order": (["BroadcastHashJoin", "Scan ExistingRDD"], ["CartesianProduct", "SortMergeJoin"]),
+    # per-stratum window over one keyed shuffle; no global sort
+    "stratified_topn": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # ids-only CC loop + one window on cluster label; no nested loop
+    "dedup_keep_best": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
