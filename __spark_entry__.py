@@ -881,6 +881,11 @@ def _q_dedup_near(spark, sf):
     return out.select("doc_id")
 
 
+def _q_trim_dup_spans(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.trim_duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2)
+
+
 def _q_dedup_keep_best(spark, sf):
     # representative selection: same LSH fixture as dedup_near, but the
     # survivor is the LONGEST cluster member (length(text) desc), so the
@@ -1835,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5-stale backfill; freshly-green r6 queries go last.
     return {
         "zorder": _q_zorder,
+        "trim_dup_spans": _q_trim_dup_spans,
         "dedup_keep_best": _q_dedup_keep_best,
         "shuffle_order": _q_shuffle_order,
         "stratified_topn": _q_stratified_topn,
@@ -2433,6 +2439,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id FROM all_docs
             WHERE id NOT IN (SELECT node FROM losers)
+        """,
+        "trim_dup_spans": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS tk
+                       FROM documents),
+            st AS (SELECT doc_id, tk,
+                          CAST(unnest(range(1, greatest(len(tk) - 5 + 2, 1))) AS BIGINT) AS s
+                   FROM t),
+            g AS (SELECT doc_id, s,
+                         {_SQL_H.format(x="array_to_string(tk[CAST(s AS INT):CAST(s + 4 AS INT)], ' ')")} AS h
+                  FROM st),
+            dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS d FROM g GROUP BY h)
+                    WHERE d >= 2),
+            cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(s, s + 5)) AS BIGINT) AS pos
+                    FROM g WHERE h IN (SELECT h FROM dup)),
+            tp AS (SELECT doc_id, tk,
+                          CAST(unnest(range(1, len(tk) + 1)) AS BIGINT) AS pos
+                   FROM t),
+            tp2 AS (SELECT doc_id, pos, tk[CAST(pos AS INT)] AS tok FROM tp)
+            SELECT tp2.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(coalesce(sum(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END), 0) AS BIGINT)
+                     AS n_removed,
+                   coalesce(string_agg(tok, ' ' ORDER BY tp2.pos) FILTER (WHERE c.pos IS NULL), '')
+                     AS text_clean
+            FROM tp2 LEFT JOIN cov c ON c.doc_id = tp2.doc_id AND c.pos = tp2.pos
+            GROUP BY tp2.doc_id
         """,
         "dedup_keep_best": f"""
             WITH RECURSIVE all_docs AS (

@@ -1931,6 +1931,89 @@ def dup_ngram_fraction(
     )
 
 
+def trim_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring deduplication — the REMOVE half of
+    :func:`dup_ngram_fraction`'s measurement: every token covered by a
+    word ``n``-gram that occurs in ≥ ``min_docs`` distinct documents is
+    deleted, and the document is rebuilt from the surviving tokens
+    (ExactSubstr dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" — theirs is suffix-array char-level;
+    word-n-gram cover is the shuffle-friendly corpus-scale variant).
+    Cross-doc only: a gram repeated inside ONE doc is boilerplate for
+    :func:`repetition_stats`, not this op.
+
+    Returns (id, n_tokens, n_removed, text_clean) for every input doc —
+    ``text_clean`` is whitespace-normalized (the op tokenizes first);
+    docs shorter than ``n`` tokens have no grams and pass through whole.
+
+    Scale posture: grams are hashed to bigints before any shuffle (gram
+    text never crosses the wire); the duplicated-gram table is
+    vocabulary-sized and joins back keyed; position cover is a distinct
+    on (doc, pos) — all keyed, map-combinable shuffles, and the rebuild
+    is the same per-doc array_sort fold as :func:`bpe_encode`.
+    """
+    toks = df.select(
+        F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__t")
+    ).localCheckpoint(eager=False)
+    # gram start positions, 1-based (posexplode index j -> slice start j+1)
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.posexplode(word_ngrams_from_tokens(F.col("__t"), n)).alias("__j", "__g"),
+        )
+        .select(F.col(id_col), (F.col("__j") + 1).alias("__start"), fn.md5_long("__g").alias("__h"))
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        grams.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .where(F.col("__d") >= min_docs)
+        .select("__h")
+    )
+    covered = (
+        grams.join(dup, "__h")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("__start"), F.col("__start") + (n - 1))).alias("__pos"),
+        )
+        .distinct()
+        .withColumn("__cov", F.lit(True))
+    )
+    tokpos = toks.select(
+        F.col(id_col), F.posexplode("__t").alias("__p", "__tok")
+    ).select(F.col(id_col), (F.col("__p") + 1).alias("__pos"), "__tok")
+    return (
+        tokpos.join(covered, [id_col, "__pos"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__cov"), F.lit(False)).cast("long")).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.coalesce(F.col("__cov"), F.lit(False)) == F.lit(False),
+                                F.struct(F.col("__pos").alias("k"), F.col("__tok").alias("v")),
+                            )
+                        )
+                    ),
+                    lambda x: x["v"],
+                ),
+            ).alias("text_clean"),
+        )
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str,

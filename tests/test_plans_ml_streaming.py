@@ -848,3 +848,25 @@ def test_orc_write_read_roundtrip(spark, tmp_path):
     back = read_dataset(spark, path, fmt="orc")
     assert back.schema == df.schema
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_trim_duplicate_spans_removes_cross_doc_grams_only(spark):
+    from backend_spark import llm
+
+    shared = "alpha beta gamma delta epsilon"  # the duplicated 5-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} four five six seven"),
+            (3, "eight nine ten eleven twelve"),          # untouched
+            (4, "rep rep rep rep rep rep rep rep"),       # within-doc repeat only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llm.trim_duplicate_spans(docs, "doc_id", "text", n=5).collect()}
+    assert out[1].text_clean == "one two three" and out[1].n_removed == 5
+    assert out[2].text_clean == "four five six seven" and out[2].n_removed == 5
+    assert out[3].text_clean == "eight nine ten eleven twelve" and out[3].n_removed == 0
+    # 'rep rep rep rep rep' repeats within doc 4 but exists in no OTHER
+    # doc -> cross-doc contract leaves it alone
+    assert out[4].n_removed == 0 and out[4].n_tokens == 8

@@ -102,6 +102,9 @@ EXPECT = {
     "stratified_topn": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # ids-only CC loop + one window on cluster label; no nested loop
     "dedup_keep_best": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # grams hashed before every shuffle; dup-table joins keyed; rebuild
+    # is a keyed agg — never a nested loop or global window
+    "trim_dup_spans": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
 }
 
 
