@@ -881,6 +881,26 @@ def _q_dedup_near(spark, sf):
     return out.select("doc_id")
 
 
+def _q_perplexity_buckets(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    out = llm.perplexity_buckets(docs, "doc_id", "text", "lang", n_buckets=3)
+    return out.select(
+        "doc_id", "lang", "avg_bigram_lp", F.col("bucket").cast("long").alias("bucket"), "band"
+    )
+
+
+def _q_strip_html(spark, sf):
+    # deterministically HTML-ify the corpus, then strip: proves tag
+    # removal, entity decode order, and whitespace squeeze end-to-end
+    docs = load_table(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<div class="doc"><p>'),
+        F.col("text"),
+        F.lit("</p><br/>&nbsp;tail &amp;amp; &lt;b&gt;bold&lt;/b&gt;</div>"),
+    )
+    return docs.select("doc_id", fn.strip_html(html).alias("text_clean"))
+
+
 def _q_trim_dup_spans(spark, sf):
     docs = load_table(spark, sf, "documents")
     return llm.trim_duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2)
@@ -1841,6 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "zorder": _q_zorder,
         "trim_dup_spans": _q_trim_dup_spans,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "strip_html": _q_strip_html,
         "dedup_keep_best": _q_dedup_keep_best,
         "shuffle_order": _q_shuffle_order,
         "stratified_topn": _q_stratified_topn,
@@ -2439,6 +2461,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id FROM all_docs
             WHERE id NOT IN (SELECT node FROM losers)
+        """,
+        "perplexity_buckets": f"""
+            WITH tok AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS ws
+                         FROM documents),
+            bi AS (SELECT doc_id,
+                          unnest([{{'pos': i, 'w1': ws[CAST(i AS INT)],
+                                    'w2': ws[CAST(i AS INT) + 1]}}
+                                  for i in range(1, len(ws))]) AS s
+                   FROM tok),
+            b2 AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2 FROM bi),
+            bc AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY w1, w2),
+            hc AS (SELECT w1, count(*) AS ch FROM b2 GROUP BY w1),
+            lp AS (SELECT doc_id,
+                          round(sum(ln(CAST(cb AS DOUBLE) / CAST(ch AS DOUBLE)) ORDER BY pos)
+                                / count(*), 4) AS avg_bigram_lp
+                   FROM b2 JOIN bc USING (w1, w2) JOIN hc USING (w1)
+                   GROUP BY doc_id),
+            b AS (SELECT l.doc_id, d.lang, l.avg_bigram_lp,
+                         ntile(3) OVER (PARTITION BY d.lang
+                                        ORDER BY l.avg_bigram_lp DESC, l.doc_id ASC) AS bucket
+                  FROM lp l JOIN documents d ON d.doc_id = l.doc_id)
+            SELECT doc_id, lang, avg_bigram_lp, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket = 1 THEN 'head'
+                        WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS band
+            FROM b
+        """,
+        # the &#39; target is chr(39) so the apostrophe needs no SQL escaping
+        "strip_html": """
+            WITH h AS (SELECT doc_id,
+                              '<div class="doc"><p>' || text ||
+                              '</p><br/>&nbsp;tail &amp;amp; &lt;b&gt;bold&lt;/b&gt;</div>'
+                                AS html
+                       FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS text_clean
+            FROM h
         """,
         "trim_dup_spans": f"""
             WITH t AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS tk

@@ -87,6 +87,31 @@ def normalize(c: Column) -> Column:
     return F.trim(out)
 
 
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+]
+
+
+def strip_html(c: Column) -> Column:
+    """Markup removal for web-crawl text: drop ``<...>`` tags (replaced
+    with a space so ``a</p><p>b`` doesn't weld words), decode the six
+    entities that dominate crawled text (``&amp;`` last — single-pass
+    decode, not recursive), then squeeze whitespace.  A regex pass, not
+    an HTML parser: malformed/nested markup degrades gracefully, which
+    is the right trade at crawl scale where a DOM parse per doc is the
+    cost ceiling.  Pure Column expressions — codegen'd, shuffle-free.
+    """
+    out = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def tokenize(c: Column) -> Column:
     """Whitespace tokenization -> array<string>; empty or null input ->
     empty array (the reference returns [] for None, code/tools.py:121-127).

@@ -1931,6 +1931,56 @@ def dup_ngram_fraction(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    n_buckets: int = 3,
+    ndigits: int = 4,
+) -> DataFrame:
+    """CCNet-style per-language quality bands (Wenzek et al. 2020): rank
+    each language's documents by LM score and cut into ``n_buckets``
+    equal bands — head/middle/tail for the default 3, the split CCNet
+    uses to keep head+middle and drop tail.  The score is
+    :func:`bigram_logprob`'s mean bigram log-probability (higher =
+    more fluent = lower perplexity); CCNet proper scores with a KenLM
+    trained on Wikipedia, whereas here the corpus scores itself — the
+    honest in-engine variant when no external LM artifact exists.
+
+    Banding is ``ntile`` over (language, score desc, id) — exact and
+    deterministic on every engine, unlike percentile thresholds whose
+    interpolation differs.  Docs with < 2 tokens have no bigrams and
+    are absent, inherited from the scorer.
+
+    Returns (id, lang, avg_bigram_lp, bucket, band) — bucket 1..n,
+    band head/middle/tail when ``n_buckets`` is 3 else ``str(bucket)``.
+
+    Scale posture: the scorer's keyed aggregates plus ONE window
+    shuffle partitioned by language.  Per-language partitions can skew
+    (English is half the web) — at 100 TB band per (lang, shard) with
+    a salted partition key and merge band boundaries, or accept the
+    documented single-reducer-per-language cost.
+    """
+    lp = bigram_logprob(df, id_col, text_col, ndigits=ndigits)
+    labeled = lp.join(df.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_bigram_lp").desc(), F.col(id_col).asc()
+    )
+    out = labeled.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if n_buckets == 3:
+        band = (
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        band = F.col("bucket").cast("string")
+    return out.select(
+        F.col(id_col), "lang", "avg_bigram_lp", "bucket", band.alias("band")
+    )
+
+
 def trim_duplicate_spans(
     df: DataFrame,
     id_col: str,

@@ -870,3 +870,41 @@ def test_trim_duplicate_spans_removes_cross_doc_grams_only(spark):
     # 'rep rep rep rep rep' repeats within doc 4 but exists in no OTHER
     # doc -> cross-doc contract leaves it alone
     assert out[4].n_removed == 0 and out[4].n_tokens == 8
+
+
+def test_perplexity_buckets_band_sizes_and_determinism(spark):
+    from backend_spark import llm
+
+    # 6 docs per lang -> ntile(3) puts exactly 2 in each band
+    rows = []
+    for lang in ("en", "fr"):
+        for i in range(6):
+            rows.append((len(rows), f"{lang} common text plus word{i} " * (i + 2), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = llm.perplexity_buckets(df, "doc_id", "text", "lang").collect()
+    from collections import Counter
+
+    sizes = Counter((r.lang, r.band) for r in out)
+    assert all(v == 2 for v in sizes.values()) and len(sizes) == 6
+    again = llm.perplexity_buckets(df, "doc_id", "text", "lang").collect()
+    assert {(r.doc_id, r.band) for r in out} == {(r.doc_id, r.band) for r in again}
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    from backend_spark import functions as fn
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>hello <b>world</b></p>"),
+            (2, "a&amp;b &lt;kept&gt; &amp;lt;still-encoded"),
+            (3, "  spaced\t\nout  <br/> text "),
+            (4, "<a href='x.html' onclick=\"bad()\">link</a>"),
+        ],
+        "k long, s string",
+    )
+    got = {r.k: r.c for r in df.select("k", fn.strip_html(F.col("s")).alias("c")).collect()}
+    assert got[1] == "hello world"
+    # single-pass decode: &amp;lt; -> &lt; (NOT <), decoded < > kept as text
+    assert got[2] == "a&b <kept> &lt;still-encoded"
+    assert got[3] == "spaced out text"
+    assert got[4] == "link"  # attributes (with quotes/brackets) go with the tag

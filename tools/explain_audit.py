@@ -105,6 +105,10 @@ EXPECT = {
     # grams hashed before every shuffle; dup-table joins keyed; rebuild
     # is a keyed agg — never a nested loop or global window
     "trim_dup_spans": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # scorer aggs + ONE language-partitioned window; no nested loop
+    "perplexity_buckets": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # pure Column regex/replace chain over the scan — shuffle-free
+    "strip_html": ([], ["Exchange", "CartesianProduct"]),
 }
 
 
