@@ -881,6 +881,16 @@ def _q_dedup_near(spark, sf):
     return out.select("doc_id")
 
 
+def _q_quantize_emb(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return llm.quantize_embeddings(emb, "vec_id", "embedding")
+
+
+def _q_oversample(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return llm.oversample(docs, "doc_id", "source", {"src1": 2.5, "src2": 0.25})
+
+
 def _q_perplexity_buckets(spark, sf):
     docs = load_table(spark, sf, "documents")
     out = llm.perplexity_buckets(docs, "doc_id", "text", "lang", n_buckets=3)
@@ -1863,6 +1873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_dup_spans": _q_trim_dup_spans,
         "perplexity_buckets": _q_perplexity_buckets,
         "strip_html": _q_strip_html,
+        "quantize_emb": _q_quantize_emb,
+        "oversample": _q_oversample,
         "dedup_keep_best": _q_dedup_keep_best,
         "shuffle_order": _q_shuffle_order,
         "stratified_topn": _q_stratified_topn,
@@ -2461,6 +2473,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id FROM all_docs
             WHERE id NOT IN (SELECT node FROM losers)
+        """,
+        "quantize_emb": """
+            WITH v AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings),
+            s AS (SELECT vec_id, e, list_min(e) AS lo,
+                         (list_max(e) - list_min(e)) / 255.0 AS sc
+                  FROM v),
+            q AS (SELECT vec_id, e, lo, sc,
+                         CASE WHEN sc = 0 THEN list_transform(e, x -> 0)
+                              ELSE list_transform(e, x ->
+                                       CAST(floor((x - lo) / sc + 0.5) AS INT)) END AS qq
+                  FROM s)
+            SELECT vec_id,
+                   round(sc, 6) AS scale,
+                   round(lo, 6) AS offset,
+                   to_json(qq) AS q,
+                   round(list_max([abs(CAST(qq[CAST(i AS INT)] AS DOUBLE) * sc + lo
+                                       - e[CAST(i AS INT)])
+                                   for i in range(1, len(e) + 1)]), 6) AS max_err
+            FROM q
+        """,
+        "oversample": """
+            WITH f AS (SELECT doc_id, source,
+                              CASE WHEN source = 'src1' THEN 2.5
+                                   WHEN source = 'src2' THEN 0.25
+                                   ELSE 1.0 END AS r
+                       FROM documents),
+            e AS (SELECT doc_id, source, r, CAST(floor(r) AS INT) AS whole,
+                         CAST(unnest(range(1, CAST(floor(r) AS INT) + 2)) AS INT) AS copy
+                  FROM f)
+            SELECT doc_id, source, copy
+            FROM e
+            WHERE copy <= whole
+               OR CAST('0x' || substr(md5('over:' || CAST(doc_id AS VARCHAR) || ':'
+                                          || CAST(copy AS VARCHAR)), 1, 15) AS BIGINT)
+                      % 1000000
+                  < CAST(floor((r - whole) * 1000000) AS BIGINT)
         """,
         "perplexity_buckets": f"""
             WITH tok AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS ws

@@ -1931,6 +1931,88 @@ def dup_ngram_fraction(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-vector int8 quantization for embedding storage: each vector
+    is mapped to ``q_i = floor((x_i - min) / scale + 0.5)`` in 0..255
+    with ``scale = (max - min) / 255`` — 4× smaller than float32 at
+    100 TB embedding scale, the standard affine scheme (per-vector
+    min/max, not per-corpus, so outlier vectors don't crush everyone
+    else's resolution).  ``floor(x + 0.5)`` instead of ``round`` makes
+    the tie behavior identical on every engine.  Constant vectors
+    (scale 0) quantize to all-zeros.
+
+    Returns (id, scale, offset, q, max_err) — ``q`` JSON-encoded,
+    ``max_err`` the worst absolute dequantization error, the number a
+    recall-regression gate thresholds on.  Pure Column expressions over
+    the scan: shuffle-free, codegen'd.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = (hi - lo) / F.lit(255.0)
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor((x - lo) / scale + F.lit(0.5)).cast("int"))
+    )
+    deq = F.zip_with(q, v, lambda qq, x: F.abs(qq.cast("double") * scale + lo - x))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, ndigits).alias("scale"),
+        F.round(lo, ndigits).alias("offset"),
+        F.to_json(q).alias("q"),
+        F.round(F.array_max(deq), ndigits).alias("max_err"),
+    )
+
+
+def oversample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    factors: dict,
+    salt: str = "over",
+) -> DataFrame:
+    """Deterministic source oversampling — the upsample half of corpus
+    mixing (GPT-3 Table 2.2 trains high-quality sources for >1 epoch;
+    :func:`temperature_sample` can only downsample): each row of group
+    ``g`` is emitted ``floor(factors[g])`` times plus one more copy
+    behind an ``md5_long(salt:id:copy)`` hash gate with probability
+    ``frac(factors[g])``, so a factor of 2.5 yields every row twice and
+    a reproducible half of rows a third time.  Groups absent from
+    ``factors`` default to 1.0 (pass through once).
+
+    Output = input rows with a ``copy`` index (1-based); feed the
+    result to :func:`shuffle_order` to interleave the epochs into a
+    training stream.  Pure per-row explode — shuffle-free; the copy
+    blow-up is the contract, not overhead.
+    """
+    factor = F.lit(1.0)
+    for g, r in factors.items():
+        if r < 0:
+            raise ValueError(f"factor for {g!r} must be >= 0, got {r}")
+        factor = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(factor)
+    whole = F.floor(factor).cast("int")
+    frac = factor - whole
+    out = df.withColumn(
+        "copy", F.explode(F.sequence(F.lit(1), whole + 1))
+    )
+    gate = (
+        fn.md5_long(
+            F.concat(
+                F.lit(salt), F.lit(":"), F.col(id_col).cast("string"),
+                F.lit(":"), F.col("copy").cast("string"),
+            )
+        )
+        % 1_000_000
+    )
+    return out.where(
+        (F.col("copy") <= whole) | (gate < F.floor(frac * 1_000_000).cast("long"))
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str,

@@ -908,3 +908,40 @@ def test_strip_html_tags_entities_whitespace(spark):
     assert got[2] == "a&b <kept> &lt;still-encoded"
     assert got[3] == "spaced out text"
     assert got[4] == "link"  # attributes (with quotes/brackets) go with the tag
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    import json
+
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5]), (2, [-2.0, 2.0, 0.0]), (3, [7.0, 7.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in llm.quantize_embeddings(df, "vec_id", "embedding").collect()}
+    assert json.loads(out[1].q) == [0, 255, 128]  # floor(127.5+0.5)=128
+    # dequant error bounded by half a quantization step
+    assert out[1].max_err <= out[1].scale / 2 + 1e-9
+    assert out[2].max_err <= out[2].scale / 2 + 1e-9
+    assert json.loads(out[3].q) == [0, 0, 0] and out[3].scale == 0.0  # constant vector
+
+
+def test_oversample_epoch_counts(spark):
+    from backend_spark import llm
+
+    rows = [(i, "hq" if i < 100 else "lq") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = llm.oversample(df, "doc_id", "src", {"hq": 2.5, "lq": 0.5})
+    by = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # hq: every row twice + ~half a third time; lq: ~half once
+    assert 200 <= by["hq"] <= 300 and 220 < by["hq"] < 280
+    assert 60 < by["lq"] < 140
+    # deterministic rerun
+    again = llm.oversample(df, "doc_id", "src", {"hq": 2.5, "lq": 0.5})
+    key = lambda d: sorted((r.doc_id, r.copy) for r in d.collect())
+    assert key(out) == key(again)
+    # integer factor emits exactly that many copies
+    exact = llm.oversample(df, "doc_id", "src", {"hq": 2.0, "lq": 1.0})
+    byx = {r.src: r.n for r in exact.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert byx == {"hq": 200, "lq": 200}

@@ -109,6 +109,11 @@ EXPECT = {
     "perplexity_buckets": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # pure Column regex/replace chain over the scan — shuffle-free
     "strip_html": ([], ["Exchange", "CartesianProduct"]),
+    # per-vector affine quantize: array transforms over the scan
+    "quantize_emb": ([], ["Exchange", "CartesianProduct"]),
+    # per-row explode + hash gate — the copy blow-up is the contract,
+    # but it must stay a narrow map stage, never a shuffle
+    "oversample": ([], ["Exchange", "CartesianProduct"]),
 }
 
 
