@@ -881,6 +881,66 @@ def _q_dedup_near(spark, sf):
     return out.select("doc_id")
 
 
+def _q_kmeans(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return llm.kmeans_assign(emb, "vec_id", "embedding", k=8, n_iter=3)
+
+
+def _sql_kmeans(k: int = 8, n_iter: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled Lloyd's iterations (same pattern as the BPE-train
+    oracle): hash-rank init, argmin assignment with round(6) squared
+    euclidean, scaled-BIGINT mean updates, empty clusters coalesced to
+    their previous centroid."""
+    d2 = (
+        "round(list_sum([(a.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+        " * (a.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+        " for i in range(1, len(a.v) + 1)]), 6)"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""h AS (SELECT vec_id, v,
+                  {_SQL_H.format(x="'km:' || CAST(vec_id AS VARCHAR)")} AS hk
+             FROM v)""",
+        f"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY hk ASC, vec_id ASC) AS INT) - 1
+                       AS cluster, v AS cv
+              FROM h
+              QUALIFY row_number() OVER (ORDER BY hk ASC, vec_id ASC) <= {k})""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{i} AS (SELECT a.vec_id, a.v, c.cluster, {d2} AS d
+                  FROM v a CROSS JOIN c{i - 1} c
+                  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                             ORDER BY d ASC, c.cluster ASC) = 1)"""
+        )
+        ctes.append(
+            f"""e{i} AS (SELECT cluster, v,
+                         CAST(unnest(range(1, len(v) + 1)) AS INT) AS dim
+                  FROM a{i})"""
+        )
+        ctes.append(
+            f"""u{i} AS (SELECT cluster,
+                         list(CAST(s AS DOUBLE) / CAST(n * {scale} AS BIGINT)
+                              ORDER BY dim) AS cv
+                  FROM (SELECT cluster, dim,
+                               sum(CAST(floor(v[dim] * {scale} + 0.5) AS BIGINT)) AS s,
+                               count(*) AS n
+                        FROM e{i} GROUP BY cluster, dim)
+                  GROUP BY cluster)"""
+        )
+        ctes.append(
+            f"""c{i} AS (SELECT c.cluster, coalesce(u.cv, c.cv) AS cv
+                  FROM c{i - 1} c LEFT JOIN u{i} u USING (cluster))"""
+        )
+    ctes.append(
+        f"""af AS (SELECT a.vec_id, c.cluster, {d2} AS d
+              FROM v a CROSS JOIN c{n_iter} c
+              QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                         ORDER BY d ASC, c.cluster ASC) = 1)"""
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cluster, d AS dist FROM af"
+
+
 def _q_quantize_emb(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return llm.quantize_embeddings(emb, "vec_id", "embedding")
@@ -1875,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html": _q_strip_html,
         "quantize_emb": _q_quantize_emb,
         "oversample": _q_oversample,
+        "kmeans": _q_kmeans,
         "dedup_keep_best": _q_dedup_keep_best,
         "shuffle_order": _q_shuffle_order,
         "stratified_topn": _q_stratified_topn,
@@ -2474,6 +2535,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id FROM all_docs
             WHERE id NOT IN (SELECT node FROM losers)
         """,
+        "kmeans": _sql_kmeans(),
         "quantize_emb": """
             WITH v AS (SELECT vec_id,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -1931,6 +1931,107 @@ def dup_ngram_fraction(
     )
 
 
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 3,
+    salt: str = "km",
+    scale: int = 1_000_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd's KMeans over an embedding column — the real
+    iterative-refinement upgrade of :func:`semdedup`'s one-shot
+    hash-centroid assignment, usable for cluster-balanced sampling and
+    curation diagnostics.  Deterministic-by-construction so a SQL
+    oracle reproduces it bit-for-bit:
+
+    * init = the ``k`` corpus vectors with smallest
+      ``md5_long(salt || id)`` (hash rank = cluster index) — no RNG;
+    * assignment = argmin squared-euclidean over the broadcast
+      centroid table, distance rounded to ``ndigits`` (ties → smaller
+      cluster);
+    * update = per-dimension MEAN computed on coordinates scaled to
+      integers (``floor(x*scale + 0.5)``) and summed as BIGINTs —
+      integer addition is associative, so the centroid is identical
+      under any partitioning/order, unlike a float sum.  The division
+      back to double is a single correctly-rounded operation.  (The
+      documented divergence from textbook Lloyd's: means are taken on
+      ``1/scale``-quantized coords — 1e-6 resolution, far below any
+      embedding's noise floor.)  Empty clusters keep their previous
+      centroid.
+
+    Runs ``n_iter`` assign+update rounds, then returns the final
+    assignment: (id, cluster, dist) with ``dist`` the rounded squared
+    euclidean to the final centroid.
+
+    Scale posture: centroids are k×dim driver state (same bounded-
+    collect class as the BPE merge table); assignment is a broadcast
+    join + per-id argmin window; the update is one keyed
+    (cluster, dim) BIGINT aggregate — map-side combinable, no
+    collect of row data, nothing quadratic.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).localCheckpoint(eager=False)
+
+    init = (
+        base.withColumn(
+            "__hk", fn.md5_long(F.concat(F.lit(salt + ":"), F.col("__id").cast("string")))
+        )
+        .orderBy(F.col("__hk").asc(), F.col("__id").asc())
+        .limit(k)
+        .collect()
+    )
+    centroids = {ci: list(r["__v"]) for ci, r in enumerate(init)}
+
+    def _assign(cents):
+        cent_df = spark.createDataFrame(
+            [(ci, v) for ci, v in sorted(cents.items())], "cluster int, cv array<double>"
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("__id").orderBy(F.col("__d").asc(), F.col("cluster").asc())
+        return (
+            base.join(F.broadcast(cent_df))
+            .withColumn("__d", F.round(d2, ndigits))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("__id", "__v", "cluster", "__d")
+        )
+
+    for _ in range(n_iter):
+        asg = _assign(centroids)
+        sums = (
+            asg.select(
+                "cluster",
+                F.posexplode(
+                    F.transform("__v", lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+                ).alias("dim", "xs"),
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("xs").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {}
+        for r in sums:
+            new.setdefault(r.cluster, {})[r.dim] = r.s / (r.n * scale)
+        centroids = {
+            ci: [new[ci][d] for d in range(len(old))] if ci in new else old
+            for ci, old in centroids.items()
+        }
+
+    return _assign(centroids).select(
+        F.col("__id").alias(id_col), "cluster", F.col("__d").alias("dist")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str,

@@ -945,3 +945,22 @@ def test_oversample_epoch_counts(spark):
     exact = llm.oversample(df, "doc_id", "src", {"hq": 2.0, "lq": 1.0})
     byx = {r.src: r.n for r in exact.groupBy("src").agg(F.count("*").alias("n")).collect()}
     assert byx == {"hq": 200, "lq": 200}
+
+
+def test_kmeans_separates_blobs_and_is_deterministic(spark):
+    from backend_spark import llm
+
+    # two tight, well-separated blobs -> k=2 must split them perfectly
+    # no matter which hash-ranked vectors seed the iteration
+    rows = [(i, [0.0 + (i % 5) * 0.01, 0.0 + (i % 3) * 0.01]) for i in range(20)]
+    rows += [(100 + i, [10.0 + (i % 5) * 0.01, 10.0 + (i % 3) * 0.01]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = llm.kmeans_assign(df, "vec_id", "embedding", k=2, n_iter=3)
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    lo = {got[i] for i in range(20)}
+    hi = {got[100 + i] for i in range(20)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    # converged centroids -> every blob member is near its centroid
+    assert all(r.dist < 1.0 for r in out.collect())
+    again = {r.vec_id: r.cluster for r in llm.kmeans_assign(df, "vec_id", "embedding", k=2, n_iter=3).collect()}
+    assert got == again

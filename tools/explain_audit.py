@@ -114,6 +114,9 @@ EXPECT = {
     # per-row explode + hash gate — the copy blow-up is the contract,
     # but it must stay a narrow map stage, never a shuffle
     "oversample": ([], ["Exchange", "CartesianProduct"]),
+    # k-row centroid table broadcast (NLJ on purpose, like ann_topk);
+    # the corpus side must never sort-merge or cartesian
+    "kmeans": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
