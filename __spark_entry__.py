@@ -881,6 +881,29 @@ def _q_dedup_near(spark, sf):
     return out.select("doc_id")
 
 
+def _q_c4_lines(spark, sf):
+    # synthesize line structure deterministically: every ' a ' token
+    # becomes a sentence break (prev line gains terminal '.'), and
+    # ' the ' becomes ' javascript ' so the line-drop rule fires — all
+    # plain string replaces, identical on both engines
+    docs = load_table(spark, sf, "documents")
+    structured = F.replace(
+        F.replace(F.col("text"), F.lit(" a "), F.lit(".\n")),
+        F.lit(" the "),
+        F.lit(" javascript "),
+    )
+    return llm.c4_line_filter(
+        docs.select("doc_id", structured.alias("text")), "doc_id", "text"
+    )
+
+
+def _q_blocklist(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.blocklist_hit_rate(
+        docs, "doc_id", "text", terms=["spark", "join"], max_rate=0.05
+    )
+
+
 def _q_kmeans(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return llm.kmeans_assign(emb, "vec_id", "embedding", k=8, n_iter=3)
@@ -1936,6 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_emb": _q_quantize_emb,
         "oversample": _q_oversample,
         "kmeans": _q_kmeans,
+        "c4_lines": _q_c4_lines,
+        "blocklist": _q_blocklist,
         "dedup_keep_best": _q_dedup_keep_best,
         "shuffle_order": _q_shuffle_order,
         "stratified_topn": _q_stratified_topn,
@@ -2534,6 +2559,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id FROM all_docs
             WHERE id NOT IN (SELECT node FROM losers)
+        """,
+        "c4_lines": f"""
+            WITH d AS (SELECT doc_id,
+                              replace(replace(text, ' a ', '.' || chr(10)),
+                                      ' the ', ' javascript ') AS text
+                       FROM documents),
+            l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM d),
+            k AS (SELECT doc_id, text, lines,
+                         list_filter(lines, ln ->
+                             regexp_matches(trim(ln), '[.!?"]$')
+                             AND len(string_split_regex(trim(ln), '\\s+')) >= 5
+                             AND NOT contains(lower(ln), 'javascript')) AS kept
+                  FROM l)
+            SELECT doc_id,
+                   CAST(len(lines) AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_kept,
+                   len(kept) >= 3
+                     AND NOT contains(lower(text), 'lorem ipsum')
+                     AND NOT contains(lower(text), '{{') AS keep_doc,
+                   coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+            FROM k
+        """,
+        "blocklist": f"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex({norm_text}, '\\s+') AS toks
+                       FROM documents),
+            h AS (SELECT doc_id,
+                         CAST(len(toks) AS INT) AS n_tokens,
+                         CAST(len(list_filter(toks, x -> x IN ('spark', 'join'))) AS INT)
+                           AS n_hits
+                  FROM t)
+            SELECT doc_id, n_tokens, n_hits,
+                   CASE WHEN n_tokens > 0
+                        THEN round(CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                        ELSE 0.0 END AS hit_rate,
+                   CASE WHEN n_tokens > 0
+                        THEN round(CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                        ELSE 0.0 END <= 0.05 AS keep
+            FROM h
         """,
         "kmeans": _sql_kmeans(),
         "quantize_emb": """

@@ -1931,6 +1931,85 @@ def dup_ngram_fraction(
     )
 
 
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    line_drop_terms: tuple = ("javascript",),
+    doc_drop_terms: tuple = ("lorem ipsum", "{"),
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2) as one
+    pure projection: keep a line iff it ends in terminal punctuation
+    (``. ! ? "``), has ≥ ``min_words`` words, and contains none of
+    ``line_drop_terms``; drop the whole document if its raw text
+    contains any ``doc_drop_terms`` (C4: curly brace, "lorem ipsum")
+    or fewer than ``min_kept_lines`` lines survive.
+
+    Returns (id, n_lines, n_kept, keep_doc, text_clean) — every doc is
+    reported (the gate is a column, not a filter), ``text_clean`` the
+    kept lines re-joined with newlines.
+
+    Scale posture: split/filter/join are array Column expressions over
+    the scan — no explode, no shuffle, whole-stage codegen; the line
+    arrays live only inside the projection.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _line_ok(ln):
+        t = F.trim(ln)
+        ok = t.rlike('[.!?"]$') & (F.size(F.split(t, r"\s+")) >= min_words)
+        for term in line_drop_terms:
+            ok = ok & ~F.contains(F.lower(ln), F.lit(term))
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    doc_ok = F.size(kept) >= min_kept_lines
+    for term in doc_drop_terms:
+        doc_ok = doc_ok & ~F.contains(F.lower(F.col(text_col)), F.lit(term))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        doc_ok.alias("keep_doc"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+
+
+def blocklist_hit_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list,
+    max_rate: float = 0.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Token-blocklist scoring (the C4 "bad words" gate): fraction of a
+    doc's tokens that appear in ``terms`` (exact token match after
+    :func:`normalize`/:func:`tokenize` — no substring surprises), plus
+    a ``keep`` gate at ``max_rate`` (C4 used 0: any hit drops the
+    page).  Returns (id, n_tokens, n_hits, hit_rate, keep); empty docs
+    score 0 and keep.
+
+    The blocklist is a Column literal folded into the filter lambda —
+    broadcast-free, shuffle-free, codegen'd over the scan.
+    """
+    toks = fn.tokenize(fn.normalize(F.col(text_col)))
+    hits = F.size(F.filter(toks, lambda t: t.isin([str(x) for x in terms])))
+    n = F.size(toks)
+    rate = F.when(n > 0, F.round(hits.cast("double") / n.cast("double"), ndigits)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        hits.alias("n_hits"),
+        rate.alias("hit_rate"),
+        (rate <= max_rate).alias("keep"),
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str,

@@ -964,3 +964,35 @@ def test_kmeans_separates_blobs_and_is_deterministic(spark):
     assert all(r.dist < 1.0 for r in out.collect())
     again = {r.vec_id: r.cluster for r in llm.kmeans_assign(df, "vec_id", "embedding", k=2, n_iter=3).collect()}
     assert got == again
+
+
+def test_c4_line_filter_rules(spark):
+    from backend_spark import llm
+
+    good = "this line has plenty of words and punctuation."
+    docs = [
+        (1, f"{good}\n{good}\n{good}\nno punct line here at all"),   # 3 kept -> keep
+        (2, f"{good}\nshort one.\ncall javascript now please today.\n{good}"),  # 2 kept -> drop
+        (3, f"{good}\n{good}\n{good}\nlorem ipsum dolor sit amet."),  # doc term -> drop
+        (4, "x { y\n" + f"{good}\n{good}\n{good}"),                   # curly brace -> drop
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in llm.c4_line_filter(df, "doc_id", "text").collect()}
+    assert out[1].keep_doc and out[1].n_kept == 3 and out[1].text_clean == "\n".join([good] * 3)
+    assert not out[2].keep_doc and out[2].n_kept == 2  # short + javascript lines dropped
+    assert not out[3].keep_doc and out[3].n_kept == 4  # lines fine, doc term kills it
+    assert not out[4].keep_doc
+
+
+def test_blocklist_hit_rate_exact_tokens(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [(1, "clean text entirely"), (2, "bad word here"), (3, "badger is not bad bad")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llm.blocklist_hit_rate(df, "doc_id", "text", ["bad"]).collect()}
+    assert out[1].n_hits == 0 and out[1].keep
+    assert out[2].n_hits == 1 and not out[2].keep  # max_rate=0: any hit drops
+    # exact token match: 'badger' is NOT a hit, the two 'bad' tokens are
+    assert out[3].n_hits == 2 and out[3].n_tokens == 5

@@ -117,6 +117,9 @@ EXPECT = {
     # k-row centroid table broadcast (NLJ on purpose, like ann_topk);
     # the corpus side must never sort-merge or cartesian
     "kmeans": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # both are pure array-Column projections over the scan
+    "c4_lines": ([], ["Exchange", "CartesianProduct"]),
+    "blocklist": ([], ["Exchange", "CartesianProduct"]),
 }
 
 
