@@ -382,6 +382,57 @@ def _sql_pagerank(n_iter: int = 20) -> str:
     )
 
 
+def _sql_label_prop(n_rounds: int = 5) -> str:
+    """Unrolled synchronous label-propagation rounds: per round, each
+    node adopts its neighbors' most frequent label, ties to the
+    smallest — same integer arithmetic as graph.label_propagation."""
+    ctes = ["l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM sym)"]
+    for i in range(1, n_rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+                SELECT node, lbl FROM (
+                    SELECT s.a AS node, p.lbl,
+                           row_number() OVER (
+                               PARTITION BY s.a
+                               ORDER BY count(*) DESC, p.lbl ASC
+                           ) AS rn
+                    FROM sym s JOIN l{i - 1} p ON p.node = s.b
+                    GROUP BY s.a, p.lbl
+                ) WHERE rn = 1
+            )"""
+        )
+    return (
+        "WITH "
+        + _SQL_GRAPH_SYM
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community"
+        f" FROM l{n_rounds}"
+    )
+
+
+_SQL_LINK_PREDICT = f"""
+    WITH {_SQL_GRAPH_SYM},
+    deg AS (SELECT a AS w, count(*) AS dw FROM sym GROUP BY a),
+    adj AS (SELECT s.b AS w, s.a AS u, d.dw FROM sym s JOIN deg d ON d.w = s.b),
+    pr AS (
+        SELECT l.u AS u, r.u AS v, count(*) AS cn,
+               sum(CAST(1.0 AS DOUBLE) / ln(CAST(l.dw AS DOUBLE))) AS aa
+        FROM adj l JOIN adj r ON r.w = l.w AND l.u < r.u
+        GROUP BY l.u, r.u
+    ),
+    nonadj AS (
+        SELECT p.* FROM pr p
+        WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.a = p.u AND s.b = p.v)
+    )
+    SELECT CAST(n.u AS BIGINT) AS u, CAST(n.v AS BIGINT) AS v,
+           n.cn AS common_neighbors,
+           round(CAST(n.cn AS DOUBLE) / (du.dw + dv.dw - n.cn), 6) AS jaccard,
+           round(n.aa, 6) AS adamic_adar
+    FROM nonadj n JOIN deg du ON du.w = n.u JOIN deg dv ON dv.w = n.v
+"""
+
+
 # fn.levenshtein_norm — round_even matches Python round() / Spark F.rint
 # (half-even) at .5 midpoints; plain round (HALF_UP) diverges there.
 _SQL_LEVNORM = (
@@ -800,6 +851,29 @@ def _q_square_clustering(spark, sf):
 
     return square_clustering(_ring_chord_edges(spark, sf)).select(
         F.col("node").cast("long").alias("node"), "square_clustering"
+    )
+
+
+def _q_label_prop(spark, sf):
+    from backend_spark.operators.graph import label_propagation
+
+    # fixed n_rounds -> synchronous LPA is fully deterministic and the
+    # oracle unrolls the same rounds (pagerank tol=0 pattern)
+    return label_propagation(_ring_chord_edges(spark, sf), n_rounds=5).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+def _q_link_predict(spark, sf):
+    from backend_spark.operators.graph import link_prediction
+
+    return link_prediction(_ring_chord_edges(spark, sf)).select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        "common_neighbors",
+        "jaccard",
+        "adamic_adar",
     )
 
 
@@ -1965,6 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order": _q_shuffle_order,
         "stratified_topn": _q_stratified_topn,
         "orc_roundtrip": _q_orc_roundtrip,
+        "label_prop": _q_label_prop,
+        "link_predict": _q_link_predict,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2305,6 +2381,8 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tc ON tc.node = d.node
         """,
         "pagerank": _sql_pagerank(20),
+        "label_prop": _sql_label_prop(5),
+        "link_predict": _SQL_LINK_PREDICT,
         "eigenvector": _sql_eigenvector(30),
         "bpe_train": _sql_bpe_train(8),
         "bpe_encode": _sql_bpe_encode(8),

@@ -683,3 +683,120 @@ def k_core(
     return alive.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007; networkx ``label_propagation_communities`` is the
+    async variant — reference has no community op, this extends the
+    §2.7 graph toolbox).  Every node starts labeled with its own id;
+    each round every node simultaneously adopts the most frequent
+    label among its neighbors, ties broken by the smallest label.
+
+    Deterministic by construction (no random visit order), which is
+    what makes an exact oracle possible — and because *synchronous*
+    LPA can oscillate on bipartite structures, the contract is a fixed
+    ``n_rounds``, mirrored by an unrolled-round oracle (the same
+    pattern as :func:`pagerank` with ``tol=0``).
+
+    Each round costs one equi-join on neighbor id plus one (node,
+    label) count aggregate and one per-node arg-max window — all keyed
+    on node ids, map-side combinable, no driver-side state; lineage is
+    truncated per round.  Returns (node, community).
+    """
+    from pyspark.sql import Window
+
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("a").orderBy(F.col("__c").desc(), F.col("lbl").asc())
+    for _ in range(n_rounds):
+        freq = (
+            sym.join(labels.select(F.col("node").alias("b"), "lbl"), "b")
+            .groupBy("a", "lbl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            freq.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("a").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected simple
+    graph: for every NON-adjacent pair (u < v) sharing at least one
+    neighbor, return ``common_neighbors`` |Γu∩Γv|, ``jaccard``
+    |Γu∩Γv| / |Γu∪Γv| and ``adamic_adar`` Σ_{w∈Γu∩Γv} 1/ln(deg w)
+    (Liben-Nowell & Kleinberg 2003) — "probable missed matches" over
+    an entity-resolution graph, the question the reference's clique
+    step leaves to the analyst.
+
+    Distributed as wedge enumeration: each common neighbor w emits its
+    neighbor pairs via a self-equi-join of the (w, u) adjacency on w —
+    an O(Σ_w deg(w)²) candidate stream, dominated by hubs.  That
+    quadratic-in-hub-degree term is the known cost of exact common
+    neighbors at scale; ``max_degree`` drops wedges through nodes
+    above the cap (the standard production mitigation — a hub shared
+    by everyone carries no linkage signal, same spirit as dropping
+    too-common shingles in MinHash blocking).  Everything else is
+    keyed joins/aggregates on node ids: no crossJoin, no collect.
+    """
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("a").alias("w")).agg(F.count(F.lit(1)).alias("dw"))
+    # (w, u) adjacency annotated with deg(w), the wedge midpoint
+    adj = sym.select(F.col("a").alias("u"), F.col("b").alias("w")).join(deg, "w")
+    if max_degree is not None:
+        adj = adj.where(F.col("dw") <= max_degree)
+    pairs = (
+        adj.join(
+            adj.select(F.col("w").alias("w"), F.col("u").alias("v")),
+            "w",
+        )
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("dw").cast("double"))).alias("adamic_adar"),
+        )
+    )
+    # non-adjacent pairs only: (u, v) with u<v never appears in sym both ways
+    pairs = pairs.join(
+        sym.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("w").alias("u"), F.col("dw").alias("__du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("dw").alias("__dv"))
+    out = pairs.join(du, "u").join(dv, "v").select(
+        "u",
+        "v",
+        "common_neighbors",
+        (
+            F.col("common_neighbors").cast("double")
+            / (F.col("__du") + F.col("__dv") - F.col("common_neighbors"))
+        ).alias("jaccard"),
+        "adamic_adar",
+    )
+    if round_to is not None:
+        out = out.withColumn("jaccard", F.round("jaccard", round_to)).withColumn(
+            "adamic_adar", F.round("adamic_adar", round_to)
+        )
+    return out

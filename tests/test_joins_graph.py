@@ -1059,3 +1059,56 @@ def test_temperature_sample_flattens_mixture(spark):
     # alpha=1 is a no-op mixture-wise: every rate is 1
     noop = llm.temperature_sample(df, "grp", "doc_id", alpha=1.0)
     assert noop.count() == 100
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from backend_spark.operators.graph import label_propagation
+
+    # two 4-cliques {0..3} and {10..13} joined by one bridge edge 3-10:
+    # LPA floods each clique with its min id; the bridge can't outvote
+    # three in-clique neighbors
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges.append((3, 10))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community for r in label_propagation(df, n_rounds=5).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_label_propagation_is_synchronous_and_tie_breaks_min(spark):
+    from backend_spark.operators.graph import label_propagation
+
+    # path 0-1-2 after ONE synchronous round: every node adopts the
+    # smallest among its neighbors' equally-frequent labels
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r.node: r.community for r in label_propagation(df, n_rounds=1).collect()}
+    assert got == {0: 1, 1: 0, 2: 1}
+
+
+def test_link_prediction_square_hand_check(spark):
+    from backend_spark.operators.graph import link_prediction
+
+    # square 0-1-2-3-0: diagonals (0,2) and (1,3) are the only
+    # non-adjacent pairs; each shares 2 common neighbors of degree 2,
+    # jaccard 2/(2+2-2)=1.0, adamic_adar 2/ln(2)
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+    rows = {(r.u, r.v): r for r in link_prediction(df).collect()}
+    assert set(rows) == {(0, 2), (1, 3)}
+    for r in rows.values():
+        assert r.common_neighbors == 2
+        assert r.jaccard == 1.0
+        assert abs(r.adamic_adar - 2 / 0.6931471805599453) < 1e-6
+
+
+def test_link_prediction_excludes_adjacent_and_caps_hubs(spark):
+    from backend_spark.operators.graph import link_prediction
+
+    # star 0-{1,2,3}: leaves pair up through the hub; with the hub's
+    # degree capped out, no wedges survive
+    df = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    out = {(r.u, r.v) for r in link_prediction(df).collect()}
+    assert out == {(1, 2), (1, 3), (2, 3)}  # adjacent (0,i) never appears
+    assert link_prediction(df, max_degree=2).count() == 0
+    plan = link_prediction(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
