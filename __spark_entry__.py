@@ -854,6 +854,13 @@ def _q_square_clustering(spark, sf):
     )
 
 
+def _q_dsir(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return llm.dsir_weights(
+        docs, docs.where(F.col("lang") == "en"), "doc_id", "text", buckets=4096
+    ).select("doc_id", "n_feats", "logweight")
+
+
 def _q_label_prop(spark, sf):
     from backend_spark.operators.graph import label_propagation
 
@@ -2041,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "label_prop": _q_label_prop,
         "link_predict": _q_link_predict,
+        "dsir": _q_dsir,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2383,6 +2391,35 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(20),
         "label_prop": _sql_label_prop(5),
         "link_predict": _SQL_LINK_PREDICT,
+        # DSIR hashed-ngram importance weights (llm.dsir_weights,
+        # buckets=4096, alpha=1, target = lang='en' slice)
+        "dsir": f"""
+            WITH tok AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS toks
+                         FROM documents),
+            g AS (
+                SELECT doc_id, unnest(toks) AS gram FROM tok
+                UNION ALL
+                SELECT doc_id, unnest({wgrams.format(n=2, m=1)}) FROM tok
+            ),
+            bk AS (SELECT doc_id, ({_SQL_H.format(x='gram')}) % 4096 AS b FROM g),
+            tc AS (SELECT b, count(*) AS c FROM bk JOIN documents USING (doc_id)
+                   WHERE lang = 'en' GROUP BY b),
+            tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) + 4096.0 AS denom FROM tc),
+            rc AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+            rt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) + 4096.0 AS denom FROM rc),
+            dc AS (SELECT doc_id, b, count(*) AS n FROM bk GROUP BY doc_id, b),
+            per AS (
+                SELECT dc.doc_id, dc.b, dc.n,
+                       dc.n * (ln((coalesce(tc.c, 0) + 1.0) / tt.denom)
+                               - ln((coalesce(rc.c, 0) + 1.0) / rt.denom)) AS w
+                FROM dc CROSS JOIN tt CROSS JOIN rt
+                LEFT JOIN tc ON tc.b = dc.b
+                LEFT JOIN rc ON rc.b = dc.b
+            )
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+                   round(sum(w ORDER BY b), 6) AS logweight
+            FROM per GROUP BY doc_id
+        """,
         "eigenvector": _sql_eigenvector(30),
         "bpe_train": _sql_bpe_train(8),
         "bpe_encode": _sql_bpe_encode(8),

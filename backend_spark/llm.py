@@ -2685,6 +2685,104 @@ def bigram_logprob(
     )
 
 
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every ``raw`` document by how much more likely its
+    hashed-n-gram bag is under the ``target`` corpus' feature
+    distribution than under the raw corpus' own — the published recipe
+    for steering a 100 TB crawl toward a quality/domain target without
+    a learned classifier (the classifier route here is
+    :func:`nb_train`).
+
+    Features are the paper's: unigrams + word bigrams of the
+    normalized token stream, hashed into ``buckets`` via
+    :func:`~backend_spark.functions.md5_long` (deterministic, no
+    vocabulary to ship).  Both corpora induce add-``alpha`` smoothed
+    bucket distributions; per document
+
+    ``log_w = Σ_b n_b · (log p_target(b) − log p_raw(b))``
+
+    with ``n_b`` the doc's occurrence count in bucket ``b``.  The
+    actual *resampling* step is downstream composition — rank or gate
+    on ``logweight`` (:func:`percentile_filter`), or feed it to
+    :func:`temperature_sample` — so this op stays a pure scorer.
+
+    Scale: the two distributions are ``buckets``-row tables built by
+    one keyed count each and broadcast into the per-doc join; the raw
+    corpus is touched twice (once for its distribution, once for
+    scoring) and shuffles only on (doc, bucket).  The float fold runs
+    in fixed bucket order per doc (hash-stability, as
+    :func:`char_entropy`).  Docs with no tokens have no features and
+    are absent from the output.  Returns (id, n_feats, logweight).
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+
+    def _bucketed(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        # stage the token array once — word_ngrams_from_tokens re-evaluates
+        # its argument per reference if handed the raw expression
+        staged = df.select(*cols, fn.tokenize(fn.normalize(F.col(text_col))).alias("__t"))
+        grams = F.concat(F.col("__t"), word_ngrams_from_tokens(F.col("__t"), 2))
+        return staged.select(*cols, F.explode(grams).alias("__g")).select(
+            *cols,
+            F.pmod(fn.md5_long(F.col("__g")), F.lit(buckets)).alias("__b"),
+        )
+
+    def _log_dist(feats: DataFrame, name: str):
+        counts = feats.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+        total = counts.agg(F.sum("__c")).collect()[0][0] or 0
+        denom = float(total) + alpha * buckets
+        lp = F.log((F.col("__c") + F.lit(alpha)) / F.lit(denom)).alias(name)
+        # unseen-bucket floor as a JVM-side expression so seen and unseen
+        # log-probs come out of the same libm (hash-stability vs the oracle)
+        return counts.select("__b", lp), F.log(F.lit(alpha) / F.lit(denom))
+
+    tgt_dist, tgt_floor = _log_dist(_bucketed(target, keep_id=False), "__lt")
+    raw_dist, raw_floor = _log_dist(_bucketed(raw, keep_id=False), "__lr")
+    doc = _bucketed(raw, keep_id=True).groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per = (
+        doc.join(F.broadcast(tgt_dist), "__b", "left")
+        .join(F.broadcast(raw_dist), "__b", "left")
+        .select(
+            F.col(id_col),
+            "__b",
+            "__n",
+            (
+                F.col("__n")
+                * (
+                    F.coalesce(F.col("__lt"), tgt_floor)
+                    - F.coalesce(F.col("__lr"), raw_floor)
+                )
+            ).alias("__w"),
+        )
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_feats"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__b").alias("k"), F.col("__w").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["v"],
+            ).alias("__s"),
+        )
+        .select(F.col(id_col), "n_feats", F.round("__s", ndigits).alias("logweight"))
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing fingerprint (Schleimer et al.): k-gram hashes → min per
     sliding window → sorted distinct mins as (id, fp array<bigint>).

@@ -1112,3 +1112,35 @@ def test_link_prediction_excludes_adjacent_and_caps_hubs(spark):
     assert link_prediction(df, max_degree=2).count() == 0
     plan = link_prediction(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta gamma"),
+            (2, "alpha beta gamma alpha beta"),
+            (3, "zulu yankee xray zulu yankee"),
+            (4, "zulu xray yankee xray zulu"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha gamma beta alpha")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in llm.dsir_weights(raw, target, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # unigrams + bigrams of a 5-token doc = 5 + 4
+    assert all(r.n_feats == 9 for r in out.values())
+    # target-vocabulary docs outscore off-target docs
+    assert min(out[1].logweight, out[2].logweight) > max(out[3].logweight, out[4].logweight)
+
+
+def test_dsir_weights_skips_empty_docs_and_validates(spark):
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
+    out = llm.dsir_weights(raw, target, "doc_id", "text")
+    assert [r.doc_id for r in out.collect()] == [1]
+    with pytest.raises(ValueError):
+        llm.dsir_weights(raw, target, "doc_id", "text", buckets=0)
