@@ -854,6 +854,23 @@ def _q_square_clustering(spark, sf):
     )
 
 
+def _q_bloom_decontaminate(spark, sf):
+    # same benchmark slice as _q_decontaminate; smaller m so the tiny
+    # synthetic vocabulary also exercises false-positive bits
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select("text")
+    return llm.bloom_decontaminate(
+        docs, bench, "doc_id", "text", n=5, m_bits=1 << 14, k=3, threshold=0.5
+    )
+
+
+def _q_skew_report(spark, sf):
+    from backend_spark.scale import skew_report
+
+    li = load_table(spark, sf, "lineitem")
+    return skew_report(li, ["l_returnflag", "l_linestatus"], top_k=5)
+
+
 def _q_dsir(spark, sf):
     docs = load_table(spark, sf, "documents")
     return llm.dsir_weights(
@@ -2049,6 +2066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": _q_label_prop,
         "link_predict": _q_link_predict,
         "dsir": _q_dsir,
+        "skew_report": _q_skew_report,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2391,6 +2410,67 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(20),
         "label_prop": _sql_label_prop(5),
         "link_predict": _SQL_LINK_PREDICT,
+        # llm.bloom_decontaminate (n=5 grams, m=2^14 bits, k=3, thr=0.5,
+        # benchmark = doc_id % 20 slice) — same md5 bit positions
+        "bloom_decontaminate": f"""
+            WITH tok AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS toks
+                         FROM documents),
+            ks AS (SELECT unnest([0, 1, 2]) AS i),
+            bg AS (SELECT DISTINCT g FROM (
+                       SELECT unnest({wgrams.format(n=5, m=4)}) AS g FROM tok
+                       WHERE doc_id % 20 = 0)),
+            bpos AS (SELECT ({_SQL_H.format(x="g || '#' || CAST(i AS VARCHAR)")}) % 16384
+                            AS pos
+                     FROM bg CROSS JOIN ks),
+            bloom AS (SELECT pos // 32 AS word,
+                             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS mask
+                      FROM bpos GROUP BY pos // 32),
+            dg AS (SELECT doc_id, unnest(list_distinct({wgrams.format(n=5, m=4)})) AS g
+                   FROM tok),
+            ppos AS (SELECT doc_id, g,
+                            ({_SQL_H.format(x="g || '#' || CAST(i AS VARCHAR)")}) % 16384
+                            AS pos
+                     FROM dg CROSS JOIN ks),
+            ph AS (SELECT doc_id, g,
+                          bool_and(coalesce(
+                              (mask & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) != 0,
+                              false)) AS hit
+                   FROM ppos LEFT JOIN bloom ON bloom.word = ppos.pos // 32
+                   GROUP BY doc_id, g)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   round(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS hit_frac,
+                   (sum(CASE WHEN hit THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE)) >= 0.5 AS flagged
+            FROM ph GROUP BY doc_id
+        """,
+        # scale.skew_report over (l_returnflag, l_linestatus), top_k=5
+        "skew_report": """
+            WITH counts AS (
+                SELECT concat_ws('|', CAST(l_returnflag AS VARCHAR),
+                                 CAST(l_linestatus AS VARCHAR)) AS key,
+                       count(*) AS cnt
+                FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ),
+            stats AS (
+                SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_sz,
+                       quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS p50_sz,
+                       quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99_sz
+                FROM counts
+            ),
+            top AS (
+                SELECT key, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+                FROM counts QUALIFY rank <= 5
+            )
+            SELECT rank, key, cnt,
+                   round(cnt / CAST(n_rows AS DOUBLE), 6) AS share,
+                   round(cnt * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew,
+                   n_keys,
+                   round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS mean_sz,
+                   p50_sz, p99_sz, max_sz
+            FROM top CROSS JOIN stats
+        """,
         # DSIR hashed-ngram importance weights (llm.dsir_weights,
         # buckets=4096, alpha=1, target = lang='en' slice)
         "dsir": f"""

@@ -2783,6 +2783,130 @@ def dsir_weights(
     )
 
 
+def bloom_bits(
+    df: DataFrame,
+    text_col: str,
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over a corpus' distinct word ``n``-grams as
+    a (word, mask) bitset table: position ``i`` of gram ``g`` is
+    ``md5_long(g + '#' + i) mod m_bits``, packed 32 bits per row
+    (32-bit words keep every mask a small positive BIGINT, so the
+    identical bit arithmetic runs on any engine).  ≤ ``m_bits``/32
+    rows — a 2^27-bit filter is 4 M rows / ~64 MB, broadcastable; this
+    is how Dolma-style pipelines hold a benchmark (or a whole seen-set)
+    in memory on every executor instead of shuffling the corpus
+    against it.
+    """
+    if m_bits <= 0 or k <= 0:
+        raise ValueError(f"m_bits and k must be positive, got {m_bits}, {k}")
+    staged = df.select(fn.tokenize(fn.normalize(F.col(text_col))).alias("__t"))
+    grams = staged.select(
+        F.explode(word_ngrams_from_tokens(F.col("__t"), n)).alias("__g")
+    ).distinct()
+    pos = grams.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"), "__g"
+    ).select(
+        F.pmod(
+            fn.md5_long(F.concat_ws("#", F.col("__g"), F.col("__i").cast("string"))),
+            F.lit(m_bits),
+        ).alias("__pos")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("__pos") / F.lit(32)).cast("long").alias("word"),
+            # F.shiftleft takes only a literal shift count; the per-row
+            # shift needs the SQL form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))").alias("__m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__m").alias("mask"))
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    threshold: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: build
+    :func:`bloom_bits` from the benchmark's word ``n``-grams, probe
+    every corpus document's distinct grams against it, and flag docs
+    whose bloom-hit fraction reaches ``threshold``.
+
+    vs :func:`decontaminate` (exact gram semi-join): the Bloom route
+    never ships benchmark gram *text* anywhere — the filter is a fixed
+    ``m_bits``-bit broadcast regardless of benchmark size, the
+    production trade for huge seen-sets, at the price of a false-
+    positive rate ≈ (1 − e^{−kN/m})^k that only *overestimates*
+    contamination (safe direction: may drop clean docs, never keeps a
+    contaminated one the exact check would catch).  Fully
+    deterministic — the same md5 bit positions reproduce on any
+    engine, so even the false positives are oracle-exact.
+
+    Scale: probe joins the per-gram bit positions to the broadcast
+    bitset on word id (no shuffle), then two keyed aggregates
+    ((doc, gram) all-k-bits vote, then per-doc fraction).  Returns
+    (id, n_grams, hit_frac, flagged); docs with fewer than ``n``
+    tokens have no grams and are absent.
+    """
+    bits = bloom_bits(benchmark, text_col, n=n, m_bits=m_bits, k=k)
+    staged = corpus.select(
+        F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__t")
+    )
+    grams = staged.select(
+        F.col(id_col), F.explode(word_ngrams_from_tokens(F.col("__t"), n)).alias("__g")
+    ).distinct()
+    probe = grams.select(
+        F.col(id_col),
+        "__g",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"),
+    ).select(
+        F.col(id_col),
+        "__g",
+        F.pmod(
+            fn.md5_long(F.concat_ws("#", F.col("__g"), F.col("__i").cast("string"))),
+            F.lit(m_bits),
+        ).alias("__pos"),
+    ).select(
+        F.col(id_col),
+        "__g",
+        F.floor(F.col("__pos") / F.lit(32)).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))").alias("__m"),
+    )
+    hit = (
+        probe.join(F.broadcast(bits), "word", "left")
+        .select(
+            F.col(id_col),
+            "__g",
+            F.coalesce(F.col("mask").bitwiseAND(F.col("__m")) != 0, F.lit(False)).alias("__hit"),
+        )
+        .groupBy(id_col, "__g")
+        .agg(F.every("__hit").alias("__all"))
+    )
+    return (
+        hit.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("__all").cast("long")).alias("__h"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.round(F.col("__h") / F.col("n_grams"), ndigits).alias("hit_frac"),
+            (F.col("__h") / F.col("n_grams") >= threshold).alias("flagged"),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing fingerprint (Schleimer et al.): k-gram hashes → min per
     sliding window → sorted distinct mins as (id, fp array<bigint>).

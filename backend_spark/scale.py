@@ -229,3 +229,61 @@ def assign_row_ids(
         .withColumn(out_col, F.col("__off") + F.col("__local"))
         .drop("__pid", "__local", "__off")
     )
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str] | str,
+    top_k: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pre-flight skew diagnostic for a planned groupBy/join key: the
+    ``top_k`` heaviest key values with their row counts, corpus share,
+    and skew ratio (count / mean group size), annotated with the global
+    group-size distribution (n_keys, mean, p50, p99, max).  This is
+    the measurement that decides between a plain shuffle,
+    :func:`salted_agg`/:func:`salted_join`, or a broadcast — AQE fixes
+    sort-merge skew at runtime, but aggregation skew and executor-OOM
+    sizing have to be seen *before* launching the 100 TB job.
+
+    Cost: one keyed count aggregate (map-side combined), then all
+    statistics over the |keys|-row count table — a global single-state
+    aggregate plus a top-k TakeOrdered, never a full sort of the data.
+    Ties on count break by key text ascending (deterministic).
+    Key values render as a single string column so heterogeneous /
+    multi-column keys keep one stable schema.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*key_list).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in key_list]).alias("key"),
+        "cnt",
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_sz"),
+        F.percentile(F.col("cnt").cast("double"), F.lit(0.5)).alias("p50_sz"),
+        F.percentile(F.col("cnt").cast("double"), F.lit(0.99)).alias("p99_sz"),
+    )
+    from pyspark.sql import Window
+
+    # distributed top-k (TakeOrderedAndProject), then rank the k survivors —
+    # a global row_number window would funnel ALL keys through one task
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rank",
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("n_rows"), ndigits).alias("share"),
+        F.round(F.col("cnt") * F.col("n_keys") / F.col("n_rows"), ndigits).alias("skew"),
+        "n_keys",
+        F.round(F.col("n_rows").cast("double") / F.col("n_keys"), ndigits).alias("mean_sz"),
+        "p50_sz",
+        "p99_sz",
+        "max_sz",
+    )

@@ -1144,3 +1144,48 @@ def test_dsir_weights_skips_empty_docs_and_validates(spark):
     assert [r.doc_id for r in out.collect()] == [1]
     with pytest.raises(ValueError):
         llm.dsir_weights(raw, target, "doc_id", "text", buckets=0)
+
+
+def test_bloom_decontaminate_flags_benchmark_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff"),          # in benchmark -> all grams hit
+            (2, "aa bb cc dd ee zz"),          # shares a prefix gram
+            (3, "qq rr ss tt uu vv ww"),       # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 1).select("text")
+    out = {
+        r.doc_id: r
+        for r in llm.bloom_decontaminate(
+            docs, bench, "doc_id", "text", n=5, m_bits=1 << 16, k=3, threshold=0.5
+        ).collect()
+    }
+    assert out[1].hit_frac == 1.0 and out[1].flagged
+    # doc 2: grams = 2, one ("aa bb cc dd ee") in benchmark
+    assert out[2].n_grams == 2 and out[2].hit_frac == 0.5 and out[2].flagged
+    assert not out[3].flagged and out[3].hit_frac < 0.5
+    with pytest.raises(ValueError):
+        llm.bloom_decontaminate(docs, bench, "doc_id", "text", m_bits=0)
+
+
+def test_bloom_probe_is_broadcast_no_shuffle_on_bits(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    out = llm.bloom_decontaminate(docs, docs.select("text"), "doc_id", "text", n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_report_hand_check(spark):
+    from backend_spark.scale import skew_report
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    rows = {r.rank: r for r in skew_report(df, "k", top_k=2).collect()}
+    assert [rows[1].key, rows[2].key] == ["a", "b"]
+    assert rows[1].cnt == 6 and rows[1].share == 0.6 and rows[1].skew == 1.8
+    assert rows[1].n_keys == 3 and rows[1].max_sz == 6
+    assert rows[1].p50_sz == 3.0  # group sizes 1,3,6 -> median 3

@@ -120,6 +120,18 @@ EXPECT = {
     # both are pure array-Column projections over the scan
     "c4_lines": ([], ["Exchange", "CartesianProduct"]),
     "blocklist": ([], ["Exchange", "CartesianProduct"]),
+    # per-round neighbor join + keyed count + per-node window; keyed only
+    "label_prop": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # wedge self-join and degree joins are all equi-joins on node ids
+    "link_predict": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # two bucket distributions broadcast into the per-doc join
+    "dsir": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # bitset broadcast into the probe; no benchmark-corpus shuffle join
+    "bloom_decontaminate": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # keyed count agg + TakeOrdered top-k; global stats broadcast back.
+    # The one-row stats crossJoin lowers to a nested-loop broadcast —
+    # scalar-sized by construction, so only CartesianProduct is banned
+    "skew_report": (["TakeOrderedAndProject"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
