@@ -411,6 +411,34 @@ def _sql_label_prop(n_rounds: int = 5) -> str:
     )
 
 
+def _sql_modularity(n_rounds: int = 5) -> str:
+    """Newman Q of the unrolled label-propagation partition — same
+    per-community fold (in community order) as graph.modularity."""
+    lp = _sql_label_prop(n_rounds)
+    # reuse the label-prop CTE chain: strip its final SELECT, keep WITH
+    body = lp[: lp.rindex("\nSELECT ")]
+    return (
+        body
+        + f""",
+        lab AS (SELECT s.a, ca.lbl AS ca, cb.lbl AS cb
+                FROM sym s JOIN l{n_rounds} ca ON ca.node = s.a
+                JOIN l{n_rounds} cb ON cb.node = s.b),
+        per_c AS (SELECT ca, count(*) AS deg2,
+                         sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS intra2
+                  FROM lab GROUP BY ca),
+        tot AS (SELECT sum(deg2) AS m2, count(*) AS nc FROM per_c),
+        terms AS (SELECT ca, nc, m2,
+                         intra2 / CAST(m2 AS DOUBLE)
+                         - (deg2 / CAST(m2 AS DOUBLE)) * (deg2 / CAST(m2 AS DOUBLE))
+                           AS term
+                  FROM per_c CROSS JOIN tot)
+        SELECT CAST(min(nc) AS BIGINT) AS n_communities,
+               CAST(min(m2) / 2 AS BIGINT) AS n_edges,
+               round(sum(term ORDER BY ca), 6) AS modularity
+        FROM terms"""
+    )
+
+
 _SQL_LINK_PREDICT = f"""
     WITH {_SQL_GRAPH_SYM},
     deg AS (SELECT a AS w, count(*) AS dw FROM sym GROUP BY a),
@@ -852,6 +880,14 @@ def _q_square_clustering(spark, sf):
     return square_clustering(_ring_chord_edges(spark, sf)).select(
         F.col("node").cast("long").alias("node"), "square_clustering"
     )
+
+
+def _q_modularity(spark, sf):
+    from backend_spark.operators.graph import label_propagation, modularity
+
+    edges = _ring_chord_edges(spark, sf)
+    com = label_propagation(edges, n_rounds=5)
+    return modularity(edges, com)
 
 
 def _q_bloom_decontaminate(spark, sf):
@@ -2068,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": _q_dsir,
         "skew_report": _q_skew_report,
         "bloom_decontaminate": _q_bloom_decontaminate,
+        "modularity": _q_modularity,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2410,6 +2447,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(20),
         "label_prop": _sql_label_prop(5),
         "link_predict": _SQL_LINK_PREDICT,
+        "modularity": _sql_modularity(5),
         # llm.bloom_decontaminate (n=5 grams, m=2^14 bits, k=3, thr=0.5,
         # benchmark = doc_id % 20 slice) — same md5 bit positions
         "bloom_decontaminate": f"""

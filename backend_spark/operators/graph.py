@@ -800,3 +800,73 @@ def link_prediction(
             "adamic_adar", F.round("adamic_adar", round_to)
         )
     return out
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over the
+    undirected simple graph: Q = Σ_c (e_c / m − (d_c / 2m)²), with
+    ``e_c`` intra-community edges, ``d_c`` the community's total
+    degree and ``m`` the edge count — the standard quality score for
+    the partition :func:`label_propagation` (or any clustering)
+    produces, so partitions are comparable run-to-run and across
+    parameter sweeps.
+
+    One degree aggregate, one edges-to-communities equi-join (the
+    community table is node-keyed, same partitioning as every other
+    kernel here), and a one-row global fold in community order (fixed
+    float order, hash-stable).  Returns a single row
+    (n_communities, n_edges, modularity).
+    """
+    sym = _sym_edges(edges, src, dst)
+    com = communities.select(
+        F.col(node_col).alias("__n"), F.col(community_col).alias("__c")
+    )
+    # each undirected edge appears twice in sym: intra pairs count /2,
+    # and 2m is exactly count(sym)
+    lab = (
+        sym.join(com.withColumnRenamed("__n", "a").withColumnRenamed("__c", "__ca"), "a")
+        .join(com.withColumnRenamed("__n", "b").withColumnRenamed("__c", "__cb"), "b")
+    )
+    per_c = (
+        lab.groupBy("__ca")
+        .agg(
+            F.count(F.lit(1)).alias("__deg2"),  # Σ degrees in c (= 2·e_c + cut edges)
+            F.sum((F.col("__ca") == F.col("__cb")).cast("long")).alias("__intra2"),
+        )
+    )
+    tot = per_c.agg(
+        F.sum("__deg2").alias("__2m"), F.count(F.lit(1)).alias("n_communities")
+    )
+    terms = per_c.crossJoin(F.broadcast(tot)).select(
+        "__ca",
+        "n_communities",
+        "__2m",
+        # (d/2m)² as an explicit product — pow() implementations differ
+        # across engines in the last ulp; x*x does not
+        (
+            F.col("__intra2") / F.col("__2m")
+            - (F.col("__deg2") / F.col("__2m")) * (F.col("__deg2") / F.col("__2m"))
+        ).alias("__term"),
+    )
+    return terms.agg(
+        F.first("n_communities").alias("n_communities"),
+        (F.first("__2m") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__ca").alias("k"), F.col("__term").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["v"],
+            ),
+            ndigits,
+        ).alias("modularity"),
+    )

@@ -1189,3 +1189,24 @@ def test_skew_report_hand_check(spark):
     assert rows[1].cnt == 6 and rows[1].share == 0.6 and rows[1].skew == 1.8
     assert rows[1].n_keys == 3 and rows[1].max_sz == 6
     assert rows[1].p50_sz == 3.0  # group sizes 1,3,6 -> median 3
+
+
+def test_modularity_two_cliques_hand_check(spark):
+    from backend_spark.operators.graph import modularity
+
+    # two disjoint triangles, perfect partition: m=6 edges, each
+    # community e_c=3, d_c=6 -> Q = 2*(3/6 - (6/12)^2) = 0.5
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    com = spark.createDataFrame(
+        [(n, 0) for n in (0, 1, 2)] + [(n, 1) for n in (10, 11, 12)],
+        "node long, community long",
+    )
+    row = modularity(df, com).collect()[0]
+    assert row.n_communities == 2 and row.n_edges == 6
+    assert row.modularity == 0.5
+    # everything in one community -> Q = 1 - 1 = 0
+    one = spark.createDataFrame(
+        [(n, 0) for n in (0, 1, 2, 10, 11, 12)], "node long, community long"
+    )
+    assert modularity(df, one).collect()[0].modularity == 0.0
