@@ -882,6 +882,11 @@ def _q_square_clustering(spark, sf):
     )
 
 
+def _q_kn_bigram(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.kn_bigram_logprob(docs, "doc_id", "text", discount=0.75)
+
+
 def _q_modularity(spark, sf):
     from backend_spark.operators.graph import label_propagation, modularity
 
@@ -2105,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": _q_skew_report,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "modularity": _q_modularity,
+        "kn_bigram": _q_kn_bigram,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2589,6 +2595,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(ln(CAST(cb AS DOUBLE) / CAST(ch AS DOUBLE)) ORDER BY pos)
                          / count(*), 4) AS avg_bigram_lp
             FROM b2 JOIN bc USING (w1, w2) JOIN hc USING (w1)
+            GROUP BY doc_id
+        """,
+        # interpolated Kneser-Ney bigram (llm.kn_bigram_logprob, D=0.75,
+        # trained on the corpus itself; same position-ordered fold)
+        "kn_bigram": f"""
+            WITH tok AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS ws
+                         FROM documents),
+            bi AS (SELECT doc_id,
+                          unnest([{{'pos': i, 'w1': ws[CAST(i AS INT)],
+                                    'w2': ws[CAST(i AS INT) + 1]}}
+                                  for i in range(1, len(ws))]) AS s
+                   FROM tok),
+            b2 AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2 FROM bi),
+            bc AS (SELECT w1, w2, count(*) AS cb FROM b2 GROUP BY w1, w2),
+            hc AS (SELECT w1, count(*) AS ch FROM b2 GROUP BY w1),
+            fw AS (SELECT w1, count(*) AS n1fw FROM bc GROUP BY w1),
+            bw AS (SELECT w2, count(*) AS n1bw FROM bc GROUP BY w2),
+            tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bc)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(sum(ln((greatest(cb - 0.75, 0.0)
+                                 + 0.75 * n1fw * (n1bw / t)) / ch)
+                             ORDER BY pos) / count(*), 6) AS avg_kn_lp
+            FROM b2 JOIN bc USING (w1, w2) JOIN hc USING (w1)
+                 JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN tt
             GROUP BY doc_id
         """,
         # multinomial NB, add-one smoothing: dense (label, vocab-token)

@@ -2685,6 +2685,91 @@ def bigram_logprob(
     )
 
 
+def kn_bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document average log-probability under an interpolated
+    Kneser-Ney bigram model trained on the corpus itself (Kneser &
+    Ney 1995; the fixed-discount form of Chen & Goodman 1999):
+
+    ``P(w2|w1) = (max(c(w1,w2) − D, 0) + D · N1+(w1,·) · Pcont(w2)) / c(w1)``
+    ``Pcont(w2) = N1+(·,w2) / N1+(·,·)``
+
+    The continuation distribution scores *how many contexts* a word
+    follows, which is what separates fluent text from stuffed/repeated
+    keywords — a strictly better perplexity signal than the MLE
+    :func:`bigram_logprob` because no bigram gets probability zero.
+
+    Same shuffle shape as :func:`bigram_logprob` plus two distinct-
+    type aggregates (both map-side combinable, vocabulary-sized
+    outputs); per-doc fold in fixed position order.  Docs with < 2
+    tokens have no bigrams and are absent.  Returns
+    (id, n_bigrams, avg_kn_lp).
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    staged = df.select(
+        F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__t")
+    )
+    bi = (
+        staged.where(F.size("__t") >= 2)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i).alias("w1"),
+                        F.element_at("__t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("pos", "__p"),
+        )
+        .select(F.col(id_col), "pos", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+    ch = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__ch"))
+    n1_fw = cb.groupBy("w1").agg(F.count(F.lit(1)).alias("__n1fw"))
+    n1_bw = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("__n1bw"))
+    n_types = cb.count()
+    d = F.lit(discount)
+    lp = (
+        bi.join(cb, ["w1", "w2"])
+        .join(ch, "w1")
+        .join(n1_fw, "w1")
+        .join(n1_bw, "w2")
+        .select(
+            F.col(id_col),
+            "pos",
+            F.log(
+                (
+                    F.greatest(F.col("__cb") - d, F.lit(0.0))
+                    + d * F.col("__n1fw") * (F.col("__n1bw") / F.lit(float(n_types)))
+                )
+                / F.col("__ch")
+            ).alias("__lp"),
+        )
+    )
+    folded = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("pos").alias("k"), F.col("__lp").alias("v")))),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("__s"),
+    )
+    return folded.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round(F.col("__s") / F.col("n_bigrams"), ndigits).alias("avg_kn_lp"),
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -1210,3 +1210,27 @@ def test_modularity_two_cliques_hand_check(spark):
         [(n, 0) for n in (0, 1, 2, 10, 11, 12)], "node long, community long"
     )
     assert modularity(df, one).collect()[0].modularity == 0.0
+
+
+def test_kn_bigram_logprob_hand_check(spark):
+    import math
+
+    # corpus: doc1 "a b a b", doc2 "a c"
+    # bigram tokens: (a,b)x2, (b,a)x1, (a,c)x1 -> types: (a,b),(b,a),(a,c); T=3
+    # c(a)=3, c(b)=1; N1+(a,.)=2, N1+(b,.)=1; N1+(.,b)=1, N1+(.,a)=1, N1+(.,c)=1
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a c")], "doc_id long, text string")
+    out = {r.doc_id: r for r in llm.kn_bigram_logprob(df, "doc_id", "text").collect()}
+    D = 0.75
+    p_ab = (max(2 - D, 0.0) + D * 2 * (1 / 3.0)) / 3
+    p_ba = (max(1 - D, 0.0) + D * 1 * (1 / 3.0)) / 1
+    p_ac = (max(1 - D, 0.0) + D * 2 * (1 / 3.0)) / 3
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].avg_kn_lp - round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)) < 1e-6
+    assert out[2].n_bigrams == 1
+    assert abs(out[2].avg_kn_lp - round(math.log(p_ac), 6)) < 1e-6
+    # single-token doc absent, bad discount raises
+    assert llm.kn_bigram_logprob(
+        spark.createDataFrame([(9, "solo")], "doc_id long, text string"), "doc_id", "text"
+    ).count() == 0
+    with pytest.raises(ValueError):
+        llm.kn_bigram_logprob(df, "doc_id", "text", discount=1.5)
