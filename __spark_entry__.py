@@ -1103,6 +1103,43 @@ def _sql_kmeans(k: int = 8, n_iter: int = 3, scale: int = 1_000_000) -> str:
     return "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cluster, d AS dist FROM af"
 
 
+def _q_kcenter(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return llm.kcenter_coreset(emb, "vec_id", "embedding", k=8)
+
+
+def _sql_kcenter(k: int = 8) -> str:
+    """Unrolled greedy k-center rounds: seed = min id, then per round
+    the rounded max-min-d2 argmax (ties to smaller id), min-distance
+    column carried forward — same arithmetic as llm.kcenter_coreset."""
+    d2 = (
+        "round(list_sum([(a.v[CAST(i AS INT)] - s.v[CAST(i AS INT)])"
+        " * (a.v[CAST(i AS INT)] - s.v[CAST(i AS INT)])"
+        " for i in range(1, len(a.v) + 1)]), 6)"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "s1 AS (SELECT vec_id, v FROM v ORDER BY vec_id ASC LIMIT 1)",
+        f"m1 AS MATERIALIZED (SELECT a.vec_id, a.v, {d2} AS mind FROM v a CROSS JOIN s1 s)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""s{r} AS (SELECT vec_id, v, mind FROM m{r - 1}
+                  ORDER BY mind DESC, vec_id ASC LIMIT 1)"""
+        )
+        if r < k:
+            ctes.append(
+                f"""m{r} AS MATERIALIZED (
+                      SELECT a.vec_id, a.v, least(a.mind, {d2}) AS mind
+                      FROM m{r - 1} a CROSS JOIN s{r} s)"""
+            )
+    sels = ["SELECT vec_id, CAST(1 AS BIGINT) AS sel_rank, CAST(0.0 AS DOUBLE) AS dist FROM s1"]
+    sels += [
+        f"SELECT vec_id, CAST({r} AS BIGINT), mind FROM s{r}" for r in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 def _q_quantize_emb(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return llm.quantize_embeddings(emb, "vec_id", "embedding")
@@ -2111,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _q_bloom_decontaminate,
         "modularity": _q_modularity,
         "kn_bigram": _q_kn_bigram,
+        "kcenter": _q_kcenter,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2863,6 +2901,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "kmeans": _sql_kmeans(),
+        "kcenter": _sql_kcenter(8),
         "quantize_emb": """
             WITH v AS (SELECT vec_id,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -2111,6 +2111,79 @@ def kmeans_assign(
     )
 
 
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Greedy k-center / farthest-point sampling over an embedding
+    column (Gonzalez 1985; the coreset selection of Sener & Savarese
+    2018): seed with the smallest id, then ``k−1`` times select the
+    point farthest (max-min squared euclidean) from everything chosen
+    so far — the diversity-maximizing subset a curation pipeline uses
+    to pick exemplars or active-learning batches, complementary to
+    :func:`kmeans_assign` (which balances, rather than spreads,
+    coverage).
+
+    Deterministic: no RNG anywhere; distances are rounded to
+    ``ndigits`` *before* every comparison (the :func:`kmeans_assign`
+    convention, so cross-engine float noise can't flip an argmax) and
+    ties break on the smaller id.  Returns the ``k`` selected rows as
+    (id, sel_rank, dist) where ``dist`` is the point's min distance to
+    the prior selections at pick time — the classic non-increasing
+    coverage-radius sequence (seed dist = 0).
+
+    Scale shape: this is inherently ``k`` passes — each round one
+    narrow map (distance to ONE broadcast centroid, folded in index
+    order) + a distributed TakeOrdered(1); the running min-distance
+    column rides along, lineage truncated per round.  Nothing
+    quadratic, driver state is k rows.  Cost grows linearly in k —
+    for k beyond a few hundred, switch to :func:`kmeans_assign` +
+    per-cluster exemplars.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).localCheckpoint(eager=False)
+    seed = base.orderBy(F.col("__id").asc()).limit(1).collect()
+    if not seed:
+        return spark.createDataFrame([], f"{id_col} long, sel_rank long, dist double")
+    picks = [(seed[0]["__id"], 1, 0.0)]
+    center = seed[0]["__v"]
+    have_mind = False
+    for r in range(2, k + 1):
+        cent = F.array(*[F.lit(float(x)) for x in center])
+        step = F.round(
+            F.aggregate(
+                F.zip_with(F.col("__v"), cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            ndigits,
+        )
+        mind = F.least(F.col("__mind"), step) if have_mind else step
+        base = base.select("__id", "__v", mind.alias("__mind")).localCheckpoint(eager=True)
+        have_mind = True
+        top = base.orderBy(F.col("__mind").desc(), F.col("__id").asc()).limit(1).collect()
+        # coverage radius 0 = every point coincides with a selection
+        # (k > distinct vectors); more picks add nothing
+        if not top or top[0]["__mind"] == 0.0:
+            break
+        picks.append((top[0]["__id"], r, float(top[0]["__mind"])))
+        center = top[0]["__v"]
+    out = spark.createDataFrame(picks, ["__id", "sel_rank", "dist"])
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+        F.col("dist").cast("double").alias("dist"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str,

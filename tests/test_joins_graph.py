@@ -1234,3 +1234,27 @@ def test_kn_bigram_logprob_hand_check(spark):
     ).count() == 0
     with pytest.raises(ValueError):
         llm.kn_bigram_logprob(df, "doc_id", "text", discount=1.5)
+
+
+def test_kcenter_coreset_spreads_and_radius_decreases(spark):
+    # three tight blobs on a line at 0, 10, 100 (2-d); k=3 must take
+    # one point from each blob, farthest-first
+    pts = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]),
+        (10, [10.0, 0.0]), (11, [10.1, 0.0]),
+        (20, [100.0, 0.0]), (21, [100.1, 0.0]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    rows = sorted(
+        llm.kcenter_coreset(df, "vec_id", "embedding", k=3).collect(),
+        key=lambda r: r.sel_rank,
+    )
+    assert [r.vec_id for r in rows] == [0, 21, 11]  # seed 0; farthest 21; then blob-10
+    assert rows[0].dist == 0.0
+    assert rows[1].dist >= rows[2].dist  # coverage radius non-increasing
+    # k larger than the dataset stops early; k<1 raises
+    assert llm.kcenter_coreset(df.limit(2), "vec_id", "embedding", k=5).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        llm.kcenter_coreset(df, "vec_id", "embedding", k=0)
