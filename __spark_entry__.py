@@ -1965,6 +1965,30 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_stream_enrich(spark, sf):
+    # stream-static broadcast join: event stream enriched with the
+    # customer dimension (availableNow single batch == batch join)
+    from backend_spark import streaming
+
+    ev = load_table(spark, sf, "events")
+    path = tempfile.mkdtemp(prefix="sg_senr_") + "/events"
+    ev.select("event_id", "user_id", "event_type", "value").write.parquet(path)
+    stream = streaming.read_stream(spark, path)
+    dim = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    out = streaming.enrich_stream(stream, dim, "user_id", how="left")
+    _STREAM_N[0] += 1
+    name = f"sg_senr_{_STREAM_N[0]}"
+    streaming.run_to_memory(out, name, checkpoint=tempfile.mkdtemp(prefix="sg_senr_ck_"))
+    return spark.sql(
+        f"""
+        SELECT event_id, user_id, event_type, value, c_mktsegment, c_nationkey
+        FROM {name}
+        """
+    )
+
+
 def _q_stream_compact(spark, sf):
     # streaming CDC compaction: complete-mode max_by aggregate over the
     # bounded event log == batch compact_latest -> shares its oracle
@@ -2149,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": _q_modularity,
         "kn_bigram": _q_kn_bigram,
         "kcenter": _q_kcenter,
+        "stream_enrich": _q_stream_enrich,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2902,6 +2927,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": _sql_kmeans(),
         "kcenter": _sql_kcenter(8),
+        # stream-static enrichment == the batch left join (availableNow)
+        "stream_enrich": """
+            SELECT event_id, user_id, event_type, value, c_mktsegment, c_nationkey
+            FROM events LEFT JOIN customer ON c_custkey = user_id
+        """,
         "quantize_emb": """
             WITH v AS (SELECT vec_id,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -235,6 +235,28 @@ def pack_stream(
     )
 
 
+def enrich_stream(
+    stream_df: DataFrame,
+    static_df: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    broadcast_static: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich (or gate) an event stream against a
+    batch dimension table — lookup enrichment, blocklist filtering
+    (``how='left_anti'``), benchmark decontamination in flight.  The
+    static side is re-read each micro-batch (so a refreshed dimension
+    is picked up without restarting the query) and, by default,
+    broadcast: every batch is then a map-side hash join with NO state
+    store and no watermark bookkeeping — this is the cheap join class
+    in Structured Streaming, unlike :func:`join_streams`, and the
+    right tool whenever one side is bounded.  Only the stream side
+    may be streaming; Spark enforces the rest of the semantics.
+    """
+    s = F.broadcast(static_df) if broadcast_static else static_df
+    return stream_df.join(s, on, how)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append", checkpoint: str | None = None):
     """Drain a stream into an in-memory table with availableNow (test
     harness; production sinks are parquet/kafka via writeStream)."""

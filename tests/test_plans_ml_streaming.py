@@ -996,3 +996,24 @@ def test_blocklist_hit_rate_exact_tokens(spark):
     assert out[2].n_hits == 1 and not out[2].keep  # max_rate=0: any hit drops
     # exact token match: 'badger' is NOT a hit, the two 'bad' tokens are
     assert out[3].n_hits == 2 and out[3].n_tokens == 5
+
+
+def test_enrich_stream_is_stream_static_broadcast(spark, tmp_path):
+    from backend_spark import streaming
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, 10, 2.0), (2, 11, 3.0), (3, 99, 4.0)], "event_id long, user_id long, value double"
+    ).write.parquet(src)
+    dim = spark.createDataFrame([(10, "A"), (11, "B")], "user_id long, seg string")
+    out = streaming.enrich_stream(streaming.read_stream(spark, src), dim, "user_id")
+    assert out.isStreaming
+    streaming.run_to_memory(out, "t_senr", checkpoint=str(tmp_path / "ck"))
+    rows = {r.event_id: r.seg for r in spark.sql("SELECT * FROM t_senr").collect()}
+    assert rows == {1: "A", 2: "B", 3: None}  # left join keeps unmatched
+    # anti mode = in-flight blocklist gating
+    anti = streaming.enrich_stream(
+        streaming.read_stream(spark, src), dim, "user_id", how="left_anti"
+    )
+    streaming.run_to_memory(anti, "t_senr_anti", checkpoint=str(tmp_path / "ck2"))
+    assert [r.event_id for r in spark.sql("SELECT event_id FROM t_senr_anti").collect()] == [3]
