@@ -1965,6 +1965,16 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_classifier_eval(spark, sf):
+    from backend_spark.ml import classifier_eval
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        F.col("lang"), llm.language_id(F.col("text")).alias("pred")
+    )
+    return classifier_eval(scored, "lang", "pred")
+
+
 def _q_stream_enrich(spark, sf):
     # stream-static broadcast join: event stream enriched with the
     # customer dimension (availableNow single batch == batch join)
@@ -2174,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram": _q_kn_bigram,
         "kcenter": _q_kcenter,
         "stream_enrich": _q_stream_enrich,
+        "classifier_eval": _q_classifier_eval,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2927,6 +2938,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": _sql_kmeans(),
         "kcenter": _sql_kcenter(8),
+        # ml.classifier_eval over (gold=lang, pred=language_id heuristic)
+        "classifier_eval": f"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex({norm_text}, '\\s+') AS toks
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         len(list_filter(toks, tk -> list_contains({en}, tk))) AS c_en,
+                         len(list_filter(toks, tk -> list_contains({es}, tk))) AS c_es,
+                         len(list_filter(toks, tk -> list_contains({de}, tk))) AS c_de,
+                         len(list_filter(toks, tk -> list_contains({fr}, tk))) AS c_fr
+                  FROM t),
+            pred AS (SELECT doc_id,
+                            CASE WHEN greatest(c_en, c_es, c_de, c_fr) <= 0 THEN 'und'
+                                 WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
+                                 WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
+                                 WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
+                                 ELSE 'fr' END AS p
+                     FROM c),
+            pairs AS (SELECT d.lang AS g, pr.p AS p, count(*) AS n
+                      FROM documents d JOIN pred pr USING (doc_id) GROUP BY d.lang, pr.p),
+            sup AS (SELECT g AS label, CAST(sum(n) AS BIGINT) AS support
+                    FROM pairs GROUP BY g),
+            pc AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS pred_cnt
+                   FROM pairs GROUP BY p),
+            tpc AS (SELECT g AS label, CAST(sum(n) AS BIGINT) AS tp
+                    FROM pairs WHERE g = p GROUP BY g),
+            base AS (SELECT label,
+                            coalesce(support, 0) AS support,
+                            coalesce(pred_cnt, 0) AS pred_cnt,
+                            coalesce(tp, 0) AS tp
+                     FROM sup FULL OUTER JOIN pc USING (label)
+                     LEFT JOIN tpc USING (label)),
+            m AS (SELECT *,
+                         CASE WHEN pred_cnt > 0 THEN tp / CAST(pred_cnt AS DOUBLE)
+                              ELSE 0.0 END AS pr,
+                         CASE WHEN support > 0 THEN tp / CAST(support AS DOUBLE)
+                              ELSE 0.0 END AS rc
+                  FROM base)
+            SELECT label, support, pred_cnt, tp,
+                   round(pr, 6) AS precision,
+                   round(rc, 6) AS recall,
+                   round(CASE WHEN pr + rc > 0 THEN (2.0 * pr * rc) / (pr + rc)
+                              ELSE 0.0 END, 6) AS f1
+            FROM m
+        """,
         # stream-static enrichment == the batch left join (availableNow)
         "stream_enrich": """
             SELECT event_id, user_id, event_type, value, c_mktsegment, c_nationkey

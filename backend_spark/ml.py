@@ -198,3 +198,63 @@ def apply_model(
         scored.withColumn(target, F.round(100 * F.col("__pred")).cast("int"))
         .drop("__features", "__pred", *[c for c in scored.columns if c.startswith("__idx_") or c.startswith("__oh_")])
     )
+
+
+def classifier_eval(
+    df: DataFrame,
+    gold_col: str,
+    pred_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-label evaluation of a (gold, prediction) pair — the report
+    card for :func:`~backend_spark.llm.nb_score`,
+    :func:`~backend_spark.llm.language_id_from_tokens` or any
+    classifier applied at corpus scale (the reference's only quality
+    readout is the ROC-AUC it prints during build_model,
+    code/recipes.py:1728-1898; this is the multi-class counterpart).
+
+    Returns one row per label appearing in gold or pred: (label,
+    support, pred_cnt, tp, precision, recall, f1).  Zero denominators
+    score 0.0 (sklearn's ``zero_division=0`` convention); ``f1`` is
+    computed from the *unrounded* precision/recall, then all three
+    round to ``ndigits``.
+
+    Scale: ONE keyed count over (gold, pred) pairs — ≤ |labels|²
+    rows — and everything else is arithmetic on that tiny table.
+    Nulls count as a label value (they surface as a row, which is the
+    diagnostic you want when a scorer drops to null).
+    """
+    pairs = (
+        df.groupBy(
+            F.col(gold_col).alias("__g"), F.col(pred_col).alias("__p")
+        ).agg(F.count(F.lit(1)).alias("__n"))
+    ).localCheckpoint(eager=False)
+    support = pairs.groupBy(F.col("__g").alias("label")).agg(F.sum("__n").alias("support"))
+    pred_cnt = pairs.groupBy(F.col("__p").alias("label")).agg(F.sum("__n").alias("pred_cnt"))
+    tp = (
+        pairs.where(F.col("__g") == F.col("__p"))
+        .groupBy(F.col("__g").alias("label"))
+        .agg(F.sum("__n").alias("tp"))
+    )
+    base = (
+        support.join(pred_cnt, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("pred_cnt", F.lit(0)).alias("pred_cnt"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(F.col("pred_cnt") > 0, F.col("tp") / F.col("pred_cnt")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support")).otherwise(F.lit(0.0))
+    f1 = F.when(prec + rec > 0, (F.lit(2.0) * prec * rec) / (prec + rec)).otherwise(F.lit(0.0))
+    return base.select(
+        "label",
+        "support",
+        "pred_cnt",
+        "tp",
+        F.round(prec, ndigits).alias("precision"),
+        F.round(rec, ndigits).alias("recall"),
+        F.round(f1, ndigits).alias("f1"),
+    )

@@ -1017,3 +1017,24 @@ def test_enrich_stream_is_stream_static_broadcast(spark, tmp_path):
     )
     streaming.run_to_memory(anti, "t_senr_anti", checkpoint=str(tmp_path / "ck2"))
     assert [r.event_id for r in spark.sql("SELECT event_id FROM t_senr_anti").collect()] == [3]
+
+
+def test_classifier_eval_hand_check(spark):
+    from backend_spark.ml import classifier_eval
+
+    # gold: a a a b b; pred: a a b b c
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c")],
+        "gold string, pred string",
+    )
+    rows = {r.label: r for r in classifier_eval(df, "gold", "pred").collect()}
+    assert set(rows) == {"a", "b", "c"}
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    assert (a.support, a.pred_cnt, a.tp) == (3, 2, 2)
+    assert a.precision == 1.0 and abs(a.recall - round(2 / 3, 6)) < 1e-9
+    assert abs(a.f1 - 0.8) < 1e-9
+    assert (b.support, b.pred_cnt, b.tp) == (2, 2, 1)
+    assert b.precision == 0.5 and b.recall == 0.5 and b.f1 == 0.5
+    # label only ever predicted: support 0, zero-division -> 0.0 all round
+    assert (c.support, c.pred_cnt, c.tp) == (0, 1, 0)
+    assert c.precision == 0.0 and c.recall == 0.0 and c.f1 == 0.0
