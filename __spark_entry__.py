@@ -1965,6 +1965,22 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_winsorize(spark, sf):
+    from backend_spark.features import winsorize
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return winsorize(
+        li, "l_extendedprice", lower=0.05, upper=0.95, group_col="l_returnflag"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_extendedprice_w", 6).alias("price_w"),
+    )
+
+
 def _q_classifier_eval(spark, sf):
     from backend_spark.ml import classifier_eval
 
@@ -2185,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter": _q_kcenter,
         "stream_enrich": _q_stream_enrich,
         "classifier_eval": _q_classifier_eval,
+        "winsorize": _q_winsorize,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2938,6 +2955,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": _sql_kmeans(),
         "kcenter": _sql_kcenter(8),
+        # features.winsorize: clip to the in-group [p05, p95] band
+        "winsorize": """
+            WITH b AS (SELECT l_returnflag,
+                              quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+                              quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+                       FROM lineitem GROUP BY l_returnflag)
+            SELECT l_orderkey, l_linenumber, l.l_returnflag,
+                   round(least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi), 6)
+                     AS price_w
+            FROM lineitem l JOIN b USING (l_returnflag)
+        """,
         # ml.classifier_eval over (gold=lang, pred=language_id heuristic)
         "classifier_eval": f"""
             WITH t AS (SELECT doc_id,

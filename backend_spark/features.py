@@ -168,3 +168,42 @@ def funnel(
     # a null step nulls all later steps by construction (join condition
     # references the previous step's timestamp)
     return out.withColumn("reached", reached)
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorized clipping at exact quantiles: cap ``col`` into its
+    [``lower``, ``upper``] percentile band (optionally per group) —
+    the tail-robust cleanup for heavy-tailed numerics before scaling
+    or model features, keeping every row (the row-*dropping* variant
+    is :func:`backend_spark.llm.percentile_filter`).
+
+    Same scale shape as :func:`quantile_bins`: ONE exact
+    ``F.percentile`` aggregate produces a two-value boundary array per
+    group, broadcast back; the clip itself is pure Column
+    ``greatest``/``least`` — the data never shuffles.
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    out = out_col or f"{col}_w"
+    bounds = F.percentile(
+        F.col(col), F.array(F.lit(lower), F.lit(upper))
+    ).alias("__wb")
+    if group_col is not None:
+        thr = df.groupBy(group_col).agg(bounds)
+        joined = df.join(F.broadcast(thr), group_col, "inner")
+    else:
+        joined = df.join(F.broadcast(df.agg(bounds)))
+    return joined.withColumn(
+        out,
+        F.least(
+            F.greatest(F.col(col).cast("double"), F.element_at("__wb", 1)),
+            F.element_at("__wb", 2),
+        ),
+    ).drop("__wb")

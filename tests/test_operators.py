@@ -551,3 +551,23 @@ def test_dq_check_rules(spark):
         dq_check(df, [{"col": "id", "check": "between"}])
     with pytest.raises(ValueError):
         dq_check(df, [{"col": "missing", "check": "not_null"}])
+
+
+def test_winsorize_clips_to_group_band(spark):
+    from backend_spark.features import winsorize
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)] + [("h", 100.0), ("h", 200.0)],
+        "grp string, x double",
+    )
+    out = winsorize(df, "x", lower=0.1, upper=0.9, group_col="grp")
+    g = sorted(r.x_w for r in out.where(F.col("grp") == "g").collect())
+    # exact interpolated p10/p90 of 1..10 = 1.9 / 9.1; tails clipped, middle kept
+    assert g[0] == 1.9 and g[-1] == 9.1
+    assert 5.0 in g
+    h = sorted(r.x_w for r in out.where(F.col("grp") == "h").collect())
+    assert h == [110.0, 190.0]  # p10/p90 of {100,200}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize(df, "x", lower=0.9, upper=0.1)
