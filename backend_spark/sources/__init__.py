@@ -70,6 +70,17 @@ def read_dataset(
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.json(path)
+    elif fmt == "binary":
+        # raw media ingestion for the multimodal operators: one row per
+        # file (path, modificationTime, length, content binary) —
+        # Spark's binaryFile source distributes file reads across
+        # executors and prunes `content` when only metadata is
+        # selected.  Pair with llm.decode_image_features /
+        # extract_audio_features over the `content` column.
+        df = spark.read.format("binaryFile").load(path)
+    elif fmt == "text":
+        # one row per line — the ingest for line-oriented raw crawls
+        df = spark.read.text(path)
     elif fmt == "fwf":
         if not fwf_widths:
             raise ValueError("fwf requires fwf_widths=[(name, width), ...]")

@@ -571,3 +571,21 @@ def test_winsorize_clips_to_group_band(spark):
 
     with _pytest.raises(ValueError):
         winsorize(df, "x", lower=0.9, upper=0.1)
+
+
+def test_binary_and_text_sources(spark, tmp_path):
+    from backend_spark.sources import read_dataset
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x89PNG\r\n\x1a\nfakebytes")
+    (d / "b.bin").write_bytes(b"RIFFxxxxWAVE")
+    df = read_dataset(spark, str(d), fmt="binary")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows["a.bin"].startswith(b"\x89PNG") and rows["b.bin"].startswith(b"RIFF")
+    assert {r["length"] for r in df.select("length").collect()} == {17, 12}
+    # metadata-only projection must not require content (column pruning)
+    assert df.select("path", "length").count() == 2
+    (d / "lines.txt").write_text("l1\nl2\n")
+    txt = read_dataset(spark, str(d / "lines.txt"), fmt="text")
+    assert sorted(r.value for r in txt.collect()) == ["l1", "l2"]
