@@ -1965,6 +1965,19 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_containment(spark, sf):
+    # quotes = 80-char prefixes of the first 100 docs: near-subsets of
+    # their source (containment ~1) that symmetric Jaccard never flags
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    quotes = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.substring("text", 1, 80).alias("text"),
+    )
+    return llm.containment_pairs(
+        docs.unionByName(quotes), "doc_id", "text", shingle_n=5, threshold=0.9
+    )
+
+
 def _q_winsorize(spark, sf):
     from backend_spark.features import winsorize
 
@@ -2202,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": _q_stream_enrich,
         "classifier_eval": _q_classifier_eval,
         "winsorize": _q_winsorize,
+        "containment": _q_containment,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2955,6 +2969,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": _sql_kmeans(),
         "kcenter": _sql_kcenter(8),
+        # llm.containment_pairs: |S1∩S2|/|S1| on distinct 5-shingle sets
+        "containment": f"""
+            WITH all_docs AS (
+                SELECT doc_id AS id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, substr(text, 1, 80) FROM documents
+                WHERE doc_id < 100
+            ),
+            t AS (SELECT id, {norm_text} AS s FROM all_docs),
+            sh AS (SELECT id, {shingles5} AS shingles FROM t),
+            inter AS (
+                SELECT a.id AS id1, b.id AS id2,
+                       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS i,
+                       len(a.shingles) AS n1
+                FROM sh a JOIN sh b ON a.id != b.id
+                WHERE len(a.shingles) > 0
+            )
+            SELECT id1, id2, round(i / n1, 6) AS containment
+            FROM inter WHERE round(i / n1, 6) >= 0.9
+        """,
         # features.winsorize: clip to the in-group [p05, p95] band
         "winsorize": """
             WITH b AS (SELECT l_returnflag,

@@ -2111,6 +2111,82 @@ def kmeans_assign(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """**Exact** asymmetric near-subset pairs: (id1, id2) with
+    containment ``|S1 ∩ S2| / |S1| >= threshold`` over distinct
+    hashed shingle sets — the signal symmetric Jaccard
+    (:func:`ngram_jaccard_pairs`) structurally misses: a short doc
+    quoted whole inside a much larger one has containment ≈ 1 but
+    Jaccard ≈ |S1|/|S2| ≈ 0.  Standard boilerplate/quotation/wrapper
+    detection in dedup stacks.
+
+    Exact via one-sided prefix filtering: shingles globally ordered
+    rare-first (document frequency, then hash); a qualifying pair must
+    share one of id1's first ``|S1| − ceil(t·|S1|) + 1`` ordered
+    shingles — pigeonhole on the *contained* side only, because the
+    containing side has no size bound, so its full shingle set is the
+    inverted index.  That index join is the scale cost: candidates =
+    Σ_h df(h) · prefix_occurrences(h); rare-first ordering keeps
+    prefix tokens low-df, and raising ``threshold`` shrinks the prefix
+    linearly.  Then one exact array-intersect verify on the surviving
+    pairs.  Returns (id1, id2, containment) with id1 ≠ id2 (both
+    directions can legitimately appear), rounded to 6.
+    """
+    sh = (
+        df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__nrm"))
+        .withColumn("__sh", fn.shingles(F.col("__nrm"), shingle_n))
+        .withColumn(
+            "__hs", F.array_distinct(F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
+        )
+        .select(id_col, "__hs")
+    )
+    sh = sh.localCheckpoint(eager=False)  # reused by DF count, prefix, index, verify
+
+    tok = sh.select(F.col(id_col), F.explode("__hs").alias("__h"))
+    dfreq = tok.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        tok.join(dfreq, "__h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("__df", "__h"))).alias("__sorted"))
+        .select(
+            F.col(id_col),
+            F.transform("__sorted", lambda s: s["__h"]).alias("__ord"),
+        )
+        .withColumn("__n", F.size("__ord"))
+        .withColumn(
+            "__plen",
+            F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1,
+        )
+    )
+    pref = ranked.select(
+        F.col(id_col).alias("id1"),
+        F.explode(F.slice("__ord", 1, F.col("__plen"))).alias("__h"),
+    )
+    index = tok.select(F.col(id_col).alias("id2"), "__h")
+    cand = (
+        pref.join(index, "__h")
+        .where(F.col("id1") != F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("__hs").alias("__h1"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("__hs").alias("__h2"))
+    inter = F.size(F.array_intersect("__h1", "__h2")).cast("double")
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("containment", F.round(inter / F.size("__h1"), 6))
+        .where(F.col("containment") >= threshold)
+        .select("id1", "id2", "containment")
+    )
+
+
 def kcenter_coreset(
     df: DataFrame,
     id_col: str,

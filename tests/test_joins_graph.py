@@ -1258,3 +1258,27 @@ def test_kcenter_coreset_spreads_and_radius_decreases(spark):
 
     with _pytest.raises(ValueError):
         llm.kcenter_coreset(df, "vec_id", "embedding", k=0)
+
+
+def test_containment_pairs_catch_quotes_jaccard_misses(spark):
+    host = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    quote = "alpha beta gamma delta epsilon"  # prefix quote, ~1/4 of host
+    df = spark.createDataFrame(
+        [(1, host), (2, quote), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id1, r.id2): r.containment
+        for r in llm.containment_pairs(df, "doc_id", "text", shingle_n=5, threshold=0.9).collect()
+    }
+    # quote fully contained in host (asymmetric: only 2->1 qualifies)
+    assert (2, 1) in got and got[(2, 1)] >= 0.9
+    assert (1, 2) not in got
+    # symmetric jaccard on the same pair is far below 0.9
+    assert (
+        llm.ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=5, threshold=0.9).count() == 0
+    )
+    assert all(k[0] != 3 and k[1] != 3 for k in got)
