@@ -132,6 +132,19 @@ EXPECT = {
     # The one-row stats crossJoin lowers to a nested-loop broadcast —
     # scalar-sized by construction, so only CartesianProduct is banned
     "skew_report": (["TakeOrderedAndProject"], ["CartesianProduct", "SortMergeJoin"]),
+    # all KN counts are keyed joins/aggs on token ids; per-doc ordered fold
+    "kn_bigram": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # prefix-to-index equi-join + exact verify join — keyed throughout
+    "containment": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # one percentile agg broadcast back; the data itself never shuffles
+    "winsorize": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # label-pair count table is tiny; only cartesians are banned (the
+    # full-outer label join may legitimately sort-merge)
+    "classifier_eval": ([], ["CartesianProduct"]),
+    # edges-to-communities is a node-keyed join of comparable-size
+    # tables (SMJ is the right plan at scale); one-row totals broadcast
+    # back as a scalar NLJ — so only true cartesians are banned
+    "modularity": ([], ["CartesianProduct"]),
 }
 
 
