@@ -276,3 +276,98 @@ def test_semdedup_prefix_rule_drops_superset_of_kept_only(_spark, steps):
     # everything after the head is dropped by the prefix rule
     if all(s == 10.0 for s in steps):
         assert prefix_dropped == set(ids[1:])
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=1, max_size=12), min_size=2, max_size=5, unique=True))
+def test_containment_prefix_filter_is_exhaustive(_spark, texts):
+    # the one-sided prefix filter must lose NOTHING: operator output ==
+    # brute-force all ordered pairs containment over distinct shingles
+    from backend_spark import llm
+
+    df = _spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id1, r.id2): r.containment
+        for r in llm.containment_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.5).collect()
+    }
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            if i == j:
+                continue
+            a, b = _py_shingles(texts[i], 3), _py_shingles(texts[j], 3)
+            if not a:
+                continue
+            c = round(len(a & b) / len(a), 6)
+            if c >= 0.5:
+                expect[(i, j)] = c
+    assert got == expect, (texts, got, expect)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_label_propagation_matches_python_sync_lpa(_spark, edges):
+    from collections import Counter
+
+    from backend_spark.operators.graph import label_propagation
+
+    df = _spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community for r in label_propagation(df, n_rounds=3).collect()}
+
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n in nbrs:
+            votes = Counter(lbl[m] for m in nbrs[n])
+            top = max(votes.values())
+            new[n] = min(l for l, c in votes.items() if c == top)
+        lbl = new
+    assert got == lbl, (edges, got, lbl)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(-5, 5), st.integers(-5, 5)), min_size=2, max_size=7, unique=True
+    )
+)
+def test_kcenter_matches_python_greedy(_spark, vecs):
+    from backend_spark import llm
+
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(vecs)]
+    df = _spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = min(3, len(rows))
+    got = [
+        (r.vec_id, r.dist)
+        for r in sorted(
+            llm.kcenter_coreset(df, "vec_id", "embedding", k=k).collect(),
+            key=lambda r: r.sel_rank,
+        )
+    ]
+
+    # brute greedy with identical rounding/tie rules
+    pts = dict(rows)
+    sel = [0]
+    out = [(0, 0.0)]
+    mind = {}
+    for _ in range(k - 1):
+        c = pts[sel[-1]]
+        for i, v in pts.items():
+            d = round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6)
+            mind[i] = min(mind.get(i, float("inf")), d)
+        top = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))
+        if top[1] == 0.0:
+            break
+        out.append((top[0], top[1]))
+        sel.append(top[0])
+    assert got == out, (vecs, got, out)
