@@ -1965,6 +1965,28 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_robust_scale(spark, sf):
+    from backend_spark.features import robust_scale
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return robust_scale(li, "l_extendedprice", group_col="l_returnflag").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_extendedprice_rs").alias("price_rs"),
+    )
+
+
+def _q_rolling_agg(spark, sf):
+    from backend_spark.features import rolling_agg
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.select("event_id", "user_id", event_ts_us(ev).alias("ts_us"), "value")
+    return rolling_agg(ev, "user_id", "ts_us", "value", 3_600_000_000).select(
+        "event_id", "user_id", "ts_us", "roll_cnt", "roll_sum", "roll_avg"
+    )
+
+
 def _q_containment(spark, sf):
     # quotes = 80-char prefixes of the first 100 docs: near-subsets of
     # their source (containment ~1) that symmetric Jaccard never flags
@@ -2216,6 +2238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_eval": _q_classifier_eval,
         "winsorize": _q_winsorize,
         "containment": _q_containment,
+        "robust_scale": _q_robust_scale,
+        "rolling_agg": _q_rolling_agg,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2969,6 +2993,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": _sql_kmeans(),
         "kcenter": _sql_kcenter(8),
+        # features.robust_scale: (x - median) / (1.4826 * MAD) per group
+        "robust_scale": """
+            WITH med AS (SELECT l_returnflag,
+                                quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+                         FROM lineitem GROUP BY l_returnflag),
+            wm AS (SELECT l_orderkey, l_linenumber, l.l_returnflag,
+                          CAST(l_extendedprice AS DOUBLE) AS x, med
+                   FROM lineitem l JOIN med USING (l_returnflag)),
+            mad AS (SELECT l_returnflag, quantile_cont(abs(x - med), 0.5) AS mad
+                    FROM wm GROUP BY l_returnflag)
+            SELECT l_orderkey, l_linenumber, wm.l_returnflag,
+                   round(CASE WHEN mad > 0 THEN (x - med) / (1.4826 * mad)
+                              ELSE 0.0 END, 6) AS price_rs
+            FROM wm JOIN mad USING (l_returnflag)
+        """,
+        # features.rolling_agg: trailing 1h RANGE frame per user; sums on
+        # 100x-scaled BIGINTs so the rolling sum is engine-exact
+        "rolling_agg": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS sv
+                       FROM events)
+            SELECT event_id, user_id, ts_us,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_cnt,
+                   round(CAST(sum(sv) OVER w AS BIGINT) / 100.0, 6) AS roll_sum,
+                   round(CAST(sum(sv) OVER w AS BIGINT)
+                         / (100.0 * count(*) OVER w), 6) AS roll_avg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
         # llm.containment_pairs: |S1∩S2|/|S1| on distinct 5-shingle sets
         "containment": f"""
             WITH all_docs AS (

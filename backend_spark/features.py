@@ -207,3 +207,86 @@ def winsorize(
             F.element_at("__wb", 2),
         ),
     ).drop("__wb")
+
+
+def robust_scale(
+    df: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    out_col: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Median/MAD standardization: ``(x − median) / (1.4826 · MAD)``
+    with MAD = median(|x − median|) — the outlier-robust alternative
+    to :func:`zscore` (1.4826 makes MAD consistent with σ under
+    normality).  A single extreme value moves a mean/σ zscore
+    arbitrarily; it moves this not at all.
+
+    Two exact percentile aggregates (MAD needs the median first), each
+    reducing to one row per group and broadcast back onto the scan —
+    the data itself never shuffles.  Degenerate MAD = 0 (over half the
+    group identical) scores 0.0, mirroring zscore's σ=0 rule.
+    """
+    out = out_col or f"{col}_rs"
+    med_agg = F.percentile(F.col(col), F.lit(0.5)).alias("__med")
+    if group_col is not None:
+        med = df.groupBy(group_col).agg(med_agg)
+        with_med = df.join(F.broadcast(med), group_col, "inner")
+        mad = with_med.groupBy(group_col).agg(
+            F.percentile(F.abs(F.col(col) - F.col("__med")), F.lit(0.5)).alias("__mad")
+        )
+        joined = with_med.join(F.broadcast(mad), group_col, "inner")
+    else:
+        with_med = df.join(F.broadcast(df.agg(med_agg)))
+        mad = with_med.agg(
+            F.percentile(F.abs(F.col(col) - F.col("__med")), F.lit(0.5)).alias("__mad")
+        )
+        joined = with_med.join(F.broadcast(mad))
+    scaled = F.when(F.col("__mad") > 0, (F.col(col) - F.col("__med")) / (F.lit(1.4826) * F.col("__mad"))).otherwise(F.lit(0.0))
+    return joined.withColumn(out, F.round(scaled, ndigits)).drop("__med", "__mad")
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    window_us: int,
+    ndigits: int = 6,
+    scale: int = 100,
+) -> DataFrame:
+    """Event-time rolling aggregates: per key, count / sum / avg of
+    ``value_col`` over the trailing ``window_us`` microseconds
+    (inclusive range frame ending at the current row) — the sliding
+    feature a risk/telemetry pipeline computes per entity, and the
+    RANGE-frame pattern :func:`win_agg`'s row-based lag/lead can't
+    express.
+
+    One shuffle+sort on (key, ts) — identical cost to any per-key
+    window.  Sums run on ``scale``-quantized BIGINTs (integer addition
+    is associative, so the rolling sum is identical under any
+    partitioning AND identical across engines, the kmeans-centroid
+    rule applied to window frames); the division back to double
+    happens once per row.  Returns the input columns plus
+    (roll_cnt, roll_sum, roll_avg).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_us_col).asc())
+        .rangeBetween(-window_us, Window.currentRow)
+    )
+    scaled = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    cnt = F.count(F.lit(1)).over(w)
+    ssum = F.sum(scaled).over(w)
+    return (
+        df.withColumn("__ss", ssum)
+        .withColumn("roll_cnt", cnt)
+        .withColumn("roll_sum", F.round(F.col("__ss") / scale, ndigits))
+        .withColumn(
+            "roll_avg",
+            F.round(F.col("__ss") / (F.lit(float(scale)) * F.col("roll_cnt")), ndigits),
+        )
+        .drop("__ss")
+    )

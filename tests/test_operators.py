@@ -589,3 +589,40 @@ def test_binary_and_text_sources(spark, tmp_path):
     (d / "lines.txt").write_text("l1\nl2\n")
     txt = read_dataset(spark, str(d / "lines.txt"), fmt="text")
     assert sorted(r.value for r in txt.collect()) == ["l1", "l2"]
+
+
+def test_robust_scale_ignores_outlier(spark):
+    from backend_spark.features import robust_scale
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4, 5]] + [(1000.0,)], "x double"
+    )
+    out = {r.x: r.x_rs for r in robust_scale(df, "x").collect()}
+    # median 3.5, MAD = median(|x-3.5|) = median(2.5,1.5,.5,.5,1.5,996.5) = 1.5
+    assert out[3.0] == round((3 - 3.5) / (1.4826 * 1.5), 6)
+    # the outlier is far out in robust units but doesn't distort the rest
+    assert out[1000.0] > 100
+    # constant column -> MAD 0 -> all zeros
+    const = spark.createDataFrame([(7.0,)] * 4, "x double")
+    assert {r.x_rs for r in robust_scale(const, "x").collect()} == {0.0}
+
+
+def test_rolling_agg_trailing_window(spark):
+    from backend_spark.features import rolling_agg
+
+    us = 1_000_000
+    rows = [
+        (1, 0 * us, 1.0),
+        (1, 30 * us, 2.0),
+        (1, 61 * us, 4.0),   # 0s event has left the 60s window
+        (2, 0 * us, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    out = {
+        (r.user_id, r.ts_us): (r.roll_cnt, r.roll_sum, r.roll_avg)
+        for r in rolling_agg(df, "user_id", "ts_us", "value", 60 * us).collect()
+    }
+    assert out[(1, 0)] == (1, 1.0, 1.0)
+    assert out[(1, 30 * us)] == (2, 3.0, 1.5)
+    assert out[(1, 61 * us)] == (2, 6.0, 3.0)  # {30s, 61s} only
+    assert out[(2, 0)] == (1, 10.0, 10.0)
