@@ -141,6 +141,10 @@ EXPECT = {
     # label-pair count table is tiny; only cartesians are banned (the
     # full-outer label join may legitimately sort-merge)
     "classifier_eval": ([], ["CartesianProduct"]),
+    # two tiny per-group stat aggs broadcast back; data never shuffles
+    "robust_scale": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # one keyed shuffle+sort; the RANGE frame runs inside the window
+    "rolling_agg": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # edges-to-communities is a node-keyed join of comparable-size
     # tables (SMJ is the right plan at scale); one-row totals broadcast
     # back as a scalar NLJ — so only true cartesians are banned
