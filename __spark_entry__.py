@@ -1965,6 +1965,43 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_hll_distinct(spark, sf):
+    from backend_spark.scale import hll_distinct
+
+    orders = load_table(spark, sf, "orders")
+    return hll_distinct(
+        orders, "o_custkey", group_cols=["o_orderpriority"], p=8
+    ).select("o_orderpriority", "n_registers", "distinct_est")
+
+
+def _sql_hll_distinct(p: int = 8) -> str:
+    """Same registers bit-for-bit: 60-bit md5 split into bucket/rank,
+    max-merge, fixed-bucket-order harmonic fold, LinearCounting."""
+    m = 1 << p
+    w = 60 - p
+    alpha_mm = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    h = _SQL_H.format(x="CAST(o_custkey AS VARCHAR)")
+    return f"""
+        WITH x AS (SELECT o_orderpriority AS k, {h} AS h FROM orders),
+        r AS (SELECT k, h % {m} AS b,
+                     CASE WHEN h // {m} = 0 THEN {w + 1}
+                          ELSE {w + 1} - length(bin(h // {m})) END AS rk
+              FROM x),
+        regs AS (SELECT k, b, max(rk) AS mx FROM r GROUP BY k, b),
+        agg AS (SELECT k, count(*) AS nb,
+                       sum(1.0 / (CAST(1 AS BIGINT) << mx) ORDER BY b) AS s
+                FROM regs GROUP BY k),
+        f AS (SELECT k, nb, {alpha_mm!r} / (CAST({m} - nb AS DOUBLE) + s) AS e_raw,
+                     {m} - nb AS v
+              FROM agg)
+        SELECT k AS o_orderpriority, CAST(nb AS BIGINT) AS n_registers,
+               round(CASE WHEN e_raw <= {2.5 * m!r} AND v > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / v)
+                          ELSE e_raw END, 2) AS distinct_est
+        FROM f
+    """
+
+
 def _q_robust_scale(spark, sf):
     from backend_spark.features import robust_scale
 
@@ -2240,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": _q_containment,
         "robust_scale": _q_robust_scale,
         "rolling_agg": _q_rolling_agg,
+        "hll_distinct": _q_hll_distinct,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -2993,6 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": _sql_kmeans(),
         "kcenter": _sql_kcenter(8),
+        "hll_distinct": _sql_hll_distinct(8),
         # features.robust_scale: (x - median) / (1.4826 * MAD) per group
         "robust_scale": """
             WITH med AS (SELECT l_returnflag,

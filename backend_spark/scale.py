@@ -287,3 +287,80 @@ def skew_report(
         "p99_sz",
         "max_sz",
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    ndigits: int = 2,
+) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count estimate built from scratch
+    on deterministic md5 hashing (Flajolet et al. 2007) — the sketch
+    behind every 100 TB "distinct users per key" dashboard.  Spark's
+    own ``approx_count_distinct`` is the production default; this
+    exists for the two things HLL++ can't give you: (a) bit-for-bit
+    cross-engine reproducibility (every register derives from
+    ``md5_long``, so the *estimate itself* carries a full SQL oracle —
+    the same gap that keeps ``closeness_approx`` rows-only), and (b)
+    an inspectable register table you can persist and max-merge across
+    corpus snapshots (sketch union = per-register max, which is also
+    why the aggregate is order-independent and partial-combinable).
+
+    Layout: m = 2^p registers; the 60-bit hash splits into bucket
+    ``h mod m`` and remainder ``h div m`` (integer div — doubles lose
+    bits above 2^53); rank = leading-zero count + 1 via
+    ``length(bin(rem))``, integer-exact on any engine.  The harmonic
+    sum folds in fixed bucket order; LinearCounting below 2.5 m.
+    Standard error ≈ 1.04/√m (~6.5 % at p=8; raise p for less).
+
+    One keyed aggregate reducing each group to ≤ m register rows, then
+    a per-group fold — the data shuffles once, pre-combined map-side.
+    Returns group_cols + (n_registers, distinct_est).
+    """
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    keys = list(group_cols or [])
+    m = 1 << p
+    w = 60 - p  # md5_long yields 60 bits (15 hex chars)
+    alpha_mm = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    from backend_spark import functions as fn
+
+    staged = df.select(
+        *keys, fn.md5_long(F.col(value_col).cast("string")).alias("__h")
+    )
+    rem = F.expr(f"__h div {m}")
+    rank = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rem))
+    )
+    regs = (
+        staged.select(*keys, F.pmod(F.col("__h"), F.lit(m)).alias("__b"), rank.alias("__r"))
+        .groupBy(*keys, "__b")
+        .agg(F.max("__r").alias("__m"))
+    )
+    folded = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__b").alias("k"),
+                        F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), __m)").alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("__s"),
+    )
+    s_total = (F.lit(m) - F.col("n_registers")).cast("double") + F.col("__s")
+    e_raw = F.lit(alpha_mm) / s_total
+    v_empty = F.lit(m) - F.col("n_registers")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(e_raw)
+    return folded.select(
+        *keys, "n_registers", F.round(est, ndigits).alias("distinct_est")
+    )

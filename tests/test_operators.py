@@ -626,3 +626,23 @@ def test_rolling_agg_trailing_window(spark):
     assert out[(1, 30 * us)] == (2, 3.0, 1.5)
     assert out[(1, 61 * us)] == (2, 6.0, 3.0)  # {30s, 61s} only
     assert out[(2, 0)] == (1, 10.0, 10.0)
+
+
+def test_hll_distinct_estimate_accuracy_and_merge_property(spark):
+    from backend_spark.scale import hll_distinct
+
+    # 2000 distinct values in one group, 50 in the other
+    rows = [("big", i) for i in range(2000)] + [("small", i) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.grp: r for r in hll_distinct(df, "v", group_cols=["grp"], p=8).collect()}
+    # p=8 -> ~6.5% standard error; assert within 4 sigma
+    assert abs(out["big"].distinct_est - 2000) < 2000 * 0.26
+    assert abs(out["small"].distinct_est - 50) < 50 * 0.3
+    # duplicates never change the sketch (max-merge is idempotent)
+    dup = df.unionAll(df)
+    out2 = {r.grp: r.distinct_est for r in hll_distinct(dup, "v", group_cols=["grp"], p=8).collect()}
+    assert out2 == {g: r.distinct_est for g, r in out.items()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hll_distinct(df, "v", p=2)
