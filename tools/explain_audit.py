@@ -141,6 +141,8 @@ EXPECT = {
     # label-pair count table is tiny; only cartesians are banned (the
     # full-outer label join may legitimately sort-merge)
     "classifier_eval": ([], ["CartesianProduct"]),
+    # one keyed register agg (map-side combined) + per-group fold
+    "hll_distinct": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
     # two tiny per-group stat aggs broadcast back; data never shuffles
     "robust_scale": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
     # one keyed shuffle+sort; the RANGE frame runs inside the window
