@@ -1965,6 +1965,29 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_soundex(spark, sf):
+    part = load_table(spark, sf, "part")
+    w1 = F.split(F.col("p_name"), " ").getItem(0)
+    w2 = F.split(F.col("p_name"), " ").getItem(1)
+    return part.select(
+        "p_partkey", fn.soundex(w1).alias("sx1"), fn.soundex(w2).alias("sx2")
+    )
+
+
+def _sql_soundex_expr(col: str) -> str:
+    """Mirror of fn.soundex: identical regexp chain, 'g' flags (DuckDB
+    regexp_replace is first-match by default, Spark's is global)."""
+    s = f"lower(regexp_replace({col}, '[^A-Za-z]', '', 'g'))"
+    x = f"substr({s}, 1, 1) || regexp_replace(substr({s}, 2), '[hw]', '', 'g')"
+    for pat, d in fn._SOUNDEX_CODES:
+        x = f"regexp_replace({x}, '{pat}', '{d}', 'g')"
+    for d in "0123456":
+        x = f"regexp_replace({x}, '{d}{{2,}}', '{d}', 'g')"
+    rest = f"regexp_replace(substr({x}, 2), '0', '', 'g')"
+    out = f"rpad(upper(substr({s}, 1, 1)) || substr({rest}, 1, 3), 4, '0')"
+    return f"CASE WHEN length({s}) = 0 THEN '' ELSE {out} END"
+
+
 def _q_hll_distinct(spark, sf):
     from backend_spark.scale import hll_distinct
 
@@ -2278,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale": _q_robust_scale,
         "rolling_agg": _q_rolling_agg,
         "hll_distinct": _q_hll_distinct,
+        "soundex": _q_soundex,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -3032,6 +3056,12 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _sql_kmeans(),
         "kcenter": _sql_kcenter(8),
         "hll_distinct": _sql_hll_distinct(8),
+        "soundex": f"""
+            SELECT p_partkey,
+                   {_sql_soundex_expr("string_split(p_name, ' ')[1]")} AS sx1,
+                   {_sql_soundex_expr("string_split(p_name, ' ')[2]")} AS sx2
+            FROM part
+        """,
         # features.robust_scale: (x - median) / (1.4826 * MAD) per group
         "robust_scale": """
             WITH med AS (SELECT l_returnflag,

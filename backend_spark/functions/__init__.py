@@ -557,3 +557,43 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     return dot / (na * nb)
+
+
+_SOUNDEX_CODES = (
+    ("[bfpv]", "1"),
+    ("[cgjkqsxz]", "2"),
+    ("[dt]", "3"),
+    ("l", "4"),
+    ("[mn]", "5"),
+    ("r", "6"),
+    ("[aeiouy]", "0"),
+)
+
+
+def soundex(c: Column) -> Column:
+    """American Soundex as a pure Column regexp chain — the classic
+    phonetic blocking key for entity-resolution candidate generation
+    (pair it with :func:`~backend_spark.operators.joins.join_fuzzy`'s
+    verify step; the reference blocks on raw/normalized tokens only).
+    Deliberately NOT `F.soundex`: engine builtins disagree on the
+    H/W collapse rule and DuckDB has none, while this chain reproduces
+    canonically on any regexp engine (RE2-safe — no backreferences).
+
+    Canonical rules covered: keep the first letter; drop h/w from the
+    tail BEFORE coding (so consonants separated by h/w collapse —
+    Ashcraft→A261); code b f p v→1 … r→6, vowels→0; collapse runs;
+    the kept letter's own code collapses with a same-coded follower
+    (Pfister→P236); strip the vowel separators; right-pad with 0 to 4.
+    Non-alpha characters are ignored; empty/non-alpha input → ''.
+    """
+    s = F.lower(F.regexp_replace(c, "[^A-Za-z]", ""))
+    first = F.upper(F.substring(s, 1, 1))
+    tail = F.regexp_replace(F.substring(s, 2, 1 << 20), "[hw]", "")
+    x = F.concat(F.substring(s, 1, 1), tail)
+    for pat, d in _SOUNDEX_CODES:
+        x = F.regexp_replace(x, pat, d)
+    for d in "0123456":
+        x = F.regexp_replace(x, d + "{2,}", d)
+    rest = F.regexp_replace(F.substring(x, 2, 1 << 20), "0", "")
+    out = F.rpad(F.concat(first, F.substring(rest, 1, 3)), 4, "0")
+    return F.when(s.isNull() | (F.length(s) == 0), F.lit("")).otherwise(out)

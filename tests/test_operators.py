@@ -646,3 +646,20 @@ def test_hll_distinct_estimate_accuracy_and_merge_property(spark):
 
     with _pytest.raises(ValueError):
         hll_distinct(df, "v", p=2)
+
+
+def test_soundex_canonical_vectors(spark):
+    # the canonical test vectors, including the H/W collapse and the
+    # first-letter-code collapse subtleties
+    vectors = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Washington": "W252", "Lee": "L000",
+        "Gutierrez": "G362", "Jackson": "J250", "O'Brien": "O165",
+        "": "", "123": "",
+    }
+    from backend_spark import functions as fn
+
+    df = spark.createDataFrame([(k,) for k in vectors], "name string")
+    got = {r.name: r.sx for r in df.select("name", fn.soundex(F.col("name")).alias("sx")).collect()}
+    assert got == vectors
