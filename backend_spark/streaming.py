@@ -257,6 +257,73 @@ def enrich_stream(
     return stream_df.join(s, on, how)
 
 
+def write_stream_upsert(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str] | str,
+    ts_col: str,
+    checkpoint: str,
+    n_buckets: int = 32,
+    tiebreak_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous CDC upsert sink: maintain a keyed latest-state parquet
+    table from an append-only event stream — the streaming counterpart
+    of :func:`~backend_spark.operators.groupby.compact_latest` (which
+    does the same once, in batch).
+
+    Plain parquet has no MERGE, so each micro-batch uses the only
+    scale-correct vanilla mechanism: the state is hash-bucketed on the
+    key into ``n_buckets`` partition directories, and a batch rewrites
+    ONLY the buckets it touches (dynamic partition overwrite) — work
+    per batch is O(touched buckets' state + batch), never O(total
+    state).  Size ``n_buckets`` so one bucket ≈ one task's worth, the
+    ``write_bucketed`` rule.  On a lakehouse table format this whole
+    function collapses to ``MERGE INTO``; the batch/foreachBatch split
+    and the idempotent per-bucket overwrite (exactly-once via the
+    checkpoint's batch id replay + full-bucket rewrite) are what the
+    pattern teaches.
+
+    Returns the StreamingQuery handle.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    from backend_spark.operators.groupby import compact_latest
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+        staged = batch_df.withColumn("__bucket", bucket)
+        touched = [r["__bucket"] for r in staged.select("__bucket").distinct().collect()]
+        if not touched:
+            return
+        try:
+            state = spark.read.parquet(path).where(F.col("__bucket").isin(touched))
+            merged = state.unionByName(staged)
+        except Exception:  # first batch: no state yet
+            merged = staged
+        out = compact_latest(
+            merged, [*keys, "__bucket"], ts_col, tiebreak_col=tiebreak_col
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(path)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if trigger_available_now:
+        q.awaitTermination()
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append", checkpoint: str | None = None):
     """Drain a stream into an in-memory table with availableNow (test
     harness; production sinks are parquet/kafka via writeStream)."""

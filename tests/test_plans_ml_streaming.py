@@ -1038,3 +1038,32 @@ def test_classifier_eval_hand_check(spark):
     # label only ever predicted: support 0, zero-division -> 0.0 all round
     assert (c.support, c.pred_cnt, c.tp) == (0, 1, 0)
     assert c.precision == 0.0 and c.recall == 0.0 and c.f1 == 0.0
+
+
+def test_write_stream_upsert_matches_batch_compaction(spark, tmp_path):
+    from backend_spark import streaming
+    from backend_spark.operators.groupby import compact_latest
+
+    src = str(tmp_path / "log")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (1, 20, "c")], "k long, ts long, v string"
+    )
+    b1.write.mode("append").parquet(src)
+    streaming.write_stream_upsert(
+        streaming.read_stream(spark, src), state, "k", "ts", checkpoint=ck
+    )
+    got1 = {r.k: r.v for r in spark.read.parquet(state).collect()}
+    assert got1 == {1: "c", 2: "b"}
+    # second incremental batch: update k=2, insert k=3; k=1 untouched
+    b2 = spark.createDataFrame([(2, 30, "d"), (3, 5, "e")], "k long, ts long, v string")
+    b2.write.mode("append").parquet(src)
+    streaming.write_stream_upsert(
+        streaming.read_stream(spark, src), state, "k", "ts", checkpoint=ck
+    )
+    got2 = {r.k: r.v for r in spark.read.parquet(state).collect()}
+    # equals one-shot batch compaction over the full log
+    full = b1.unionByName(b2)
+    expect = {r.k: r.v for r in compact_latest(full, "k", "ts").collect()}
+    assert got2 == expect == {1: "c", 2: "d", 3: "e"}
