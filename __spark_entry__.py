@@ -1965,6 +1965,53 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_mmr(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qvec = F.array(*[F.lit(float(x)) for x in q])
+    scored = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn("rel", F.round(fn.cosine_similarity(F.col("v"), qvec), 6))
+    cand = scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(20)
+    return llm.mmr_rerank(cand, "vec_id", "rel", "v", k=8, lam=0.7)
+
+
+def _sql_mmr(k: int = 8, lam: float = 0.7, top_n: int = 20) -> str:
+    """Unrolled MMR rounds over the top-N-by-relevance candidates —
+    identical rounded score/sim arithmetic and tie rules (note the
+    1-λ literal is the Python double, matching the Spark side)."""
+    lam_r, one_m = repr(lam), repr(1.0 - lam)
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "q AS (SELECT v AS qv FROM v WHERE vec_id = 0)",
+        """rel AS (SELECT vec_id, v.v AS v,
+                          round(list_cosine_similarity(v.v, q.qv), 6) AS rel
+                   FROM v CROSS JOIN q)""",
+        f"""c0 AS MATERIALIZED (SELECT vec_id, v, rel, CAST(0.0 AS DOUBLE) AS ms
+              FROM rel ORDER BY rel DESC, vec_id ASC LIMIT {top_n})""",
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""s{r} AS (SELECT vec_id, v,
+                               round({lam_r} * rel - {one_m} * ms, 6) AS sc
+                  FROM c{r - 1} ORDER BY sc DESC, vec_id ASC LIMIT 1)"""
+        )
+        if r < k:
+            ctes.append(
+                f"""c{r} AS MATERIALIZED (
+                      SELECT c.vec_id, c.v, c.rel,
+                             greatest(c.ms,
+                                 round(list_cosine_similarity(c.v, s.v), 6)) AS ms
+                      FROM c{r - 1} c CROSS JOIN s{r} s
+                      WHERE c.vec_id != s.vec_id)"""
+            )
+    sels = [
+        f"SELECT vec_id, CAST({r} AS BIGINT) AS sel_rank, sc AS mmr_score FROM s{r}"
+        for r in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
 def _q_soundex(spark, sf):
     part = load_table(spark, sf, "part")
     w1 = F.split(F.col("p_name"), " ").getItem(0)
@@ -2302,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_agg": _q_rolling_agg,
         "hll_distinct": _q_hll_distinct,
         "soundex": _q_soundex,
+        "mmr": _q_mmr,
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
@@ -3056,6 +3104,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _sql_kmeans(),
         "kcenter": _sql_kcenter(8),
         "hll_distinct": _sql_hll_distinct(8),
+        "mmr": _sql_mmr(8, 0.7, 20),
         "soundex": f"""
             SELECT p_partkey,
                    {_sql_soundex_expr("string_split(p_name, ' ')[1]")} AS sx1,

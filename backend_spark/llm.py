@@ -2260,6 +2260,76 @@ def kcenter_coreset(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    id_col: str,
+    score_col: str,
+    vec_col: str,
+    k: int = 8,
+    lam: float = 0.7,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` items maximizing
+    ``λ·relevance − (1−λ)·max_cos_sim(already picked)`` — the
+    diversity pass between a retrieval top-N (:func:`bm25_topk`, the
+    ``ann_*`` family) and whatever consumes it (a context window, a
+    labeling batch), killing the near-duplicate pile-up pure relevance
+    ranking produces.
+
+    Deterministic: similarities and the MMR score round to ``ndigits``
+    *before* every comparison (the :func:`kmeans_assign` convention),
+    ties to the smaller id; first pick is pure-relevance argmax (the
+    running max-sim starts at 0).  Same shape as
+    :func:`kcenter_coreset`: ``k`` rounds, each a narrow map against
+    ONE broadcast vector + a distributed TakeOrdered(1) — input is a
+    bounded candidate set (a top-N, not the corpus), so the loop cost
+    is k small jobs.  Returns (id, sel_rank, mmr_score).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    spark = candidates.sparkSession
+    base = candidates.select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__rel"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        F.lit(0.0).alias("__ms"),
+    ).localCheckpoint(eager=True)
+    picks = []
+    for r in range(1, k + 1):
+        mmr = F.round(F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__ms"), ndigits)
+        top = (
+            base.withColumn("__mmr", mmr)
+            .orderBy(F.col("__mmr").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        picks.append((top[0]["__id"], r, float(top[0]["__mmr"])))
+        cvec = F.array(*[F.lit(float(x)) for x in top[0]["__v"]])
+        base = (
+            base.where(F.col("__id") != F.lit(top[0]["__id"]))
+            .select(
+                "__id",
+                "__rel",
+                "__v",
+                F.greatest(
+                    F.col("__ms"), F.round(fn.cosine_similarity(F.col("__v"), cvec), ndigits)
+                ).alias("__ms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = spark.createDataFrame(picks, ["__id", "sel_rank", "mmr_score"])
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+        F.col("mmr_score").cast("double").alias("mmr_score"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str,

@@ -1282,3 +1282,33 @@ def test_containment_pairs_catch_quotes_jaccard_misses(spark):
         llm.ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=5, threshold=0.9).count() == 0
     )
     assert all(k[0] != 3 and k[1] != 3 for k in got)
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    # cand A (rel .9) and its near-clone A' (rel .89) plus an orthogonal
+    # B (rel .5): pure relevance ranks A, A'; MMR must rank A, B
+    rows = [
+        (1, 0.9, [1.0, 0.0]),
+        (2, 0.89, [0.999, 0.01]),
+        (3, 0.5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, rel double, v array<double>")
+    got = [
+        r.vec_id
+        for r in sorted(
+            llm.mmr_rerank(df, "vec_id", "rel", "v", k=2, lam=0.5).collect(),
+            key=lambda r: r.sel_rank,
+        )
+    ]
+    assert got == [1, 3]
+    # lam=1.0 degenerates to pure relevance
+    rel_only = [
+        r.vec_id
+        for r in sorted(
+            llm.mmr_rerank(df, "vec_id", "rel", "v", k=2, lam=1.0).collect(),
+            key=lambda r: r.sel_rank,
+        )
+    ]
+    assert rel_only == [1, 2]
+    with pytest.raises(ValueError):
+        llm.mmr_rerank(df, "vec_id", "rel", "v", lam=1.5)
