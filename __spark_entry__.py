@@ -1965,6 +1965,15 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_k_anonymity(spark, sf):
+    from backend_spark.quality import k_anonymity
+
+    cust = load_table(spark, sf, "customer")
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="c_acctbal", l_div=3
+    )
+
+
 def _q_mmr(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -2370,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "bpe_encode": _q_bpe_encode,
         "k_core": _q_k_core,
+        "k_anonymity": _q_k_anonymity,
         "closeness_approx": _q_closeness_approx,
         "eigenvector": _q_eigenvector,
         "square_clustering": _q_square_clustering,
@@ -3105,6 +3115,15 @@ def oracle_sql() -> dict[str, str]:
         "kcenter": _sql_kcenter(8),
         "hll_distinct": _sql_hll_distinct(8),
         "mmr": _sql_mmr(8, 0.7, 20),
+        # quality.k_anonymity over (nation, segment), sensitive=acctbal
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+                   count(*) < 5 AS violates_k,
+                   count(DISTINCT c_acctbal) < 3 AS violates_l
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        """,
         "soundex": f"""
             SELECT p_partkey,
                    {_sql_soundex_expr("string_split(p_name, ' ')[1]")} AS sx1,

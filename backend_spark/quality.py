@@ -112,3 +112,39 @@ def dq_check(df: DataFrame, rules: list[dict]) -> DataFrame:
             (F.col("__r.violations") == 0).alias("passed"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_div: int | None = None,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier columns
+    (Sweeney 2002; Machanavajjhala et al. 2007): one row per QI
+    equivalence class with its size and, when ``sensitive_col`` is
+    given, its count of distinct sensitive values — flagging classes
+    smaller than ``k`` (re-identifiable) and, optionally, classes with
+    fewer than ``l_div`` distinct sensitive values (attribute
+    disclosure even when k holds).  The release-gate complement to
+    :func:`~backend_spark.llm.pii_scan`: pii_scan finds direct
+    identifiers in text, this measures linkage risk in the structured
+    columns that remain after they're stripped.
+
+    ONE keyed aggregate on the QI tuple (map-side combined;
+    count_distinct of the sensitive column lowers to Spark's Expand —
+    linear, 2× the rows of the class).  Returns qi_cols + (class_size,
+    n_sensitive?, violates_k[, violates_l]).  Aggregate-only output —
+    no individual row leaves the function.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"))
+    out = df.groupBy(*qi_cols).agg(*aggs)
+    out = out.withColumn("violates_k", F.col("class_size") < k)
+    if sensitive_col is not None and l_div is not None:
+        out = out.withColumn("violates_l", F.col("n_sensitive") < l_div)
+    return out

@@ -663,3 +663,27 @@ def test_soundex_canonical_vectors(spark):
     df = spark.createDataFrame([(k,) for k in vectors], "name string")
     got = {r.name: r.sx for r in df.select("name", fn.soundex(F.col("name")).alias("sx")).collect()}
     assert got == vectors
+
+
+def test_k_anonymity_flags_small_and_uniform_classes(spark):
+    from backend_spark.quality import k_anonymity
+
+    rows = (
+        [("paris", "eng", 100 + i) for i in range(5)]     # k ok, l ok
+        + [("lyon", "eng", 7), ("lyon", "eng", 7)]        # small AND uniform
+        + [("nice", "law", i) for i in range(4)]          # small, diverse
+    )
+    df = spark.createDataFrame(rows, "city string, job string, salary long")
+    out = {
+        (r.city, r.job): r
+        for r in k_anonymity(df, ["city", "job"], k=5, sensitive_col="salary", l_div=2).collect()
+    }
+    ok = out[("paris", "eng")]
+    assert (ok.class_size, ok.n_sensitive, ok.violates_k, ok.violates_l) == (5, 5, False, False)
+    bad = out[("lyon", "eng")]
+    assert (bad.class_size, bad.n_sensitive, bad.violates_k, bad.violates_l) == (2, 1, True, True)
+    small = out[("nice", "law")]
+    assert (small.violates_k, small.violates_l) == (True, False)
+    # without a sensitive column: size + k flag only
+    cols = set(k_anonymity(df, ["city"], k=3).columns)
+    assert cols == {"city", "class_size", "violates_k"}
