@@ -1965,6 +1965,37 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_snapshot_diff(spark, sf):
+    from backend_spark.quality import snapshot_diff
+
+    base = load_table(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    modified = base.where(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    added = base.where(F.col("c_custkey") % 31 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_name", "c_acctbal"
+    )
+    return snapshot_diff(base, modified.unionByName(added), "c_custkey")
+
+
+def _q_retention(spark, sf):
+    from backend_spark.features import retention_cohorts
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.select("user_id", event_ts_us(ev).alias("ts_us"))
+    return retention_cohorts(ev, "user_id", "ts_us")
+
+
+def _q_histogram(spark, sf):
+    from backend_spark.features import histogram
+
+    li = load_table(spark, sf, "lineitem")
+    return histogram(li, "l_extendedprice", bins=12)
+
+
 def _q_k_anonymity(spark, sf):
     from backend_spark.quality import k_anonymity
 
@@ -2380,6 +2411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "k_core": _q_k_core,
         "k_anonymity": _q_k_anonymity,
+        "snapshot_diff": _q_snapshot_diff,
+        "retention": _q_retention,
+        "histogram": _q_histogram,
         "closeness_approx": _q_closeness_approx,
         "eigenvector": _q_eigenvector,
         "square_clustering": _q_square_clustering,
@@ -3115,6 +3149,53 @@ def oracle_sql() -> dict[str, str]:
         "kcenter": _sql_kcenter(8),
         "hll_distinct": _sql_hll_distinct(8),
         "mmr": _sql_mmr(8, 0.7, 20),
+        # quality.snapshot_diff: removed %97, changed %13, added %31+1e6
+        "snapshot_diff": """
+            WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+            nw AS (
+                SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100
+                            ELSE c_acctbal END AS c_acctbal
+                FROM base WHERE c_custkey % 97 != 0
+                UNION ALL
+                SELECT c_custkey + 1000000, c_name, c_acctbal FROM base
+                WHERE c_custkey % 31 = 0
+            ),
+            d AS (
+                SELECT coalesce(b.c_custkey, n.c_custkey) AS c_custkey,
+                       CASE WHEN b.c_custkey IS NULL THEN 'added'
+                            WHEN n.c_custkey IS NULL THEN 'removed'
+                            WHEN b.c_name IS DISTINCT FROM n.c_name
+                                 OR b.c_acctbal IS DISTINCT FROM n.c_acctbal
+                                 THEN 'changed' END AS status
+                FROM base b FULL OUTER JOIN nw n ON n.c_custkey = b.c_custkey
+            )
+            SELECT c_custkey, status FROM d WHERE status IS NOT NULL
+        """,
+        # features.retention_cohorts: day buckets over the event log
+        "retention": """
+            WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+            f AS (SELECT user_id, min(b) AS cohort FROM e GROUP BY user_id)
+            SELECT cohort AS cohort_bucket, b - cohort AS age,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+            FROM e JOIN f USING (user_id) GROUP BY cohort, b - cohort
+        """,
+        # features.histogram: 12 fixed-width bins over l_extendedprice
+        "histogram": """
+            WITH s AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo0,
+                              max(CAST(l_extendedprice AS DOUBLE)) AS hi0
+                       FROM lineitem),
+            c AS (SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo0)
+                                          / ((hi0 - lo0) / 12)) AS INT), 11) AS bin,
+                         count(*) AS cnt
+                  FROM lineitem CROSS JOIN s GROUP BY 1),
+            g AS (SELECT unnest(range(0, 12)) AS bin)
+            SELECT CAST(g.bin AS BIGINT) AS bin,
+                   round(lo0 + g.bin * ((hi0 - lo0) / 12), 6) AS lo,
+                   round(lo0 + (g.bin + 1) * ((hi0 - lo0) / 12), 6) AS hi,
+                   coalesce(cnt, CAST(0 AS BIGINT)) AS cnt
+            FROM g CROSS JOIN s LEFT JOIN c ON c.bin = g.bin
+        """,
         # quality.k_anonymity over (nation, segment), sensitive=acctbal
         "k_anonymity": """
             SELECT c_nationkey, c_mktsegment,

@@ -290,3 +290,82 @@ def rolling_agg(
         )
         .drop("__ss")
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_us_col: str,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention triangle: cohort = the bucket (day by default)
+    of a user's FIRST activity; for every (cohort, age-in-buckets)
+    report distinct users active — the standard retention readout over
+    an event log, all integer time arithmetic.
+
+    Two keyed aggregates: first-activity reduces to one row per user
+    (map-side combined) and joins back (AQE broadcasts it when small);
+    then one (cohort, age) distinct-user count.  Returns
+    (cohort_bucket, age, n_users).
+    """
+    # integer div — epoch-us exceeds double precision (the event_ts_us rule)
+    b = F.expr(f"`{ts_us_col}` div {bucket_us}")
+    ev = df.select(F.col(user_col).alias("__u"), b.alias("__b"))
+    first = ev.groupBy("__u").agg(F.min("__b").alias("__cohort"))
+    return (
+        ev.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_bucket"),
+            (F.col("__b") - F.col("__cohort")).alias("age"),
+        )
+        .agg(F.countDistinct("__u").alias("n_users"))
+    )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fixed-width histogram over [min, max]: the profiling readout
+    :func:`~backend_spark.profile.profile`'s scalar ranges don't give.
+    Bin i covers [min + i·w, min + (i+1)·w) with w = (max−min)/bins;
+    the max value folds into the last bin.  Empty bins are emitted
+    with count 0 (the renderer's contract).
+
+    One global min/max aggregate broadcast back, one narrow bin-index
+    projection, one keyed count — joined onto a bins-row frame so the
+    zero bins exist.  All bin arithmetic is plain IEEE subtraction /
+    division / floor — deterministic on any engine (no libm).
+    Degenerate min == max puts everything in bin 0.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    spark = df.sparkSession
+    stats = df.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+    staged = df.join(F.broadcast(stats))
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(bins)
+    idx = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(col).cast("double") - F.col("__lo")) / w).cast("int"),
+            F.lit(bins - 1),
+        )
+    )
+    counts = staged.select(idx.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        grid.join(F.broadcast(stats))
+        .join(counts, "bin", "left")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.round(F.col("__lo") + F.col("bin") * ((F.col("__hi") - F.col("__lo")) / F.lit(bins)), ndigits).alias("lo"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * ((F.col("__hi") - F.col("__lo")) / F.lit(bins)), ndigits).alias("hi"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )

@@ -148,3 +148,47 @@ def k_anonymity(
     if sensitive_col is not None and l_div is not None:
         out = out.withColumn("violates_l", F.col("n_sensitive") < l_div)
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two dataset snapshots: one row per key that was
+    ``added``, ``removed`` or ``changed`` (unchanged keys are absent) —
+    the promotion audit an incremental pipeline runs before swapping a
+    corpus snapshot (pairs with :func:`~backend_spark.llm.dedup_incremental`
+    ingest and ``compact_latest`` state).
+
+    One full-outer equi-join on the key; change detection is a
+    null-safe struct comparison of ``compare_cols`` (default: all
+    shared non-key columns) — no hashing, no second shuffle, exact on
+    any type.  Returns key_cols + status.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns) and c not in keys]
+        compare_cols = shared
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__new"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(*keys, "status")
+    )

@@ -687,3 +687,46 @@ def test_k_anonymity_flags_small_and_uniform_classes(spark):
     # without a sensitive column: size + k flag only
     cols = set(k_anonymity(df, ["city"], k=3).columns)
     assert cols == {"city", "class_size", "violates_k"}
+
+
+def test_snapshot_diff_statuses(spark):
+    from backend_spark.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)], "k long, name string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 1.0)], "k long, name string, v double"
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k").collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 added; null-safe compare
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_retention_cohorts_hand_check(spark):
+    from backend_spark.features import retention_cohorts
+
+    day = 86_400_000_000
+    rows = [
+        (1, 0), (1, day), (1, 2 * day),       # cohort 0, ages 0,1,2
+        (2, 0), (2, 2 * day),                 # cohort 0, ages 0,2
+        (3, day), (3, day + 1),               # cohort 1, age 0 (distinct once)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {(r.cohort_bucket, r.age): r.n_users for r in retention_cohorts(df, "user_id", "ts_us").collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+
+
+def test_histogram_bins_and_empty_bins(spark):
+    from backend_spark.features import histogram
+
+    df = spark.createDataFrame([(float(v),) for v in [0, 1, 2, 9, 10]], "x double")
+    rows = {r.bin: r for r in histogram(df, "x", bins=5).collect()}
+    assert len(rows) == 5
+    # w=2: [0,2)->{0,1}, [2,4)->{2}, [4,6)->{} , [6,8)->{}, [8,10]->{9,10}
+    assert [rows[i].cnt for i in range(5)] == [2, 1, 0, 0, 2]
+    assert rows[0].lo == 0.0 and rows[4].hi == 10.0
+    # degenerate constant column
+    const = spark.createDataFrame([(5.0,)] * 3, "x double")
+    crow = histogram(const, "x", bins=4).where(F.col("bin") == 0).collect()[0]
+    assert crow.cnt == 3
