@@ -1965,6 +1965,12 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_training_shards(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="sg_shards_") + "/out"
+    return llm.write_training_shards(docs, path, "doc_id", n_shards=8)
+
+
 def _q_snapshot_diff(spark, sf):
     from backend_spark.quality import snapshot_diff
 
@@ -2412,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": _q_k_core,
         "k_anonymity": _q_k_anonymity,
         "snapshot_diff": _q_snapshot_diff,
+        "training_shards": _q_training_shards,
         "retention": _q_retention,
         "histogram": _q_histogram,
         "closeness_approx": _q_closeness_approx,
@@ -3149,6 +3156,21 @@ def oracle_sql() -> dict[str, str]:
         "kcenter": _sql_kcenter(8),
         "hll_distinct": _sql_hll_distinct(8),
         "mmr": _sql_mmr(8, 0.7, 20),
+        # llm.write_training_shards: manifest of the round-robin shards
+        # over the deterministic md5 shuffle order (salt 'shuf')
+        "training_shards": f"""
+            WITH h AS (SELECT doc_id,
+                              {_SQL_H.format(x="'shuf:' || CAST(doc_id AS VARCHAR)")} AS h,
+                              {_SQL_H.format(x="CAST(doc_id AS VARCHAR)")} AS idh
+                       FROM documents),
+            r AS (SELECT doc_id, idh,
+                         row_number() OVER (ORDER BY h ASC, doc_id ASC) AS pos
+                  FROM h)
+            SELECT CAST(pos % 8 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   bit_xor(idh) AS id_checksum
+            FROM r GROUP BY pos % 8
+        """,
         # quality.snapshot_diff: removed %97, changed %13, added %31+1e6
         "snapshot_diff": """
             WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

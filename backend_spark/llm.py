@@ -1580,6 +1580,57 @@ def shuffle_order(
     return assign_row_ids(hashed, ["__h", id_col], out_col=out_col).drop("__h")
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 32,
+    salt: str = "shuf",
+) -> DataFrame:
+    """The pipeline's last mile: export a cleaned corpus as ``n_shards``
+    equal-ish parquet shards in a deterministic global shuffle order,
+    plus a manifest the trainer (and the next pipeline run) can trust.
+
+    Rows get a :func:`shuffle_order` position (reproducible hash
+    order, no RNG), shard = position mod n_shards (round-robin, so
+    every shard samples the whole corpus uniformly — a contiguous
+    split would correlate shards with hash ranges), and each shard is
+    written as ONE hive partition dir (``shard=K/``) with the rows
+    sorted by position within the shard — a trainer streaming shard K
+    in file order replays exactly the global order's K-th residue
+    class.  Returns the manifest: (shard, n_rows, id_checksum) with
+    the checksum a bit-xor of the member id hashes — order-independent
+    and cheap to re-verify downstream.
+
+    One distributed sort (the assign_row_ids machinery), one
+    partitioned write, one keyed manifest aggregate.  No collect of
+    row data; ``n_shards`` should be a multiple of the trainer's
+    data-parallel world size.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    ordered = shuffle_order(df, id_col, salt=salt)
+    sharded = ordered.withColumn(
+        "shard", F.pmod(F.col("shuffle_pos"), F.lit(n_shards)).cast("int")
+    )
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", "shuffle_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    written = df.sparkSession.read.parquet(path)
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(fn.md5_long(F.col(id_col).cast("string"))).alias("id_checksum"),
+        )
+        .select(F.col("shard").cast("long").alias("shard"), "n_rows", "id_checksum")
+    )
+
+
 def stratified_topn(
     df: DataFrame,
     id_col: str,
