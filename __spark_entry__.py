@@ -1140,6 +1140,83 @@ def _sql_kcenter(k: int = 8) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
 
 
+def _q_pq_encode(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return llm.pq_encode(emb, "vec_id", "embedding", m=8, k=16, n_iter=2)
+
+
+def _sql_pq(m: int = 8, k: int = 16, n_iter: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+    """m independent unrolled-Lloyd's chains (the _sql_kmeans pattern)
+    over the subvector slices, salt 'pq{s}:', then the per-id pivot."""
+    dsub = dim // m
+    ctes = []
+    fins = []
+    for s in range(m):
+        d2 = (
+            "round(list_sum([(a.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+            " * (a.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+            f" for i in range(1, {dsub} + 1)]), 6)"
+        )
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        ctes.append(
+            f"v{s} AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v"
+            " FROM embeddings)"
+        )
+        ctes.append(
+            f"""h{s} AS (SELECT vec_id, v,
+                  {_SQL_H.format(x=f"'pq{s}:' || CAST(vec_id AS VARCHAR)")} AS hk
+             FROM v{s})"""
+        )
+        ctes.append(
+            f"""c{s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY hk ASC, vec_id ASC) AS INT) - 1
+                       AS cluster, v AS cv
+              FROM h{s}
+              QUALIFY row_number() OVER (ORDER BY hk ASC, vec_id ASC) <= {k})"""
+        )
+        for i in range(1, n_iter + 1):
+            ctes.append(
+                f"""a{s}_{i} AS (SELECT a.vec_id, a.v, c.cluster, {d2} AS d
+                      FROM v{s} a CROSS JOIN c{s}_{i - 1} c
+                      QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                                 ORDER BY d ASC, c.cluster ASC) = 1)"""
+            )
+            ctes.append(
+                f"""e{s}_{i} AS (SELECT cluster, v,
+                             CAST(unnest(range(1, {dsub} + 1)) AS INT) AS dim
+                      FROM a{s}_{i})"""
+            )
+            ctes.append(
+                f"""u{s}_{i} AS (SELECT cluster,
+                             list(CAST(t AS DOUBLE) / CAST(n * {scale} AS BIGINT)
+                                  ORDER BY dim) AS cv
+                      FROM (SELECT cluster, dim,
+                                   sum(CAST(floor(v[dim] * {scale} + 0.5) AS BIGINT)) AS t,
+                                   count(*) AS n
+                            FROM e{s}_{i} GROUP BY cluster, dim)
+                      GROUP BY cluster)"""
+            )
+            ctes.append(
+                f"""c{s}_{i} AS (SELECT c.cluster, coalesce(u.cv, c.cv) AS cv
+                      FROM c{s}_{i - 1} c LEFT JOIN u{s}_{i} u USING (cluster))"""
+            )
+        ctes.append(
+            f"""af{s} AS (SELECT a.vec_id, c.cluster, {d2} AS d
+                  FROM v{s} a CROSS JOIN c{s}_{n_iter} c
+                  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                                             ORDER BY d ASC, c.cluster ASC) = 1)"""
+        )
+        fins.append(f"SELECT vec_id, {s} AS s, cluster, d FROM af{s}")
+    ctes.append("uu AS (" + "\nUNION ALL\n".join(fins) + ")")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT vec_id,
+               to_json(list(cluster ORDER BY s)) AS codes,
+               round(sum(d ORDER BY s), 6) AS recon_err
+        FROM uu GROUP BY vec_id
+    """
+    )
+
+
 def _q_quantize_emb(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return llm.quantize_embeddings(emb, "vec_id", "embedding")
@@ -2419,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "snapshot_diff": _q_snapshot_diff,
         "training_shards": _q_training_shards,
+        "pq_encode": _q_pq_encode,
         "retention": _q_retention,
         "histogram": _q_histogram,
         "closeness_approx": _q_closeness_approx,
@@ -3156,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter": _sql_kcenter(8),
         "hll_distinct": _sql_hll_distinct(8),
         "mmr": _sql_mmr(8, 0.7, 20),
+        "pq_encode": _sql_pq(8, 16, 2),
         # llm.write_training_shards: manifest of the round-robin shards
         # over the deterministic md5 shuffle order (salt 'shuf')
         "training_shards": f"""

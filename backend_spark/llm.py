@@ -2381,6 +2381,89 @@ def mmr_rerank(
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    salt: str = "pq",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the compression
+    behind FAISS-style IVF-PQ and the standard way a 100 TB vector
+    corpus fits in serving memory: split each vector into ``m``
+    subvectors, learn a ``k``-centroid codebook per subspace
+    (:func:`kmeans_assign`'s deterministic Lloyd's — hash-rank init,
+    scaled-BIGINT means — run on the subvector slices), and store each
+    vector as ``m`` small codes (m=8, k=16 → 4 bytes/vector vs 256
+    for float32×64, a 64× compression; :func:`quantize_embeddings`'
+    int8 path is the milder 4×).
+
+    Returns (id, codes, recon_err): ``codes`` the JSON array of the m
+    codebook indices in subspace order, ``recon_err`` the summed
+    per-subspace squared quantization error (the training-quality
+    readout; fixed subspace-order fold).  Deterministic end-to-end —
+    codebooks, codes and errors reproduce exactly cross-engine.
+
+    Scale: m independent kmeans runs, each the kmeans_assign shape
+    (k×d driver state, broadcast-centroid assignment, integer-mean
+    updates); the final pivot is one keyed collect_list per id.  ADC
+    search over the codes is a broadcast of the m×k codebook — the
+    ann_ivf pattern with a 64×-smaller corpus side.
+    """
+    if m < 1 or k < 1:
+        raise ValueError(f"m and k must be positive, got {m}, {k}")
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).localCheckpoint(eager=False)
+    dim_row = base.select(F.size("__v").alias("d")).limit(1).collect()
+    if not dim_row:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, codes string, recon_err double"
+        )
+    dim = dim_row[0]["d"]
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} is not divisible by m={m}")
+    dsub = dim // m
+    parts = []
+    for s in range(m):
+        sub = base.select(
+            F.col(id_col), F.slice("__v", s * dsub + 1, dsub).alias("__sub")
+        )
+        asg = kmeans_assign(
+            sub, id_col, "__sub", k=k, n_iter=n_iter, salt=f"{salt}{s}", ndigits=ndigits
+        )
+        parts.append(
+            asg.select(F.col(id_col), F.lit(s).alias("__s"), "cluster", "dist")
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy(id_col).agg(
+        F.to_json(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__s").alias("k"), F.col("cluster").alias("v")))
+                ),
+                lambda x: x["v"],
+            )
+        ).alias("codes"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__s").alias("k"), F.col("dist").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["v"],
+            ),
+            ndigits,
+        ).alias("recon_err"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str,

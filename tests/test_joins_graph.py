@@ -1336,3 +1336,28 @@ def test_write_training_shards_order_and_manifest(spark, tmp_path):
         .collect()
     }
     assert re_sum == {r.shard: r.id_checksum for r in manifest}
+
+
+def test_pq_encode_codes_and_reconstruction(spark):
+    import json
+
+    # 12 vectors in 3 tight clusters, dim 4, m=2 subspaces
+    base = [[0.0, 0.0, 5.0, 5.0], [10.0, 10.0, 0.0, 0.0], [5.0, 0.0, 10.0, 5.0]]
+    rows = [
+        (i, [c + (i % 4) * 0.01 for c in base[i % 3]]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in llm.pq_encode(df, "vec_id", "embedding", m=2, k=4, n_iter=2).collect()}
+    assert set(out) == set(range(12))
+    for r in out.values():
+        codes = json.loads(r.codes)
+        assert len(codes) == 2 and all(0 <= c < 4 for c in codes)
+        assert r.recon_err >= 0.0
+    # same base vector -> same codes (quantization is deterministic)
+    assert out[0].codes == out[3].codes or out[0].recon_err < 0.01
+    # richer codebook can only reduce total reconstruction error
+    err4 = sum(r.recon_err for r in out.values())
+    out8 = llm.pq_encode(df, "vec_id", "embedding", m=2, k=8, n_iter=2).collect()
+    assert sum(r.recon_err for r in out8) <= err4 + 1e-9
+    with pytest.raises(ValueError):
+        llm.pq_encode(df, "vec_id", "embedding", m=3)
