@@ -2473,18 +2473,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "soundex": _q_soundex,
         "mmr": _q_mmr,
+        "k_anonymity": _q_k_anonymity,
+        "snapshot_diff": _q_snapshot_diff,
+        "training_shards": _q_training_shards,
+        "pq_encode": _q_pq_encode,
+        "retention": _q_retention,
+        "histogram": _q_histogram,
+        # r4-stale refresh (13 of 18 fit after the new ops; the 5 just
+        # past the 50-prefix have fresh family coverage — minhash_sig /
+        # ann_topk / pq_encode / bpe_train+encode are green this round —
+        # and rotate first next round)
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
-        "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "ann_ivf_index": _q_ann_ivf_index,
         "bm25_topk": _q_bm25,
         "build_vocab": _q_vocab,
-        "bpe_pairs": _q_bpe_pairs,
         "tfidf_topk": _q_tfidf,
         "unigram_logprob": _q_unigram_lp,
         "dedup_incremental": _q_dedup_incremental,
@@ -2492,13 +2497,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_gate": _q_percentile_gate,
         "range_join": _q_range_join,
         "bpe_encode": _q_bpe_encode,
+        "minhash_pairs": _q_minhash_pairs,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
+        "bpe_pairs": _q_bpe_pairs,
         "k_core": _q_k_core,
-        "k_anonymity": _q_k_anonymity,
-        "snapshot_diff": _q_snapshot_diff,
-        "training_shards": _q_training_shards,
-        "pq_encode": _q_pq_encode,
-        "retention": _q_retention,
-        "histogram": _q_histogram,
         "closeness_approx": _q_closeness_approx,
         "eigenvector": _q_eigenvector,
         "square_clustering": _q_square_clustering,
