@@ -33,7 +33,13 @@ from backend_spark.operators.reshape import (
     op_unfold,
     op_unnest,
 )
-from backend_spark.operators.graph import connected_components, op_clique
+from backend_spark.operators.graph import (
+    connected_components,
+    label_propagation,
+    link_prediction,
+    modularity,
+    op_clique,
+)
 
 __all__ = [
     "op_map", "op_rename", "op_keep", "op_delete", "op_fillna",
@@ -45,4 +51,5 @@ __all__ = [
     "join_strict", "join_fuzzy", "join_topk", "asof_join", "range_join",
     "compact_latest",
     "connected_components", "op_clique",
+    "label_propagation", "link_prediction", "modularity",
 ]
