@@ -268,13 +268,47 @@ class RecipeBook:
                     a.get("id", "doc_id"), "left_semi",
                 )
             return flags
-        if name == "apply_model":
-            from backend_spark import ml
+        if name == "dsir":
+            # DSIR importance weights toward a declared target dataset;
+            # keep_frac gates the corpus on the weight's in-corpus rank
+            from backend_spark import llm
 
-            return ml.apply_model(
-                df,
-                model_path=a.get("model", {}).get("name") if isinstance(a.get("model"), dict) else a.get("model_path"),
-                target=a.get("target", "matchid_hit_score_ml"),
+            id_col = a.get("id", "doc_id")
+            target = self.dataset(a["target"])
+            weights = llm.dsir_weights(
+                df, target, id_col, a.get("text", "text"),
+                buckets=a.get("buckets", 8192), alpha=a.get("alpha", 1.0),
+            )
+            frac = a.get("keep_frac")
+            if frac is None:
+                return df.join(weights.select(id_col, "logweight"), id_col, "left")
+            thr = weights.agg(
+                F.percentile(F.col("logweight"), F.lit(1.0 - float(frac)))
+            ).collect()[0][0]
+            kept = weights.where(F.col("logweight") >= thr).select(id_col)
+            return df.join(kept, id_col, "left_semi")
+        if name == "bloom_decontaminate":
+            from backend_spark import llm
+
+            id_col = a.get("id", "doc_id")
+            bench = self.dataset(a["benchmark"])
+            flags = llm.bloom_decontaminate(
+                df, bench, id_col, a.get("text", "text"),
+                n=a.get("n", 8), m_bits=a.get("m_bits", 1 << 18),
+                k=a.get("k", 4), threshold=a.get("threshold", 0.5),
+            )
+            if a.get("drop", True):
+                return df.join(
+                    flags.where(~F.col("flagged")).select(id_col), id_col, "left_semi"
+                )
+            return flags
+        if name == "winsorize":
+            from backend_spark.features import winsorize
+
+            return winsorize(
+                df, a["col"], lower=a.get("lower", 0.01),
+                upper=a.get("upper", 0.99), group_col=a.get("group"),
+                out_col=a.get("out"),
             )
         raise KeyError(f"unknown step: {name}")
 

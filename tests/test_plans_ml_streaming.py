@@ -1067,3 +1067,44 @@ def test_write_stream_upsert_matches_batch_compaction(spark, tmp_path):
     full = b1.unionByName(b2)
     expect = {r.k: r.v for r in compact_latest(full, "k", "ts").collect()}
     assert got2 == expect == {1: "c", 2: "d", 3: "e"}
+
+
+def test_recipe_dsir_bloom_winsorize_steps(spark):
+    import yaml
+
+    from backend_spark.plans import RecipeBook
+
+    conf = yaml.safe_load(
+        """
+        recipes:
+          curate:
+            steps:
+              - bloom_decontaminate: {benchmark: bench, n: 3, threshold: 0.5}
+              - dsir: {target: tgt, keep_frac: 0.5, buckets: 512}
+          clip:
+            steps:
+              - winsorize: {col: v, lower: 0.25, upper: 0.75, out: vw}
+        """
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma zulu"),
+            (3, "unrelated words entirely here"),
+            (4, "leaked benchmark prompt text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "leaked benchmark prompt text")], "doc_id long, text string")
+    tgt = spark.createDataFrame([(8, "alpha beta gamma")], "doc_id long, text string")
+    book = RecipeBook(conf, datasets={"bench": bench, "tgt": tgt}, spark=spark)
+    out = book.compile("curate")(docs)
+    ids = {r.doc_id for r in out.collect()}
+    assert 4 not in ids           # bloom-gated
+    assert ids and ids <= {1, 2}  # dsir keeps the target-like half
+    clip = book.compile("clip")(
+        spark.createDataFrame([(float(v),) for v in range(1, 9)], "v double")
+    )
+    vals = sorted(r.vw for r in clip.collect())
+    assert vals[0] == vals[1]  # lower tail clipped to p25
+    assert vals[-1] == vals[-2]
