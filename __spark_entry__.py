@@ -1145,9 +1145,10 @@ def _q_pq_encode(spark, sf):
     return llm.pq_encode(emb, "vec_id", "embedding", m=8, k=16, n_iter=2)
 
 
-def _sql_pq(m: int = 8, k: int = 16, n_iter: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
-    """m independent unrolled-Lloyd's chains (the _sql_kmeans pattern)
-    over the subvector slices, salt 'pq{s}:', then the per-id pivot."""
+def _pq_chain_ctes(m: int, k: int, n_iter: int, dim: int, scale: int):
+    """The shared per-subspace unrolled-Lloyd's CTE chains (the
+    _sql_kmeans pattern on subvector slices, salt 'pq{s}:'); returns
+    (ctes, fins) with af{s} = final (vec_id, cluster, d) per subspace."""
     dsub = dim // m
     ctes = []
     fins = []
@@ -1206,6 +1207,11 @@ def _sql_pq(m: int = 8, k: int = 16, n_iter: int = 2, dim: int = 64, scale: int 
                                              ORDER BY d ASC, c.cluster ASC) = 1)"""
         )
         fins.append(f"SELECT vec_id, {s} AS s, cluster, d FROM af{s}")
+    return ctes, fins
+
+
+def _sql_pq(m: int = 8, k: int = 16, n_iter: int = 2, dim: int = 64, scale: int = 1_000_000) -> str:
+    ctes, fins = _pq_chain_ctes(m, k, n_iter, dim, scale)
     ctes.append("uu AS (" + "\nUNION ALL\n".join(fins) + ")")
     return (
         "WITH " + ",\n".join(ctes) + """
@@ -1213,6 +1219,50 @@ def _sql_pq(m: int = 8, k: int = 16, n_iter: int = 2, dim: int = 64, scale: int 
                to_json(list(cluster ORDER BY s)) AS codes,
                round(sum(d ORDER BY s), 6) AS recon_err
         FROM uu GROUP BY vec_id
+    """
+    )
+
+
+def _q_ann_pq(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return llm.ann_pq(emb, "vec_id", "embedding", queries_df, "vec_id", m=8, k=16, n_iter=2, topk=5)
+
+
+def _sql_ann_pq(m: int = 8, k: int = 16, n_iter: int = 2, topk: int = 5, dim: int = 64, scale: int = 1_000_000) -> str:
+    """ADC search over the same PQ chains: per-query distance tables
+    against the final codebooks, code join, subspace-ordered fold."""
+    dsub = dim // m
+    ctes, _fins = _pq_chain_ctes(m, k, n_iter, dim, scale)
+    pair_sels = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        qd = (
+            "round(list_sum([(q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+            " * (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+            f" for i in range(1, {dsub} + 1)]), 6)"
+        )
+        ctes.append(
+            f"""qv{s} AS (SELECT vec_id AS qid, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS qv
+                  FROM embeddings WHERE vec_id < 5)"""
+        )
+        ctes.append(
+            f"""tb{s} AS (SELECT q.qid, c.cluster, {qd} AS qd
+                  FROM qv{s} q CROSS JOIN c{s}_{n_iter} c)"""
+        )
+        pair_sels.append(
+            f"SELECT t.qid, a.vec_id, {s} AS s, t.qd FROM af{s} a JOIN tb{s} t ON t.cluster = a.cluster"
+        )
+    ctes.append("pp AS (" + "\nUNION ALL\n".join(pair_sels) + ")")
+    ctes.append(
+        """ad AS (SELECT qid, vec_id, round(sum(qd ORDER BY s), 6) AS adist
+              FROM pp GROUP BY qid, vec_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT qid AS q_id, vec_id, adist FROM ad
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY adist ASC, vec_id ASC) <= {topk}
     """
     )
 
@@ -2502,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_index": _q_ann_ivf_index,
         "bpe_pairs": _q_bpe_pairs,
+        "ann_pq": _q_ann_pq,
         "k_core": _q_k_core,
         "closeness_approx": _q_closeness_approx,
         "eigenvector": _q_eigenvector,
@@ -3239,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _sql_hll_distinct(8),
         "mmr": _sql_mmr(8, 0.7, 20),
         "pq_encode": _sql_pq(8, 16, 2),
+        "ann_pq": _sql_ann_pq(8, 16, 2, 5),
         # llm.write_training_shards: manifest of the round-robin shards
         # over the deterministic md5 shuffle order (salt 'shuf')
         "training_shards": f"""

@@ -2070,6 +2070,7 @@ def kmeans_assign(
     salt: str = "km",
     scale: int = 1_000_000,
     ndigits: int = 6,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's KMeans over an embedding column — the real
     iterative-refinement upgrade of :func:`semdedup`'s one-shot
@@ -2157,9 +2158,14 @@ def kmeans_assign(
             for ci, old in centroids.items()
         }
 
-    return _assign(centroids).select(
+    out = _assign(centroids).select(
         F.col("__id").alias(id_col), "cluster", F.col("__d").alias("dist")
     )
+    if return_centroids:
+        # k×dim driver state — what an ADC/PQ consumer needs alongside
+        # the assignment (ann_pq builds its distance tables from these)
+        return out, centroids
+    return out
 
 
 def containment_pairs(
@@ -2461,6 +2467,96 @@ def pq_encode(
             ),
             ndigits,
         ).alias("recon_err"),
+    )
+
+
+def ann_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    q_id_col: str,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    topk: int = 5,
+    salt: str = "pq",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over product-quantized
+    codes (Jégou et al. 2011) — the serving half of :func:`pq_encode`:
+    train the per-subspace codebooks on the corpus, encode the corpus
+    once, then answer each query from an m×k distance TABLE instead of
+    the raw vectors.  Per (query, corpus vector) the approximate
+    squared distance is Σ_s table[s][code_s] — the corpus side touches
+    only 4-byte codes, which is why PQ search runs at 100 TB scale
+    where exact :func:`ann_topk` cannot.
+
+    Scale shape: the distance tables are (|queries|·m·k) rows —
+    driver-built from the k×d codebooks (bounded state, the kmeans
+    rule) and **broadcast**; the corpus-side cost is one code
+    equi-join + one per-pair fold in subspace order + a per-query
+    top-k window.  Deterministic end-to-end: table entries reproduce
+    bit-for-bit (same IEEE fold the codebooks used) and rounding
+    precedes every comparison.  Returns (q_id, id, adist).
+    """
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).localCheckpoint(eager=False)
+    dim_row = base.select(F.size("__v").alias("d")).limit(1).collect()
+    if not dim_row:
+        return spark.createDataFrame([], f"q_id long, {id_col} long, adist double")
+    dim = dim_row[0]["d"]
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} is not divisible by m={m}")
+    dsub = dim // m
+    qrows = query_df.select(
+        F.col(q_id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    ).collect()
+
+    code_parts = []
+    tbl_rows = []
+    for s in range(m):
+        sub = base.select(F.col(id_col), F.slice("__v", s * dsub + 1, dsub).alias("__sub"))
+        asg, cents = kmeans_assign(
+            sub, id_col, "__sub", k=k, n_iter=n_iter, salt=f"{salt}{s}",
+            ndigits=ndigits, return_centroids=True,
+        )
+        code_parts.append(asg.select(F.col(id_col), F.lit(s).alias("s"), "cluster"))
+        for q in qrows:
+            qs = q["qv"][s * dsub : (s + 1) * dsub]
+            for ci, cv in sorted(cents.items()):
+                d = 0.0  # same left-to-right IEEE fold as the JVM d2
+                for a, b in zip(qs, cv):
+                    d += (a - b) * (a - b)
+                tbl_rows.append((q["qid"], s, ci, d))
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    tbl = spark.createDataFrame(tbl_rows, "qid long, s int, cluster int, qd double")
+    pairs = codes.join(F.broadcast(tbl), ["s", "cluster"]).select(
+        "qid", F.col(id_col), "s", F.round("qd", ndigits).alias("__qd")
+    )
+    ad = pairs.groupBy("qid", id_col).agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("s").alias("k"), F.col("__qd").alias("v")))),
+                F.lit(0.0),
+                lambda a, x: a + x["v"],
+            ),
+            ndigits,
+        ).alias("adist")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    return (
+        ad.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= topk)
+        .select(F.col("qid").alias("q_id"), F.col(id_col), "adist")
     )
 
 

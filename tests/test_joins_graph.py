@@ -1361,3 +1361,26 @@ def test_pq_encode_codes_and_reconstruction(spark):
     assert sum(r.recon_err for r in out8) <= err4 + 1e-9
     with pytest.raises(ValueError):
         llm.pq_encode(df, "vec_id", "embedding", m=3)
+
+
+def test_ann_pq_adc_approximates_exact_search(spark):
+    # three separated 4-d blobs; ADC over PQ codes must put the query's
+    # own blob members first
+    import random as _r
+
+    base = {0: [0.0, 0.0, 5.0, 5.0], 1: [10.0, 10.0, 0.0, 0.0], 2: [5.0, 0.0, 10.0, 5.0]}
+    rows = [(i, [c + (i % 5) * 0.01 for c in base[i % 3]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") == 0)
+    got = [
+        r
+        for r in llm.ann_pq(
+            df, "vec_id", "embedding", queries, "vec_id", m=2, k=4, n_iter=2, topk=5
+        ).collect()
+    ]
+    assert len(got) == 5 and all(r.q_id == 0 for r in got)
+    # all hits come from query 0's blob (ids ≡ 0 mod 3)
+    assert all(r.vec_id % 3 == 0 for r in got)
+    assert got == sorted(got, key=lambda r: (r.adist, r.vec_id))
+    with pytest.raises(ValueError):
+        llm.ann_pq(df, "vec_id", "embedding", queries, "vec_id", m=3)
