@@ -143,6 +143,23 @@ EXPECT = {
     "classifier_eval": ([], ["CartesianProduct"]),
     # one keyed register agg (map-side combined) + per-group fold
     "hll_distinct": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # per-subspace kmeans assignments: k-row centroid broadcast (NLJ by
+    # design, the kmeans pattern); corpus must never sort-merge
+    "pq_encode": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # code join against the broadcast distance table is keyed
+    "ann_pq": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # QI-keyed aggregate only
+    "k_anonymity": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # one full-outer key join; no hashing pass, no window
+    "snapshot_diff": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # first-activity agg joins back (AQE may broadcast); keyed only
+    "retention": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # global min/max broadcast back onto the scan (scalar NLJ), keyed count
+    "histogram": ([], ["CartesianProduct", "SortMergeJoin"]),
+    # one distributed sort + manifest agg over the written shards
+    "training_shards": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # pure regexp-chain projection over the scan
+    "soundex": ([], ["Exchange", "CartesianProduct"]),
     # two tiny per-group stat aggs broadcast back; data never shuffles
     "robust_scale": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
     # one keyed shuffle+sort; the RANGE frame runs inside the window
