@@ -1123,8 +1123,11 @@ def _sql_kcenter(k: int = 8) -> str:
         f"m1 AS MATERIALIZED (SELECT a.vec_id, a.v, {d2} AS mind FROM v a CROSS JOIN s1 s)",
     ]
     for r in range(2, k + 1):
+        # WHERE mind > 0 mirrors the operator's coverage-radius-0 early
+        # stop: once every point coincides with a selection this CTE is
+        # empty and all later rounds contribute nothing
         ctes.append(
-            f"""s{r} AS (SELECT vec_id, v, mind FROM m{r - 1}
+            f"""s{r} AS (SELECT vec_id, v, mind FROM m{r - 1} WHERE mind > 0
                   ORDER BY mind DESC, vec_id ASC LIMIT 1)"""
         )
         if r < k:

@@ -196,8 +196,12 @@ def winsorize(
         F.col(col), F.array(F.lit(lower), F.lit(upper))
     ).alias("__wb")
     if group_col is not None:
-        thr = df.groupBy(group_col).agg(bounds)
-        joined = df.join(F.broadcast(thr), group_col, "inner")
+        # null-safe group join: a null group is a real group and its
+        # rows must survive ("keeps every row" is the contract)
+        thr = df.groupBy(F.col(group_col).alias("__wg")).agg(bounds)
+        joined = df.join(
+            F.broadcast(thr), F.col(group_col).eqNullSafe(F.col("__wg")), "inner"
+        ).drop("__wg")
     else:
         joined = df.join(F.broadcast(df.agg(bounds)))
     return joined.withColumn(
@@ -230,12 +234,17 @@ def robust_scale(
     out = out_col or f"{col}_rs"
     med_agg = F.percentile(F.col(col), F.lit(0.5)).alias("__med")
     if group_col is not None:
-        med = df.groupBy(group_col).agg(med_agg)
-        with_med = df.join(F.broadcast(med), group_col, "inner")
-        mad = with_med.groupBy(group_col).agg(
+        # null-safe group joins, same rationale as winsorize
+        med = df.groupBy(F.col(group_col).alias("__rg1")).agg(med_agg)
+        with_med = df.join(
+            F.broadcast(med), F.col(group_col).eqNullSafe(F.col("__rg1")), "inner"
+        ).drop("__rg1")
+        mad = with_med.groupBy(F.col(group_col).alias("__rg2")).agg(
             F.percentile(F.abs(F.col(col) - F.col("__med")), F.lit(0.5)).alias("__mad")
         )
-        joined = with_med.join(F.broadcast(mad), group_col, "inner")
+        joined = with_med.join(
+            F.broadcast(mad), F.col(group_col).eqNullSafe(F.col("__rg2")), "inner"
+        ).drop("__rg2")
     else:
         with_med = df.join(F.broadcast(df.agg(med_agg)))
         mad = with_med.agg(

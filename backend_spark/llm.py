@@ -195,6 +195,15 @@ def dedup_keep_best(
     )
 
 
+# Verify steps compare round(metric, 6) >= threshold, so the smallest
+# qualifying overlap i satisfies i/n >= threshold - 5e-7.  Every prefix /
+# length / positional bound therefore ceils over (threshold - _CEIL_EPS):
+# a float-rounded-UP ceil of the bare product (e.g. ceil(0.28*25) = 8,
+# true ceil 7) would shorten a prefix and silently drop qualifying pairs.
+# Erring low only lengthens prefixes — exactness is preserved.
+_CEIL_EPS = 5e-7
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -237,7 +246,7 @@ def ngram_jaccard_pairs(
         .withColumn("__n", F.size("__ord"))
         .withColumn(
             "__plen",
-            F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1,
+            F.col("__n") - F.ceil(F.lit(threshold - _CEIL_EPS) * F.col("__n")).cast("int") + 1,
         )
     )
     # posexplode keeps each prefix token's position in the globally-ordered
@@ -256,8 +265,8 @@ def ngram_jaccard_pairs(
     # length filter in the join condition: Jaccard >= t forces t*|y| <= |x|
     matches = left.join(right, "__h").where(
         (F.col("id1") < F.col("id2"))
-        & (F.col("__n1") >= F.ceil(F.lit(threshold) * F.col("__n2")))
-        & (F.col("__n2") >= F.ceil(F.lit(threshold) * F.col("__n1")))
+        & (F.col("__n1") >= F.ceil(F.lit(threshold - _CEIL_EPS) * F.col("__n2")))
+        & (F.col("__n2") >= F.ceil(F.lit(threshold - _CEIL_EPS) * F.col("__n1")))
     )
     # positional filter: both arrays are sorted by the same global order,
     # so the earliest shared prefix token sits at (min i1, min i2); the
@@ -265,7 +274,9 @@ def ngram_jaccard_pairs(
     # >= t needs overlap >= ceil(t/(1+t) * (n1+n2)).  This is a pure
     # int aggregate over the match instances — the expensive array
     # intersect below only runs on the few survivors.
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (F.col("__n1") + F.col("__n2")))
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold) - _CEIL_EPS) * (F.col("__n1") + F.col("__n2"))
+    )
     cand = (
         matches.groupBy("id1", "id2")
         .agg(
@@ -2044,10 +2055,25 @@ def blocklist_hit_rate(
     score 0 and keep.
 
     The blocklist is a Column literal folded into the filter lambda —
-    broadcast-free, shuffle-free, codegen'd over the scan.
+    broadcast-free, shuffle-free, codegen'd over the scan.  Terms are
+    passed through the SAME normalization as the tokens (a raw
+    'Viagra' could otherwise never match the lowercased stream); a
+    term that normalizes to several tokens (or none) can't be an
+    exact-token match and is rejected rather than silently ignored.
     """
+    import re as _re
+
+    norm_terms = []
+    for x in terms:
+        t = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9]+", " ", str(x).lower())).strip()
+        if " " in t or not t:
+            raise ValueError(
+                f"blocklist term {x!r} normalizes to {t!r} — not a single "
+                "token; exact-token matching can never hit it"
+            )
+        norm_terms.append(t)
     toks = fn.tokenize(fn.normalize(F.col(text_col)))
-    hits = F.size(F.filter(toks, lambda t: t.isin([str(x) for x in terms])))
+    hits = F.size(F.filter(toks, lambda t: t.isin(norm_terms)))
     n = F.size(toks)
     rate = F.when(n > 0, F.round(hits.cast("double") / n.cast("double"), ndigits)).otherwise(
         F.lit(0.0)
@@ -2218,7 +2244,7 @@ def containment_pairs(
         .withColumn("__n", F.size("__ord"))
         .withColumn(
             "__plen",
-            F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1,
+            F.col("__n") - F.ceil(F.lit(threshold - _CEIL_EPS) * F.col("__n")).cast("int") + 1,
         )
     )
     pref = ranked.select(
@@ -2625,8 +2651,19 @@ def oversample(
         factor = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(factor)
     whole = F.floor(factor).cast("int")
     frac = factor - whole
+    # emit the gated extra candidate copy only when a fractional part
+    # exists — otherwise every integral-factor row (the 1.0 default,
+    # i.e. MOST of the corpus) would explode a doomed copy and hash it
+    n_copies = whole + (frac > 0).cast("int")
     out = df.withColumn(
-        "copy", F.explode(F.sequence(F.lit(1), whole + 1))
+        "copy",
+        # factor 0 -> zero copies; F.sequence(1, 0) would DESCEND, so
+        # the empty case must be an explicit empty array (drops the row)
+        F.explode(
+            F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ),
     )
     gate = (
         fn.md5_long(
@@ -2709,9 +2746,12 @@ def trim_duplicate_spans(
     Cross-doc only: a gram repeated inside ONE doc is boilerplate for
     :func:`repetition_stats`, not this op.
 
-    Returns (id, n_tokens, n_removed, text_clean) for every input doc —
+    Returns (id, n_tokens, n_removed, text_clean) per doc —
     ``text_clean`` is whitespace-normalized (the op tokenizes first);
-    docs shorter than ``n`` tokens have no grams and pass through whole.
+    docs shorter than ``n`` tokens have no grams and pass through whole,
+    but docs whose text tokenizes to NOTHING (empty/null) have no rows
+    to rebuild from and are absent — left-join the output back to the
+    id universe if empty docs must survive the rewrite.
 
     Scale posture: grams are hashed to bigints before any shuffle (gram
     text never crosses the wire); the duplicated-gram table is
@@ -3185,20 +3225,23 @@ def kn_bigram_logprob(
     ch = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__ch"))
     n1_fw = cb.groupBy("w1").agg(F.count(F.lit(1)).alias("__n1fw"))
     n1_bw = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("__n1bw"))
-    n_types = cb.count()
+    # type count stays in-plan as a broadcast one-row aggregate — an
+    # eager .count() here would run a full corpus pass at plan-BUILD time
+    n_types = cb.agg(F.count(F.lit(1)).cast("double").alias("__T"))
     d = F.lit(discount)
     lp = (
         bi.join(cb, ["w1", "w2"])
         .join(ch, "w1")
         .join(n1_fw, "w1")
         .join(n1_bw, "w2")
+        .crossJoin(F.broadcast(n_types))
         .select(
             F.col(id_col),
             "pos",
             F.log(
                 (
                     F.greatest(F.col("__cb") - d, F.lit(0.0))
-                    + d * F.col("__n1fw") * (F.col("__n1bw") / F.lit(float(n_types)))
+                    + d * F.col("__n1fw") * (F.col("__n1bw") / F.col("__T"))
                 )
                 / F.col("__ch")
             ).alias("__lp"),

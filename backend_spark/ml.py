@@ -231,14 +231,20 @@ def classifier_eval(
     ).localCheckpoint(eager=False)
     support = pairs.groupBy(F.col("__g").alias("label")).agg(F.sum("__n").alias("support"))
     pred_cnt = pairs.groupBy(F.col("__p").alias("label")).agg(F.sum("__n").alias("pred_cnt"))
+    # null-safe throughout: a null label is a legitimate label value
+    # (the diagnostic case the docstring promises), and plain `=` joins
+    # would split it into disconnected support/pred rows
     tp = (
-        pairs.where(F.col("__g") == F.col("__p"))
+        pairs.where(F.col("__g").eqNullSafe(F.col("__p")))
         .groupBy(F.col("__g").alias("label"))
         .agg(F.sum("__n").alias("tp"))
     )
+    pc = pred_cnt.withColumnRenamed("label", "__lp")
+    tpr = tp.withColumnRenamed("label", "__lt")
     base = (
-        support.join(pred_cnt, "label", "full_outer")
-        .join(tp, "label", "left")
+        support.join(pc, F.col("label").eqNullSafe(F.col("__lp")), "full_outer")
+        .withColumn("label", F.coalesce("label", "__lp"))
+        .join(tpr, F.col("label").eqNullSafe(F.col("__lt")), "left")
         .select(
             "label",
             F.coalesce("support", F.lit(0)).alias("support"),

@@ -296,10 +296,18 @@ def write_stream_upsert(
         touched = [r["__bucket"] for r in staged.select("__bucket").distinct().collect()]
         if not touched:
             return
+        # only a missing-state path means "first batch" — any OTHER read
+        # failure (transient storage error) must abort the batch, else the
+        # overwrite below would rewrite touched buckets from the batch
+        # alone and silently destroy their prior state
+        from pyspark.errors import AnalysisException
+
         try:
             state = spark.read.parquet(path).where(F.col("__bucket").isin(touched))
             merged = state.unionByName(staged)
-        except Exception:  # first batch: no state yet
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             merged = staged
         out = compact_latest(
             merged, [*keys, "__bucket"], ts_col, tiebreak_col=tiebreak_col

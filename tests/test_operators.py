@@ -730,3 +730,45 @@ def test_histogram_bins_and_empty_bins(spark):
     const = spark.createDataFrame([(5.0,)] * 3, "x double")
     crow = histogram(const, "x", bins=4).where(F.col("bin") == 0).collect()[0]
     assert crow.cnt == 3
+
+
+def test_winsorize_and_robust_scale_keep_null_groups(spark):
+    from backend_spark.features import robust_scale, winsorize
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), (None, 10.0), (None, 20.0), (None, 30.0)],
+        "grp string, x double",
+    )
+    w = winsorize(df, "x", lower=0.25, upper=0.75, group_col="grp")
+    assert w.count() == 6  # null group survives
+    assert w.where(F.col("grp").isNull()).count() == 3
+    r = robust_scale(df, "x", group_col="grp")
+    assert r.count() == 6
+    # null group scales against its own median (20), not g's
+    mid = {row.x: row.x_rs for row in r.where(F.col("grp").isNull()).collect()}
+    assert mid[20.0] == 0.0
+
+
+def test_blocklist_normalizes_terms_and_rejects_phrases(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame([(1, "buy ViAgRa now")], "doc_id long, text string")
+    out = llm.blocklist_hit_rate(df, "doc_id", "text", terms=["Viagra"]).collect()[0]
+    assert out.n_hits == 1 and not out.keep
+    with pytest.raises(ValueError):
+        llm.blocklist_hit_rate(df, "doc_id", "text", terms=["two words"])
+    with pytest.raises(ValueError):
+        llm.blocklist_hit_rate(df, "doc_id", "text", terms=["!!!"])
+
+
+def test_oversample_factor_zero_and_no_wasted_copy(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [(i, "keep") for i in range(10)] + [(100 + i, "drop") for i in range(5)],
+        "doc_id long, src string",
+    )
+    out = llm.oversample(df, "doc_id", "src", {"drop": 0.0, "keep": 2.0})
+    rows = out.collect()
+    assert all(r.src == "keep" for r in rows)
+    assert len(rows) == 20  # exactly 2x, nothing from the zero group

@@ -1108,3 +1108,19 @@ def test_recipe_dsir_bloom_winsorize_steps(spark):
     vals = sorted(r.vw for r in clip.collect())
     assert vals[0] == vals[1]  # lower tail clipped to p25
     assert vals[-1] == vals[-2]
+
+
+def test_classifier_eval_null_labels_single_row(spark):
+    from backend_spark.ml import classifier_eval
+
+    df = spark.createDataFrame(
+        [(None, None), (None, None), ("a", "a"), ("a", None)],
+        "gold string, pred string",
+    )
+    rows = {r.label: r for r in classifier_eval(df, "gold", "pred").collect()}
+    # null is ONE label with its own correct counts, not two broken rows
+    assert set(rows) == {None, "a"}
+    n = rows[None]
+    assert (n.support, n.pred_cnt, n.tp) == (2, 3, 2)
+    a = rows["a"]
+    assert (a.support, a.pred_cnt, a.tp) == (2, 1, 1)

@@ -371,3 +371,27 @@ def test_kcenter_matches_python_greedy(_spark, vecs):
         out.append((top[0], top[1]))
         sel.append(top[0])
     assert got == out, (vecs, got, out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(n_extra=st.integers(15, 24))
+def test_containment_prefix_survives_fp_hostile_threshold(_spark, n_extra):
+    # threshold*n where float ceil(0.28*25)=8 overstates the true ceil 7:
+    # a doc sharing exactly 7 of its 25 shingles with another must still
+    # be found at threshold 0.28 (7/25 = 0.28 >= t)
+    from backend_spark import llm
+
+    shared = [f"sh{i:02d}" for i in range(7)]
+    only_a = [f"aa{i:02d}" for i in range(18)]
+    only_b = [f"bb{i:02d}" for i in range(n_extra)]
+    df = _spark.createDataFrame(
+        [(1, " ".join(shared + only_a)), (2, " ".join(shared + only_b))],
+        "doc_id long, text string",
+    )
+    # 4-char tokens + 5-char shingle window => each token contributes
+    # its own shingles; use shingle_n=4 so each 4-char token IS one gram
+    got = {
+        (r.id1, r.id2)
+        for r in llm.containment_pairs(df, "doc_id", "text", shingle_n=4, threshold=0.28).collect()
+    }
+    assert (1, 2) in got, got
