@@ -2095,6 +2095,19 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_split_corpus(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return llm.split_corpus(docs, "doc_id")
+
+
+def _q_cms(spark, sf):
+    docs = load_table(spark, sf, "documents").select("text")
+    sketch = llm.count_min_sketch(docs, "text", width=1024, depth=3)
+    return llm.cms_query(
+        sketch, ["table", "spark", "value", "zzz"], width=1024, depth=3
+    )
+
+
 def _q_training_shards(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     path = tempfile.mkdtemp(prefix="sg_shards_") + "/out"
@@ -2529,6 +2542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": _q_k_anonymity,
         "snapshot_diff": _q_snapshot_diff,
         "training_shards": _q_training_shards,
+        "split_corpus": _q_split_corpus,
+        "cms": _q_cms,
         "pq_encode": _q_pq_encode,
         "retention": _q_retention,
         "histogram": _q_histogram,
@@ -3294,6 +3309,35 @@ def oracle_sql() -> dict[str, str]:
         "mmr": _sql_mmr(8, 0.7, 20),
         "pq_encode": _sql_pq(8, 16, 2),
         "ann_pq": _sql_ann_pq(8, 16, 2, 5),
+        # llm.split_corpus: hash-bucket split at integer millionths
+        "split_corpus": f"""
+            SELECT doc_id,
+                   CASE WHEN b < 980000 THEN 'train'
+                        WHEN b < 990000 THEN 'val'
+                        WHEN b < 1000000 THEN 'test' END AS split
+            FROM (SELECT doc_id,
+                         ({_SQL_H.format(x="'split:' || CAST(doc_id AS VARCHAR)")})
+                         % 1000000 AS b
+                  FROM documents)
+        """,
+        # llm.count_min_sketch + cms_query (width 1024, depth 3)
+        "cms": f"""
+            WITH toks AS (SELECT unnest(string_split_regex({norm_text}, '\\s+')) AS t
+                          FROM documents),
+            rs AS (SELECT unnest([0, 1, 2]) AS r),
+            cells AS (SELECT r,
+                             ({_SQL_H.format(x="CAST(r AS VARCHAR) || '#' || t")}) % 1024
+                               AS cell,
+                             count(*) AS cnt
+                      FROM toks CROSS JOIN rs GROUP BY 1, 2),
+            q AS (SELECT term, r,
+                         ({_SQL_H.format(x="CAST(r AS VARCHAR) || '#' || term")}) % 1024
+                           AS cell
+                  FROM (VALUES ('table'), ('spark'), ('value'), ('zzz')) t(term)
+                  CROSS JOIN rs)
+            SELECT term, min(coalesce(cnt, 0)) AS est
+            FROM q LEFT JOIN cells USING (r, cell) GROUP BY term
+        """,
         # llm.write_training_shards: manifest of the round-robin shards
         # over the deterministic md5 shuffle order (salt 'shuf')
         "training_shards": f"""

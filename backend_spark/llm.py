@@ -1591,6 +1591,111 @@ def shuffle_order(
     return assign_row_ids(hashed, ["__h", id_col], out_col=out_col).drop("__h")
 
 
+def split_corpus(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is
+    decided by ``md5_long(salt || id) mod 1e6`` against the cumulative
+    fraction boundaries — reproducible across engines and reruns,
+    stable under corpus growth (a doc's split never changes when other
+    docs arrive — the property a random split lacks and leakage audits
+    depend on), and re-drawable via ``salt``.
+
+    Fractions (default ``{'train': .98, 'val': .01, 'test': .01}``)
+    must sum to 1 within 1e-9; boundaries use integer millionths so
+    the split is exact arithmetic, no float comparison at the edge.
+    Pure Column projection over the scan — zero shuffle.
+    """
+    fracs = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.pmod(
+        fn.md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    cum = 0.0
+    expr = None
+    for name, frac in fracs.items():
+        cum += frac
+        hi = int(round(cum * 1_000_000))
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text_col: str,
+    width: int = 4096,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min frequency sketch over the normalized token stream
+    (Cormode & Muthukrishnan 2005): ``depth`` rows of ``width``
+    counters, token t increments cell ``(r, md5_long(r || t) mod
+    width)``; a point query reads the MIN over rows — an overestimate
+    bounded by ε·N with ε = e/width.  The frequency-side companion to
+    :func:`~backend_spark.scale.hll_distinct`: counter addition is
+    associative and the md5 cells are engine-exact, so the sketch is
+    MERGEABLE across corpus shards/snapshots (cell-wise sum) and fully
+    oracle-checkable — unlike order-dependent summaries (Misra-Gries /
+    SpaceSaving), which cannot be deterministic under Spark's
+    partitioning.
+
+    One keyed (row, cell) integer aggregate, output ≤ depth·width rows
+    regardless of corpus size.  Query with :func:`cms_query`.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"width and depth must be positive, got {width}, {depth}")
+    toks = df.select(
+        F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("__t")
+    )
+    cells = toks.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"), "__t"
+    ).select(
+        "r",
+        F.pmod(
+            fn.md5_long(F.concat_ws("#", F.col("r").cast("string"), F.col("__t"))),
+            F.lit(width),
+        ).alias("cell"),
+    )
+    return cells.groupBy("r", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    terms: list,
+    width: int = 4096,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query a :func:`count_min_sketch`: for each (normalized)
+    term, min over the depth rows of its cell counters — the
+    overestimate-only frequency estimate.  The terms side is a tiny
+    literal frame; the join is keyed on (row, cell) against the
+    bounded sketch.  Returns (term, est)."""
+    spark = sketch.sparkSession
+    trows = [(str(t),) for t in terms]
+    tdf = spark.createDataFrame(trows, "term string").select(
+        "term", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    ).select(
+        "term",
+        "r",
+        F.pmod(
+            fn.md5_long(F.concat_ws("#", F.col("r").cast("string"), F.col("term"))),
+            F.lit(width),
+        ).alias("cell"),
+    )
+    return (
+        tdf.join(sketch, ["r", "cell"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -1384,3 +1384,36 @@ def test_ann_pq_adc_approximates_exact_search(spark):
     assert got == sorted(got, key=lambda r: (r.adist, r.vec_id))
     with pytest.raises(ValueError):
         llm.ann_pq(df, "vec_id", "embedding", queries, "vec_id", m=3)
+
+
+def test_split_corpus_stable_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = llm.split_corpus(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 1600) < 100
+    # growth stability: a doc's split never changes when the corpus grows
+    small = {r.doc_id: r.split for r in llm.split_corpus(df.limit(100), "doc_id").collect()}
+    full = {r.doc_id: r.split for r in llm.split_corpus(df, "doc_id").collect()}
+    assert all(full[k] == v for k, v in small.items())
+    with pytest.raises(ValueError):
+        llm.split_corpus(df, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_count_min_sketch_overestimates_only_and_merges(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry")], "doc_id long, text string"
+    )
+    sk = llm.count_min_sketch(docs, "text", width=64, depth=3)
+    est = {r.term: r.est for r in llm.cms_query(sk, ["apple", "banana", "durian"], width=64, depth=3).collect()}
+    assert est["apple"] >= 3 and est["banana"] >= 1
+    assert est["durian"] >= 0  # never underestimates; may overestimate
+    # mergeability: sketch(A union B) == cellwise-sum of sketches
+    a, b = docs.where(F.col("doc_id") == 1), docs.where(F.col("doc_id") == 2)
+    sa = llm.count_min_sketch(a, "text", width=64, depth=3)
+    sb = llm.count_min_sketch(b, "text", width=64, depth=3)
+    merged = (
+        sa.unionByName(sb).groupBy("r", "cell").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.r, r.cell): r.cnt for r in sk.collect()}
+    assert {(r.r, r.cell): r.cnt for r in merged.collect()} == whole
