@@ -132,8 +132,9 @@ EXPECT = {
     # The one-row stats crossJoin lowers to a nested-loop broadcast —
     # scalar-sized by construction, so only CartesianProduct is banned
     "skew_report": (["TakeOrderedAndProject"], ["CartesianProduct", "SortMergeJoin"]),
-    # all KN counts are keyed joins/aggs on token ids; per-doc ordered fold
-    "kn_bigram": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # all KN counts are keyed joins/aggs on token ids; the in-plan type
+    # count is a one-row broadcast (scalar NLJ, like skew_report)
+    "kn_bigram": ([], ["CartesianProduct", "SortMergeJoin"]),
     # prefix-to-index equi-join + exact verify join — keyed throughout
     "containment": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # one percentile agg broadcast back; the data itself never shuffles
@@ -160,6 +161,10 @@ EXPECT = {
     "training_shards": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # pure regexp-chain projection over the scan
     "soundex": ([], ["Exchange", "CartesianProduct"]),
+    # pure hash-bucket projection — zero shuffle
+    "split_corpus": ([], ["Exchange", "CartesianProduct"]),
+    # one keyed (row, cell) integer agg; query join keyed on the cells
+    "cms": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
     # two tiny per-group stat aggs broadcast back; data never shuffles
     "robust_scale": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
     # one keyed shuffle+sort; the RANGE frame runs inside the window
