@@ -229,6 +229,164 @@ def write_elasticsearch(
         ) from e
 
 
+
+
+# -- REST Elasticsearch path (no jar; the reference itself talks plain
+# -- HTTP via the elasticsearch-py client, code/recipes.py:632-687) ----
+
+
+def _http_json(url: str, payload=None, method: str = "POST", retries: int = 3, backoff: float = 0.5):
+    """Minimal urllib JSON call with the reference's retry+backoff
+    (429/5xx retried, everything else raised).  Executor-safe: stdlib
+    only, no session state."""
+    import json as _json
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    body = None
+    headers = {"Content-Type": "application/json"}
+    if payload is not None:
+        if isinstance(payload, (bytes, str)):
+            body = payload.encode() if isinstance(payload, str) else payload
+            headers["Content-Type"] = "application/x-ndjson"
+        else:
+            body = _json.dumps(payload).encode()
+    last = None
+    for attempt in range(retries + 1):
+        req = urllib.request.Request(url, data=body, headers=headers, method=method)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return _json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            if e.code not in (429, 502, 503, 504) or attempt == retries:
+                raise
+            last = e
+            _time.sleep(backoff * (2 ** attempt))
+    raise last
+
+
+def write_es_rest(
+    df: DataFrame,
+    url: str,
+    index: str,
+    id_col: str | None = None,
+    batch: int = 500,
+    op: str = "index",
+    retries: int = 3,
+) -> None:
+    """Elasticsearch bulk write over plain REST — NO es-hadoop jar:
+    every partition POSTs its rows to ``/_bulk`` in ndjson batches from
+    the executor it lives on (``foreachPartition``), which is exactly
+    the write parallelism the jar connector provides and the transport
+    the reference uses (helpers.parallel_bulk over HTTP,
+    code/recipes.py:771-850).  ``op``: ``index`` (create/replace) or
+    ``update`` (doc-merge upsert).  Rows serialize via ``to_json`` on
+    the JVM side, so Python touches only ready-made strings.  Raises on
+    any item-level bulk error (fail-fast, like the reference's
+    ``raise_on_error``)."""
+    if op not in ("index", "update"):
+        raise ValueError(f"op must be index|update, got {op!r}")
+    cols = [c for c in df.columns if c != id_col] if id_col else df.columns
+    payload = df.select(
+        *( [F.col(id_col).cast("string").alias("__id")] if id_col else [] ),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("__doc"),
+    )
+    base = url.rstrip("/")
+
+    def _send(rows):
+        import itertools
+        import json as _json
+
+        it = iter(rows)
+        while True:
+            chunk = list(itertools.islice(it, batch))
+            if not chunk:
+                break
+            lines = []
+            for r in chunk:
+                action = {op: ({"_id": r["__id"]} if id_col else {})}
+                lines.append(_json.dumps(action))
+                lines.append(
+                    _json.dumps({"doc": _json.loads(r["__doc"]), "doc_as_upsert": True})
+                    if op == "update"
+                    else r["__doc"]
+                )
+            resp = _http_json(
+                f"{base}/{index}/_bulk", "\n".join(lines) + "\n", retries=retries
+            )
+            if resp.get("errors"):
+                bad = [
+                    i[op].get("error")
+                    for i in resp.get("items", [])
+                    if i.get(op, {}).get("error")
+                ][:3]
+                raise RuntimeError(f"elasticsearch bulk rejected items: {bad}")
+
+    payload.foreachPartition(_send)
+
+
+def read_es_rest(
+    spark: SparkSession,
+    url: str,
+    index: str,
+    schema,
+    query: dict | None = None,
+    n_slices: int = 4,
+    batch: int = 1000,
+    scroll: str = "2m",
+) -> DataFrame:
+    """Elasticsearch read over plain REST using SLICED SCROLL — the
+    index is split server-side into ``n_slices`` independent scroll
+    streams, one per Spark task, so the read parallelizes exactly like
+    the jar connector's shard-partitioned scan (set ``n_slices`` ≈
+    shard count).  ``schema`` declares the ``_source`` fields to keep
+    (plus ``_id string`` if listed) — explicit schema, no inference
+    pass.  The driver never touches document data; each task pages its
+    own slice with ``batch``-sized scroll requests."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if not isinstance(schema, StructType):
+        raise ValueError("schema must be a StructType or DDL string")
+    names = [f.name for f in schema.fields]
+    base = url.rstrip("/")
+    q = query or {"match_all": {}}
+
+    def _fetch(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            for sid in pdf["slice_id"]:
+                body = {"query": q, "size": batch}
+                if n_slices > 1:
+                    body["slice"] = {"id": int(sid), "max": n_slices}
+                resp = _http_json(f"{base}/{index}/_search?scroll={scroll}", body)
+                while True:
+                    hits = resp.get("hits", {}).get("hits", [])
+                    if not hits:
+                        break
+                    rows = []
+                    for h in hits:
+                        src = h.get("_source", {})
+                        rows.append(
+                            [h["_id"] if n == "_id" else src.get(n) for n in names]
+                        )
+                    yield pd.DataFrame(rows, columns=names)
+                    sc_id = resp.get("_scroll_id")
+                    if not sc_id:
+                        break
+                    resp = _http_json(
+                        f"{base}/_search/scroll", {"scroll": scroll, "scroll_id": sc_id}
+                    )
+
+    slices = spark.range(n_slices).select(F.col("id").cast("int").alias("slice_id")).repartition(n_slices)
+    return slices.mapInPandas(_fetch, schema=schema)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC read (reference `sql` connector, code/recipes.py:481-510).
     Partitioned reads via partitionColumn/lowerBound/upperBound/numPartitions

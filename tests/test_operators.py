@@ -772,3 +772,100 @@ def test_oversample_factor_zero_and_no_wasted_copy(spark):
     rows = out.collect()
     assert all(r.src == "keep" for r in rows)
     assert len(rows) == 20  # exactly 2x, nothing from the zero group
+
+
+class _FakeES:
+    """Minimal in-process Elasticsearch: _bulk, sliced scroll search."""
+
+    def __init__(self):
+        import http.server
+        import json
+        import threading
+
+        store = self.store = {}
+        scrolls = self.scrolls = {}
+        fail_once = self.fail_once = {"n": 0}
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                ln = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(ln).decode()
+                if fail_once["n"] > 0:
+                    fail_once["n"] -= 1
+                    return self._json(503, {"error": "throttled"})
+                if self.path.endswith("/_bulk"):
+                    lines = [json.loads(l) for l in raw.strip().split("\n")]
+                    items = []
+                    for i in range(0, len(lines), 2):
+                        action, doc = lines[i], lines[i + 1]
+                        op, meta = next(iter(action.items()))
+                        _id = meta.get("_id") or str(len(store))
+                        if op == "update":
+                            store.setdefault(_id, {}).update(doc["doc"])
+                        else:
+                            store[_id] = doc
+                        items.append({op: {"_id": _id, "status": 200}})
+                    return self._json(200, {"errors": False, "items": items})
+                if "/_search/scroll" in self.path:
+                    sid = json.loads(raw)["scroll_id"]
+                    ids, off, batch = scrolls[sid]
+                    page = ids[off : off + batch]
+                    scrolls[sid] = (ids, off + batch, batch)
+                    hits = [{"_id": i, "_source": store[i]} for i in page]
+                    return self._json(200, {"_scroll_id": sid, "hits": {"hits": hits}})
+                if "/_search" in self.path:
+                    body = json.loads(raw)
+                    sl = body.get("slice", {"id": 0, "max": 1})
+                    batch = body.get("size", 10)
+                    ids = sorted(
+                        i for i in store if int(i) % sl["max"] == sl["id"]
+                    )
+                    sid = f"sc{sl['id']}"
+                    scrolls[sid] = (ids, batch, batch)
+                    hits = [{"_id": i, "_source": store[i]} for i in ids[:batch]]
+                    return self._json(200, {"_scroll_id": sid, "hits": {"hits": hits}})
+                return self._json(404, {})
+
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self.httpd.server_port}"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+
+
+def test_es_rest_write_read_roundtrip_and_upsert(spark):
+    from backend_spark.sources import read_es_rest, write_es_rest
+
+    es = _FakeES()
+    try:
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(25)], "k long, v string"
+        ).repartition(4)
+        write_es_rest(df, es.url, "idx", id_col="k", batch=7)
+        assert len(es.store) == 25 and es.store["3"] == {"v": "v3"}
+        back = read_es_rest(
+            spark, es.url, "idx", "_id string, v string", n_slices=3, batch=4
+        )
+        rows = {r._id: r.v for r in back.collect()}
+        assert rows == {str(i): f"v{i}" for i in range(25)}
+        # update op merges into existing docs
+        upd = spark.createDataFrame([(3, "patched")], "k long, w string")
+        write_es_rest(upd, es.url, "idx", id_col="k", op="update")
+        assert es.store["3"] == {"v": "v3", "w": "patched"}
+        # transient 503s are retried, not fatal
+        es.fail_once["n"] = 1
+        write_es_rest(upd, es.url, "idx", id_col="k", op="update")
+    finally:
+        es.close()
