@@ -529,3 +529,117 @@ def read_sql_query(
     if expert:
         df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
     return df
+
+
+def read_sql_local(
+    spark: SparkSession,
+    db_path: str,
+    query: str,
+    schema,
+    partition_column: str | None = None,
+    lower=None,
+    upper=None,
+    num_partitions: int = 4,
+) -> DataFrame:
+    """Partitioned read from an embedded SQL database file (DuckDB) —
+    the no-driver-jar counterpart of :func:`read_jdbc` with the SAME
+    partitioned-scan contract: given ``partition_column`` +
+    ``lower``/``upper`` bounds, the query splits into
+    ``num_partitions`` half-open range slices and every Spark task
+    opens the file read-only and fetches only its slice — genuinely
+    parallel, nothing streams through the driver.  Without a partition
+    column the whole query runs in one task (same degradation as
+    JDBC).  ``schema`` is explicit (DDL string or StructType), the
+    :func:`read_es_rest` philosophy: no inference pass.
+
+    The reference's `sql` connector is served three ways now: jar JDBC
+    (`read_jdbc`), whole-query pushdown (`read_sql_query`), and this
+    embedded path that needs nothing but the file.
+    """
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if not isinstance(schema, StructType):
+        raise ValueError("schema must be a StructType or DDL string")
+    names = [f.name for f in schema.fields]
+
+    if partition_column is None:
+        bounds = [(None, None)]
+    else:
+        if lower is None or upper is None:
+            raise ValueError("partition_column needs lower and upper bounds")
+        lo, hi = float(lower), float(upper)
+        step = (hi - lo) / num_partitions
+        bounds = [
+            (lo + i * step, (lo + (i + 1) * step) if i < num_partitions - 1 else None)
+            for i in range(num_partitions)
+        ]
+        # first/last slices are unbounded so out-of-range rows are kept,
+        # matching Spark's JDBC partitioning semantics
+        bounds[0] = (None, bounds[0][1])
+
+    bdf = spark.createDataFrame(
+        [(i, b[0], b[1]) for i, b in enumerate(bounds)],
+        "part int, lo double, hi double",
+    ).repartition(len(bounds), "part")
+
+    def _fetch(iterator):
+        import duckdb
+
+        for pdf in iterator:
+            for _, row in pdf.iterrows():
+                con = duckdb.connect(db_path, read_only=True)
+                try:
+                    preds = []
+                    if row["lo"] is not None and not (row["lo"] != row["lo"]):
+                        preds.append(f"{partition_column} >= {row['lo']!r}")
+                    if row["hi"] is not None and not (row["hi"] != row["hi"]):
+                        preds.append(f"{partition_column} < {row['hi']!r}")
+                    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+                    out = con.execute(
+                        f"SELECT * FROM ({query}) __q{where}"
+                    ).df()
+                finally:
+                    con.close()
+                yield out[names]
+
+    return bdf.mapInPandas(_fetch, schema=schema)
+
+
+def write_sql_local(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    mode: str = "overwrite",
+) -> None:
+    """Load a DataFrame into an embedded SQL database (DuckDB):
+    executors write the data as parquet (the distributed heavy
+    lifting), then ONE driver-side ``INSERT ... FROM read_parquet``
+    bulk-loads the staged files — the standard load path for
+    single-writer embedded warehouses, where per-partition INSERTs
+    would serialize on the writer lock anyway.  ``mode``:
+    overwrite | append."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    stage = tempfile.mkdtemp(prefix="sg_sqlw_")
+    try:
+        df.write.mode("overwrite").parquet(stage)
+        con = duckdb.connect(db_path)
+        try:
+            src = f"SELECT * FROM read_parquet('{stage}/*.parquet')"
+            if mode == "overwrite":
+                con.execute(f"CREATE OR REPLACE TABLE {table} AS {src}")
+            else:
+                con.execute(f"INSERT INTO {table} {src}")
+        finally:
+            con.close()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -869,3 +869,33 @@ def test_es_rest_write_read_roundtrip_and_upsert(spark):
         write_es_rest(upd, es.url, "idx", id_col="k", op="update")
     finally:
         es.close()
+
+
+def test_sql_local_partitioned_roundtrip(spark, tmp_path):
+    import duckdb
+
+    from backend_spark.sources import read_sql_local, write_sql_local
+
+    db = str(tmp_path / "wh.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT i AS k, 'r' || i AS v FROM range(0, 100) r(i)")
+    con.close()
+    # partitioned parallel read covers all rows exactly once
+    got = read_sql_local(
+        spark, db, "SELECT k, v FROM t", "k long, v string",
+        partition_column="k", lower=0, upper=100, num_partitions=3,
+    )
+    rows = {r.k: r.v for r in got.collect()}
+    assert rows == {i: f"r{i}" for i in range(100)}
+    # unpartitioned single-slice read
+    one = read_sql_local(spark, db, "SELECT k FROM t WHERE k < 5", "k long")
+    assert sorted(r.k for r in one.collect()) == [0, 1, 2, 3, 4]
+    # write back: executors stage parquet, one bulk INSERT loads it
+    write_sql_local(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), db, "loaded")
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*) FROM loaded").fetchone()[0] == 2
+    con.close()
+    write_sql_local(spark.createDataFrame([(3, "c")], "k long, v string"), db, "loaded", mode="append")
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*) FROM loaded").fetchone()[0] == 3
+    con.close()
