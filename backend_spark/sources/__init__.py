@@ -643,3 +643,99 @@ def write_sql_local(
             con.close()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def join_es_msearch(
+    df: DataFrame,
+    url: str,
+    index: str,
+    query_template: dict,
+    k: int = 10,
+    batch: int = 100,
+    retries: int = 3,
+) -> DataFrame:
+    """The reference's Elasticsearch join, operational-parity path
+    (code/recipes.py:2265-2370): for every row, substitute the row's
+    values into a declared query template (``{column}`` placeholders in
+    string leaves — reference ``replace_dict``, tools.py:90-98),
+    ``_msearch`` them in ``batch``-sized bulks against a live cluster
+    over REST, and attach the top-``k`` hit bucket plus the
+    reference's bookkeeping columns: ``hits`` (JSON array of
+    ``{_id, _score, _source}``), ``matchid_hit_matches_unfiltered``
+    (total match count) and ``hit_max_score``.  Explosion to rows then
+    composes with the existing ``unfold``/``unnest`` operators, same
+    as the reference pipeline — and the pure-Spark correctness twin of
+    this op is ``operators.join_topk``.
+
+    Scale: mapInPandas, so each PARTITION talks to ES from its own
+    executor in ``batch``-bulk msearches (the reference's
+    chunk_search), with the REST retry/backoff; no driver funnel.
+    """
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    base = url.rstrip("/")
+    in_schema = df.schema
+    # copy the field list — StructType keeps the given list by reference
+    # and .add() appends in place, which would mutate df's own schema
+    out_schema = StructType(list(in_schema.fields)).add("hits", "string").add(
+        "matchid_hit_matches_unfiltered", "long"
+    ).add("hit_max_score", "double")
+    in_names = [f.name for f in in_schema.fields]
+    tmpl = _json.dumps(query_template)
+
+    def _sub(template: dict, row) -> dict:
+        def walk(node):
+            if isinstance(node, dict):
+                return {kk: walk(vv) for kk, vv in node.items()}
+            if isinstance(node, list):
+                return [walk(x) for x in node]
+            if isinstance(node, str):
+                out = node
+                for name in in_names:
+                    ph = "{" + name + "}"
+                    if ph in out:
+                        out = out.replace(ph, str(row[name]))
+                return out
+            return node
+
+        return walk(_json.loads(tmpl))
+
+    def _search(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            for off in range(0, len(pdf), batch):
+                part = pdf.iloc[off : off + batch]
+                lines = []
+                for _, row in part.iterrows():
+                    lines.append(_json.dumps({"index": index}))
+                    lines.append(_json.dumps({"query": _sub(query_template, row), "size": k}))
+                resp = _http_json(
+                    f"{base}/_msearch", "\n".join(lines) + "\n", retries=retries
+                )
+                buckets, counts, maxes = [], [], []
+                for r in resp["responses"]:
+                    hits = r.get("hits", {})
+                    hl = hits.get("hits", [])
+                    total = hits.get("total", {})
+                    total_n = total.get("value") if isinstance(total, dict) else total
+                    buckets.append(
+                        _json.dumps(
+                            [
+                                {"_id": h["_id"], "_score": h.get("_score"),
+                                 "_source": h.get("_source", {})}
+                                for h in hl
+                            ]
+                        )
+                    )
+                    counts.append(int(total_n if total_n is not None else len(hl)))
+                    maxes.append(max((h.get("_score") or 0.0 for h in hl), default=None))
+                out = part.copy()
+                out["hits"] = buckets
+                out["matchid_hit_matches_unfiltered"] = counts
+                out["hit_max_score"] = pd.array(maxes, dtype="float64")
+                yield out
+
+    return df.mapInPandas(_search, schema=out_schema)

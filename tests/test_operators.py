@@ -899,3 +899,63 @@ def test_sql_local_partitioned_roundtrip(spark, tmp_path):
     con = duckdb.connect(db, read_only=True)
     assert con.execute("SELECT count(*) FROM loaded").fetchone()[0] == 3
     con.close()
+
+
+def test_join_es_msearch_attaches_topk_buckets(spark):
+    import json
+
+    from backend_spark.sources import join_es_msearch, write_es_rest
+
+    es = _FakeES()
+    # extend the fake with _msearch: exact match on a single field
+    store = es.store
+
+    def msearch(raw):
+        lines = [json.loads(l) for l in raw.strip().split("\n")]
+        responses = []
+        for i in range(0, len(lines), 2):
+            body = lines[i + 1]
+            (field, value), = body["query"]["match"].items()
+            hl = [
+                {"_id": _id, "_score": 1.0, "_source": doc}
+                for _id, doc in sorted(store.items())
+                if str(doc.get(field)) == str(value)
+            ][: body.get("size", 10)]
+            responses.append(
+                {"hits": {"hits": hl, "total": {"value": len(hl)}}}
+            )
+        return {"responses": responses}
+
+    es.msearch = msearch
+    # patch the handler: route /_msearch through the hook above
+    orig_post = type(es.httpd.RequestHandlerClass).__call__  # noqa: F841
+
+    import http.server
+
+    class H2(es.httpd.RequestHandlerClass):
+        def do_POST(self):
+            if self.path.endswith("/_msearch"):
+                ln = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(ln).decode()
+                return self._json(200, msearch(raw))
+            return super().do_POST()
+
+    es.httpd.RequestHandlerClass = H2
+    try:
+        ref = spark.createDataFrame(
+            [(i, f"name{i % 3}", i * 10) for i in range(6)], "k long, name string, score long"
+        )
+        write_es_rest(ref, es.url, "people", id_col="k")
+        left = spark.createDataFrame([(1, "name0"), (2, "zzz")], "qid long, name string")
+        out = join_es_msearch(
+            left, es.url, "people", {"match": {"name": "{name}"}}, k=5
+        )
+        rows = {r.qid: r for r in out.collect()}
+        got = json.loads(rows[1].hits)
+        assert {h["_id"] for h in got} == {"0", "3"}  # name0 docs
+        assert rows[1].matchid_hit_matches_unfiltered == 2
+        assert rows[1].hit_max_score == 1.0
+        assert json.loads(rows[2].hits) == [] and rows[2].hit_max_score is None
+        # composes with op_unnest-style downstream: hits is plain JSON
+    finally:
+        es.close()
