@@ -2095,6 +2095,14 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_ngram_novelty(spark, sf):
+    # duplicate the corpus at shifted ids: originals keep their novelty,
+    # every clone scores 0 — both regimes exercised
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    clones = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return llm.ngram_novelty(docs.unionByName(clones), "doc_id", "text", n=5)
+
+
 def _q_split_corpus(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id")
     return llm.split_corpus(docs, "doc_id")
@@ -2544,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": _q_training_shards,
         "split_corpus": _q_split_corpus,
         "cms": _q_cms,
+        "ngram_novelty": _q_ngram_novelty,
         "pq_encode": _q_pq_encode,
         "retention": _q_retention,
         "histogram": _q_histogram,
@@ -3309,6 +3318,24 @@ def oracle_sql() -> dict[str, str]:
         "mmr": _sql_mmr(8, 0.7, 20),
         "pq_encode": _sql_pq(8, 16, 2),
         "ann_pq": _sql_ann_pq(8, 16, 2, 5),
+        # llm.ngram_novelty: min-owner first-occurrence fraction, n=5
+        "ngram_novelty": f"""
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, text FROM documents
+            ),
+            tok AS (SELECT doc_id, string_split_regex({norm_text}, '\\s+') AS toks
+                    FROM all_docs),
+            g AS (SELECT doc_id, unnest(list_distinct({wgrams.format(n=5, m=4)})) AS gram
+                  FROM tok),
+            gh AS (SELECT doc_id, {_SQL_H.format(x='gram')} AS h FROM g),
+            fo AS (SELECT h, min(doc_id) AS first FROM gh GROUP BY h)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   round(CAST(sum(CASE WHEN doc_id = first THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS novel_frac
+            FROM gh JOIN fo USING (h) GROUP BY doc_id
+        """,
         # llm.split_corpus: hash-bucket split at integer millionths
         "split_corpus": f"""
             SELECT doc_id,

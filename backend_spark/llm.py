@@ -2098,6 +2098,49 @@ def dup_ngram_fraction(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """First-occurrence novelty: per doc, the fraction of its distinct
+    word ``n``-grams whose FIRST corpus occurrence (min doc id) is this
+    doc — "how much genuinely new material does each doc add", the
+    ordered complement of :func:`dup_ngram_fraction` (which is
+    order-blind) and the signal crawl-frontier/curriculum schedulers
+    rank on.  A re-crawled page scores ~0; the original scores high.
+
+    Same shuffle shape as dup_ngram_fraction: grams hash to bigints
+    before any shuffle, one gram-keyed min-owner aggregate (map-side
+    combined), one join back, one per-doc ratio.  Docs with fewer than
+    ``n`` tokens have no grams and are absent.  Returns
+    (id, n_grams, novel_frac).
+    """
+    staged = df.select(
+        F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__t")
+    )
+    grams = staged.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams_from_tokens(F.col("__t"), n))).alias("__g"),
+    ).select(F.col(id_col), fn.md5_long(F.col("__g")).alias("__h"))
+    first = grams.groupBy("__h").agg(F.min(F.col(id_col)).alias("__first"))
+    return (
+        grams.join(first, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col(id_col) == F.col("__first")).cast("long")).alias("__nov"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.round(F.col("__nov") / F.col("n_grams"), ndigits).alias("novel_frac"),
+        )
+    )
+
+
 def c4_line_filter(
     df: DataFrame,
     id_col: str,

