@@ -2095,6 +2095,24 @@ def _q_stream_join(spark, sf):
     )
 
 
+def _q_geo_join(spark, sf):
+    from backend_spark.operators.joins import geo_join
+
+    # deterministic synthetic coordinates: suppliers are planted ~7 km
+    # from their anchor customer (key*15), so a 25 km radius matches
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        (F.lit(-60.0) + (F.col("c_custkey") % 120) * 0.937).alias("lat"),
+        (F.lit(-170.0) + ((F.col("c_custkey") * 7) % 340) * 0.991).alias("lon"),
+    )
+    supp = load_table(spark, sf, "supplier").select(
+        "s_suppkey",
+        (F.lit(-60.0) + ((F.col("s_suppkey") * 15) % 120) * 0.937 + 0.05).alias("lat"),
+        (F.lit(-170.0) + (((F.col("s_suppkey") * 15) * 7) % 340) * 0.991 + 0.05).alias("lon"),
+    )
+    return geo_join(cust, supp, 25.0, "c_custkey", "s_suppkey")
+
+
 def _q_ngram_novelty(spark, sf):
     # duplicate the corpus at shifted ids: originals keep their novelty,
     # every clone scores 0 — both regimes exercised
@@ -2553,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": _q_split_corpus,
         "cms": _q_cms,
         "ngram_novelty": _q_ngram_novelty,
+        "geo_join": _q_geo_join,
         "pq_encode": _q_pq_encode,
         "retention": _q_retention,
         "histogram": _q_histogram,
@@ -3318,6 +3337,26 @@ def oracle_sql() -> dict[str, str]:
         "mmr": _sql_mmr(8, 0.7, 20),
         "pq_encode": _sql_pq(8, 16, 2),
         "ann_pq": _sql_ann_pq(8, 16, 2, 5),
+        # joins.geo_join: exact brute-force haversine radius join over
+        # the same synthetic coordinates (blocking must lose nothing)
+        "geo_join": """
+            WITH c AS (SELECT c_custkey,
+                              -60.0 + (c_custkey % 120) * 0.937 AS la,
+                              -170.0 + ((c_custkey * 7) % 340) * 0.991 AS lo
+                       FROM customer),
+            s AS (SELECT s_suppkey,
+                         -60.0 + ((s_suppkey * 15) % 120) * 0.937 + 0.05 AS la,
+                         -170.0 + (((s_suppkey * 15) * 7) % 340) * 0.991 + 0.05 AS lo
+                  FROM supplier),
+            d AS (SELECT c_custkey, s_suppkey,
+                         round(2.0 * 6371.0088 * asin(sqrt(
+                             sin(radians(s.la - c.la) / 2) * sin(radians(s.la - c.la) / 2)
+                             + cos(radians(c.la)) * cos(radians(s.la))
+                               * sin(radians(s.lo - c.lo) / 2)
+                               * sin(radians(s.lo - c.lo) / 2))), 1) AS dist_km
+                  FROM c CROSS JOIN s)
+            SELECT c_custkey, s_suppkey, dist_km FROM d WHERE dist_km <= 25.0
+        """,
         # llm.ngram_novelty: min-owner first-occurrence fraction, n=5
         "ngram_novelty": f"""
             WITH all_docs AS (

@@ -225,6 +225,78 @@ def join_fuzzy(
     return join_strict(out, ref, all_strict, select=select)
 
 
+def geo_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    left_id: str,
+    right_id: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    ndigits_km: int = 1,
+) -> DataFrame:
+    """Radius join on coordinates — the geo-blocking counterpart of the
+    fuzzy text joins (the reference scores geo distance in its scoring
+    library, code/tools.py:65-78; this is the JOIN that produces those
+    candidate pairs at scale).  Exact within its stated domain: every
+    (left, right) pair with haversine ≤ ``radius_km`` and |lat| ≤ 85°
+    is returned (poles excluded — lon cells degenerate there).
+
+    Blocking: both sides quantize into square cells of
+    ``radius/111.195 km`` degrees (one LATITUDE cell always covers the
+    radius); the left side explodes to its 3×(2k+1) neighbor cells
+    where k = ceil(sec(lat_bound)) is the latitude-dependent LONGITUDE
+    span — lon degrees shrink by cos(lat), so a fixed ±1 would miss
+    matches beyond ~60°.  Lon cell ids wrap at the antimeridian
+    (pmod), so candidates survive the ±180° seam.  The join is a plain
+    (lat_cell, lon_cell) equi-join — shuffle-keyed blocking, no cross
+    product — followed by the exact haversine verify (rounded to
+    ``ndigits_km``, the scoring library's precision).  Returns
+    (left_id, right_id, dist_km).
+    """
+    from backend_spark import functions as fn
+
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive, got {radius_km}")
+    deg = radius_km / 111.1949  # km per degree of latitude
+    n_lon = int(360.0 / deg) + 1
+
+    def _cells(df, idc, explode_neighbors):
+        latq = F.floor((F.col(lat_col) + 90.0) / F.lit(deg)).cast("long")
+        lonq = F.floor((F.col(lon_col) + 180.0) / F.lit(deg)).cast("long")
+        base = df.select(
+            F.col(idc), F.col(lat_col).alias("__la"), F.col(lon_col).alias("__lo"),
+            latq.alias("__latq"), lonq.alias("__lonq"),
+        )
+        if not explode_neighbors:
+            return base.withColumn("__lonq", F.pmod(F.col("__lonq"), F.lit(n_lon)))
+        lat_bound = F.least(F.abs(F.col("__la")) + F.lit(2.0 * deg), F.lit(85.0))
+        k = F.ceil(F.lit(1.0) / F.cos(F.radians(lat_bound))).cast("int")
+        return (
+            base.withColumn("__dla", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .withColumn("__dlo", F.explode(F.sequence(-k, k)))
+            .select(
+                F.col(idc), "__la", "__lo",
+                (F.col("__latq") + F.col("__dla")).alias("__latq"),
+                F.pmod(F.col("__lonq") + F.col("__dlo"), F.lit(n_lon)).alias("__lonq"),
+            )
+        )
+
+    lc = _cells(left, left_id, explode_neighbors=True)
+    rc = _cells(right, right_id, explode_neighbors=False)
+    cand = lc.join(
+        rc.withColumnRenamed("__la", "__ra").withColumnRenamed("__lo", "__ro"),
+        ["__latq", "__lonq"],
+    )
+    dist = fn.haversine_km(F.col("__la"), F.col("__lo"), F.col("__ra"), F.col("__ro"))
+    return (
+        cand.withColumn("dist_km", F.round(dist, ndigits_km))
+        .where(F.col("dist_km") <= radius_km)
+        .select(left_id, right_id, "dist_km")
+        .distinct()
+    )
+
+
 def join_topk(
     df: DataFrame,
     ref: DataFrame,

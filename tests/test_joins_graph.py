@@ -1441,3 +1441,35 @@ def test_ngram_novelty_orders_originals_before_clones(spark):
             "doc_id", "text", n=5,
         ).collect()
     } or True
+
+
+def test_geo_join_radius_seam_and_high_latitude(spark):
+    from backend_spark.operators.joins import geo_join
+
+    # Paris / nearby Versailles / London / antimeridian pair / 70°N pair
+    left = spark.createDataFrame(
+        [
+            (1, 48.8566, 2.3522),     # Paris
+            (4, 0.0, 179.95),         # west of the date line
+            (6, 70.0, 20.0),          # high latitude
+        ],
+        "lid long, lat double, lon double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 48.8049, 2.1204),    # Versailles (~18 km from Paris)
+            (11, 51.5074, -0.1278),   # London (~340 km)
+            (12, 0.0, -179.95),       # east of the date line (~22 km)
+            (13, 70.0, 20.55),        # ~21 km east at 70°N (lon shrinks)
+        ],
+        "rid long, lat double, lon double",
+    )
+    got = {(r.lid, r.rid): r.dist_km for r in geo_join(left, right, 25.0, "lid", "rid").collect()}
+    assert (1, 10) in got and 15 < got[(1, 10)] < 25
+    assert (4, 12) in got  # blocking survives the ±180° seam
+    assert (6, 13) in got  # lon-neighbor span widens with latitude
+    assert all(rid != 11 for (_, rid) in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        geo_join(left, right, 0, "lid", "rid")
