@@ -165,6 +165,10 @@ EXPECT = {
     "split_corpus": ([], ["Exchange", "CartesianProduct"]),
     # one keyed (row, cell) integer agg; query join keyed on the cells
     "cms": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # min-owner agg + gram-keyed join back, the dup_ngrams shape
+    "ngram_novelty": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # (lat_cell, lon_cell) equi-join blocking — never a cross product
+    "geo_join": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # two tiny per-group stat aggs broadcast back; data never shuffles
     "robust_scale": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
     # one keyed shuffle+sort; the RANGE frame runs inside the window
