@@ -1679,13 +1679,18 @@ def cms_query(
     bounded sketch.  Returns (term, est)."""
     spark = sketch.sparkSession
     trows = [(str(t),) for t in terms]
+    # hash the NORMALIZED term — the sketch stores normalized tokens, so
+    # a raw 'Apple' would otherwise probe foreign cells and silently
+    # underestimate (breaking the overestimate-only contract)
     tdf = spark.createDataFrame(trows, "term string").select(
         "term", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
     ).select(
         "term",
         "r",
         F.pmod(
-            fn.md5_long(F.concat_ws("#", F.col("r").cast("string"), F.col("term"))),
+            fn.md5_long(
+                F.concat_ws("#", F.col("r").cast("string"), fn.normalize(F.col("term")))
+            ),
             F.lit(width),
         ).alias("cell"),
     )

@@ -259,11 +259,17 @@ def geo_join(
     if radius_km <= 0:
         raise ValueError(f"radius_km must be positive, got {radius_km}")
     deg = radius_km / 111.1949  # km per degree of latitude
-    n_lon = int(360.0 / deg) + 1
+    # UNIFORM longitude grid: n_lon equal cells of exactly 360/n_lon
+    # degrees (each >= deg).  A grid of deg-width cells would leave a
+    # fractional last cell at the antimeridian, where circular cell-id
+    # distance understates physical distance and the neighbor span
+    # comes up one cell short (seam pairs silently dropped).
+    n_lon = max(1, int(360.0 / deg))
+    lon_deg = 360.0 / n_lon
 
     def _cells(df, idc, explode_neighbors):
         latq = F.floor((F.col(lat_col) + 90.0) / F.lit(deg)).cast("long")
-        lonq = F.floor((F.col(lon_col) + 180.0) / F.lit(deg)).cast("long")
+        lonq = F.floor((F.col(lon_col) + 180.0) / F.lit(lon_deg)).cast("long")
         base = df.select(
             F.col(idc), F.col(lat_col).alias("__la"), F.col(lon_col).alias("__lo"),
             latq.alias("__latq"), lonq.alias("__lonq"),
@@ -271,7 +277,12 @@ def geo_join(
         if not explode_neighbors:
             return base.withColumn("__lonq", F.pmod(F.col("__lonq"), F.lit(n_lon)))
         lat_bound = F.least(F.abs(F.col("__la")) + F.lit(2.0 * deg), F.lit(85.0))
-        k = F.ceil(F.lit(1.0) / F.cos(F.radians(lat_bound))).cast("int")
+        # lon radius in degrees = deg·sec(lat); span in (wider) lon
+        # cells, +1 as ulp insurance on the near-integral ceil corner
+        k = (
+            F.ceil(F.lit(deg / lon_deg) / F.cos(F.radians(lat_bound))).cast("int")
+            + F.lit(1)
+        )
         return (
             base.withColumn("__dla", F.explode(F.sequence(F.lit(-1), F.lit(1))))
             .withColumn("__dlo", F.explode(F.sequence(-k, k)))

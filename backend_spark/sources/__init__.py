@@ -231,6 +231,21 @@ def write_elasticsearch(
 
 
 
+def _coerce_schema(schema):
+    """DDL string or StructType -> StructType (shared by the REST ES and
+    embedded-SQL readers)."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if not isinstance(schema, StructType):
+        raise ValueError("schema must be a StructType or DDL string")
+    return schema
+
+
+
 # -- REST Elasticsearch path (no jar; the reference itself talks plain
 # -- HTTP via the elasticsearch-py client, code/recipes.py:632-687) ----
 
@@ -287,11 +302,21 @@ def write_es_rest(
     ``raise_on_error``)."""
     if op not in ("index", "update"):
         raise ValueError(f"op must be index|update, got {op!r}")
-    cols = [c for c in df.columns if c != id_col] if id_col else df.columns
-    payload = df.select(
-        *( [F.col(id_col).cast("string").alias("__id")] if id_col else [] ),
-        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("__doc"),
-    )
+    if id_col is None:
+        # deterministic row-hash ids (the prepare_es_write idempotency
+        # rule): a 5xx retry or a Spark task retry then overwrites the
+        # same _id instead of duplicating under ES auto-ids
+        cols = df.columns
+        payload = df.select(
+            F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256).alias("__id"),
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("__doc"),
+        )
+    else:
+        cols = [c for c in df.columns if c != id_col]
+        payload = df.select(
+            F.col(id_col).cast("string").alias("__id"),
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("__doc"),
+        )
     base = url.rstrip("/")
 
     def _send(rows):
@@ -305,7 +330,7 @@ def write_es_rest(
                 break
             lines = []
             for r in chunk:
-                action = {op: ({"_id": r["__id"]} if id_col else {})}
+                action = {op: {"_id": r["__id"]}}
                 lines.append(_json.dumps(action))
                 lines.append(
                     _json.dumps({"doc": _json.loads(r["__doc"]), "doc_as_upsert": True})
@@ -344,14 +369,7 @@ def read_es_rest(
     (plus ``_id string`` if listed) — explicit schema, no inference
     pass.  The driver never touches document data; each task pages its
     own slice with ``batch``-sized scroll requests."""
-    from pyspark.sql.types import StructType
-
-    if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
-    if not isinstance(schema, StructType):
-        raise ValueError("schema must be a StructType or DDL string")
+    schema = _coerce_schema(schema)
     names = [f.name for f in schema.fields]
     base = url.rstrip("/")
     q = query or {"match_all": {}}
@@ -365,23 +383,37 @@ def read_es_rest(
                 if n_slices > 1:
                     body["slice"] = {"id": int(sid), "max": n_slices}
                 resp = _http_json(f"{base}/{index}/_search?scroll={scroll}", body)
-                while True:
-                    hits = resp.get("hits", {}).get("hits", [])
-                    if not hits:
-                        break
-                    rows = []
-                    for h in hits:
-                        src = h.get("_source", {})
-                        rows.append(
-                            [h["_id"] if n == "_id" else src.get(n) for n in names]
+                sc_id = None
+                try:
+                    while True:
+                        hits = resp.get("hits", {}).get("hits", [])
+                        if not hits:
+                            break
+                        rows = []
+                        for h in hits:
+                            doc = h.get("_source", {})
+                            rows.append(
+                                [h["_id"] if n == "_id" else doc.get(n) for n in names]
+                            )
+                        yield pd.DataFrame(rows, columns=names)
+                        sc_id = resp.get("_scroll_id")
+                        if not sc_id:
+                            break
+                        resp = _http_json(
+                            f"{base}/_search/scroll", {"scroll": scroll, "scroll_id": sc_id}
                         )
-                    yield pd.DataFrame(rows, columns=names)
-                    sc_id = resp.get("_scroll_id")
-                    if not sc_id:
-                        break
-                    resp = _http_json(
-                        f"{base}/_search/scroll", {"scroll": scroll, "scroll_id": sc_id}
-                    )
+                finally:
+                    # free the server-side scroll context — they pin index
+                    # segments until timeout and cap out on busy clusters
+                    if sc_id:
+                        try:
+                            _http_json(
+                                f"{base}/_search/scroll",
+                                {"scroll_id": sc_id},
+                                method="DELETE",
+                            )
+                        except Exception:
+                            pass
 
     slices = spark.range(n_slices).select(F.col("id").cast("int").alias("slice_id")).repartition(n_slices)
     return slices.mapInPandas(_fetch, schema=schema)
@@ -556,14 +588,7 @@ def read_sql_local(
     (`read_jdbc`), whole-query pushdown (`read_sql_query`), and this
     embedded path that needs nothing but the file.
     """
-    from pyspark.sql.types import StructType
-
-    if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
-
-        schema = _parse_datatype_string(schema)
-    if not isinstance(schema, StructType):
-        raise ValueError("schema must be a StructType or DDL string")
+    schema = _coerce_schema(schema)
     names = [f.name for f in schema.fields]
 
     if partition_column is None:
@@ -594,10 +619,13 @@ def read_sql_local(
                 con = duckdb.connect(db_path, read_only=True)
                 try:
                     preds = []
+                    # float() both bounds: pandas hands back numpy
+                    # scalars whose repr (numpy>=2: "np.float64(..)")
+                    # is not SQL
                     if row["lo"] is not None and not (row["lo"] != row["lo"]):
-                        preds.append(f"{partition_column} >= {row['lo']!r}")
+                        preds.append(f"{partition_column} >= {float(row['lo'])!r}")
                     if row["hi"] is not None and not (row["hi"] != row["hi"]):
-                        preds.append(f"{partition_column} < {row['hi']!r}")
+                        preds.append(f"{partition_column} < {float(row['hi'])!r}")
                     where = f" WHERE {' AND '.join(preds)}" if preds else ""
                     out = con.execute(
                         f"SELECT * FROM ({query}) __q{where}"
@@ -614,6 +642,7 @@ def write_sql_local(
     db_path: str,
     table: str,
     mode: str = "overwrite",
+    stage_path: str | None = None,
 ) -> None:
     """Load a DataFrame into an embedded SQL database (DuckDB):
     executors write the data as parquet (the distributed heavy
@@ -629,7 +658,11 @@ def write_sql_local(
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    stage = tempfile.mkdtemp(prefix="sg_sqlw_")
+    # the stage must be visible to BOTH executors and the driver: on a
+    # multi-node cluster pass a shared-filesystem stage_path — the
+    # local tempdir default only works when driver and executors share
+    # a machine (local mode)
+    stage = stage_path or tempfile.mkdtemp(prefix="sg_sqlw_")
     try:
         df.write.mode("overwrite").parquet(stage)
         con = duckdb.connect(db_path)
@@ -642,7 +675,8 @@ def write_sql_local(
         finally:
             con.close()
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        if stage_path is None:
+            shutil.rmtree(stage, ignore_errors=True)
 
 
 def join_es_msearch(
@@ -685,7 +719,7 @@ def join_es_msearch(
     in_names = [f.name for f in in_schema.fields]
     tmpl = _json.dumps(query_template)
 
-    def _sub(template: dict, row) -> dict:
+    def _sub(row) -> dict:
         def walk(node):
             if isinstance(node, dict):
                 return {kk: walk(vv) for kk, vv in node.items()}
@@ -711,7 +745,7 @@ def join_es_msearch(
                 lines = []
                 for _, row in part.iterrows():
                     lines.append(_json.dumps({"index": index}))
-                    lines.append(_json.dumps({"query": _sub(query_template, row), "size": k}))
+                    lines.append(_json.dumps({"query": _sub(row), "size": k}))
                 resp = _http_json(
                     f"{base}/_msearch", "\n".join(lines) + "\n", retries=retries
                 )

@@ -1433,14 +1433,13 @@ def test_ngram_novelty_orders_originals_before_clones(spark):
     assert got[2].novel_frac == 0.0
     assert got[3].novel_frac == 1.0
     assert got[1].n_grams == 3  # 7 tokens, 5-grams -> 3
-    # short doc absent
+    # short doc absent (fewer than n tokens -> no grams -> no row)
+    with_short = df.unionByName(
+        spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    )
     assert 9 not in {
-        r.doc_id
-        for r in llm.ngram_novelty(
-            df.unionByName(spark.createDataFrame([(9, "too short")], "doc_id long, text string")),
-            "doc_id", "text", n=5,
-        ).collect()
-    } or True
+        r.doc_id for r in llm.ngram_novelty(with_short, "doc_id", "text", n=5).collect()
+    }
 
 
 def test_geo_join_radius_seam_and_high_latitude(spark):
@@ -1473,3 +1472,15 @@ def test_geo_join_radius_seam_and_high_latitude(spark):
 
     with _pytest.raises(ValueError):
         geo_join(left, right, 0, "lid", "rid")
+
+
+def test_geo_join_seam_at_high_latitude_fractional_cell(spark):
+    # the round-7 review's exact counterexample: 58.2°N pair straddling
+    # the antimeridian, 23.5 km apart — a fractional last lon cell (or
+    # an undersized neighbor span) drops it
+    from backend_spark.operators.joins import geo_join
+
+    left = spark.createDataFrame([(1, 58.2, -179.999)], "lid long, lat double, lon double")
+    right = spark.createDataFrame([(2, 58.2, 179.60)], "rid long, lat double, lon double")
+    got = geo_join(left, right, 25.0, "lid", "rid").collect()
+    assert len(got) == 1 and got[0].dist_km < 25.0

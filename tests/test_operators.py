@@ -959,3 +959,18 @@ def test_join_es_msearch_attaches_topk_buckets(spark):
         # composes with op_unnest-style downstream: hits is plain JSON
     finally:
         es.close()
+
+
+def test_write_es_rest_auto_ids_are_idempotent(spark):
+    from backend_spark.sources import write_es_rest
+
+    es = _FakeES()
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        write_es_rest(df, es.url, "idx")          # no id_col: row-hash ids
+        first = dict(es.store)
+        write_es_rest(df, es.url, "idx")          # a retry/rerun overwrites
+        assert es.store == first and len(es.store) == 2
+        assert all(len(k) == 64 for k in es.store)  # sha256 hex ids
+    finally:
+        es.close()
