@@ -2529,12 +2529,58 @@ def _q_dup_ngrams(spark, sf):
     return llm.dup_ngram_fraction(docs, "doc_id", "text", n=5)
 
 
+def _q_interval_join(spark, sf):
+    """Interval-overlap join (view windows × purchase windows per user)
+    through the first-common-bin blocked equi-join — no BNLJ, no
+    distinct; overlap extent stays in exact integer microseconds."""
+    from backend_spark.operators import interval_join
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("lo"),
+        (F.col("us") + (F.lit(1800) + (F.col("event_id") % 7) * 600) * F.lit(1000000)).alias("hi"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("rid"),
+        "user_id",
+        F.col("us").alias("lo"),
+        (F.col("us") + F.lit(900000000)).alias("hi"),
+    )
+    out = interval_join(
+        views, buys, "lo", "hi", "lo", "hi", bin_width=3.6e9, on="user_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("iv_rid").alias("rid"),
+        (F.least("hi", F.col("iv_hi")) - F.greatest("lo", F.col("iv_lo"))).alias("overlap_us"),
+    )
+
+
+def _q_scd2(spark, sf):
+    """SCD2 history of each user's event_type over time: runs collapse,
+    half-open validity, NULL-closed current rows (quality.scd2_build)."""
+    from backend_spark.quality import scd2_build
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    out = scd2_build(
+        ev.select("user_id", "event_type", "us"), "user_id", "event_type", "us"
+    )
+    return out.select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round).  Round-7 rotation: the new zorder query,
     # the 18 r4-stale queries, the bpe_encode retest (r6's one red), then
     # r5-stale backfill; freshly-green r6 queries go last.
     return {
+        "interval_join": _q_interval_join,
+        "scd2": _q_scd2,
         "zorder": _q_zorder,
         "trim_dup_spans": _q_trim_dup_spans,
         "perplexity_buckets": _q_perplexity_buckets,
@@ -4526,6 +4572,38 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us, value
                             FROM events WHERE event_type = 'view') v
             ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        """,
+        "interval_join": """
+            WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+            v AS (SELECT event_id, user_id, us AS lo,
+                         us + (1800 + (event_id % 7) * 600) * 1000000 AS hi
+                  FROM e WHERE event_type = 'view'),
+            p AS (SELECT event_id AS rid, user_id, us AS lo, us + 900000000 AS hi
+                  FROM e WHERE event_type = 'purchase')
+            SELECT v.event_id, v.user_id, p.rid,
+                   least(v.hi, p.hi) - greatest(v.lo, p.lo) AS overlap_us
+            FROM v JOIN p ON v.user_id = p.user_id
+                         AND v.lo < p.hi AND p.lo < v.hi
+        """,
+        "scd2": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+            m AS (SELECT user_id, event_type, us,
+                         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                              THEN 1 ELSE 0 END AS chg
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_type)),
+            r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_type
+                                           ROWS UNBOUNDED PRECEDING) AS run
+                  FROM m),
+            g AS (SELECT user_id, event_type, run, min(us) AS valid_from
+                  FROM r GROUP BY 1, 2, 3),
+            f AS (SELECT user_id, event_type, valid_from,
+                         lead(valid_from) OVER (PARTITION BY user_id
+                                                ORDER BY valid_from, event_type) AS valid_to
+                  FROM g)
+            SELECT user_id, event_type, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM f
         """,
         "sessionize": """
             WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

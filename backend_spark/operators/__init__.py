@@ -19,6 +19,7 @@ from backend_spark.operators.columns import (
 from backend_spark.operators.groupby import op_groupby
 from backend_spark.operators.joins import (
     asof_join,
+    interval_join,
     join_strict,
     join_fuzzy,
     join_topk,
@@ -49,6 +50,7 @@ __all__ = [
     "op_pivot", "op_melt", "rollup_agg",
     "op_list_to_tuple", "op_tuple_to_list",
     "join_strict", "join_fuzzy", "join_topk", "asof_join", "range_join",
+    "interval_join",
     "compact_latest",
     "connected_components", "op_clique",
     "label_propagation", "link_prediction", "modularity",

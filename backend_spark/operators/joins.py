@@ -509,3 +509,65 @@ def range_join(
         missed = points.join(matched.select(*keys).distinct(), keys, "left_anti")
         return matched.unionByName(missed, allowMissingColumns=True)
     return joined.drop("__bin")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    on: list[str] | str | None = None,
+    prefix: str = "iv_",
+) -> DataFrame:
+    """Interval-overlap join (half-open: ``l.lo < r.hi AND r.lo < l.hi``)
+    without a cartesian/BNLJ plan — the interval×interval sibling of
+    :func:`range_join` (point×interval).  Optional equi-keys ``on``
+    (e.g. a user or device id) further partition the match space.
+
+    Scale shape: both sides explode into the fixed-width bins they
+    overlap and meet in a plain hash equi-join on ``(on…, bin)``; the
+    exact overlap predicate filters survivors.  Duplicate pairs never
+    materialize — and need no ``distinct`` shuffle — because a pair is
+    kept only in the FIRST bin both intervals share, which for
+    overlapping intervals is exactly ``max(floor(l.lo/w),
+    floor(r.lo/w))`` (the later-starting interval's first bin; the
+    earlier one must reach into it for the pair to overlap at all).
+    Fan-out is O(interval_len / bin_width) rows per input row, so pick
+    ``bin_width`` near the median interval length, as in
+    :func:`range_join`.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    w = F.lit(float(bin_width))
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return (
+            df.withColumn("__lobin", F.floor(F.col(lo) / w).cast("long"))
+            .withColumn(
+                "__bin",
+                F.explode(
+                    F.sequence("__lobin", F.floor(F.col(hi) / w).cast("long"))
+                ),
+            )
+        )
+
+    l = binned(left, left_lo, left_hi)
+    r = binned(right, right_lo, right_hi)
+    r = r.select(
+        *[F.col(k) for k in keys],
+        F.col("__bin"),
+        F.col("__lobin").alias("__rlobin"),
+        *[
+            F.col(c).alias(f"{prefix}{c}")
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+    joined = l.join(r, [*keys, "__bin"], "inner").where(
+        (F.col(left_lo) < F.col(f"{prefix}{right_hi}"))
+        & (F.col(f"{prefix}{right_lo}") < F.col(left_hi))
+        & (F.col("__bin") == F.greatest("__lobin", "__rlobin"))
+    )
+    return joined.drop("__bin", "__lobin", "__rlobin")

@@ -27,7 +27,7 @@ quality report (and hash-stable for the oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _CHECKS = ("not_null", "unique", "min", "max", "in_set", "regex")
@@ -192,3 +192,56 @@ def snapshot_diff(
         .where(F.col("status").isNotNull())
         .select(*keys, "status")
     )
+
+
+def scd2_build(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    attr_cols: list[str] | str,
+    ts_col: str,
+) -> DataFrame:
+    """Collapse a keyed change/observation stream into slowly-changing-
+    dimension type-2 history: one row per maximal run of consecutive
+    identical ``attr_cols`` values per key, with ``valid_from`` (first
+    observation of the run), ``valid_to`` (start of the next run, NULL
+    while current) and ``is_current`` — the standard warehouse shape a
+    CDC feed compiles to (complements :func:`snapshot_diff`, which
+    diffs two snapshots; this builds the full validity timeline).
+
+    Run detection is the gaps-and-islands window pattern: a null-safe
+    struct comparison against ``lag()`` marks change points, a running
+    sum numbers the runs, one aggregate per (key, run) takes the run's
+    first timestamp, and ``lead()`` closes each interval half-open
+    ``[valid_from, valid_to)``.  Scale shape: everything partitions by
+    the key — ONE shuffle+sort, reused by both window passes and the
+    aggregate (same partitioning expression), no self-join, no
+    per-key collect.  Ties on ``ts_col`` within a key are broken by the
+    attr struct so run numbering is deterministic; rows with a null
+    timestamp are dropped (an observation without a time cannot be
+    placed on the timeline).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    attrs = [attr_cols] if isinstance(attr_cols, str) else list(attr_cols)
+    a = F.struct(*[F.col(c) for c in attrs])
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), a.asc())
+    chg = F.when(~a.eqNullSafe(F.lag(a).over(w)), 1).otherwise(0)
+    runs = (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("__chg", chg)
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = runs.groupBy(*keys, *attrs, F.col("__run")).agg(
+        F.min(ts_col).alias("valid_from")
+    )
+    # attr tiebreak: two runs CAN share valid_from (same-timestamp rows
+    # with different attrs) — without it lead() is nondeterministic
+    wk = Window.partitionBy(*keys).orderBy(F.col("valid_from").asc(), a.asc())
+    return spans.select(
+        *keys,
+        *attrs,
+        "valid_from",
+        F.lead("valid_from").over(wk).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

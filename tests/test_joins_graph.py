@@ -1484,3 +1484,46 @@ def test_geo_join_seam_at_high_latitude_fractional_cell(spark):
     right = spark.createDataFrame([(2, 58.2, 179.60)], "rid long, lat double, lon double")
     got = geo_join(left, right, 25.0, "lid", "rid").collect()
     assert len(got) == 1 and got[0].dist_km < 25.0
+
+
+def test_interval_join_matches_bruteforce_no_dupes(spark):
+    import itertools
+
+    from backend_spark.operators import interval_join
+
+    lrows = [(i, float(3 * i % 17), float(3 * i % 17) + 1 + (i % 5)) for i in range(20)]
+    rrows = [(j, float(5 * j % 13), float(5 * j % 13) + 1 + (j % 4)) for j in range(15)]
+    left = spark.createDataFrame(lrows, "lid long, lo double, hi double")
+    right = spark.createDataFrame(rrows, "rid long, lo double, hi double")
+    out = interval_join(left, right, "lo", "hi", "lo", "hi", bin_width=4.0)
+    pairs = [(r.lid, r.iv_rid) for r in out.collect()]
+    want = {
+        (li, rj)
+        for (li, llo, lhi), (rj, rlo, rhi) in itertools.product(lrows, rrows)
+        if llo < rhi and rlo < lhi
+    }
+    assert set(pairs) == want
+    assert len(pairs) == len(set(pairs))  # first-common-bin rule: no dupe pairs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interval_join_half_open_touching_and_keys(spark):
+    from backend_spark.operators import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 0.0, 10.0), (2, "u", 10.0, 20.0), (3, "v", 0.0, 10.0)],
+        "lid long, who string, lo double, hi double",
+    )
+    right = spark.createDataFrame(
+        [(7, "u", 10.0, 15.0), (8, "v", 9.0, 9.5), (9, "u", 5.0, 10.0)],
+        "rid long, who string, lo double, hi double",
+    )
+    got = {
+        (r.lid, r.iv_rid)
+        for r in interval_join(
+            left, right, "lo", "hi", "lo", "hi", bin_width=8.0, on="who"
+        ).collect()
+    }
+    # touching at 10.0 never matches (half-open); keys separate u from v
+    assert got == {(2, 7), (1, 9), (3, 8)}

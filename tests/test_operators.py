@@ -974,3 +974,40 @@ def test_write_es_rest_auto_ids_are_idempotent(spark):
         assert all(len(k) == 64 for k in es.store)  # sha256 hex ids
     finally:
         es.close()
+
+
+def test_scd2_build_runs_intervals_and_current_flag(spark):
+    from backend_spark.quality import scd2_build
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "a"),
+            (2, 10, "x"),
+            (3, None, "z"),  # null ts dropped
+        ],
+        "k long, ts long, v string",
+    )
+    rows = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_build(df, "k", "v", "ts").collect()
+    }
+    assert rows == {
+        (1, "a", 10, 30, False),   # run collapses 10+20
+        (1, "b", 30, 40, False),
+        (1, "a", 40, None, True),  # same value again -> NEW run, current
+        (2, "x", 10, None, True),
+    }
+
+
+def test_scd2_build_multi_attr_null_safe(spark):
+    from backend_spark.quality import scd2_build
+
+    df = spark.createDataFrame(
+        [(1, 10, "a", None), (1, 20, "a", None), (1, 30, "a", 5)],
+        "k long, ts long, v string, w int",
+    )
+    rows = sorted(
+        (r.valid_from, r.valid_to) for r in scd2_build(df, "k", ["v", "w"], "ts").collect()
+    )
+    # null w == null w (null-safe) so 10..20 is one run; change at 30
+    assert rows == [(10, 30), (30, None)]
