@@ -2573,6 +2573,76 @@ def _q_scd2(spark, sf):
     return out.select("user_id", "event_type", "valid_from", "valid_to", "is_current")
 
 
+def _q_er_golden(spark, sf):
+    """Entity resolution end-stage: 3-member chain clusters per customer
+    (base + two deterministic variants, pairs only chain-adjacent so the
+    transitive closure is exercised), then survivorship golden records
+    (first/mode/max)."""
+    from backend_spark.operators import er_resolve
+
+    cust = load_table(spark, sf, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    v1 = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.upper("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") + 10).alias("bal"),
+    )
+    v2 = cust.select(
+        (F.col("c_custkey") + 2000000).alias("rid"),
+        F.lower("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("DUPSEG"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        (F.col("c_acctbal") - 5).alias("bal"),
+    )
+    recs = base.unionByName(v1).unionByName(v2)
+    pairs = cust.select(
+        F.col("c_custkey").alias("left_id"),
+        (F.col("c_custkey") + 1000000).alias("right_id"),
+    ).unionByName(
+        cust.select(
+            (F.col("c_custkey") + 1000000).alias("left_id"),
+            (F.col("c_custkey") + 2000000).alias("right_id"),
+        )
+    )
+    out = er_resolve(recs, pairs, "rid", {"name": "first", "seg": "mode", "bal": "max"})
+    return out.select("entity_id", "n_members", "name", "seg", "bal")
+
+
+def _q_caverphone(spark, sf):
+    """Caverphone 2.0 + Soundex blocking keys over the distinct corpus
+    vocabulary — both phonetic chains reproduce on RE2 via the shared
+    rule tables."""
+    docs = load_table(spark, sf, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+    )
+    return words.select(
+        "w",
+        fn.caverphone(F.col("w")).alias("cav"),
+        fn.soundex(F.col("w")).alias("sdx"),
+    )
+
+
+def _sql_caverphone_expr(col: str) -> str:
+    """Mirror of fn.caverphone: the SAME CAVERPHONE_RULES table folded
+    into RE2 regexp_replace(..., 'g') calls."""
+    s = f"lower(regexp_replace({col}, '[^A-Za-z]', '', 'g'))"
+    x = s
+    for pat, rep in fn.CAVERPHONE_RULES:
+        x = f"regexp_replace({x}, '{pat}', '{rep}', 'g')"
+    out = f"substr({x} || '1111111111', 1, 10)"
+    return f"CASE WHEN length({s}) = 0 THEN '' ELSE {out} END"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round).  Round-7 rotation: the new zorder query,
@@ -2581,6 +2651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_join": _q_interval_join,
         "scd2": _q_scd2,
+        "er_golden": _q_er_golden,
+        "caverphone": _q_caverphone,
         "zorder": _q_zorder,
         "trim_dup_spans": _q_trim_dup_spans,
         "perplexity_buckets": _q_perplexity_buckets,
@@ -4572,6 +4644,38 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us, value
                             FROM events WHERE event_type = 'view') v
             ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+        """,
+        "er_golden": """
+            WITH m AS (
+              SELECT c_custkey AS ent, c_custkey AS rid, c_name AS name,
+                     c_mktsegment AS seg, c_acctbal AS bal FROM customer
+              UNION ALL
+              SELECT c_custkey, c_custkey + 1000000, upper(c_name),
+                     c_mktsegment, c_acctbal + 10 FROM customer
+              UNION ALL
+              SELECT c_custkey, c_custkey + 2000000, lower(c_name),
+                     CASE WHEN c_custkey % 3 = 0 THEN 'DUPSEG' ELSE c_mktsegment END,
+                     c_acctbal - 5 FROM customer
+            ),
+            md AS (SELECT ent, seg, count(*) AS cnt FROM m GROUP BY 1, 2),
+            pick AS (SELECT ent, seg FROM md
+                     QUALIFY row_number() OVER (PARTITION BY ent
+                                                ORDER BY cnt DESC, seg ASC) = 1)
+            SELECT m.ent AS entity_id, count(*) AS n_members,
+                   arg_min(m.name, m.rid) AS name,
+                   any_value(pick.seg) AS seg,
+                   max(m.bal) AS bal
+            FROM m JOIN pick ON m.ent = pick.ent
+            GROUP BY m.ent
+        """,
+        "caverphone": f"""
+            WITH w AS (
+              SELECT DISTINCT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+              FROM documents
+            )
+            SELECT w, {_sql_caverphone_expr("w")} AS cav,
+                   {_sql_soundex_expr("w")} AS sdx
+            FROM w WHERE length(w) > 0
         """,
         "interval_join": """
             WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us

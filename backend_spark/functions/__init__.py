@@ -597,3 +597,88 @@ def soundex(c: Column) -> Column:
     rest = F.regexp_replace(F.substring(x, 2, 1 << 20), "0", "")
     out = F.rpad(F.concat(first, F.substring(rest, 1, 3)), 4, "0")
     return F.when(s.isNull() | (F.length(s) == 0), F.lit("")).otherwise(out)
+
+# Caverphone 2.0 (Hood, Caversham Project technical paper CTP060902,
+# University of Otago, 2004) — published rule order, applied to the
+# lowercased a-z-stripped input.  Shared by the Column builder below and
+# the DuckDB oracle (which folds the SAME list into regexp_replace(...,
+# 'g') calls), so both engines run one rule table.  RE2-safe: literal
+# patterns, anchors and + only — no backreferences.
+CAVERPHONE_RULES = (
+    ("e$", ""),
+    ("^cough", "cou2f"),
+    ("^rough", "rou2f"),
+    ("^tough", "tou2f"),
+    ("^enough", "enou2f"),
+    ("^trough", "trou2f"),
+    ("^gn", "2n"),
+    ("mb$", "m2"),
+    ("cq", "2q"),
+    ("ci", "si"),
+    ("ce", "se"),
+    ("cy", "sy"),
+    ("tch", "2ch"),
+    ("c", "k"),
+    ("q", "k"),
+    ("x", "k"),
+    ("v", "f"),
+    ("dg", "2g"),
+    ("tio", "sio"),
+    ("tia", "sia"),
+    ("d", "t"),
+    ("ph", "fh"),
+    ("b", "p"),
+    ("sh", "s2"),
+    ("z", "s"),
+    ("^[aeiou]", "A"),
+    ("[aeiou]", "3"),
+    ("j", "y"),
+    ("^y3", "Y3"),
+    ("^y", "A"),
+    ("y", "3"),
+    ("3gh3", "3kh3"),
+    ("gh", "22"),
+    ("g", "k"),
+    ("s+", "S"),
+    ("t+", "T"),
+    ("p+", "P"),
+    ("k+", "K"),
+    ("f+", "F"),
+    ("m+", "M"),
+    ("n+", "N"),
+    ("w3", "W3"),
+    ("wh3", "Wh3"),
+    ("w$", "3"),
+    ("w", "2"),
+    ("^h", "A"),
+    ("h", "2"),
+    ("r3", "R3"),
+    ("r$", "3"),
+    ("r", "2"),
+    ("l3", "L3"),
+    ("l$", "3"),
+    ("l", "2"),
+    ("2", ""),
+    ("3$", "A"),
+    ("3", ""),
+)
+
+
+def caverphone(c: Column) -> Column:
+    """Caverphone 2.0 phonetic key (10 chars, '1'-padded) as a pure
+    Column regexp chain — the New Zealand electoral-roll matching key;
+    a longer, more selective blocking key than :func:`soundex` for
+    entity-resolution candidate generation.  Like soundex this is kept
+    engine-neutral: one shared rule table (``CAVERPHONE_RULES``), no
+    backreferences, so Spark (Java regex) and the DuckDB oracle (RE2)
+    reproduce bit-identically.  Published test vectors pinned in
+    tests (Peter→PTA1111111, Stevenson→STFNSN1111).  Empty/non-alpha
+    input → '' (mirrors soundex, diverging from the spec's all-1s key
+    for the empty string, which carries no blocking information).
+    """
+    s = F.lower(F.regexp_replace(c, "[^A-Za-z]", ""))
+    x = s
+    for pat, rep in CAVERPHONE_RULES:
+        x = F.regexp_replace(x, pat, rep)
+    out = F.substring(F.concat(x, F.lit("1" * 10)), 1, 10)
+    return F.when(s.isNull() | (F.length(s) == 0), F.lit("")).otherwise(out)

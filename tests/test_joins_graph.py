@@ -1527,3 +1527,63 @@ def test_interval_join_half_open_touching_and_keys(spark):
     }
     # touching at 10.0 never matches (half-open); keys separate u from v
     assert got == {(2, 7), (1, 9), (3, 8)}
+
+
+def test_er_resolve_chains_singletons_and_survivorship(spark):
+    from backend_spark.operators import er_resolve
+
+    recs = spark.createDataFrame(
+        [
+            (1, "ACME", "NY", 100.0),
+            (2, "Acme Inc", "NY", 250.0),
+            (3, "ACME Corp", "SF", 50.0),
+            (9, "Zeta", "LA", 10.0),          # singleton
+            (4, "Beta", None, 5.0),
+            (5, "Beta LLC", None, 7.0),
+        ],
+        "rid long, name string, city string, bal double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "left_id long, right_id long"
+    )  # 1-2-3 is a CHAIN: transitivity must close it
+    out = er_resolve(
+        recs, pairs, "rid",
+        {"name": "first", "city": "mode", "bal": "max"},
+    )
+    got = {r.entity_id: (r.n_members, r.name, r.city, r.bal) for r in out.collect()}
+    assert got == {
+        1: (3, "ACME", "NY", 250.0),   # mode city NY (2 of 3); max bal; first name
+        4: (2, "Beta", None, 7.0),     # all-null mode -> null
+        9: (1, "Zeta", "LA", 10.0),    # singleton survives via self-loop
+    }
+
+
+def test_er_resolve_mode_tie_breaks_to_smallest(spark):
+    from backend_spark.operators import er_resolve
+    import pytest
+
+    recs = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "a"), (4, "b")], "rid long, v string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "left_id long, right_id long")
+    out = er_resolve(recs, pairs, "rid", {"v": "mode"}).collect()
+    assert [(r.entity_id, r.v) for r in out] == [(1, "a")]  # 2-2 tie -> 'a'
+    with pytest.raises(ValueError):
+        er_resolve(recs, pairs, "rid", {"v": "median"})
+    with pytest.raises(ValueError):
+        er_resolve(recs, pairs, "rid", {"nope": "min"})
+
+
+def test_caverphone_published_vectors(spark):
+    from backend_spark import functions as fn
+
+    df = spark.createDataFrame(
+        [("Peter",), ("Stevenson",), ("Thompson",), ("David",), ("Whittle",),
+         ("",), (None,), ("123",)],
+        "n string",
+    )
+    got = [r.k for r in df.select(fn.caverphone(F.col("n")).alias("k")).collect()]
+    assert got == [
+        "PTA1111111", "STFNSN1111", "TMPSN11111", "TFT1111111", "WTA1111111",
+        "", "", "",
+    ]
