@@ -3946,3 +3946,65 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+def url_normalize(
+    df: DataFrame,
+    url_col: str,
+    drop_params: tuple[str, ...] = ("utm_[^=]*", "fbclid", "gclid", "msclkid", "ref"),
+) -> DataFrame:
+    """Canonicalize absolute URLs for web-corpus dedup and host-level
+    curation (the CCNet/RefinedWeb preprocessing step: URL-keyed exact
+    dedup only works after tracking noise is stripped).  Adds
+    ``url_scheme``, ``url_host``, ``url_port`` (NULL when absent or the
+    scheme default), ``url_path`` ('/' when empty), ``url_query``
+    (tracking params dropped, rest sorted) and the rebuilt ``url_norm``.
+
+    Pure Column regex/array work, RE2-safe (no backreferences, no
+    lookaround) so the DuckDB oracle runs the same patterns; parameter
+    sort is binary/ASCII in both engines.  Rows whose value has no
+    ``scheme://`` prefix get empty scheme/host and pass through
+    verbatim in ``url_norm`` — garbage in, tagged garbage out (filter
+    on ``url_host != ''`` downstream).
+    """
+    name_pat = "^(" + "|".join(drop_params) + ")$"
+    u = F.trim(F.col(url_col))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    auth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    hostport = F.element_at(F.split(auth, "@"), -1)
+    port_s = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.lower(F.regexp_replace(hostport, r":[0-9]+$", ""))
+    port = F.when(port_s != "", port_s.cast("int"))
+    is_default = ((scheme == "http") & (port == 80)) | (
+        (scheme == "https") & (port == 443)
+    )
+    port_norm = F.when(~F.coalesce(is_default, F.lit(False)), port)
+    tail = F.regexp_extract(rest, r"^[^/?#]*(.*)$", 1)
+    path = F.regexp_extract(tail, r"^([^?#]*)", 1)
+    path_norm = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(tail, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.regexp_extract(p, "^([^=]*)", 1).rlike(name_pat),
+    )
+    query_norm = F.array_join(F.array_sort(params), "&")
+    has_url = scheme != ""
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(port_norm.isNotNull(), F.concat(F.lit(":"), port_norm.cast("string"))).otherwise(F.lit("")),
+        path_norm,
+        F.when(query_norm != "", F.concat(F.lit("?"), query_norm)).otherwise(F.lit("")),
+    )
+    return df.select(
+        "*",
+        F.when(has_url, scheme).otherwise(F.lit("")).alias("url_scheme"),
+        F.when(has_url, host).otherwise(F.lit("")).alias("url_host"),
+        F.when(has_url, port_norm).alias("url_port"),
+        F.when(has_url, path_norm).alias("url_path"),
+        F.when(has_url, query_norm).alias("url_query"),
+        F.when(has_url, rebuilt).otherwise(u).alias("url_norm"),
+    )

@@ -264,3 +264,68 @@ def classifier_eval(
         F.round(rec, ndigits).alias("recall"),
         F.round(f1, ndigits).alias("f1"),
     )
+
+
+def lr_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 3,
+    learn_rate: float = 0.5,
+    grad_scale: float = 1e9,
+) -> DataFrame:
+    """Deterministic full-batch gradient-descent logistic regression —
+    the hash-checkable linear sibling of :func:`build_model` (RF scores
+    are engine-specific; these weights reproduce bit-for-bit on any
+    engine and any partitioning).
+
+    Determinism design: a float ``sum()`` is partition-order dependent,
+    so each row's gradient contribution ``(σ(w·x) − y)·x_j`` is scaled
+    by ``grad_scale``, rounded to an integer and summed as BIGINT —
+    integer addition is associative, so the gradient is exact under ANY
+    shuffle/partition order, and the weight update
+    ``w_j − lr·(S_j/scale)/n`` is a fixed chain of IEEE ops.  The only
+    cross-engine wobble left is ``exp()`` (libm vs JVM can differ by
+    1 ulp, which flips a rounded contribution only when a value lands
+    within ~1e-16 relative of a .5 boundary — negligible and accepted,
+    same class as the round(,6) convention elsewhere).
+
+    Scale shape: one map-side-combined aggregate per iteration (d+1
+    BIGINT sums), weights broadcast back into the next iteration's
+    closed-form expression; the driver holds only the (d+1)-float
+    weight vector per round — the pagerank-style bounded collect.
+
+    Returns the full training trace: (iter, feature, weight) with
+    ``iter`` ∈ 1..n_iter and feature ``__intercept__`` first — so an
+    oracle checks every step, not just the converged point.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    spark = df.sparkSession
+    d = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    names = ["__intercept__", *feature_cols]
+    w = [0.0] * len(names)
+    trace = []
+    for it in range(1, n_iter + 1):
+        z = F.lit(w[0])
+        for wj, c in zip(w[1:], feature_cols):
+            z = z + F.lit(wj) * F.col(c)
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("__y")
+        feats = [F.lit(1.0), *[F.col(c) for c in feature_cols]]
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.round(resid * x * F.lit(grad_scale)).cast("long")).alias(f"g{j}")
+                for j, x in enumerate(feats)
+            ],
+        ).collect()[0]
+        n = row["n"]
+        w = [
+            wj - learn_rate * ((row[f"g{j}"] / grad_scale) / n)
+            for j, wj in enumerate(w)
+        ]
+        trace += [(it, name, wj) for name, wj in zip(names, w)]
+    return spark.createDataFrame(trace, "iter int, feature string, weight double")
