@@ -74,6 +74,46 @@ _SQL_SHINGLES = (
     "list_distinct(CASE WHEN length({s}) <= {n} THEN [{s}] "
     "ELSE [substr({s}, CAST(i AS INT), {n}) for i in range(1, length({s}) - {n} + 2)] END)"
 )
+# ml.ridge_train's exact quantized sums + pinned-parenthesization Cramer
+# solve (lineitem: x1=l_quantity, x2=l_discount, y=l_extendedprice,
+# qscale=1e6, l2=1e-3) — expression trees mirror ml._det3 verbatim
+_SQL_RIDGE_W = """
+    WITH q AS (
+      SELECT CAST(round(CAST(l_quantity AS DOUBLE) * 1000000.0) AS BIGINT) AS q1,
+             CAST(round(CAST(l_discount AS DOUBLE) * 1000000.0) AS BIGINT) AS q2,
+             CAST(round(CAST(l_extendedprice AS DOUBLE) * 1000000.0) AS BIGINT) AS qy
+      FROM lineitem),
+    s AS (SELECT count(*) AS n,
+                 sum(CAST(q1 AS HUGEINT)) AS s0, sum(CAST(q2 AS HUGEINT)) AS s1,
+                 sum(CAST(qy AS HUGEINT)) AS s2,
+                 sum(CAST(q1 AS HUGEINT) * q1) AS s00,
+                 sum(CAST(q1 AS HUGEINT) * q2) AS s01,
+                 sum(CAST(q1 AS HUGEINT) * qy) AS s02,
+                 sum(CAST(q2 AS HUGEINT) * q2) AS s11,
+                 sum(CAST(q2 AS HUGEINT) * qy) AS s12
+          FROM q),
+    m AS (SELECT CAST(n AS DOUBLE) AS a11,
+                 CAST(s0 AS DOUBLE) / 1000000.0 AS a12,
+                 CAST(s1 AS DOUBLE) / 1000000.0 AS a13,
+                 CAST(s00 AS DOUBLE) / 1000000000000.0 + 0.001 AS a22,
+                 CAST(s01 AS DOUBLE) / 1000000000000.0 AS a23,
+                 CAST(s11 AS DOUBLE) / 1000000000000.0 + 0.001 AS a33,
+                 CAST(s2 AS DOUBLE) / 1000000.0 AS b1,
+                 CAST(s02 AS DOUBLE) / 1000000000000.0 AS b2,
+                 CAST(s12 AS DOUBLE) / 1000000000000.0 AS b3
+          FROM s),
+    w AS (SELECT
+        (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * a23 - a22 * a13)) AS det,
+        (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+             + a13 * (b2 * a23 - a22 * b3)) AS det0,
+        (a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13)
+             + a13 * (a12 * b3 - b2 * a13)) AS det1,
+        (a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13)
+             + b1 * (a12 * a23 - a22 * a13)) AS det2
+      FROM m)
+"""
+
 # the ring+chord test graph (see _ring_chord_edges) as DuckDB CTEs
 _SQL_GRAPH_SYM = """
     e0 AS (
@@ -2643,12 +2683,172 @@ def _sql_caverphone_expr(col: str) -> str:
     return f"CASE WHEN length({s}) = 0 THEN '' ELSE {out} END"
 
 
+def _q_ridge_train(spark, sf):
+    """Closed-form ridge (quantized exact Gram sums + pinned Cramer
+    solve) on lineitem price vs (quantity, discount) — the hash-exact
+    deterministic learner closing VERDICT r8's build_model gap."""
+    from backend_spark import ml
+
+    li = load_table(spark, sf, "lineitem")
+    return ml.ridge_train(li, ["l_quantity", "l_discount"], "l_extendedprice")
+
+
+def _q_ridge_score(spark, sf):
+    """Train-then-score with the ROUNDED ridge weights — the full
+    train→score path hash-checked end to end."""
+    from backend_spark import ml
+
+    li = load_table(spark, sf, "lineitem")
+    out = ml.ridge_score(li, ["l_quantity", "l_discount"], "l_extendedprice")
+    return out.select("l_orderkey", "l_linenumber", "pred", "resid")
+
+
+def _q_url_normalize(spark, sf):
+    """URL canonicalization over synthesized tracking-noise URLs built
+    from customer rows: userinfo stripping, default-port drop (443 on
+    https), empty-path '/', tracking-param drop + binary param sort,
+    fragment removal, and schemeless garbage passthrough."""
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    url = F.when(k % 7 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(k % 2 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+            F.lit("WWW.Example"),
+            (k % 50).cast("string"),
+            F.lit(".com"),
+            F.when(k % 3 == 0, F.lit(":443")).otherwise(F.lit(":8080")),
+            F.when(k % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/p/"), F.lower("c_mktsegment"))
+            ),
+            F.lit("?utm_source=x&b=2&a=1&fbclid=zz"),
+            F.when(k % 11 == 0, F.lit("&ref=aa&z=9")).otherwise(F.lit("")),
+            F.lit("#frag"),
+        )
+    )
+    out = llm.url_normalize(cust.select("c_custkey", url.alias("url")), "url")
+    return out.select(
+        "c_custkey", "url_scheme", "url_host", "url_port", "url_path",
+        "url_query", "url_norm",
+    )
+
+
+def _q_fill_forward(spark, sf):
+    """LOCF gap repair: null out 'view' values then forward-fill per
+    user over (ts, event_id) — one shared window partitioning."""
+    from backend_spark.features import fill_forward
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    sparse = ev.select(
+        "event_id", "user_id", "us",
+        F.when(F.col("event_type") != "view", F.col("value")).alias("value"),
+    )
+    out = fill_forward(sparse, "user_id", ["us", "event_id"], "value")
+    return out.select("event_id", "user_id", F.round("value", 2).alias("value_filled"))
+
+
+def _q_transition_counts(spark, sf):
+    """First-order Markov transitions of event_type per user with
+    conditional probabilities — |states|^2-row aggregate output."""
+    from backend_spark.features import transition_counts
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    return transition_counts(ev, "user_id", ["us", "event_id"], "event_type")
+
+
+def _q_feature_hash(spark, sf):
+    """Hashing-trick featurizer: md5_long-bucketed token counts in
+    sparse triplet form, no vocabulary pass."""
+    from backend_spark.features import feature_hash
+
+    docs = load_table(spark, sf, "documents")
+    return feature_hash(docs, "doc_id", "text", n_buckets=256)
+
+
+def _q_readability(spark, sf):
+    """Flesch reading-ease per document — three regexp_count columns in
+    one codegen span, shuffle-free."""
+    docs = load_table(spark, sf, "documents")
+    return llm.readability(docs, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
-    # 50-query prefix per round).  Round-7 rotation: the new zorder query,
-    # the 18 r4-stale queries, the bpe_encode retest (r6's one red), then
-    # r5-stale backfill; freshly-green r6 queries go last.
+    # 50-query prefix per round).  Round-9 rotation: the 7 new ops
+    # (ridge/url/fill_forward/transitions/feature_hash/readability), the 5
+    # never-driver-checked (ann_pq + bpe_encode + the 3 rows-only), the 12
+    # r4-stale, then 26 oldest-r5; remaining r5 queue first for round 10,
+    # freshly-green r6/r8 rows go last.
     return {
+        "ridge_train": _q_ridge_train,
+        "ridge_score": _q_ridge_score,
+        "url_normalize": _q_url_normalize,
+        "fill_forward": _q_fill_forward,
+        "transition_counts": _q_transition_counts,
+        "feature_hash": _q_feature_hash,
+        "readability": _q_readability,
+        "ann_pq": _q_ann_pq,
+        "bpe_encode": _q_bpe_encode,
+        "closeness_approx": _q_closeness_approx,
+        "build_model": _q_build_model,
+        "apply_model": _q_apply_model,
+        "build_vocab": _q_vocab,
+        "tfidf_topk": _q_tfidf,
+        "unigram_logprob": _q_unigram_lp,
+        "dedup_incremental": _q_dedup_incremental,
+        "collocations": _q_collocations,
+        "percentile_gate": _q_percentile_gate,
+        "range_join": _q_range_join,
+        "minhash_pairs": _q_minhash_pairs,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
+        "bpe_pairs": _q_bpe_pairs,
+        "win_agg": _q_win_agg,
+        "scoring": _q_scoring,
+        "sql_direct": _q_sql_direct,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "fwf_roundtrip": _q_fwf_roundtrip,
+        "k_core": _q_k_core,
+        "eigenvector": _q_eigenvector,
+        "square_clustering": _q_square_clustering,
+        "compact_latest": _q_compact_latest,
+        "profile": _q_profile,
+        "pivot": _q_pivot,
+        "melt": _q_melt,
+        "window_funcs": _q_window_funcs,
+        "quantile_bins": _q_quantile_bins,
+        "resample": _q_resample,
+        "funnel": _q_funnel,
+        "zscore": _q_zscore,
+        "embed_banded": _q_embed_banded,
+        "pii_scan": _q_pii_scan,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition,
+        "quality_filter": _q_quality_filter,
+        "det_sample": _q_sample,
+        "dedup_lines": _q_dedup_lines,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "corpus_clean": _q_corpus_clean,
+        "stream_win_agg": _q_stream_win,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_join": _q_stream_join,
+        "stream_compact": _q_stream_compact,
+        "salted_agg": _q_salted_agg,
+        "row_ids": _q_row_ids,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embed_neardup": _q_embed_neardup,
+        "multimodal": _q_multimodal,
+        "simhash_neardup": _q_simhash_neardup,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
+        "text_stats": _q_text_stats,
+        "language_id": _q_language_id,
+        "token_count": _q_token_count,
         "interval_join": _q_interval_join,
         "scd2": _q_scd2,
         "er_golden": _q_er_golden,
@@ -2693,60 +2893,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": _q_pq_encode,
         "retention": _q_retention,
         "histogram": _q_histogram,
-        # r4-stale refresh (13 of 18 fit after the new ops; the 5 just
-        # past the 50-prefix have fresh family coverage — minhash_sig /
-        # ann_topk / pq_encode / bpe_train+encode are green this round —
-        # and rotate first next round)
         "dedup_near": _q_dedup_near,
         "minhash_sig": _q_minhash_sig,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann,
         "bm25_topk": _q_bm25,
-        "build_vocab": _q_vocab,
-        "tfidf_topk": _q_tfidf,
-        "unigram_logprob": _q_unigram_lp,
-        "dedup_incremental": _q_dedup_incremental,
-        "collocations": _q_collocations,
-        "percentile_gate": _q_percentile_gate,
-        "range_join": _q_range_join,
-        "bpe_encode": _q_bpe_encode,
-        "minhash_pairs": _q_minhash_pairs,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "ann_ivf_index": _q_ann_ivf_index,
-        "bpe_pairs": _q_bpe_pairs,
-        "ann_pq": _q_ann_pq,
-        "k_core": _q_k_core,
-        "closeness_approx": _q_closeness_approx,
-        "eigenvector": _q_eigenvector,
-        "square_clustering": _q_square_clustering,
-        "compact_latest": _q_compact_latest,
-        "profile": _q_profile,
-        "pivot": _q_pivot,
-        "melt": _q_melt,
-        "window_funcs": _q_window_funcs,
-        "quantile_bins": _q_quantile_bins,
-        "resample": _q_resample,
-        "funnel": _q_funnel,
-        "zscore": _q_zscore,
-        "embed_banded": _q_embed_banded,
-        "pii_scan": _q_pii_scan,
-        "decontaminate": _q_decontaminate,
-        "repetition_stats": _q_repetition,
-        "quality_filter": _q_quality_filter,
-        "det_sample": _q_sample,
-        "dedup_lines": _q_dedup_lines,
-        "asof_join": _q_asof_join,
-        "sessionize": _q_sessionize,
-        "corpus_clean": _q_corpus_clean,
-        "stream_win_agg": _q_stream_win,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_join": _q_stream_join,
-        "stream_compact": _q_stream_compact,
-        "salted_agg": _q_salted_agg,
-        "row_ids": _q_row_ids,
         "char_entropy": _q_char_entropy,
         "pack_sequences": _q_pack,
         "semdedup": _q_semdedup,
@@ -2796,22 +2948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metrics": _q_graph_metrics,
         "pagerank": _q_pagerank,
         "dedup_exact": _q_dedup_exact,
-        "build_model": _q_build_model,
-        "apply_model": _q_apply_model,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "embed_neardup": _q_embed_neardup,
-        "multimodal": _q_multimodal,
-        "simhash_neardup": _q_simhash_neardup,
-        "audio_features": _q_audio_features,
-        "video_frames": _q_video_frames,
-        "text_stats": _q_text_stats,
-        "language_id": _q_language_id,
-        "token_count": _q_token_count,
-        "win_agg": _q_win_agg,
-        "sql_direct": _q_sql_direct,
-        "fwf_roundtrip": _q_fwf_roundtrip,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "scoring": _q_scoring,
     }
 
 
@@ -4812,6 +4948,129 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type, round(sum(value), 2) AS value_sum, count(*) AS rows_count
             FROM events GROUP BY 1, 2
+        """,
+        # ridge: quantized HUGEINT Gram sums + the SAME pinned Cramer
+        # parenthesization as ml._det3 — identical IEEE-754 trees
+        "ridge_train": _SQL_RIDGE_W + """
+            SELECT '__intercept__' AS feature, round(det0 / det, 6) AS weight FROM w
+            UNION ALL SELECT 'l_quantity', round(det1 / det, 6) FROM w
+            UNION ALL SELECT 'l_discount', round(det2 / det, 6) FROM w
+        """,
+        "ridge_score": _SQL_RIDGE_W + """,
+            wt AS (SELECT round(det0 / det, 6) AS w0, round(det1 / det, 6) AS w1,
+                          round(det2 / det, 6) AS w2 FROM w),
+            sc AS (SELECT l_orderkey, l_linenumber,
+                          CAST(l_extendedprice AS DOUBLE) AS y,
+                          round(w0 + w1 * CAST(l_quantity AS DOUBLE)
+                                   + w2 * CAST(l_discount AS DOUBLE), 6) AS pred
+                   FROM lineitem, wt)
+            SELECT l_orderkey, l_linenumber, pred, round(y - pred, 6) AS resid FROM sc
+        """,
+        "url_normalize": """
+            WITH raw AS (
+              SELECT c_custkey,
+                CASE WHEN c_custkey % 7 = 0 THEN 'not a url' ELSE
+                  'HTTPS://' || CASE WHEN c_custkey % 2 = 0 THEN 'user:pw@' ELSE '' END ||
+                  'WWW.Example' || CAST(c_custkey % 50 AS VARCHAR) || '.com' ||
+                  CASE WHEN c_custkey % 3 = 0 THEN ':443' ELSE ':8080' END ||
+                  CASE WHEN c_custkey % 5 = 0 THEN '' ELSE '/p/' || lower(c_mktsegment) END ||
+                  '?utm_source=x&b=2&a=1&fbclid=zz' ||
+                  CASE WHEN c_custkey % 11 = 0 THEN '&ref=aa&z=9' ELSE '' END || '#frag'
+                END AS u0
+              FROM customer),
+            t AS (SELECT c_custkey, trim(u0) AS u FROM raw),
+            p1 AS (SELECT c_custkey, u,
+                    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+                   FROM t),
+            p2 AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS auth,
+                           regexp_extract(rest, '^[^/?#]*(.*)$', 1) AS tail FROM p1),
+            p3 AS (SELECT *, str_split(auth, '@')[-1] AS hostport FROM p2),
+            p4 AS (SELECT *,
+                    regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s,
+                    lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+                    regexp_extract(tail, '^([^?#]*)', 1) AS path,
+                    regexp_extract(tail, '\\?([^#]*)', 1) AS query FROM p3),
+            p5 AS (SELECT *,
+                    CASE WHEN port_s <> '' THEN CAST(port_s AS INT) END AS port,
+                    CASE WHEN path = '' THEN '/' ELSE path END AS path_norm,
+                    array_to_string(list_sort(list_filter(str_split(query, '&'),
+                      pp -> pp <> '' AND NOT regexp_matches(
+                        regexp_extract(pp, '^([^=]*)', 1),
+                        '^(utm_[^=]*|fbclid|gclid|msclkid|ref)$'))), '&') AS query_norm
+                   FROM p4),
+            p6 AS (SELECT *,
+                    CASE WHEN NOT coalesce((scheme = 'http' AND port = 80)
+                                        OR (scheme = 'https' AND port = 443), FALSE)
+                         THEN port END AS port_norm
+                   FROM p5),
+            p7 AS (SELECT *, scheme <> '' AS has_url,
+                    scheme || '://' || host ||
+                    CASE WHEN port_norm IS NOT NULL
+                         THEN ':' || CAST(port_norm AS VARCHAR) ELSE '' END ||
+                    path_norm ||
+                    CASE WHEN query_norm <> '' THEN '?' || query_norm ELSE '' END AS rebuilt
+                   FROM p6)
+            SELECT c_custkey,
+                   CASE WHEN has_url THEN scheme ELSE '' END AS url_scheme,
+                   CASE WHEN has_url THEN host ELSE '' END AS url_host,
+                   CASE WHEN has_url THEN port_norm END AS url_port,
+                   CASE WHEN has_url THEN path_norm END AS url_path,
+                   CASE WHEN has_url THEN query_norm END AS url_query,
+                   CASE WHEN has_url THEN rebuilt ELSE u END AS url_norm
+            FROM p7
+        """,
+        "fill_forward": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                              CASE WHEN event_type <> 'view' THEN value END AS value
+                       FROM events)
+            SELECT event_id, user_id,
+                   round(last_value(value IGNORE NULLS) OVER (
+                         PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS value_filled
+            FROM e
+        """,
+        "transition_counts": """
+            WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+            pr AS (SELECT event_type AS src,
+                          lead(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY us, event_id) AS dst
+                   FROM e),
+            a AS (SELECT src, dst, count(*) AS cnt FROM pr
+                  WHERE dst IS NOT NULL GROUP BY 1, 2)
+            SELECT src, dst, cnt,
+                   round(CAST(cnt AS DOUBLE)
+                         / CAST(sum(cnt) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+            FROM a
+        """,
+        "feature_hash": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+              FROM documents),
+            fl AS (SELECT doc_id, tok FROM t WHERE tok <> '')
+            SELECT doc_id,
+                   CAST({_SQL_H.format(x='tok')} % 256 AS INT) AS bucket,
+                   count(*) AS cnt
+            FROM fl GROUP BY 1, 2
+        """,
+        "readability": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) AS wrds,
+                     CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                          AS DOUBLE) AS snts,
+                     CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+                          AS DOUBLE) AS syl
+              FROM documents)
+            SELECT doc_id, CAST(wrds AS INT) AS n_words, CAST(snts AS INT) AS n_sentences,
+                   CAST(syl AS INT) AS n_syllables,
+                   CASE WHEN wrds > 0
+                        THEN round(206.835 - 1.015 * (wrds / snts)
+                                           - 84.6 * (syl / wrds), 4) END AS flesch
+            FROM s
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

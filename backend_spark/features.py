@@ -14,7 +14,7 @@ mean/stddev = full shuffle) are exactly what these avoid.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -377,4 +377,112 @@ def histogram(
             F.round(F.col("__lo") + (F.col("bin") + 1) * ((F.col("__hi") - F.col("__lo")) / F.lit(bins)), ndigits).alias("hi"),
             F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
         )
+    )
+
+
+def fill_forward(
+    df: DataFrame,
+    key_col: str,
+    order_col: str | list[str],
+    value_cols: list[str] | str,
+) -> DataFrame:
+    """Per-key forward fill (LOCF — last observation carried forward):
+    each null in ``value_cols`` takes the latest preceding non-null
+    value in ``order_col`` order within its key.  The standard
+    gap-repair step before windowed feature extraction (sensor/event
+    streams emit sparse attribute updates; models want dense rows).
+
+    Scale shape: ONE window partitioning (key, ordered) shared by every
+    filled column — ``last(ignorenulls)`` over unbounded-preceding is a
+    running state, not a re-scan, and all columns reuse the same sort,
+    so the whole fill costs a single key-partitioned shuffle + sort
+    regardless of how many columns are filled.  Ties on ``order_col``
+    resolve by the pre-existing row order within the frame, so callers
+    with duplicate timestamps should order by a unique column.
+    """
+    cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    order_col: str | list[str],
+    state_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition counts over per-key ordered state
+    sequences: for every key, count (state -> next_state) adjacencies,
+    then aggregate globally and attach the row-conditional probability
+    ``p = round(cnt / sum(cnt over src), 6)``.  The classic
+    session-flow / user-journey summary (and the transition matrix a
+    sequence model is sanity-checked against).
+
+    Scale shape: one key-partitioned window (lead) to form adjacent
+    pairs, then one map-side-combinable groupBy on (src, dst) whose
+    output is at most |states|^2 rows — tiny; the conditional
+    probability is a window over THAT aggregate, not over the data.
+    """
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("src"),
+            F.lead(state_col).over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    agg = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = Window.partitionBy("src")
+    return (
+        agg.where(F.col("cnt") >= min_count)
+        .select(
+            "src",
+            "dst",
+            "cnt",
+            F.round(F.col("cnt") / F.sum("cnt").over(tot), 6).alias("p"),
+        )
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    split_pattern: str = r"[^a-z0-9]+",
+) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009): tokens map to
+    ``pmod(md5_long(token), n_buckets)`` counts — a fixed-width sparse
+    feature vector with no vocabulary pass, the way large-scale linear
+    models and quality classifiers featurize text without a dictionary
+    broadcast.  Output is the sparse (id, bucket, cnt) triplet form
+    (dense arrays at n_buckets wide would defeat column pruning).
+
+    Cross-engine: md5-based bucket ids reproduce exactly in the DuckDB
+    oracle (functions.md5_long convention).  Scale shape: explode +
+    one map-side-combinable groupBy on (id, bucket); no driver state,
+    no vocabulary, no second pass.
+    """
+    from backend_spark import functions as fn
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), split_pattern)).alias("__tok"),
+    ).where(F.col("__tok") != "")
+    return (
+        toks.withColumn("bucket", F.pmod(fn.md5_long(F.col("__tok")), F.lit(n_buckets)).cast("int"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )

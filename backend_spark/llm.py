@@ -4008,3 +4008,43 @@ def url_normalize(
         F.when(has_url, query_norm).alias("url_query"),
         F.when(has_url, rebuilt).otherwise(u).alias("url_norm"),
     )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Flesch reading-ease scoring — the classic text-quality feature
+    (alongside quality_filter's ratio gates) for corpus curation:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``.
+
+    Heuristics (all pure-Column regex counts, RE2-safe so the DuckDB
+    oracle runs the same patterns): words = maximal ``[A-Za-z]+`` runs;
+    sentences = maximal ``[.!?]+`` runs (min 1); syllables = maximal
+    vowel-group runs ``[aeiouyAEIOUY]+`` (min 1 per text).  Rounded to
+    4.  Empty/word-free texts score NULL rather than a fake number.
+
+    Scale shape: shuffle-free narrow projection — three regexp_count
+    expressions inside one whole-stage-codegen span; no tokenize
+    explode, no aggregate.
+    """
+    words = F.regexp_count(F.col(text_col), F.lit("[A-Za-z]+")).cast("double")
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+")), F.lit(1)
+    ).cast("double")
+    sylls = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[aeiouyAEIOUY]+")), F.lit(1)
+    ).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (sylls / words)
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("int").alias("n_words"),
+        sents.cast("int").alias("n_sentences"),
+        sylls.cast("int").alias("n_syllables"),
+        F.when(words > 0, F.round(score, 4)).alias("flesch"),
+    )

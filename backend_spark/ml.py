@@ -321,11 +321,182 @@ def lr_train(
                 F.sum(F.round(resid * x * F.lit(grad_scale)).cast("long")).alias(f"g{j}")
                 for j, x in enumerate(feats)
             ],
-        ).collect()[0]
+            *[
+                F.max(F.abs(F.round(resid * x * F.lit(grad_scale)).cast("long"))).alias(f"m{j}")
+                for j, x in enumerate(feats)
+            ],
+        )
+        try:
+            row = row.collect()[0]
+        except Exception as e:  # ANSI mode throws in-engine on cast/sum overflow
+            if "OVERFLOW" in str(e).upper():
+                raise OverflowError(
+                    f"lr_train: gradient contribution or BIGINT sum overflow "
+                    f"(grad_scale={grad_scale}); lower grad_scale or "
+                    f"standardize features"
+                ) from e
+            raise
         n = row["n"]
+        if n == 0:
+            raise ValueError("lr_train: empty input DataFrame")
+        # BIGINT-sum overflow guard: |sum| <= n * max|contribution|; the
+        # max is computed in the SAME aggregate, so a violation raises
+        # instead of silently returning wrapped-sum weights.  (Python
+        # ints are unbounded, so the check itself cannot overflow.)
+        for j in range(len(w)):
+            if n * (row[f"m{j}"] or 0) >= 2 ** 63:
+                raise OverflowError(
+                    f"lr_train: gradient sum for weight {j} can exceed BIGINT "
+                    f"(n={n}, max|contrib|={row[f'm{j}']}); lower grad_scale "
+                    f"or standardize features"
+                )
         w = [
             wj - learn_rate * ((row[f"g{j}"] / grad_scale) / n)
             for j, wj in enumerate(w)
         ]
         trace += [(it, name, wj) for name, wj in zip(names, w)]
     return spark.createDataFrame(trace, "iter int, feature string, weight double")
+
+
+def _ridge_sums(df: DataFrame, feature_cols: list[str], label_col: str, qscale: float):
+    """Exact quantized moment sums for :func:`ridge_train`.
+
+    Each value is quantized to ``round(x * qscale)`` as BIGINT; every
+    first- and second-order moment is then an exact integer, summed as
+    DECIMAL(38,0) (Spark) / HUGEINT (the DuckDB oracle) — associative,
+    so identical under any partitioning.  Returns (n, sums) where sums
+    maps 'i'/'ij' index strings over [features..., label] to Python ints.
+    """
+    cols = [*feature_cols, label_col]
+    q = [F.round(F.col(c).cast("double") * F.lit(qscale)).cast("long") for c in cols]
+    qd = [x.cast("decimal(38,0)") for x in q]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, x in enumerate(qd):
+        aggs.append(F.sum(x).alias(f"s{i}"))
+    for i in range(len(qd)):
+        for j in range(i, len(qd)):
+            aggs.append(F.sum(qd[i] * qd[j]).alias(f"s{i}{j}"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["n"]
+    if n == 0:
+        raise ValueError("ridge_train: empty input DataFrame")
+    sums = {}
+    for k, v in row.asDict().items():
+        if k == "n":
+            continue
+        if v is None:
+            raise OverflowError(f"ridge_train: DECIMAL(38,0) sum overflow in {k}")
+        sums[k[1:]] = int(v)
+    return n, sums
+
+
+def _det3(m):
+    # fixed parenthesization — mirrored verbatim by the SQL oracle so
+    # both engines walk the identical IEEE-754 expression tree
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def ridge_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    l2: float = 1e-3,
+    qscale: float = 1e6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Closed-form normal-equations ridge regression whose weights are
+    HASH-EXACT across engines — the deterministic linear counterpart of
+    :func:`build_model` (reference code/recipes.py:1728-1898, whose RF
+    scores are engine-specific and only rows-checkable).
+
+    Determinism design: features and label are quantized to
+    ``round(x*qscale)`` BIGINTs, so the Gram matrix ``X'X`` and moment
+    vector ``X'y`` are EXACT integer sums (DECIMAL(38,0) Spark-side,
+    HUGEINT oracle-side) — immune to float-sum partition-order drift.
+    The 3x3 solve (2 features + intercept; Cramer's rule with a pinned
+    parenthesization) then runs on correctly-rounded doubles derived
+    from those integers, an identical IEEE-754 expression tree in both
+    engines; weights are rounded to ``ndigits``.  Ridge ``l2`` is added
+    to the non-intercept diagonal only.
+
+    Scale shape: ONE map-side-combined aggregate over the data (10
+    decimal sums for d=2) and an O(1) driver solve — no iteration, no
+    per-row Python.  Currently d=2 exactly (explicit Cramer oracle);
+    raise for other d rather than silently approximating.
+
+    Returns (feature, weight): ``__intercept__`` first, then
+    ``feature_cols`` in order.
+    """
+    if len(feature_cols) != 2:
+        raise ValueError("ridge_train: exactly 2 feature columns supported (d=2 Cramer solve)")
+    if l2 < 0:
+        raise ValueError(f"ridge_train: l2 must be >= 0, got {l2}")
+    spark = df.sparkSession
+    n, s = _ridge_sums(df, feature_cols, label_col, qscale)
+    q1 = float(qscale)
+    q2 = q1 * q1
+    # real-space moments: each is double(int)/double — correctly rounded
+    a11 = float(n)
+    a12 = float(s["0"]) / q1
+    a13 = float(s["1"]) / q1
+    a22 = float(s["00"]) / q2 + l2
+    a23 = float(s["01"]) / q2
+    a33 = float(s["11"]) / q2 + l2
+    b1 = float(s["2"]) / q1
+    b2 = float(s["02"]) / q2
+    b3 = float(s["12"]) / q2
+    A = [[a11, a12, a13], [a12, a22, a23], [a13, a23, a33]]
+    det = _det3(A)
+    if det == 0.0:
+        raise ValueError("ridge_train: singular normal equations (raise l2)")
+    w0 = _det3([[b1, a12, a13], [b2, a22, a23], [b3, a23, a33]]) / det
+    w1 = _det3([[a11, b1, a13], [a12, b2, a23], [a13, b3, a33]]) / det
+    w2 = _det3([[a11, a12, b1], [a12, a22, b2], [a13, a23, b3]]) / det
+    rows = [
+        ("__intercept__", w0),
+        (feature_cols[0], w1),
+        (feature_cols[1], w2),
+    ]
+    # round via F.round (HALF_UP), not Python round (half-even) — the
+    # DuckDB oracle's round() is away-from-zero, matching F.round
+    return spark.createDataFrame(rows, "feature string, weight double").select(
+        "feature", F.round("weight", ndigits).alias("weight")
+    )
+
+
+def ridge_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    l2: float = 1e-3,
+    qscale: float = 1e6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Train :func:`ridge_train` on ``df`` and score every row with the
+    ROUNDED weights: ``pred = round(w0 + w1*x1 + w2*x2, ndigits)`` and
+    ``resid = round(label - pred, ndigits)``.  Because the weights are
+    rounded before scoring, both engines multiply identical doubles in
+    an identical order — the whole train→score path is hash-exact (the
+    gap VERDICT r8 flagged for build_model/apply_model).
+
+    Scale shape: one aggregate (the train pass) + one broadcast-free
+    map over the rows; weights travel as three literals in the plan.
+    """
+    w = {r["feature"]: r["weight"] for r in ridge_train(
+        df, feature_cols, label_col, l2=l2, qscale=qscale, ndigits=ndigits
+    ).collect()}
+    pred = F.round(
+        F.lit(w["__intercept__"])
+        + F.lit(w[feature_cols[0]]) * F.col(feature_cols[0]).cast("double")
+        + F.lit(w[feature_cols[1]]) * F.col(feature_cols[1]).cast("double"),
+        ndigits,
+    )
+    return df.select(
+        "*",
+        pred.alias("pred"),
+        F.round(F.col(label_col).cast("double") - pred, ndigits).alias("resid"),
+    )

@@ -23,6 +23,7 @@ Scale posture:
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -300,12 +301,22 @@ def geo_join(
         ["__latq", "__lonq"],
     )
     dist = fn.haversine_km(F.col("__la"), F.col("__lo"), F.col("__ra"), F.col("__ro"))
-    return (
+    out = (
         cand.withColumn("dist_km", F.round(dist, ndigits_km))
         .where(F.col("dist_km") <= radius_km)
         .select(left_id, right_id, "dist_km")
-        .distinct()
     )
+    # Duplicate candidate pairs can only form when the wrapped longitude
+    # neighbor span covers the whole ring (2k+1 >= n_lon: two distinct
+    # __dlo offsets pmod to the same cell) — near-polar lat_bound or a
+    # radius approaching planetary scale.  Otherwise every right row
+    # meets a given left row in exactly one (latq, lonq) cell, so the
+    # result-sized distinct() shuffle is pure waste; guard it on the
+    # driver-computable worst case (lat_bound caps at 85°).
+    k_max = math.ceil((deg / lon_deg) / math.cos(math.radians(85.0))) + 1
+    if 2 * k_max + 1 >= n_lon:
+        out = out.distinct()
+    return out
 
 
 def join_topk(
@@ -467,6 +478,32 @@ def asof_join(
     )
 
 
+def _floor_bin(c: Column, bin_width: float) -> Column:
+    """``floor(c / bin_width)`` as an exact bin id.
+
+    For an integral ``bin_width`` the bin is computed in integer
+    arithmetic — ``(v - pmod(v, w)) / w`` on BIGINT, where the numerator
+    is an exact multiple of ``w`` — so integral values (timestamps,
+    sequence numbers) near a bin boundary can never be shifted into the
+    wrong bin by double-division rounding; exact for |v| < 2^53 (the
+    final division of an exact multiple is correctly rounded there,
+    ~285k years at millisecond resolution).  Fractional widths keep the
+    double division; callers own the documented precision bound (values
+    within 1 ulp of a boundary may land one bin off, and the bin-match
+    predicates in range_join/interval_join assume exact arithmetic).
+    """
+    fw = float(bin_width)
+    if fw <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width!r}")
+    if fw.is_integer():
+        # floor(c/w) == floor(floor(c)/w) for integral w, and F.floor on
+        # a double is exact — so fractional inputs are safe here too.
+        w = F.lit(int(fw)).cast("long")
+        v = F.floor(c).cast("long")
+        return ((v - F.pmod(v, w)) / w).cast("long")
+    return F.floor(c / F.lit(fw)).cast("long")
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -491,13 +528,15 @@ def range_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"range_join supports inner/left, got {how!r}")
-    w = F.lit(float(bin_width))
-    p = points.withColumn("__bin", F.floor(F.col(point_col) / w))
+    clash = {"__bin", "__bins"} & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(f"range_join: reserved column name(s) in input: {sorted(clash)}")
+    p = points.withColumn("__bin", _floor_bin(F.col(point_col), bin_width))
     i = intervals.withColumn(
         "__bins",
         F.sequence(
-            F.floor(F.col(lo_col) / w).cast("long"),
-            F.floor(F.col(hi_col) / w).cast("long"),
+            _floor_bin(F.col(lo_col), bin_width),
+            _floor_bin(F.col(hi_col), bin_width),
         ),
     ).withColumn("__bin", F.explode("__bins")).drop("__bins")
     joined = p.join(i, "__bin", "inner").where(
@@ -540,16 +579,24 @@ def interval_join(
     :func:`range_join`.
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
-    w = F.lit(float(bin_width))
+    reserved = {"__bin", "__lobin", "__rlobin"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"interval_join: reserved column name(s) in input: {sorted(clash)}")
+    prefixed = {f"{prefix}{c}" for c in right.columns if c not in keys}
+    clash = prefixed & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"interval_join: prefixed right column(s) collide with left: {sorted(clash)}"
+            f" — pick a different prefix"
+        )
 
     def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
         return (
-            df.withColumn("__lobin", F.floor(F.col(lo) / w).cast("long"))
+            df.withColumn("__lobin", _floor_bin(F.col(lo), bin_width))
             .withColumn(
                 "__bin",
-                F.explode(
-                    F.sequence("__lobin", F.floor(F.col(hi) / w).cast("long"))
-                ),
+                F.explode(F.sequence("__lobin", _floor_bin(F.col(hi), bin_width))),
             )
         )
 

@@ -1587,3 +1587,79 @@ def test_caverphone_published_vectors(spark):
         "PTA1111111", "STFNSN1111", "TMPSN11111", "TFT1111111", "WTA1111111",
         "", "", "",
     ]
+
+
+def test_floor_bin_integral_exact_large_and_negative(spark):
+    # integral widths: exact integer bins even at magnitudes where
+    # double division misrounds (the ADVICE r8 boundary case), and
+    # Python-floor semantics for negative/fractional values
+    from backend_spark.operators.joins import _floor_bin
+
+    import pyspark.sql.functions as F
+
+    vals = [
+        3_600_000_000 * 1_000_000 - 1,   # just under a bin boundary at ~3.6e15
+        3_600_000_000 * 1_000_000,
+        -3_600_000_000 * 1_000_000 - 1,
+        -7, -1, 0, 1, 7,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.b for r in df.select("v", _floor_bin(F.col("v"), 3_600_000_000).alias("b")).collect()}
+    for v in vals:
+        assert got[v] == v // 3_600_000_000, v
+    frac = spark.createDataFrame([(-2.7,), (2.7,), (-4.0,)], "v double")
+    gotf = [r.b for r in frac.select(_floor_bin(F.col("v"), 2).alias("b")).collect()]
+    assert gotf == [-2, 1, -2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _floor_bin(F.col("v"), 0)
+
+
+def test_interval_join_rejects_column_collisions(spark):
+    from backend_spark.operators import interval_join
+
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 0.0, 1.0)], "lid long, lo double, hi double")
+    right = spark.createDataFrame([(2, 0.0, 1.0)], "rid long, lo double, hi double")
+    with _pytest.raises(ValueError, match="reserved"):
+        interval_join(
+            left.withColumnRenamed("lid", "__bin"), right, "lo", "hi", "lo", "hi", 1.0
+        )
+    # left already has iv_rid -> the prefixed right id would collide
+    with _pytest.raises(ValueError, match="collide"):
+        interval_join(
+            left.withColumnRenamed("lid", "iv_rid"), right, "lo", "hi", "lo", "hi", 1.0
+        )
+
+
+def test_range_join_rejects_reserved_columns(spark):
+    from backend_spark.operators.joins import range_join
+
+    import pytest as _pytest
+
+    points = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+    ivals = spark.createDataFrame([(2, 0.0, 10.0)], "iid long, lo double, hi double")
+    with _pytest.raises(ValueError, match="reserved"):
+        range_join(points.withColumnRenamed("pid", "__bin"), ivals, "v", "lo", "hi", 4.0)
+
+
+def test_geo_join_skips_distinct_at_normal_radius(spark):
+    from backend_spark.operators.joins import geo_join
+
+    left = spark.createDataFrame(
+        [(1, 48.8566, 2.3522)], "lid long, lat double, lon double"
+    )
+    right = spark.createDataFrame(
+        [(10, 48.8049, 2.1204)], "rid long, lat double, lon double"
+    )
+    out = geo_join(left, right, 25.0, "lid", "rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no wrap possible at 25 km -> the result-sized distinct shuffle is gone
+    assert "HashAggregate" not in plan
+    assert out.count() == 1
+    # planetary radius CAN wrap the lon ring -> distinct guard engages,
+    # and the result still has no duplicate pairs
+    big = geo_join(left, right, 7000.0, "lid", "rid").collect()
+    assert len(big) == len({(r.lid, r.rid) for r in big}) == 1

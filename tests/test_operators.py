@@ -1011,3 +1011,92 @@ def test_scd2_build_multi_attr_null_safe(spark):
     )
     # null w == null w (null-safe) so 10..20 is one run; change at 30
     assert rows == [(10, 30), (30, None)]
+
+
+def test_url_normalize_edge_cases(spark):
+    from backend_spark import llm
+
+    rows = [
+        (1, "HTTPS://User:Pw@WWW.Example.COM:443/Path/?b=2&utm_source=x&a=1&fbclid=z#frag"),
+        (2, "http://site.org:80"),                      # default port + empty path
+        (3, "http://site.org:8080/x?=5&a=1&ref=r"),     # kept custom port, empty param name
+        (4, "not a url"),                               # schemeless passthrough
+        (5, "ftp://Host.Net:21/file"),                  # non-http scheme: port kept
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r for r in llm.url_normalize(df, "url").collect()}
+    r1 = got[1]
+    assert r1.url_scheme == "https" and r1.url_host == "www.example.com"
+    assert r1.url_port is None                          # 443 is the https default
+    assert r1.url_path == "/Path/" and r1.url_query == "a=1&b=2"
+    assert r1.url_norm == "https://www.example.com/Path/?a=1&b=2"
+    r2 = got[2]
+    assert r2.url_port is None and r2.url_path == "/" and r2.url_norm == "http://site.org/"
+    r3 = got[3]
+    assert r3.url_port == 8080 and r3.url_query == "=5&a=1"
+    r4 = got[4]
+    assert r4.url_scheme == "" and r4.url_host == "" and r4.url_norm == "not a url"
+    assert r4.url_port is None and r4.url_path is None
+    r5 = got[5]
+    assert r5.url_scheme == "ftp" and r5.url_port == 21
+
+
+def test_fill_forward_locf_and_leading_nulls(spark):
+    from backend_spark.features import fill_forward
+
+    rows = [
+        ("u", 1, None, None), ("u", 2, 5.0, "a"), ("u", 3, None, None),
+        ("u", 4, 7.0, None), ("u", 5, None, "b"),
+        ("v", 1, None, None),                       # all-null key stays null
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, x double, s string")
+    got = {(r.k, r.t): (r.x, r.s) for r in fill_forward(df, "k", "t", ["x", "s"]).collect()}
+    assert got[("u", 1)] == (None, None)            # nothing before -> stays null
+    assert got[("u", 3)] == (5.0, "a")
+    assert got[("u", 4)] == (7.0, "a")
+    assert got[("u", 5)] == (7.0, "b")
+    assert got[("v", 1)] == (None, None)
+
+
+def test_transition_counts_conditional_probabilities(spark):
+    from backend_spark.features import transition_counts
+
+    rows = [("u", i, s) for i, s in enumerate("AABAB")] + [("v", i, s) for i, s in enumerate("AB")]
+    df = spark.createDataFrame(rows, "k string, t long, s string")
+    got = {(r.src, r.dst): (r.cnt, r.p) for r in transition_counts(df, "k", "t", "s").collect()}
+    # u: A->A, A->B, B->A, A->B ; v: A->B
+    assert got[("A", "B")] == (3, 0.75) and got[("A", "A")] == (1, 0.25)
+    assert got[("B", "A")] == (1, 1.0)
+
+
+def test_feature_hash_deterministic_counts(spark):
+    import pytest as _pytest
+
+    from backend_spark.features import feature_hash
+
+    df = spark.createDataFrame([(1, "cat cat dog"), (2, "cat")], "id long, t string")
+    out = feature_hash(df, "id", "t", n_buckets=16).collect()
+    assert all(0 <= r.bucket < 16 for r in out)
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, {})[r.bucket] = r.cnt
+    # 'cat' hashes identically everywhere -> same bucket, count 2 in doc 1
+    cat_bucket = next(iter(by_id[2]))
+    assert by_id[1][cat_bucket] == 2
+    with _pytest.raises(ValueError):
+        feature_hash(df, "id", "t", n_buckets=0)
+
+
+def test_readability_flesch_values(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, "???")],
+        "id long, t string",
+    )
+    got = {r.id: r for r in llm.readability(df, "id", "t").collect()}
+    r1 = got[1]
+    assert r1.n_words == 6 and r1.n_sentences == 2 and r1.n_syllables == 6
+    assert abs(r1.flesch - round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)) < 1e-9
+    assert got[2].flesch is None and got[2].n_words == 0
+    assert got[3].flesch is None and got[3].n_sentences == 1

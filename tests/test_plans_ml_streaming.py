@@ -1124,3 +1124,54 @@ def test_classifier_eval_null_labels_single_row(spark):
     assert (n.support, n.pred_cnt, n.tp) == (2, 3, 2)
     a = rows["a"]
     assert (a.support, a.pred_cnt, a.tp) == (2, 1, 1)
+
+
+def test_ridge_train_matches_numpy_closed_form(spark):
+    import numpy as np
+
+    from backend_spark import ml
+
+    rows = [(float(i % 7), float((3 * i) % 5) / 10.0, 2.0 + 1.5 * (i % 7) - 4.0 * ((3 * i) % 5) / 10.0 + (i % 3) * 0.01)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    w = {r.feature: r.weight for r in ml.ridge_train(df, ["x1", "x2"], "y").collect()}
+    X = np.array([[1.0, r[0], r[1]] for r in rows])
+    y = np.array([r[2] for r in rows])
+    ref = np.linalg.solve(X.T @ X + 1e-3 * np.diag([0.0, 1.0, 1.0]), X.T @ y)
+    assert abs(w["__intercept__"] - ref[0]) < 1e-4
+    assert abs(w["x1"] - ref[1]) < 1e-4
+    assert abs(w["x2"] - ref[2]) < 1e-4
+
+
+def test_ridge_score_resid_consistent_and_validations(spark):
+    import pytest as _pytest
+
+    from backend_spark import ml
+
+    rows = [(float(i), float(i % 4), 3.0 * i + 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    out = ml.ridge_score(df, ["x1", "x2"], "y").collect()
+    for r in out:
+        assert abs(r.resid - round(r.y - r.pred, 6)) < 1e-9
+    with _pytest.raises(ValueError, match="exactly 2"):
+        ml.ridge_train(df, ["x1"], "y")
+    with _pytest.raises(ValueError, match="empty"):
+        ml.ridge_train(df.where("x1 < 0"), ["x1", "x2"], "y")
+    with _pytest.raises(ValueError, match="l2"):
+        ml.ridge_train(df, ["x1", "x2"], "y", l2=-1.0)
+
+
+def test_lr_train_empty_and_overflow_guards(spark):
+    import pytest as _pytest
+
+    from backend_spark import ml
+
+    df = spark.createDataFrame([(1.0, 1.0, 1.0)], "x1 double, x2 double, y double")
+    with _pytest.raises(ValueError, match="empty"):
+        ml.lr_train(df.where("x1 < 0"), ["x1", "x2"], "y")
+    # each |contribution| = 0.5 * 1e10 * 1e9 = 5e18 fits BIGINT, but the
+    # 2-row sum bound n * max = 1e19 >= 2^63 -> must raise, not wrap
+    # (per-element overflow is separately caught by the ANSI cast)
+    huge = spark.createDataFrame([(1e10, 0.0), (1e10, 0.0)], "x1 double, y double")
+    with _pytest.raises(OverflowError):
+        ml.lr_train(huge, ["x1"], "y", grad_scale=1e9)

@@ -177,6 +177,20 @@ EXPECT = {
     # tables (SMJ is the right plan at scale); one-row totals broadcast
     # back as a scalar NLJ — so only true cartesians are banned
     "modularity": ([], ["CartesianProduct"]),
+    # closed-form ridge: weights are plan literals; scoring is a pure
+    # projection over the scan — zero shuffle, zero join
+    "ridge_score": ([], ["Exchange", "CartesianProduct"]),
+    # pure Column regex/array chain over the scan — shuffle-free
+    "url_normalize": ([], ["Exchange", "CartesianProduct"]),
+    # ONE keyed window partitioning shared by every filled column
+    "fill_forward": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # lead window + map-side-combined (src,dst) agg; the probability
+    # window runs over the |states|^2 aggregate, not the data
+    "transition_counts": (["Window", "partial"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # explode + one keyed count agg; no vocabulary pass, no join
+    "feature_hash": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # three regexp_count projections in one codegen span — shuffle-free
+    "readability": ([], ["Exchange", "CartesianProduct"]),
 }
 
 
