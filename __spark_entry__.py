@@ -2774,13 +2774,66 @@ def _q_readability(spark, sf):
     return llm.readability(docs, "doc_id", "text")
 
 
+def _q_cdf_normalize(spark, sf):
+    """Per-group rank CDF transform of price within returnflag — one
+    keyed window shuffle, tie-stable percent_rank."""
+    from backend_spark.features import cdf_normalize
+
+    li = load_table(spark, sf, "lineitem")
+    out = cdf_normalize(li, "l_returnflag", "l_extendedprice")
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice_cdf")
+
+
+def _q_mad_outliers(spark, sf):
+    """Median-absolute-deviation outlier flags on price per returnflag —
+    two tiny percentile aggregates broadcast back, rounded boundary."""
+    from backend_spark.features import mad_outliers
+
+    li = load_table(spark, sf, "lineitem")
+    out = mad_outliers(li, "l_returnflag", "l_extendedprice", k=3.0)
+    return out.select("l_orderkey", "l_linenumber", "dev", "mad", "is_outlier")
+
+
+def _q_sentence_split(spark, sf):
+    """RE2-safe sentence segmentation with stable ordinals + word
+    counts — a pure split/posexplode projection."""
+    docs = load_table(spark, sf, "documents")
+    return llm.sentence_split(docs, "doc_id", "text")
+
+
+def _q_cidr_filter(spark, sf):
+    """IPv4 blocklist matching via exact-integer CIDR ranges through
+    range_join's binned equi-join (no ip x cidr nested loop); synthetic
+    addresses include malformed octets and overlapping CIDR blocks."""
+    from backend_spark.quality import cidr_filter
+
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    ip = F.concat_ws(
+        ".",
+        (F.lit(10) + k % 3).cast("string"),
+        (k % 300).cast("string"),
+        (F.expr("c_custkey div 7") % 256).cast("string"),
+        (k % 250).cast("string"),
+    )
+    ips = cust.select("c_custkey", ip.alias("ip"))
+    cidrs = spark.createDataFrame(
+        [("10.0.0.0/8",), ("10.128.0.0/9",), ("11.0.0.0/10",),
+         ("11.192.0.0/10",), ("12.0.0.0/24",), ("99.0.0.0/33",)],
+        "cidr string",
+    )
+    return cidr_filter(ips, "ip", cidrs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
-    # 50-query prefix per round).  Round-9 rotation: the 7 new ops
-    # (ridge/url/fill_forward/transitions/feature_hash/readability), the 5
-    # never-driver-checked (ann_pq + bpe_encode + the 3 rows-only), the 12
-    # r4-stale, then 26 oldest-r5; remaining r5 queue first for round 10,
-    # freshly-green r6/r8 rows go last.
+    # 50-query prefix per round).  Round-9 rotation: the 11 new ops
+    # (ridge x2, url_normalize, fill_forward, transition_counts,
+    # feature_hash, readability, cdf_normalize, mad_outliers,
+    # sentence_split, cidr_filter), the 5 never-driver-checked (ann_pq +
+    # bpe_encode + the 3 rows-only), the 12 r4-stale, then the oldest-r5
+    # rows up to the prefix boundary marked below; remaining r5 queue
+    # first for round 10, freshly-green r6/r8 rows go last.
     return {
         "ridge_train": _q_ridge_train,
         "ridge_score": _q_ridge_score,
@@ -2789,6 +2842,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_counts": _q_transition_counts,
         "feature_hash": _q_feature_hash,
         "readability": _q_readability,
+        "cdf_normalize": _q_cdf_normalize,
+        "mad_outliers": _q_mad_outliers,
+        "sentence_split": _q_sentence_split,
+        "cidr_filter": _q_cidr_filter,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -2828,6 +2885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition,
         "quality_filter": _q_quality_filter,
+        # --- 50-query-prefix boundary: everything below queues for the
+        # round-10 rotation (det_sample..token_count are the remaining
+        # r5-evidence rows) ---
         "det_sample": _q_sample,
         "dedup_lines": _q_dedup_lines,
         "asof_join": _q_asof_join,
@@ -5071,6 +5131,76 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(206.835 - 1.015 * (wrds / snts)
                                            - 84.6 * (syl / wrds), 4) END AS flesch
             FROM s
+        """,
+        "cdf_normalize": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(percent_rank() OVER (PARTITION BY l_returnflag
+                                              ORDER BY l_extendedprice), 6)
+                     AS l_extendedprice_cdf
+            FROM lineitem
+        """,
+        "mad_outliers": """
+            WITH med AS (SELECT l_returnflag,
+                                quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS md
+                         FROM lineitem GROUP BY 1),
+            d AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                         abs(CAST(l_extendedprice AS DOUBLE) - md) AS dv
+                  FROM lineitem l JOIN med USING (l_returnflag)),
+            m AS (SELECT l_returnflag, quantile_cont(dv, 0.5) AS mad FROM d GROUP BY 1)
+            SELECT d.l_orderkey, d.l_linenumber, round(d.dv, 6) AS dev,
+                   round(m.mad, 6) AS mad,
+                   round(d.dv, 6) > 3.0 * round(m.mad, 6) AS is_outlier
+            FROM d JOIN m USING (l_returnflag)
+        """,
+        "sentence_split": """
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(text, '[.!?]+(\\s+|$)') AS l
+                       FROM documents),
+            u AS (SELECT doc_id,
+                         unnest([{'i': CAST(i - 1 AS INT),
+                                  's': trim(l[CAST(i AS INT)])}
+                                 for i in range(1, len(l) + 1)]) AS c
+                  FROM t)
+            SELECT doc_id, c.i AS sent_id, c.s AS sentence,
+                   CAST(len(string_split_regex(c.s, '\\s+')) AS INT) AS n_words
+            FROM u WHERE length(c.s) > 0
+        """,
+        "cidr_filter": """
+            WITH ips AS (SELECT c_custkey,
+                   CAST(10 + c_custkey % 3 AS VARCHAR) || '.' ||
+                   CAST(c_custkey % 300 AS VARCHAR) || '.' ||
+                   CAST((c_custkey // 7) % 256 AS VARCHAR) || '.' ||
+                   CAST(c_custkey % 250 AS VARCHAR) AS ip
+              FROM customer),
+            v AS (SELECT c_custkey, ip, string_split(ip, '.') AS o FROM ips),
+            pt AS (SELECT c_custkey, ip,
+                     CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+                       + CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT) AS ipl
+                   FROM v
+                   WHERE regexp_matches(ip,
+                           '^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$')
+                     AND CAST(o[1] AS BIGINT) <= 255 AND CAST(o[2] AS BIGINT) <= 255
+                     AND CAST(o[3] AS BIGINT) <= 255 AND CAST(o[4] AS BIGINT) <= 255),
+            cd AS (SELECT * FROM (VALUES ('10.0.0.0/8'), ('10.128.0.0/9'),
+                                         ('11.0.0.0/10'), ('11.192.0.0/10'),
+                                         ('12.0.0.0/24'), ('99.0.0.0/33')) t(cidr)),
+            cr AS (SELECT cidr,
+                          string_split(string_split(cidr, '/')[1], '.') AS o,
+                          CAST(string_split(cidr, '/')[2] AS INT) AS bits
+                   FROM cd),
+            cr2 AS (SELECT cidr,
+                           CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+                             + CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT) AS base,
+                           CAST(1 AS BIGINT) << (32 - bits) AS span
+                    FROM cr
+                    WHERE bits BETWEEN 0 AND 32
+                      AND CAST(o[1] AS BIGINT) <= 255 AND CAST(o[2] AS BIGINT) <= 255
+                      AND CAST(o[3] AS BIGINT) <= 255 AND CAST(o[4] AS BIGINT) <= 255),
+            cr3 AS (SELECT cidr, base - (base % span) AS lo,
+                           base - (base % span) + span AS hi
+                    FROM cr2)
+            SELECT p.c_custkey, p.ip, c.cidr
+            FROM pt p JOIN cr3 c ON p.ipl >= c.lo AND p.ipl < c.hi
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

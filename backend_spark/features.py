@@ -486,3 +486,74 @@ def feature_hash(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cdf_normalize(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group rank-based CDF transform (quantile normalization):
+    ``round(percent_rank(), ndigits)`` of ``value_col`` within each
+    group — maps any distribution onto [0, 1], the standard monotone
+    feature transform when absolute magnitudes are meaningless across
+    sources.  Ties share a rank in both engines (SQL percent_rank
+    semantics), so the output is deterministic without a tiebreaker.
+
+    Scale shape: ONE keyed shuffle + sort (the window).  Group keys are
+    REQUIRED — a global (ungrouped) percent_rank funnels the whole
+    table through a single partition; for a global transform use
+    ``quantile_bins`` (broadcast cut points) instead.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if not groups:
+        raise ValueError(
+            "cdf_normalize requires group columns (a global percent_rank is a "
+            "single-partition sort; use quantile_bins for global transforms)"
+        )
+    w = Window.partitionBy(*groups).orderBy(value_col)
+    return df.withColumn(
+        f"{value_col}_cdf", F.round(F.percent_rank().over(w), ndigits)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    k: float = 3.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Robust outlier flagging by median absolute deviation: a row is an
+    outlier when ``|x − median| > k·MAD`` within its group — the
+    heavy-tail-safe alternative to z-scores (zscore's mean/std are
+    themselves dragged by the outliers they're meant to find).
+    Adds ``dev`` (= round(|x − med|, ndigits)), ``mad`` and
+    ``is_outlier``; the comparison runs on the ROUNDED values so the
+    boundary is deterministic cross-engine.
+
+    Scale shape: two tiny per-group percentile aggregates (median, then
+    median of deviations) broadcast back onto the scan — the data
+    itself never sorts or re-shuffles; an all-equal group has MAD 0 and
+    flags any deviating row, which is the intended degenerate case.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*groups).agg(F.percentile(v, F.lit(0.5)).alias("__med"))
+    j = df.join(F.broadcast(med), groups)
+    dev = F.abs(F.col(value_col).cast("double") - F.col("__med"))
+    mad = (
+        j.withColumn("__dev", dev)
+        .groupBy(*groups)
+        .agg(F.percentile(F.col("__dev"), F.lit(0.5)).alias("__mad"))
+    )
+    out = j.join(F.broadcast(mad), groups)
+    dev_r = F.round(dev, ndigits)
+    mad_r = F.round(F.col("__mad"), ndigits)
+    return out.select(
+        *df.columns,
+        dev_r.alias("dev"),
+        mad_r.alias("mad"),
+        (dev_r > F.lit(float(k)) * mad_r).alias("is_outlier"),
+    )

@@ -682,3 +682,35 @@ def caverphone(c: Column) -> Column:
         x = F.regexp_replace(x, pat, rep)
     out = F.substring(F.concat(x, F.lit("1" * 10)), 1, 10)
     return F.when(s.isNull() | (F.length(s) == 0), F.lit("")).otherwise(out)
+
+
+def ipv4_long(c: Column) -> Column:
+    """Dotted-quad IPv4 -> BIGINT (0..2^32-1), NULL for malformed input
+    (wrong shape or an octet > 255).  Pure Column split/arithmetic —
+    reproduces exactly in ANSI SQL:
+    ``o1*16777216 + o2*65536 + o3*256 + o4`` over
+    ``string_split(ip, '.')`` with the same shape/range guards.
+    """
+    p = F.split(c, r"\.")
+    o = [F.element_at(p, i).cast("long") for i in (1, 2, 3, 4)]
+    val = o[0] * F.lit(16777216) + o[1] * F.lit(65536) + o[2] * F.lit(256) + o[3]
+    shape = c.rlike(r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$")
+    in_range = (o[0] <= 255) & (o[1] <= 255) & (o[2] <= 255) & (o[3] <= 255)
+    return F.when(shape & in_range, val)
+
+
+def cidr_range(c: Column) -> Column:
+    """CIDR string (``a.b.c.d/n``) -> struct(lo BIGINT, hi BIGINT), the
+    half-open address range [lo, hi); NULL for malformed input.  The
+    base address is masked down to the prefix (so ``10.0.0.7/8``
+    normalizes to ``10.0.0.0/8``), all in exact integer arithmetic
+    (2^(32-n) via shiftleft on BIGINT — no float pow).
+    """
+    base = ipv4_long(F.element_at(F.split(c, "/"), 1))
+    bits = F.element_at(F.split(c, "/"), 2).cast("int")
+    # 2^(32-n): pow on doubles is exact for exponents <= 32, so the
+    # long cast is lossless (F.shiftleft needs a literal shift amount)
+    span = F.pow(F.lit(2.0), (F.lit(32) - bits)).cast("long")
+    lo = base - F.pmod(base, span)  # mask to prefix, integer-only
+    ok = base.isNotNull() & bits.isNotNull() & (bits >= 0) & (bits <= 32)
+    return F.when(ok, F.struct(lo.alias("lo"), (lo + span).alias("hi")))

@@ -4048,3 +4048,34 @@ def readability(
         sylls.cast("int").alias("n_syllables"),
         F.when(words > 0, F.round(score, 4)).alias("flesch"),
     )
+
+
+def sentence_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Sentence segmentation for chunking/readability pipelines: split
+    on terminal-punctuation runs (``[.!?]+`` followed by whitespace or
+    end), keep each sentence with its ordinal position and word count.
+    RE2-safe (no lookbehind — the trailing punctuation is consumed, as
+    corpus chunkers conventionally accept), so the DuckDB oracle runs
+    the identical pattern.  ``sent_id`` is the pre-filter split
+    position, so ids are stable even when empty segments are dropped.
+
+    Scale shape: pure split + posexplode projection over the scan —
+    no shuffle, no UDF.
+    """
+    parts = F.split(F.col(text_col), r"[.!?]+(\s+|$)")
+    out = df.select(
+        F.col(id_col), F.posexplode(parts).alias("sent_id", "__s")
+    ).withColumn("sentence", F.trim(F.col("__s")))
+    return (
+        out.where(F.length("sentence") > 0)
+        .select(
+            id_col,
+            "sent_id",
+            "sentence",
+            F.size(F.split(F.col("sentence"), r"\s+")).cast("int").alias("n_words"),
+        )
+    )

@@ -245,3 +245,39 @@ def scd2_build(
         "valid_from",
         F.lead("valid_from").over(wk).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def cidr_filter(
+    df: DataFrame,
+    ip_col: str,
+    cidrs: DataFrame,
+    cidr_col: str = "cidr",
+) -> DataFrame:
+    """Match rows whose IPv4 address falls in any blocklist CIDR — the
+    network-range analogue of ``blocklist`` (crawler curation drops or
+    tags traffic from known-bad ranges; PII governance flags internal
+    addresses, RFC 1918 etc).  Returns the input rows joined with the
+    matching ``cidr`` string (one output row per match; rows matching
+    nothing are dropped — anti-join against this result to keep them).
+
+    Scale shape: addresses and CIDR ranges are exact BIGINTs
+    (functions.ipv4_long / cidr_range); the match is range_join's
+    binned hash equi-join on 2^16-wide address bins — never a
+    nested-loop over ip × cidr, which is what a naive
+    ``ip BETWEEN lo AND hi`` theta-join plans at scale.  A /8 block
+    explodes into 256 bins; typical blocklists (/16../24) take 1-2.
+    Malformed addresses/CIDRs are NULL and never match.
+    """
+    from backend_spark import functions as fn
+    from backend_spark.operators.joins import range_join
+
+    pts = df.withColumn("__ip", fn.ipv4_long(F.col(ip_col))).where(
+        F.col("__ip").isNotNull()
+    )
+    rng = (
+        cidrs.withColumn("__r", fn.cidr_range(F.col(cidr_col)))
+        .where(F.col("__r").isNotNull())
+        .select(cidr_col, F.col("__r.lo").alias("__lo"), F.col("__r.hi").alias("__hi"))
+    )
+    out = range_join(pts, rng, "__ip", "__lo", "__hi", bin_width=65536)
+    return out.drop("__ip", "__lo", "__hi")

@@ -1100,3 +1100,83 @@ def test_readability_flesch_values(spark):
     assert abs(r1.flesch - round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)) < 1e-9
     assert got[2].flesch is None and got[2].n_words == 0
     assert got[3].flesch is None and got[3].n_sentences == 1
+
+
+def test_cdf_normalize_ranks_and_global_guard(spark):
+    import pytest as _pytest
+
+    from backend_spark.features import cdf_normalize
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 30.0), ("b", 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = sorted(
+        (r.g, r.v, r.v_cdf) for r in cdf_normalize(df, "g", "v").collect()
+    )
+    # ties share a rank; (n-1) denominator (rounded to 6); singleton -> 0.0
+    assert got == [
+        ("a", 10.0, 0.0), ("a", 20.0, 0.333333), ("a", 20.0, 0.333333),
+        ("a", 30.0, 1.0), ("b", 1.0, 0.0),
+    ]
+    with _pytest.raises(ValueError, match="group"):
+        cdf_normalize(df, [], "v")
+
+
+def test_mad_outliers_flags_and_degenerate_group(spark):
+    from backend_spark.features import mad_outliers
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+            ("c", 5.0), ("c", 5.0), ("c", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, "g", "v", k=3.0).collect()
+    by = {(r.g, r.v): r for r in out}
+    # a: med 2.5, devs [1.5, .5, .5, 97.5], MAD 1.0 -> only 100 is out
+    assert by[("a", 100.0)].is_outlier and not by[("a", 3.0)].is_outlier
+    assert by[("a", 2.0)].mad == 1.0
+    # c: med 5, MAD 0 -> any deviation flags
+    assert by[("c", 9.0)].is_outlier and not by[("c", 5.0)].is_outlier
+
+
+def test_sentence_split_positions_and_counts(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [(1, "Hello world. Bye!!  Next one?"), (2, "no terminal punct"), (3, "...")],
+        "id long, t string",
+    )
+    got = {(r.id, r.sent_id): (r.sentence, r.n_words) for r in llm.sentence_split(df, "id", "t").collect()}
+    assert got[(1, 0)] == ("Hello world", 2)
+    assert got[(1, 1)] == ("Bye", 1)
+    assert got[(1, 2)] == ("Next one", 2)
+    assert got[(2, 0)] == ("no terminal punct", 3)
+    assert (3, 0) not in got and not any(k[0] == 3 for k in got)
+
+
+def test_ipv4_cidr_parsing_and_filter(spark):
+    import pyspark.sql.functions as F
+
+    from backend_spark import functions as fn
+    from backend_spark.quality import cidr_filter
+
+    ips = spark.createDataFrame(
+        [(1, "10.0.0.1"), (2, "10.255.255.255"), (3, "11.0.0.1"),
+         (4, "256.1.1.1"), (5, "1.2.3"), (6, "192.168.7.9")],
+        "id long, ip string",
+    )
+    v = {r.id: r.v for r in ips.select("id", fn.ipv4_long(F.col("ip")).alias("v")).collect()}
+    assert v[1] == 10 * 16777216 + 1
+    assert v[4] is None and v[5] is None          # octet > 255 / wrong shape
+    cidrs = spark.createDataFrame(
+        [("10.0.0.0/8",), ("192.168.0.0/16",), ("10.0.0.7/8",), ("8.8.8.8/33",)],
+        "cidr string",
+    )
+    out = [(r.id, r.cidr) for r in cidr_filter(ips, "ip", cidrs).collect()]
+    # 10.0.0.7/8 masks to 10.0.0.0/8 -> ids 1,2 match BOTH 10/8 entries
+    assert sorted(out) == [
+        (1, "10.0.0.0/8"), (1, "10.0.0.7/8"),
+        (2, "10.0.0.0/8"), (2, "10.0.0.7/8"),
+        (6, "192.168.0.0/16"),
+    ]
+    rng = spark.createDataFrame([("10.0.0.7/8",)], "cidr string").select(
+        fn.cidr_range(F.col("cidr")).alias("r")
+    ).collect()[0].r
+    assert rng.lo == 10 * 16777216 and rng.hi == 11 * 16777216

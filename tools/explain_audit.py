@@ -191,6 +191,14 @@ EXPECT = {
     "feature_hash": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
     # three regexp_count projections in one codegen span — shuffle-free
     "readability": ([], ["Exchange", "CartesianProduct"]),
+    # ONE keyed window shuffle for the per-group rank transform
+    "cdf_normalize": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # two tiny percentile aggs broadcast back; data never sorts
+    "mad_outliers": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin", "Window"]),
+    # pure split + posexplode projection over the scan — shuffle-free
+    "sentence_split": ([], ["Exchange", "CartesianProduct"]),
+    # binned hash equi-join on 2^16 address bins, never ip x cidr NLJ
+    "cidr_filter": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
