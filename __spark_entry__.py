@@ -2801,6 +2801,28 @@ def _q_sentence_split(spark, sf):
     return llm.sentence_split(docs, "doc_id", "text")
 
 
+def _q_budget_select(spark, sf):
+    """Per-source token-budget greedy selection (priority DESC, id ASC,
+    strict budget) — one keyed window cumsum, no per-group collect."""
+    docs = load_table(spark, sf, "documents")
+    docs = docs.withColumn("prio", (F.col("doc_id") % 100).cast("long"))
+    out = llm.budget_select(docs, "source", "n_chars", 5000, "prio", "doc_id")
+    return out.select("doc_id", "source", "n_chars", "cum_size")
+
+
+def _q_group_centroid(spark, sf):
+    """Hash-exact per-label mean embeddings via quantized BIGINT
+    component sums — one map-side-combined aggregate.  The centroid
+    array is re-exploded to scalar (label, dim, value) rows so the
+    driver hash checks every component exactly (array<double> JSON
+    reprs differ across engines for exponent-form values)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = llm.group_centroid(emb, "label", "embedding")
+    return out.select(
+        "label", "n_vecs", F.posexplode("centroid").alias("dim", "c")
+    )
+
+
 def _q_cidr_filter(spark, sf):
     """IPv4 blocklist matching via exact-integer CIDR ranges through
     range_join's binned equi-join (no ip x cidr nested loop); synthetic
@@ -2846,6 +2868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,
         "sentence_split": _q_sentence_split,
         "cidr_filter": _q_cidr_filter,
+        "budget_select": _q_budget_select,
+        "group_centroid": _q_group_centroid,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -2883,11 +2907,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_banded": _q_embed_banded,
         "pii_scan": _q_pii_scan,
         "decontaminate": _q_decontaminate,
+        # --- 50-query-prefix boundary: everything below queues for the
+        # round-10 rotation (repetition_stats..token_count are the
+        # remaining r5-evidence rows) ---
         "repetition_stats": _q_repetition,
         "quality_filter": _q_quality_filter,
-        # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (det_sample..token_count are the remaining
-        # r5-evidence rows) ---
         "det_sample": _q_sample,
         "dedup_lines": _q_dedup_lines,
         "asof_join": _q_asof_join,
@@ -5201,6 +5225,31 @@ def oracle_sql() -> dict[str, str]:
                     FROM cr2)
             SELECT p.c_custkey, p.ip, c.cidr
             FROM pt p JOIN cr3 c ON p.ipl >= c.lo AND p.ipl < c.hi
+        """,
+        "budget_select": """
+            WITH w AS (SELECT doc_id, source, n_chars,
+                              CAST(sum(CAST(n_chars AS BIGINT)) OVER (
+                                PARTITION BY source
+                                ORDER BY (doc_id % 100) DESC, doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS BIGINT) AS cum_size
+                       FROM documents)
+            SELECT doc_id, source, n_chars, cum_size FROM w
+            WHERE cum_size <= 5000
+        """,
+        "group_centroid": """
+            WITH e AS (SELECT label,
+                              unnest([{'i': CAST(i - 1 AS INT),
+                                       'x': CAST(embedding[CAST(i AS INT)] AS DOUBLE)}
+                                      for i in range(1, len(embedding) + 1)]) AS c
+                       FROM embeddings),
+            q AS (SELECT label, c.i AS i,
+                         CAST(round(c.x * 1000000.0) AS BIGINT) AS qv FROM e),
+            a AS (SELECT label, i, sum(qv) AS s, count(*) AS n FROM q GROUP BY 1, 2),
+            c2 AS (SELECT label, i, n,
+                          round((CAST(s AS DOUBLE) / 1000000.0) / n, 6) AS c FROM a)
+            SELECT label, CAST(n AS BIGINT) AS n_vecs, i AS dim, c
+            FROM c2
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

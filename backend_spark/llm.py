@@ -4079,3 +4079,85 @@ def sentence_split(
             F.size(F.split(F.col("sentence"), r"\s+")).cast("int").alias("n_words"),
         )
     )
+
+
+def budget_select(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    budget: int,
+    priority_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Greedy per-group budgeted selection: keep rows in (priority DESC,
+    id ASC) order while the group's running ``size_col`` total stays
+    within ``budget`` — how a training mix takes "the best N tokens per
+    source" rather than a blind fraction (the Pile/Dolma source-budget
+    step).  Strict rule: a row whose size would cross the budget is
+    dropped (later, smaller rows may still fit).  Adds ``cum_size``
+    (the running total INCLUDING the row, deterministic via the unique
+    ``id_col`` tiebreak).
+
+    Scale shape: ONE keyed window shuffle+sort; the cumulative sum is
+    running state inside the window, and the filter is a pure Column
+    gate — no per-group collect, no second pass.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(priority_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("cum_size", F.sum(F.col(size_col).cast("long")).over(w))
+    return out.where(F.col("cum_size") <= F.lit(int(budget)))
+
+
+def group_centroid(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    qscale: float = 1e6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group mean embedding (class centroids for semdedup seeding,
+    label prototypes, cluster summaries) whose values are HASH-EXACT
+    cross-engine: each component is quantized to ``round(x*qscale)``
+    BIGINT before summing, so the per-(group, dim) totals are exact
+    integers under any partitioning, and the mean is the fixed double
+    chain ``(sum/qscale)/n`` rounded to ``ndigits``.
+
+    Scale shape: posexplode to (group, dim) rows, ONE map-side-combined
+    aggregate (long sums combine in the map stage), then a per-group
+    array rebuild via sorted collect_list — |groups|·dim rows after the
+    combine, regardless of corpus size.  No driver state, no window.
+
+    Returns (group, n_vecs, centroid array<double>).
+    """
+    e = df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col)).alias("__i", "__x"),
+    )
+    q = e.withColumn(
+        "__q", F.round(F.col("__x").cast("double") * F.lit(float(qscale))).cast("long")
+    )
+    agg = q.groupBy("g", "__i").agg(
+        F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    comp = agg.select(
+        "g",
+        "__i",
+        "__n",
+        F.round(
+            (F.col("__s") / F.lit(float(qscale))) / F.col("__n"), ndigits
+        ).alias("__c"),
+    )
+    return (
+        comp.groupBy("g")
+        .agg(
+            F.max("__n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__c"))),
+                lambda s: s["__c"],
+            ).alias("centroid"),
+        )
+        .withColumnRenamed("g", group_col)
+    )

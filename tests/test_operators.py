@@ -1180,3 +1180,30 @@ def test_ipv4_cidr_parsing_and_filter(spark):
         fn.cidr_range(F.col("cidr")).alias("r")
     ).collect()[0].r
     assert rng.lo == 10 * 16777216 and rng.hi == 11 * 16777216
+
+
+def test_budget_select_strict_gate_and_order(spark):
+    from backend_spark import llm
+
+    rows = [
+        ("s", 1, 40, 5), ("s", 2, 40, 9), ("s", 3, 30, 9), ("s", 4, 100, 1),
+        ("t", 9, 100, 1),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, sz long, prio long")
+    out = {r.id: r.cum_size for r in llm.budget_select(df, "src", "sz", 100, "prio", "id").collect()}
+    # order within s: prio desc, id asc -> 2 (40), 3 (70), 1 (110 > 100: dropped),
+    # 4 would cross too; t's single row exactly fills its budget
+    assert out == {2: 40, 3: 70, 9: 100}
+
+
+def test_group_centroid_exact_means(spark):
+    from backend_spark import llm
+
+    rows = [
+        ("a", [1.0, 2.0]), ("a", [3.0, 6.0]),
+        ("b", [-1.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "lbl string, v array<double>")
+    got = {r.lbl: (r.n_vecs, r.centroid) for r in llm.group_centroid(df, "lbl", "v").collect()}
+    assert got["a"] == (2, [2.0, 4.0])
+    assert got["b"] == (1, [-1.0, 0.5])

@@ -199,6 +199,10 @@ EXPECT = {
     "sentence_split": ([], ["Exchange", "CartesianProduct"]),
     # binned hash equi-join on 2^16 address bins, never ip x cidr NLJ
     "cidr_filter": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # ONE keyed window cumsum; the budget gate is a pure Column filter
+    "budget_select": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # posexplode + map-side-combined (group, dim) long sums; no window
+    "group_centroid": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
 }
 
 
