@@ -2801,6 +2801,50 @@ def _q_sentence_split(spark, sf):
     return llm.sentence_split(docs, "doc_id", "text")
 
 
+def _q_pair_features(spark, sf):
+    """ER matching features over candidate pairs (base customer vs
+    deterministic variant): lev_norm + jw on name, null-safe exact on
+    segment, abs_diff on balance — two keyed joins + projections."""
+    from backend_spark.operators import pair_features
+
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    base = cust.select(
+        k.alias("rid"), F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("bal"),
+    )
+    v1 = cust.select(
+        (k + 1000000).alias("rid"), F.upper("c_name").alias("name"),
+        F.when(k % 4 == 0, F.lit("XSEG")).otherwise(F.col("c_mktsegment")).alias("seg"),
+        (F.col("c_acctbal") + (k % 7)).alias("bal"),
+    )
+    recs = base.unionByName(v1)
+    pairs = cust.select(k.alias("left_id"), (k + 1000000).alias("right_id"))
+    return pair_features(
+        recs, pairs, "rid",
+        {"name": ["lev_norm", "jw"], "seg": "exact", "bal": "abs_diff"},
+    )
+
+
+def _q_blocking_eval(spark, sf):
+    """Blocking-quality one-row report (pair completeness + reduction
+    ratio) over orientation-mixed candidate/gold pair sets."""
+    from backend_spark.operators import blocking_eval
+
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    cand = cust.where(k % 2 == 0).select(
+        k.alias("left_id"), (k + 1000000).alias("right_id")
+    ).unionByName(
+        cust.where(k % 5 == 0).select(
+            k.alias("left_id"), (k + 1000001).alias("right_id")
+        )
+    )
+    gold = cust.select((k + 1000000).alias("left_id"), k.alias("right_id"))
+    n = cust.count()
+    return blocking_eval(cand, gold, total_pairs=n * n)
+
+
 def _q_budget_select(spark, sf):
     """Per-source token-budget greedy selection (priority DESC, id ASC,
     strict budget) — one keyed window cumsum, no per-group collect."""
@@ -2870,6 +2914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cidr_filter": _q_cidr_filter,
         "budget_select": _q_budget_select,
         "group_centroid": _q_group_centroid,
+        "pair_features": _q_pair_features,
+        "blocking_eval": _q_blocking_eval,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -2905,11 +2951,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "zscore": _q_zscore,
         "embed_banded": _q_embed_banded,
+        # --- 50-query-prefix boundary: everything below queues for the
+        # round-10 rotation (pii_scan..token_count are the remaining
+        # r5-evidence rows) ---
         "pii_scan": _q_pii_scan,
         "decontaminate": _q_decontaminate,
-        # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (repetition_stats..token_count are the
-        # remaining r5-evidence rows) ---
         "repetition_stats": _q_repetition,
         "quality_filter": _q_quality_filter,
         "det_sample": _q_sample,
@@ -5225,6 +5271,51 @@ def oracle_sql() -> dict[str, str]:
                     FROM cr2)
             SELECT p.c_custkey, p.ip, c.cidr
             FROM pt p JOIN cr3 c ON p.ipl >= c.lo AND p.ipl < c.hi
+        """,
+        "pair_features": f"""
+            WITH m AS (
+              SELECT c_custkey AS rid, c_name AS name,
+                     c_mktsegment AS seg, c_acctbal AS bal FROM customer
+              UNION ALL
+              SELECT c_custkey + 1000000, upper(c_name),
+                     CASE WHEN c_custkey % 4 = 0 THEN 'XSEG' ELSE c_mktsegment END,
+                     c_acctbal + (c_custkey % 7) FROM customer
+            ),
+            p AS (SELECT c_custkey AS left_id, c_custkey + 1000000 AS right_id
+                  FROM customer)
+            SELECT p.left_id, p.right_id,
+                   {_SQL_LEVNORM.format(a='l.name', b='r.name')} AS f_name_lev_norm,
+                   round(jaro_winkler_similarity(l.name, r.name), 4) AS f_name_jw,
+                   CAST(l.seg IS NOT DISTINCT FROM r.seg AS INT) AS f_seg_exact,
+                   round(abs(CAST(l.bal AS DOUBLE) - CAST(r.bal AS DOUBLE)), 6)
+                     AS f_bal_abs_diff
+            FROM p JOIN m l ON l.rid = p.left_id JOIN m r ON r.rid = p.right_id
+        """,
+        "blocking_eval": """
+            WITH cand AS (
+              SELECT c_custkey AS a, c_custkey + 1000000 AS b FROM customer
+              WHERE c_custkey % 2 = 0
+              UNION ALL
+              SELECT c_custkey, c_custkey + 1000001 FROM customer
+              WHERE c_custkey % 5 = 0
+            ),
+            cn AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM cand),
+            g AS (SELECT DISTINCT least(c_custkey + 1000000, c_custkey) AS a,
+                                  greatest(c_custkey + 1000000, c_custkey) AS b
+                  FROM customer),
+            f AS (SELECT count(*) AS n_f FROM g
+                  WHERE EXISTS (SELECT 1 FROM cn WHERE cn.a = g.a AND cn.b = g.b)),
+            c2 AS (SELECT count(*) AS n_c FROM cn),
+            g2 AS (SELECT count(*) AS n_g FROM g),
+            n0 AS (SELECT count(*) AS n FROM customer)
+            SELECT CAST(n_c AS BIGINT) AS n_candidates,
+                   CAST(n_g AS BIGINT) AS n_gold,
+                   CAST(n_f AS BIGINT) AS n_found,
+                   round(CAST(n_f AS DOUBLE) / CAST(n_g AS DOUBLE), 6)
+                     AS pair_completeness,
+                   round(1.0 - CAST(n_c AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+                     AS reduction_ratio
+            FROM c2, g2, f, n0
         """,
         "budget_select": """
             WITH w AS (SELECT doc_id, source, n_chars,

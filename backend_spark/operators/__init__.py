@@ -34,7 +34,7 @@ from backend_spark.operators.reshape import (
     op_unfold,
     op_unnest,
 )
-from backend_spark.operators.er import er_resolve
+from backend_spark.operators.er import blocking_eval, er_resolve, pair_features
 from backend_spark.operators.graph import (
     connected_components,
     label_propagation,
@@ -53,6 +53,6 @@ __all__ = [
     "join_strict", "join_fuzzy", "join_topk", "asof_join", "range_join",
     "interval_join",
     "compact_latest",
-    "connected_components", "op_clique", "er_resolve",
+    "connected_components", "op_clique", "er_resolve", "pair_features", "blocking_eval",
     "label_propagation", "link_prediction", "modularity",
 ]

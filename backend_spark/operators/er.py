@@ -111,3 +111,126 @@ def er_resolve(
                 F.when(F.col(attr).isNotNull(), F.count(attr).over(w)),
             )
     return members.groupBy("comp").agg(*aggs).drop("comp")
+
+
+_PAIR_KINDS = ("exact", "lev_norm", "jw", "abs_diff")
+
+
+def pair_features(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    features: dict[str, str | list[str]],
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Pairwise similarity features for candidate pairs — the matching
+    step between blocking (join_fuzzy / join_topk / geo_join / phonetic
+    keys) and a trained link classifier (:func:`backend_spark.ml
+    .ridge_train` / ``lr_train``): the reference scores pairs with its
+    tools.py scoring library inside recipes; this materializes those
+    scores as a feature matrix at corpus scale.
+
+    ``features``: attr -> kind (or list of kinds), kind one of
+      * ``exact``    — null-safe equality as 0/1
+      * ``lev_norm`` — the reference's normalized Levenshtein
+        (tools.py:213-227 semantics via functions.levenshtein_norm)
+      * ``jw``       — Jaro-Winkler (Arrow pandas_udf — the documented
+        Python-boundary exception, same as the ``scoring`` query),
+        rounded to 4
+      * ``abs_diff`` — round(|l − r|, 6) for numerics
+
+    Output: (left_col, right_col, f_<attr>_<kind>...).
+
+    Scale shape: two keyed equi-joins (pairs → left attrs → right
+    attrs); feature columns are pure projections.  Records ship only
+    the referenced attrs (column pruning), and each join is a plain
+    hash join on the record id — no blocking logic here, that already
+    happened upstream.
+    """
+    from backend_spark import functions as fn
+
+    spec: list[tuple[str, str]] = []
+    for attr, kinds in features.items():
+        if attr not in records.columns:
+            raise ValueError(f"pair_features: attr {attr!r} not in records")
+        for kind in [kinds] if isinstance(kinds, str) else list(kinds):
+            if kind not in _PAIR_KINDS:
+                raise ValueError(f"pair_features: unknown kind {kind!r} for {attr!r}")
+            spec.append((attr, kind))
+    attrs = sorted({a for a, _ in spec})
+    l = records.select(
+        F.col(id_col).alias(left_col), *[F.col(a).alias(f"__l_{a}") for a in attrs]
+    )
+    r = records.select(
+        F.col(id_col).alias(right_col), *[F.col(a).alias(f"__r_{a}") for a in attrs]
+    )
+    j = pairs.select(left_col, right_col).join(l, left_col).join(r, right_col)
+    cols = []
+    for attr, kind in spec:
+        a, b = F.col(f"__l_{attr}"), F.col(f"__r_{attr}")
+        if kind == "exact":
+            c = a.eqNullSafe(b).cast("int")
+        elif kind == "lev_norm":
+            c = fn.levenshtein_norm(a, b)
+        elif kind == "jw":
+            c = F.round(fn.jw(a, b), 4)
+        else:
+            c = F.round(F.abs(a.cast("double") - b.cast("double")), 6)
+        cols.append(c.alias(f"f_{attr}_{kind}"))
+    return j.select(left_col, right_col, *cols)
+
+
+def blocking_eval(
+    candidates: DataFrame,
+    gold: DataFrame,
+    total_pairs: int,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Blocking-quality report: pair completeness (recall of the gold
+    links among the generated candidates) and reduction ratio (how much
+    of the quadratic pair space the blocking pruned) — the two numbers
+    that decide whether a blocking scheme is usable before any scoring
+    runs (Christen, "Data Matching", ch. 7).
+
+    Pairs are orientation-normalized to (least, greatest) before
+    comparison, so candidate and gold orientation conventions don't
+    matter.  ``total_pairs`` is the comparison-space size the caller
+    defines (n_l·n_r cross-source, or n·(n−1)/2 self-dedup).
+
+    Scale shape: two distinct-pair aggregates and one hash semi-join on
+    the normalized pair key; output is ONE row.
+    """
+    if total_pairs <= 0:
+        raise ValueError(f"total_pairs must be positive, got {total_pairs}")
+
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(left_col), F.col(right_col)).alias("__a"),
+            F.greatest(F.col(left_col), F.col(right_col)).alias("__b"),
+        ).distinct()
+
+    c = norm(candidates)
+    g = norm(gold)
+    found = g.join(c, ["__a", "__b"], "left_semi")
+    n_c = c.count()
+    n_g = g.count()
+    n_f = found.count()
+    spark = candidates.sparkSession
+    base = spark.createDataFrame(
+        [(n_c, n_g, n_f)], "n_candidates long, n_gold long, n_found long"
+    )
+    # ratios via F.round (HALF_UP), matching the oracle's round()
+    return base.select(
+        "n_candidates",
+        "n_gold",
+        "n_found",
+        F.when(
+            F.col("n_gold") > 0,
+            F.round(F.col("n_found") / F.col("n_gold"), 6),
+        ).alias("pair_completeness"),
+        F.round(
+            F.lit(1.0) - F.col("n_candidates") / F.lit(float(total_pairs)), 6
+        ).alias("reduction_ratio"),
+    )

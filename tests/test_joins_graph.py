@@ -1663,3 +1663,53 @@ def test_geo_join_skips_distinct_at_normal_radius(spark):
     # and the result still has no duplicate pairs
     big = geo_join(left, right, 7000.0, "lid", "rid").collect()
     assert len(big) == len({(r.lid, r.rid) for r in big}) == 1
+
+
+def test_pair_features_kinds_and_validation(spark):
+    import pytest as _pytest
+
+    from backend_spark.operators import pair_features
+
+    recs = spark.createDataFrame(
+        [(1, "smith", "NY", 10.0), (2, "smyth", "NY", 12.5), (3, "jones", None, 1.0)],
+        "rid long, name string, city string, bal double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "left_id long, right_id long")
+    out = {
+        (r.left_id, r.right_id): r
+        for r in pair_features(
+            recs, pairs, "rid",
+            {"name": ["lev_norm", "jw"], "city": "exact", "bal": "abs_diff"},
+        ).collect()
+    }
+    r12 = out[(1, 2)]
+    # lev(smith, smyth)=1, min len 5 -> rint(100 - 100/6)/100 = 0.83
+    assert r12.f_name_lev_norm == 0.83
+    assert 0.8 < r12.f_name_jw <= 1.0
+    assert r12.f_city_exact == 1 and r12.f_bal_abs_diff == 2.5
+    r13 = out[(1, 3)]
+    assert r13.f_city_exact == 0          # NY vs NULL -> null-safe 0
+    with _pytest.raises(ValueError, match="unknown kind"):
+        pair_features(recs, pairs, "rid", {"name": "cosine"})
+    with _pytest.raises(ValueError, match="not in records"):
+        pair_features(recs, pairs, "rid", {"missing": "exact"})
+
+
+def test_blocking_eval_metrics_and_orientation(spark):
+    import pytest as _pytest
+
+    from backend_spark.operators import blocking_eval
+
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (5, 9)], "left_id long, right_id long"
+    )
+    gold = spark.createDataFrame(
+        [(2, 1), (4, 3), (7, 8)], "left_id long, right_id long"
+    )
+    row = blocking_eval(cand, gold, total_pairs=100).collect()[0]
+    # (1,2) and (2,1) normalize to one candidate pair
+    assert row.n_candidates == 3 and row.n_gold == 3 and row.n_found == 2
+    assert row.pair_completeness == 0.666667
+    assert row.reduction_ratio == 0.97
+    with _pytest.raises(ValueError, match="total_pairs"):
+        blocking_eval(cand, gold, total_pairs=0)

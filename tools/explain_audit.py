@@ -203,6 +203,9 @@ EXPECT = {
     "budget_select": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # posexplode + map-side-combined (group, dim) long sums; no window
     "group_centroid": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # two keyed record-id joins + pure feature projections (jw is the
+    # documented Arrow-UDF boundary); no nested loop, no window
+    "pair_features": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
 }
 
 
