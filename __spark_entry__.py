@@ -2801,6 +2801,44 @@ def _q_sentence_split(spark, sf):
     return llm.sentence_split(docs, "doc_id", "text")
 
 
+def _q_interpolate(spark, sf):
+    """Per-user linear interpolation of nulled 'view' gaps — four
+    running series over ONE window partitioning, no extrapolation."""
+    from backend_spark.features import interpolate_linear
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    sparse = ev.select(
+        "event_id", "user_id", "us",
+        F.when(F.col("event_type") != "view", F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(sparse, "user_id", "us", "v", tiebreak_col="event_id")
+    return out.select("event_id", "user_id", F.col("v_interp"))
+
+
+def _q_stream_locf(spark, sf):
+    """Stateful streaming LOCF: one availableNow drain reproduces batch
+    fill_forward bit-for-bit, so it shares that exact oracle."""
+    from backend_spark import streaming
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    sparse = ev.select(
+        "event_id", "user_id", "us",
+        F.when(F.col("event_type") != "view", F.col("value")).alias("value"),
+    )
+    path = tempfile.mkdtemp(prefix="sg_locf_") + "/sparse"
+    sparse.write.parquet(path)
+    sdf = streaming.read_stream(spark, path)
+    out = streaming.locf_stream(sdf, "user_id", "us", "value", tiebreak_col="event_id")
+    _STREAM_N[0] += 1
+    name = f"sg_locf_{_STREAM_N[0]}"
+    streaming.run_to_memory(out, name, checkpoint=tempfile.mkdtemp(prefix="sg_locf_ck_"))
+    return spark.sql(
+        f"SELECT event_id, user_id, round(value, 2) AS value_filled FROM {name}"
+    )
+
+
 def _q_pair_features(spark, sf):
     """ER matching features over candidate pairs (base customer vs
     deterministic variant): lev_norm + jw on name, null-safe exact on
@@ -2916,6 +2954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_centroid": _q_group_centroid,
         "pair_features": _q_pair_features,
         "blocking_eval": _q_blocking_eval,
+        "interpolate": _q_interpolate,
+        "stream_locf": _q_stream_locf,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -2949,11 +2989,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": _q_quantile_bins,
         "resample": _q_resample,
         "funnel": _q_funnel,
+        # --- 50-query-prefix boundary: everything below queues for the
+        # round-10 rotation (zscore..token_count are the remaining
+        # r5-evidence rows) ---
         "zscore": _q_zscore,
         "embed_banded": _q_embed_banded,
-        # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (pii_scan..token_count are the remaining
-        # r5-evidence rows) ---
         "pii_scan": _q_pii_scan,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition,
@@ -5272,6 +5312,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.c_custkey, p.ip, c.cidr
             FROM pt p JOIN cr3 c ON p.ipl >= c.lo AND p.ipl < c.hi
         """,
+        "interpolate": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                              CASE WHEN event_type <> 'view' THEN value END AS v
+                       FROM events),
+            w AS (SELECT event_id, user_id, us, v,
+                    last_value(v IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                    last_value(CASE WHEN v IS NOT NULL
+                                    THEN CAST(us AS DOUBLE) END IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                    first_value(v IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                    first_value(CASE WHEN v IS NOT NULL
+                                     THEN CAST(us AS DOUBLE) END IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+                   FROM e)
+            SELECT event_id, user_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                              THEN pv + (nv - pv)
+                                   * ((CAST(us AS DOUBLE) - pt) / (nt - pt))
+                         END, 6) AS v_interp
+            FROM w
+        """,
         "pair_features": f"""
             WITH m AS (
               SELECT c_custkey AS rid, c_name AS name,
@@ -5351,4 +5419,6 @@ def oracle_sql() -> dict[str, str]:
     out["stream_compact"] = out["compact_latest"]
     # one availableNow batch == the batch packer bit-for-bit
     out["stream_pack"] = out["pack_sequences"]
+    # one availableNow batch == batch fill_forward bit-for-bit
+    out["stream_locf"] = out["fill_forward"]
     return out

@@ -557,3 +557,46 @@ def mad_outliers(
         mad_r.alias("mad"),
         (dev_r > F.lit(float(k)) * mad_r).alias("is_outlier"),
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    ndigits: int = 6,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key linear interpolation of null gaps: a null ``value_col``
+    between two observations takes the straight-line value at its
+    ``order_col`` position; nulls before the first or after the last
+    observation stay null (no extrapolation).  The numeric sibling of
+    :func:`fill_forward` for sensor/metric series where step-function
+    LOCF biases downstream features.
+
+    Output adds ``<value_col>_interp`` = round(interpolated, ndigits)
+    (observed rows pass through their own value, rounded).
+
+    Scale shape: ONE (key, order) window partitioning evaluated in two
+    frame directions — running last/max backward (previous observation
+    value + position) and first/min forward (next observation) — all
+    four series share the same shuffle+sort; the blend is pure Column
+    arithmetic.  Deterministic for unique ``order_col`` per key.
+    """
+    order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    v = F.col(value_col).cast("double")
+    t = F.col(order_col).cast("double")
+    pv = F.last(v, ignorenulls=True).over(back)
+    pt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(back)
+    nv = F.first(v, ignorenulls=True).over(fwd)
+    nt = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd)
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            pv.isNotNull() & nv.isNotNull(),
+            pv + (nv - pv) * ((t - pt) / (nt - pt)),
+        )
+    )
+    return df.withColumn(f"{value_col}_interp", F.round(interp, ndigits))

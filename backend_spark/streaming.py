@@ -235,6 +235,63 @@ def pack_stream(
     )
 
 
+def locf_stream(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    key_type: str = "long",
+    order_type: str = "long",
+    value_type: str = "double",
+) -> DataFrame:
+    """Streaming LOCF (last observation carried forward) — the stateful
+    counterpart of :func:`backend_spark.features.fill_forward` for a
+    continuously arriving sparse metric stream: per-key state is ONE
+    value (the latest non-null observation), each micro-batch sorts its
+    own rows, forward-fills within the batch, seeds from state, and
+    leaves the state at the batch's final observation.
+
+    Within a micro-batch rows order by (order, tiebreak) — the batch
+    kernel's deterministic order — so draining everything in ONE
+    availableNow batch reproduces batch ``fill_forward`` bit-for-bit,
+    which is this operator's equivalence oracle.  State is O(1) per
+    active key (a single value), the cheapest stateful shape at
+    100 TB/day.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    out_schema = ", ".join(
+        [f"{key_col} {key_type}", f"{order_col} {order_type}"]
+        + ([f"{tiebreak_col} {order_type}"] if tiebreak_col else [])
+        + [f"{value_col} {value_type}"]
+    )
+
+    def _fill(key, pdfs, state):
+        import pandas as pd
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(sort_cols)
+        filled = pdf[value_col].ffill()
+        if state.exists:
+            filled = filled.fillna(state.get[0])
+        tail = filled.iloc[-1] if len(filled) else None
+        if tail is not None and pd.notna(tail):
+            state.update((float(tail),))
+        yield pdf.assign(**{value_col: filled})[[key_col, *sort_cols, value_col]]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _fill,
+        outputStructType=out_schema,
+        stateStructType="last double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def enrich_stream(
     stream_df: DataFrame,
     static_df: DataFrame,

@@ -1175,3 +1175,41 @@ def test_lr_train_empty_and_overflow_guards(spark):
     huge = spark.createDataFrame([(1e10, 0.0), (1e10, 0.0)], "x1 double, y double")
     with _pytest.raises(OverflowError):
         ml.lr_train(huge, ["x1"], "y", grad_scale=1e9)
+
+
+def test_interpolate_linear_blend_and_no_extrapolation(spark):
+    from backend_spark.features import interpolate_linear
+
+    rows = [
+        ("u", 0, None), ("u", 10, 1.0), ("u", 15, None), ("u", 20, 3.0),
+        ("u", 25, None),
+        ("v", 5, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {(r.k, r.t): r.v_interp for r in interpolate_linear(df, "k", "t", "v").collect()}
+    assert got[("u", 0)] is None          # before first obs: no extrapolation
+    assert got[("u", 10)] == 1.0          # observed passes through
+    assert got[("u", 15)] == 2.0          # midpoint of 1..3
+    assert got[("u", 25)] is None         # after last obs
+    assert got[("v", 5)] is None          # all-null key
+
+
+def test_locf_stream_one_batch_equals_batch_fill_forward(spark, tmp_path):
+    from backend_spark import streaming
+    from backend_spark.features import fill_forward
+
+    rows = [(i, i % 3, i * 10, None if i % 2 == 0 else float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long, value double")
+    df.write.parquet(str(tmp_path / "in"))
+    sdf = streaming.read_stream(spark, str(tmp_path / "in"))
+    out = streaming.locf_stream(sdf, "user_id", "us", "value", tiebreak_col="event_id")
+    streaming.run_to_memory(out, "t_locf", checkpoint=str(tmp_path / "ck"))
+    got = {
+        (r.user_id, r.us): r.value
+        for r in spark.sql("SELECT user_id, us, value FROM t_locf").collect()
+    }
+    want = {
+        (r.user_id, r.us): r.value
+        for r in fill_forward(df, "user_id", ["us", "event_id"], "value").collect()
+    }
+    assert got == want

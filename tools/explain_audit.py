@@ -206,6 +206,8 @@ EXPECT = {
     # two keyed record-id joins + pure feature projections (jw is the
     # documented Arrow-UDF boundary); no nested loop, no window
     "pair_features": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # four running series share ONE (key, order) window partitioning
+    "interpolate": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
