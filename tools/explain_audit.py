@@ -208,6 +208,9 @@ EXPECT = {
     "pair_features": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
     # four running series share ONE (key, order) window partitioning
     "interpolate": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # block -> features -> ridge -> closure -> survivorship: keyed joins
+    # and aggregates end to end; the CC loop is lineage-cut (ExistingRDD)
+    "er_pipeline": ([], ["CartesianProduct"]),
 }
 
 
