@@ -2810,6 +2810,25 @@ def _q_sentence_split(spark, sf):
     return llm.sentence_split(docs, "doc_id", "text")
 
 
+def _q_extract_links(spark, sf):
+    """Outlink (href) extraction from synthesized crawl HTML — double-,
+    single-, and un-quoted attribute forms, positions kept; pure
+    regexp projection."""
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    html = F.concat(
+        F.lit('<a href="HTTPS://Example'), (k % 50).cast("string"),
+        F.lit('.com/p?utm_source=x&a=1">x</a> <a href=\'/rel/'),
+        (k % 10).cast("string"), F.lit("'>y</a>"),
+        F.when(k % 3 == 0,
+               F.concat(F.lit(" <a href=bare"), (k % 5).cast("string"), F.lit(">z</a>"))
+               ).otherwise(F.lit("")),
+    )
+    return llm.extract_links(
+        cust.select("c_custkey", html.alias("html")), "c_custkey", "html"
+    )
+
+
 def _q_er_pipeline(spark, sf):
     """Flagship end-to-end ER chain, every stage hash-verified: candidate
     pairs (true links + deterministic decoys) → pair_features (lev_norm
@@ -3009,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate": _q_interpolate,
         "stream_locf": _q_stream_locf,
         "er_pipeline": _q_er_pipeline,
+        "extract_links": _q_extract_links,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -3040,10 +3060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt": _q_melt,
         "window_funcs": _q_window_funcs,
         "quantile_bins": _q_quantile_bins,
-        "resample": _q_resample,
         # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (funnel..token_count are the remaining
+        # round-10 rotation (resample..token_count are the remaining
         # r5-evidence rows) ---
+        "resample": _q_resample,
         "funnel": _q_funnel,
         "zscore": _q_zscore,
         "embed_banded": _q_embed_banded,
@@ -5364,6 +5384,33 @@ def oracle_sql() -> dict[str, str]:
                     FROM cr2)
             SELECT p.c_custkey, p.ip, c.cidr
             FROM pt p JOIN cr3 c ON p.ipl >= c.lo AND p.ipl < c.hi
+        """,
+        "extract_links": """
+            WITH h AS (SELECT c_custkey,
+                '<a href="HTTPS://Example' || CAST(c_custkey % 50 AS VARCHAR) ||
+                '.com/p?utm_source=x&a=1">x</a> <a href=''/rel/' ||
+                CAST(c_custkey % 10 AS VARCHAR) || '''>y</a>' ||
+                CASE WHEN c_custkey % 3 = 0
+                     THEN ' <a href=bare' || CAST(c_custkey % 5 AS VARCHAR) || '>z</a>'
+                     ELSE '' END AS html
+              FROM customer),
+            g AS (SELECT c_custkey,
+                regexp_extract_all(html,
+                  'href\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>''"]+))', 1) AS l1,
+                regexp_extract_all(html,
+                  'href\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>''"]+))', 2) AS l2,
+                regexp_extract_all(html,
+                  'href\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>''"]+))', 3) AS l3
+              FROM h),
+            u AS (SELECT c_custkey,
+                unnest([{'p': CAST(i - 1 AS INT),
+                         'v': CASE WHEN l1[CAST(i AS INT)] <> '' THEN l1[CAST(i AS INT)]
+                                   WHEN l2[CAST(i AS INT)] <> '' THEN l2[CAST(i AS INT)]
+                                   ELSE l3[CAST(i AS INT)] END}
+                        for i in range(1, len(l1) + 1)]) AS c
+              FROM g)
+            SELECT c_custkey, c.p AS link_pos, c.v AS href
+            FROM u WHERE c.v <> ''
         """,
         "er_pipeline": f"""
             WITH RECURSIVE recs AS (

@@ -4161,3 +4161,39 @@ def group_centroid(
         )
         .withColumnRenamed("g", group_col)
     )
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+) -> DataFrame:
+    """Outlink extraction from crawl HTML — the web-graph prep step
+    (host-level curation, PageRank-style quality priors, link-spam
+    filters all start from this edge list).  Pulls every ``href``
+    attribute value (single-, double-, or un-quoted), keeps its
+    position, and feeds naturally into :func:`url_normalize` +
+    host aggregation downstream.
+
+    RE2-safe: one alternation of three capture forms, no lookaround,
+    so the DuckDB oracle runs the identical pattern.  Scale shape: a
+    pure regexp_extract_all + posexplode projection over the scan —
+    no shuffle, no UDF.
+    """
+    pat = "href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>'\"]+))"
+    # regexp_extract_all can return only ONE group per call, so extract
+    # each alternative's group and merge positionally — a
+    # non-participating group yields '', and at most one alternative
+    # participates per match, so when-chaining picks the right one.
+    l1 = F.regexp_extract_all(F.col(html_col), F.lit(pat), 1)
+    l2 = F.regexp_extract_all(F.col(html_col), F.lit(pat), 2)
+    l3 = F.regexp_extract_all(F.col(html_col), F.lit(pat), 3)
+    merged = F.zip_with(
+        F.zip_with(l1, l2, lambda a, b: F.when(a != "", a).otherwise(b)),
+        l3,
+        lambda a, b: F.when(a != "", a).otherwise(b),
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(merged).alias("link_pos", "href")
+    )
+    return out.where(F.col("href") != "")

@@ -1207,3 +1207,23 @@ def test_group_centroid_exact_means(spark):
     got = {r.lbl: (r.n_vecs, r.centroid) for r in llm.group_centroid(df, "lbl", "v").collect()}
     assert got["a"] == (2, [2.0, 4.0])
     assert got["b"] == (1, [-1.0, 0.5])
+
+
+def test_extract_links_quote_forms_and_positions(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [
+            (1, '<a href="http://x.com/a">A</a><a href=\'y.html\'>B</a><a href=z#f>C</a>'),
+            (2, 'no links here'),
+            (3, 'href = "spaced.html" and href=\'\' empty'),
+        ],
+        "id long, html string",
+    )
+    got = [(r.id, r.link_pos, r.href) for r in llm.extract_links(df, "id", "html").collect()]
+    assert (1, 0, "http://x.com/a") in got
+    assert (1, 1, "y.html") in got
+    assert (1, 2, "z#f") in got
+    assert not any(i == 2 for i, _, _ in got)
+    assert (3, 0, "spaced.html") in got          # whitespace around '='
+    assert not any(i == 3 and p == 1 for i, p, _ in got)  # empty href dropped

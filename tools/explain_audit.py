@@ -211,6 +211,8 @@ EXPECT = {
     # block -> features -> ridge -> closure -> survivorship: keyed joins
     # and aggregates end to end; the CC loop is lineage-cut (ExistingRDD)
     "er_pipeline": ([], ["CartesianProduct"]),
+    # pure regexp_extract_all + posexplode projection — shuffle-free
+    "extract_links": ([], ["Exchange", "CartesianProduct"]),
 }
 
 
