@@ -395,3 +395,110 @@ def test_containment_prefix_survives_fp_hostile_threshold(_spark, n_extra):
         for r in llm.containment_pairs(df, "doc_id", "text", shingle_n=4, threshold=0.28).collect()
     }
     assert (1, 2) in got, got
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**52), max_value=2**52),
+            st.floats(min_value=-1e9, max_value=1e9, allow_nan=False, width=64),
+        ),
+        min_size=1, max_size=8,
+    ),
+    width=st.integers(min_value=1, max_value=10**7),
+)
+def test_floor_bin_matches_python_floor_division(_spark, vals, width):
+    import math
+
+    from backend_spark.operators.joins import _floor_bin
+
+    df = _spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = [r.b for r in df.select(_floor_bin(F.col("v"), width).alias("b")).collect()]
+    # integral widths: exact Python floor semantics on floor(v)
+    want = [math.floor(v) // width for v in vals]
+    assert got == want, (vals, width)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    octets=st.lists(st.integers(min_value=0, max_value=310), min_size=4, max_size=4),
+    prefix=st.integers(min_value=0, max_value=32),
+)
+def test_ipv4_cidr_matches_stdlib_ipaddress(_spark, octets, prefix):
+    import ipaddress
+
+    ip_s = ".".join(str(o) for o in octets)
+    cidr_s = f"{ip_s}/{prefix}"
+    df = _spark.createDataFrame([(ip_s, cidr_s)], "ip string, cidr string")
+    row = df.select(
+        fn.ipv4_long(F.col("ip")).alias("v"),
+        fn.cidr_range(F.col("cidr")).alias("r"),
+    ).collect()[0]
+    if all(o <= 255 for o in octets):
+        want = int(ipaddress.IPv4Address(ip_s))
+        assert row.v == want
+        net = ipaddress.ip_network(cidr_s, strict=False)
+        assert row.r.lo == int(net.network_address)
+        assert row.r.hi == int(net.network_address) + net.num_addresses
+    else:
+        assert row.v is None and row.r is None
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key
+            st.integers(min_value=0, max_value=100),    # order (may tie)
+            st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                           allow_nan=False, width=64)),
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_fill_forward_matches_pandas_ffill(_spark, rows):
+    import pandas as pd
+
+    from backend_spark.features import fill_forward
+
+    # unique (key, order, seq) ordering via an explicit sequence column
+    data = [(k, o, i, v) for i, (k, o, v) in enumerate(rows)]
+    df = _spark.createDataFrame(data, "k long, o long, seq long, v double")
+    got = {
+        (r.k, r.seq): r.v
+        for r in fill_forward(df, "k", ["o", "seq"], "v").collect()
+    }
+    pdf = pd.DataFrame(data, columns=["k", "o", "seq", "v"]).sort_values(["k", "o", "seq"])
+    pdf["v"] = pdf.groupby("k")["v"].ffill()
+    for _, r in pdf.iterrows():
+        g = got[(r.k, r.seq)]
+        assert (g is None and pd.isna(r.v)) or g == r.v
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False, width=64),
+            st.floats(min_value=-50, max_value=50, allow_nan=False, width=64),
+        ),
+        min_size=4, max_size=40,
+    )
+)
+def test_ridge_train_close_to_numpy(_spark, rows):
+    import numpy as np
+
+    from backend_spark import ml
+
+    data = [(x1, x2, 1.0 + 2.0 * x1 - 0.5 * x2) for x1, x2 in rows]
+    df = _spark.createDataFrame(data, "x1 double, x2 double, y double")
+    w = {r.feature: r.weight for r in ml.ridge_train(df, ["x1", "x2"], "y").collect()}
+    X = np.array([[1.0, a, b] for a, b, _ in data])
+    y = np.array([c for _, _, c in data])
+    A = X.T @ X + 1e-3 * np.diag([0.0, 1.0, 1.0])
+    if abs(np.linalg.det(A)) < 1e-9:
+        return  # near-singular: quantization noise dominates, skip
+    ref = np.linalg.solve(A, X.T @ y)
+    for name, i in (("__intercept__", 0), ("x1", 1), ("x2", 2)):
+        assert abs(w[name] - ref[i]) < 1e-3, (w, ref)
