@@ -2810,6 +2810,13 @@ def _q_sentence_split(spark, sf):
     return llm.sentence_split(docs, "doc_id", "text")
 
 
+def _q_source_overlap(spark, sf):
+    """Cross-source 3-gram containment matrix — gram source-sets are
+    bounded by |sources|, so no gram-keyed self-join runs."""
+    docs = load_table(spark, sf, "documents")
+    return llm.source_overlap(docs, "doc_id", "text", "source", n=3)
+
+
 def _q_extract_links(spark, sf):
     """Outlink (href) extraction from synthesized crawl HTML — double-,
     single-, and un-quoted attribute forms, positions kept; pure
@@ -3029,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_locf": _q_stream_locf,
         "er_pipeline": _q_er_pipeline,
         "extract_links": _q_extract_links,
+        "source_overlap": _q_source_overlap,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -3059,10 +3067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": _q_pivot,
         "melt": _q_melt,
         "window_funcs": _q_window_funcs,
-        "quantile_bins": _q_quantile_bins,
         # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (resample..token_count are the remaining
+        # round-10 rotation (quantile_bins..token_count are the remaining
         # r5-evidence rows) ---
+        "quantile_bins": _q_quantile_bins,
         "resample": _q_resample,
         "funnel": _q_funnel,
         "zscore": _q_zscore,
@@ -5384,6 +5392,20 @@ def oracle_sql() -> dict[str, str]:
                     FROM cr2)
             SELECT p.c_custkey, p.ip, c.cidr
             FROM pt p JOIN cr3 c ON p.ipl >= c.lo AND p.ipl < c.hi
+        """,
+        "source_overlap": f"""
+            WITH t AS (SELECT source AS src,
+                              string_split_regex({norm_text}, '\\s+') AS toks
+                       FROM documents),
+            g0 AS (SELECT src, unnest({wgrams.format(n=3, m=2)}) AS g FROM t),
+            g AS (SELECT DISTINCT src, g FROM g0),
+            per AS (SELECT src, count(*) AS grams_a FROM g GROUP BY 1),
+            sh AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+                   FROM g a JOIN g b ON a.g = b.g AND a.src <> b.src
+                   GROUP BY 1, 2)
+            SELECT src_a, src_b, grams_a, shared,
+                   round(CAST(shared AS DOUBLE) / grams_a, 6) AS overlap
+            FROM sh JOIN per ON per.src = sh.src_a
         """,
         "extract_links": """
             WITH h AS (SELECT c_custkey,

@@ -4197,3 +4197,61 @@ def extract_links(
         F.col(id_col), F.posexplode(merged).alias("link_pos", "href")
     )
     return out.where(F.col("href") != "")
+
+
+def source_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair
+    (a, b), the fraction of a's DISTINCT word n-grams that also occur
+    in b — the corpus-level generalization of benchmark
+    decontamination (a high off-diagonal cell means two "independent"
+    sources share boilerplate or mirrored content and will double-count
+    in training).  Returns (src_a, src_b, grams_a, shared, overlap)
+    with overlap = round(shared / grams_a, 6), a != b.
+
+    Scale shape: one distinct (group, gram) projection, then ONE
+    map-side-combined groupBy(gram) collecting the gram's source SET —
+    bounded by |sources|, not corpus size — whose ordered pairs explode
+    to at most |sources|² rows per gram before the final tiny
+    (src_a, src_b) count.  No gram-keyed self-join, no all-pairs over
+    documents; the widest shuffle carries distinct (group, gram) rows.
+    """
+    toks = df.select(
+        F.col(group_col).alias("src"),
+        fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks"),
+    ).localCheckpoint(eager=False)
+    grams = (
+        toks.select("src", F.explode(word_ngrams_from_tokens(F.col("__toks"), n)).alias("g"))
+        .distinct()
+    )
+    per_src = grams.groupBy("src").agg(F.count(F.lit(1)).alias("grams_a"))
+    by_gram = grams.groupBy("g").agg(F.collect_set("src").alias("__ss"))
+    pairs = by_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__ss",
+                    lambda a: F.transform(
+                        F.filter("__ss", lambda b: b != a),
+                        lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    shared = pairs.groupBy("src_a", "src_b").agg(F.count(F.lit(1)).alias("shared"))
+    return (
+        shared.join(F.broadcast(per_src), shared.src_a == per_src.src, "inner")
+        .select(
+            "src_a",
+            "src_b",
+            "grams_a",
+            "shared",
+            F.round(F.col("shared") / F.col("grams_a"), 6).alias("overlap"),
+        )
+    )

@@ -1227,3 +1227,23 @@ def test_extract_links_quote_forms_and_positions(spark):
     assert not any(i == 2 for i, _, _ in got)
     assert (3, 0, "spaced.html") in got          # whitespace around '='
     assert not any(i == 3 and p == 1 for i, p, _ in got)  # empty href dropped
+
+
+def test_source_overlap_containment_matrix(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "the quick brown fox jumps"),
+            (2, "b", "the quick brown cat sits"),
+            (3, "c", "nothing shared here at all"),
+        ],
+        "id long, src string, t string",
+    )
+    got = {(r.src_a, r.src_b): r for r in llm.source_overlap(df, "id", "t", "src", n=3).collect()}
+    # a: 3 grams, b: 3 grams, shared = {'the quick brown'} -> 1
+    r = got[("a", "b")]
+    assert r.grams_a == 3 and r.shared == 1 and r.overlap == 0.333333
+    assert got[("b", "a")].shared == 1
+    # c shares nothing -> absent from the matrix
+    assert not any("c" in k for k in got)

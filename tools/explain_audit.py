@@ -213,6 +213,8 @@ EXPECT = {
     "er_pipeline": ([], ["CartesianProduct"]),
     # pure regexp_extract_all + posexplode projection — shuffle-free
     "extract_links": ([], ["Exchange", "CartesianProduct"]),
+    # gram source-sets bounded by |sources|; no gram-keyed self-join
+    "source_overlap": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
 }
 
 
