@@ -2712,6 +2712,20 @@ def _q_ridge_score(spark, sf):
     return out.select("l_orderkey", "l_linenumber", "pred", "resid")
 
 
+def _q_ridge_apply(spark, sf):
+    """Persist the trained ridge weights to parquet, reload, score —
+    the hash-exact train→save→load→apply loop (the linear counterpart
+    of the reference's joblib persistence, code/recipes.py:1833-1898)."""
+    from backend_spark import ml
+
+    li = load_table(spark, sf, "lineitem")
+    w = ml.ridge_train(li, ["l_quantity", "l_discount"], "l_extendedprice")
+    path = tempfile.mkdtemp(prefix="sg_ridge_") + "/model"
+    w.write.parquet(path)
+    out = ml.ridge_apply(li, path, ["l_quantity", "l_discount"])
+    return out.select("l_orderkey", "l_linenumber", "pred")
+
+
 def _q_url_normalize(spark, sf):
     """URL canonicalization over synthesized tracking-noise URLs built
     from customer rows: userinfo stripping, default-port drop (443 on
@@ -3019,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ridge_train": _q_ridge_train,
         "ridge_score": _q_ridge_score,
+        "ridge_apply": _q_ridge_apply,
         "url_normalize": _q_url_normalize,
         "fill_forward": _q_fill_forward,
         "transition_counts": _q_transition_counts,
@@ -3066,10 +3081,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": _q_profile,
         "pivot": _q_pivot,
         "melt": _q_melt,
-        "window_funcs": _q_window_funcs,
         # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (quantile_bins..token_count are the remaining
+        # round-10 rotation (window_funcs..token_count are the remaining
         # r5-evidence rows) ---
+        "window_funcs": _q_window_funcs,
         "quantile_bins": _q_quantile_bins,
         "resample": _q_resample,
         "funnel": _q_funnel,
@@ -5216,6 +5231,14 @@ def oracle_sql() -> dict[str, str]:
                                    + w2 * CAST(l_discount AS DOUBLE), 6) AS pred
                    FROM lineitem, wt)
             SELECT l_orderkey, l_linenumber, pred, round(y - pred, 6) AS resid FROM sc
+        """,
+        "ridge_apply": _SQL_RIDGE_W + """,
+            wt AS (SELECT round(det0 / det, 6) AS w0, round(det1 / det, 6) AS w1,
+                          round(det2 / det, 6) AS w2 FROM w)
+            SELECT l_orderkey, l_linenumber,
+                   round(w0 + w1 * CAST(l_quantity AS DOUBLE)
+                            + w2 * CAST(l_discount AS DOUBLE), 6) AS pred
+            FROM lineitem, wt
         """,
         "url_normalize": """
             WITH raw AS (

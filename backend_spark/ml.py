@@ -500,3 +500,34 @@ def ridge_score(
         pred.alias("pred"),
         F.round(F.col(label_col).cast("double") - pred, ndigits).alias("resid"),
     )
+
+
+def ridge_apply(
+    df: DataFrame,
+    weights,
+    feature_cols: list[str],
+    out_col: str = "pred",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Score rows with a persisted/collected ridge model — the
+    :func:`apply_model` counterpart for the hash-exact linear path
+    (reference code/recipes.py:1850-1898 applies a joblib model; here
+    the "model" is the (feature, weight) DataFrame :func:`ridge_train`
+    returns, round-trippable through any Spark sink).
+
+    ``weights``: the ridge_train DataFrame, or a path string to a
+    parquet written from it.  Weights travel as three plan literals —
+    scoring is a pure projection, zero shuffle, and reproduces
+    ridge_score's ``pred`` bit-for-bit because both use the ROUNDED
+    weights.
+    """
+    if isinstance(weights, str):
+        weights = df.sparkSession.read.parquet(weights)
+    w = {r["feature"]: r["weight"] for r in weights.collect()}
+    missing = {"__intercept__", *feature_cols} - set(w)
+    if missing:
+        raise ValueError(f"ridge_apply: weights missing entries for {sorted(missing)}")
+    pred = F.lit(w["__intercept__"])
+    for c in feature_cols:
+        pred = pred + F.lit(w[c]) * F.col(c).cast("double")
+    return df.withColumn(out_col, F.round(pred, ndigits))

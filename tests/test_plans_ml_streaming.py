@@ -1213,3 +1213,39 @@ def test_locf_stream_one_batch_equals_batch_fill_forward(spark, tmp_path):
         for r in fill_forward(df, "user_id", ["us", "event_id"], "value").collect()
     }
     assert got == want
+
+
+def test_ridge_apply_roundtrip_matches_score(spark, tmp_path):
+    from backend_spark import ml
+
+    rows = [(float(i % 9), float(i % 4), 5.0 + 2.0 * (i % 9) - 3.0 * (i % 4)) for i in range(80)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    w = ml.ridge_train(df, ["x1", "x2"], "y")
+    path = str(tmp_path / "ridge_model")
+    w.write.parquet(path)
+    applied = {(r.x1, r.x2): r.pred for r in ml.ridge_apply(df, path, ["x1", "x2"]).collect()}
+    scored = {(r.x1, r.x2): r.pred for r in ml.ridge_score(df, ["x1", "x2"], "y").collect()}
+    assert applied == scored
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing"):
+        ml.ridge_apply(df, w.where("feature = '__intercept__'"), ["x1", "x2"])
+
+
+def test_lr_train_trace_pinned(spark):
+    # ADVICE r8: pin the full training trace on a fixed fixture — the
+    # BIGINT gradient sums make every step engine-deterministic
+    from backend_spark import ml
+
+    rows = [(0.0, 0.0), (1.0, 0.0), (2.0, 1.0), (3.0, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    trace = ml.lr_train(df, ["x"], "y", n_iter=2, learn_rate=0.5)
+    got = {(r.iter, r.feature): r.weight for r in trace.collect()}
+    # iter 1: w=(0,0) -> sigma(0)=0.5, resid=(.5,.5,-.5,-.5)
+    # g0 = 0, g1 = (0 + .5 - 1 - 1.5) = -2 -> w1 = 0.25
+    assert got[(1, "__intercept__")] == 0.0
+    assert got[(1, "x")] == 0.25
+    # iter 2 values are a fixed IEEE chain over exact BIGINT gradient
+    # sums — pinned exactly (any engine/partitioning must reproduce)
+    assert got[(2, "__intercept__")] == -0.045476816375
+    assert got[(2, "x")] == 0.394421092375

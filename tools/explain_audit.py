@@ -180,6 +180,7 @@ EXPECT = {
     # closed-form ridge: weights are plan literals; scoring is a pure
     # projection over the scan — zero shuffle, zero join
     "ridge_score": ([], ["Exchange", "CartesianProduct"]),
+    "ridge_apply": ([], ["Exchange", "CartesianProduct"]),
     # pure Column regex/array chain over the scan — shuffle-free
     "url_normalize": ([], ["Exchange", "CartesianProduct"]),
     # ONE keyed window partitioning shared by every filled column
