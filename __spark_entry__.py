@@ -3023,13 +3023,15 @@ def _q_cidr_filter(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
-    # 50-query prefix per round).  Round-9 rotation: the 11 new ops
-    # (ridge x2, url_normalize, fill_forward, transition_counts,
+    # 50-query prefix per round).  Round-9 rotation: the 21 new-this-round
+    # ops (ridge x3, url_normalize, fill_forward, transition_counts,
     # feature_hash, readability, cdf_normalize, mad_outliers,
-    # sentence_split, cidr_filter), the 5 never-driver-checked (ann_pq +
-    # bpe_encode + the 3 rows-only), the 12 r4-stale, then the oldest-r5
-    # rows up to the prefix boundary marked below; remaining r5 queue
-    # first for round 10, freshly-green r6/r8 rows go last.
+    # sentence_split, cidr_filter, budget_select, group_centroid,
+    # pair_features, blocking_eval, interpolate, stream_locf, er_pipeline,
+    # extract_links, source_overlap), the 5 never-driver-checked (ann_pq +
+    # bpe_encode + the 3 rows-only), the 12 r4-stale, then the 12
+    # oldest-r5 rows up to the prefix boundary marked below; remaining r5
+    # queue first for round 10, freshly-green r6/r8 rows go last.
     return {
         "ridge_train": _q_ridge_train,
         "ridge_score": _q_ridge_score,
