@@ -2299,6 +2299,40 @@ def _sql_soundex_expr(col: str) -> str:
     return f"CASE WHEN length({s}) = 0 THEN '' ELSE {out} END"
 
 
+def _sql_refined_soundex_expr(col: str) -> str:
+    """Mirror of fn.refined_soundex: identical regexp chain."""
+    s = f"lower(regexp_replace({col}, '[^A-Za-z]', '', 'g'))"
+    x = s
+    for pat, d in fn._REFINED_SOUNDEX_CODES:
+        x = f"regexp_replace({x}, '{pat}', '{d}', 'g')"
+    for d in "0123456789":
+        x = f"regexp_replace({x}, '{d}{{2,}}', '{d}', 'g')"
+    out = f"upper(substr({s}, 1, 1)) || {x}"
+    return f"CASE WHEN length({s}) = 0 THEN '' ELSE {out} END"
+
+
+def _q_refined_soundex(spark, sf):
+    """Refined Soundex (commons-codec variant) over the distinct corpus
+    vocabulary — the fine-grained third phonetic blocking key."""
+    docs = load_table(spark, sf, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+    )
+    return words.select("w", fn.refined_soundex(F.col("w")).alias("rs"))
+
+
+def _q_xml_roundtrip(spark, sf):
+    """Native Spark-4 XML source round-trip (no spark-xml jar): write
+    customer rows as <rows><row>...</row></rows>, read them back."""
+    cust = load_table(spark, sf, "customer")
+    df = cust.select("c_custkey", "c_name", "c_acctbal")
+    path = tempfile.mkdtemp(prefix="sg_xml_") + "/data"
+    write_dataset(df, path, fmt="xml")
+    return read_dataset(spark, path, fmt="xml")
+
+
 def _q_hll_distinct(spark, sf):
     from backend_spark.scale import hll_distinct
 
@@ -3054,6 +3088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pipeline": _q_er_pipeline,
         "extract_links": _q_extract_links,
         "source_overlap": _q_source_overlap,
+        "refined_soundex": _q_refined_soundex,
+        "xml_roundtrip": _q_xml_roundtrip,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -3081,11 +3117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_clustering": _q_square_clustering,
         "compact_latest": _q_compact_latest,
         "profile": _q_profile,
+        # --- 50-query-prefix boundary: everything below queues for the
+        # round-10 rotation (pivot..token_count are the remaining
+        # r5-evidence rows) ---
         "pivot": _q_pivot,
         "melt": _q_melt,
-        # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (window_funcs..token_count are the remaining
-        # r5-evidence rows) ---
         "window_funcs": _q_window_funcs,
         "quantile_bins": _q_quantile_bins,
         "resample": _q_resample,
@@ -5071,6 +5107,17 @@ def oracle_sql() -> dict[str, str]:
                    max(m.bal) AS bal
             FROM m JOIN pick ON m.ent = pick.ent
             GROUP BY m.ent
+        """,
+        "refined_soundex": f"""
+            WITH w AS (
+              SELECT DISTINCT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+              FROM documents
+            )
+            SELECT w, {_sql_refined_soundex_expr("w")} AS rs
+            FROM w WHERE length(w) > 0
+        """,
+        "xml_roundtrip": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
         """,
         "caverphone": f"""
             WITH w AS (

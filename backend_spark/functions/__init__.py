@@ -714,3 +714,42 @@ def cidr_range(c: Column) -> Column:
     lo = base - F.pmod(base, span)  # mask to prefix, integer-only
     ok = base.isNotNull() & bits.isNotNull() & (bits >= 0) & (bits <= 32)
     return F.when(ok, F.struct(lo.alias("lo"), (lo + span).alias("hi")))
+
+
+_REFINED_SOUNDEX_CODES = (
+    ("[bp]", "1"),
+    ("[fv]", "2"),
+    ("[cks]", "3"),
+    ("[gj]", "4"),
+    ("[qxz]", "5"),
+    ("[dt]", "6"),
+    ("l", "7"),
+    ("[mn]", "8"),
+    ("r", "9"),
+    ("[aeiouhwy]", "0"),
+)
+
+
+def refined_soundex(c: Column) -> Column:
+    """Refined Soundex (the Apache commons-codec variant): first letter
+    + the code of EVERY letter (vowels/h/w/y code 0) with adjacent
+    equal codes collapsed — no truncation, no zero-stripping, so it is
+    far more selective than classic :func:`soundex` ('testing' →
+    T6036084).  The third phonetic blocking key in the ER catalog
+    (soundex: coarse, high recall; caverphone: electoral-roll tuned;
+    refined: fine-grained, low false-merge).
+
+    Same engine-neutral construction as the others: a pure regexp
+    chain, RE2-safe (character classes + ``d{2,}`` collapses, no
+    backreferences), reproduced verbatim by the DuckDB oracle.
+    Empty/non-alpha input → ''.
+    """
+    s = F.lower(F.regexp_replace(c, "[^A-Za-z]", ""))
+    first = F.upper(F.substring(s, 1, 1))
+    x = s
+    for pat, d in _REFINED_SOUNDEX_CODES:
+        x = F.regexp_replace(x, pat, d)
+    for d in "0123456789":
+        x = F.regexp_replace(x, d + "{2,}", d)
+    out = F.concat(first, x)
+    return F.when(s.isNull() | (F.length(s) == 0), F.lit("")).otherwise(out)

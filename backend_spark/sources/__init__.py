@@ -81,6 +81,14 @@ def read_dataset(
     elif fmt == "text":
         # one row per line — the ingest for line-oriented raw crawls
         df = spark.read.text(path)
+    elif fmt == "xml":
+        # Spark 4 native XML source (no spark-xml jar needed): one row
+        # per ``rowTag`` element, schema inferred or supplied — the
+        # ingest path for feed/sitemap/legacy-ERP dumps
+        reader = spark.read.format("xml").option("rowTag", "row")
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.load(path)
     elif fmt == "fwf":
         if not fwf_widths:
             raise ValueError("fwf requires fwf_widths=[(name, width), ...]")
@@ -147,6 +155,8 @@ def write_dataset(
             *[F.rpad(F.coalesce(F.col(n).cast("string"), F.lit("")), w, " ") for n, w in fwf_widths]
         ).alias("value")
         df.select(line).write.mode(mode).text(path)
+    elif fmt == "xml":
+        writer.format("xml").option("rootTag", "rows").option("rowTag", "row").save(path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
 

@@ -1247,3 +1247,50 @@ def test_source_overlap_containment_matrix(spark):
     assert got[("b", "a")].shared == 1
     # c shares nothing -> absent from the matrix
     assert not any("c" in k for k in got)
+
+
+def test_refined_soundex_vectors_and_python_reference(spark):
+    import pyspark.sql.functions as F
+
+    from backend_spark import functions as fn
+
+    CODES = {}
+    for chars, d in [("bp", "1"), ("fv", "2"), ("cks", "3"), ("gj", "4"),
+                     ("qxz", "5"), ("dt", "6"), ("l", "7"), ("mn", "8"),
+                     ("r", "9"), ("aeiouhwy", "0")]:
+        for ch in chars:
+            CODES[ch] = d
+
+    def ref(word):
+        s = "".join(ch for ch in word.lower() if ch.isalpha() and ch.isascii())
+        if not s:
+            return ""
+        out, prev = [], None
+        for ch in s:
+            d = CODES[ch]
+            if d != prev:
+                out.append(d)
+            prev = d
+        return s[0].upper() + "".join(out)
+
+    words = ["testing", "TESTING", "braz", "quick", "lorem", "aaa", "xyz",
+             "Ashcraft", "Pfister", "onomatopoeia", "shh", "mississippi"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.rs for r in df.select("w", fn.refined_soundex(F.col("w")).alias("rs")).collect()}
+    # the commons-codec javadoc example
+    assert got["testing"] == "T6036084"
+    for w in words:
+        assert got[w] == ref(w), w
+
+
+def test_xml_roundtrip_preserves_rows(spark, tmp_path):
+    from backend_spark.sources import read_dataset, write_dataset
+
+    df = spark.createDataFrame(
+        [(1, "a&b <c>", 1.5), (2, "plain", None)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "xmlds")
+    write_dataset(df, path, fmt="xml")
+    back = read_dataset(spark, path, fmt="xml")
+    got = sorted((r.id, r.s, r.v) for r in back.collect())
+    assert got == [(1, "a&b <c>", 1.5), (2, "plain", None)]

@@ -216,6 +216,8 @@ EXPECT = {
     "extract_links": ([], ["Exchange", "CartesianProduct"]),
     # gram source-sets bounded by |sources|; no gram-keyed self-join
     "source_overlap": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # regexp chain over the distinct vocabulary — no join at all
+    "refined_soundex": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
 }
 
 
