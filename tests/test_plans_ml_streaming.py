@@ -1249,3 +1249,37 @@ def test_lr_train_trace_pinned(spark):
     # sums — pinned exactly (any engine/partitioning must reproduce)
     assert got[(2, "__intercept__")] == -0.045476816375
     assert got[(2, "x")] == 0.394421092375
+
+
+def test_threshold_sweep_counts_and_edges(spark):
+    import pytest as _pytest
+
+    from backend_spark import ml
+
+    rows = [(0.9, 1.0), (0.8, 0.0), (0.4, 1.0), (0.1, 0.0)]
+    df = spark.createDataFrame(rows, "s double, y double")
+    got = {r.threshold: r for r in ml.threshold_sweep(df, "s", "y", [0.5, 0.95]).collect()}
+    r5 = got[0.5]
+    assert (r5.tp, r5.fp, r5.fn_) == (1, 1, 1)
+    assert r5.precision == 0.5 and r5.recall == 0.5 and r5.f1 == 0.5
+    r95 = got[0.95]
+    assert (r95.tp, r95.fp, r95.fn_) == (0, 0, 2)
+    assert r95.precision == 0.0 and r95.f1 == 0.0
+    with _pytest.raises(ValueError, match="non-empty"):
+        ml.threshold_sweep(df, "s", "y", [])
+
+
+def test_calibration_bins_means_and_top_bin_fold(spark):
+    import pytest as _pytest
+
+    from backend_spark import ml
+
+    rows = [(0.05, 0.0), (0.15, 0.0), (0.17, 1.0), (1.0, 1.0)]
+    df = spark.createDataFrame(rows, "s double, y double")
+    got = {r.bin: r for r in ml.calibration_bins(df, "s", "y", n_bins=10).collect()}
+    assert got[0].n == 1 and got[0].pos_rate == 0.0
+    b1 = got[1]
+    assert b1.n == 2 and b1.mean_score == 0.16 and b1.pos_rate == 0.5
+    assert got[9].n == 1 and got[9].mean_score == 1.0   # 1.0 folds into top bin
+    with _pytest.raises(ValueError, match="n_bins"):
+        ml.calibration_bins(df, "s", "y", n_bins=0)

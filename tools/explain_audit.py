@@ -218,6 +218,10 @@ EXPECT = {
     "source_overlap": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
     # regexp chain over the distinct vocabulary — no join at all
     "refined_soundex": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # explode x |thresholds| + ONE map-side-combined count pass
+    "threshold_sweep": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # one map-side-combined bin aggregate; exact quantized means
+    "calibration_bins": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
 }
 
 
