@@ -2343,6 +2343,38 @@ def _q_calibration_bins(spark, sf):
     return ml.calibration_bins(scored, "score", "y", n_bins=10)
 
 
+def _def_cal_score(li):
+    y = (F.col("l_returnflag") == "R").cast("double")
+    h = fn.md5_long(
+        F.concat(F.lit("cal:"), F.col("l_orderkey").cast("string"),
+                 F.lit(":"), F.col("l_linenumber").cast("string"))
+    )
+    s = (F.pmod(h, F.lit(700)) / F.lit(1000.0)) + y * F.lit(0.3)
+    return s, y
+
+
+def _q_auc(spark, sf):
+    """Exact tie-aware Mann-Whitney ROC-AUC from integer rank sums —
+    the distinct-score table bounds the one ordered window."""
+    from backend_spark import ml
+
+    li = load_table(spark, sf, "lineitem")
+    s, y = _def_cal_score(li)
+    return ml.auc_score(li.select(s.alias("score"), y.alias("y")), "score", "y")
+
+
+def _q_psi(spark, sf):
+    """Score-drift PSI between the full corpus score distribution and
+    the non-returned subset (the +0.3 mass removed — visible drift)."""
+    from backend_spark import ml
+
+    li = load_table(spark, sf, "lineitem")
+    s, y = _def_cal_score(li)
+    expected = li.select(s.alias("score"))
+    actual = li.where(F.col("l_returnflag") != "R").select(s.alias("score"))
+    return ml.psi(expected, actual, "score", n_bins=10)
+
+
 def _q_refined_soundex(spark, sf):
     """Refined Soundex (commons-codec variant) over the distinct corpus
     vocabulary — the fine-grained third phonetic blocking key."""
@@ -3124,6 +3156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip": _q_xml_roundtrip,
         "threshold_sweep": _q_threshold_sweep,
         "calibration_bins": _q_calibration_bins,
+        "auc": _q_auc,
+        "psi": _q_psi,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -3147,11 +3181,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "fwf_roundtrip": _q_fwf_roundtrip,
         "k_core": _q_k_core,
+        # --- 50-query-prefix boundary: everything below queues for the
+        # round-10 rotation (eigenvector..token_count are the remaining
+        # r5-evidence rows) ---
         "eigenvector": _q_eigenvector,
         "square_clustering": _q_square_clustering,
-        # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (compact_latest..token_count are the remaining
-        # r5-evidence rows) ---
         "compact_latest": _q_compact_latest,
         "profile": _q_profile,
         "pivot": _q_pivot,
@@ -5141,6 +5175,60 @@ def oracle_sql() -> dict[str, str]:
                    max(m.bal) AS bal
             FROM m JOIN pick ON m.ent = pick.ent
             GROUP BY m.ent
+        """,
+        "auc": """
+            WITH e AS (
+              SELECT (CAST('0x' || substr(md5('cal:' || CAST(l_orderkey AS VARCHAR)
+                        || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+                      % 700) / 1000.0
+                     + (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) * 0.3 AS s,
+                     CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+              FROM lineitem
+            ),
+            per AS (SELECT round(s, 6) AS s6, CAST(count(*) AS BIGINT) AS cnt,
+                           CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                    FROM e GROUP BY 1),
+            r AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY s6
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                  FROM per),
+            a AS (SELECT sum(CAST(pos AS HUGEINT) * (2 * cum - cnt + 1)) AS s2,
+                         CAST(sum(pos) AS BIGINT) AS n_pos,
+                         CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+                  FROM r)
+            SELECT CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                     round((CAST(s2 AS DOUBLE)
+                            - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
+                           / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+                   END AS auc, n_pos, n_neg
+            FROM a
+        """,
+        "psi": """
+            WITH e AS (
+              SELECT (CAST('0x' || substr(md5('cal:' || CAST(l_orderkey AS VARCHAR)
+                        || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+                      % 700) / 1000.0
+                     + (CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) * 0.3 AS s,
+                     l_returnflag AS rf
+              FROM lineitem
+            ),
+            eb AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+                          CAST(count(*) AS BIGINT) AS ne FROM e GROUP BY 1),
+            ab AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+                          CAST(count(*) AS BIGINT) AS na
+                   FROM e WHERE rf <> 'R' GROUP BY 1),
+            bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+            j AS (SELECT b.bin, coalesce(ne, 0) AS ne, coalesce(na, 0) AS na
+                  FROM bins b LEFT JOIN eb ON eb.bin = b.bin
+                              LEFT JOIN ab ON ab.bin = b.bin),
+            t AS (SELECT CAST(sum(ne) AS BIGINT) AS te, CAST(sum(na) AS BIGINT) AS ta
+                  FROM j),
+            pq AS (SELECT bin,
+                          greatest(CAST(ne AS DOUBLE) / CAST(te AS DOUBLE), 1e-06) AS p,
+                          greatest(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE), 1e-06) AS q
+                   FROM j, t)
+            SELECT bin, round(p, 6) AS p_expected, round(q, 6) AS p_actual,
+                   round((p - q) * ln(p / q), 6) AS psi_term
+            FROM pq
         """,
         "threshold_sweep": """
             WITH e AS (

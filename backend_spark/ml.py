@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -616,4 +616,115 @@ def calibration_bins(
         "n",
         F.round((F.col("__sq") / F.lit(1e6)) / F.col("n"), ndigits).alias("mean_score"),
         F.round(F.col("__pos") / F.col("n"), ndigits).alias("pos_rate"),
+    )
+
+
+def auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """EXACT ROC-AUC via the tie-aware Mann-Whitney rank statistic —
+    the single-number ranking metric :func:`build_model` selects on,
+    but hash-reproducible: AUC = (S2 − npos·(npos+1)) / (2·npos·nneg)
+    where S2 = Σ over positives of (2·avg_rank), and every term is an
+    exact integer (ties get the exact doubled average rank
+    ``2·cum − cnt + 1``), summed as DECIMAL(38,0).
+
+    Scale shape: scores are quantized to ``round(score, 6)`` and
+    aggregated to one row per DISTINCT score first (≤ ~2e6 rows for
+    scores in [-1, 1] — bounded regardless of corpus size), so the one
+    ordered window needed for cumulative counts runs over the tiny
+    distinct-score table, never a global sort of the data.
+
+    Returns one row: (auc, n_pos, n_neg).  Degenerate inputs (no
+    positives or no negatives) yield NULL auc rather than a division
+    error.
+    """
+    s = F.round(F.col(score_col).cast("double"), 6)
+    y = F.col(label_col).cast("double")
+    per = (
+        df.select(s.alias("__s"), y.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0)).alias("__pos"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per.withColumn("__cum", F.sum("__cnt").over(w))
+    # 2*avg_rank for every member of this tie group, exact integer
+    two_rank = F.lit(2) * F.col("__cum") - F.col("__cnt") + F.lit(1)
+    agg = ranked.agg(
+        F.sum(F.col("__pos").cast("decimal(38,0)") * two_rank).alias("__s2"),
+        F.sum("__pos").alias("n_pos"),
+        F.sum(F.col("__cnt") - F.col("__pos")).alias("n_neg"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            (F.col("__s2").cast("double")
+             - F.col("n_pos").cast("double") * (F.col("n_pos") + 1).cast("double"))
+            / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            ndigits,
+        ),
+    )
+    return agg.select(auc.alias("auc"), "n_pos", "n_neg")
+
+
+def psi(
+    expected: DataFrame,
+    actual: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Population Stability Index per bin — the standard score-drift
+    monitor between a reference (training-time) score distribution and
+    a production one: ``term_i = (p_i − q_i)·ln(p_i/q_i)`` over
+    fixed-width bins of [0, 1]; Σ terms < 0.1 is conventionally
+    "stable".  Empty bins substitute ``eps`` (the standard guard), so
+    the table is total and deterministic.
+
+    Scale shape: one map-side-combined bin count per side, joined on
+    the ≤ ``n_bins``-row bin table — both corpora stream through one
+    aggregate each.  ``ln`` is the one function with cross-engine
+    1-ulp wobble (same accepted class as exp in lr_train); terms are
+    rounded to ``ndigits``.
+
+    Returns (bin, p_expected, p_actual, psi_term).
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        b = F.least(
+            F.floor(F.col(score_col).cast("double") * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        )
+        out = df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(f"__n_{name}")
+        )
+        return out
+
+    spark = expected.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    e = binned(expected, "e")
+    a = binned(actual, "a")
+    j = bins.join(e, "bin", "left").join(a, "bin", "left").select(
+        "bin",
+        F.coalesce("__n_e", F.lit(0)).alias("__ne"),
+        F.coalesce("__n_a", F.lit(0)).alias("__na"),
+    )
+    tot = j.agg(F.sum("__ne").alias("__te"), F.sum("__na").alias("__ta"))
+    jj = j.crossJoin(F.broadcast(tot))
+    p = F.greatest(F.col("__ne") / F.col("__te"), F.lit(float(eps)))
+    q = F.greatest(F.col("__na") / F.col("__ta"), F.lit(float(eps)))
+    return jj.select(
+        "bin",
+        F.round(p, ndigits).alias("p_expected"),
+        F.round(q, ndigits).alias("p_actual"),
+        F.round((p - q) * F.log(p / q), ndigits).alias("psi_term"),
     )

@@ -1283,3 +1283,47 @@ def test_calibration_bins_means_and_top_bin_fold(spark):
     assert got[9].n == 1 and got[9].mean_score == 1.0   # 1.0 folds into top bin
     with _pytest.raises(ValueError, match="n_bins"):
         ml.calibration_bins(df, "s", "y", n_bins=0)
+
+
+def test_auc_exact_values_and_degenerate(spark):
+    from backend_spark import ml
+
+    df = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 0.0), (0.4, 1.0), (0.1, 0.0)], "s double, y double"
+    )
+    r = ml.auc_score(df, "s", "y").collect()[0]
+    assert r.auc == 0.75 and r.n_pos == 2 and r.n_neg == 2
+    ties = spark.createDataFrame([(0.5, 1.0), (0.5, 0.0), (0.9, 1.0)], "s double, y double")
+    assert ml.auc_score(ties, "s", "y").collect()[0].auc == 0.75
+    perfect = spark.createDataFrame([(0.9, 1.0), (0.1, 0.0)], "s double, y double")
+    assert ml.auc_score(perfect, "s", "y").collect()[0].auc == 1.0
+    onlypos = spark.createDataFrame([(0.9, 1.0)], "s double, y double")
+    assert ml.auc_score(onlypos, "s", "y").collect()[0].auc is None
+
+
+def test_auc_matches_sklearn_formula_bruteforce(spark):
+    from backend_spark import ml
+
+    rows = [((i * 37 % 100) / 100.0, float(i % 3 == 0)) for i in range(60)]
+    df = spark.createDataFrame(rows, "s double, y double")
+    got = ml.auc_score(df, "s", "y").collect()[0].auc
+    pos = [s for s, y in rows if y == 1.0]
+    neg = [s for s, y in rows if y == 0.0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert abs(got - wins / (len(pos) * len(neg))) < 1e-6
+
+
+def test_psi_zero_for_identical_and_positive_for_shift(spark):
+    import pytest as _pytest
+
+    from backend_spark import ml
+
+    e = spark.createDataFrame([((i % 10) / 10.0,) for i in range(100)], "s double")
+    same = ml.psi(e, e, "s", n_bins=5).collect()
+    assert all(r.psi_term == 0.0 for r in same)
+    shifted = spark.createDataFrame([(0.95,) for _ in range(100)], "s double")
+    drift = ml.psi(e, shifted, "s", n_bins=5).collect()
+    assert sum(r.psi_term for r in drift) > 0.1
+    assert len(drift) == 5                  # empty bins present via eps guard
+    with _pytest.raises(ValueError, match="n_bins"):
+        ml.psi(e, e, "s", n_bins=0)

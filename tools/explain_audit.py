@@ -222,6 +222,13 @@ EXPECT = {
     "threshold_sweep": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
     # one map-side-combined bin aggregate; exact quantized means
     "calibration_bins": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # the one ordered window runs over the bounded DISTINCT-SCORE table
+    # (quantized to 6 decimals), never a global sort of the data
+    "auc": (["partial", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # two bin-count aggregates joined on the n_bins-row bin table; the
+    # one-row totals attach as a broadcast scalar NLJ (crossJoin by
+    # construction), so only true cartesians are banned
+    "psi": (["partial"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
