@@ -310,6 +310,34 @@ class RecipeBook:
                 upper=a.get("upper", 0.99), group_col=a.get("group"),
                 out_col=a.get("out"),
             )
+        if name == "ridge":
+            # hash-exact linear scoring as a declarative step: train on
+            # this frame (features + target) and attach pred/resid, or
+            # apply persisted weights (model:) as pure plan literals
+            from backend_spark import ml
+
+            feats = a["features"]
+            if a.get("model"):
+                return ml.ridge_apply(
+                    df, a["model"], feats, out_col=a.get("out", "pred")
+                )
+            return ml.ridge_score(df, feats, a["target"], l2=a.get("l2", 1e-3))
+        if name == "fill_forward":
+            from backend_spark.features import fill_forward
+
+            return fill_forward(df, a["key"], a["order"], a["select"])
+        if name == "url_normalize":
+            from backend_spark import llm
+
+            return llm.url_normalize(df, a.get("select", "url"))
+        if name == "readability":
+            from backend_spark import llm
+
+            scores = llm.readability(df, a.get("id", "doc_id"), a.get("text", "text"))
+            return df.join(
+                scores.select(a.get("id", "doc_id"), "flesch"),
+                a.get("id", "doc_id"), "left",
+            )
         raise KeyError(f"unknown step: {name}")
 
     def _apply_join(self, df: DataFrame, a: dict) -> DataFrame:

@@ -1327,3 +1327,59 @@ def test_psi_zero_for_identical_and_positive_for_shift(spark):
     assert len(drift) == 5                  # empty bins present via eps guard
     with _pytest.raises(ValueError, match="n_bins"):
         ml.psi(e, e, "s", n_bins=0)
+
+
+def test_recipe_round9_steps(spark):
+    # the round-9 operators exposed at the YAML surface: LOCF repair ->
+    # ridge train+score -> readability tagging, one declarative recipe
+    conf = load_conf(
+        """
+recipes:
+  r9:
+    steps:
+      - fill_forward:
+          key: k
+          order: t
+          select: [x1]
+      - ridge:
+          features: [x1, x2]
+          target: y
+"""
+    )
+    book = RecipeBook(conf, spark=spark)
+    rows = [
+        ("a", 1, 1.0, 2.0, 10.0), ("a", 2, None, 3.0, 12.0),
+        ("a", 3, 4.0, 1.0, 9.0), ("b", 1, 2.0, 2.0, 11.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, x1 double, x2 double, y double")
+    out = book.compile("r9")(df)
+    got = {(r.k, r.t): r for r in out.collect()}
+    assert got[("a", 2)].x1 == 1.0          # LOCF repaired the gap
+    assert all(r.pred is not None for r in got.values())
+
+    conf2 = load_conf(
+        """
+recipes:
+  u:
+    steps:
+      - url_normalize:
+          select: url
+"""
+    )
+    df2 = spark.createDataFrame([(1, "HTTP://A.com:80/x?b=2&a=1#f")], "id long, url string")
+    out2 = RecipeBook(conf2, spark=spark).compile("u")(df2).collect()[0]
+    assert out2.url_norm == "http://a.com/x?a=1&b=2"
+
+    conf3 = load_conf(
+        """
+recipes:
+  rd:
+    steps:
+      - readability:
+          id: id
+          text: t
+"""
+    )
+    df3 = spark.createDataFrame([(1, "The cat sat. The dog ran!")], "id long, t string")
+    out3 = RecipeBook(conf3, spark=spark).compile("rd")(df3).collect()[0]
+    assert out3.flesch is not None and "t" in out3.asDict()
