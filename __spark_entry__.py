@@ -5265,7 +5265,7 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
               FROM lineitem
             ),
-            b AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+            b AS (SELECT greatest(least(CAST(floor(s * 10) AS INT), 9), 0) AS bin,
                          CAST(round(s * 1000000.0) AS BIGINT) AS q, y
                   FROM e),
             a AS (SELECT bin, count(*) AS n,

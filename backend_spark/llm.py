@@ -4100,7 +4100,10 @@ def budget_select(
 
     Scale shape: ONE keyed window shuffle+sort; the cumulative sum is
     running state inside the window, and the filter is a pure Column
-    gate — no per-group collect, no second pass.
+    gate — no per-group collect, no second pass.  Sizes are taken
+    as-is: a NEGATIVE size (a data bug) shrinks the running total and
+    can re-admit later rows — ``quality.dq_check`` the size column
+    upstream if that matters.
     """
     w = (
         Window.partitionBy(group_col)
@@ -4130,7 +4133,11 @@ def group_centroid(
     array rebuild via sorted collect_list — |groups|·dim rows after the
     combine, regardless of corpus size.  No driver state, no window.
 
-    Returns (group, n_vecs, centroid array<double>).
+    Returns (group, n_vecs, centroid array<double>).  Assumes
+    fixed-dimension vectors per group (the embedding-table contract):
+    ragged inputs average each dimension over the vectors that HAVE it
+    and report ``n_vecs`` as the max — flag ragged corpora upstream
+    with a ``size(vec)`` dq_check rather than here.
     """
     e = df.select(
         F.col(group_col).alias("g"),
@@ -4220,6 +4227,10 @@ def source_overlap(
     to at most |sources|² rows per gram before the final tiny
     (src_a, src_b) count.  No gram-keyed self-join, no all-pairs over
     documents; the widest shuffle carries distinct (group, gram) rows.
+    The per-gram source set is bounded by the GROUP cardinality — use a
+    low-cardinality grouping (sources, domain rollups); for thousands
+    of groups a stopword gram's set (and its pair explosion) grows
+    quadratically, so roll groups up first.
     """
     toks = df.select(
         F.col(group_col).alias("src"),

@@ -552,14 +552,15 @@ def threshold_sweep(
 
     Returns (threshold, tp, fp, fn_, precision, recall, f1) — one row
     per threshold (``fn_`` because ``fn`` collides with common
-    aliases).
+    aliases).  Rows with a NULL score or label are dropped explicitly
+    (an unscored row is neither a prediction nor a miss).
     """
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
     t = F.explode(F.array(*[F.lit(float(x)) for x in thresholds])).alias("threshold")
     y = F.col(label_col).cast("double")
     s = F.col(score_col).cast("double")
-    e = df.select(s.alias("__s"), y.alias("__y"), t)
+    e = df.where(s.isNotNull() & y.isNotNull()).select(s.alias("__s"), y.alias("__y"), t)
     pred = F.col("__s") >= F.col("threshold")
     agg = e.groupBy("threshold").agg(
         F.sum(F.when(pred & (F.col("__y") == 1.0), 1).otherwise(0)).alias("tp"),
@@ -593,17 +594,21 @@ def calibration_bins(
     Scale shape: one map-side-combined groupBy on the bin id; means are
     computed from an exact quantized BIGINT sum of the scores (the
     house determinism pattern), so the table is hash-exact.  Scores at
-    exactly 1.0 fold into the top bin; out-of-range scores raise at
-    run time via the ANSI guard rather than silently clipping.
+    exactly 1.0 fold into the top bin; out-of-range scores clip into
+    the edge bins (their raw value still moves ``mean_score``, making
+    the clipping visible); NULL scores/labels are dropped.
     """
     if n_bins <= 0:
         raise ValueError(f"n_bins must be positive, got {n_bins}")
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
-    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    b = F.greatest(
+        F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)), F.lit(0)
+    )
     q = F.round(s * F.lit(1e6)).cast("long")
     agg = (
-        df.select(b.alias("bin"), q.alias("__q"), y.alias("__y"))
+        df.where(s.isNotNull() & y.isNotNull())
+        .select(b.alias("bin"), q.alias("__q"), y.alias("__y"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -640,12 +645,14 @@ def auc_score(
 
     Returns one row: (auc, n_pos, n_neg).  Degenerate inputs (no
     positives or no negatives) yield NULL auc rather than a division
-    error.
+    error; rows with a NULL score or label are dropped (a NULL score
+    has no rank).
     """
     s = F.round(F.col(score_col).cast("double"), 6)
     y = F.col(label_col).cast("double")
     per = (
-        df.select(s.alias("__s"), y.alias("__y"))
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(s.alias("__s"), y.alias("__y"))
         .groupBy("__s")
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
@@ -686,7 +693,10 @@ def psi(
     a production one: ``term_i = (p_i − q_i)·ln(p_i/q_i)`` over
     fixed-width bins of [0, 1]; Σ terms < 0.1 is conventionally
     "stable".  Empty bins substitute ``eps`` (the standard guard), so
-    the table is total and deterministic.
+    the table is total and deterministic.  Scores outside [0, 1) fall
+    outside every bin and are excluded from both totals (bin the raw
+    score through :func:`calibration_bins`'s clipping first if
+    out-of-range mass must count).
 
     Scale shape: one map-side-combined bin count per side, joined on
     the ≤ ``n_bins``-row bin table — both corpora stream through one

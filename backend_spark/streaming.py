@@ -256,8 +256,9 @@ def locf_stream(
     kernel's deterministic order — so draining everything in ONE
     availableNow batch reproduces batch ``fill_forward`` bit-for-bit,
     which is this operator's equivalence oracle.  State is O(1) per
-    active key (a single value), the cheapest stateful shape at
-    100 TB/day.
+    active key (a single value — NUMERIC only: the state store holds a
+    double, so fill string columns with batch ``fill_forward`` or a
+    dictionary-encoded id), the cheapest stateful shape at 100 TB/day.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

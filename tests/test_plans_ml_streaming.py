@@ -1383,3 +1383,21 @@ recipes:
     df3 = spark.createDataFrame([(1, "The cat sat. The dog ran!")], "id long, t string")
     out3 = RecipeBook(conf3, spark=spark).compile("rd")(df3).collect()[0]
     assert out3.flesch is not None and "t" in out3.asDict()
+
+
+def test_diagnostics_null_and_clip_semantics(spark):
+    from backend_spark import ml
+
+    rows = [(0.9, 1.0), (None, 1.0), (0.2, None), (-0.5, 0.0), (1.7, 1.0)]
+    df = spark.createDataFrame(rows, "s double, y double")
+    # sweep: only the 3 non-null rows count
+    r = ml.threshold_sweep(df, "s", "y", [0.5]).collect()[0]
+    assert (r.tp, r.fp, r.fn_) == (2, 0, 0)   # 0.9 and 1.7 are positives >= .5
+    # auc drops nulls; -0.5 (neg) < both positives -> perfect ranking
+    a = ml.auc_score(df, "s", "y").collect()[0]
+    assert a.auc == 1.0 and a.n_pos == 2 and a.n_neg == 1
+    # calibration clips out-of-range scores into the edge bins
+    bins = {r.bin: r for r in ml.calibration_bins(df, "s", "y", n_bins=10).collect()}
+    assert set(bins) == {0, 9}
+    assert bins[0].mean_score == -0.5          # clip is visible in the mean
+    assert bins[9].n == 2 and bins[9].mean_score == 1.3   # 0.9 and clipped 1.7
