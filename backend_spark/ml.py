@@ -485,6 +485,10 @@ def ridge_score(
 
     Scale shape: one aggregate (the train pass) + one broadcast-free
     map over the rows; weights travel as three literals in the plan.
+    The input is WALKED TWICE (training sums, then scoring) — fine for
+    a table scan (pushdown makes the rescan cheap), but stage an
+    expensive upstream pipeline (joins/UDF features) with
+    ``localCheckpoint`` first, as ``er_pipeline`` does.
     """
     w = {r["feature"]: r["weight"] for r in ridge_train(
         df, feature_cols, label_col, l2=l2, qscale=qscale, ndigits=ndigits
