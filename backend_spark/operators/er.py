@@ -37,6 +37,7 @@ def er_resolve(
     survivorship: dict[str, str],
     pair_left: str = "left_id",
     pair_right: str = "right_id",
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """Resolve matched pairs into entities and build golden records.
 
@@ -52,6 +53,18 @@ def er_resolve(
     ``n_members``, and one column per survivorship attr.  Unmatched
     records form singleton entities (self-loops are implicit: every
     record enters clustering, not just paired ones).
+
+    ``max_cluster_size`` is the mega-cluster guard: the ``mode`` rule
+    folds a per-cluster value histogram through ``collect_list``, which
+    is bounded by cluster size — fine for real match clusters (tens of
+    members), an executor OOM when upstream blocking collapses (e.g. a
+    blank blocking key matching everything).  If any cluster exceeds
+    the cap, raise with the offending cluster ids and sizes instead of
+    letting the aggregate die opaquely mid-shuffle; the fix belongs
+    upstream (see ``skew_report``).  Pass ``None`` to disable.  The
+    check is a count-only aggregate on the (node, comp) labels — it
+    never materializes row data and adds no shuffle beyond the
+    comp-keyed one the survivorship groupBy needs anyway.
     """
     for attr, rule in survivorship.items():
         if rule not in _RULES:
@@ -66,6 +79,26 @@ def er_resolve(
         )
     )
     comp = connected_components(edges)  # (node, comp)
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError(
+                f"max_cluster_size must be >= 1 or None, got {max_cluster_size}"
+            )
+        oversized = (
+            comp.groupBy("comp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cluster_size)
+            .orderBy(F.desc("n"), "comp")
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            detail = ", ".join(f"{r['comp']}={r['n']}" for r in oversized)
+            raise ValueError(
+                f"er_resolve: cluster(s) exceed max_cluster_size="
+                f"{max_cluster_size} (largest: {detail}); upstream blocking "
+                "is likely broken — inspect with skew_report or raise the cap"
+            )
     members = records.join(
         comp.withColumnRenamed("node", id_col), id_col, "inner"
     )

@@ -1574,6 +1574,26 @@ def test_er_resolve_mode_tie_breaks_to_smallest(spark):
         er_resolve(recs, pairs, "rid", {"nope": "min"})
 
 
+def test_er_resolve_mega_cluster_guard(spark):
+    from backend_spark.operators import er_resolve
+    import pytest
+
+    # 40 records chained into ONE cluster: blocking-collapse fixture
+    recs = spark.createDataFrame([(i, "x") for i in range(40)], "rid long, v string")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "left_id long, right_id long"
+    )
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        er_resolve(recs, pairs, "rid", {"v": "mode"}, max_cluster_size=10)
+    # cap raised / disabled: same pipeline resolves fine
+    out = er_resolve(recs, pairs, "rid", {"v": "mode"}, max_cluster_size=40).collect()
+    assert [(r.entity_id, r.n_members, r.v) for r in out] == [(0, 40, "x")]
+    out = er_resolve(recs, pairs, "rid", {"v": "mode"}, max_cluster_size=None).collect()
+    assert [(r.entity_id, r.n_members) for r in out] == [(0, 40)]
+    with pytest.raises(ValueError, match="must be >= 1"):
+        er_resolve(recs, pairs, "rid", {"v": "mode"}, max_cluster_size=0)
+
+
 def test_caverphone_published_vectors(spark):
     from backend_spark import functions as fn
 
