@@ -3123,6 +3123,50 @@ def _q_cidr_filter(spark, sf):
     return cidr_filter(ips, "ip", cidrs)
 
 
+def _q_sssp(spark, sf):
+    """Multi-source BFS hop distance on the ring+chord graph — the
+    frontier loop is exact minima, mirrored by a recursive-CTE oracle
+    (hop-bounded walk + MIN per node)."""
+    from backend_spark.operators.graph import shortest_paths
+
+    return shortest_paths(_ring_chord_edges(spark, sf), [0, 12]).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def _q_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking over customer balances: global rank
+    WITHOUT a single-partition sort (assign_row_ids) + bucketed rank
+    equi-join; oracle is the textbook row_number self-join."""
+    from backend_spark.operators.er import sorted_neighborhood
+
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    return sorted_neighborhood(cust, "c_custkey", ["c_acctbal"], window=4).select(
+        F.col("left_id").cast("long").alias("left_id"),
+        F.col("right_id").cast("long").alias("right_id"),
+        F.col("rank_dist").cast("long").alias("rank_dist"),
+    )
+
+
+def _q_boilerplate(spark, sf):
+    """Per-source boilerplate report: lead tokens standing in for
+    header lines (the synthetic corpus has no newlines); document-
+    frequency share per source, one keyed agg + broadcast totals."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    lines = F.array(F.get(toks, 0), F.get(toks, 1), F.get(toks, 2))
+    return llm.boilerplate_lines(
+        docs.select("doc_id", "source", lines.alias("lines")),
+        "doc_id", "source", "lines", min_share=0.2, min_docs=2,
+    ).select(
+        "source", "line",
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.col("group_docs").cast("long").alias("group_docs"),
+        "share",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round).  Round-9 rotation: the 21 new-this-round
@@ -3162,6 +3206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": _q_calibration_bins,
         "auc": _q_auc,
         "psi": _q_psi,
+        # round-9 continuation ops (first driver evidence needed)
+        "sssp": _q_sssp,
+        "sorted_neighborhood": _q_sorted_neighborhood,
+        "boilerplate": _q_boilerplate,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -3182,12 +3230,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_agg": _q_win_agg,
         "scoring": _q_scoring,
         "sql_direct": _q_sql_direct,
+        # --- 50-query-prefix boundary: everything below queues for the
+        # round-10 rotation (csv/fwf_roundtrip were judge-fresh-verified
+        # in r8; k_core..token_count are the remaining r5-evidence rows)
+        # ---
         "csv_roundtrip": _q_csv_roundtrip,
         "fwf_roundtrip": _q_fwf_roundtrip,
         "k_core": _q_k_core,
-        # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (eigenvector..token_count are the remaining
-        # r5-evidence rows) ---
         "eigenvector": _q_eigenvector,
         "square_clustering": _q_square_clustering,
         "compact_latest": _q_compact_latest,
@@ -5233,6 +5282,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, round(p, 6) AS p_expected, round(q, 6) AS p_actual,
                    round((p - q) * ln(p / q), 6) AS psi_term
             FROM pq
+        """,
+        # graph.shortest_paths sources=[0,12]: hop-bounded recursive walk,
+        # MIN hop per node — exact integer arithmetic
+        "sssp": (
+            "WITH RECURSIVE "
+            + _SQL_GRAPH_SYM
+            + """,
+            walk(node, d) AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS node, 0 AS d
+                FROM nation WHERE n_nationkey IN (0, 12)
+                UNION
+                SELECT CAST(sym.b AS BIGINT), walk.d + 1
+                FROM walk JOIN sym ON sym.a = walk.node
+                WHERE walk.d < 29
+            )
+            SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+        """
+        ),
+        # er.sorted_neighborhood window=4 over (c_acctbal, c_custkey):
+        # textbook row_number self-join on rank distance
+        "sorted_neighborhood": """
+            WITH ranked AS (
+                SELECT c_custkey,
+                       row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+                FROM customer)
+            SELECT CAST(a.c_custkey AS BIGINT) AS left_id,
+                   CAST(b.c_custkey AS BIGINT) AS right_id,
+                   CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+            FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn - a.rn < 4
+        """,
+        # llm.boilerplate_lines min_share=0.2 min_docs=2 over the first
+        # three tokens per document, grouped by source
+        "boilerplate": """
+            WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                       FROM documents),
+            c AS (SELECT doc_id, source, tk[1] AS line FROM t
+                  UNION ALL SELECT doc_id, source, tk[2] FROM t
+                  UNION ALL SELECT doc_id, source, tk[3] FROM t),
+            l AS (SELECT DISTINCT doc_id, source, line FROM c
+                  WHERE line IS NOT NULL AND line <> ''),
+            g AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS group_docs
+                  FROM documents GROUP BY source),
+            f AS (SELECT source, line, CAST(count(*) AS BIGINT) AS doc_freq
+                  FROM l GROUP BY source, line)
+            SELECT f.source, f.line, f.doc_freq, g.group_docs,
+                   round(CAST(f.doc_freq AS DOUBLE) / g.group_docs, 6) AS share
+            FROM f JOIN g USING (source)
+            WHERE f.doc_freq >= 2 AND f.doc_freq >= g.group_docs * 0.2
         """,
         "threshold_sweep": """
             WITH e AS (

@@ -4266,3 +4266,58 @@ def source_overlap(
             F.round(F.col("shared") / F.col("grams_a"), 6).alias("overlap"),
         )
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    lines_col: str,
+    min_share: float = 0.5,
+    min_docs: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group boilerplate detection (CCNet, Wenzek et al. 2020 §4.1;
+    the measurement half of C4's line dedup): a line is boilerplate
+    within a group (domain / source / template family) when it appears
+    in at least ``min_share`` of the group's documents and at least
+    ``min_docs`` documents absolutely.  :func:`dedup_lines` removes
+    globally-duplicated lines; this REPORTS the per-group offenders —
+    headers, footers, cookie banners — so curation can review or
+    blocklist them before any destructive pass.
+
+    ``lines_col`` is an ``array<string>``; duplicate lines within one
+    document count once (document frequency, not term frequency).
+    Output: (``group_col``, line, doc_freq, group_docs, share), one row
+    per boilerplate line per group.
+
+    Scale shape: explode → distinct on (group, line, id) → ONE
+    (group, line) count aggregate, map-side combinable; the per-group
+    document totals are a |groups|-row aggregate joined back via
+    broadcast.  The corpus text crosses the wire once; no self-join,
+    nothing quadratic.
+    """
+    if not (0.0 < min_share <= 1.0):
+        raise ValueError(f"boilerplate_lines: min_share must be in (0, 1], got {min_share}")
+    if min_docs < 1:
+        raise ValueError(f"boilerplate_lines: min_docs must be >= 1, got {min_docs}")
+    group_docs = (
+        df.groupBy(group_col).agg(F.count_distinct(F.col(id_col)).alias("group_docs"))
+    )
+    doc_lines = (
+        df.select(group_col, id_col, F.explode(lines_col).alias("line"))
+        .where(F.col("line").isNotNull() & (F.col("line") != ""))
+        .distinct()
+    )
+    freq = doc_lines.groupBy(group_col, "line").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    return (
+        freq.join(F.broadcast(group_docs), group_col)
+        .withColumn("share", F.round(F.col("doc_freq") / F.col("group_docs"), ndigits))
+        .where(
+            (F.col("doc_freq") >= min_docs)
+            & (F.col("doc_freq") >= F.col("group_docs") * F.lit(min_share))
+        )
+        .select(group_col, "line", "doc_freq", "group_docs", "share")
+    )

@@ -34,13 +34,19 @@ from backend_spark.operators.reshape import (
     op_unfold,
     op_unnest,
 )
-from backend_spark.operators.er import blocking_eval, er_resolve, pair_features
+from backend_spark.operators.er import (
+    blocking_eval,
+    er_resolve,
+    pair_features,
+    sorted_neighborhood,
+)
 from backend_spark.operators.graph import (
     connected_components,
     label_propagation,
     link_prediction,
     modularity,
     op_clique,
+    shortest_paths,
 )
 
 __all__ = [
@@ -55,4 +61,5 @@ __all__ = [
     "compact_latest",
     "connected_components", "op_clique", "er_resolve", "pair_features", "blocking_eval",
     "label_propagation", "link_prediction", "modularity",
+    "shortest_paths", "sorted_neighborhood",
 ]

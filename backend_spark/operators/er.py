@@ -267,3 +267,67 @@ def blocking_eval(
             F.lit(1.0) - F.col("n_candidates") / F.lit(float(total_pairs)), 6
         ).alias("reduction_ratio"),
     )
+
+
+def sorted_neighborhood(
+    records: DataFrame,
+    id_col: str,
+    key_cols: list[str] | str,
+    window: int = 5,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995; Christen
+    "Data Matching" ch. 4.5): order the corpus by a sorting key and
+    emit every record pair whose rank distance is < ``window``.  The
+    classic complement to equality blocking (phonetic keys,
+    ``join_fuzzy`` deletion neighborhoods): typo'd keys that land in
+    different equality blocks still sort adjacently, so SNM catches
+    what hash blocking misses — feed the union of both candidate sets
+    to :func:`pair_features` / ``blocking_eval``.
+
+    ``key_cols`` need not be unique; ``id_col`` is appended as the
+    total-order tie-break so candidate generation is deterministic.
+    Output: (``left_col``, ``right_col``) with left rank < right rank
+    (each unordered pair once), plus ``rank_dist`` (1..window-1).
+
+    Scale shape: NO windowed self-join and NO single-partition sort —
+    global ranks come from :func:`backend_spark.scale.assign_row_ids`
+    (range-repartition + per-partition numbering + broadcast offsets),
+    then ranks are bucketed by ``floor(rank / window)``; a pair within
+    rank distance < window spans at most two adjacent buckets, so
+    candidates come from ONE hash equi-join of each row's two bucket
+    keys against the bucket table, filtered exactly on rank distance.
+    Cost: one distributed sort + one keyed join, output bounded by
+    n·(window-1) pairs — never quadratic.
+    """
+    if window < 2:
+        raise ValueError(f"sorted_neighborhood: window must be >= 2, got {window}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for c in keys + [id_col]:
+        if c not in records.columns:
+            raise ValueError(f"sorted_neighborhood: column {c!r} not in records")
+    from backend_spark.scale import assign_row_ids
+
+    ranked = assign_row_ids(
+        records.select(id_col, *keys), keys + [id_col], out_col="__rank"
+    ).select(id_col, "__rank")
+    b = ranked.withColumn("__b", F.floor(F.col("__rank") / window))
+    # left rows announce themselves under their own bucket AND the next
+    # one; right rows sit in their own bucket — any pair with
+    # rank_r - rank_l in (0, window) shares exactly one announced key
+    l = b.select(
+        F.col(id_col).alias(left_col),
+        F.col("__rank").alias("__lr"),
+        F.explode(F.array(F.col("__b"), F.col("__b") + 1)).alias("__k"),
+    )
+    r = b.select(
+        F.col(id_col).alias(right_col),
+        F.col("__rank").alias("__rr"),
+        F.col("__b").alias("__k"),
+    )
+    return (
+        l.join(r, "__k")
+        .where((F.col("__rr") > F.col("__lr")) & (F.col("__rr") - F.col("__lr") < window))
+        .select(left_col, right_col, (F.col("__rr") - F.col("__lr")).alias("rank_dist"))
+    )

@@ -870,3 +870,84 @@ def modularity(
             ndigits,
         ).alias("modularity"),
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distance (Pregel-style frontier expansion;
+    extends the §2.7 graph toolbox the same way ``label_propagation``
+    does — the reference's networkx usage stops at components and
+    per-node metrics, code/recipes.py:1989-2062).  Returns (node, dist)
+    for every node reachable from ANY of ``sources`` within
+    ``max_iter`` hops; unreachable nodes are omitted (mirror of
+    networkx ``multi_source_shortest_path_length``).
+
+    Deterministic: distances are exact minima, independent of
+    iteration interleave.
+
+    Scale shape: the frontier loop is the :func:`connected_components`
+    pattern — each round ONE equi-join of the current frontier against
+    the edge list on the neighbor id plus one min-aggregate, both
+    keyed on node ids and map-side combinable; no driver-side state
+    beyond the ``sources`` literal; lineage truncated per round with
+    ``localCheckpoint``.  Rounds run = eccentricity of the source set
+    (graph diameter worst-case), each touching only edges incident to
+    the newly-settled frontier, so total work is O(E) across the whole
+    run like any BFS.
+    """
+    if not sources:
+        raise ValueError("shortest_paths: sources must be non-empty")
+    if directed:
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+            .distinct()
+        )
+    else:
+        sym = _sym_edges(edges, src, dst)
+    sym = sym.localCheckpoint(eager=False)
+    spark = edges.sparkSession
+
+    # both endpoints: in directed mode a sink-only node is still a
+    # valid source (undirected sym already contains both directions)
+    nodes = (
+        sym.select(F.col("a").alias("node"))
+        .unionByName(sym.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    seed = spark.createDataFrame([(s,) for s in sources], ["node"])
+    # keep only sources that exist in the graph (contract: graph nodes)
+    dist = (
+        nodes.join(seed.distinct(), "node", "left_semi")
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    n_frontier = frontier.count()
+    for _ in range(max_iter):
+        if n_frontier == 0:
+            break
+        reached = (
+            sym.join(frontier.select(F.col("node").alias("a"), "dist"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg((F.min("dist") + 1).alias("dist"))
+        )
+        # BFS layers: every frontier node carries the same dist, so an
+        # unseen neighbor's min is exactly layer+1 — the only check
+        # needed is "not settled yet" (one anti-join, one job per round
+        # since the eager checkpoint materializes the count for free)
+        frontier = (
+            reached.join(dist.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        dist = dist.unionByName(frontier).localCheckpoint(eager=True)
+    return dist

@@ -1733,3 +1733,58 @@ def test_blocking_eval_metrics_and_orientation(spark):
     assert row.reduction_ratio == 0.97
     with _pytest.raises(ValueError, match="total_pairs"):
         blocking_eval(cand, gold, total_pairs=0)
+
+
+def test_shortest_paths_multi_source_and_unreachable(spark):
+    from backend_spark.operators import shortest_paths
+    import pytest
+
+    # path 0-1-2-3, isolated edge 8-9: nodes 8,9 unreachable from {0}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (8, 9)], "src long, dst long"
+    )
+    got = {r.node: r.dist for r in shortest_paths(edges, [0]).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # multi-source: distance is min over sources
+    got = {r.node: r.dist for r in shortest_paths(edges, [0, 3]).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 0}
+    # max_iter truncation: only layers reached within the budget appear
+    got = {r.node: r.dist for r in shortest_paths(edges, [0], max_iter=1).collect()}
+    assert got == {0: 0, 1: 1}
+    # a source absent from the graph contributes nothing
+    got = {r.node: r.dist for r in shortest_paths(edges, [42, 8]).collect()}
+    assert got == {8: 0, 9: 1}
+    with pytest.raises(ValueError, match="non-empty"):
+        shortest_paths(edges, [])
+
+
+def test_shortest_paths_directed(spark):
+    from backend_spark.operators import shortest_paths
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r.node: r.dist for r in shortest_paths(edges, [2], directed=True).collect()}
+    assert got == {2: 0}  # no outgoing edges from 2
+    got = {r.node: r.dist for r in shortest_paths(edges, [2]).collect()}
+    assert got == {0: 2, 1: 1, 2: 0}  # undirected default
+
+
+def test_sorted_neighborhood_window_and_dup_keys(spark):
+    from backend_spark.operators import sorted_neighborhood
+    import pytest
+
+    # duplicate sort keys: id tie-break keeps the order total
+    recs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")], "rid long, k string"
+    )
+    out = sorted_neighborhood(recs, "rid", ["k"], window=2)
+    got = {(r.left_id, r.right_id, r.rank_dist) for r in out.collect()}
+    assert got == {(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)}
+    # window=3 adds the distance-2 pairs
+    out3 = sorted_neighborhood(recs, "rid", "k", window=3)
+    assert {(r.left_id, r.right_id) for r in out3.collect()} == {
+        (1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (2, 4), (3, 5)
+    }
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood(recs, "rid", ["k"], window=1)
+    with pytest.raises(ValueError, match="not in records"):
+        sorted_neighborhood(recs, "rid", ["nope"], window=2)

@@ -1294,3 +1294,29 @@ def test_xml_roundtrip_preserves_rows(spark, tmp_path):
     back = read_dataset(spark, path, fmt="xml")
     got = sorted((r.id, r.s, r.v) for r in back.collect())
     assert got == [(1, "a&b <c>", 1.5), (2, "plain", None)]
+
+
+def test_boilerplate_lines_df_not_tf(spark):
+    from backend_spark.llm import boilerplate_lines
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", ["hdr", "hdr", "x"]),   # dup line in ONE doc counts once
+            (2, "a", ["hdr", None, ""]),     # null/empty lines ignored
+            (3, "a", ["y"]),
+            (4, "b", ["hdr"]),               # below min_docs in group b
+        ],
+        "doc_id long, src string, lines array<string>",
+    )
+    out = boilerplate_lines(docs, "doc_id", "src", "lines", min_share=0.5, min_docs=2)
+    got = [(r.src, r.line, r.doc_freq, r.group_docs, r.share) for r in out.collect()]
+    assert got == [("a", "hdr", 2, 3, 0.666667)]
+    # share gate: hdr is 2/3 but min_share=0.7 excludes it
+    assert (
+        boilerplate_lines(docs, "doc_id", "src", "lines", min_share=0.7).count() == 0
+    )
+    with pytest.raises(ValueError, match="min_share"):
+        boilerplate_lines(docs, "doc_id", "src", "lines", min_share=0.0)
+    with pytest.raises(ValueError, match="min_docs"):
+        boilerplate_lines(docs, "doc_id", "src", "lines", min_docs=0)

@@ -229,6 +229,16 @@ EXPECT = {
     # one-row totals attach as a broadcast scalar NLJ (crossJoin by
     # construction), so only true cartesians are banned
     "psi": (["partial"], ["CartesianProduct", "SortMergeJoin"]),
+    # BFS frontier loop: the returned plan is the settled union (each
+    # round's joins already ran behind localCheckpoint -> ExistingRDD);
+    # nothing quadratic may appear in the final assembly either
+    "sssp": (["Scan ExistingRDD"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # rank-bucket equi-join on __k — the window predicate itself must
+    # NOT appear as a join condition (that would be the quadratic NLJ)
+    "sorted_neighborhood": (["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # explode -> distinct -> ONE (group,line) count agg + broadcast of
+    # the |groups|-row totals
+    "boilerplate": (["partial", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
