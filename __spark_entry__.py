@@ -3167,6 +3167,38 @@ def _q_boilerplate(spark, sf):
     )
 
 
+def _q_standardize(spark, sf):
+    """Contact standardization (phone → country-coded digit string,
+    email → canonical exact-match key) over synthesized messy inputs —
+    four phone formats (+CC spaced, national dotted, 00-international,
+    parenthesized) and three email forms (angle-bracketed, MAILTO:,
+    mixed-case); pure Column regexp chains."""
+    from backend_spark import functions as fn
+
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    phone = (
+        F.when(k % 4 == 0, F.concat(F.lit("+33 (6) "), (k % 90 + 10).cast("string"),
+                                    F.lit("-"), (k % 9000 + 1000).cast("string")))
+        .when(k % 4 == 1, F.concat(F.lit("06."), (k % 90 + 10).cast("string"),
+                                   F.lit("."), (k % 90 + 10).cast("string"),
+                                   F.lit("."), (k % 9000 + 1000).cast("string")))
+        .when(k % 4 == 2, F.concat(F.lit("0033 1 "), (k % 9000 + 1000).cast("string")))
+        .otherwise(F.concat(F.lit("612"), (k % 1000000).cast("string")))
+    )
+    email = (
+        F.when(k % 3 == 0, F.concat(F.lit(" <User"), k.cast("string"),
+                                    F.lit("@Example.COM> ")))
+        .when(k % 3 == 1, F.concat(F.lit("MAILTO:a"), k.cast("string"), F.lit("@b.fr")))
+        .otherwise(F.concat(F.lit("plain"), k.cast("string"), F.lit("@c.org")))
+    )
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        fn.phone_digits(phone).alias("phone_std"),
+        fn.email_norm(email).alias("email_std"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round).  Round-9 rotation: the 21 new-this-round
@@ -3210,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": _q_sssp,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "boilerplate": _q_boilerplate,
+        "standardize": _q_standardize,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "closeness_approx": _q_closeness_approx,
@@ -3229,11 +3262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": _q_bpe_pairs,
         "win_agg": _q_win_agg,
         "scoring": _q_scoring,
-        "sql_direct": _q_sql_direct,
         # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (csv/fwf_roundtrip were judge-fresh-verified
-        # in r8; k_core..token_count are the remaining r5-evidence rows)
-        # ---
+        # round-10 rotation (sql_direct/csv/fwf_roundtrip were judge-
+        # fresh-verified in r8; k_core..token_count are the remaining
+        # r5-evidence rows) ---
+        "sql_direct": _q_sql_direct,
         "csv_roundtrip": _q_csv_roundtrip,
         "fwf_roundtrip": _q_fwf_roundtrip,
         "k_core": _q_k_core,
@@ -5330,6 +5363,51 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(f.doc_freq AS DOUBLE) / g.group_docs, 6) AS share
             FROM f JOIN g USING (source)
             WHERE f.doc_freq >= 2 AND f.doc_freq >= g.group_docs * 0.2
+        """,
+        # fn.phone_digits (default_cc=33) + fn.email_norm over the same
+        # synthesized messy forms; DuckDB backrefs are \\1 where Spark
+        # uses $1, 'g' mirrors Spark's replace-all
+        "standardize": r"""
+            WITH raw AS (
+              SELECT c_custkey,
+                CASE c_custkey % 4
+                  WHEN 0 THEN '+33 (6) ' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+                              || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+                  WHEN 1 THEN '06.' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+                              || '.' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+                              || '.' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+                  WHEN 2 THEN '0033 1 ' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+                  ELSE '612' || CAST(c_custkey % 1000000 AS VARCHAR)
+                END AS phone,
+                CASE c_custkey % 3
+                  WHEN 0 THEN ' <User' || CAST(c_custkey AS VARCHAR) || '@Example.COM> '
+                  WHEN 1 THEN 'MAILTO:a' || CAST(c_custkey AS VARCHAR) || '@b.fr'
+                  ELSE 'plain' || CAST(c_custkey AS VARCHAR) || '@c.org'
+                END AS email
+              FROM customer),
+            p1 AS (SELECT c_custkey, email,
+                          regexp_replace(phone, '[^0-9+]', '', 'g') AS s FROM raw),
+            p2 AS (SELECT c_custkey, email,
+                          regexp_replace(s, '^\+', '__p__') AS s FROM p1),
+            p3 AS (SELECT c_custkey, email,
+                          regexp_replace(s, '[+]', '', 'g') AS s FROM p2),
+            p4 AS (SELECT c_custkey, email,
+                          regexp_replace(s, '^__p__', '+') AS s FROM p3),
+            p5 AS (SELECT c_custkey, email,
+                          regexp_replace(s, '^\+', '00') AS s FROM p4),
+            p6 AS (SELECT c_custkey, email,
+                          regexp_replace(s, '^00(\d)', '\1') AS s FROM p5),
+            p7 AS (SELECT c_custkey, email,
+                          regexp_replace(s, '^0(\d)', '33\1') AS phone_std FROM p6),
+            e1 AS (SELECT c_custkey, phone_std,
+                          regexp_replace(email, '^\s+|\s+$', '', 'g') AS e FROM p7),
+            e2 AS (SELECT c_custkey, phone_std,
+                          regexp_replace(e, '^[<]|[>]$', '', 'g') AS e FROM e1),
+            e3 AS (SELECT c_custkey, phone_std,
+                          regexp_replace(e, '^(?i)mailto:', '') AS e FROM e2)
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, phone_std,
+                   lower(e) AS email_std
+            FROM e3
         """,
         "threshold_sweep": """
             WITH e AS (

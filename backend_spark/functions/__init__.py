@@ -753,3 +753,46 @@ def refined_soundex(c: Column) -> Column:
         x = F.regexp_replace(x, d + "{2,}", d)
     out = F.concat(first, x)
     return F.when(s.isNull() | (F.length(s) == 0), F.lit("")).otherwise(out)
+
+
+def phone_digits(c: Column, default_cc: str = "33") -> Column:
+    """Phone-number standardization to a bare digit string with an
+    explicit country code ("E.164 without the +") — the contact
+    normalization matchID-style identity prep runs before exact or
+    fuzzy matching (the reference normalizes names/dates with replace
+    chains, code/tools.py; phones follow the same recipe shape).
+
+    Rules, applied to the raw value:
+      * strip everything but digits and a leading ``+``
+        (spaces, dots, dashes, parentheses — all formatting dies)
+      * ``+CC...`` and ``00CC...`` → ``CC...`` (international forms)
+      * ``0X...`` (national form, single leading zero) → ``default_cc``
+        + ``X...`` (France ``33`` by default: 0612... → 33612...)
+      * anything else (already bare, or empty after cleaning) is kept
+        as-is; null → null.
+
+    Pure Column regexp chain, RE2-safe, reproduced verbatim by DuckDB
+    oracles.  Deliberately NOT a validity check — length/plan rules
+    vary per country; pair with a length filter when one applies.
+    """
+    s = F.regexp_replace(c, r"[^0-9+]", "")
+    s = F.regexp_replace(s, r"^\+", "__p__")          # protect ONE leading +
+    s = F.regexp_replace(s, r"[+]", "")               # interior + is noise
+    s = F.regexp_replace(s, r"^__p__", "+")
+    s = F.regexp_replace(s, r"^\+", "00")             # +CC == 00CC
+    s = F.regexp_replace(s, r"^00(\d)", r"$1")        # 00CC... -> CC...
+    return F.regexp_replace(s, r"^0(\d)", default_cc + r"$1")  # national -> CC
+
+
+def email_norm(c: Column) -> Column:
+    """Email standardization for exact-match keys: trim whitespace,
+    strip a ``mailto:`` prefix and surrounding angle brackets
+    (``<a@b.c>`` copy-paste forms), lowercase.  Deliberately NO
+    provider-specific rewrites (gmail dot-dropping etc.) — those merge
+    distinct mailboxes on other providers.  Null → null; a value with
+    no ``@`` comes back cleaned but is not validated (pair with the
+    pii_scan email regex as a gate when one applies)."""
+    s = F.regexp_replace(c, r"^\s+|\s+$", "")
+    s = F.regexp_replace(s, r"^[<]|[>]$", "")
+    s = F.regexp_replace(s, r"^(?i)mailto:", "")
+    return F.lower(s)

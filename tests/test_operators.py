@@ -1320,3 +1320,30 @@ def test_boilerplate_lines_df_not_tf(spark):
         boilerplate_lines(docs, "doc_id", "src", "lines", min_share=0.0)
     with pytest.raises(ValueError, match="min_docs"):
         boilerplate_lines(docs, "doc_id", "src", "lines", min_docs=0)
+
+
+def test_phone_digits_and_email_norm(spark):
+    from backend_spark import functions as fn
+
+    df = spark.createDataFrame(
+        [("+33 (6) 12-34-56",), ("06.12.34.56.78",), ("0033 1 2345",),
+         ("612345678",), ("+1 (555) 123 4567",), ("0",), ("",), (None,),
+         ("08 00 + 12",)],  # interior + is noise
+        "p string",
+    )
+    got = [r.s for r in df.select(fn.phone_digits(F.col("p")).alias("s")).collect()]
+    assert got == [
+        "336123456", "33612345678", "3312345", "612345678",
+        "15551234567", "0", "", None, "3380012",
+    ]
+    # non-default country code
+    got = [r.s for r in df.select(fn.phone_digits(F.col("p"), "49").alias("s")).collect()]
+    assert got[1] == "49612345678"
+
+    em = spark.createDataFrame(
+        [(" <User1@Example.COM> ",), ("MAILTO:A@B.fr",), ("mailto:x@y.z",),
+         ("plain@c.org",), ("",), (None,)],
+        "e string",
+    )
+    got = [r.s for r in em.select(fn.email_norm(F.col("e")).alias("s")).collect()]
+    assert got == ["user1@example.com", "a@b.fr", "x@y.z", "plain@c.org", "", None]

@@ -239,6 +239,8 @@ EXPECT = {
     # explode -> distinct -> ONE (group,line) count agg + broadcast of
     # the |groups|-row totals
     "boilerplate": (["partial", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # pure regexp projection — shuffle-free
+    "standardize": ([], ["Exchange", "CartesianProduct"]),
 }
 
 
