@@ -4321,3 +4321,55 @@ def boilerplate_lines(
         )
         .select(group_col, "line", "doc_freq", "group_docs", "share")
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    word_col: str = "token",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a reference
+    vocabulary (:func:`build_vocab` output, a tokenizer's word list, or
+    a curated lexicon) — the standard "is this text in-domain /
+    well-formed enough to train on" gate that complements the
+    surface-statistics :func:`quality_signals`: gibberish, wrong
+    language, and OCR noise all surface as high OOV share.
+
+    Tokenization is the house :func:`~backend_spark.functions.tokenize`
+    ∘ :func:`~backend_spark.functions.normalize` chain (same as
+    build_vocab, so a corpus-derived vocabulary lines up exactly).
+    Output: (id, n_tokens, n_oov, oov_rate) — zero-token documents get
+    n_tokens = 0 and a NULL rate rather than a division error.
+
+    Scale shape: ONE explode over the corpus, a broadcast left-semi
+    -style membership join against the (bounded) vocabulary — vocab
+    ships to every executor once; the corpus never shuffles for the
+    lookup — then ONE map-side-combinable per-doc count aggregate.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(fn.tokenize(fn.normalize(F.col(text_col)))).alias("__t"),
+    )
+    v = vocab.select(F.col(word_col).alias("__t")).distinct()
+    hits = toks.join(
+        F.broadcast(v.withColumn("__in", F.lit(1))), "__t", "left"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count("__t").alias("n_tokens"),
+            (F.count("__t") - F.count("__in")).alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_oov") / F.col("n_tokens"), ndigits),
+            ).alias("oov_rate"),
+        )
+    )

@@ -404,3 +404,86 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append", 
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def anomaly_stream(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    k: int = 3,
+    scale: int = 100,
+    tiebreak_col: str | None = None,
+    key_type: str = "long",
+    order_type: str = "long",
+) -> DataFrame:
+    """Streaming anomaly gate: flag a value whose deviation from the
+    running per-key mean exceeds ``k`` running standard deviations —
+    judged strictly against the PRIOR observations (an arriving row
+    never judges itself), so the flag is causally valid for alerting.
+
+    All state arithmetic is EXACT integers: values are quantized to
+    ``round(value * scale)`` (half-up via floor(x+0.5) — identical in
+    IEEE doubles on every engine) and the per-key state is the triple
+    (n, Σv, Σv²) kept as arbitrary-precision ints (stringified for the
+    state store — Σv² overflows int64 near ~1e5 rows of 5-digit
+    values).  The flag is the cross-multiplied comparison
+    ``(v·n − Σv)² > k²·(n·Σv² − (Σv)²)`` — mean/variance never
+    materialize as floats, so 32 threads, 1000 executors, and the
+    DuckDB oracle agree bit-for-bit.  Rows with n_prior < 2 are never
+    flagged (one prior point has zero variance; everything would
+    flag).
+
+    Micro-batch rows order by (order, tiebreak) like
+    :func:`locf_stream`; draining the bounded log in ONE availableNow
+    batch reproduces the batch windowed form (cumulative sums over
+    ROWS UNBOUNDED PRECEDING .. 1 PRECEDING) — the equivalence oracle.
+    The per-row Python loop is the stateful boundary (same contract as
+    the other applyInPandasWithState kernels): O(batch) per key with
+    O(1) carried state.
+
+    Output: (key, order[, tiebreak], value, n_prior, is_anomaly).
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if k < 1 or scale < 1:
+        raise ValueError(f"anomaly_stream: k and scale must be >= 1, got k={k} scale={scale}")
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    out_schema = ", ".join(
+        [f"{key_col} {key_type}", f"{order_col} {order_type}"]
+        + ([f"{tiebreak_col} {order_type}"] if tiebreak_col else [])
+        + [f"{value_col} double", "n_prior long", "is_anomaly boolean"]
+    )
+    k2 = k * k
+
+    def _gate(key, pdfs, state):
+        import pandas as pd
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(sort_cols)
+        if state.exists:
+            n, sx, sx2 = (int(x) for x in state.get)
+        else:
+            n, sx, sx2 = 0, 0, 0
+        flags, priors = [], []
+        for raw in pdf[value_col]:
+            v = int(math.floor(raw * scale + 0.5))
+            flags.append(bool(n >= 2 and (v * n - sx) ** 2 > k2 * (n * sx2 - sx * sx)))
+            priors.append(n)
+            n, sx, sx2 = n + 1, sx + v, sx2 + v * v
+        state.update((str(n), str(sx), str(sx2)))
+        yield pdf.assign(n_prior=priors, is_anomaly=flags)[
+            [key_col, *sort_cols, value_col, "n_prior", "is_anomaly"]
+        ]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _gate,
+        outputStructType=out_schema,
+        stateStructType="n string, sx string, sx2 string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1347,3 +1347,23 @@ def test_phone_digits_and_email_norm(spark):
     )
     got = [r.s for r in em.select(fn.email_norm(F.col("e")).alias("s")).collect()]
     assert got == ["user1@example.com", "a@b.fr", "x@y.z", "plain@c.org", "", None]
+
+
+def test_oov_rate_membership_and_empty_doc(spark):
+    from backend_spark.llm import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "THE Dog!"), (3, ""), (4, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",), ("dog",)], "token string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in oov_rate(docs, vocab, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: (3, 1, 0.333333),          # "sat" is OOV
+        2: (2, 0, 0.0),               # normalize folds case/punct
+        3: (0, 0, None),              # zero-token doc -> NULL rate
+        4: (2, 2, 1.0),
+    }

@@ -1401,3 +1401,68 @@ def test_diagnostics_null_and_clip_semantics(spark):
     assert set(bins) == {0, 9}
     assert bins[0].mean_score == -0.5          # clip is visible in the mean
     assert bins[9].n == 2 and bins[9].mean_score == 1.3   # 0.9 and clipped 1.7
+
+
+def test_anomaly_stream_exact_gate_hand_check(spark, tmp_path):
+    from backend_spark import streaming
+    import pytest
+
+    # key 1: values 10,10,10 then a spike 100 — flagged at n_prior=3;
+    # key 2: only two points — never flagged (n_prior < 2 gate)
+    rows = [
+        (1, 1, 10, 10.0), (2, 1, 20, 10.0), (3, 1, 30, 10.0), (4, 1, 40, 100.0),
+        (5, 2, 10, 1.0), (6, 2, 20, 999.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long, value double")
+    df.write.parquet(str(tmp_path / "in"))
+    sdf = streaming.read_stream(spark, str(tmp_path / "in"))
+    out = streaming.anomaly_stream(
+        sdf, "user_id", "us", "value", k=3, scale=100, tiebreak_col="event_id"
+    )
+    streaming.run_to_memory(out, "t_anom", checkpoint=str(tmp_path / "ck"))
+    got = {
+        (r.user_id, r.us): (r.n_prior, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM t_anom").collect()
+    }
+    assert got == {
+        (1, 10): (0, False), (1, 20): (1, False),
+        # identical priors -> zero variance -> any deviation flags, but
+        # 10.0 == mean so (v*n - sx) == 0 is NOT > 0
+        (1, 30): (2, False),
+        (1, 40): (3, True),
+        (2, 10): (0, False), (2, 20): (1, False),
+    }
+    with pytest.raises(ValueError, match="k and scale"):
+        streaming.anomaly_stream(sdf, "user_id", "us", "value", k=0)
+
+
+def test_anomaly_stream_state_carries_across_batches(spark, tmp_path):
+    # two micro-batches (maxFilesPerTrigger=1): the second batch's
+    # spike is judged against running stats carried from batch 1
+    import os
+
+    from backend_spark import streaming
+
+    src = str(tmp_path / "anom_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 1, 10, 5.0), (2, 1, 20, 5.0), (3, 1, 30, 5.0)],
+        "event_id long, user_id long, us long, value double",
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(4, 1, 40, 50.0)], "event_id long, user_id long, us long, value double"
+    ).coalesce(1).write.parquet(src + "/f2")
+    sdf = streaming.read_stream(
+        spark, src + "/*", max_files_per_trigger=1,
+        schema="event_id long, user_id long, us long, value double",
+    )
+    out = streaming.anomaly_stream(
+        sdf, "user_id", "us", "value", k=3, scale=100, tiebreak_col="event_id"
+    )
+    streaming.run_to_memory(out, "t_anom2", checkpoint=str(tmp_path / "ck"))
+    got = {
+        r.us: (r.n_prior, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM t_anom2").collect()
+    }
+    assert got[40] == (3, True)
+    assert got[10] == (0, False) and got[30] == (2, False)

@@ -241,6 +241,9 @@ EXPECT = {
     "boilerplate": (["partial", "BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
     # pure regexp projection — shuffle-free
     "standardize": ([], ["Exchange", "CartesianProduct"]),
+    # corpus explodes once; the vocab membership lookup must broadcast
+    # (vocab is bounded), then ONE map-side-combined per-doc aggregate
+    "oov_rate": (["BroadcastHashJoin", "partial"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
