@@ -600,3 +600,49 @@ def interpolate_linear(
         )
     )
     return df.withColumn(f"{value_col}_interp", F.round(interp, ndigits))
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str] | str,
+    value_col: str,
+    k: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Batch counterpart of :func:`backend_spark.streaming
+    .anomaly_stream` — flag values deviating from the per-key RUNNING
+    mean by more than ``k`` running standard deviations, judged against
+    prior observations only (``ROWS UNBOUNDED PRECEDING .. 1
+    PRECEDING``), so backfilled history and the live stream raise
+    identical flags.
+
+    Same exact-integer contract as the stream kernel: values quantize
+    to ``floor(value·scale + 0.5)`` and the flag is the
+    cross-multiplied comparison ``(v·n − Σv)² > k²·(n·Σv² − (Σv)²)``
+    over DECIMAL(38,0) running sums — no float path, so the flags are
+    partition-order-independent and engine-exact.  The squared terms
+    bound the domain: |v·n| must stay under ~1e19 (38-digit square),
+    e.g. 5-digit values at scale=100 over ~1e12 rows per key — beyond
+    that, re-quantize with a smaller ``scale`` or window the history
+    (the streaming kernel's Python bigints have no such ceiling).
+
+    One (key, order) window partitioning shared by all three running
+    sums — a single keyed shuffle.  Output adds (n_prior, is_anomaly).
+    """
+    if k < 1 or scale < 1:
+        raise ValueError(f"rolling_anomaly: k and scale must be >= 1, got k={k} scale={scale}")
+    orders = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*orders)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = "decimal(38,0)"
+    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast(dec)
+    n = F.count(F.col(value_col)).over(w).cast(dec)
+    sx = F.coalesce(F.sum(v).over(w), F.lit(0).cast(dec))
+    sx2 = F.coalesce(F.sum((v * v).cast(dec)).over(w), F.lit(0).cast(dec))
+    dev = (v * n - sx)
+    flag = (n >= 2) & ((dev * dev).cast(dec) > (F.lit(k * k).cast(dec) * (n * sx2 - sx * sx)).cast(dec))
+    return df.withColumn("n_prior", n.cast("long")).withColumn("is_anomaly", flag)

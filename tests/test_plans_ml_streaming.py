@@ -1466,3 +1466,33 @@ def test_anomaly_stream_state_carries_across_batches(spark, tmp_path):
     }
     assert got[40] == (3, True)
     assert got[10] == (0, False) and got[30] == (2, False)
+
+
+def test_rolling_anomaly_matches_stream_kernel(spark, tmp_path):
+    from backend_spark import streaming
+    from backend_spark.features import rolling_anomaly
+    import pytest
+
+    rows = [
+        (i, i % 3, i * 10, float((i * 7) % 50) + (100.0 if i == 25 else 0.0))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long, value double")
+    batch = {
+        (r.user_id, r.us): (r.n_prior, r.is_anomaly)
+        for r in rolling_anomaly(df, "user_id", ["us", "event_id"], "value").collect()
+    }
+    df.write.parquet(str(tmp_path / "in"))
+    sdf = streaming.read_stream(spark, str(tmp_path / "in"))
+    out = streaming.anomaly_stream(
+        sdf, "user_id", "us", "value", k=3, scale=100, tiebreak_col="event_id"
+    )
+    streaming.run_to_memory(out, "t_ranom", checkpoint=str(tmp_path / "ck"))
+    stream = {
+        (r.user_id, r.us): (r.n_prior, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM t_ranom").collect()
+    }
+    assert batch == stream
+    assert any(flag for _, flag in batch.values())  # the spike actually flags
+    with pytest.raises(ValueError, match="k and scale"):
+        rolling_anomaly(df, "user_id", "us", "value", scale=0)

@@ -244,6 +244,9 @@ EXPECT = {
     # corpus explodes once; the vocab membership lookup must broadcast
     # (vocab is bounded), then ONE map-side-combined per-doc aggregate
     "oov_rate": (["BroadcastHashJoin", "partial"], ["CartesianProduct", "SortMergeJoin"]),
+    # all three DECIMAL running sums share ONE (key, order) window —
+    # a single keyed shuffle, no join
+    "rolling_anomaly": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
 }
 
 
