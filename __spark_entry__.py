@@ -3212,6 +3212,60 @@ def _q_oov_rate(spark, sf):
     )
 
 
+def _q_er_incremental(spark, sf):
+    """The reference's production loop (match incoming records against
+    the existing person index, code/recipes.py ES-join recipes) as one
+    deterministic match-else-create pass: incoming = name-perturbed
+    customer records (one-char deletion; every third also gets a decoy
+    prefix that scores below threshold), blocked on the discriminative
+    name suffix (exact equi-join — the synthetic names' shared prefix
+    makes gram blocking degenerate; blocking_eval is the tool that
+    would catch that in a real deployment), scored with the reference's
+    levenshtein_norm, matched at >= 0.92 to the index entity, else
+    assigned a fresh entity id.  Output: (rec_id, name, entity_id,
+    match_score NULL when created, is_new)."""
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", F.lower(F.col("c_name")).alias("name")
+    )
+    inc = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("rec_id"),
+            F.when(
+                F.col("c_custkey") % 3 == 0,
+                F.concat(F.lit("zz"), F.substring("name", 1, 9), F.substring("name", 11, 1000)),
+            ).otherwise(
+                F.concat(F.substring("name", 1, 9), F.substring("name", 11, 1000))
+            ).alias("name"),
+        )
+    )
+    idx = cust.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("name").alias("idx_name"),
+        F.substring("name", -4, 4).alias("blk"),
+    )
+    cand = inc.withColumn("blk", F.substring("name", -4, 4)).join(idx, "blk")
+    scored = cand.withColumn(
+        "score", fn.levenshtein_norm(F.col("name"), F.col("idx_name"))
+    )
+    w = Window.partitionBy("rec_id").orderBy(F.desc("score"), "entity_id")
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("score") >= 0.92))
+        .select("rec_id", F.col("entity_id").alias("__hit"), F.col("score").alias("match_score"))
+    )
+    return (
+        inc.join(best, "rec_id", "left")
+        .select(
+            F.col("rec_id").cast("long").alias("rec_id"),
+            "name",
+            F.coalesce(F.col("__hit"), F.col("rec_id")).cast("long").alias("entity_id"),
+            "match_score",
+            F.col("__hit").isNull().alias("is_new"),
+        )
+    )
+
+
 def _q_rolling_anomaly(spark, sf):
     """Batch running-stats anomaly flags over the event log — ONE
     (key, order) window partitioning for all three DECIMAL running
@@ -3295,11 +3349,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": _q_standardize,
         "oov_rate": _q_oov_rate,
         "rolling_anomaly": _q_rolling_anomaly,
+        "er_incremental": _q_er_incremental,
         "stream_anomaly": _q_stream_anomaly,
         "ann_pq": _q_ann_pq,
         "bpe_encode": _q_bpe_encode,
         "build_model": _q_build_model,
-        "apply_model": _q_apply_model,
         "build_vocab": _q_vocab,
         "tfidf_topk": _q_tfidf,
         "unigram_logprob": _q_unigram_lp,
@@ -3313,11 +3367,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_index": _q_ann_ivf_index,
         "bpe_pairs": _q_bpe_pairs,
         # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (closeness_approx is rows-only-by-design with
+        # round-10 rotation (closeness_approx/apply_model are rows-only-
+        # by-design with
         # r5 evidence; win_agg/scoring/sql_direct/csv/fwf_roundtrip were
         # judge-fresh-verified in r8; k_core..token_count are the
         # remaining r5-evidence rows) ---
         "closeness_approx": _q_closeness_approx,
+        "apply_model": _q_apply_model,
         "win_agg": _q_win_agg,
         "scoring": _q_scoring,
         "sql_direct": _q_sql_direct,
@@ -5461,6 +5517,36 @@ def oracle_sql() -> dict[str, str]:
                              > 9 * (n * sx2 - sx * sx)) AS is_anomaly
             FROM s
         """,
+        # the match-else-create incremental ER pass: suffix-4 exact block,
+        # levenshtein_norm (round_even — see "scoring"), top-1 at >= 0.92
+        "er_incremental": f"""
+            WITH cust AS (SELECT c_custkey, lower(c_name) AS name FROM customer),
+            inc AS (SELECT c_custkey + 1000000 AS rec_id,
+                           CASE WHEN c_custkey % 3 = 0
+                                THEN 'zz' || substr(name, 1, 9) || substr(name, 11)
+                                ELSE substr(name, 1, 9) || substr(name, 11)
+                           END AS name
+                    FROM cust WHERE c_custkey % 7 = 0),
+            idx AS (SELECT c_custkey AS entity_id, name AS idx_name,
+                           right(name, 4) AS blk
+                    FROM cust),
+            cand AS (SELECT i.rec_id, i.name, x.entity_id, x.idx_name
+                     FROM (SELECT rec_id, name, right(name, 4) AS blk FROM inc) i
+                     JOIN idx x USING (blk)),
+            scored AS (SELECT rec_id, name, entity_id,
+                              {{lev}} AS score
+                       FROM cand),
+            best AS (SELECT rec_id, entity_id, score FROM (
+                       SELECT *, row_number() OVER (PARTITION BY rec_id
+                                   ORDER BY score DESC, entity_id) AS rn
+                       FROM scored)
+                     WHERE rn = 1 AND score >= 0.92)
+            SELECT CAST(i.rec_id AS BIGINT) AS rec_id, i.name,
+                   CAST(coalesce(b.entity_id, i.rec_id) AS BIGINT) AS entity_id,
+                   b.score AS match_score,
+                   b.entity_id IS NULL AS is_new
+            FROM inc i LEFT JOIN best b USING (rec_id)
+        """.format(lev=_SQL_LEVNORM.format(a="name", b="idx_name")),
         # features.rolling_anomaly — same windowed form as stream_anomaly
         "rolling_anomaly": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,

@@ -1367,3 +1367,21 @@ def test_oov_rate_membership_and_empty_doc(spark):
         3: (0, 0, None),              # zero-token doc -> NULL rate
         4: (2, 2, 1.0),
     }
+
+
+def test_er_incremental_match_else_create(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["er_incremental"](spark, "/root/testdata/sf0.001")
+    rows = {r.rec_id: r for r in df.collect()}
+    assert rows  # fixture non-empty
+    for r in rows.values():
+        if r.is_new:
+            # created: fresh entity id = own record id, no score
+            assert r.entity_id == r.rec_id and r.match_score is None
+        else:
+            # matched: points back at the index entity it was derived from
+            assert r.entity_id == r.rec_id - 1000000
+            assert r.match_score >= 0.92
+    assert any(r.is_new for r in rows.values())
+    assert any(not r.is_new for r in rows.values())

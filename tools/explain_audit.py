@@ -247,6 +247,9 @@ EXPECT = {
     # all three DECIMAL running sums share ONE (key, order) window —
     # a single keyed shuffle, no join
     "rolling_anomaly": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"]),
+    # suffix-block candidate generation is a hash EQUI-join — the score
+    # predicate must never become the join condition
+    "er_incremental": (["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
