@@ -4289,7 +4289,9 @@ def boilerplate_lines(
     ``lines_col`` is an ``array<string>``; duplicate lines within one
     document count once (document frequency, not term frequency).
     Output: (``group_col``, line, doc_freq, group_docs, share), one row
-    per boilerplate line per group.
+    per boilerplate line per group.  Documents with a NULL group drop
+    out (the group join is null-rejecting, standard SQL key semantics)
+    — bucket them explicitly upstream if ungrouped docs matter.
 
     Scale shape: explode → distinct on (group, line, id) → ONE
     (group, line) count aggregate, map-side combinable; the per-group

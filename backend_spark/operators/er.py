@@ -307,6 +307,15 @@ def sorted_neighborhood(
     for c in keys + [id_col]:
         if c not in records.columns:
             raise ValueError(f"sorted_neighborhood: column {c!r} not in records")
+    # output / internal name collisions make the self-join ambiguous
+    # (same guard family as interval_join, ADVICE r8)
+    reserved = {left_col, right_col, "rank_dist", "__rank", "__b", "__k", "__lr", "__rr"}
+    clash = reserved & {id_col, *keys}
+    if clash or left_col == right_col:
+        raise ValueError(
+            f"sorted_neighborhood: column name collision {sorted(clash) or [left_col]!r} "
+            "— rename the id/key columns or pass different left_col/right_col"
+        )
     from backend_spark.scale import assign_row_ids
 
     ranked = assign_row_ids(

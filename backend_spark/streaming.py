@@ -438,6 +438,12 @@ def anomaly_stream(
     :func:`locf_stream`; draining the bounded log in ONE availableNow
     batch reproduces the batch windowed form (cumulative sums over
     ROWS UNBOUNDED PRECEDING .. 1 PRECEDING) — the equivalence oracle.
+
+    NULL values are never judged and never enter the running stats,
+    with SQL three-valued semantics so the batch form
+    (:func:`backend_spark.features.rolling_anomaly`) stays bit-equal:
+    flag = FALSE while n_prior < 2 (the AND short-circuits), NULL
+    afterwards; n_prior counts non-null priors only.
     The per-row Python loop is the stateful boundary (same contract as
     the other applyInPandasWithState kernels): O(batch) per key with
     O(1) carried state.
@@ -471,6 +477,12 @@ def anomaly_stream(
             n, sx, sx2 = 0, 0, 0
         flags, priors = [], []
         for raw in pdf[value_col]:
+            if raw is None or (isinstance(raw, float) and raw != raw):
+                # never judged (NULL unless the n<2 AND short-circuits
+                # to FALSE), never enters the stats
+                flags.append(False if n < 2 else None)
+                priors.append(n)
+                continue
             v = int(math.floor(raw * scale + 0.5))
             flags.append(bool(n >= 2 and (v * n - sx) ** 2 > k2 * (n * sx2 - sx * sx)))
             priors.append(n)

@@ -1788,3 +1788,15 @@ def test_sorted_neighborhood_window_and_dup_keys(spark):
         sorted_neighborhood(recs, "rid", ["k"], window=1)
     with pytest.raises(ValueError, match="not in records"):
         sorted_neighborhood(recs, "rid", ["nope"], window=2)
+
+
+def test_sorted_neighborhood_collision_guard(spark):
+    from backend_spark.operators import sorted_neighborhood
+    import pytest
+
+    recs = spark.createDataFrame([(1, "a")], "rank_dist long, k string")
+    with pytest.raises(ValueError, match="collision"):
+        sorted_neighborhood(recs, "rank_dist", ["k"], window=2)
+    recs2 = spark.createDataFrame([(1, "a")], "rid long, k string")
+    with pytest.raises(ValueError, match="collision"):
+        sorted_neighborhood(recs2, "rid", ["k"], window=2, left_col="x", right_col="x")

@@ -1496,3 +1496,35 @@ def test_rolling_anomaly_matches_stream_kernel(spark, tmp_path):
     assert any(flag for _, flag in batch.values())  # the spike actually flags
     with pytest.raises(ValueError, match="k and scale"):
         rolling_anomaly(df, "user_id", "us", "value", scale=0)
+
+
+def test_anomaly_null_values_skip_state_batch_equals_stream(spark, tmp_path):
+    from backend_spark import streaming
+    from backend_spark.features import rolling_anomaly
+
+    rows = [
+        (1, 1, 10, 5.0), (2, 1, 20, None), (3, 1, 30, 5.0),
+        (4, 1, 40, None), (5, 1, 50, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long, value double")
+    batch = {
+        r.us: (r.n_prior, r.is_anomaly)
+        for r in rolling_anomaly(df, "user_id", ["us", "event_id"], "value").collect()
+    }
+    # nulls: FALSE while n_prior < 2 (AND short-circuit), NULL after;
+    # they never enter the running stats (n_prior skips them)
+    assert batch == {
+        10: (0, False), 20: (1, False), 30: (1, False),
+        40: (2, None), 50: (2, True),
+    }
+    df.write.parquet(str(tmp_path / "in"))
+    sdf = streaming.read_stream(spark, str(tmp_path / "in"))
+    out = streaming.anomaly_stream(
+        sdf, "user_id", "us", "value", k=3, scale=100, tiebreak_col="event_id"
+    )
+    streaming.run_to_memory(out, "t_nanom", checkpoint=str(tmp_path / "ck"))
+    stream = {
+        r.us: (r.n_prior, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM t_nanom").collect()
+    }
+    assert stream == batch
