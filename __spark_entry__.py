@@ -3305,14 +3305,13 @@ def _q_stream_anomaly(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
-    # 50-query prefix per round).  Round-9 rotation: the 21 new-this-round
-    # ops (ridge x3, url_normalize, fill_forward, transition_counts,
-    # feature_hash, readability, cdf_normalize, mad_outliers,
-    # sentence_split, cidr_filter, budget_select, group_centroid,
-    # pair_features, blocking_eval, interpolate, stream_locf, er_pipeline,
-    # extract_links, source_overlap), the 5 never-driver-checked (ann_pq +
-    # bpe_encode + the 3 rows-only), the 12 r4-stale, then the 12
-    # oldest-r5 rows up to the prefix boundary marked below; remaining r5
+    # 50-query prefix per round; tools/staleness_report.py prints the
+    # mechanical queue).  Round-9 rotation: the 27 round-9 ops, the 9
+    # continuation ops (sssp, sorted_neighborhood, boilerplate,
+    # standardize, oov_rate, rolling_anomaly, stream_anomaly,
+    # er_incremental — all first-evidence-needed), ann_pq + bpe_encode
+    # (never driver-green), build_model (rows-only refresh), then the 12
+    # r4-stale rows up to the prefix boundary marked below; r5-era rows
     # queue first for round 10, freshly-green r6/r8 rows go last.
     return {
         "ridge_train": _q_ridge_train,
