@@ -796,3 +796,64 @@ def email_norm(c: Column) -> Column:
     s = F.regexp_replace(s, r"^[<]|[>]$", "")
     s = F.regexp_replace(s, r"^(?i)mailto:", "")
     return F.lower(s)
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lat: Column, lon: Column, precision: int = 8) -> Column:
+    """Standard geohash (Niemeyer base32) of a WGS84 point — THE
+    equality blocking key for geospatial entity resolution: prefix
+    length = cell size, so `groupBy(geohash(...,p))` or an equi-join
+    on it blocks candidate pairs the way :func:`~backend_spark
+    .operators.joins.geo_join`'s internal grid does, but as a
+    portable, indexable string (prefix match = spatial containment).
+
+    Construction is arithmetic, not the textbook bisection loop: a
+    geohash's bit string IS the Morton interleave of the quantized
+    coordinates — lon_q = floor((lon+180)/360 · 2^ceil(5p/2)) on the
+    even bit positions (MSB first), lat_q likewise on the odd ones —
+    so the whole thing is the `scale.zorder_key` bit trick plus a
+    base32 map per 5-bit group.  Pure Column expressions (shiftleft /
+    bitwiseOR / element_at), codegen'd, no UDF, and exactly
+    reproducible in ANSI SQL for the oracle.
+
+    ``precision`` 1-12 chars (12 = 60 bits, fits a bigint; 8 ≈ 19 m
+    cell).  Poles/antimeridian inputs clamp to the last cell (the
+    standard convention: lat=90 → the 89.99.. cell).  Null lat or lon
+    → null.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError(f"geohash: precision must be in 1..12, got {precision}")
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2  # even positions 0,2,4.. (MSB first)
+    lat_bits = nbits // 2
+    lon_q = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+        F.lit((1 << lon_bits) - 1),
+    ).cast("long")
+    lat_q = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+        F.lit((1 << lat_bits) - 1),
+    ).cast("long")
+    def spread(x):
+        # Morton bit-spread (bit j -> bit 2j) via the 5 magic-mask
+        # steps — O(1) expression size, stays inside one codegen span
+        # (the naive per-bit chain blows the JIT method limit at p>=8)
+        x = F.shiftleft(x, 16).bitwiseOR(x).bitwiseAND(F.lit(0x0000FFFF0000FFFF).cast("long"))
+        x = F.shiftleft(x, 8).bitwiseOR(x).bitwiseAND(F.lit(0x00FF00FF00FF00FF).cast("long"))
+        x = F.shiftleft(x, 4).bitwiseOR(x).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F).cast("long"))
+        x = F.shiftleft(x, 2).bitwiseOR(x).bitwiseAND(F.lit(0x3333333333333333).cast("long"))
+        return F.shiftleft(x, 1).bitwiseOR(x).bitwiseAND(F.lit(0x5555555555555555).cast("long"))
+
+    if nbits % 2 == 0:  # equal widths: lon on the odd LSB positions
+        val = F.shiftleft(spread(lon_q), 1).bitwiseOR(spread(lat_q))
+    else:  # lon one bit wider: lon on the even LSB positions
+        val = spread(lon_q).bitwiseOR(F.shiftleft(spread(lat_q), 1))
+    # base32 digits: one conv() over the single val expression (an
+    # element_at per 5-bit group would copy the interleave tree per
+    # char and blow the codegen method limit), then remap Spark's
+    # 0-9A-V digit set onto the geohash alphabet
+    digits = F.lpad(F.lower(F.conv(val, 10, 32)), precision, "0")
+    out = F.translate(digits, "abcdefghijklmnopqrstuv", _GEOHASH32[10:])
+    return F.when(lat.isNotNull() & lon.isNotNull(), out)

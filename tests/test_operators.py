@@ -1385,3 +1385,26 @@ def test_er_incremental_match_else_create(spark):
             assert r.match_score >= 0.92
     assert any(r.is_new for r in rows.values())
     assert any(not r.is_new for r in rows.values())
+
+
+def test_geohash_published_vectors_and_edges(spark):
+    from backend_spark import functions as fn
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (42.6, -5.6), (0.0, 0.0),
+         (90.0, 180.0), (-90.0, -180.0), (None, 1.0), (1.0, None)],
+        "lat double, lon double",
+    )
+
+    def gh(p):
+        return [r.g for r in df.select(fn.geohash(F.col("lat"), F.col("lon"), p).alias("g")).collect()]
+
+    # canonical vectors (geohash.org example) at odd AND even precisions
+    assert gh(11) == ["u4pruydqqvj", "ezs42e44yx9", "s0000000000",
+                      "zzzzzzzzzzz", "00000000000", None, None]
+    assert gh(8) == ["u4pruydq", "ezs42e44", "s0000000",
+                     "zzzzzzzz", "00000000", None, None]
+    assert gh(1) == ["u", "e", "s", "z", "0", None, None]
+    import pytest
+    with pytest.raises(ValueError, match="precision"):
+        fn.geohash(F.col("lat"), F.col("lon"), 13)

@@ -250,6 +250,10 @@ EXPECT = {
     # suffix-block candidate generation is a hash EQUI-join — the score
     # predicate must never become the join condition
     "er_incremental": (["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # pure bit-arithmetic projection inside ONE codegen span ("*(1)"
+    # marks the whole-stage-codegen'd project; the conv/translate digit
+    # map keeps the interleave tree single-copy so codegen succeeds)
+    "geohash": (["*(1) Project"], ["Exchange", "CartesianProduct"]),
 }
 
 
