@@ -45,6 +45,7 @@ from backend_spark.operators.graph import (
     label_propagation,
     link_prediction,
     modularity,
+    negative_edges,
     op_clique,
     shortest_paths,
 )
@@ -61,5 +62,5 @@ __all__ = [
     "compact_latest",
     "connected_components", "op_clique", "er_resolve", "pair_features", "blocking_eval",
     "label_propagation", "link_prediction", "modularity",
-    "shortest_paths", "sorted_neighborhood",
+    "shortest_paths", "sorted_neighborhood", "negative_edges",
 ]

@@ -951,3 +951,84 @@ def shortest_paths(
             break
         dist = dist.unionByName(frontier).localCheckpoint(eager=True)
     return dist
+
+
+def negative_edges(
+    edges: DataFrame,
+    k: int = 2,
+    oversample: int = 4,
+    salt: str = "neg",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training
+    sets (the standard companion to :func:`link_prediction`: positives
+    are the observed edges, negatives are sampled non-edges): for each
+    node ``u``, propose ``k·oversample`` hash-selected partner nodes,
+    drop real neighbors and self-pairs, keep the first ``k`` by
+    proposal index.  Every choice comes from
+    :func:`~backend_spark.functions.md5_long` over (salt, u, i) mapped
+    through a dense node ranking — no RNG, so the sample is identical
+    on every engine, partitioning, and rerun (the property that makes
+    a training set reproducible AND oracle-checkable).
+
+    Returns (u, v, neg_rank 1..k).  High-degree nodes in tiny graphs
+    may yield fewer than ``k`` negatives (all proposals were real
+    neighbors) — raise ``oversample`` if exactness matters; expected
+    shortfall decays like (degree/n)^oversample.
+
+    Scale shape: the node ranking is one aggregate + join (node count
+    is the driver-side scalar); proposals explode k·oversample rows
+    per node; membership removal is ONE anti-join against the
+    symmetric edge list on (u, v) — all keyed equi-joins, nothing
+    quadratic, cost linear in |V|·k·oversample + |E|.
+    """
+    if k < 1 or oversample < 1:
+        raise ValueError(f"negative_edges: k and oversample must be >= 1, got {k}/{oversample}")
+    from backend_spark import functions as fn
+
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    nodes = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+    )
+    # dense 0-based rank in node order -> hash values index nodes;
+    # assign_row_ids is the distributed ranking (range repartition +
+    # broadcast offsets), NOT a single-partition row_number sort
+    from pyspark.sql import Window
+
+    from backend_spark.scale import assign_row_ids
+
+    n_nodes = nodes.count()
+    ranked = assign_row_ids(nodes, "node", out_col="__r1").select(
+        "node", (F.col("__r1") - 1).alias("__r")
+    ).localCheckpoint(eager=False)
+    props = (
+        ranked.select(F.col("node").alias("u"))
+        .select("u", F.explode(F.array(*[F.lit(i) for i in range(k * oversample)])).alias("__i"))
+        .withColumn(
+            "__r",
+            fn.md5_long(
+                F.concat_ws(":", F.lit(salt), F.col("u").cast("string"), F.col("__i").cast("string"))
+            ) % n_nodes,
+        )
+    )
+    cand = (
+        props.join(ranked, "__r")  # |V|-row side: AQE picks the strategy
+        .select("u", F.col("node").alias("v"), "__i")
+        .where(F.col("u") != F.col("v"))
+    )
+    non_edges = cand.join(
+        sym.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    # hash collisions can propose the same partner twice — keep each
+    # (u, v) once at its earliest proposal index
+    non_edges = non_edges.groupBy("u", "v").agg(F.min("__i").alias("__i"))
+    w = Window.partitionBy("u").orderBy("__i")
+    return (
+        non_edges.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select("u", "v", "neg_rank")
+    )

@@ -1800,3 +1800,26 @@ def test_sorted_neighborhood_collision_guard(spark):
     recs2 = spark.createDataFrame([(1, "a")], "rid long, k string")
     with pytest.raises(ValueError, match="collision"):
         sorted_neighborhood(recs2, "rid", ["k"], window=2, left_col="x", right_col="x")
+
+
+def test_negative_edges_no_real_edges_no_dups_deterministic(spark):
+    from backend_spark.operators.graph import negative_edges, _sym_edges
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)] + [(0, 5)], "src long, dst long"
+    )
+    out = negative_edges(edges, k=2, oversample=4)
+    rows = out.collect()
+    sym = {(r.a, r.b) for r in _sym_edges(edges, "src", "dst").collect()}
+    assert all((r.u, r.v) not in sym and r.u != r.v for r in rows)
+    assert len({(r.u, r.v) for r in rows}) == len(rows)  # no duplicate pairs
+    per_node = {}
+    for r in rows:
+        per_node.setdefault(r.u, []).append(r.neg_rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_node.values())
+    assert all(len(v) <= 2 for v in per_node.values())
+    # deterministic across runs
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, negative_edges(edges, k=2, oversample=4).collect()))
+    with pytest.raises(ValueError, match="oversample"):
+        negative_edges(edges, k=0)

@@ -254,6 +254,9 @@ EXPECT = {
     # marks the whole-stage-codegen'd project; the conv/translate digit
     # map keeps the interleave tree single-copy so codegen succeeds)
     "geohash": (["*(1) Project"], ["Exchange", "CartesianProduct"]),
+    # keyed equi-joins only: rank join + real-edge anti-join; the node
+    # ranking comes from assign_row_ids, never a global window sort
+    "negative_edges": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
