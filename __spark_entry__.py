@@ -1384,6 +1384,13 @@ def _q_stratified_topn(spark, sf):
     return llm.stratified_topn(ev, "event_id", "event_type", n_per_stratum=50)
 
 
+def _q_priority_sample(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return llm.priority_sample(
+        docs, "doc_id", "n_chars", k=5, group_col="lang", salt="prio"
+    )
+
+
 def _q_orc_roundtrip(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -3437,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k_core..token_count are the remaining r5-evidence rows) ---
         "review_queue": _q_review_queue,
         "negative_edges": _q_negative_edges,
+        "priority_sample": _q_priority_sample,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6389,6 +6397,27 @@ def oracle_sql() -> dict[str, str]:
                           round((CAST(s AS DOUBLE) / 1000000.0) / n, 6) AS c FROM a)
             SELECT label, CAST(n AS BIGINT) AS n_vecs, i AS dim, c
             FROM c2
+        """,
+        # llm.priority_sample k=5 group=lang weight=n_chars salt='prio':
+        # Duffield-Lund-Thorup priority q = w / u with the dyadic
+        # u = (md5_long+1)/2^60 — two correctly-rounded IEEE ops, so the
+        # ranking reproduces bit-for-bit cross-engine
+        "priority_sample": f"""
+            WITH p AS (
+                SELECT lang, doc_id, n_chars,
+                       CAST(n_chars AS DOUBLE)
+                         / (CAST({_SQL_H.format(x="'prio:' || CAST(doc_id AS VARCHAR)")} + 1
+                                 AS DOUBLE) / 1152921504606846976.0) AS pr
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            r AS (SELECT lang, doc_id, n_chars, pr,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY pr DESC, doc_id ASC) AS rn
+                  FROM p)
+            SELECT lang, doc_id, n_chars AS weight, round(pr, 6) AS priority,
+                   CAST(rn AS INT) AS sample_rank
+            FROM r WHERE rn <= 5
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

@@ -1591,6 +1591,91 @@ def shuffle_order(
     return assign_row_ids(hashed, ["__h", id_col], out_col=out_col).drop("__h")
 
 
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    salt: str = "prio",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — Duffield/
+    Lund/Thorup *priority sampling* (JACM 2007): each row draws
+    ``u = (md5_long(salt:id) + 1) / 2^60`` (a dyadic rational in
+    (0, 1], exact in IEEE double) and gets priority ``q = w / u``; the
+    ``k`` highest-priority rows are the sample.  Inclusion probability
+    is ~``min(1, w/tau)`` with ``tau`` the (k+1)-th priority, i.e.
+    heavy rows are near-certain, light rows proportional — the
+    textbook weighted panel for data-mixing experiments, but with NO
+    RNG: the hash gate makes the sample identical on every engine,
+    partitioning and rerun (same property as
+    :func:`deterministic_sample`), and ``q`` is two correctly-rounded
+    IEEE ops (int64→double convert, divide) so DuckDB reproduces the
+    ranking bit-for-bit.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    row can never be sampled; documented, not silently kept).
+
+    Scale shape: the priority is map-side arithmetic in the scan
+    stage.  Grouped mode (``group_col``) ranks with ONE keyed window.
+    Global mode never funnels the corpus through a single-task sort:
+    a per-input-partition local top-k prunes to ``<= k * n_partitions``
+    rows first, and only that pruned set enters the final k-row
+    ordering.
+
+    Returns (group?, id, weight, priority, sample_rank) with
+    ``priority`` rounded to ``ndigits`` for reporting; ranking uses
+    the full double with ``id`` as the deterministic tie-break.
+    """
+    if k < 1:
+        raise ValueError(f"priority_sample: k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (
+        fn.md5_long(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))) + 1
+    ).cast("double") / F.lit(float(2**60))
+    base = (
+        df.where(F.col(weight_col).isNotNull() & (w > 0))
+        .withColumn("__pr", w / u)
+    )
+    out_cols = [
+        *([group_col] if group_col else []),
+        F.col(id_col),
+        F.col(weight_col).alias("weight"),
+        F.round("__pr", ndigits).alias("priority"),
+        F.col("__rn").alias("sample_rank"),
+    ]
+    if group_col is not None:
+        wspec = Window.partitionBy(group_col).orderBy(
+            F.col("__pr").desc(), F.col(id_col).asc()
+        )
+        return (
+            base.withColumn("__rn", F.row_number().over(wspec))
+            .where(F.col("__rn") <= k)
+            .select(*out_cols)
+        )
+    # global mode: local per-partition prune, then order the survivors.
+    # partitionBy(spark_partition_id) exchanges only by partition id —
+    # the heavy lifting (drop all but k rows per partition) happens in
+    # one keyed window; the final global window sees <= k*nparts rows.
+    local_w = Window.partitionBy("__pid").orderBy(
+        F.col("__pr").desc(), F.col(id_col).asc()
+    )
+    pruned = (
+        base.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(local_w))
+        .where(F.col("__lrn") <= k)
+    )
+    final_w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("__pr").desc(), F.col(id_col).asc()
+    )
+    return (
+        pruned.withColumn("__rn", F.row_number().over(final_w))
+        .where(F.col("__rn") <= k)
+        .select(*out_cols)
+    )
+
+
 def split_corpus(
     df: DataFrame,
     id_col: str,

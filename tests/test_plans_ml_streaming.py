@@ -836,6 +836,54 @@ def test_stratified_topn_exact_counts(spark):
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
 
 
+def test_priority_sample_grouped(spark):
+    from backend_spark import llm
+
+    rows = [(i, "a" if i < 50 else "b", float(1 + i % 7)) for i in range(60)]
+    rows += [(100, "a", None), (101, "a", 0.0), (102, "a", -3.0)]  # excluded
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = llm.priority_sample(df, "doc_id", "w", k=5, group_col="g")
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 5}
+    ids = {r.doc_id for r in out.collect()}
+    assert ids.isdisjoint({100, 101, 102})  # null/zero/negative weights out
+    again = llm.priority_sample(df, "doc_id", "w", k=5, group_col="g")
+    assert {(r.g, r.doc_id, r.sample_rank) for r in out.collect()} == {
+        (r.g, r.doc_id, r.sample_rank) for r in again.collect()
+    }  # rerun-stable
+
+
+def test_priority_sample_global_matches_bruteforce(spark):
+    import hashlib
+
+    from backend_spark import llm
+
+    rows = [(i, float(1 + (i * 13) % 29)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double").repartition(8)
+    out = llm.priority_sample(df, "doc_id", "w", k=7)
+    got = [(r.doc_id, r.sample_rank) for r in out.orderBy("sample_rank").collect()]
+
+    def pr(i, w):
+        h = int(hashlib.md5(f"prio:{i}".encode()).hexdigest()[:15], 16)
+        return w / ((h + 1) / 2**60)
+
+    want = sorted(rows, key=lambda t: (-pr(*t), t[0]))[:7]
+    assert got == [(i, rk + 1) for rk, (i, _) in enumerate(want)]
+    # huge-weight row is always in the panel
+    df2 = df.union(spark.createDataFrame([(999, 1e12)], "doc_id long, w double"))
+    assert 999 in {r.doc_id for r in llm.priority_sample(df2, "doc_id", "w", k=7).collect()}
+
+
+def test_priority_sample_k_validation(spark):
+    import pytest as _pytest
+
+    from backend_spark import llm
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+    with _pytest.raises(ValueError):
+        llm.priority_sample(df, "doc_id", "w", k=0)
+
+
 def test_orc_write_read_roundtrip(spark, tmp_path):
     from backend_spark.sources import read_dataset, write_dataset
 

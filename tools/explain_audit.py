@@ -257,6 +257,9 @@ EXPECT = {
     # keyed equi-joins only: rank join + real-edge anti-join; the node
     # ranking comes from assign_row_ids, never a global window sort
     "negative_edges": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # grouped top-k: map-side priority arithmetic + ONE keyed window —
+    # no join, no cartesian, no global unpartitioned sort funnel
+    "priority_sample": (["Window"], ["CartesianProduct", "Join"]),
 }
 
 
