@@ -1391,6 +1391,20 @@ def _q_priority_sample(spark, sf):
     )
 
 
+def _q_script_mix(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (100001, "Привет мир 2024!"),
+            (100002, "汉字漢字 mixed latin"),
+            (100003, "مرحبا بالعالم"),
+            (100004, None),
+        ],
+        "doc_id long, text string",
+    )
+    return llm.script_mix(docs.unionByName(extra), "doc_id", "text")
+
+
 def _q_orc_roundtrip(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -3445,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review_queue": _q_review_queue,
         "negative_edges": _q_negative_edges,
         "priority_sample": _q_priority_sample,
+        "script_mix": _q_script_mix,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6418,6 +6433,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, doc_id, n_chars AS weight, round(pr, 6) AS priority,
                    CAST(rn AS INT) AS sample_rank
             FROM r WHERE rn <= 5
+        """,
+        # llm.script_mix: char-class counts via length(x) -
+        # length(regexp_replace(x, class, '')) — the class ranges are
+        # literal characters so Java regex and RE2 read the same string;
+        # plain (non-f) string: the punct class contains literal braces
+        "script_mix": """
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT * FROM (VALUES (100001, 'Привет мир 2024!'),
+                                      (100002, '汉字漢字 mixed latin'),
+                                      (100003, 'مرحبا بالعالم'),
+                                      (100004, NULL)) t(doc_id, text)
+            ),
+            b AS (SELECT doc_id, coalesce(text, '') AS t FROM all_docs),
+            c AS (SELECT doc_id, length(t) AS n,
+                         length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS latin,
+                         length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS digit,
+                         length(t) - length(regexp_replace(t, '[ \t\n\r]', '', 'g')) AS space,
+                         length(t) - length(regexp_replace(t, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct,
+                         length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS cyr,
+                         length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS cjk,
+                         length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS arab
+                  FROM b)
+            SELECT doc_id, CAST(n AS INT) AS n_chars,
+                   CASE WHEN n = 0 THEN 0.0 ELSE round(latin / CAST(n AS DOUBLE), 6) END AS latin_frac,
+                   CASE WHEN n = 0 THEN 0.0 ELSE round(digit / CAST(n AS DOUBLE), 6) END AS digit_frac,
+                   CASE WHEN n = 0 THEN 0.0 ELSE round(space / CAST(n AS DOUBLE), 6) END AS space_frac,
+                   CASE WHEN n = 0 THEN 0.0 ELSE round(punct / CAST(n AS DOUBLE), 6) END AS punct_frac,
+                   CASE WHEN n = 0 THEN 0.0 ELSE round(cyr / CAST(n AS DOUBLE), 6) END AS cyrillic_frac,
+                   CASE WHEN n = 0 THEN 0.0 ELSE round(cjk / CAST(n AS DOUBLE), 6) END AS cjk_frac,
+                   CASE WHEN n = 0 THEN 0.0 ELSE round(arab / CAST(n AS DOUBLE), 6) END AS arabic_frac,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE round((n - latin - digit - space - punct - cyr - cjk - arab)
+                                   / CAST(n AS DOUBLE), 6) END AS other_frac
+            FROM c
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

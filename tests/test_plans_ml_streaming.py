@@ -884,6 +884,37 @@ def test_priority_sample_k_validation(spark):
         llm.priority_sample(df, "doc_id", "w", k=0)
 
 
+def test_script_mix_known_fractions(spark):
+    from backend_spark import llm
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab12"),          # 0.5 latin, 0.5 digit
+            (2, "Привет"),        # all cyrillic
+            (3, "汉字!"),          # 2/3 cjk, 1/3 punct
+            (4, ""),              # empty -> zeros
+            (5, None),            # null -> zeros
+            (6, "a €"),           # euro sign is unclassified -> other
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in llm.script_mix(df, "doc_id", "text").collect()}
+    assert (rows[1].latin_frac, rows[1].digit_frac) == (0.5, 0.5)
+    assert rows[2].cyrillic_frac == 1.0 and rows[2].latin_frac == 0.0
+    assert rows[3].cjk_frac == round(2 / 3, 6) and rows[3].punct_frac == round(1 / 3, 6)
+    assert rows[4].n_chars == 0 and rows[4].other_frac == 0.0
+    assert rows[5].n_chars == 0
+    assert rows[6].other_frac == round(1 / 3, 6)  # € unclassified
+    # fractions sum to 1 for non-empty docs
+    for i in (1, 2, 3, 6):
+        r = rows[i]
+        total = sum(
+            [r.latin_frac, r.digit_frac, r.space_frac, r.punct_frac,
+             r.cyrillic_frac, r.cjk_frac, r.arabic_frac, r.other_frac]
+        )
+        assert abs(total - 1.0) < 1e-5
+
+
 def test_orc_write_read_roundtrip(spark, tmp_path):
     from backend_spark.sources import read_dataset, write_dataset
 

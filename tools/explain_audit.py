@@ -260,6 +260,9 @@ EXPECT = {
     # grouped top-k: map-side priority arithmetic + ONE keyed window —
     # no join, no cartesian, no global unpartitioned sort funnel
     "priority_sample": (["Window"], ["CartesianProduct", "Join"]),
+    # char-class counting is one codegen'd projection over the scan —
+    # the union injects literal rows, the documents side never shuffles
+    "script_mix": ([], ["Exchange", "CartesianProduct", "Join"]),
 }
 
 
