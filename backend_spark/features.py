@@ -646,3 +646,103 @@ def rolling_anomaly(
     dev = (v * n - sx)
     flag = (n >= 2) & ((dev * dev).cast(dec) > (F.lit(k * k).cast(dec) * (n * sx2 - sx * sx)).cast(dec))
     return df.withColumn("n_prior", n.cast("long")).withColumn("is_anomaly", flag)
+
+
+def pareto_front(
+    df: DataFrame,
+    metrics: "dict[str, str]",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pareto frontier (skyline): the rows not *dominated* by any other
+    row — ``q`` dominates ``r`` when ``q`` is at least as good on every
+    metric and strictly better on at least one (``metrics`` maps column
+    -> ``'max'``/``'min'``).  Rows with identical metric vectors don't
+    dominate each other, so exact ties all survive.  With ``group_col``
+    the frontier is computed independently per group.  The standard
+    multi-objective selection step (best quality-vs-length-vs-dup-rate
+    documents, cheapest-vs-freshest sources) that a WHERE clause can't
+    express.  Rows with a NULL metric are excluded (NULL is not
+    comparable under dominance; documented, not silently kept).
+
+    Scale shape — the classic two-phase skyline (Börzsönyi et al., ICDE
+    2001, adapted to Spark):
+
+    1. **Local prune** (``mapInPandas``): each partition computes its
+       own skyline in a vectorized NumPy pass, sum-ordered so strong
+       points kill early.  The global frontier is a subset of every
+       union of partition-local frontiers, so this drops the corpus to
+       the candidates without any shuffle.
+    2. **Verify**: candidates self-join on the dominance predicate
+       (broadcast; with ``group_col`` it is a hash equi-join on the
+       group with the dominance as residual) and survivors come back
+       via ``left_anti``.  Quadratic ONLY on the pruned candidate set —
+       for correlated/random data frontiers are tiny (O(log^{d-1} n)
+       expected); a pure anti-chain (every row on the frontier) is
+       irreducibly its own output and callers should bin metrics first
+       if they expect one.
+
+    Output = the surviving input rows (all original columns).
+    """
+    if not metrics:
+        raise ValueError("pareto_front: metrics must be non-empty")
+    bad = {c: d for c, d in metrics.items() if d not in ("max", "min")}
+    if bad:
+        raise ValueError(f"pareto_front: directions must be 'max'/'min', got {bad}")
+    mcols = list(metrics)
+    missing = [c for c in mcols if c not in df.columns]
+    if missing:
+        raise ValueError(f"pareto_front: metric column(s) not in input: {missing}")
+
+    base = df
+    for c in mcols:
+        base = base.where(F.col(c).isNotNull())
+    # oriented copies: larger is always better
+    ocols = [f"__o_{i}" for i in range(len(mcols))]
+    oriented = base
+    for i, c in enumerate(mcols):
+        v = F.col(c).cast("double")
+        oriented = oriented.withColumn(ocols[i], v if metrics[c] == "max" else -v)
+    gcols = [group_col] if group_col else []
+
+    out_fields = oriented.schema
+
+    def _local_front(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = pdf.groupby(gcols, sort=False) if gcols else [(None, pdf)]
+            for _, g in parts:
+                X = g[ocols].to_numpy(dtype=float)
+                order = np.argsort(-X.sum(axis=1), kind="stable")
+                Xs = X[order]
+                front: list[int] = []
+                for i in range(len(Xs)):
+                    x = Xs[i]
+                    if front:
+                        FY = Xs[front]
+                        if bool(((FY >= x).all(axis=1) & (FY > x).any(axis=1)).any()):
+                            continue
+                    front.append(i)
+                yield g.iloc[order[front]]
+
+    cand = oriented.mapInPandas(_local_front, schema=out_fields)
+    cand = cand.localCheckpoint(eager=False)  # both join sides see one prune
+
+    right = cand.select(
+        *[F.col(g).alias(f"__g_{g}") for g in gcols],
+        *[F.col(o).alias(f"__r_{o}") for o in ocols],
+    )
+    all_geq = None
+    any_gt = None
+    for o in ocols:
+        geq = F.col(f"__r_{o}") >= F.col(o)
+        gt = F.col(f"__r_{o}") > F.col(o)
+        all_geq = geq if all_geq is None else (all_geq & geq)
+        any_gt = gt if any_gt is None else (any_gt | gt)
+    cond = all_geq & any_gt
+    for g in gcols:
+        cond = (F.col(f"__g_{g}") == F.col(g)) & cond
+    survivors = cand.join(F.broadcast(right), cond, "left_anti")
+    return survivors.drop(*ocols)

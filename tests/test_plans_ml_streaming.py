@@ -915,6 +915,58 @@ def test_script_mix_known_fractions(spark):
         assert abs(total - 1.0) < 1e-5
 
 
+def test_pareto_front_2d_with_ties_and_groups(spark):
+    from backend_spark.features import pareto_front
+
+    rows = [
+        (1, "g1", 10.0, 1.0),   # dominated by 3
+        (2, "g1", 20.0, 2.0),   # frontier (best price)
+        (3, "g1", 15.0, 0.5),   # frontier (best discount)
+        (4, "g1", 15.0, 0.5),   # exact tie of 3 -> also survives
+        (5, "g1", 14.0, 0.5),   # dominated by 3 (same disc, less price)
+        (6, "g2", 1.0, 9.0),    # alone in its group -> survives
+        (7, "g1", None, 0.1),   # NULL metric -> excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, price double, disc double")
+    out = pareto_front(df, {"price": "max", "disc": "min"}, group_col="g")
+    assert {r.id for r in out.collect()} == {2, 3, 4, 6}
+
+
+def test_pareto_front_3d_matches_bruteforce(spark):
+    from backend_spark.features import pareto_front
+
+    rows = [
+        (i, float((i * 7) % 13), float((i * 5) % 11), float((i * 3) % 17))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double").repartition(7)
+    got = {r.id for r in pareto_front(df, {"a": "max", "b": "max", "c": "min"}).collect()}
+
+    def dominated(r):
+        return any(
+            q[1] >= r[1] and q[2] >= r[2] and q[3] <= r[3]
+            and (q[1] > r[1] or q[2] > r[2] or q[3] < r[3])
+            for q in rows
+        )
+
+    want = {r[0] for r in rows if not dominated(r)}
+    assert got == want
+
+
+def test_pareto_front_validation(spark):
+    import pytest as _pytest
+
+    from backend_spark.features import pareto_front
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, a double")
+    with _pytest.raises(ValueError):
+        pareto_front(df, {})
+    with _pytest.raises(ValueError):
+        pareto_front(df, {"a": "upward"})
+    with _pytest.raises(ValueError):
+        pareto_front(df, {"zz": "max"})
+
+
 def test_orc_write_read_roundtrip(spark, tmp_path):
     from backend_spark.sources import read_dataset, write_dataset
 

@@ -263,6 +263,11 @@ EXPECT = {
     # char-class counting is one codegen'd projection over the scan —
     # the union injects literal rows, the documents side never shuffles
     "script_mix": ([], ["Exchange", "CartesianProduct", "Join"]),
+    # two-phase skyline: mapInPandas local prune, then the pruned
+    # candidate set verifies against its own broadcast copy (grouped
+    # mode = hash equi-join on the group key, dominance as residual) —
+    # the corpus itself never enters a quadratic stage
+    "pareto_front": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
