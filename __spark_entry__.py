@@ -431,6 +431,40 @@ def _sql_pagerank(n_iter: int = 20) -> str:
     )
 
 
+def _sql_ppr(n_iter: int = 10) -> str:
+    """Unrolled personalized-pagerank iterations — same IEEE ops as
+    graph.personalized_pagerank(sources=[0, 7]): teleport 1/2 on the
+    two seeds, damped neighbor sums, fixed ``n_iter`` rounds, round 6
+    at the end only.  MATERIALIZED for the same join-order-explosion
+    reason as _sql_pagerank."""
+    tele = "CASE WHEN d.node IN (0, 7) THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    ctes = [
+        "deg AS MATERIALIZED (SELECT a AS node, count(*) AS dg FROM sym GROUP BY a)",
+        "r0 AS MATERIALIZED (SELECT node, CASE WHEN node IN (0, 7) THEN CAST(0.5 AS DOUBLE)"
+        " ELSE CAST(0.0 AS DOUBLE) END AS r FROM deg)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+                SELECT d.node,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * ({tele})
+                       + CAST(0.85 AS DOUBLE) * coalesce(c.sum_in, CAST(0.0 AS DOUBLE)) AS r
+                FROM deg d LEFT JOIN (
+                    SELECT s.b AS node, sum(p.r / dg.dg) AS sum_in
+                    FROM sym s JOIN r{i - 1} p ON p.node = s.a JOIN deg dg ON dg.node = s.a
+                    GROUP BY s.b
+                ) c ON c.node = d.node
+            )"""
+        )
+    return (
+        "WITH "
+        + _SQL_GRAPH_SYM
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(r, 6) AS ppr FROM r{n_iter}"
+    )
+
+
 def _sql_label_prop(n_rounds: int = 5) -> str:
     """Unrolled synchronous label-propagation rounds: per round, each
     node adopts its neighbors' most frequent label, ties to the
@@ -827,6 +861,14 @@ def _q_graph_metrics(spark, sf):
         F.col("degree").cast("long").alias("degree"),
         "clustering",
     ).select("node", "degree", "triangles", "clustering")
+
+
+def _q_ppr(spark, sf):
+    from backend_spark.operators.graph import personalized_pagerank
+
+    return personalized_pagerank(
+        _ring_chord_edges(spark, sf), sources=[0, 7], max_iter=10
+    ).select(F.col("node").cast("long").alias("node"), "ppr")
 
 
 def _q_pagerank(spark, sf):
@@ -3474,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "script_mix": _q_script_mix,
         "pareto_front": _q_pareto_front,
+        "ppr": _q_ppr,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -3845,6 +3888,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tc ON tc.node = d.node
         """,
         "pagerank": _sql_pagerank(20),
+        "ppr": _sql_ppr(10),
         "label_prop": _sql_label_prop(5),
         "link_predict": _SQL_LINK_PREDICT,
         "modularity": _sql_modularity(5),

@@ -208,6 +208,64 @@ def pagerank(
     return out
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: "list[int] | list[str]",
+    src: str = "src",
+    dst: str = "dst",
+    alpha: float = 0.85,
+    max_iter: int = 10,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Personalized PageRank: random walks restart at the ``sources``
+    set instead of uniformly — the locality-aware ranking behind
+    seed-expansion (grow a labeled seed set into a community),
+    similar-entity retrieval, and trust propagation, where plain
+    PageRank's global stationary distribution is the wrong question.
+    Same undirected matched-pairs-graph semantics, damping and
+    iteration shape as :func:`pagerank`; the ONLY change is the
+    teleport vector (uniform ``1/|S|`` over the seeds, 0 elsewhere),
+    which is also the start distribution.  Runs exactly ``max_iter``
+    synchronous power iterations (no tol early-exit: the fixed trace
+    is what the cross-engine oracle reproduces).
+
+    Scale shape: per iteration ONE node-keyed equi-join + ONE hash
+    aggregate (map-side combinable), lineage truncated each round with
+    an eager localCheckpoint — identical shuffle budget to
+    :func:`pagerank`; the teleport set is a broadcast literal, never a
+    join.  Returns (node, ppr) for every node of the graph.
+    """
+    if not sources:
+        raise ValueError("personalized_pagerank: sources must be non-empty")
+    seeds = sorted(set(sources))
+    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
+    tele = F.when(F.col("node").isin(seeds), F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+    ranks = deg.withColumn("__r", tele)
+    for _ in range(max_iter):
+        contribs = (
+            sym.join(ranks.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__in"))
+        )
+        ranks = (
+            deg.join(contribs, "node", "left")
+            .select(
+                "node",
+                "__deg",
+                (
+                    F.lit(1.0 - alpha) * tele
+                    + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("__r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.select("node", F.col("__r").alias("ppr"))
+    if round_to is not None:
+        out = out.withColumn("ppr", F.round("ppr", round_to))
+    return out
+
+
 def op_clique(
     df: DataFrame,
     select: list[str],

@@ -1823,3 +1823,40 @@ def test_negative_edges_no_real_edges_no_dups_deterministic(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, negative_edges(edges, k=2, oversample=4).collect()))
     with pytest.raises(ValueError, match="oversample"):
         negative_edges(edges, k=0)
+
+
+def test_personalized_pagerank_locality_and_mass(spark):
+    from backend_spark.operators.graph import personalized_pagerank
+
+    # path graph 0-1-2-3-4-5: restart at node 0 -> mass decays with
+    # distance from the seed
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r.ppr for r in personalized_pagerank(edges, sources=[0]).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+
+    # exact python replica of the fixed-iteration kernel
+    adj = {0: [1], 1: [0, 2], 2: [1, 3], 3: [2, 4], 4: [3, 5], 5: [4]}
+    r = {v: (1.0 if v == 0 else 0.0) for v in adj}
+    for _ in range(10):
+        r = {
+            v: 0.15 * (1.0 if v == 0 else 0.0)
+            + 0.85 * sum(r[u] / len(adj[u]) for u in adj[v])
+            for v in adj
+        }
+    for v in adj:
+        assert got[v] == pytest.approx(round(r[v], 6), abs=2e-6), v
+    # mass concentrates near the seed (2 hops out is already below it)
+    assert got[0] > got[2] > got[4]
+    # undirected connected graph, no dangling: total mass stays 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+    # two seeds split the teleport mass; symmetric graph -> symmetric ranks
+    got2 = {r.node: r.ppr for r in personalized_pagerank(edges, sources=[0, 5]).collect()}
+    assert got2[0] == pytest.approx(got2[5], abs=2e-6)
+    assert got2[2] == pytest.approx(got2[3], abs=2e-6)
+    # rerun-stable (fixed iteration count, no tol)
+    again = {r.node: r.ppr for r in personalized_pagerank(edges, sources=[0]).collect()}
+    assert got == again
+    with pytest.raises(ValueError, match="sources"):
+        personalized_pagerank(edges, sources=[])
