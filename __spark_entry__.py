@@ -1460,6 +1460,17 @@ def _q_pareto_front(spark, sf):
     )
 
 
+def _q_tfidf_cosine(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("prefix words "), F.col("text")).alias("text"),
+    )
+    return llm.tfidf_cosine_pairs(
+        docs.unionByName(dupes), "doc_id", "text", threshold=0.6
+    )
+
+
 def _q_orc_roundtrip(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -3517,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": _q_script_mix,
         "pareto_front": _q_pareto_front,
         "ppr": _q_ppr,
+        "tfidf_cosine": _q_tfidf_cosine,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6553,6 +6565,42 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE (hp_min IS NULL OR l_discount < hp_min)
               AND l_discount = peer_min
+        """,
+        # llm.tfidf_cosine_pairs thr=0.6 scale=1e4: weights quantized to
+        # BIGINT once (round absorbs ln ulp drift), integer dot/norm
+        # sums (HUGEINT here = DECIMAL(38,0) on the Spark side), floats
+        # only in the final ratio
+        "tfidf_cosine": f"""
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000, 'prefix words ' || text
+                FROM documents WHERE doc_id < 100
+            ),
+            t AS (SELECT doc_id,
+                         unnest(string_split_regex({norm_text}, '\\s+')) AS term
+                  FROM all_docs),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            n AS (SELECT count(DISTINCT doc_id) AS nd FROM all_docs),
+            dfc AS (SELECT term, df FROM
+                        (SELECT term, count(*) AS df FROM tf GROUP BY term)
+                    CROSS JOIN n
+                    WHERE df >= 2 AND df <= 0.5 * nd),
+            q AS (SELECT tf.doc_id, tf.term,
+                         CAST(round(tf.tf * ln(CAST(nd AS DOUBLE) / df) * 10000.0)
+                              AS BIGINT) AS qw
+                  FROM tf JOIN dfc USING (term) CROSS JOIN n),
+            s AS (SELECT doc_id, sum(qw * qw) AS s2 FROM q GROUP BY doc_id),
+            d AS (SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.qw * b.qw) AS dot
+                  FROM q a JOIN q b ON a.term = b.term AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            c AS (SELECT id1, id2,
+                         round(CAST(dot AS DOUBLE)
+                               / (sqrt(CAST(s1.s2 AS DOUBLE))
+                                  * sqrt(CAST(s2.s2 AS DOUBLE))), 6) AS cosine
+                  FROM d JOIN s s1 ON s1.doc_id = d.id1
+                         JOIN s s2 ON s2.doc_id = d.id2)
+            SELECT id1, id2, cosine FROM c WHERE cosine >= 0.6
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

@@ -1518,6 +1518,93 @@ def tfidf_topk_terms(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+    max_df: int | None = None,
+    scale: int = 10**4,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Document pairs with TF-IDF **cosine** similarity >= threshold —
+    the weighted companion to :func:`ngram_jaccard_pairs`: Jaccard
+    treats every shingle equally, cosine lets rare terms dominate, so
+    it catches reworded near-dups and topical twins that set overlap
+    misses.  Weights are ``tf * ln(N/df)`` over whitespace tokens of
+    the normalized text.
+
+    Exactness across engines: each weight is quantized ONCE —
+    ``round(tf * idf * scale)`` as BIGINT (the round absorbs last-ulp
+    ``ln`` differences, same device as tfidf_topk's rounded score) —
+    and every sum (dot products, squared norms) runs in DECIMAL(38,0)
+    integer arithmetic, which is associative: no float-summation-order
+    drift at any partition count.  Floats reappear only in the final
+    ``dot / (||a||·||b||)`` (5 correctly-rounded IEEE ops), so the
+    DuckDB oracle reproduces cosines bit-for-bit.  The quantization
+    scale cancels in the ratio.
+
+    Scale shape: inverted-index self-join on ``term`` + ONE (id1,id2)
+    aggregate — never an all-pairs stage.  The document-frequency cap
+    (``max_df`` absolute, else ``max_df_frac * N``) is the skew guard:
+    it bounds every posting list, hence the worst per-term pair
+    fan-out, and drops stop-words whose idf ~ 0 contributes nothing
+    anyway.  ``df >= 2`` prunes hapax terms (they cannot link a pair).
+    At web scale set ``max_df`` absolute (e.g. 10^4): a 0.5-fraction
+    cap on 10^10 documents still admits a quadratic hot key.
+    """
+    dec = "decimal(38,0)"
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    cap = F.lit(max_df) if max_df is not None else F.col("__n") * F.lit(max_df_frac)
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+        .where((F.col("df") >= 2) & (F.col("df") <= cap))
+    )
+    q = (
+        tf.join(dfreq, "term")
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")) * scale)
+            .cast("long")
+            .alias("qw"),
+        )
+    )
+    q = q.localCheckpoint(eager=False)  # reused by norms and the pair join
+    norms = q.groupBy(id_col).agg(
+        F.sum((F.col("qw") * F.col("qw")).cast(dec)).alias("__s2")
+    )
+    left = q.select(F.col(id_col).alias("id1"), "term", F.col("qw").alias("__w1"))
+    right = q.select(F.col(id_col).alias("id2"), "term", F.col("qw").alias("__w2"))
+    dots = (
+        left.join(right, "term")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.sum((F.col("__w1") * F.col("__w2")).cast(dec)).alias("__dot"))
+    )
+    cos = F.round(
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__n1").cast("double")) * F.sqrt(F.col("__n2").cast("double"))),
+        ndigits,
+    )
+    return (
+        dots.join(norms.select(F.col(id_col).alias("id1"), F.col("__s2").alias("__n1")), "id1")
+        .join(norms.select(F.col(id_col).alias("id2"), F.col("__s2").alias("__n2")), "id2")
+        .select("id1", "id2", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def bm25_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -967,6 +967,33 @@ def test_pareto_front_validation(spark):
         pareto_front(df, {"zz": "max"})
 
 
+def test_tfidf_cosine_pairs_handcomputed(spark):
+    from backend_spark import llm
+
+    # N=4; df: apple=3 (pruned by max_df cap 0.5*4=2), banana=2,
+    # cherry=2, durian=1 (hapax, pruned).  Survivors: banana links
+    # (1,2), cherry links (3,4) — both singleton-term docs -> cosine 1.0
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana"),
+            (2, "apple banana"),
+            (3, "cherry durian"),
+            (4, "apple cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = llm.tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r.id1, r.id2): r.cosine for r in out.collect()}
+    assert got == {(1, 2): 1.0, (3, 4): 1.0}
+    # partition-count invariance: integer sums are associative
+    out7 = llm.tfidf_cosine_pairs(docs.repartition(7), "doc_id", "text", threshold=0.5)
+    assert {(r.id1, r.id2): r.cosine for r in out7.collect()} == got
+    # absolute max_df=3 readmits 'apple' -> (1,4) and (2,4) now share it
+    out3 = llm.tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.01, max_df=3)
+    pairs3 = {(r.id1, r.id2) for r in out3.collect()}
+    assert {(1, 4), (2, 4)} <= pairs3
+
+
 def test_orc_write_read_roundtrip(spark, tmp_path):
     from backend_spark.sources import read_dataset, write_dataset
 

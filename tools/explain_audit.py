@@ -268,6 +268,10 @@ EXPECT = {
     # mode = hash equi-join on the group key, dominance as residual) —
     # the corpus itself never enters a quadratic stage
     "pareto_front": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # inverted-index cosine: posting-list equi-join on term + keyed
+    # aggregates — never an all-pairs/NLJ stage; the df cap bounds the
+    # hottest posting list
+    "tfidf_cosine": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 
