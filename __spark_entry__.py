@@ -1471,6 +1471,20 @@ def _q_tfidf_cosine(spark, sf):
     )
 
 
+def _q_cross_dup_spans(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    boiler = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" subscribe to our newsletter for updates and offers"),
+        ).alias("text"),
+    )
+    return llm.cross_dup_spans(
+        docs.unionByName(boiler), "doc_id", "text", span_len=40, stride=10, min_docs=3
+    )
+
+
 def _q_orc_roundtrip(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -3529,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front": _q_pareto_front,
         "ppr": _q_ppr,
         "tfidf_cosine": _q_tfidf_cosine,
+        "cross_dup_spans": _q_cross_dup_spans,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6601,6 +6616,28 @@ def oracle_sql() -> dict[str, str]:
                   FROM d JOIN s s1 ON s1.doc_id = d.id1
                          JOIN s s2 ON s2.doc_id = d.id2)
             SELECT id1, id2, cosine FROM c WHERE cosine >= 0.6
+        """,
+        # llm.cross_dup_spans span_len=40 stride=10 min_docs=3: strided
+        # normalized-char spans, one hash aggregate, distinct-doc gate
+        "cross_dup_spans": f"""
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 20000,
+                       text || ' subscribe to our newsletter for updates and offers'
+                FROM documents WHERE doc_id < 50
+            ),
+            t AS (SELECT doc_id, {norm_text} AS s FROM all_docs),
+            p AS (SELECT doc_id, s, unnest(range(1, length(s) - 40 + 2, 10)) AS pos
+                  FROM t WHERE length(s) >= 40),
+            sp AS (SELECT doc_id, substr(s, CAST(pos AS INT), 40) AS span FROM p),
+            g AS (SELECT {_SQL_H.format(x="span")} AS span_hash,
+                         min(span) AS span,
+                         count(DISTINCT doc_id) AS n_docs,
+                         count(*) AS n_occ
+                  FROM sp GROUP BY 1)
+            SELECT span_hash, span, n_docs, CAST(n_occ AS BIGINT) AS n_occ
+            FROM g WHERE n_docs >= 3
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

@@ -1518,6 +1518,67 @@ def tfidf_topk_terms(
     )
 
 
+def cross_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 40,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Fixed-length character spans that repeat across >= ``min_docs``
+    DISTINCT documents — the cross-document sibling of
+    :func:`trim_duplicate_spans` (within-doc) and the span-granular
+    complement to :func:`dedup_lines` (which needs duplication to align
+    on line boundaries).  Catches shared boilerplate, templated
+    passages and verbatim contamination that whole-doc near-dup misses
+    because the surrounding text differs — the practical stand-in for
+    suffix-array substring dedup (Lee et al. 2022) in a shuffle
+    architecture: strided spans trade exact maximal-match boundaries
+    for a corpus-linear plan (a duplicated region of length L >=
+    span_len + stride - 1 is always hit by at least one aligned span
+    when the duplication is stride-aligned; set ``stride=1`` for the
+    exhaustive guarantee at span_len× the fan-out).
+
+    Scale shape: each doc explodes into ``~len/stride`` spans — ONE
+    explode + ONE hash aggregate on the span, map-side combinable; no
+    joins, no pair enumeration.  Output (span_hash, span, n_docs,
+    n_occ) keyed by content hash; downstream removal is a semi-join of
+    the occurrence table against these hashes.
+
+    Returns spans sorted nowhere (order-free contract); ``span`` is
+    the literal normalized substring (min over occurrences — they are
+    identical up to md5 collision, negligible at corpus scale).
+    """
+    if span_len < 2 or stride < 1:
+        raise ValueError(
+            f"cross_dup_spans: span_len >= 2 and stride >= 1 required, got {span_len}/{stride}"
+        )
+    norm = fn.normalize(F.col(text_col))
+    positions = F.when(
+        F.length(norm) >= span_len,
+        F.sequence(F.lit(1), F.length(norm) - span_len + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = df.select(
+        F.col(id_col),
+        norm.alias("__t"),
+        F.explode(positions).alias("__p"),
+    ).select(
+        F.col(id_col),
+        F.col("__t").substr(F.col("__p"), F.lit(span_len)).alias("span"),
+    )
+    return (
+        spans.withColumn("span_hash", fn.md5_long(F.col("span")))
+        .groupBy("span_hash")
+        .agg(
+            F.min("span").alias("span"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     id_col: str,

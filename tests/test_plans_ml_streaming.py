@@ -994,6 +994,35 @@ def test_tfidf_cosine_pairs_handcomputed(spark):
     assert {(1, 4), (2, 4)} <= pairs3
 
 
+def test_cross_dup_spans_finds_shared_boilerplate(spark):
+    from backend_spark import llm
+
+    shared = "this exact boilerplate sentence appears in many documents verbatim"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique text one " + shared),
+            (2, "different opener here " + shared + " plus a tail"),
+            (3, shared),
+            (4, "entirely unrelated content with no duplication at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = llm.cross_dup_spans(docs, "doc_id", "text", span_len=20, stride=1, min_docs=3)
+    rows = out.collect()
+    assert rows, "stride=1 must find the 3-doc shared region"
+    assert all(r.n_docs >= 3 for r in rows)
+    # every reported span is a substring of the shared boilerplate
+    # (docs 1-3 are its only 3-doc overlap)
+    assert all(r.span in shared for r in rows)
+    # short docs and stride guards
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert llm.cross_dup_spans(tiny, "doc_id", "text", span_len=20).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        llm.cross_dup_spans(docs, "doc_id", "text", span_len=1)
+
+
 def test_orc_write_read_roundtrip(spark, tmp_path):
     from backend_spark.sources import read_dataset, write_dataset
 

@@ -272,6 +272,9 @@ EXPECT = {
     # aggregates — never an all-pairs/NLJ stage; the df cap bounds the
     # hottest posting list
     "tfidf_cosine": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # strided-span report: one explode + one hash aggregate — no join
+    # stage at all, and the distinct-doc gate is a HAVING, not a shuffle
+    "cross_dup_spans": ([], ["CartesianProduct", "Join"]),
 }
 
 
