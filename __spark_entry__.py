@@ -1485,6 +1485,11 @@ def _q_cross_dup_spans(spark, sf):
     )
 
 
+def _q_chunk_text(spark, sf):
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return llm.chunk_text(docs, "doc_id", "text", chunk_tokens=32, overlap=8, min_tokens=4)
+
+
 def _q_orc_roundtrip(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -3544,6 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": _q_ppr,
         "tfidf_cosine": _q_tfidf_cosine,
         "cross_dup_spans": _q_cross_dup_spans,
+        "chunk_text": _q_chunk_text,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6638,6 +6644,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM sp GROUP BY 1)
             SELECT span_hash, span, n_docs, CAST(n_occ AS BIGINT) AS n_occ
             FROM g WHERE n_docs >= 3
+        """,
+        # llm.chunk_text chunk=32 overlap=8 min=4: window starts every
+        # 24 tokens while < n (the trailing partial window is emitted,
+        # then gated by min_tokens); raw whitespace tokens, not the
+        # normalized text
+        "chunk_text": r"""
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                                   ELSE string_split_regex(trim(text), '\s+') END AS toks
+                       FROM documents),
+            st AS (SELECT doc_id, toks,
+                          unnest(range(0, len(toks), 24)) AS s
+                   FROM t WHERE len(toks) > 0),
+            c AS (SELECT doc_id,
+                         CAST(s // 24 AS INT) AS chunk_id,
+                         toks[CAST(s + 1 AS INT):CAST(s + 32 AS INT)] AS piece
+                  FROM st)
+            SELECT doc_id, chunk_id,
+                   CAST(len(piece) AS INT) AS n_tokens,
+                   array_to_string(piece, ' ') AS chunk
+            FROM c WHERE len(piece) >= 4
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

@@ -1518,6 +1518,58 @@ def tfidf_topk_terms(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    retrieval/embedding chunking step (RAG indexing, long-doc embedding
+    where the encoder has a context cap): window ``i`` covers tokens
+    ``[i*(chunk_tokens-overlap), ...)`` of the whitespace tokenization,
+    every token belongs to >= 1 chunk, consecutive chunks share
+    ``overlap`` tokens so no sentence straddles a hard boundary
+    unseen.  Trailing windows shorter than ``min_tokens`` are dropped
+    (a 2-token tail chunk is embedding noise).
+
+    Pure Column plumbing — tokenize once, ``sequence`` of window
+    starts, ``posexplode`` + ``slice``/``array_join``: no UDF, no
+    shuffle; 100 TB cost is the scan plus the ~1/(1-overlap/chunk)
+    output amplification.  Deterministic chunk ids ``(doc, chunk_id)``
+    with ``chunk_id`` 0-based in token order.
+
+    Returns (id, chunk_id, n_tokens, chunk).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"chunk_text: need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    if min_tokens < 1:
+        raise ValueError(f"chunk_text: min_tokens must be >= 1, got {min_tokens}")
+    step = chunk_tokens - overlap
+    toks = fn.tokenize(F.col(text_col))
+    n = F.size(toks)
+    # window starts 0, step, 2*step, ... while start < n (so the final
+    # partial window is emitted, then length-gated by min_tokens)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"), F.posexplode(starts).alias("chunk_id", "__s"))
+    piece = F.slice(F.col("__toks"), F.col("__s") + 1, F.lit(chunk_tokens))
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.size(piece).alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk"),
+        )
+        .where(F.col("n_tokens") >= min_tokens)
+    )
+
+
 def cross_dup_spans(
     df: DataFrame,
     id_col: str,

@@ -1023,6 +1023,34 @@ def test_cross_dup_spans_finds_shared_boilerplate(spark):
         llm.cross_dup_spans(docs, "doc_id", "text", span_len=1)
 
 
+def test_chunk_text_windows_and_overlap(spark):
+    from backend_spark import llm
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, None)], "doc_id long, text string")
+    out = llm.chunk_text(df, "doc_id", "text", chunk_tokens=4, overlap=2, min_tokens=1)
+    rows = sorted(
+        [(r.doc_id, r.chunk_id, r.n_tokens, r.chunk) for r in out.collect()]
+    )
+    # doc 1: starts 0,2,4,6,8 -> windows of 4 with 2-token overlap
+    assert [(c, n, ch) for d, c, n, ch in rows if d == 1] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w2 w3 w4 w5"),
+        (2, 4, "w4 w5 w6 w7"),
+        (3, 4, "w6 w7 w8 w9"),
+        (4, 2, "w8 w9"),
+    ]
+    assert [(c, n, ch) for d, c, n, ch in rows if d == 2] == [(0, 2, "a b")]
+    assert not [r for r in rows if r[0] == 3]  # null text -> no chunks
+    # min_tokens drops the short tail
+    out2 = llm.chunk_text(df, "doc_id", "text", chunk_tokens=4, overlap=2, min_tokens=3)
+    assert max(r.chunk_id for r in out2.where("doc_id = 1").collect()) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        llm.chunk_text(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
 def test_orc_write_read_roundtrip(spark, tmp_path):
     from backend_spark.sources import read_dataset, write_dataset
 

@@ -275,6 +275,9 @@ EXPECT = {
     # strided-span report: one explode + one hash aggregate — no join
     # stage at all, and the distinct-doc gate is a HAVING, not a shuffle
     "cross_dup_spans": ([], ["CartesianProduct", "Join"]),
+    # tokenize + posexplode + slice is pure projection work: chunking
+    # must never shuffle or call out of the JVM
+    "chunk_text": ([], ["Exchange", "CartesianProduct", "Join", "Python"]),
 }
 
 
