@@ -465,6 +465,48 @@ def _sql_ppr(n_iter: int = 10) -> str:
     )
 
 
+def _sql_hits(n_iter: int = 8) -> str:
+    """Unrolled HITS power iterations on the DIRECTED ring+chord edges
+    — pure BIGINT sums from the all-ones start (exact, associative),
+    one L1 normalization at the very end; same iteration order as
+    graph.hits (authorities from h_{i-1}, hubs from a_i)."""
+    ctes = [
+        "ed AS MATERIALIZED (SELECT a AS s, b AS d FROM e0)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT s AS node FROM ed UNION ALL SELECT d FROM ed))",
+        "h0 AS MATERIALIZED (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+                SELECT n.node, coalesce(x.a, 0) AS a FROM nodes n LEFT JOIN (
+                    SELECT d AS node, CAST(sum(h) AS BIGINT) AS a
+                    FROM ed JOIN h{i - 1} p ON p.node = ed.s GROUP BY d
+                ) x ON x.node = n.node)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+                SELECT n.node, coalesce(x.h, 0) AS h FROM nodes n LEFT JOIN (
+                    SELECT s AS node, CAST(sum(a) AS BIGINT) AS h
+                    FROM ed JOIN a{i} q ON q.node = ed.d GROUP BY s
+                ) x ON x.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + _SQL_GRAPH_SYM
+        + ", "
+        + ",\n".join(ctes)
+        + f""",
+        j AS (SELECT h{n_iter}.node, h, a
+              FROM h{n_iter} JOIN a{n_iter} ON a{n_iter}.node = h{n_iter}.node),
+        t AS (SELECT CAST(sum(h) AS BIGINT) AS th, CAST(sum(a) AS BIGINT) AS ta FROM j)
+        SELECT CAST(node AS BIGINT) AS node,
+               round(CASE WHEN th > 0 THEN h / CAST(th AS DOUBLE) ELSE 0.0 END, 6) AS hub,
+               round(CASE WHEN ta > 0 THEN a / CAST(ta AS DOUBLE) ELSE 0.0 END, 6) AS authority
+        FROM j CROSS JOIN t"""
+    )
+
+
 def _sql_label_prop(n_rounds: int = 5) -> str:
     """Unrolled synchronous label-propagation rounds: per round, each
     node adopts its neighbors' most frequent label, ties to the
@@ -869,6 +911,14 @@ def _q_ppr(spark, sf):
     return personalized_pagerank(
         _ring_chord_edges(spark, sf), sources=[0, 7], max_iter=10
     ).select(F.col("node").cast("long").alias("node"), "ppr")
+
+
+def _q_hits(spark, sf):
+    from backend_spark.operators.graph import hits
+
+    return hits(_ring_chord_edges(spark, sf), max_iter=8).select(
+        F.col("node").cast("long").alias("node"), "hub", "authority"
+    )
 
 
 def _q_pagerank(spark, sf):
@@ -3550,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": _q_tfidf_cosine,
         "cross_dup_spans": _q_cross_dup_spans,
         "chunk_text": _q_chunk_text,
+        "hits": _q_hits,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -3922,6 +3973,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _sql_pagerank(20),
         "ppr": _sql_ppr(10),
+        "hits": _sql_hits(8),
         "label_prop": _sql_label_prop(5),
         "link_predict": _SQL_LINK_PREDICT,
         "modularity": _sql_modularity(5),

@@ -266,6 +266,89 @@ def personalized_pagerank(
     return out
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 8,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities on the DIRECTED edge list (Kleinberg
+    1999) — the link-graph quality signal for web-corpus curation:
+    authorities are pages good sources point AT, hubs are pages that
+    point at good sources; either score feeds document-quality
+    weighting and crawl prioritization where PageRank's undirected
+    stationary view is the wrong lens.
+
+    Exactness device: the classic formulation renormalizes with a
+    float norm EVERY iteration, compounding engine-specific ulp drift
+    ``max_iter`` times.  Instead the power iteration runs
+    **unnormalized in BIGINT** from the all-ones vector —
+    ``a = Σ h(in-neighbors)`` then ``h = Σ a(out-neighbors)`` are pure
+    integer sums (associative: exact at any partition count/order) —
+    and normalizes ONCE at the end by the exact integer L1 totals (two
+    correctly-rounded IEEE divides).  Keep ``max_iter`` modest: the
+    vectors grow like (principal eigenvalue)^(2k); BIGINT holds ~2^62,
+    so e.g. mean-degree-100 graphs cap at max_iter ≈ 4 — raise
+    ``round_to`` precision questions, not correctness ones, beyond
+    that (the guard below raises on overflow risk via ANSI sum).
+
+    Scale shape: per half-iteration ONE node-keyed equi-join + ONE
+    map-side-combinable hash aggregate, lineage cut each round —
+    pagerank's shuffle budget exactly.  Returns (node, hub,
+    authority), L1-normalized, rounded.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hv = nodes.withColumn("__h", F.lit(1).cast("long"))
+    av = None
+    for _ in range(max_iter):
+        a_in = (
+            e.join(hv.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("__h").alias("__a"))
+        )
+        av = (
+            nodes.join(a_in, "node", "left")
+            .select("node", F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("__a"))
+            .localCheckpoint(eager=True)
+        )
+        h_out = (
+            e.join(av.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("__a").alias("__h"))
+        )
+        hv = (
+            nodes.join(h_out, "node", "left")
+            .select("node", F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("__h"))
+            .localCheckpoint(eager=True)
+        )
+    joined = hv.join(av, "node")
+    totals = joined.agg(
+        F.sum("__h").alias("__th"), F.sum("__a").alias("__ta")
+    )
+    out = joined.join(F.broadcast(totals)).select(
+        "node",
+        F.when(F.col("__th") > 0, F.col("__h") / F.col("__th")).otherwise(F.lit(0.0)).alias("hub"),
+        F.when(F.col("__ta") > 0, F.col("__a") / F.col("__ta")).otherwise(F.lit(0.0)).alias(
+            "authority"
+        ),
+    )
+    if round_to is not None:
+        out = out.withColumn("hub", F.round("hub", round_to)).withColumn(
+            "authority", F.round("authority", round_to)
+        )
+    return out
+
+
 def op_clique(
     df: DataFrame,
     select: list[str],

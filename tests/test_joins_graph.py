@@ -1860,3 +1860,31 @@ def test_personalized_pagerank_locality_and_mass(spark):
     assert got == again
     with pytest.raises(ValueError, match="sources"):
         personalized_pagerank(edges, sources=[])
+
+
+def test_hits_star_and_replica(spark):
+    from backend_spark.operators.graph import hits
+
+    # pure star: 1,2,3 -> 9.  9 is the only authority; 1-3 equal hubs
+    star = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(star).collect()}
+    assert got[9] == (0.0, 1.0)
+    for v in (1, 2, 3):
+        assert got[v] == (pytest.approx(round(1 / 3, 6), abs=1e-6), 0.0)
+
+    # directed ring + chords: compare against an exact integer replica
+    raw = [(i, (i + 1) % 6) for i in range(6)] + [(0, 2), (2, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    nodes = sorted({u for e in raw for u in e})
+    h = {v: 1 for v in nodes}
+    for _ in range(8):
+        a = {v: sum(h[s] for s, d in raw if d == v) for v in nodes}
+        h = {v: sum(a[d] for s, d in raw if s == v) for v in nodes}
+    th, ta = sum(h.values()), sum(a.values())
+    got2 = {r.node: (r.hub, r.authority) for r in hits(edges).collect()}
+    for v in nodes:
+        assert got2[v][0] == pytest.approx(round(h[v] / th, 6), abs=1e-6), v
+        assert got2[v][1] == pytest.approx(round(a[v] / ta, 6), abs=1e-6), v
+    # rerun-stable and partition-invariant (integer sums)
+    got3 = {r.node: (r.hub, r.authority) for r in hits(edges.repartition(5)).collect()}
+    assert got2 == got3
