@@ -1540,6 +1540,20 @@ def _q_chunk_text(spark, sf):
     return llm.chunk_text(docs, "doc_id", "text", chunk_tokens=32, overlap=8, min_tokens=4)
 
 
+def _q_decay_agg(spark, sf):
+    from backend_spark.features import decay_agg
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.select(event_ts_us(ev).alias("ts_us"), "user_id", "value")
+    # halflife = 7 days of epoch-microseconds
+    return decay_agg(ev, "user_id", "ts_us", "value", halflife=7 * 86400e6).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "n_events",
+        "decayed_sum",
+        "decayed_weight",
+    )
+
+
 def _q_orc_roundtrip(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -3601,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dup_spans": _q_cross_dup_spans,
         "chunk_text": _q_chunk_text,
         "hits": _q_hits,
+        "decay_agg": _q_decay_agg,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6717,6 +6732,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(piece) AS INT) AS n_tokens,
                    array_to_string(piece, ' ') AS chunk
             FROM c WHERE len(piece) >= 4
+        """,
+        # features.decay_agg halflife=7d scale=1e6: per-row quantized
+        # decay contributions (round absorbs pow ulp drift), HUGEINT
+        # sums = DECIMAL(38,0) on the Spark side
+        "decay_agg": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+                       WHERE ts IS NOT NULL AND value IS NOT NULL),
+            r AS (SELECT max(ts_us) AS ref FROM e),
+            q AS (SELECT user_id,
+                         CAST(round(value * pow(0.5, (ref - ts_us) / 604800000000.0)
+                                    * 1000000.0) AS BIGINT) AS qv,
+                         CAST(round(pow(0.5, (ref - ts_us) / 604800000000.0)
+                                    * 1000000.0) AS BIGINT) AS qw
+                  FROM e CROSS JOIN r)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(CAST(sum(qv) AS DOUBLE) / 1000000.0, 6) AS decayed_sum,
+                   round(CAST(sum(qw) AS DOUBLE) / 1000000.0, 6) AS decayed_weight
+            FROM q GROUP BY user_id
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

@@ -746,3 +746,58 @@ def pareto_front(
         cond = (F.col(f"__g_{g}") == F.col(g)) & cond
     survivors = cand.join(F.broadcast(right), cond, "left_anti")
     return survivors.drop(*ocols)
+
+
+def decay_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    halflife: float,
+    scale: int = 10**6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exponential time-decay aggregate per key: each event contributes
+    ``value * 0.5^((t_ref - t) / halflife)`` with ``t_ref`` the global
+    max event time — the standard recency-weighted engagement/quality
+    feature (recent activity dominates, old activity fades smoothly)
+    that a windowed sum can only approximate with hard cutoffs.
+    ``ts_col`` is numeric event time (see ``session.event_ts_us``);
+    ``halflife`` is in the same units.  Rows with NULL ts or value are
+    excluded.
+
+    Exactness: the decay factor is a float ``pow``, whose last-ulp
+    behavior is engine-specific — so each row's contribution is
+    quantized ONCE (``round(value * factor * scale)`` as BIGINT, the
+    same absorb-the-ulp device as tfidf_cosine's weights) and
+    aggregated in DECIMAL(38,0) integer arithmetic: associative,
+    partition-order-proof.  Floats reappear only in the final
+    unscaling.
+
+    Scale shape: ``t_ref`` is ONE scalar aggregate broadcast onto the
+    scan; the decayed contributions then fold in a single
+    map-side-combinable groupBy — two shuffles total (one 1-row), no
+    window, no sort.  Returns (key, n_events, decayed_sum,
+    decayed_weight) where decayed_weight is the value-free mass
+    Σ 0.5^(Δt/halflife) (the denominator for a decayed *mean*).
+    """
+    if halflife <= 0:
+        raise ValueError(f"decay_agg: halflife must be positive, got {halflife}")
+    dec = "decimal(38,0)"
+    base = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    ref = base.agg(F.max(F.col(ts_col)).alias("__ref"))
+    factor = F.pow(
+        F.lit(0.5),
+        (F.col("__ref") - F.col(ts_col)).cast("double") / F.lit(float(halflife)),
+    )
+    q = F.round(F.col(value_col) * factor * scale).cast("long").cast(dec)
+    w = F.round(factor * scale).cast("long").cast(dec)
+    return (
+        base.join(F.broadcast(ref))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(q).cast("double") / scale, ndigits).alias("decayed_sum"),
+            F.round(F.sum(w).cast("double") / scale, ndigits).alias("decayed_weight"),
+        )
+    )

@@ -1051,6 +1051,39 @@ def test_chunk_text_windows_and_overlap(spark):
         llm.chunk_text(df, "doc_id", "text", chunk_tokens=4, overlap=4)
 
 
+def test_decay_agg_halflife_semantics(spark):
+    import pytest
+
+    from backend_spark.features import decay_agg
+
+    # ref = max ts = 200; contributions: t=200 -> 1.0x, t=100 -> 0.5x
+    # (one halflife back), t=0 -> 0.25x
+    df = spark.createDataFrame(
+        [
+            (1, 200, 10.0),
+            (1, 100, 10.0),
+            (1, 0, 10.0),
+            (2, 200, 4.0),
+            (2, None, 99.0),   # null ts dropped
+            (3, 100, None),    # null value dropped
+        ],
+        "k long, t long, v double",
+    )
+    out = {r.k: r for r in decay_agg(df, "k", "t", "v", halflife=100).collect()}
+    assert out[1].n_events == 3
+    assert out[1].decayed_sum == pytest.approx(10.0 + 5.0 + 2.5, abs=1e-5)
+    assert out[1].decayed_weight == pytest.approx(1.0 + 0.5 + 0.25, abs=1e-5)
+    assert out[2].n_events == 1 and out[2].decayed_sum == pytest.approx(4.0, abs=1e-5)
+    assert 3 not in out  # its only row had a null value
+    # partition invariance: integer sums
+    out7 = {r.k: r.decayed_sum for r in decay_agg(df.repartition(7), "k", "t", "v", halflife=100).collect()}
+    assert out7 == {k: r.decayed_sum for k, r in out.items()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decay_agg(df, "k", "t", "v", halflife=0)
+
+
 def test_orc_write_read_roundtrip(spark, tmp_path):
     from backend_spark.sources import read_dataset, write_dataset
 

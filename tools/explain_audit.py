@@ -278,6 +278,9 @@ EXPECT = {
     # tokenize + posexplode + slice is pure projection work: chunking
     # must never shuffle or call out of the JVM
     "chunk_text": ([], ["Exchange", "CartesianProduct", "Join", "Python"]),
+    # 1-row global-max broadcast + ONE map-side-combinable keyed agg —
+    # no window, no sort-merge
+    "decay_agg": (["partial"], ["Window", "SortMergeJoin", "CartesianProduct"]),
 }
 
 
