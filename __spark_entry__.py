@@ -3535,6 +3535,32 @@ def _q_stream_anomaly(spark, sf):
     )
 
 
+def _q_stream_topk(spark, sf):
+    # exact streaming heavy-hitter counts drained in ONE availableNow
+    # batch; final rank = latest total per key (batch epilogue)
+    from backend_spark import streaming
+
+    ev = load_table(spark, sf, "events").select("event_type", "user_id")
+    path = tempfile.mkdtemp(prefix="sg_stopk_") + "/events"
+    ev.write.parquet(path)
+    sdf = spark.readStream.schema(ev.schema).parquet(path)
+    out = streaming.topk_stream(sdf, "event_type", "user_id")
+    _STREAM_N[0] += 1
+    name = f"sg_stopk_{_STREAM_N[0]}"
+    streaming.run_to_memory(out, name, checkpoint=tempfile.mkdtemp(prefix="sg_stopk_ck_"))
+    return spark.sql(
+        f"""
+        WITH latest AS (SELECT event_type, user_id, max(total) AS total
+                        FROM {name} GROUP BY event_type, user_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY total DESC, user_id ASC) AS rn
+              FROM latest)
+        SELECT event_type, user_id, total, CAST(rn AS INT) AS rank
+        FROM r WHERE rn <= 3
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -3616,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": _q_chunk_text,
         "hits": _q_hits,
         "decay_agg": _q_decay_agg,
+        "stream_topk": _q_stream_topk,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6750,6 +6777,18 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(qv) AS DOUBLE) / 1000000.0, 6) AS decayed_sum,
                    round(CAST(sum(qw) AS DOUBLE) / 1000000.0, 6) AS decayed_weight
             FROM q GROUP BY user_id
+        """,
+        # streaming.topk_stream drained availableNow == exact batch
+        # counts; rank over (total desc, item) per group, k=3
+        "stream_topk": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS total
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                               ORDER BY total DESC, user_id ASC) AS rn
+                  FROM c)
+            SELECT event_type, user_id, CAST(total AS BIGINT) AS total,
+                   CAST(rn AS INT) AS rank
+            FROM r WHERE rn <= 3
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

@@ -173,6 +173,54 @@ def stateful_running_count(
     )
 
 
+def topk_stream(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    group_type: str = "string",
+    item_type: str = "long",
+) -> DataFrame:
+    """Streaming heavy-hitter counts: exact running occurrence totals
+    per (group, item) across micro-batches — the state behind a live
+    "top sources / top users / hottest keys per category" board, and
+    the skew early-warning a 100 TB ingest wants *while* loading, not
+    after the fact.  Each batch appends the key's updated all-time
+    total; the
+    current top-k per group is one windowed rank over the LATEST total
+    per key (see the ``topk_stream`` driver query for the canonical
+    finisher), so ranking stays a cheap batch epilogue instead of
+    cross-key streaming state.
+
+    State is ONE integer per active (group, item) — the exact-count
+    regime.  When the item domain is unbounded (URLs, raw strings),
+    cap it upstream (hash-bucket the tail or pre-filter) or accept the
+    state growth; a lossy Space-Saving sketch trades that memory for
+    ±εN error and loses the cross-engine exactness this kernel exists
+    for.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _count(key, pdfs, state):
+        import pandas as pd
+
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame(
+            {group_col: [key[0]], item_col: [key[1]], "total": [total]}
+        )
+
+    return df.groupBy(group_col, item_col).applyInPandasWithState(
+        _count,
+        outputStructType=f"{group_col} {group_type}, {item_col} {item_type}, total long",
+        stateStructType="total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def pack_stream(
     df: DataFrame,
     id_col: str,

@@ -1776,3 +1776,31 @@ def test_anomaly_null_values_skip_state_batch_equals_stream(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_nanom").collect()
     }
     assert stream == batch
+
+
+def test_topk_stream_totals_carry_across_batches(spark, tmp_path):
+    import os
+
+    from backend_spark import streaming
+
+    src = str(tmp_path / "topk_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 9)], "g string, item long"
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("a", 2)], "g string, item long"
+    ).coalesce(1).write.parquet(src + "/f2")
+    sdf = streaming.read_stream(
+        spark, src + "/*", max_files_per_trigger=1, schema="g string, item long"
+    )
+    out = streaming.topk_stream(sdf, "g", "item")
+    streaming.run_to_memory(out, "t_topk1", checkpoint=str(tmp_path / "ck"))
+    rows = spark.sql("SELECT * FROM t_topk1").collect()
+    # append-mode log: per-batch snapshots; latest total = exact count
+    latest = {}
+    for r in rows:
+        latest[(r.g, r.item)] = max(latest.get((r.g, r.item), 0), r.total)
+    assert latest == {("a", 1): 3, ("a", 2): 4, ("b", 9): 1}
+    # batch-1 emission shows the pre-carry totals for updated keys
+    assert ("a", 1) in {(r.g, r.item) for r in rows if r.total == 2}
