@@ -1554,6 +1554,15 @@ def _q_decay_agg(spark, sf):
     )
 
 
+def _q_target_encode(spark, sf):
+    from backend_spark.features import target_encode
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return target_encode(cust, "c_mktsegment", "c_acctbal", smoothing=10.0)
+
+
 def _q_orc_roundtrip(spark, sf):
     cust = load_table(spark, sf, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -3643,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _q_hits,
         "decay_agg": _q_decay_agg,
         "stream_topk": _q_stream_topk,
+        "target_encode": _q_target_encode,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6789,6 +6799,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id, CAST(total AS BIGINT) AS total,
                    CAST(rn AS INT) AS rank
             FROM r WHERE rn <= 3
+        """,
+        # features.target_encode m=10 scale=1e6: leave-one-out mean with
+        # prior smoothing; integer sums, fixed IEEE epilogue
+        "target_encode": """
+            WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                              CAST(round(c_acctbal * 1000000.0) AS BIGINT) AS qy
+                       FROM customer
+                       WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+            c AS (SELECT c_mktsegment, sum(qy) AS cs, count(*) AS cn
+                  FROM b GROUP BY c_mktsegment),
+            g AS (SELECT sum(qy) AS gs, count(*) AS gn FROM b)
+            SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal,
+                   round(((CAST(cs AS DOUBLE) - CAST(qy AS DOUBLE))
+                          + 10.0 * (CAST(gs AS DOUBLE) / gn))
+                         / (cn - 1 + 10.0) / 1000000.0, 6) AS encoded
+            FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
     }

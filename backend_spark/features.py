@@ -801,3 +801,57 @@ def decay_agg(
             F.round(F.sum(w).cast("double") / scale, ndigits).alias("decayed_weight"),
         )
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    scale: int = 10**6,
+    ndigits: int = 6,
+    out_col: str = "encoded",
+) -> DataFrame:
+    """Leave-one-out target encoding with prior smoothing — the
+    standard high-cardinality categorical feature for tabular models:
+    each row's category is replaced by the mean target of the OTHER
+    rows in that category, shrunk toward the global mean by
+    ``smoothing`` pseudo-observations:
+    ``enc_i = (Σ_cat y − y_i + m·prior) / (n_cat − 1 + m)``.
+    Excluding the row's own target is what blocks the target-leakage
+    overfit of naive mean encoding.  Rows with NULL category or target
+    are dropped (documented, not silently imputed).
+
+    Exactness: targets are quantized ONCE (``round(y·scale)`` BIGINT)
+    so the per-category and global sums are exact integers —
+    associative, partition-proof — and the encoding is then a FIXED
+    sequence of IEEE double ops (one division for the prior, one
+    multiply-add, one division per row) that DuckDB replays
+    bit-for-bit.
+
+    Scale shape: ONE map-side-combinable groupBy for category stats +
+    one 1-row global aggregate, both broadcast back onto the scan — the
+    fact table never shuffles or sorts.  Returns the input rows (minus
+    null drops) + ``out_col``.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"target_encode: smoothing must be > 0, got {smoothing}")
+    dec = "decimal(38,0)"
+    base = df.where(F.col(cat_col).isNotNull() & F.col(target_col).isNotNull())
+    qy = F.round(F.col(target_col) * scale).cast("long")
+    cat = base.groupBy(cat_col).agg(
+        F.sum(qy.cast(dec)).alias("__cs"), F.count(F.lit(1)).alias("__cn")
+    )
+    glob = base.agg(
+        F.sum(qy.cast(dec)).alias("__gs"), F.count(F.lit(1)).alias("__gn")
+    )
+    prior = F.col("__gs").cast("double") / F.col("__gn")
+    enc = (
+        (F.col("__cs").cast("double") - qy.cast("double")) + F.lit(float(smoothing)) * prior
+    ) / (F.col("__cn") - 1 + F.lit(float(smoothing)))
+    return (
+        base.join(F.broadcast(cat), cat_col)
+        .join(F.broadcast(glob))
+        .withColumn(out_col, F.round(enc / scale, ndigits))
+        .drop("__cs", "__cn", "__gs", "__gn")
+    )

@@ -1084,6 +1084,27 @@ def test_decay_agg_halflife_semantics(spark):
         decay_agg(df, "k", "t", "v", halflife=0)
 
 
+def test_target_encode_leave_one_out(spark):
+    import pytest
+
+    from backend_spark.features import target_encode
+
+    # cat 'a': targets 10, 20; cat 'b': 40.  prior = 70/3
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 40.0), (4, None, 5.0), (5, "a", None)],
+        "id long, cat string, y double",
+    )
+    out = {r.id: r.encoded for r in target_encode(df, "cat", "y", smoothing=2.0).collect()}
+    prior = 70.0 / 3
+    assert out[1] == pytest.approx(round((20.0 + 2 * prior) / (2 - 1 + 2), 6), abs=1e-6)
+    assert out[2] == pytest.approx(round((10.0 + 2 * prior) / 3, 6), abs=1e-6)
+    # singleton category: pure prior (own value excluded, n-1 = 0)
+    assert out[3] == pytest.approx(round((0.0 + 2 * prior) / 2, 6), abs=1e-6)
+    assert 4 not in out and 5 not in out  # null cat/target dropped
+    with pytest.raises(ValueError):
+        target_encode(df, "cat", "y", smoothing=0)
+
+
 def test_orc_write_read_roundtrip(spark, tmp_path):
     from backend_spark.sources import read_dataset, write_dataset
 

@@ -281,6 +281,9 @@ EXPECT = {
     # 1-row global-max broadcast + ONE map-side-combinable keyed agg —
     # no window, no sort-merge
     "decay_agg": (["partial"], ["Window", "SortMergeJoin", "CartesianProduct"]),
+    # category stats + 1-row prior both broadcast back onto the scan —
+    # the fact side never sorts, shuffles into a merge join, or windows
+    "target_encode": (["BroadcastHashJoin"], ["SortMergeJoin", "Window", "CartesianProduct"]),
 }
 
 
