@@ -507,6 +507,53 @@ def _sql_hits(n_iter: int = 8) -> str:
     )
 
 
+def _sql_k_truss(k: int = 4, rounds: int = 4) -> str:
+    """Unrolled k-truss support-peeling rounds over the clique6+ring
+    fixture — peeling is monotone with a unique fixpoint, so unrolling
+    MORE rounds than the data needs is a no-op, and any rounds >= the
+    fixpoint depth reproduces graph.k_truss exactly."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+            SELECT x.n_nationkey AS a, y.n_nationkey AS b
+            FROM nation x JOIN nation y
+              ON x.n_nationkey < y.n_nationkey AND y.n_nationkey < 6
+            UNION
+            SELECT least(n_nationkey, (n_nationkey + 1) % 25),
+                   greatest(n_nationkey, (n_nationkey + 1) % 25)
+            FROM nation)"""
+    ]
+    for i in range(rounds + 1):
+        ctes.append(
+            f"""sym{i} AS MATERIALIZED (
+                SELECT a, b FROM e{i} UNION ALL SELECT b, a FROM e{i})"""
+        )
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+                SELECT e.a, e.b, count(*) AS support
+                FROM e{i} e
+                JOIN sym{i} n1 ON n1.a = e.a
+                JOIN sym{i} n2 ON n2.a = e.b AND n2.b = n1.b
+                GROUP BY e.a, e.b)"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+                SELECT e.a, e.b, coalesce(t.support, 0) AS support
+                FROM e{i} e LEFT JOIN t{i} t ON t.a = e.a AND t.b = e.b)"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+                SELECT a, b FROM s{i} WHERE support >= {k - 2})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(support AS BIGINT) AS support
+        FROM s{rounds} WHERE support >= {k - 2}"""
+    )
+
+
 def _sql_label_prop(n_rounds: int = 5) -> str:
     """Unrolled synchronous label-propagation rounds: per round, each
     node adopts its neighbors' most frequent label, ties to the
@@ -918,6 +965,28 @@ def _q_hits(spark, sf):
 
     return hits(_ring_chord_edges(spark, sf), max_iter=8).select(
         F.col("node").cast("long").alias("node"), "hub", "authority"
+    )
+
+
+def _q_k_truss(spark, sf):
+    from backend_spark.operators.graph import k_truss
+
+    nat = load_table(spark, sf, "nation").select("n_nationkey")
+    small = nat.where(F.col("n_nationkey") < 6)
+    clique = (
+        small.withColumnRenamed("n_nationkey", "src")
+        .join(
+            small.withColumnRenamed("n_nationkey", "dst"),
+            F.col("src") < F.col("dst"),
+        )
+    )
+    ring = nat.select(
+        F.col("n_nationkey").alias("src"), ((F.col("n_nationkey") + 1) % 25).alias("dst")
+    )
+    return k_truss(clique.unionByName(ring), k=4).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("support").cast("long").alias("support"),
     )
 
 
@@ -3653,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_agg": _q_decay_agg,
         "stream_topk": _q_stream_topk,
         "target_encode": _q_target_encode,
+        "k_truss": _q_k_truss,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -4026,6 +4096,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(20),
         "ppr": _sql_ppr(10),
         "hits": _sql_hits(8),
+        "k_truss": _sql_k_truss(4, 4),
         "label_prop": _sql_label_prop(5),
         "link_predict": _SQL_LINK_PREDICT,
         "modularity": _sql_modularity(5),

@@ -208,6 +208,73 @@ def pagerank(
     return out
 
 
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-truss: the maximal subgraph in which EVERY edge closes at
+    least ``k-2`` triangles *within the subgraph* — the
+    community-core filter that is stronger than :func:`k_core`
+    (degree alone is gameable by star spam; triangle support demands
+    actual mutual neighborhoods), the standard dense-substructure
+    primitive for ER-cluster tightening and social/spam analysis.
+
+    Algorithm: iterative support peeling to the FIXPOINT — per round,
+    count each surviving edge's common-neighbor support and drop edges
+    with support < k-2; removing an edge can break its neighbors'
+    triangles, so rounds repeat until no edge is dropped
+    (``max_rounds`` is a safety cap; peeling monotonically shrinks,
+    so termination is guaranteed regardless).  Deterministic: support
+    counts are exact integers, the peel predicate is a pure
+    comparison, and the fixpoint of a monotone peel is unique — the
+    oracle can unroll ANY number of rounds >= the actual fixpoint
+    depth and agree (extra rounds are no-ops).
+
+    Scale shape per round: triangle support is the classic
+    edge×adjacency double equi-join (cost Σ_e deg products — the same
+    budget as one triangle count), then ONE keyed left-join + filter;
+    lineage cut each round, one driver-side scalar (the surviving
+    count) to detect the fixpoint, pagerank's collect discipline.
+    Returns (a, b, support) with a < b, support consistent with the
+    returned subgraph.
+    """
+    if k < 3:
+        raise ValueError(f"k_truss: k must be >= 3, got {k}")
+    e = (
+        _sym_edges(edges, src, dst)
+        .where(F.col("a") < F.col("b"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    supp = None
+    for _ in range(max_rounds):
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        n1 = sym.select(F.col("a").alias("__u"), F.col("b").alias("__w"))
+        n2 = sym.select(F.col("a").alias("__v"), F.col("b").alias("__w2"))
+        tri = (
+            e.join(n1, F.col("a") == F.col("__u"))
+            .join(n2, (F.col("b") == F.col("__v")) & (F.col("__w2") == F.col("__w")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        scored = (
+            e.join(tri, ["a", "b"], "left")
+            .select("a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support"))
+            .localCheckpoint(eager=True)
+        )
+        e2 = scored.where(F.col("support") >= k - 2).localCheckpoint(eager=True)
+        n2_edges = e2.count()
+        supp = e2
+        e = e2.select("a", "b")
+        if n2_edges == n_edges:
+            break
+        n_edges = n2_edges
+    return supp if supp is not None else e.withColumn("support", F.lit(0).cast("long"))
+
+
 def personalized_pagerank(
     edges: DataFrame,
     sources: "list[int] | list[str]",

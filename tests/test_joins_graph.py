@@ -1888,3 +1888,26 @@ def test_hits_star_and_replica(spark):
     # rerun-stable and partition-invariant (integer sums)
     got3 = {r.node: (r.hub, r.authority) for r in hits(edges.repartition(5)).collect()}
     assert got2 == got3
+
+
+def test_k_truss_peeling_cascade(spark):
+    from backend_spark.operators.graph import k_truss
+
+    # two triangles sharing edge (1,2), plus a pendant edge
+    raw = [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (5, 6)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    # 3-truss: every triangle edge has support >= 1; pendant peeled
+    t3 = {(r.a, r.b): r.support for r in k_truss(edges, k=3).collect()}
+    assert set(t3) == {(1, 2), (2, 3), (1, 3), (1, 4), (2, 4)}
+    assert t3[(1, 2)] == 2 and t3[(2, 3)] == 1
+    # 4-truss: only (1,2) has support 2; peeling the others breaks its
+    # triangles too -> the cascade empties the graph (NOT a one-round
+    # filter, which would keep (1,2))
+    assert k_truss(edges, k=4).count() == 0
+    # clique on 5 nodes: 4-truss keeps everything, support = 3
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    out = k_truss(spark.createDataFrame(k5, "src long, dst long"), k=4)
+    rows = out.collect()
+    assert len(rows) == 10 and all(r.support == 3 for r in rows)
+    with pytest.raises(ValueError, match="k must be"):
+        k_truss(edges, k=2)
