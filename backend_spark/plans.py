@@ -338,6 +338,30 @@ class RecipeBook:
                 scores.select(a.get("id", "doc_id"), "flesch"),
                 a.get("id", "doc_id"), "left",
             )
+        if name == "chunk":
+            from backend_spark import llm
+
+            return llm.chunk_text(
+                df, a.get("id", "doc_id"), a.get("text", "text"),
+                chunk_tokens=a.get("tokens", 128), overlap=a.get("overlap", 32),
+                min_tokens=a.get("min_tokens", 1),
+            )
+        if name == "sample":
+            # deterministic weighted panel (priority sampling) as a
+            # declarative step — weight col + k, optional per-group
+            from backend_spark import llm
+
+            return llm.priority_sample(
+                df, a.get("id", "doc_id"), a["weight"], k=a["k"],
+                group_col=a.get("group"), salt=a.get("salt", "prio"),
+            )
+        if name == "target_encode":
+            from backend_spark.features import target_encode
+
+            return target_encode(
+                df, a["cat"], a["target"], smoothing=a.get("smoothing", 10.0),
+                out_col=a.get("out", "encoded"),
+            )
         raise KeyError(f"unknown step: {name}")
 
     def _apply_join(self, df: DataFrame, a: dict) -> DataFrame:

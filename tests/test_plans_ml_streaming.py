@@ -1825,3 +1825,43 @@ def test_topk_stream_totals_carry_across_batches(spark, tmp_path):
     assert latest == {("a", 1): 3, ("a", 2): 4, ("b", 9): 1}
     # batch-1 emission shows the pre-carry totals for updated keys
     assert ("a", 1) in {(r.g, r.item) for r in rows if r.total == 2}
+
+
+def test_recipe_curation_steps(spark):
+    # chunk -> sample -> target_encode exposed at the YAML surface
+    conf = load_conf(
+        """
+recipes:
+  chunks:
+    steps:
+      - chunk:
+          id: doc_id
+          text: text
+          tokens: 4
+          overlap: 2
+  panel:
+    steps:
+      - sample:
+          id: doc_id
+          weight: w
+          k: 2
+          group: g
+  enc:
+    steps:
+      - target_encode:
+          cat: g
+          target: w
+          smoothing: 2.0
+"""
+    )
+    book = RecipeBook(conf, spark=spark)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "x", 3.0), (2, "g h", "x", 1.0), (3, "i", "y", 2.0)],
+        "doc_id long, text string, g string, w double",
+    )
+    chunks = book.compile("chunks")(df).collect()
+    assert {(r.doc_id, r.chunk_id) for r in chunks} == {(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)}
+    panel = book.compile("panel")(df).collect()
+    assert {r.doc_id for r in panel} == {1, 2, 3}  # k=2 caps per group
+    enc = book.compile("enc")(df).collect()
+    assert all(r.encoded is not None for r in enc) and len(enc) == 3
