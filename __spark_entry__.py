@@ -3639,6 +3639,72 @@ def _q_stream_topk(spark, sf):
     )
 
 
+def _fs_pairs(spark, sf):
+    """Shared labeled-pair fixture for the Fellegi-Sunter queries:
+    deterministic agreement indicators whose rates differ by label
+    (matches agree more often), all pure functions of c_custkey."""
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    y = (k % 2 == 0).cast("int")
+    return cust.select(
+        k.alias("left_id"),
+        (k + 1000000).alias("right_id"),
+        y.alias("y"),
+        F.when(y == 1, (k % 10 < 8).cast("int"))
+        .otherwise((k % 10 < 3).cast("int"))
+        .alias("ag_name"),
+        F.when(y == 1, (k % 7 < 5).cast("int"))
+        .otherwise((k % 7 < 2).cast("int"))
+        .alias("ag_city"),
+        # deliberately nullable: NULL counts as disagreement
+        F.when(k % 11 == 0, F.lit(None).cast("int"))
+        .when(y == 1, (k % 5 < 4).cast("int"))
+        .otherwise((k % 5 < 1).cast("int"))
+        .alias("ag_phone"),
+    )
+
+
+def _q_fs_weights(spark, sf):
+    """Fellegi-Sunter m/u probabilities + log2 match weights from
+    labeled candidate pairs — one global aggregate, k-row explode."""
+    from backend_spark.operators import fs_weights
+
+    return fs_weights(_fs_pairs(spark, sf), ["ag_name", "ag_city", "ag_phone"], "y")
+
+
+def _q_fs_score(spark, sf):
+    """Apply the estimated FS weights back onto the pairs: total match
+    weight per pair as a shuffle-free projection (weights table is a
+    bounded driver-side collect, BPE-merge-table pattern)."""
+    from backend_spark.operators import fs_score, fs_weights
+
+    pairs = _fs_pairs(spark, sf)
+    w = fs_weights(pairs, ["ag_name", "ag_city", "ag_phone"], "y")
+    return fs_score(pairs, w, ["ag_name", "ag_city", "ag_phone"]).select(
+        "left_id", "right_id", "match_weight"
+    )
+
+
+_FS_PAIRS_SQL = """
+            SELECT c_custkey AS left_id, c_custkey + 1000000 AS right_id,
+                   CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS y,
+                   CASE WHEN c_custkey % 2 = 0
+                        THEN CASE WHEN c_custkey % 10 < 8 THEN 1 ELSE 0 END
+                        ELSE CASE WHEN c_custkey % 10 < 3 THEN 1 ELSE 0 END
+                   END AS ag_name,
+                   CASE WHEN c_custkey % 2 = 0
+                        THEN CASE WHEN c_custkey % 7 < 5 THEN 1 ELSE 0 END
+                        ELSE CASE WHEN c_custkey % 7 < 2 THEN 1 ELSE 0 END
+                   END AS ag_city,
+                   CASE WHEN c_custkey % 11 = 0 THEN NULL
+                        WHEN c_custkey % 2 = 0
+                        THEN CASE WHEN c_custkey % 5 < 4 THEN 1 ELSE 0 END
+                        ELSE CASE WHEN c_custkey % 5 < 1 THEN 1 ELSE 0 END
+                   END AS ag_phone
+            FROM customer
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -3723,6 +3789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk": _q_stream_topk,
         "target_encode": _q_target_encode,
         "k_truss": _q_k_truss,
+        "fs_weights": _q_fs_weights,
+        "fs_score": _q_fs_score,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6888,6 +6956,69 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
+        # er.fs_weights s=0.5: exact BIGINT agreement counts, one
+        # floating epilogue (divide, log2, round 6) — same IEEE ops
+        # in the same order on both engines
+        "fs_weights": f"""
+            WITH p AS ({_FS_PAIRS_SQL}),
+            s AS (SELECT sum(y) AS nm, sum(1 - y) AS nu,
+                sum(CASE WHEN y = 1 AND coalesce(ag_name, 0) <> 0 THEN 1 ELSE 0 END) AS am_name,
+                sum(CASE WHEN y = 0 AND coalesce(ag_name, 0) <> 0 THEN 1 ELSE 0 END) AS au_name,
+                sum(CASE WHEN y = 1 AND coalesce(ag_city, 0) <> 0 THEN 1 ELSE 0 END) AS am_city,
+                sum(CASE WHEN y = 0 AND coalesce(ag_city, 0) <> 0 THEN 1 ELSE 0 END) AS au_city,
+                sum(CASE WHEN y = 1 AND coalesce(ag_phone, 0) <> 0 THEN 1 ELSE 0 END) AS am_phone,
+                sum(CASE WHEN y = 0 AND coalesce(ag_phone, 0) <> 0 THEN 1 ELSE 0 END) AS au_phone
+                FROM p)
+            SELECT 'ag_name' AS feature,
+                   round((am_name + 0.5) / (nm + 1.0), 6) AS m_prob,
+                   round((au_name + 0.5) / (nu + 1.0), 6) AS u_prob,
+                   round(log2(((am_name + 0.5) / (nm + 1.0)) / ((au_name + 0.5) / (nu + 1.0))), 6) AS w_agree,
+                   round(log2((1 - (am_name + 0.5) / (nm + 1.0)) / (1 - (au_name + 0.5) / (nu + 1.0))), 6) AS w_disagree
+            FROM s
+            UNION ALL
+            SELECT 'ag_city',
+                   round((am_city + 0.5) / (nm + 1.0), 6),
+                   round((au_city + 0.5) / (nu + 1.0), 6),
+                   round(log2(((am_city + 0.5) / (nm + 1.0)) / ((au_city + 0.5) / (nu + 1.0))), 6),
+                   round(log2((1 - (am_city + 0.5) / (nm + 1.0)) / (1 - (au_city + 0.5) / (nu + 1.0))), 6)
+            FROM s
+            UNION ALL
+            SELECT 'ag_phone',
+                   round((am_phone + 0.5) / (nm + 1.0), 6),
+                   round((au_phone + 0.5) / (nu + 1.0), 6),
+                   round(log2(((am_phone + 0.5) / (nm + 1.0)) / ((au_phone + 0.5) / (nu + 1.0))), 6),
+                   round(log2((1 - (am_phone + 0.5) / (nm + 1.0)) / (1 - (au_phone + 0.5) / (nu + 1.0))), 6)
+            FROM s
+        """,
+        # er.fs_score: per-pair sum of the ROUNDED per-feature weights
+        # (fs_score collects fs_weights' rounded output), added in
+        # feature order name, city, phone starting from 0.0
+        "fs_score": f"""
+            WITH p AS ({_FS_PAIRS_SQL}),
+            s AS (SELECT sum(y) AS nm, sum(1 - y) AS nu,
+                sum(CASE WHEN y = 1 AND coalesce(ag_name, 0) <> 0 THEN 1 ELSE 0 END) AS am_name,
+                sum(CASE WHEN y = 0 AND coalesce(ag_name, 0) <> 0 THEN 1 ELSE 0 END) AS au_name,
+                sum(CASE WHEN y = 1 AND coalesce(ag_city, 0) <> 0 THEN 1 ELSE 0 END) AS am_city,
+                sum(CASE WHEN y = 0 AND coalesce(ag_city, 0) <> 0 THEN 1 ELSE 0 END) AS au_city,
+                sum(CASE WHEN y = 1 AND coalesce(ag_phone, 0) <> 0 THEN 1 ELSE 0 END) AS am_phone,
+                sum(CASE WHEN y = 0 AND coalesce(ag_phone, 0) <> 0 THEN 1 ELSE 0 END) AS au_phone
+                FROM p),
+            w AS (SELECT
+                round(log2(((am_name + 0.5) / (nm + 1.0)) / ((au_name + 0.5) / (nu + 1.0))), 6) AS wa_name,
+                round(log2((1 - (am_name + 0.5) / (nm + 1.0)) / (1 - (au_name + 0.5) / (nu + 1.0))), 6) AS wd_name,
+                round(log2(((am_city + 0.5) / (nm + 1.0)) / ((au_city + 0.5) / (nu + 1.0))), 6) AS wa_city,
+                round(log2((1 - (am_city + 0.5) / (nm + 1.0)) / (1 - (au_city + 0.5) / (nu + 1.0))), 6) AS wd_city,
+                round(log2(((am_phone + 0.5) / (nm + 1.0)) / ((au_phone + 0.5) / (nu + 1.0))), 6) AS wa_phone,
+                round(log2((1 - (am_phone + 0.5) / (nm + 1.0)) / (1 - (au_phone + 0.5) / (nu + 1.0))), 6) AS wd_phone
+                FROM s)
+            SELECT left_id, right_id,
+                   round(0.0
+                         + CASE WHEN coalesce(ag_name, 0) <> 0 THEN wa_name ELSE wd_name END
+                         + CASE WHEN coalesce(ag_city, 0) <> 0 THEN wa_city ELSE wd_city END
+                         + CASE WHEN coalesce(ag_phone, 0) <> 0 THEN wa_phone ELSE wd_phone END,
+                         6) AS match_weight
+            FROM p CROSS JOIN w
+        """,
     }
     # the persisted-index search is oracle-identical to the direct one
     out["ann_ivf_index"] = out["ann_ivf"]

@@ -37,6 +37,8 @@ from backend_spark.operators.reshape import (
 from backend_spark.operators.er import (
     blocking_eval,
     er_resolve,
+    fs_score,
+    fs_weights,
     pair_features,
     sorted_neighborhood,
 )
@@ -61,6 +63,7 @@ __all__ = [
     "interval_join",
     "compact_latest",
     "connected_components", "op_clique", "er_resolve", "pair_features", "blocking_eval",
+    "fs_weights", "fs_score",
     "label_propagation", "link_prediction", "modularity",
     "shortest_paths", "sorted_neighborhood", "negative_edges",
 ]

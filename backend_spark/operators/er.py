@@ -340,3 +340,103 @@ def sorted_neighborhood(
         .where((F.col("__rr") > F.col("__lr")) & (F.col("__rr") - F.col("__lr") < window))
         .select(left_col, right_col, (F.col("__rr") - F.col("__lr")).alias("rank_dist"))
     )
+
+
+def fs_weights(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    smoothing: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fellegi-Sunter match-weight estimation from labeled pairs — the
+    classical probabilistic-record-linkage step the reference leaves to
+    its human validation UI (code/recipes.py scored-pair output +
+    code/api.py validation endpoints): given candidate pairs with
+    binary agreement indicators and a 0/1 ``label_col`` (clerically
+    reviewed or gold links), estimate per feature
+
+      * ``m_prob`` = P(agree | match),  ``u_prob`` = P(agree | unmatch)
+        — Laplace-smoothed: ``(agree + s) / (n + 2s)`` so no weight is
+        ever ±inf,
+      * ``w_agree`` = log2(m/u), ``w_disagree`` = log2((1-m)/(1-u))
+
+    (Fellegi & Sunter 1969; Christen "Data Matching" ch. 6).  A pair's
+    total match weight is the sum over features of w_agree/w_disagree
+    per its agreement pattern — :func:`fs_score` applies that.
+
+    Agreement semantics: a feature counts as agreeing iff its value is
+    non-null and non-zero (NULL = disagreement) — matching the 0/1 int
+    columns :func:`pair_features` ``exact`` emits.
+
+    Scale shape: ONE full pass — a single global aggregate computing
+    every per-feature/per-class sum map-side-combined, then a k-row
+    explode of the 1-row result.  No per-feature jobs, no shuffle
+    beyond the aggregate.  Counts are exact BIGINTs; the probabilities
+    and log2 weights are the only floating step, rounded to
+    ``round_to`` so the output hashes identically cross-engine.
+    """
+    missing = [c for c in [*feature_cols, label_col] if c not in pairs.columns]
+    if missing:
+        raise ValueError(f"fs_weights: column(s) not in pairs: {missing}")
+    if not feature_cols:
+        raise ValueError("fs_weights: feature_cols must be non-empty")
+    s = float(smoothing)
+    if s <= 0:
+        raise ValueError("fs_weights: smoothing must be > 0 (keeps weights finite)")
+    lbl = (F.coalesce(F.col(label_col).cast("int"), F.lit(0)) != 0).cast("long")
+    aggs = [F.sum(lbl).alias("__nm"), F.sum(F.lit(1) - lbl).alias("__nu")]
+    for c in feature_cols:
+        ind = (F.coalesce(F.col(c).cast("int"), F.lit(0)) != 0).cast("long")
+        aggs.append(F.sum(ind * lbl).alias(f"__am_{c}"))
+        aggs.append(F.sum(ind * (F.lit(1) - lbl)).alias(f"__au_{c}"))
+    one = pairs.agg(*aggs)
+    rows = []
+    for c in feature_cols:
+        m = (F.col(f"__am_{c}") + s) / (F.col("__nm") + 2 * s)
+        u = (F.col(f"__au_{c}") + s) / (F.col("__nu") + 2 * s)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.round(m, round_to).alias("m_prob"),
+                F.round(u, round_to).alias("u_prob"),
+                F.round(F.log2(m / u), round_to).alias("w_agree"),
+                F.round(F.log2((1 - m) / (1 - u)), round_to).alias("w_disagree"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("__s")).select("__s.*")
+
+
+def fs_score(
+    pairs: DataFrame,
+    weights: DataFrame,
+    feature_cols: list[str] | None = None,
+    out_col: str = "match_weight",
+    round_to: int = 6,
+) -> DataFrame:
+    """Apply :func:`fs_weights` output to (any) candidate pairs: total
+    match weight = Σ per-feature w_agree (agreeing) / w_disagree
+    (disagreeing, incl. NULL), appended as ``out_col`` — the score a
+    Fellegi-Sunter upper/lower threshold then routes to auto-link /
+    clerical review / auto-nonlink (see ``review_queue``).
+
+    The weights table is tiny by construction (one row per feature), so
+    it is collected driver-side (bounded, same pattern as the BPE merge
+    table) and folded into a pure Column projection — scoring is
+    shuffle-free and never joins the corpus.
+    """
+    wrows = {r["feature"]: r for r in weights.collect()}
+    cols = list(feature_cols) if feature_cols is not None else sorted(wrows)
+    missing = [c for c in cols if c not in wrows]
+    if missing:
+        raise ValueError(f"fs_score: no weights for feature(s): {missing}")
+    absent = [c for c in cols if c not in pairs.columns]
+    if absent:
+        raise ValueError(f"fs_score: column(s) not in pairs: {absent}")
+    total = F.lit(0.0)
+    for c in cols:
+        ind = F.coalesce(F.col(c).cast("int"), F.lit(0)) != 0
+        total = total + F.when(ind, F.lit(float(wrows[c]["w_agree"]))).otherwise(
+            F.lit(float(wrows[c]["w_disagree"]))
+        )
+    return pairs.withColumn(out_col, F.round(total, round_to))

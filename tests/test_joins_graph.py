@@ -1911,3 +1911,65 @@ def test_k_truss_peeling_cascade(spark):
     assert len(rows) == 10 and all(r.support == 3 for r in rows)
     with pytest.raises(ValueError, match="k must be"):
         k_truss(edges, k=2)
+
+
+def test_fs_weights_known_counts(spark):
+    from math import log2
+
+    from backend_spark.operators import fs_weights
+
+    # 4 matches: f agrees in 3; 4 unmatches: f agrees in 1.
+    rows = [(1, 1), (1, 1), (1, 1), (0, 1), (1, 0), (0, 0), (0, 0), (0, 0)]
+    df = spark.createDataFrame(rows, "f int, y int")
+    got = fs_weights(df, ["f"], "y", smoothing=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    m, u = (3 + 0.5) / 5, (1 + 0.5) / 5
+    assert r.feature == "f"
+    assert r.m_prob == round(m, 6) and r.u_prob == round(u, 6)
+    assert r.w_agree == round(log2(m / u), 6)
+    assert r.w_disagree == round(log2((1 - m) / (1 - u)), 6)
+
+
+def test_fs_weights_null_is_disagreement_and_validation(spark):
+    import pytest
+
+    from backend_spark.operators import fs_weights
+
+    df = spark.createDataFrame(
+        [(None, 1), (1, 1), (None, None), (1, 0)], "f int, y int"
+    )
+    r = fs_weights(df, ["f"], "y").collect()[0]
+    # matches: rows with y truthy -> 2 (one agree); unmatches: 2 (one agree)
+    assert r.m_prob == round(1.5 / 3, 6) and r.u_prob == round(1.5 / 3, 6)
+    assert r.w_agree == 0.0  # log2(1) — identical m/u
+    with pytest.raises(ValueError, match="not in pairs"):
+        fs_weights(df, ["nope"], "y")
+    with pytest.raises(ValueError, match="non-empty"):
+        fs_weights(df, [], "y")
+    with pytest.raises(ValueError, match="smoothing"):
+        fs_weights(df, ["f"], "y", smoothing=0.0)
+
+
+def test_fs_score_applies_pattern(spark):
+    import pytest
+
+    from backend_spark.operators import fs_score, fs_weights
+
+    pairs = spark.createDataFrame(
+        [(1, 1, 1, 1), (2, 1, 0, 1), (3, 0, None, 0), (4, 0, 1, 0), (5, 1, 1, 1)],
+        "pid long, f1 int, f2 int, y int",
+    )
+    w = fs_weights(pairs, ["f1", "f2"], "y")
+    scored = fs_score(pairs, w, ["f1", "f2"])
+    wm = {r.feature: r for r in w.collect()}
+    got = {r.pid: r.match_weight for r in scored.collect()}
+    exp1 = round(wm["f1"].w_agree + wm["f2"].w_agree, 6)
+    exp3 = round(wm["f1"].w_disagree + wm["f2"].w_disagree, 6)  # NULL = disagree
+    assert got[1] == exp1 and got[3] == exp3
+    # agreeing pairs outscore disagreeing ones
+    assert got[1] > got[2] > got[3]
+    with pytest.raises(ValueError, match="no weights"):
+        fs_score(pairs, w, ["f1", "zzz"])
+    with pytest.raises(ValueError, match="not in pairs"):
+        fs_score(pairs.drop("f2"), w, ["f1", "f2"])
