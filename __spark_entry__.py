@@ -3664,6 +3664,23 @@ def _fs_pairs(spark, sf):
     )
 
 
+def _q_cusum(spark, sf):
+    """Two-sided CUSUM drift statistic per user over the event log —
+    cumulative-sum + running-min windows on ONE (key, order)
+    partitioning; exact BIGINT arithmetic, float only at descale."""
+    from backend_spark.features import cusum
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.select("event_id", event_ts_us(ev).alias("ts_us"), "user_id", "value")
+    out = cusum(ev, "user_id", ["ts_us", "event_id"], "value", target=50.0, k=5.0, h=100.0)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "value", "cusum_hi", "cusum_lo", "cusum_alarm",
+    )
+
+
 def _q_fs_weights(spark, sf):
     """Fellegi-Sunter m/u probabilities + log2 match weights from
     labeled candidate pairs — one global aggregate, k-row explode."""
@@ -3791,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": _q_k_truss,
         "fs_weights": _q_fs_weights,
         "fs_score": _q_fs_score,
+        "cusum": _q_cusum,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6956,6 +6974,31 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
+        # features.cusum target=50 k=5 h=100 scale=1e6: S_t = cum_t -
+        # min(0, running_min(cum)) closed form, BIGINT-exact; the
+        # quantization expression mirrors Spark's operand order
+        "cusum": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                              CAST(round((value - 50.0 - 5.0) * 1000000) AS BIGINT) AS qhi,
+                              CAST(round((50.0 - value - 5.0) * 1000000) AS BIGINT) AS qlo
+                       FROM events),
+            c AS (SELECT *, sum(qhi) OVER w AS chi, sum(qlo) OVER w AS clo
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            m AS (SELECT *, chi - least(0, min(chi) OVER w) AS shi,
+                            clo - least(0, min(clo) OVER w) AS slo
+                  FROM c
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(ts_us AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id, value,
+                   round(shi / 1000000, 6) AS cusum_hi,
+                   round(slo / 1000000, 6) AS cusum_lo,
+                   CAST(shi > 100000000 OR slo > 100000000 AS INT) AS cusum_alarm
+            FROM m
+        """,
         # er.fs_weights s=0.5: exact BIGINT agreement counts, one
         # floating epilogue (divide, log2, round 6) — same IEEE ops
         # in the same order on both engines

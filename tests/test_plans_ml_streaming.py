@@ -1865,3 +1865,48 @@ recipes:
     assert {r.doc_id for r in panel} == {1, 2, 3}  # k=2 caps per group
     enc = book.compile("enc")(df).collect()
     assert all(r.encoded is not None for r in enc) and len(enc) == 3
+
+
+def test_cusum_matches_recursion(spark):
+    from backend_spark.features import cusum
+
+    vals = [10.0, 10.2, 9.9, 10.1, 11.5, 11.8, 12.0, 11.9, 10.0, 8.1, 8.0, 8.2]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {
+        r.t: r
+        for r in cusum(df, "g", "t", "v", target=10.0, k=0.25, h=1.0).collect()
+    }
+    # textbook recursion, same integer quantization
+    s_hi = s_lo = 0
+    for i, v in enumerate(vals):
+        s_hi = max(0, s_hi + round((v - 10.0 - 0.25) * 1_000_000))
+        s_lo = max(0, s_lo + round((10.0 - v - 0.25) * 1_000_000))
+        r = out[i]
+        assert r.cusum_hi == round(s_hi / 1_000_000, 6), f"hi mismatch at {i}"
+        assert r.cusum_lo == round(s_lo / 1_000_000, 6), f"lo mismatch at {i}"
+        assert r.cusum_alarm == int(s_hi > 1_000_000 or s_lo > 1_000_000)
+    # the level shift at t=4..7 must alarm on the high side, and the
+    # drop at t=9.. on the low side
+    assert out[6].cusum_alarm == 1 and out[6].cusum_hi > 1.0
+    assert out[11].cusum_alarm == 1 and out[11].cusum_lo > 1.0
+    assert out[3].cusum_alarm == 0
+
+
+def test_cusum_per_key_isolation_and_validation(spark):
+    import pytest
+
+    from backend_spark.features import cusum
+
+    df = spark.createDataFrame(
+        [("a", 0, 20.0), ("b", 0, 10.0), ("b", 1, 10.0)], "g string, t long, v double"
+    )
+    got = {(r.g, r.t): r for r in cusum(df, "g", "t", "v", target=10.0).collect()}
+    assert got[("a", 0)].cusum_hi == 10.0  # a's spike does not leak into b
+    assert got[("b", 0)].cusum_hi == 0.0 and got[("b", 1)].cusum_hi == 0.0
+    with pytest.raises(ValueError, match="not in df"):
+        cusum(df, "g", "t", "nope", target=0.0)
+    with pytest.raises(ValueError, match="scale"):
+        cusum(df, "g", "t", "v", target=0.0, scale=0)
+    with pytest.raises(ValueError, match="k >= 0"):
+        cusum(df, "g", "t", "v", target=0.0, k=-1.0)
