@@ -3681,6 +3681,18 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_rank_corr(spark, sf):
+    """Per-returnflag Spearman(quantity, extendedprice) — heavy-tie
+    average ranks from one exchange (rank + RANGE count trick), exact
+    BIGINT sums, IEEE epilogue."""
+    from backend_spark.features import rank_corr
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return rank_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
 def _q_fs_weights(spark, sf):
     """Fellegi-Sunter m/u probabilities + log2 match weights from
     labeled candidate pairs — one global aggregate, k-row explode."""
@@ -3809,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_weights": _q_fs_weights,
         "fs_score": _q_fs_score,
         "cusum": _q_cusum,
+        "rank_corr": _q_rank_corr,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6974,6 +6987,39 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
+        # features.rank_corr: doubled average ranks (rank + RANGE-framed
+        # peer count) stay exact BIGINTs; Pearson epilogue over DOUBLE
+        # casts mirrors Spark's operand order; NULL rho when n < 2 or
+        # either side has zero variance
+        "rank_corr": """
+            WITH b AS (SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+            r AS (SELECT l_returnflag,
+                         CAST(rank() OVER wx + count(*) OVER wxr AS BIGINT) AS a,
+                         CAST(rank() OVER wy + count(*) OVER wyr AS BIGINT) AS b2
+                  FROM b
+                  WINDOW wx AS (PARTITION BY l_returnflag ORDER BY x),
+                         wxr AS (PARTITION BY l_returnflag ORDER BY x
+                                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         wy AS (PARTITION BY l_returnflag ORDER BY y),
+                         wyr AS (PARTITION BY l_returnflag ORDER BY y
+                                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            s AS (SELECT l_returnflag, count(*) AS n,
+                         CAST(sum(a) AS DOUBLE) AS sa, CAST(sum(b2) AS DOUBLE) AS sb,
+                         CAST(sum(a * a) AS DOUBLE) AS saa,
+                         CAST(sum(b2 * b2) AS DOUBLE) AS sbb,
+                         CAST(sum(a * b2) AS DOUBLE) AS sab
+                  FROM r GROUP BY l_returnflag)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN (CAST(n AS DOUBLE) * saa - sa * sa)
+                                   * (CAST(n AS DOUBLE) * sbb - sb * sb) > 0
+                              THEN (CAST(n AS DOUBLE) * sab - sa * sb)
+                                   / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+                                          * (CAST(n AS DOUBLE) * sbb - sb * sb))
+                         END, 6) AS rho
+            FROM s
+        """,
         # features.cusum target=50 k=5 h=100 scale=1e6: S_t = cum_t -
         # min(0, running_min(cum)) closed form, BIGINT-exact; the
         # quantization expression mirrors Spark's operand order

@@ -930,3 +930,65 @@ def cusum(
         )
         .drop("__qhi", "__qlo", "__chi", "__clo")
     )
+
+
+def rank_corr(
+    df: DataFrame,
+    by: list[str] | str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with exact average-rank tie
+    handling — the monotonic-association screen feature pipelines run
+    before committing to a feature (robust to outliers and nonlinear
+    scales where plain Pearson is not).
+
+    Ties take the textbook average rank, computed WITHOUT a second
+    shuffle axis: within one ``(group, order by value)`` window,
+    ``rank()`` is the tie group's min rank and a RANGE-framed count
+    (peers included) is its max rank, so ``2·avg_rank = rank + count``
+    stays an exact BIGINT.  Spearman is then Pearson over the doubled
+    ranks — scale-invariant, so the doubling cancels.
+
+    Scale shape: ONE hash exchange on the group key; the x-axis and
+    y-axis windows and the final aggregate all reuse it (two in-place
+    sorts, no re-exchange, map-side-combined agg).  All sums are exact
+    BIGINTs; the epilogue (products, sqrt, divide) runs in fixed IEEE
+    double order, rounded to ``round_to``.  Rows with a NULL in either
+    column are dropped; groups with fewer than 2 rows or zero variance
+    on either side yield NULL rho.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    missing = [c for c in [*keys, x_col, y_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"rank_corr: column(s) not in df: {missing}")
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+    def doubled_rank(col: str) -> F.Column:
+        w = Window.partitionBy(*keys).orderBy(col)
+        wr = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        return (F.rank().over(w) + F.count(F.lit(1)).over(wr)).cast("long")
+
+    ranked = base.select(
+        *keys, doubled_rank(x_col).alias("__a"), doubled_rank(y_col).alias("__b")
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__a").alias("__sa"),
+        F.sum("__b").alias("__sb"),
+        F.sum(F.col("__a") * F.col("__a")).alias("__saa"),
+        F.sum(F.col("__b") * F.col("__b")).alias("__sbb"),
+        F.sum(F.col("__a") * F.col("__b")).alias("__sab"),
+    )
+    n = F.col("n").cast("double")
+    sa, sb = F.col("__sa").cast("double"), F.col("__sb").cast("double")
+    saa, sbb = F.col("__saa").cast("double"), F.col("__sbb").cast("double")
+    sab = F.col("__sab").cast("double")
+    num = n * sab - sa * sb
+    den = (n * saa - sa * sa) * (n * sbb - sb * sb)
+    return agg.select(
+        *keys,
+        F.col("n"),
+        F.round(F.when(den > 0, num / F.sqrt(den)), round_to).alias("rho"),
+    )

@@ -1910,3 +1910,37 @@ def test_cusum_per_key_isolation_and_validation(spark):
         cusum(df, "g", "t", "v", target=0.0, scale=0)
     with pytest.raises(ValueError, match="k >= 0"):
         cusum(df, "g", "t", "v", target=0.0, k=-1.0)
+
+
+def test_rank_corr_known_values(spark):
+    import pytest
+
+    from backend_spark.features import rank_corr
+
+    # perfect monotone, perfect inverse, and a tied case checked
+    # against scipy-verified Spearman values
+    rows = (
+        [("up", float(i), float(i * i)) for i in range(1, 6)]
+        + [("down", float(i), float(-i)) for i in range(1, 6)]
+        + [("tied", 1.0, 2.0), ("tied", 1.0, 3.0), ("tied", 2.0, 1.0), ("tied", 3.0, 5.0)]
+        + [("tiny", 1.0, 1.0)]
+        + [("const", 1.0, float(i)) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in rank_corr(df, "g", "x", "y").collect()}
+    assert got["up"].rho == 1.0 and got["up"].n == 5
+    assert got["down"].rho == -1.0
+    # tied group: ranks x = (1.5, 1.5, 3, 4), y = (2, 3, 1, 4)
+    # Pearson over those average ranks = 1.5 / sqrt(4.5 * 5) = 0.316228
+    assert got["tied"].rho == pytest.approx(0.316228, abs=1e-6)
+    assert got["tiny"].rho is None  # n < 2
+    assert got["const"].rho is None  # zero x-variance
+    # NULL rows drop before ranking
+    df2 = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, None), ("g", 3.0, 2.0), ("g", 4.0, 1.5)],
+        "g string, x double, y double",
+    )
+    r = rank_corr(df2, ["g"], "x", "y").collect()[0]
+    assert r.n == 3 and r.rho == 0.5
+    with pytest.raises(ValueError, match="not in df"):
+        rank_corr(df2, "g", "x", "zzz")
