@@ -3681,6 +3681,19 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_table_checksum(spark, sf):
+    """Bucketed migration checksums over orders (string/int columns —
+    the documented engine-canonical set): ONE map-side-combined
+    aggregate to n_buckets rows."""
+    from backend_spark.quality import table_checksum
+
+    orders = load_table(spark, sf, "orders")
+    return table_checksum(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        n_buckets=64,
+    )
+
+
 def _q_rank_corr(spark, sf):
     """Per-returnflag Spearman(quantity, extendedprice) — heavy-tie
     average ranks from one exchange (rank + RANGE count trick), exact
@@ -3822,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_score": _q_fs_score,
         "cusum": _q_cusum,
         "rank_corr": _q_rank_corr,
+        "table_checksum": _q_table_checksum,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -6987,6 +7001,21 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
+        # quality.table_checksum n_buckets=64: md5_long of \x1f-joined
+        # canonical strings (NULL -> \x00null sentinel); count + bit_xor
+        # + mod-1e9+7 sum per pmod bucket
+        "table_checksum": """
+            WITH h AS (SELECT CAST('0x' || substr(md5(concat_ws(chr(31),
+                           coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+                           coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+                           coalesce(o_orderstatus, chr(0) || 'null'),
+                           coalesce(o_orderpriority, chr(0) || 'null'))), 1, 15) AS BIGINT) AS hv
+                       FROM orders)
+            SELECT hv % 64 AS bucket, count(*) AS n_rows,
+                   bit_xor(hv) AS xor_sig,
+                   CAST(sum(hv % 1000000007) AS BIGINT) AS sum_sig
+            FROM h GROUP BY 1
+        """,
         # features.rank_corr: doubled average ranks (rank + RANGE-framed
         # peer count) stay exact BIGINTs; Pearson epilogue over DOUBLE
         # casts mirrors Spark's operand order; NULL rho when n < 2 or

@@ -281,3 +281,58 @@ def cidr_filter(
     )
     out = range_join(pts, rng, "__ip", "__lo", "__hi", bin_width=65536)
     return out.drop("__ip", "__lo", "__hi")
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Bucketed content checksums for cross-system table validation —
+    the "did the migration/export copy every row byte-for-byte"
+    primitive behind the reference's dataset import/export flows
+    (code/models.py dataset round-trips): run the same checksum on both
+    systems and diff ``n_buckets`` summary rows instead of 100 TB.
+
+    Each row folds to a 60-bit md5 of its engine-canonical column
+    strings (``\\x1f``-joined, NULLs as a ``\\x00null`` sentinel that no
+    real string collides with) and lands in ``pmod(hash, n_buckets)``;
+    per bucket the report carries row count, XOR of hashes and a
+    modular hash sum — three order-independent, mergeable reductions,
+    so the whole check is ONE map-side-combined aggregate over
+    ``n_buckets`` result rows (xor alone cancels on duplicated row
+    pairs; the count and mod-sum catch those).  A mismatched bucket
+    localizes the diff to ``rows/n_buckets`` candidates for a detail
+    pass.
+
+    Canonical-string caveat: string/integer/date/timestamp columns cast
+    identically on conforming engines; raw FLOAT/DOUBLE columns do NOT
+    (scientific-notation thresholds differ) — pre-round or format them
+    explicitly before checksumming.
+    """
+    from backend_spark import functions as fn
+
+    use = list(cols) if cols is not None else list(df.columns)
+    missing = [c for c in use if c not in df.columns]
+    if missing:
+        raise ValueError(f"table_checksum: column(s) not in df: {missing}")
+    if not use:
+        raise ValueError("table_checksum: need at least one column")
+    if n_buckets < 1:
+        raise ValueError(f"table_checksum: n_buckets must be >= 1, got {n_buckets}")
+    canon = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in use
+    ]
+    h = fn.md5_long(F.concat_ws("\x1f", *canon))
+    return (
+        df.select(
+            F.pmod(h, F.lit(n_buckets)).cast("long").alias("bucket"),
+            h.alias("__h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("__h").alias("xor_sig"),
+            F.sum(F.col("__h") % F.lit(1_000_000_007)).alias("sum_sig"),
+        )
+    )

@@ -1944,3 +1944,35 @@ def test_rank_corr_known_values(spark):
     assert r.n == 3 and r.rho == 0.5
     with pytest.raises(ValueError, match="not in df"):
         rank_corr(df2, "g", "x", "zzz")
+
+
+def test_table_checksum_detects_any_change(spark):
+    import pytest
+
+    from backend_spark.quality import table_checksum
+
+    rows = [(i, f"name_{i}", None if i % 5 == 0 else f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, name string, val string")
+    base = {r.bucket: (r.n_rows, r.xor_sig, r.sum_sig) for r in table_checksum(df, n_buckets=8).collect()}
+    assert sum(n for n, _, _ in base.values()) == 100
+    # identical content (different row order) checksums identically
+    again = {r.bucket: (r.n_rows, r.xor_sig, r.sum_sig)
+             for r in table_checksum(df.orderBy(F.desc("id")), n_buckets=8).collect()}
+    assert again == base
+    # a single-cell edit flips exactly the affected bucket(s)
+    mut = df.withColumn("val", F.when(F.col("id") == 37, "corrupt").otherwise(F.col("val")))
+    diff = {r.bucket: (r.n_rows, r.xor_sig, r.sum_sig) for r in table_checksum(mut, n_buckets=8).collect()}
+    changed = {b for b in base if diff.get(b) != base[b]}
+    assert 1 <= len(changed) <= 2  # old row leaves one bucket, new lands in <=1 other
+    # a duplicated row pair is NOT invisible (xor would cancel; count/sum catch it)
+    dup = df.unionByName(df.where("id = 3"))
+    ddiff = {r.bucket: (r.n_rows, r.xor_sig, r.sum_sig) for r in table_checksum(dup, n_buckets=8).collect()}
+    assert ddiff != base
+    # NULL vs the literal sentinel-free string differ
+    s1 = table_checksum(spark.createDataFrame([("a", None)], "k string, v string")).collect()
+    s2 = table_checksum(spark.createDataFrame([("a", "")], "k string, v string")).collect()
+    assert (s1[0].bucket, s1[0].xor_sig) != (s2[0].bucket, s2[0].xor_sig)
+    with pytest.raises(ValueError, match="not in df"):
+        table_checksum(df, ["zzz"])
+    with pytest.raises(ValueError, match="n_buckets"):
+        table_checksum(df, n_buckets=0)
