@@ -3681,6 +3681,14 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_freq_phrases(spark, sf):
+    """Closed frequent 2..4-gram phrase mining over documents —
+    per-level map-side counts off one staged token array, string-sliced
+    killer join, corpus never self-joins."""
+    docs = load_table(spark, sf, "documents")
+    return llm.freq_phrases(docs, "text", n_min=2, n_max=4, min_count=20)
+
+
 def _q_table_checksum(spark, sf):
     """Bucketed migration checksums over orders (string/int columns —
     the documented engine-canonical set): ONE map-side-combined
@@ -3836,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": _q_cusum,
         "rank_corr": _q_rank_corr,
         "table_checksum": _q_table_checksum,
+        "freq_phrases": _q_freq_phrases,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7001,6 +7010,40 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
+        # llm.freq_phrases 2..4 min_count=20: per-level n-gram counts
+        # over the normalized token arrays; killer level 5 counted but
+        # not emitted; closedness = no one-word extension with an equal
+        # count (string-sliced sub-phrases, token-count-safe equi-join)
+        "freq_phrases": f"""
+            WITH t AS (SELECT string_split_regex({norm_text}, '\\s+') AS l
+                       FROM documents),
+            g AS (
+              SELECT 2 AS n, unnest([array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 1], ' ')
+                                     for i in range(1, len(l))]) AS phrase FROM t
+              UNION ALL
+              SELECT 3, unnest([array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
+                                for i in range(1, len(l) - 1)]) FROM t
+              UNION ALL
+              SELECT 4, unnest([array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 3], ' ')
+                                for i in range(1, len(l) - 2)]) FROM t
+              UNION ALL
+              SELECT 5, unnest([array_to_string(l[CAST(i AS INT):CAST(i AS INT) + 4], ' ')
+                                for i in range(1, len(l) - 3)]) FROM t
+            ),
+            c AS (SELECT n, phrase, count(*) AS cnt FROM g
+                  GROUP BY 1, 2 HAVING count(*) >= 20),
+            k AS (
+              SELECT array_to_string((string_split(phrase, ' '))[1:n - 1], ' ') AS phrase,
+                     cnt FROM c WHERE n > 2
+              UNION ALL
+              SELECT array_to_string((string_split(phrase, ' '))[2:n], ' ') AS phrase,
+                     cnt FROM c WHERE n > 2
+            ),
+            km AS (SELECT phrase, max(cnt) AS ext FROM k GROUP BY phrase)
+            SELECT c.phrase, CAST(c.n AS INT) AS n, CAST(c.cnt AS BIGINT) AS cnt
+            FROM c LEFT JOIN km USING (phrase)
+            WHERE c.n <= 4 AND (km.ext IS NULL OR km.ext < c.cnt)
+        """,
         # quality.table_checksum n_buckets=64: md5_long of \x1f-joined
         # canonical strings (NULL -> \x00null sentinel); count + bit_xor
         # + mod-1e9+7 sum per pmod bucket

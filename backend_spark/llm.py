@@ -4718,3 +4718,80 @@ def oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def freq_phrases(
+    df: DataFrame,
+    text_col: str,
+    n_min: int = 2,
+    n_max: int = 4,
+    min_count: int = 5,
+) -> DataFrame:
+    """Closed frequent phrase mining: word n-grams (``n_min..n_max``)
+    with corpus count >= ``min_count``, pruned to CLOSED phrases — a
+    phrase is dropped when some one-word extension occurs exactly as
+    often (the extension subsumes it), so "new york" survives alone
+    unless it only ever appears inside "new york city".  The standard
+    compression for multi-word-vocabulary induction and boilerplate
+    phrase books (Han et al., frequent-pattern mining; the tokenizer
+    cousins are ``collocations``/``bpe_train``).
+
+    Closedness needs one look-ahead level, so levels up to
+    ``n_max + 1`` are counted and the top level serves only as a
+    killer set.  Count monotonicity (an extension never outcounts its
+    sub-phrase) makes the ``min_count`` cutoff safe to apply before the
+    closedness join: a pruned extension can't have matched its
+    sub-phrase's count anyway.
+
+    Scale shape: the normalized token arrays stage once
+    (localCheckpoint) and feed one map-side-combined count per level;
+    killers derive from the counted phrases by string slicing (no
+    re-tokenization) and meet the candidates in a keyed equi-join —
+    token-count mismatch makes cross-level false joins impossible.
+    The corpus itself never self-joins.
+    """
+    if not (1 <= n_min <= n_max):
+        raise ValueError(f"freq_phrases: need 1 <= n_min <= n_max, got {n_min}..{n_max}")
+    if min_count < 1:
+        raise ValueError(f"freq_phrases: min_count must be >= 1, got {min_count}")
+    toks = df.select(
+        fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks")
+    ).localCheckpoint(eager=False)
+    levels = []
+    killers = []
+    for n in range(n_min, n_max + 2):
+        lvl = (
+            toks.select(
+                F.explode(word_ngrams_from_tokens(F.col("__toks"), n)).alias("phrase")
+            )
+            .groupBy("phrase")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+        )
+        if n <= n_max:
+            levels.append(lvl.withColumn("n", F.lit(n)))
+        if n > n_min:
+            killers.append(
+                lvl.select(
+                    F.substring_index("phrase", " ", n - 1).alias("phrase"),
+                    F.col("cnt").alias("__ext"),
+                )
+            )
+            killers.append(
+                lvl.select(
+                    F.substring_index("phrase", " ", -(n - 1)).alias("phrase"),
+                    F.col("cnt").alias("__ext"),
+                )
+            )
+    cand = levels[0]
+    for lvl in levels[1:]:
+        cand = cand.unionByName(lvl)
+    kill = killers[0]
+    for k in killers[1:]:
+        kill = kill.unionByName(k)
+    kmax = kill.groupBy("phrase").agg(F.max("__ext").alias("__ext"))
+    return (
+        cand.join(kmax, "phrase", "left")
+        .where(F.col("__ext").isNull() | (F.col("__ext") < F.col("cnt")))
+        .select("phrase", F.col("n").cast("int").alias("n"), "cnt")
+    )

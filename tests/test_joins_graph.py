@@ -1973,3 +1973,39 @@ def test_fs_score_applies_pattern(spark):
         fs_score(pairs, w, ["f1", "zzz"])
     with pytest.raises(ValueError, match="not in pairs"):
         fs_score(pairs.drop("f2"), w, ["f1", "f2"])
+
+
+def test_freq_phrases_closedness(spark):
+    import pytest
+
+    from backend_spark.llm import freq_phrases
+
+    # "new york city" appears 3x in VARIED contexts (each 4-gram
+    # extension is unique) -> closed; "new york" appears 5x (3 inside
+    # the longer phrase + 2 alone) -> closed.  "big apple pie" appears
+    # 3x varied -> closed, but "big apple"/"apple pie" only ever occur
+    # inside it with the same count -> pruned as non-closed.
+    docs = [
+        "new york city is big",
+        "new york city was small",
+        "see new york city now",
+        "i love new york",
+        "new york wins",
+        "big apple pie now",
+        "big apple pie later",
+        "his big apple pie",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = {(r.phrase, r.n): r.cnt for r in freq_phrases(df, "text", 2, 3, min_count=3).collect()}
+    assert got[("new york", 2)] == 5
+    assert got[("new york city", 3)] == 3
+    assert ("big apple", 2) not in got
+    assert got[("big apple pie", 3)] == 3
+    assert ("apple pie", 2) not in got  # same count as its extension
+    # with min_count=4 only "new york" (5) clears the bar at all
+    got4 = {(r.phrase, r.n) for r in freq_phrases(df, "text", 2, 3, min_count=4).collect()}
+    assert got4 == {("new york", 2)}
+    with pytest.raises(ValueError, match="n_min"):
+        freq_phrases(df, "text", 3, 2)
+    with pytest.raises(ValueError, match="min_count"):
+        freq_phrases(df, "text", 2, 3, min_count=0)
