@@ -3681,6 +3681,30 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_stream_cusum(spark, sf):
+    # stateful exact-integer CUSUM drift detector: one availableNow
+    # batch over the bounded log == the batch closed form (oracle =
+    # the cusum SQL)
+    from backend_spark import streaming
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.select("event_id", event_ts_us(ev).alias("ts_us"), "user_id", "value")
+    path = tempfile.mkdtemp(prefix="sg_scusum_") + "/events"
+    ev.write.parquet(path)
+    sdf = spark.readStream.schema(ev.schema).parquet(path)
+    out = streaming.cusum_stream(
+        sdf, "user_id", "ts_us", "value", target=50.0, k=5.0, h=100.0,
+        tiebreak_col="event_id",
+    )
+    _STREAM_N[0] += 1
+    name = f"sg_scusum_{_STREAM_N[0]}"
+    streaming.run_to_memory(out, name, checkpoint=tempfile.mkdtemp(prefix="sg_scusum_ck_"))
+    return spark.sql(
+        f"SELECT user_id, ts_us, event_id, value, cusum_hi, cusum_lo, cusum_alarm"
+        f" FROM {name}"
+    )
+
+
 def _q_freq_phrases(spark, sf):
     """Closed frequent 2..4-gram phrase mining over documents —
     per-level map-side counts off one staged token array, string-sliced
@@ -3845,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_corr": _q_rank_corr,
         "table_checksum": _q_table_checksum,
         "freq_phrases": _q_freq_phrases,
+        "stream_cusum": _q_stream_cusum,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7190,4 +7215,6 @@ def oracle_sql() -> dict[str, str]:
     out["stream_pack"] = out["pack_sequences"]
     # one availableNow batch == batch fill_forward bit-for-bit
     out["stream_locf"] = out["fill_forward"]
+    # one availableNow batch == the batch CUSUM closed form bit-for-bit
+    out["stream_cusum"] = out["cusum"]
     return out

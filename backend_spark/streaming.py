@@ -547,3 +547,94 @@ def anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_stream(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    target: float,
+    k: float = 0.0,
+    h: float = 5.0,
+    scale: int = 1_000_000,
+    tiebreak_col: str | None = None,
+    key_type: str = "long",
+    order_type: str = "long",
+) -> DataFrame:
+    """Streaming twin of :func:`backend_spark.features.cusum` — the
+    two-sided CUSUM drift detector over a live stream, carrying the
+    pair (S_hi, S_lo) per key across micro-batches so a slow level
+    shift alarms even when every individual batch looks normal.
+
+    Exact-integer contract, bit-equal to the batch form: deviations
+    quantize to ``round(d · scale)`` with Spark's HALF-UP semantics
+    (``sign(x) · floor(|x| + 0.5)`` — NOT Python's banker's round,
+    which disagrees on negative .5 boundaries), and the recursion
+    ``S ← max(0, S + q)`` runs in arbitrary-precision ints stringified
+    into the state store.  Draining a bounded log in ONE availableNow
+    batch reproduces the batch closed form (cum − running-min) row for
+    row — the equivalence oracle, same pattern as
+    :func:`anomaly_stream`.
+
+    NULL values do not move the state and report the CARRIED statistic
+    (the drift level still stands while a measurement is missing) —
+    exactly what the batch window form yields, since ``sum() OVER``
+    skips NULL deviations.  Output: (key, order[, tiebreak], value,
+    cusum_hi, cusum_lo, cusum_alarm).
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if scale < 1:
+        raise ValueError(f"cusum_stream: scale must be >= 1, got {scale}")
+    if k < 0 or h <= 0:
+        raise ValueError(f"cusum_stream: need k >= 0 and h > 0, got k={k} h={h}")
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    out_schema = ", ".join(
+        [f"{key_col} {key_type}", f"{order_col} {order_type}"]
+        + ([f"{tiebreak_col} {order_type}"] if tiebreak_col else [])
+        + [f"{value_col} double", "cusum_hi double", "cusum_lo double", "cusum_alarm int"]
+    )
+    tgt, slack = float(target), float(k)
+    h_scaled = int(round(float(h) * scale))
+
+    def _half_up(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    def _drift(key, pdfs, state):
+        import pandas as pd
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(sort_cols)
+        if state.exists:
+            s_hi, s_lo = (int(x) for x in state.get)
+        else:
+            s_hi, s_lo = 0, 0
+        his, los, alarms = [], [], []
+        for raw in pdf[value_col]:
+            if raw is None or (isinstance(raw, float) and raw != raw):
+                his.append(round(s_hi / scale, 6))
+                los.append(round(s_lo / scale, 6))
+                alarms.append(int(s_hi > h_scaled or s_lo > h_scaled))
+                continue
+            s_hi = max(0, s_hi + _half_up((raw - tgt - slack) * scale))
+            s_lo = max(0, s_lo + _half_up((tgt - raw - slack) * scale))
+            his.append(round(s_hi / scale, 6))
+            los.append(round(s_lo / scale, 6))
+            alarms.append(int(s_hi > h_scaled or s_lo > h_scaled))
+        state.update((str(s_hi), str(s_lo)))
+        yield pdf.assign(cusum_hi=his, cusum_lo=los, cusum_alarm=alarms)[
+            [key_col, *sort_cols, value_col, "cusum_hi", "cusum_lo", "cusum_alarm"]
+        ]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _drift,
+        outputStructType=out_schema,
+        stateStructType="s_hi string, s_lo string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

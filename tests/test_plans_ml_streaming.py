@@ -1976,3 +1976,39 @@ def test_table_checksum_detects_any_change(spark):
         table_checksum(df, ["zzz"])
     with pytest.raises(ValueError, match="n_buckets"):
         table_checksum(df, n_buckets=0)
+
+
+def test_cusum_stream_matches_batch(spark, tmp_path):
+    import pytest
+
+    from backend_spark import streaming
+    from backend_spark.features import cusum
+
+    # level shift mid-series, NULL gaps, negative deviations
+    rows = []
+    for i in range(30):
+        v = 10.0 + (3.0 if 12 <= i < 20 else 0.0) + ((i * 7) % 5) * 0.1
+        rows.append((i, i % 2, i * 10, None if i % 9 == 4 else v))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long, value double")
+    batch = {
+        (r.user_id, r.us): (r.cusum_hi, r.cusum_lo, r.cusum_alarm)
+        for r in cusum(
+            df, "user_id", ["us", "event_id"], "value", target=10.0, k=0.5, h=2.0
+        ).collect()
+    }
+    df.write.parquet(str(tmp_path / "in"))
+    sdf = streaming.read_stream(spark, str(tmp_path / "in"))
+    out = streaming.cusum_stream(
+        sdf, "user_id", "us", "value", target=10.0, k=0.5, h=2.0, tiebreak_col="event_id"
+    )
+    streaming.run_to_memory(out, "t_cusum", checkpoint=str(tmp_path / "ck"))
+    stream = {
+        (r.user_id, r.us): (r.cusum_hi, r.cusum_lo, r.cusum_alarm)
+        for r in spark.sql("SELECT * FROM t_cusum").collect()
+    }
+    assert batch == stream
+    assert any(a == 1 for _, _, a in batch.values())  # the shift alarms
+    with pytest.raises(ValueError, match="scale"):
+        streaming.cusum_stream(sdf, "user_id", "us", "value", target=0.0, scale=0)
+    with pytest.raises(ValueError, match="k >= 0"):
+        streaming.cusum_stream(sdf, "user_id", "us", "value", target=0.0, k=-1.0)
