@@ -362,6 +362,32 @@ class RecipeBook:
                 df, a["cat"], a["target"], smoothing=a.get("smoothing", 10.0),
                 out_col=a.get("out", "encoded"),
             )
+        if name == "cusum":
+            # drift change-point statistic as a monitoring step
+            from backend_spark.features import cusum
+
+            return cusum(
+                df, a["key"], a["order"], a["value"], target=a["target"],
+                k=a.get("k", 0.0), h=a.get("h", 5.0),
+                scale=a.get("scale", 1_000_000),
+            )
+        if name == "fs_score":
+            # Fellegi-Sunter match weights: estimate on this frame's
+            # labeled pairs, or score with a provided weights dataset
+            from backend_spark.operators import fs_score, fs_weights
+
+            feats = a["features"]
+            if a.get("weights"):
+                w = self.dataset(a["weights"])
+            else:
+                w = fs_weights(df, feats, a["label"], smoothing=a.get("smoothing", 0.5))
+            return fs_score(df, w, feats, out_col=a.get("out", "match_weight"))
+        if name == "checksum":
+            from backend_spark.quality import table_checksum
+
+            return table_checksum(
+                df, a.get("select"), n_buckets=a.get("buckets", 256)
+            )
         raise KeyError(f"unknown step: {name}")
 
     def _apply_join(self, df: DataFrame, a: dict) -> DataFrame:

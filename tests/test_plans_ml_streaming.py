@@ -2012,3 +2012,46 @@ def test_cusum_stream_matches_batch(spark, tmp_path):
         streaming.cusum_stream(sdf, "user_id", "us", "value", target=0.0, scale=0)
     with pytest.raises(ValueError, match="k >= 0"):
         streaming.cusum_stream(sdf, "user_id", "us", "value", target=0.0, k=-1.0)
+
+
+def test_recipe_monitoring_and_matching_steps(spark):
+    # cusum -> fs_score -> checksum exposed at the YAML surface
+    conf = load_conf(
+        """
+recipes:
+  drift:
+    steps:
+      - cusum:
+          key: g
+          order: t
+          value: v
+          target: 10.0
+          h: 1.0
+  match:
+    steps:
+      - fs_score:
+          features: [f1, f2]
+          label: y
+  sums:
+    steps:
+      - checksum:
+          select: [id, name]
+          buckets: 4
+"""
+    )
+    book = RecipeBook(conf, spark=spark)
+    ts = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, 13.0), ("a", 2, 13.5)], "g string, t long, v double"
+    )
+    drift = {r.t: r for r in book.compile("drift")(ts).collect()}
+    assert drift[2].cusum_alarm == 1 and drift[0].cusum_alarm == 0
+    pairs = spark.createDataFrame(
+        [(1, 1, 1, 1), (2, 1, 0, 1), (3, 0, 0, 0), (4, 0, 1, 0), (5, 1, 1, 1)],
+        "pid long, f1 int, f2 int, y int",
+    )
+    scored = book.compile("match")(pairs).collect()
+    byp = {r.pid: r.match_weight for r in scored}
+    assert byp[1] > byp[3]  # full agreement outscores full disagreement
+    rows = spark.createDataFrame([(i, f"n{i}") for i in range(20)], "id long, name string")
+    sums = book.compile("sums")(rows).collect()
+    assert sum(r.n_rows for r in sums) == 20 and len(sums) <= 4

@@ -284,6 +284,25 @@ EXPECT = {
     # category stats + 1-row prior both broadcast back onto the scan —
     # the fact side never sorts, shuffles into a merge join, or windows
     "target_encode": (["BroadcastHashJoin"], ["SortMergeJoin", "Window", "CartesianProduct"]),
+    # ONE global aggregate folded to a 1-row explode — no join, no
+    # window, no per-feature jobs
+    "fs_weights": ([], ["Join", "Window", "CartesianProduct"]),
+    # weights fold into a pure Column projection over the pair scan —
+    # scoring itself must not join or shuffle (the single Exchange in
+    # the plan belongs to the upstream weights aggregate, so pin joins)
+    "fs_score": ([], ["Join", "Window", "CartesianProduct"]),
+    # cumulative sum + running min share ONE (key, order) sort — a
+    # second Exchange or a join would mean the closed form regressed
+    "cusum": (["Window"], ["Join", "CartesianProduct", "SortMergeJoin"]),
+    # both rank axes and the final agg reuse one hash(g) exchange; the
+    # RANGE-count tie trick must not introduce a join
+    "rank_corr": (["Window", "partial"], ["Join", "CartesianProduct"]),
+    # one map-side-combined aggregate to n_buckets rows — no join, no
+    # window, no Python boundary
+    "table_checksum": (["partial"], ["Join", "Window", "CartesianProduct", "Python"]),
+    # per-level counts + killer equi-join — the corpus never self-joins
+    # into an NLJ and phrase strings never cross a Python boundary
+    "freq_phrases": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Python"]),
 }
 
 
