@@ -3681,6 +3681,33 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_mutual_info(spark, sf):
+    """Per-feature MI against a deterministic label over customer —
+    one melt + one cell aggregate, value-sorted float fold
+    (char_entropy pattern)."""
+    from backend_spark.features import mutual_info
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_mktsegment",
+        (F.col("c_nationkey") % 5).cast("string").alias("nat5"),
+        (F.col("c_custkey") % 3).alias("y"),
+    )
+    return mutual_info(cust, ["c_mktsegment", "nat5"], "y")
+
+
+def _q_assoc_rules(spark, sf):
+    """Market-basket rules over lineitem (orders as baskets, bucketed
+    parts as items): basket-keyed self-join, exact counts, per-row
+    rule math."""
+    from backend_spark.features import assoc_rules
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        F.pmod(F.col("l_partkey"), F.lit(50)).alias("item"),
+    )
+    return assoc_rules(li, "basket", "item", min_pair_count=20)
+
+
 def _q_stream_cusum(spark, sf):
     # stateful exact-integer CUSUM drift detector: one availableNow
     # batch over the bounded log == the batch closed form (oracle =
@@ -3870,6 +3897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": _q_table_checksum,
         "freq_phrases": _q_freq_phrases,
         "stream_cusum": _q_stream_cusum,
+        "mutual_info": _q_mutual_info,
+        "assoc_rules": _q_assoc_rules,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7035,6 +7064,63 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
+        # features.mutual_info: exact BIGINT cell/marginal counts; MI
+        # folds in (val, y) order on both engines (sum ... ORDER BY
+        # mirrors Spark's array_sort fold); NULL category sentinel
+        "mutual_info": """
+            WITH m AS (
+              SELECT 'c_mktsegment' AS feature,
+                     coalesce(c_mktsegment, chr(0) || 'null') AS val,
+                     coalesce(CAST(c_custkey % 3 AS VARCHAR), chr(0) || 'null') AS y
+              FROM customer
+              UNION ALL
+              SELECT 'nat5',
+                     coalesce(CAST(c_nationkey % 5 AS VARCHAR), chr(0) || 'null'),
+                     coalesce(CAST(c_custkey % 3 AS VARCHAR), chr(0) || 'null')
+              FROM customer
+            ),
+            cells AS (SELECT feature, val, y, count(*) AS cxy FROM m GROUP BY 1, 2, 3),
+            cx AS (SELECT feature, val, CAST(sum(cxy) AS BIGINT) AS cx
+                   FROM cells GROUP BY 1, 2),
+            cy AS (SELECT feature, y, CAST(sum(cxy) AS BIGINT) AS cy
+                   FROM cells GROUP BY 1, 2),
+            nt AS (SELECT feature, CAST(sum(cxy) AS BIGINT) AS n FROM cells GROUP BY 1)
+            SELECT feature, n,
+                   round(sum((CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))
+                             * ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE))
+                                  / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+                             ORDER BY val, y), 6) AS mi
+            FROM cells JOIN cx USING (feature, val) JOIN cy USING (feature, y)
+                 JOIN nt USING (feature)
+            GROUP BY feature, n
+        """,
+        # features.assoc_rules min_pair_count=20 cap=10000: distinct
+        # (basket, item), basket-keyed self-join with i < j, exact
+        # counts, per-row double rule math (no float sums)
+        "assoc_rules": """
+            WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i
+                        FROM lineitem
+                        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+            sz AS (SELECT b FROM it GROUP BY b HAVING count(*) <= 10000),
+            k AS (SELECT it.b, it.i FROM it JOIN sz USING (b)),
+            nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS nn FROM k),
+            ci AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM k GROUP BY i),
+            p AS (SELECT a.i AS i, c.i AS j, CAST(count(*) AS BIGINT) AS pair_count
+                  FROM k a JOIN k c ON a.b = c.b AND a.i < c.i
+                  GROUP BY 1, 2 HAVING count(*) >= 20),
+            two_way AS (SELECT i AS antecedent, j AS consequent, pair_count FROM p
+                        UNION ALL
+                        SELECT j, i, pair_count FROM p)
+            SELECT antecedent, consequent, pair_count,
+                   round(CAST(pair_count AS DOUBLE) / nn, 6) AS support,
+                   round(CAST(pair_count AS DOUBLE) / CAST(ca.ci AS DOUBLE), 6) AS confidence,
+                   round((CAST(pair_count AS DOUBLE) * nn)
+                         / (CAST(ca.ci AS DOUBLE) * CAST(cc.ci AS DOUBLE)), 6) AS lift
+            FROM two_way
+            JOIN ci ca ON ca.i = two_way.antecedent
+            JOIN ci cc ON cc.i = two_way.consequent
+            CROSS JOIN nb
+        """,
         # llm.freq_phrases 2..4 min_count=20: per-level n-gram counts
         # over the normalized token arrays; killer level 5 counted but
         # not emitted; closedness = no one-word extension with an equal

@@ -992,3 +992,163 @@ def rank_corr(
         F.col("n"),
         F.round(F.when(den > 0, num / F.sqrt(den)), round_to).alias("rho"),
     )
+
+
+def mutual_info(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mutual information I(feature; label) per categorical feature —
+    the model-free screen for which attributes carry signal about a
+    label before any encoder or trainer runs (complement of
+    :func:`rank_corr`, which covers ordered/numeric features).
+
+    All features melt into ONE (feature, value, label) cell count —
+    one explode projection + one map-side-combined aggregate, not a
+    job per feature — then marginals join back on their keys and
+    ``I = Σ (c_xy/n)·ln(c_xy·n / (c_x·c_y))`` folds per feature over
+    the value-sorted cell array (the :func:`~backend_spark.llm
+    .char_entropy` pattern: a fixed-order float fold, hash-stable at
+    any partition count; cardinality is bounded by |values|·|labels|,
+    which is what "categorical" means — guard high-cardinality columns
+    with a bucketer first).  NULL is a first-class category (sentinel
+    that no real value collides with).  Products run in doubles so the
+    exact BIGINT counts never overflow-multiply.
+
+    Output: (feature, n, mi) with mi >= 0 up to rounding.
+    """
+    if not feature_cols:
+        raise ValueError("mutual_info: feature_cols must be non-empty")
+    missing = [c for c in [*feature_cols, label_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"mutual_info: column(s) not in df: {missing}")
+    sent = "\x00null"
+    y = F.coalesce(F.col(label_col).cast("string"), F.lit(sent))
+    cells = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("feature"),
+                            F.coalesce(F.col(c).cast("string"), F.lit(sent)).alias("val"),
+                        )
+                        for c in feature_cols
+                    ]
+                )
+            ).alias("fx"),
+            y.alias("__y"),
+        )
+        .select("fx.feature", "fx.val", "__y")
+        .groupBy("feature", "val", "__y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    cx = cells.groupBy("feature", "val").agg(F.sum("cxy").alias("cx"))
+    cy = cells.groupBy("feature", "__y").agg(F.sum("cxy").alias("cy"))
+    joined = cells.join(cx, ["feature", "val"]).join(cy, ["feature", "__y"])
+    per_feature = joined.groupBy("feature").agg(
+        F.array_sort(
+            F.collect_list(F.struct("val", "__y", "cxy", "cx", "cy"))
+        ).alias("__cells")
+    )
+    n_long = F.aggregate(
+        "__cells", F.lit(0).cast("long"), lambda a, x: a + x["cxy"]
+    )
+    staged = per_feature.withColumn("__n", n_long)
+    nd = F.col("__n").cast("double")
+    mi = F.aggregate(
+        "__cells",
+        F.lit(0.0),
+        lambda a, x: a
+        + (x["cxy"].cast("double") / nd)
+        * F.log(
+            (x["cxy"].cast("double") * nd)
+            / (x["cx"].cast("double") * x["cy"].cast("double"))
+        ),
+    )
+    return staged.select(
+        "feature", F.col("__n").alias("n"), F.round(mi, ndigits).alias("mi")
+    )
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket_size: int = 10_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Association-rule mining over (basket, item) pairs — the classic
+    co-occurrence miner (Agrawal & Srikant 1994, A-Priori at the
+    2-itemset level): for every item pair sharing enough baskets, emit
+    both directed rules with ``support`` (pair baskets / all baskets),
+    ``confidence`` (pair baskets / antecedent baskets) and ``lift``
+    (observed/expected under independence).
+
+    Scale shape: items dedupe to one row per (basket, item); pairs form
+    by a SELF-EQUI-JOIN ON THE BASKET KEY (never an item cross product)
+    with ``i < j`` halving; counts are map-side-combined BIGINTs and
+    the rule math is a pure per-row projection in doubles (no float
+    sums anywhere, so no ordering concerns).  Pair fan-out is
+    quadratic in basket size, which is why ``max_basket_size`` DROPS
+    oversized baskets deterministically before pairing (a basket with
+    10k+ distinct items is a default value or a crawler artifact, and
+    one 1M-item basket would emit 5·10^11 pairs); the basket total
+    used for support counts the same filtered population, keeping the
+    probabilities consistent.
+
+    Output: (antecedent, consequent, pair_count, support, confidence,
+    lift), one row per direction.
+    """
+    if min_pair_count < 1 or max_basket_size < 2:
+        raise ValueError(
+            f"assoc_rules: need min_pair_count >= 1 and max_basket_size >= 2, "
+            f"got {min_pair_count}, {max_basket_size}"
+        )
+    missing = [c for c in [basket_col, item_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"assoc_rules: column(s) not in df: {missing}")
+    items = (
+        df.where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+    )
+    sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+    kept = items.join(
+        sizes.where(F.col("__sz") <= max_basket_size).select("__b"), "__b"
+    )
+    kept = kept.localCheckpoint(eager=False)  # feeds totals, item counts, pairs
+    n_baskets = kept.select("__b").distinct().count()
+    if n_baskets == 0:
+        raise ValueError("assoc_rules: no baskets survive the filters")
+    ci = kept.groupBy("__i").agg(F.count(F.lit(1)).alias("ci"))
+    l = kept.select("__b", F.col("__i").alias("i"))
+    r = kept.select("__b", F.col("__i").alias("j"))
+    pairs = (
+        l.join(r, "__b")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_count)
+    )
+    both = pairs.selectExpr("i AS antecedent", "j AS consequent", "pair_count").unionByName(
+        pairs.selectExpr("j AS antecedent", "i AS consequent", "pair_count")
+    )
+    scored = (
+        both.join(ci.select(F.col("__i").alias("antecedent"), F.col("ci").alias("__ca")), "antecedent")
+        .join(ci.select(F.col("__i").alias("consequent"), F.col("ci").alias("__cc")), "consequent")
+    )
+    nb = F.lit(float(n_baskets))
+    pc = F.col("pair_count").cast("double")
+    return scored.select(
+        "antecedent", "consequent", "pair_count",
+        F.round(pc / nb, ndigits).alias("support"),
+        F.round(pc / F.col("__ca").cast("double"), ndigits).alias("confidence"),
+        F.round(
+            (pc * nb) / (F.col("__ca").cast("double") * F.col("__cc").cast("double")),
+            ndigits,
+        ).alias("lift"),
+    )

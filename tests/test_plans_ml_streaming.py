@@ -2055,3 +2055,74 @@ recipes:
     rows = spark.createDataFrame([(i, f"n{i}") for i in range(20)], "id long, name string")
     sums = book.compile("sums")(rows).collect()
     assert sum(r.n_rows for r in sums) == 20 and len(sums) <= 4
+
+
+def test_mutual_info_known_values(spark):
+    import math
+
+    import pytest
+
+    from backend_spark.features import mutual_info
+
+    # f_perfect determines y exactly -> I = H(y); f_none is constant ->
+    # I = 0; f_null exercises the NULL category
+    rows = []
+    for i in range(8):
+        y = i % 2
+        rows.append((f"a{y}", "const", None if i < 4 else "z", y))
+    df = spark.createDataFrame(rows, "f_perfect string, f_none string, f_null string, y int")
+    got = {r.feature: r for r in mutual_info(df, ["f_perfect", "f_none", "f_null"], "y").collect()}
+    assert got["f_perfect"].n == 8
+    assert got["f_perfect"].mi == round(math.log(2), 6)  # H(y) for a fair label
+    assert got["f_none"].mi == 0.0
+    # f_null: value (null vs z) independent of y -> MI 0
+    assert got["f_null"].mi == 0.0
+    # dependent but imperfect: hand-computed 2x2 table
+    rows2 = [("a", 0)] * 3 + [("a", 1)] * 1 + [("b", 0)] * 1 + [("b", 1)] * 3
+    df2 = spark.createDataFrame(rows2, "f string, y int")
+    exp = sum(
+        (c / 8.0) * math.log((c * 8.0) / (cx * cy))
+        for c, cx, cy in [(3, 4, 4), (1, 4, 4), (1, 4, 4), (3, 4, 4)]
+    )
+    r2 = mutual_info(df2, ["f"], "y").collect()[0]
+    assert r2.mi == pytest.approx(round(exp, 6), abs=1e-9)
+    with pytest.raises(ValueError, match="non-empty"):
+        mutual_info(df2, [], "y")
+    with pytest.raises(ValueError, match="not in df"):
+        mutual_info(df2, ["zzz"], "y")
+
+
+def test_assoc_rules_known_table(spark):
+    import pytest
+
+    from backend_spark.features import assoc_rules
+
+    # 4 baskets: {a,b}, {a,b,c}, {a,c}, {b} — duplicate item rows in a
+    # basket count once
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r.antecedent, r.consequent): r for r in assoc_rules(df, "basket", "item", 2).collect()}
+    # c(a)=3, c(b)=3, c(c)=2; c(a,b)=2, c(a,c)=2; c(b,c)=1 < min -> dropped
+    assert set(got) == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")}
+    ab = got[("a", "b")]
+    assert ab.pair_count == 2 and ab.support == 0.5
+    assert ab.confidence == round(2 / 3, 6)
+    assert ab.lift == round(2 * 4 / (3 * 3), 6)
+    ca = got[("c", "a")]
+    assert ca.confidence == 1.0  # c only ever occurs with a
+    assert ca.lift == round(2 * 4 / (2 * 3), 6)
+    # oversized baskets drop entirely and shrink the population
+    big = df.unionByName(
+        spark.createDataFrame([(9, f"x{i}") for i in range(5)], "basket long, item string")
+    )
+    capped = {(r.antecedent, r.consequent): r for r in assoc_rules(big, "basket", "item", 2, max_basket_size=4).collect()}
+    assert capped[("a", "b")].support == 0.5  # basket 9 excluded from n
+    with pytest.raises(ValueError, match="min_pair_count"):
+        assoc_rules(df, "basket", "item", 0)
+    with pytest.raises(ValueError, match="not in df"):
+        assoc_rules(df, "basket", "zzz")

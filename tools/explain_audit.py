@@ -303,6 +303,10 @@ EXPECT = {
     # per-level counts + killer equi-join — the corpus never self-joins
     # into an NLJ and phrase strings never cross a Python boundary
     "freq_phrases": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Python"]),
+    # one melt + map-side cell counts; marginal joins stay keyed
+    "mutual_info": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # pairs come from the basket-keyed equi-join, never an item NLJ
+    "assoc_rules": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
 }
 
 
