@@ -3681,6 +3681,26 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_key_collision(spark, sf):
+    """OpenRefine-style fingerprint clustering over synthesized messy
+    name variants (case + punctuation noise): two keyed aggregates,
+    deterministic mode canonical."""
+    from backend_spark.operators import key_collision
+
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    messy = (
+        cust.select(F.col("c_name").alias("name"))
+        .unionByName(cust.where(k % 2 == 0).select(F.upper("c_name").alias("name")))
+        .unionByName(
+            cust.where(k % 3 == 0).select(
+                F.regexp_replace("c_name", "#", " # ").alias("name")
+            )
+        )
+    )
+    return key_collision(messy, "name")
+
+
 def _q_mutual_info(spark, sf):
     """Per-feature MI against a deterministic label over customer —
     one melt + one cell aggregate, value-sorted float fold
@@ -3899,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cusum": _q_stream_cusum,
         "mutual_info": _q_mutual_info,
         "assoc_rules": _q_assoc_rules,
+        "key_collision": _q_key_collision,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7064,6 +7085,34 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
+        # er.key_collision: sorted-distinct-token fingerprint of the
+        # normalized value; canonical = highest count then smallest
+        # original (row_number mirror of Spark's (-cnt, val) fold)
+        "key_collision": f"""
+            WITH m AS (
+              SELECT c_name AS name FROM customer
+              UNION ALL
+              SELECT upper(c_name) FROM customer WHERE c_custkey % 2 = 0
+              UNION ALL
+              SELECT replace(c_name, '#', ' # ') FROM customer WHERE c_custkey % 3 = 0
+            ),
+            f AS (SELECT array_to_string(list_sort(list_distinct(
+                             string_split_regex({_SQL_NORM.format(c="name")}, '\\s+'))),
+                         ' ') AS key,
+                         name AS v
+                  FROM m WHERE name IS NOT NULL),
+            vc AS (SELECT key, v, count(*) AS cnt FROM f WHERE key <> '' GROUP BY 1, 2),
+            agg AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                           CAST(count(*) AS BIGINT) AS n_variants
+                    FROM vc GROUP BY key),
+            canon AS (SELECT key, v AS canonical
+                      FROM (SELECT key, v, row_number() OVER (PARTITION BY key
+                                ORDER BY cnt DESC, v ASC) AS rn FROM vc)
+                      WHERE rn = 1)
+            SELECT agg.key, n_rows, n_variants, canonical
+            FROM agg JOIN canon USING (key)
+            WHERE n_variants >= 2
+        """,
         # features.mutual_info: exact BIGINT cell/marginal counts; MI
         # folds in (val, y) order on both engines (sum ... ORDER BY
         # mirrors Spark's array_sort fold); NULL category sentinel

@@ -39,6 +39,7 @@ from backend_spark.operators.er import (
     er_resolve,
     fs_score,
     fs_weights,
+    key_collision,
     pair_features,
     sorted_neighborhood,
 )
@@ -63,7 +64,7 @@ __all__ = [
     "interval_join",
     "compact_latest",
     "connected_components", "op_clique", "er_resolve", "pair_features", "blocking_eval",
-    "fs_weights", "fs_score",
+    "fs_weights", "fs_score", "key_collision",
     "label_propagation", "link_prediction", "modularity",
     "shortest_paths", "sorted_neighborhood", "negative_edges",
 ]

@@ -440,3 +440,67 @@ def fs_score(
             F.lit(float(wrows[c]["w_disagree"]))
         )
     return pairs.withColumn(out_col, F.round(total, round_to))
+
+
+def key_collision(
+    df: DataFrame,
+    col: str,
+    min_variants: int = 2,
+) -> DataFrame:
+    """Key-collision clustering for messy categorical values
+    (OpenRefine's "fingerprint" method): values that normalize to the
+    same sorted-unique-token key are spelling/casing/word-order
+    variants of one another; each cluster reports a deterministic
+    canonical form — the cleanup pass run over name/city/company
+    columns BEFORE blocking and matching (the reference's recipes
+    chain its ``normalize`` the same way; this adds the cluster/
+    canonicalize step).
+
+    Key = sorted distinct tokens of :func:`backend_spark.functions
+    .normalize` (lower, accent-fold, punctuation→space), so
+    "Acme Corp.", "ACME CORP" and "corp acme" collide.  Canonical =
+    most frequent ORIGINAL variant, ties to the lexicographically
+    smallest (the er_resolve mode fold: sort by (-count, value), take
+    the head — deterministic on any engine).
+
+    Scale shape: two keyed aggregates (variant counts, then per-key
+    histogram fold); the histogram array is bounded by the variant
+    count of one key — pathological keys mean the normalizer is
+    folding too hard, which the ``n_variants`` column itself surfaces.
+    NULL and empty-normalizing values are excluded.
+
+    Output: (key, n_rows, n_variants, canonical), keys with at least
+    ``min_variants`` distinct variants.
+    """
+    from backend_spark import functions as fn
+
+    if min_variants < 1:
+        raise ValueError(f"key_collision: min_variants must be >= 1, got {min_variants}")
+    if col not in df.columns:
+        raise ValueError(f"key_collision: column {col!r} not in df")
+    key = F.array_join(
+        F.array_sort(F.array_distinct(F.split(fn.normalize(F.col(col)), " "))), " "
+    )
+    variants = (
+        df.where(F.col(col).isNotNull())
+        .select(key.alias("key"), F.col(col).alias("__v"))
+        .where(F.col("key") != "")
+        .groupBy("key", "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return (
+        variants.groupBy("key")
+        .agg(
+            F.sum("__cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_variants"),
+            F.get(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("__cnt")).alias("neg"), F.col("__v").alias("val"))
+                    )
+                ),
+                0,
+            )["val"].alias("canonical"),
+        )
+        .where(F.col("n_variants") >= min_variants)
+    )

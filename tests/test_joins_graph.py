@@ -2009,3 +2009,32 @@ def test_freq_phrases_closedness(spark):
         freq_phrases(df, "text", 3, 2)
     with pytest.raises(ValueError, match="min_count"):
         freq_phrases(df, "text", 2, 3, min_count=0)
+
+
+def test_key_collision_clusters_variants(spark):
+    import pytest
+
+    from backend_spark.operators import key_collision
+
+    rows = [
+        ("Acme Corp.",), ("ACME CORP",), ("Acme Corp.",), ("corp acme",),
+        ("Beta LLC",), ("beta  llc",),
+        ("Solo Inc",),
+        (None,), ("  ...  ",),  # null and empty-normalizing excluded
+    ]
+    df = spark.createDataFrame(rows, "name string")
+    got = {r.key: r for r in key_collision(df, "name").collect()}
+    assert set(got) == {"acme corp", "beta llc"}
+    a = got["acme corp"]
+    assert a.n_rows == 4 and a.n_variants == 3
+    assert a.canonical == "Acme Corp."  # count 2 beats the count-1 variants
+    b = got["beta llc"]
+    # 1-1 tie -> lexicographically smaller original wins
+    assert b.n_variants == 2 and b.canonical == "Beta LLC"
+    # min_variants=1 exposes singletons too
+    all_keys = {r.key for r in key_collision(df, "name", min_variants=1).collect()}
+    assert "inc solo" in all_keys  # keys are token-SORTED
+    with pytest.raises(ValueError, match="not in df"):
+        key_collision(df, "zzz")
+    with pytest.raises(ValueError, match="min_variants"):
+        key_collision(df, "name", min_variants=0)

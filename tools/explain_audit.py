@@ -307,6 +307,9 @@ EXPECT = {
     "mutual_info": (["partial"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
     # pairs come from the basket-keyed equi-join, never an item NLJ
     "assoc_rules": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
+    # two keyed aggregates, pure-Column fingerprinting — no join, no
+    # Python boundary
+    "key_collision": (["partial"], ["Join", "CartesianProduct", "Python"]),
 }
 
 
