@@ -3681,6 +3681,19 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_shard_stats(spark, sf):
+    """Range-clustered data-skipping manifest over lineitem: the
+    assign_row_ids distributed sort, 1-row total broadcast, one keyed
+    aggregate, bounded per-shard explode."""
+    from backend_spark.scale import shard_stats
+
+    li = load_table(spark, sf, "lineitem")
+    return shard_stats(
+        li, ["l_orderkey", "l_linenumber"],
+        ["l_partkey", "l_suppkey", "l_returnflag"], n_shards=16,
+    )
+
+
 def _q_key_collision(spark, sf):
     """OpenRefine-style fingerprint clustering over synthesized messy
     name variants (case + punctuation noise): two keyed aggregates,
@@ -3920,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": _q_mutual_info,
         "assoc_rules": _q_assoc_rules,
         "key_collision": _q_key_collision,
+        "shard_stats": _q_shard_stats,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7085,6 +7099,34 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
+        # scale.shard_stats n=16 on (orderkey, linenumber): row_number
+        # -> contiguous range shards -> per-shard native-type envelopes
+        # cast to string last; n_nulls exact BIGINT
+        "shard_stats": """
+            WITH r AS (SELECT l_partkey, l_suppkey, l_returnflag,
+                              row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid,
+                              count(*) OVER () AS total
+                       FROM lineitem),
+            s AS (SELECT CAST(floor((rid - 1) * 16 / total) AS BIGINT) AS shard, *
+                  FROM r),
+            a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+                         CAST(min(l_partkey) AS VARCHAR) AS min_p,
+                         CAST(max(l_partkey) AS VARCHAR) AS max_p,
+                         CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_p,
+                         CAST(min(l_suppkey) AS VARCHAR) AS min_s,
+                         CAST(max(l_suppkey) AS VARCHAR) AS max_s,
+                         CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_s,
+                         min(l_returnflag) AS min_f,
+                         max(l_returnflag) AS max_f,
+                         CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_f
+                  FROM s GROUP BY shard)
+            SELECT shard, 'l_partkey' AS "column", min_p AS min_val,
+                   max_p AS max_val, nul_p AS n_nulls, n_rows FROM a
+            UNION ALL
+            SELECT shard, 'l_suppkey', min_s, max_s, nul_s, n_rows FROM a
+            UNION ALL
+            SELECT shard, 'l_returnflag', min_f, max_f, nul_f, n_rows FROM a
+        """,
         # er.key_collision: sorted-distinct-token fingerprint of the
         # normalized value; canonical = highest count then smallest
         # original (row_number mirror of Spark's (-cnt, val) fold)

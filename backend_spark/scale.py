@@ -364,3 +364,67 @@ def hll_distinct(
     return folded.select(
         *keys, "n_registers", F.round(est, ndigits).alias("distinct_est")
     )
+
+
+def shard_stats(
+    df: DataFrame,
+    sort_cols: list[str] | str,
+    stat_cols: list[str],
+    n_shards: int = 16,
+) -> DataFrame:
+    """Data-skipping statistics for a range-clustered layout — the
+    per-shard (min, max, nulls, rows) manifest engines like
+    Delta/Iceberg keep per file: rows take their position in
+    ``sort_cols`` order (the :func:`assign_row_ids` distributed sort —
+    never a single-partition window), split into ``n_shards`` equal
+    contiguous ranges, and every listed column reports its per-shard
+    envelope.  Read it two ways: as the manifest to ship beside a
+    clustered export, and as a WOULD-IT-PRUNE dry run — a column whose
+    min/max bands are narrow per shard is skippable under this layout,
+    one that spans the domain in every shard is not (compare
+    ``zorder_key`` layouts by exactly this report).
+
+    min/max compute on the native type (lexicographic-string min of an
+    int column would lie) and cast to string only for the uniform
+    report schema; engine-canonical for int/string/date columns — the
+    :func:`~backend_spark.quality.table_checksum` float caveat applies.
+
+    Scale shape: the assign_row_ids range sort, a 1-row total
+    broadcast, ONE map-side-combined aggregate over shard keys, and a
+    bounded per-shard explode into (shard, column) rows.
+    """
+    if n_shards < 1:
+        raise ValueError(f"shard_stats: n_shards must be >= 1, got {n_shards}")
+    if not stat_cols:
+        raise ValueError("shard_stats: stat_cols must be non-empty")
+    missing = [c for c in stat_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"shard_stats: column(s) not in df: {missing}")
+    ranked = assign_row_ids(df, sort_cols, out_col="__rid")
+    total = ranked.agg(F.count(F.lit(1)).alias("__total"))
+    sharded = ranked.join(F.broadcast(total)).withColumn(
+        "shard",
+        F.floor(
+            (F.col("__rid") - 1) * F.lit(int(n_shards)) / F.col("__total")
+        ).cast("long"),
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"))
+    per_shard = sharded.groupBy("shard").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__min_{c}").cast("string").alias("min_val"),
+                F.col(f"__max_{c}").cast("string").alias("max_val"),
+                F.col(f"__nul_{c}").alias("n_nulls"),
+            )
+            for c in stat_cols
+        ]
+    )
+    return per_shard.select(
+        "shard", F.col("__n").alias("n_rows"), F.explode(rows).alias("__s")
+    ).select("shard", "__s.column", "__s.min_val", "__s.max_val", "__s.n_nulls", "n_rows")

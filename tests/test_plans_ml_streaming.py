@@ -2126,3 +2126,28 @@ def test_assoc_rules_known_table(spark):
         assoc_rules(df, "basket", "item", 0)
     with pytest.raises(ValueError, match="not in df"):
         assoc_rules(df, "basket", "zzz")
+
+
+def test_shard_stats_envelopes(spark):
+    import pytest
+
+    from backend_spark.scale import shard_stats
+
+    rows = [(i, i * 10, None if i % 10 == 0 else f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v long, tag string")
+    out = shard_stats(df, "id", ["v", "tag"], n_shards=4).collect()
+    assert len(out) == 8  # 4 shards x 2 columns
+    by = {(r.shard, r.column): r for r in out}
+    # clustered column: tight disjoint bands
+    assert by[(0, "v")].min_val == "0" and by[(0, "v")].max_val == "240"
+    assert by[(3, "v")].min_val == "750" and by[(3, "v")].max_val == "990"
+    assert all(by[(s, "v")].n_rows == 25 for s in range(4))
+    # null accounting
+    assert sum(by[(s, "tag")].n_nulls for s in range(4)) == 10
+    assert by[(0, "tag")].n_nulls == 3  # ids 0,10,20
+    # native-type min/max: string cast happens AFTER (else "990" < "99")
+    assert by[(3, "v")].max_val == "990"
+    with pytest.raises(ValueError, match="not in df"):
+        shard_stats(df, "id", ["zzz"])
+    with pytest.raises(ValueError, match="non-empty"):
+        shard_stats(df, "id", [])

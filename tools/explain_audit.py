@@ -310,6 +310,10 @@ EXPECT = {
     # two keyed aggregates, pure-Column fingerprinting — no join, no
     # Python boundary
     "key_collision": (["partial"], ["Join", "CartesianProduct", "Python"]),
+    # assign_row_ids range sort + 1-row total broadcast + one keyed
+    # agg; the only Window is the per-partition offset table (row_ids
+    # shape) — never a corpus-wide single-partition sort, no Python
+    "shard_stats": (["BroadcastExchange"], ["CartesianProduct", "Python", "SortMergeJoin"]),
 }
 
 
