@@ -3681,6 +3681,30 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_seasonal_adjust(spark, sf):
+    """Hour-of-day seasonal decomposition of event values per type —
+    phase/group means broadcast back, corpus never shuffles."""
+    from backend_spark.features import seasonal_adjust
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    out = seasonal_adjust(ev, "hr", "value", by="event_type")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type", "hr", "value", "seasonal", "adjusted",
+    )
+
+
+def _q_benford(spark, sf):
+    """First-digit Benford audit of extendedprice per returnflag —
+    decimal-string digit extraction, ONE keyed aggregate."""
+    from backend_spark.features import benford
+
+    li = load_table(spark, sf, "lineitem")
+    return benford(li, "l_extendedprice", by="l_returnflag")
+
+
 def _q_shard_stats(spark, sf):
     """Range-clustered data-skipping manifest over lineitem: the
     assign_row_ids distributed sort, 1-row total broadcast, one keyed
@@ -3819,6 +3843,10 @@ def _q_fs_score(spark, sf):
     )
 
 
+from backend_spark.features import _BENFORD_P as _BP
+
+_BENFORD_LITS = ",".join(f"CAST({p!r} AS DOUBLE)" for p in _BP)
+
 _FS_PAIRS_SQL = """
             SELECT c_custkey AS left_id, c_custkey + 1000000 AS right_id,
                    CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS y,
@@ -3934,6 +3962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": _q_assoc_rules,
         "key_collision": _q_key_collision,
         "shard_stats": _q_shard_stats,
+        "seasonal_adjust": _q_seasonal_adjust,
+        "benford": _q_benford,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7099,6 +7129,48 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
+        # features.seasonal_adjust scale=1e6 by event_type/hour: BIGINT
+        # quantized phase/group sums, unrounded seasonal reused by
+        # adjusted (mirrors Spark operand order), NULL passthrough
+        "seasonal_adjust": """
+            WITH b AS (SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hr,
+                              value,
+                              CAST(round(value * 1000000) AS BIGINT) AS q
+                       FROM events),
+            p AS (SELECT event_type, hr, CAST(sum(q) AS BIGINT) AS ps,
+                         count(q) AS pn
+                  FROM b WHERE q IS NOT NULL GROUP BY 1, 2),
+            g AS (SELECT event_type, CAST(sum(q) AS BIGINT) AS gs, count(q) AS gn
+                  FROM b WHERE q IS NOT NULL GROUP BY 1)
+            SELECT CAST(b.event_id AS BIGINT) AS event_id, b.event_type, b.hr,
+                   b.value,
+                   CASE WHEN q IS NOT NULL THEN
+                     round((CAST(ps AS DOUBLE) / pn - CAST(gs AS DOUBLE) / gn)
+                           / 1000000, 6) END AS seasonal,
+                   CASE WHEN q IS NOT NULL THEN
+                     round(value - (CAST(ps AS DOUBLE) / pn
+                                    - CAST(gs AS DOUBLE) / gn) / 1000000, 6)
+                   END AS adjusted
+            FROM b LEFT JOIN p USING (event_type, hr) LEFT JOIN g USING (event_type)
+        """,
+        # features.benford: decimal-string first digit (never log10);
+        # expected_p literals injected from the SAME python table the
+        # operator embeds, so both engines compare identical doubles
+        "benford": f"""
+            WITH b AS (SELECT l_returnflag,
+                              CAST(substring(CAST(CAST(floor(abs(CAST(l_extendedprice AS DOUBLE))) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+                       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            c AS (SELECT l_returnflag, d, count(*) AS n FROM b WHERE d >= 1
+                  GROUP BY 1, 2),
+            t AS (SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS tot
+                  FROM c GROUP BY 1)
+            SELECT c.l_returnflag, c.d AS digit, c.n,
+                   round(CAST(c.n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed_p,
+                   round(([{_BENFORD_LITS}])[c.d], 6) AS expected_p,
+                   round(CAST(c.n AS DOUBLE) / CAST(tot AS DOUBLE)
+                         - ([{_BENFORD_LITS}])[c.d], 6) AS deviation
+            FROM c JOIN t USING (l_returnflag)
+        """,
         # scale.shard_stats n=16 on (orderkey, linenumber): row_number
         # -> contiguous range shards -> per-shard native-type envelopes
         # cast to string last; n_nulls exact BIGINT

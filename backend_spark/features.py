@@ -1152,3 +1152,121 @@ def assoc_rules(
             ndigits,
         ).alias("lift"),
     )
+
+
+def seasonal_adjust(
+    df: DataFrame,
+    phase_col: str,
+    value_col: str,
+    by: list[str] | str | None = None,
+    scale: int = 1_000_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Seasonal decomposition by period-phase means — the deterministic
+    "subtract the hour-of-day/day-of-week profile" step that has to
+    run before :func:`cusum` or :func:`rolling_anomaly` can monitor a
+    metric with a daily/weekly shape (otherwise every morning peak
+    alarms).  Caller derives the phase (``hour(ts)``, ``dayofweek``,
+    …); the operator computes, per (group, phase), the mean's offset
+    from the group mean and emits ``seasonal`` plus the de-seasonalized
+    ``adjusted = value − seasonal``.
+
+    Classical-decomposition seasonal means (fixed period, no loess) —
+    exactly reproducible: sums quantize to BIGINT at ``scale``, the
+    phase/group aggregates reduce to |groups|·|phases| (+ |groups|)
+    rows, and both BROADCAST back onto the scan — the corpus never
+    shuffles, never sorts, never windows (the
+    percentile_gate/zscore house shape).  NULL values pass through
+    with NULL seasonal/adjusted and stay out of the means.
+    """
+    if scale < 1:
+        raise ValueError(f"seasonal_adjust: scale must be >= 1, got {scale}")
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    missing = [c for c in [*keys, phase_col, value_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"seasonal_adjust: column(s) not in df: {missing}")
+    q = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.withColumn("__q", q)
+    phase_stats = base.where(F.col("__q").isNotNull()).groupBy(
+        *keys, phase_col
+    ).agg(F.sum("__q").alias("__ps"), F.count("__q").alias("__pn"))
+    group_stats = base.where(F.col("__q").isNotNull()).groupBy(*keys).agg(
+        F.sum("__q").alias("__gs"), F.count("__q").alias("__gn")
+    )
+    joined = base.join(F.broadcast(phase_stats), [*keys, phase_col], "left")
+    if keys:
+        joined = joined.join(F.broadcast(group_stats), keys, "left")
+    else:
+        joined = joined.join(F.broadcast(group_stats))
+    seasonal = (
+        F.col("__ps").cast("double") / F.col("__pn")
+        - F.col("__gs").cast("double") / F.col("__gn")
+    ) / scale
+    return (
+        joined.withColumn(
+            "seasonal",
+            F.when(F.col("__q").isNotNull(), F.round(seasonal, ndigits)),
+        )
+        .withColumn(
+            "adjusted",
+            F.when(
+                F.col("__q").isNotNull(),
+                F.round(F.col(value_col).cast("double") - seasonal, ndigits),
+            ),
+        )
+        .drop("__q", "__ps", "__pn", "__gs", "__gn")
+    )
+
+
+import math as _math
+
+_BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-number screen for financial/count columns
+    (Newcomb 1881, Benford 1938; auditing practice per Nigrini).
+    Values spanning several orders of magnitude follow
+    ``P(d) = log10(1 + 1/d)``; keyed-in or synthesized figures usually
+    don't.
+
+    The first digit comes from the DECIMAL string form (never
+    ``log10`` — float log of 1000 can land at 2.999…, misbinning exact
+    powers), zeros/NULLs are excluded, and the report is ONE
+    map-side-combined aggregate to ≤ 9·|groups| rows: (digit, n,
+    observed_p, expected_p, deviation).  Chi-square-style judgement is
+    the reader's; the row shape keeps every term exact (counts BIGINT,
+    probabilities one rounded division).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    missing = [c for c in [*keys, value_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"benford: column(s) not in df: {missing}")
+    # decimal-string first digit of the integer magnitude
+    mag = F.abs(F.col(value_col).cast("double"))
+    digit = F.substring(F.floor(mag).cast("long").cast("string"), 1, 1).cast("int")
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("__d", digit)
+        .where(F.col("__d") >= 1)  # |v| < 1 and v == 0 excluded
+    )
+    counts = base.groupBy(*keys, "__d").agg(F.count(F.lit(1)).alias("n"))
+    w_tot = counts.groupBy(*keys).agg(F.sum("n").alias("__tot"))
+    on = keys if keys else None
+    joined = counts.join(F.broadcast(w_tot), on) if on else counts.join(F.broadcast(w_tot))
+    expected = F.element_at(F.array(*[F.lit(p) for p in _BENFORD_P]), F.col("__d"))
+    obs = F.col("n").cast("double") / F.col("__tot").cast("double")
+    return joined.select(
+        *keys,
+        F.col("__d").alias("digit"),
+        "n",
+        F.round(obs, ndigits).alias("observed_p"),
+        F.round(expected, ndigits).alias("expected_p"),
+        F.round(obs - expected, ndigits).alias("deviation"),
+    )

@@ -2151,3 +2151,56 @@ def test_shard_stats_envelopes(spark):
         shard_stats(df, "id", ["zzz"])
     with pytest.raises(ValueError, match="non-empty"):
         shard_stats(df, "id", [])
+
+
+def test_seasonal_adjust_removes_profile(spark):
+    import pytest
+
+    from backend_spark.features import seasonal_adjust
+
+    # two days of a clean daily profile: phase means are exact, so
+    # adjusted collapses to the group mean
+    rows = []
+    for day in range(2):
+        for h, v in [(0, 10.0), (8, 50.0), (16, 30.0)]:
+            rows.append(("m", h, v))
+    rows.append(("m", 0, None))
+    df = spark.createDataFrame(rows, "g string, hour int, v double")
+    out = seasonal_adjust(df, "hour", "v", by="g")
+    got = [(r.hour, r.v, r.seasonal, r.adjusted) for r in out.collect()]
+    mean_all = 30.0
+    for h, v, s, a in got:
+        if v is None:
+            assert s is None and a is None
+            continue
+        assert s == round({0: -20.0, 8: 20.0, 16: 0.0}[h], 6)
+        assert a == mean_all
+    # no grouping: global profile
+    out2 = seasonal_adjust(df.drop("g"), "hour", "v")
+    assert {r.adjusted for r in out2.collect() if r.adjusted is not None} == {30.0}
+    with pytest.raises(ValueError, match="not in df"):
+        seasonal_adjust(df, "nope", "v")
+    with pytest.raises(ValueError, match="scale"):
+        seasonal_adjust(df, "hour", "v", scale=0)
+
+
+def test_benford_digits_and_expectations(spark):
+    import math
+
+    import pytest
+
+    from backend_spark.features import benford
+
+    # powers of 10 land in digit 1 (the string path; float log10 could misbin)
+    vals = [1.0, 10.0, 100.0, 1000.0, 2.5, 25.0, 999.0, -300.0, 0.0, 0.5, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.digit: r for r in benford(df, "v").collect()}
+    assert got[1].n == 4
+    assert got[2].n == 2
+    assert got[9].n == 1 and got[3].n == 1  # -300 -> digit 3 (abs)
+    assert 0 not in got  # 0, 0.5, NULL excluded
+    assert got[1].expected_p == round(math.log10(2), 6)
+    assert got[1].observed_p == 0.5  # 4 of 8 counted values
+    assert got[1].deviation == round(0.5 - math.log10(2), 6)
+    with pytest.raises(ValueError, match="not in df"):
+        benford(df, "zzz")

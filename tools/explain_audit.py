@@ -314,6 +314,10 @@ EXPECT = {
     # agg; the only Window is the per-partition offset table (row_ids
     # shape) — never a corpus-wide single-partition sort, no Python
     "shard_stats": (["BroadcastExchange"], ["CartesianProduct", "Python", "SortMergeJoin"]),
+    # phase/group stats broadcast back onto the scan — the zscore shape
+    "seasonal_adjust": (["BroadcastHashJoin"], ["SortMergeJoin", "Window", "CartesianProduct"]),
+    # one keyed count + broadcast totals; digit extraction is pure Column
+    "benford": (["partial"], ["SortMergeJoin", "Window", "CartesianProduct", "Python"]),
 }
 
 
