@@ -3681,6 +3681,15 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_fs_em(spark, sf):
+    """Unsupervised FS weights via deterministic EM over the agreement
+    -pattern table (labels ignored) — ONE corpus aggregate, bounded
+    2^k collect, fixed-order driver trajectory."""
+    from backend_spark.operators import fs_em
+
+    return fs_em(_fs_pairs(spark, sf), ["ag_name", "ag_city", "ag_phone"], n_iter=10)
+
+
 def _q_seasonal_adjust(spark, sf):
     """Hour-of-day seasonal decomposition of event values per type —
     phase/group means broadcast back, corpus never shuffles."""
@@ -3867,6 +3876,78 @@ _FS_PAIRS_SQL = """
 """
 
 
+def _sql_fs_em(n_iter: int, init_p: float = 0.1, init_m: float = 0.9, init_u: float = 0.1) -> str:
+    """Unrolled-EM oracle for ``fs_em`` over the _FS_PAIRS_SQL fixture:
+    each iteration is an E-step CTE (pattern responsibilities from the
+    previous parameters, products in feature order) and an M-step CTE
+    (ordered-aggregate folds replaying the driver's sorted-pattern
+    accumulation, then the same [1e-6, 1-1e-6] clamps).  Bit-for-bit
+    the Python trajectory — the bpe_train unrolled-iteration pattern."""
+    feats = ["ag_name", "ag_city", "ag_phone"]
+    k = len(feats)
+    a = [f"a{i}" for i in range(k)]
+    ind = ", ".join(
+        f"CASE WHEN coalesce({c}, 0) <> 0 THEN 1 ELSE 0 END AS {a[i]}"
+        for i, c in enumerate(feats)
+    )
+    order = ", ".join(a)
+    parts = [
+        f"WITH pat AS (SELECT {order}, CAST(count(*) AS BIGINT) AS n",
+        f"             FROM (SELECT {ind} FROM ({_FS_PAIRS_SQL}))",
+        f"             GROUP BY {order}),",
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM pat),",
+        f"p0 AS (SELECT CAST({init_p!r} AS DOUBLE) AS p, "
+        + ", ".join(
+            f"CAST({init_m!r} AS DOUBLE) AS m{i}, CAST({init_u!r} AS DOUBLE) AS u{i}"
+            for i in range(k)
+        )
+        + "),",
+    ]
+    for t in range(1, n_iter + 1):
+        wm = "p" + "".join(
+            f" * (CASE WHEN {a[i]} = 1 THEN m{i} ELSE 1.0 - m{i} END)" for i in range(k)
+        )
+        wu = "(1.0 - p)" + "".join(
+            f" * (CASE WHEN {a[i]} = 1 THEN u{i} ELSE 1.0 - u{i} END)" for i in range(k)
+        )
+        parts.append(
+            f"e{t} AS (SELECT pat.*, {wm} AS wm, {wu} AS wu FROM pat, p{t - 1}),"
+        )
+        sums = [
+            f"sum(n * (wm / (wm + wu)) ORDER BY {order}) AS sum_r",
+            f"sum(n * (1.0 - wm / (wm + wu)) ORDER BY {order}) AS sum_1r",
+        ]
+        for i in range(k):
+            sums.append(
+                f"sum(CASE WHEN {a[i]} = 1 THEN n * (wm / (wm + wu)) "
+                f"ELSE CAST(0.0 AS DOUBLE) END ORDER BY {order}) AS sm{i}"
+            )
+            sums.append(
+                f"sum(CASE WHEN {a[i]} = 1 THEN n * (1.0 - wm / (wm + wu)) "
+                f"ELSE CAST(0.0 AS DOUBLE) END ORDER BY {order}) AS su{i}"
+            )
+        parts.append(f"s{t} AS (SELECT {', '.join(sums)} FROM e{t}),")
+        ms = ", ".join(
+            f"least(greatest(sm{i} / sum_r, 1e-6), 1.0 - 1e-6) AS m{i}, "
+            f"least(greatest(su{i} / sum_1r, 1e-6), 1.0 - 1e-6) AS u{i}"
+            for i in range(k)
+        )
+        parts.append(
+            f"p{t} AS (SELECT least(greatest(sum_r / total, 1e-6), 1.0 - 1e-6) AS p, "
+            f"{ms} FROM s{t}, tot),"
+        )
+    # strip the trailing comma of the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT '{c}' AS feature, round(m{i}, 6) AS m_prob, round(u{i}, 6) AS u_prob, "
+        f"round(log2(m{i} / u{i}), 6) AS w_agree, "
+        f"round(log2((1.0 - m{i}) / (1.0 - u{i})), 6) AS w_disagree, "
+        f"round(p, 6) AS prior FROM p{n_iter}"
+        for i, c in enumerate(feats)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -3964,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": _q_shard_stats,
         "seasonal_adjust": _q_seasonal_adjust,
         "benford": _q_benford,
+        "fs_em": _q_fs_em,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7129,6 +7211,10 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN c USING (c_mktsegment) CROSS JOIN g
         """,
         # build_model: rows-only (RandomForest scores are engine-specific)
+        # er.fs_em n_iter=10: unrolled EM CTE chain generated by
+        # _sql_fs_em — ordered-aggregate folds replay the driver's
+        # sorted-pattern accumulation bit-for-bit
+        "fs_em": _sql_fs_em(10),
         # features.seasonal_adjust scale=1e6 by event_type/hour: BIGINT
         # quantized phase/group sums, unrounded seasonal reused by
         # adjusted (mirrors Spark operand order), NULL passthrough

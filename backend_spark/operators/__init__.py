@@ -37,6 +37,7 @@ from backend_spark.operators.reshape import (
 from backend_spark.operators.er import (
     blocking_eval,
     er_resolve,
+    fs_em,
     fs_score,
     fs_weights,
     key_collision,
@@ -64,7 +65,7 @@ __all__ = [
     "interval_join",
     "compact_latest",
     "connected_components", "op_clique", "er_resolve", "pair_features", "blocking_eval",
-    "fs_weights", "fs_score", "key_collision",
+    "fs_weights", "fs_score", "fs_em", "key_collision",
     "label_propagation", "link_prediction", "modularity",
     "shortest_paths", "sorted_neighborhood", "negative_edges",
 ]

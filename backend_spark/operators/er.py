@@ -504,3 +504,114 @@ def key_collision(
         )
         .where(F.col("n_variants") >= min_variants)
     )
+
+
+def fs_em(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    n_iter: int = 10,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """UNSUPERVISED Fellegi-Sunter estimation via EM over agreement
+    patterns (Winkler 1988; the algorithm behind Splink) — when no
+    labeled pairs exist, the m/u probabilities and the match prior
+    ``lambda`` are learned from the candidate pairs' agreement-pattern
+    frequencies alone.  This is the missing half of :func:`fs_weights`
+    (which needs labels) and upgrades the reference's workflow: its
+    users hand-tune score thresholds in the validation UI; EM derives
+    principled weights from the same blocked pairs first.
+
+    The sufficient statistic is tiny: the 2^k agreement-pattern count
+    table (ONE map-side-combined aggregate over the pairs — the corpus
+    is touched exactly once; ``k = len(feature_cols)`` is capped at 16
+    so the collect is bounded).  EM then runs driver-side in a FIXED
+    deterministic order — patterns sorted, features left-to-right,
+    probabilities clamped to [1e-6, 1-1e-6] after every M-step — so the
+    trajectory is bit-reproducible and the DuckDB oracle replays the
+    identical float sequence with ordered-aggregate folds (the
+    bpe_train unrolled-iteration pattern).
+
+    Output: one row per feature (feature, m_prob, u_prob, w_agree,
+    w_disagree, prior) — ``prior`` is the estimated match proportion
+    lambda, identical on every row.  EM fits a 2-class latent mixture;
+    as with any EM, it finds a local optimum and the "match" class is
+    the one seeded by ``init_m > init_u``.  NULL agreement values count
+    as disagreement, matching :func:`fs_weights`.
+    """
+    import math
+
+    k = len(feature_cols)
+    if not 1 <= k <= 16:
+        raise ValueError(f"fs_em: need 1..16 feature_cols, got {k}")
+    missing = [c for c in feature_cols if c not in pairs.columns]
+    if missing:
+        raise ValueError(f"fs_em: column(s) not in pairs: {missing}")
+    if n_iter < 1:
+        raise ValueError(f"fs_em: n_iter must be >= 1, got {n_iter}")
+    if not (0.0 < init_p < 1.0 and 0.0 < init_u < init_m < 1.0):
+        raise ValueError(
+            "fs_em: need 0 < init_p < 1 and 0 < init_u < init_m < 1 "
+            f"(got p={init_p}, m={init_m}, u={init_u})"
+        )
+    inds = [
+        (F.coalesce(F.col(c).cast("int"), F.lit(0)) != 0)
+        .cast("int")
+        .alias(f"__a{i}")
+        for i, c in enumerate(feature_cols)
+    ]
+    names = [f"__a{i}" for i in range(k)]
+    rows = (
+        pairs.select(*inds)
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("fs_em: no pairs")
+    pats = sorted((tuple(r[a] for a in names), r["__n"]) for r in rows)
+    total = sum(n for _, n in pats)
+    eps = 1e-6
+    p = float(init_p)
+    m = [float(init_m)] * k
+    u = [float(init_u)] * k
+    for _ in range(n_iter):
+        sum_r = 0.0
+        sum_1r = 0.0
+        sm = [0.0] * k
+        su = [0.0] * k
+        for a, n in pats:  # sorted pattern order — the fold the oracle replays
+            wm = p
+            wu = 1.0 - p
+            for i in range(k):
+                wm *= m[i] if a[i] else 1.0 - m[i]
+                wu *= u[i] if a[i] else 1.0 - u[i]
+            r = wm / (wm + wu)
+            sum_r += n * r
+            sum_1r += n * (1.0 - r)
+            for i in range(k):
+                if a[i]:
+                    sm[i] += n * r
+                    su[i] += n * (1.0 - r)
+        p = min(max(sum_r / total, eps), 1.0 - eps)
+        for i in range(k):
+            m[i] = min(max(sm[i] / sum_r, eps), 1.0 - eps)
+            u[i] = min(max(su[i] / sum_1r, eps), 1.0 - eps)
+    out = [
+        (
+            c,
+            round(m[i], ndigits),
+            round(u[i], ndigits),
+            round(math.log2(m[i] / u[i]), ndigits),
+            round(math.log2((1.0 - m[i]) / (1.0 - u[i])), ndigits),
+            round(p, ndigits),
+        )
+        for i, c in enumerate(feature_cols)
+    ]
+    return pairs.sparkSession.createDataFrame(
+        out,
+        "feature string, m_prob double, u_prob double, w_agree double, "
+        "w_disagree double, prior double",
+    )

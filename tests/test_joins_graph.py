@@ -2038,3 +2038,50 @@ def test_key_collision_clusters_variants(spark):
         key_collision(df, "zzz")
     with pytest.raises(ValueError, match="min_variants"):
         key_collision(df, "name", min_variants=0)
+
+
+def test_fs_em_recovers_planted_mixture(spark):
+    import pytest
+
+    from backend_spark.operators import fs_em, fs_score
+
+    # planted two-class data: 40% matches agree on f1 90% / f2 80%;
+    # unmatches agree 10% / 20%.  EM gets no labels.
+    rows = []
+    rid = 0
+    for is_match, count in [(1, 400), (0, 600)]:
+        for j in range(count):
+            f1 = int((j * 7) % 10 < (9 if is_match else 1))
+            f2 = int((j * 3) % 10 < (8 if is_match else 2))
+            rows.append((rid, f1, f2))
+            rid += 1
+    df = spark.createDataFrame(rows, "pid long, f1 int, f2 int")
+    w = {r.feature: r for r in fs_em(df, ["f1", "f2"], n_iter=25).collect()}
+    # the match class must separate: m >> u on both features, and the
+    # prior must land near the planted 40%
+    assert w["f1"].m_prob > 0.8 and w["f1"].u_prob < 0.2
+    assert w["f2"].m_prob > 0.6 and w["f2"].u_prob < 0.35
+    assert 0.3 < w["f1"].prior < 0.5
+    assert w["f1"].w_agree > 0 > w["f1"].w_disagree
+    # the learned weights rank full-agreement pairs above full-disagreement
+    wdf = fs_em(df, ["f1", "f2"], n_iter=25)
+    scored = {r.pid: r.match_weight for r in fs_score(df, wdf, ["f1", "f2"]).collect()}
+    assert scored[0] == max(scored.values())  # pid 0: f1=f2=1
+    with pytest.raises(ValueError, match="feature_cols"):
+        fs_em(df, [])
+    with pytest.raises(ValueError, match="n_iter"):
+        fs_em(df, ["f1"], n_iter=0)
+    with pytest.raises(ValueError, match="init"):
+        fs_em(df, ["f1"], init_m=0.1, init_u=0.9)
+
+
+def test_fs_em_trace_is_deterministic(spark):
+    from backend_spark.operators import fs_em
+
+    df = spark.createDataFrame(
+        [(i, int(i % 3 == 0), int(i % 2 == 0)) for i in range(60)],
+        "pid long, f1 int, f2 int",
+    )
+    a = sorted(map(tuple, fs_em(df, ["f1", "f2"], n_iter=7).collect()))
+    b = sorted(map(tuple, fs_em(df.repartition(13), ["f1", "f2"], n_iter=7).collect()))
+    assert a == b  # partitioning cannot move the trajectory

@@ -318,6 +318,9 @@ EXPECT = {
     "seasonal_adjust": (["BroadcastHashJoin"], ["SortMergeJoin", "Window", "CartesianProduct"]),
     # one keyed count + broadcast totals; digit extraction is pure Column
     "benford": (["partial"], ["SortMergeJoin", "Window", "CartesianProduct", "Python"]),
+    # the returned weights table is driver-assembled (bounded: one row
+    # per feature; EM ran on the 2^k pattern counts) — bpe_train shape
+    "fs_em": ([], ["Exchange", "CartesianProduct"]),
 }
 
 
