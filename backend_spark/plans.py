@@ -372,15 +372,18 @@ class RecipeBook:
                 scale=a.get("scale", 1_000_000),
             )
         if name == "fs_score":
-            # Fellegi-Sunter match weights: estimate on this frame's
-            # labeled pairs, or score with a provided weights dataset
-            from backend_spark.operators import fs_score, fs_weights
+            # Fellegi-Sunter match weights: score with a provided
+            # weights dataset, estimate from labeled pairs, or — with
+            # neither — learn unsupervised via deterministic EM
+            from backend_spark.operators import fs_em, fs_score, fs_weights
 
             feats = a["features"]
             if a.get("weights"):
                 w = self.dataset(a["weights"])
-            else:
+            elif a.get("label"):
                 w = fs_weights(df, feats, a["label"], smoothing=a.get("smoothing", 0.5))
+            else:
+                w = fs_em(df, feats, n_iter=a.get("iters", 10))
             return fs_score(df, w, feats, out_col=a.get("out", "match_weight"))
         if name == "checksum":
             from backend_spark.quality import table_checksum

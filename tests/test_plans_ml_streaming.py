@@ -2204,3 +2204,29 @@ def test_benford_digits_and_expectations(spark):
     assert got[1].deviation == round(0.5 - math.log10(2), 6)
     with pytest.raises(ValueError, match="not in df"):
         benford(df, "zzz")
+
+
+def test_recipe_fs_score_unsupervised_fallback(spark):
+    # no label, no weights dataset -> EM path
+    conf = load_conf(
+        """
+recipes:
+  match:
+    steps:
+      - fs_score:
+          features: [f1, f2]
+          iters: 15
+"""
+    )
+    book = RecipeBook(conf, spark=spark)
+    rows = []
+    for i in range(200):
+        match = i < 80
+        rows.append((i, int((i * 7) % 10 < (9 if match else 1)),
+                     int((i * 3) % 10 < (8 if match else 2))))
+    pairs = spark.createDataFrame(rows, "pid long, f1 int, f2 int")
+    scored = {r.pid: r.match_weight for r in book.compile("match")(pairs).collect()}
+    both = [p for p in scored if p < 80][0]
+    agree = scored[0]
+    disagree = scored[199]
+    assert agree > disagree  # EM-learned weights still rank correctly
