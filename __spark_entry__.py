@@ -3681,6 +3681,14 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_pca_top(spark, sf):
+    """Top principal component of the embeddings corpus — int64
+    partial Grams over Arrow batches, deterministic driver power
+    iteration, unrolled-matvec oracle."""
+    emb = load_table(spark, sf, "embeddings")
+    return llm.pca_top(emb, "embedding", dim=64, scale=1000, n_iter=30)
+
+
 def _q_fs_em(spark, sf):
     """Unsupervised FS weights via deterministic EM over the agreement
     -pattern table (labels ignored) — ONE corpus aggregate, bounded
@@ -3948,6 +3956,41 @@ def _sql_fs_em(n_iter: int, init_p: float = 0.1, init_m: float = 0.9, init_u: fl
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _sql_pca_top(d: int, scale: int, n_iter: int) -> str:
+    """Unrolled power-iteration oracle for ``pca_top`` over the
+    embeddings table: exact BIGINT Gram/sum CTEs, then per iteration a
+    matvec with ascending-j ordered folds, an ordered L2 norm, and a
+    normalize — replaying the driver trajectory bit-for-bit (fs_em
+    pattern; holds even before convergence)."""
+    parts = [
+        f"WITH q AS MATERIALIZED (SELECT e.vec_id, CAST(t.i AS INT) AS i,",
+        f"                  CAST(round(e.embedding[CAST(t.i AS INT)] * {scale}) AS BIGINT) AS q",
+        f"           FROM embeddings e, range(1, {d + 1}) t(i)),",
+        "g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g",
+        "      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),",
+        "sv AS MATERIALIZED (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY i),",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),",
+        "c AS MATERIALIZED (SELECT g.i, g.j, nn.n * g.g - sa.s * sb.s AS v",
+        "      FROM g CROSS JOIN nn JOIN sv sa ON sa.i = g.i JOIN sv sb ON sb.i = g.j),",
+        f"x0 AS (SELECT CAST(t.i AS INT) AS i, CAST(1.0 AS DOUBLE) AS x",
+        f"       FROM range(1, {d + 1}) t(i)),",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"y{t} AS MATERIALIZED (SELECT c.i AS i, sum(c.v * x.x ORDER BY c.j) AS y"
+            f" FROM c JOIN x{t - 1} x ON x.i = c.j GROUP BY c.i),"
+        )
+        parts.append(f"n{t} AS (SELECT sqrt(sum(y * y ORDER BY i)) AS nrm FROM y{t}),")
+        parts.append(f"x{t} AS MATERIALIZED (SELECT i, y / nrm AS x FROM y{t}, n{t}),")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT x.i - 1 AS dim, round(x.x, 6) AS loading,"
+        f" round(n{n_iter}.nrm / (nn.n * nn.n * {scale * scale}), 6) AS eigenvalue"
+        f" FROM x{n_iter} x CROSS JOIN n{n_iter} CROSS JOIN nn"
+    )
+    return "\n".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4046,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_adjust": _q_seasonal_adjust,
         "benford": _q_benford,
         "fs_em": _q_fs_em,
+        "pca_top": _q_pca_top,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7215,6 +7259,10 @@ def oracle_sql() -> dict[str, str]:
         # _sql_fs_em — ordered-aggregate folds replay the driver's
         # sorted-pattern accumulation bit-for-bit
         "fs_em": _sql_fs_em(10),
+        # llm.pca_top d=64 scale=1000 n_iter=30: generated unrolled
+        # power-iteration CTE chain (exact integer covariance, ordered
+        # matvec folds)
+        "pca_top": _sql_pca_top(64, 1000, 30),
         # features.seasonal_adjust scale=1e6 by event_type/hour: BIGINT
         # quantized phase/group sums, unrounded seasonal reused by
         # adjusted (mirrors Spark operand order), NULL passthrough

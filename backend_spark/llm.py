@@ -4795,3 +4795,121 @@ def freq_phrases(
         .where(F.col("__ext").isNull() | (F.col("__ext") < F.col("cnt")))
         .select("phrase", F.col("n").cast("int").alias("n"), "cnt")
     )
+
+
+def pca_top(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: int = 1000,
+    n_iter: int = 30,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Top principal component of an embedding column — deterministic,
+    hash-exact PCA for corpus-level embedding analytics (dominant
+    variance direction; the building block for whitening checks,
+    drift-of-the-embedding-space monitors, and the classic "remove the
+    top component" rogue-dimension fix of Mu & Viswanath 2018).
+
+    Two-phase, exact-arithmetic design (the ridge_train playbook):
+
+    1. Components quantize to ``round(v·scale)`` int64; ONE
+       ``mapInPandas`` pass emits per-batch integer partial Grams
+       (``qᵀq``, dim×dim), component sums, and counts — Arrow-batched
+       numpy matmul on int64, the documented Python-boundary exception,
+       shipping ≤ (dim² + dim + 1) rows per batch instead of the
+       corpus.  A keyed sum folds partials; the collect is bounded by
+       dim² (dim ≤ 256 guarded).
+    2. The scaled covariance ``C' = n·G − s·sᵀ`` (still exact BIGINT)
+       gets ``n_iter`` driver-side power iterations from the all-ones
+       vector, ascending-index accumulation, L2 normalization each
+       step — a bit-reproducible trajectory the DuckDB oracle replays
+       with ordered-aggregate folds (fs_em/bpe_train pattern), so the
+       gate holds even BEFORE convergence.
+
+    Integer headroom: |q| ≤ max|v|·scale; Gram entries bound by
+    n·(max|v|·scale)² and C' by n²·(…)² — unit-norm embeddings at the
+    default scale keep exact past 10^6 rows; beyond that lower
+    ``scale`` (the trajectory changes but stays engine-exact).
+    Output: (dim, loading, eigenvalue) — loadings of the unit top
+    component, eigenvalue in original variance units, identical on
+    every row.  Sign follows the all-ones init deterministically.
+    """
+    import math
+
+    if not 1 <= dim <= 256:
+        raise ValueError(f"pca_top: need 1 <= dim <= 256, got {dim}")
+    if scale < 1 or n_iter < 1:
+        raise ValueError(f"pca_top: scale and n_iter must be >= 1, got {scale}, {n_iter}")
+    if vec_col not in df.columns:
+        raise ValueError(f"pca_top: column {vec_col!r} not in df")
+    d = dim
+
+    def _gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((d, d), dtype=np.int64)
+        s = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.stack(pdf[vec_col].to_numpy())
+            if arr.shape[1] != d:
+                raise ValueError(f"pca_top: vector length {arr.shape[1]} != dim {d}")
+            x = arr * float(scale)
+            q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)  # half-away
+            G += q.T @ q
+            s += q.sum(axis=0)
+            n += len(q)
+        ii, jj = np.triu_indices(d)
+        out = {
+            "i": np.concatenate([ii, np.arange(d), [-1]]),
+            "j": np.concatenate([jj, np.full(d, -1), [-1]]),
+            "v": np.concatenate([G[ii, jj], s, [n]]),
+        }
+        yield pd.DataFrame(out)
+
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(_gram, schema="i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    G = [[0] * d for _ in range(d)]
+    s = [0] * d
+    n = 0
+    for r in parts:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            s[r["i"]] = r["v"]
+        else:
+            G[r["i"]][r["j"]] = r["v"]
+            G[r["j"]][r["i"]] = r["v"]
+    if n < 2:
+        raise ValueError(f"pca_top: need at least 2 vectors, got {n}")
+    C = [[n * G[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+    x = [1.0] * d
+    norm = 0.0
+    for _ in range(n_iter):
+        y = [0.0] * d
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):  # ascending j — the fold the oracle replays
+                acc += C[i][j] * x[j]
+            y[i] = acc
+        sq = 0.0
+        for i in range(d):
+            sq += y[i] * y[i]
+        norm = math.sqrt(sq)
+        if norm == 0.0:
+            raise ValueError("pca_top: zero covariance (constant vectors?)")
+        x = [y[i] / norm for i in range(d)]
+    lam = norm / float(n * n * scale * scale)
+    rows = [(i, round(x[i], ndigits), round(lam, ndigits)) for i in range(d)]
+    return df.sparkSession.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double"
+    )

@@ -2085,3 +2085,38 @@ def test_fs_em_trace_is_deterministic(spark):
     a = sorted(map(tuple, fs_em(df, ["f1", "f2"], n_iter=7).collect()))
     b = sorted(map(tuple, fs_em(df.repartition(13), ["f1", "f2"], n_iter=7).collect()))
     assert a == b  # partitioning cannot move the trajectory
+
+
+def test_pca_top_matches_numpy(spark):
+    import numpy as np
+    import pytest
+
+    from backend_spark.llm import pca_top
+
+    # planted dominant direction + noise, checked against numpy eigh
+    rng_free = [(i * 2654435761) % 1000 / 1000.0 for i in range(400)]
+    rows = []
+    for r in range(100):
+        t = rng_free[r]
+        v = [3.0 * t + 0.01 * rng_free[100 + (r * 4 + c) % 300] for c in range(4)]
+        v[0] += 2.0 * t  # dim 0 loads hardest
+        rows.append(([float(x) for x in v],))
+    df = spark.createDataFrame(rows, "emb array<double>")
+    out = pca_top(df, "emb", dim=4, scale=100000, n_iter=60).collect()
+    got = np.array([r.loading for r in sorted(out, key=lambda r: r.dim)])
+    lam = out[0].eigenvalue
+    arr = np.array([r[0] for r in rows])
+    q = np.sign(arr * 100000) * np.floor(np.abs(arr * 100000) + 0.5)
+    cov = np.cov(q / 100000, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    top = v[:, -1] * np.sign(v[:, -1].sum())
+    mine = got * np.sign(got.sum())
+    assert np.abs(mine - top).max() < 1e-4
+    assert lam == pytest.approx(w[-1], rel=1e-3)
+    # determinism across partitioning
+    again = pca_top(df.repartition(7), "emb", dim=4, scale=100000, n_iter=60).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with pytest.raises(ValueError, match="not in df"):
+        pca_top(df, "zzz", dim=4)
+    with pytest.raises(Exception, match="vector length"):
+        pca_top(df, "emb", dim=5).collect()

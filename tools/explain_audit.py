@@ -321,6 +321,9 @@ EXPECT = {
     # the returned weights table is driver-assembled (bounded: one row
     # per feature; EM ran on the 2^k pattern counts) — bpe_train shape
     "fs_em": ([], ["Exchange", "CartesianProduct"]),
+    # driver-assembled loading table (bounded by dim); the Gram pass ran
+    # eagerly through mapInPandas at build time — bpe_train shape
+    "pca_top": ([], ["Exchange", "CartesianProduct"]),
 }
 
 
