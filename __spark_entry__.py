@@ -3681,6 +3681,38 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_ridge_by(spark, sf):
+    """Per-returnflag hash-exact ridge models from ONE keyed moment
+    aggregate + bounded per-group Cramer solves."""
+    from backend_spark.ml import ridge_train_by
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    return ridge_train_by(li, "g", ["x1", "x2"], "y")
+
+
+def _q_ridge_apply_by(spark, sf):
+    """Group-routed scoring with the per-segment models: broadcast
+    weight pivot + pure projection over the fact scan."""
+    from backend_spark.ml import ridge_apply_by, ridge_train_by
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    w = ridge_train_by(li, "g", ["x1", "x2"], "y")
+    return ridge_apply_by(li, w, "g", ["x1", "x2"]).select(
+        "l_orderkey", "l_linenumber", "g", "x1", "x2", "pred"
+    )
+
+
 def _q_pca_top(spark, sf):
     """Top principal component of the embeddings corpus — int64
     partial Grams over Arrow batches, deterministic driver power
@@ -3859,6 +3891,49 @@ def _q_fs_score(spark, sf):
         "left_id", "right_id", "match_weight"
     )
 
+
+# shared CTE chain for the ridge_by / ridge_apply_by oracles: the
+# proven ridge Cramer algebra (same pinned parenthesization) keyed by
+# returnflag
+_RIDGE_BY_CTES = """
+            WITH src AS (SELECT l_returnflag AS g, l_quantity AS x1,
+                                l_discount AS x2, l_extendedprice AS y
+                         FROM lineitem),
+            rq AS (SELECT g,
+                          CAST(round(CAST(x1 AS DOUBLE) * 1000000.0) AS BIGINT) AS q1,
+                          CAST(round(CAST(x2 AS DOUBLE) * 1000000.0) AS BIGINT) AS q2,
+                          CAST(round(CAST(y AS DOUBLE) * 1000000.0) AS BIGINT) AS qy
+                   FROM src),
+            rs AS (SELECT g, count(*) AS n,
+                          sum(CAST(q1 AS HUGEINT)) AS s0, sum(CAST(q2 AS HUGEINT)) AS s1,
+                          sum(CAST(qy AS HUGEINT)) AS s2,
+                          sum(CAST(q1 AS HUGEINT) * q1) AS s00,
+                          sum(CAST(q1 AS HUGEINT) * q2) AS s01,
+                          sum(CAST(q1 AS HUGEINT) * qy) AS s02,
+                          sum(CAST(q2 AS HUGEINT) * q2) AS s11,
+                          sum(CAST(q2 AS HUGEINT) * qy) AS s12
+                   FROM rq GROUP BY g),
+            rm AS (SELECT g, CAST(n AS DOUBLE) AS a11,
+                          CAST(s0 AS DOUBLE) / 1000000.0 AS a12,
+                          CAST(s1 AS DOUBLE) / 1000000.0 AS a13,
+                          CAST(s00 AS DOUBLE) / 1000000000000.0 + 0.001 AS a22,
+                          CAST(s01 AS DOUBLE) / 1000000000000.0 AS a23,
+                          CAST(s11 AS DOUBLE) / 1000000000000.0 + 0.001 AS a33,
+                          CAST(s2 AS DOUBLE) / 1000000.0 AS b1,
+                          CAST(s02 AS DOUBLE) / 1000000000000.0 AS b2,
+                          CAST(s12 AS DOUBLE) / 1000000000000.0 AS b3
+                   FROM rs),
+            w AS (SELECT g,
+                (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+                     + a13 * (a12 * a23 - a22 * a13)) AS det,
+                (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+                     + a13 * (b2 * a23 - a22 * b3)) AS det0,
+                (a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13)
+                     + a13 * (a12 * b3 - b2 * a13)) AS det1,
+                (a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13)
+                     + b1 * (a12 * a23 - a22 * a13)) AS det2
+              FROM rm)
+"""
 
 from backend_spark.features import _BENFORD_P as _BP
 
@@ -4093,6 +4168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": _q_benford,
         "fs_em": _q_fs_em,
         "pca_top": _q_pca_top,
+        "ridge_by": _q_ridge_by,
+        "ridge_apply_by": _q_ridge_apply_by,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7266,6 +7343,27 @@ def oracle_sql() -> dict[str, str]:
         # power-iteration CTE chain (exact integer covariance, ordered
         # matvec folds)
         "pca_top": _sql_pca_top(64, 1000, 30),
+        # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
+        # returnflag (shared _RIDGE_BY_CTES chain)
+        "ridge_by": _RIDGE_BY_CTES + """
+            SELECT g, '__intercept__' AS feature, round(det0 / det, 6) AS weight FROM w
+            UNION ALL SELECT g, 'x1', round(det1 / det, 6) FROM w
+            UNION ALL SELECT g, 'x2', round(det2 / det, 6) FROM w
+        """,
+        # ml.ridge_apply_by: weights ROUNDED to 6 first (Spark joins the
+        # rounded table), then the pinned w0 + w1*x1 + w2*x2 projection
+        "ridge_apply_by": _RIDGE_BY_CTES.rstrip() + """,
+            ww AS (SELECT g, round(det0 / det, 6) AS w0,
+                          round(det1 / det, 6) AS w1,
+                          round(det2 / det, 6) AS w2 FROM w)
+            SELECT l.l_orderkey, CAST(l.l_linenumber AS INT) AS l_linenumber,
+                   l.g, l.x1, l.x2,
+                   round(ww.w0 + ww.w1 * CAST(l.x1 AS DOUBLE)
+                         + ww.w2 * CAST(l.x2 AS DOUBLE), 6) AS pred
+            FROM (SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+                         l_quantity AS x1, l_discount AS x2 FROM lineitem) l
+            LEFT JOIN ww USING (g)
+        """,
         # features.seasonal_adjust scale=1e6 by event_type/hour: BIGINT
         # quantized phase/group sums, unrounded seasonal reused by
         # adjusted (mirrors Spark operand order), NULL passthrough

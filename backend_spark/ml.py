@@ -742,3 +742,132 @@ def psi(
         F.round(q, ndigits).alias("p_actual"),
         F.round((p - q) * F.log(p / q), ndigits).alias("psi_term"),
     )
+
+
+def ridge_train_by(
+    df: DataFrame,
+    group_col: str,
+    feature_cols: list[str],
+    label_col: str,
+    l2: float = 1e-3,
+    qscale: float = 1e6,
+    ndigits: int = 6,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Per-group :func:`ridge_train` — one hash-exact linear model per
+    segment (market segment, language, source…) from ONE pass: the
+    same quantized DECIMAL(38,0) moment sums, keyed by ``group_col``
+    instead of global, then the pinned d=2 Cramer solve per group
+    driver-side.  "Train a model per segment over 100 TB" stays a
+    single map-side-combined aggregate; the collect is |groups| rows
+    (guarded by ``max_groups``) and the solve is O(|groups|).
+
+    Groups whose normal equations are singular (fewer than 3 distinct
+    points, collinear features) raise with the group named — silent
+    NULL weights would poison a downstream :func:`ridge_apply_by`.
+
+    Returns (group_col, feature, weight): ``__intercept__`` then the
+    two features, per group.
+    """
+    if len(feature_cols) != 2:
+        raise ValueError("ridge_train_by: exactly 2 feature columns supported (d=2 Cramer solve)")
+    if l2 < 0:
+        raise ValueError(f"ridge_train_by: l2 must be >= 0, got {l2}")
+    if group_col not in df.columns:
+        raise ValueError(f"ridge_train_by: group column {group_col!r} not in df")
+    cols = [*feature_cols, label_col]
+    q = [F.round(F.col(c).cast("double") * F.lit(qscale)).cast("long") for c in cols]
+    qd = [x.cast("decimal(38,0)") for x in q]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, x in enumerate(qd):
+        aggs.append(F.sum(x).alias(f"s{i}"))
+    for i in range(len(qd)):
+        for j in range(i, len(qd)):
+            aggs.append(F.sum(qd[i] * qd[j]).alias(f"s{i}{j}"))
+    rows = df.groupBy(group_col).agg(*aggs).collect()
+    if not rows:
+        raise ValueError("ridge_train_by: empty input DataFrame")
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"ridge_train_by: {len(rows)} groups exceed max_groups={max_groups} "
+            "— is the group column actually categorical?"
+        )
+    q1 = float(qscale)
+    q2 = q1 * q1
+    out = []
+    for row in sorted(rows, key=lambda r: (r[group_col] is None, r[group_col])):
+        g = row[group_col]
+        s = {}
+        for k, v in row.asDict().items():
+            if k in (group_col, "n"):
+                continue
+            if v is None:
+                raise OverflowError(f"ridge_train_by: DECIMAL(38,0) sum overflow in {k} (group {g!r})")
+            s[k[1:]] = int(v)
+        a11 = float(row["n"])
+        a12 = float(s["0"]) / q1
+        a13 = float(s["1"]) / q1
+        a22 = float(s["00"]) / q2 + l2
+        a23 = float(s["01"]) / q2
+        a33 = float(s["11"]) / q2 + l2
+        b1 = float(s["2"]) / q1
+        b2 = float(s["02"]) / q2
+        b3 = float(s["12"]) / q2
+        A = [[a11, a12, a13], [a12, a22, a23], [a13, a23, a33]]
+        det = _det3(A)
+        if det == 0.0:
+            raise ValueError(f"ridge_train_by: singular normal equations in group {g!r} (raise l2)")
+        w0 = _det3([[b1, a12, a13], [b2, a22, a23], [b3, a23, a33]]) / det
+        w1 = _det3([[a11, b1, a13], [a12, b2, a23], [a13, b3, a33]]) / det
+        w2 = _det3([[a11, a12, b1], [a12, a22, b2], [a13, a23, b3]]) / det
+        out.append((g, "__intercept__", round(w0, ndigits)))
+        out.append((g, feature_cols[0], round(w1, ndigits)))
+        out.append((g, feature_cols[1], round(w2, ndigits)))
+    gtype = dict(df.dtypes)[group_col]
+    return df.sparkSession.createDataFrame(
+        out, f"{group_col} {gtype}, feature string, weight double"
+    )
+
+
+def ridge_apply_by(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str,
+    feature_cols: list[str],
+    out_col: str = "pred",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Score with :func:`ridge_train_by` output: the per-group weight
+    triples pivot to one row per group and BROADCAST-join back on the
+    group key; the prediction ``w0 + w1·x1 + w2·x2`` (that operand
+    order, rounded) is a pure projection — the corpus never shuffles.
+    Rows from groups absent in the weights table get NULL predictions
+    (score-time segments the trainer never saw should be visible, not
+    silently zeroed).
+    """
+    if len(feature_cols) != 2:
+        raise ValueError("ridge_apply_by: exactly 2 feature columns supported")
+    missing = [c for c in [group_col, *feature_cols] if c not in df.columns]
+    if missing:
+        raise ValueError(f"ridge_apply_by: column(s) not in df: {missing}")
+    w = (
+        weights.groupBy(group_col)
+        .pivot("feature", ["__intercept__", *feature_cols])
+        .agg(F.first("weight"))
+        .select(
+            F.col(group_col),
+            F.col("__intercept__").alias("__w0"),
+            F.col(feature_cols[0]).alias("__w1"),
+            F.col(feature_cols[1]).alias("__w2"),
+        )
+    )
+    pred = (
+        F.col("__w0")
+        + F.col("__w1") * F.col(feature_cols[0]).cast("double")
+        + F.col("__w2") * F.col(feature_cols[1]).cast("double")
+    )
+    return (
+        df.join(F.broadcast(w), group_col, "left")
+        .withColumn(out_col, F.round(pred, ndigits))
+        .drop("__w0", "__w1", "__w2")
+    )

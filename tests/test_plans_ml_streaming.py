@@ -2230,3 +2230,42 @@ recipes:
     agree = scored[0]
     disagree = scored[199]
     assert agree > disagree  # EM-learned weights still rank correctly
+
+
+def test_ridge_train_by_matches_global_per_group(spark):
+    import pytest
+
+    from backend_spark.ml import ridge_apply_by, ridge_train, ridge_train_by
+
+    # two groups with DIFFERENT planted linear laws
+    rows = []
+    for i in range(60):
+        x1, x2 = float(i % 7), float((i * 3) % 5)
+        rows.append(("a", x1, x2, 2.0 + 3.0 * x1 - 1.0 * x2))
+        rows.append(("b", x1, x2, -1.0 + 0.5 * x1 + 2.0 * x2))
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    per = ridge_train_by(df, "g", ["x1", "x2"], "y", l2=1e-6)
+    got = {(r.g, r.feature): r.weight for r in per.collect()}
+    # per-group weights == ridge_train run on that group's slice alone
+    for g in ("a", "b"):
+        solo = {r.feature: r.weight for r in
+                ridge_train(df.where(F.col("g") == g), ["x1", "x2"], "y", l2=1e-6).collect()}
+        for f in ("__intercept__", "x1", "x2"):
+            assert got[(g, f)] == solo[f], (g, f)
+    # and they recover the planted laws
+    assert abs(got[("a", "x1")] - 3.0) < 1e-3 and abs(got[("b", "x2")] - 2.0) < 1e-3
+    # apply: group-routed predictions; unseen group -> NULL
+    test = spark.createDataFrame(
+        [("a", 2.0, 1.0), ("b", 2.0, 1.0), ("zz", 2.0, 1.0)],
+        "g string, x1 double, x2 double",
+    )
+    preds = {r.g: r.pred for r in ridge_apply_by(test, per, "g", ["x1", "x2"]).collect()}
+    assert abs(preds["a"] - 7.0) < 1e-2 and abs(preds["b"] - 2.0) < 1e-2
+    assert preds["zz"] is None
+    with pytest.raises(ValueError, match="singular"):
+        ridge_train_by(
+            spark.createDataFrame([("c", 1.0, 1.0, 1.0)], "g string, x1 double, x2 double, y double"),
+            "g", ["x1", "x2"], "y", l2=0.0,
+        )
+    with pytest.raises(ValueError, match="max_groups"):
+        ridge_train_by(df, "g", ["x1", "x2"], "y", max_groups=1)

@@ -324,6 +324,11 @@ EXPECT = {
     # driver-assembled loading table (bounded by dim); the Gram pass ran
     # eagerly through mapInPandas at build time — bpe_train shape
     "pca_top": ([], ["Exchange", "CartesianProduct"]),
+    # driver-assembled per-group weight table (moment agg ran eagerly)
+    "ridge_by": ([], ["Exchange", "CartesianProduct"]),
+    # per-segment scoring: weight pivot broadcast onto the fact scan —
+    # never a sort-merge, never a window
+    "ridge_apply_by": (["BroadcastHashJoin"], ["SortMergeJoin", "Window", "CartesianProduct"]),
 }
 
 
