@@ -3681,6 +3681,19 @@ def _q_cusum(spark, sf):
     )
 
 
+def _q_isotonic(spark, sf):
+    """PAV calibration via the minimax identity over a synthetic
+    monotone-rate score: exact integer bin counts, suffix-min window +
+    max aggregate on the n_bins² pair table."""
+    from backend_spark.ml import isotonic_calibrate
+
+    li = load_table(spark, sf, "lineitem").select(
+        ((F.col("l_partkey") % 100).cast("double") / 100.0).alias("score"),
+        (F.col("l_orderkey") % 100 < F.col("l_partkey") % 100).cast("int").alias("y"),
+    )
+    return isotonic_calibrate(li, "score", "y", n_bins=20)
+
+
 def _q_ridge_by(spark, sf):
     """Per-returnflag hash-exact ridge models from ONE keyed moment
     aggregate + bounded per-group Cramer solves."""
@@ -4170,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top": _q_pca_top,
         "ridge_by": _q_ridge_by,
         "ridge_apply_by": _q_ridge_apply_by,
+        "isotonic": _q_isotonic,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7343,6 +7357,32 @@ def oracle_sql() -> dict[str, str]:
         # power-iteration CTE chain (exact integer covariance, ordered
         # matvec folds)
         "pca_top": _sql_pca_top(64, 1000, 30),
+        # ml.isotonic_calibrate n_bins=20: minimax PAV — prefix sums,
+        # (j,k) pair means as single exact-integer divisions, suffix-min
+        # window, max per bin; no float sums so no ordered folds needed
+        "isotonic": """
+            WITH d AS (SELECT CAST(l_partkey % 100 AS DOUBLE) / 100.0 AS score,
+                              CASE WHEN l_orderkey % 100 < l_partkey % 100
+                                   THEN 1 ELSE 0 END AS y
+                       FROM lineitem),
+            b AS (SELECT CAST(least(greatest(floor(score * 20), 0), 19) AS INT) AS bin,
+                         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+                  FROM d WHERE score IS NOT NULL GROUP BY 1),
+            pre AS (SELECT bin, n, s, sum(n) OVER w AS cn, sum(s) OVER w AS cs
+                    FROM b WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+            pair AS (SELECT lo.bin AS j, hi.bin AS k,
+                            CAST(hi.cs - (lo.cs - lo.s) AS DOUBLE)
+                            / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS m
+                     FROM pre lo JOIN pre hi ON lo.bin <= hi.bin),
+            mm AS (SELECT j, k, min(m) OVER (PARTITION BY j ORDER BY k DESC
+                                             ROWS UNBOUNDED PRECEDING) AS minm
+                   FROM pair),
+            iso AS (SELECT k AS bin, max(minm) AS iso FROM mm GROUP BY k)
+            SELECT b.bin, round(CAST(b.bin AS DOUBLE) / 20, 6) AS score_lo, b.n,
+                   round(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS y_rate,
+                   round(iso.iso, 6) AS calibrated
+            FROM b JOIN iso USING (bin)
+        """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)
         "ridge_by": _RIDGE_BY_CTES + """

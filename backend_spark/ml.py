@@ -871,3 +871,92 @@ def ridge_apply_by(
         .withColumn(out_col, F.round(pred, ndigits))
         .drop("__w0", "__w1", "__w2")
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 100,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration of classifier scores —
+    the standard nonparametric step between a ranker's raw scores and
+    usable match probabilities (Zadrozny & Elkan 2002; the calibrator
+    behind a Fellegi-Sunter threshold that is actually a probability).
+    ``calibration_bins`` DESCRIBES miscalibration; this FIXES it.
+
+    Scores (expected in [0, 1]) bucket to ``n_bins`` fixed-width bins;
+    per-bin label counts are exact BIGINTs.  The fit uses the minimax
+    identity  ``iso(i) = max_{j≤i} min_{k≥i} mean(y[j..k])``  instead
+    of the sequential pool-adjacent-violators loop: contiguous-range
+    means come from prefix sums, the inner min is ONE suffix-min
+    window over the (j, k) pair table, the outer max ONE aggregate —
+    all on a ≤ n_bins² table that never touches the corpus again.  No
+    float SUMS anywhere (means are single divisions of exact integers;
+    min/max/compare are order-free), so the result is engine- and
+    partition-exact without ordered folds.
+
+    Output per non-empty bin: (bin, score_lo, n, y_rate, calibrated) —
+    ``calibrated`` is non-decreasing in ``bin`` by construction.
+    Apply by bucketing scores the same way and joining this table
+    (broadcast — it is ≤ n_bins rows).
+    """
+    if not 2 <= n_bins <= 10_000:
+        raise ValueError(f"isotonic_calibrate: need 2 <= n_bins <= 10000, got {n_bins}")
+    missing = [c for c in (score_col, label_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"isotonic_calibrate: column(s) not in df: {missing}")
+    s = F.col(score_col).cast("double")
+    y = (F.coalesce(F.col(label_col).cast("int"), F.lit(0)) != 0).cast("long")
+    b = F.least(
+        F.greatest(F.floor(s * n_bins), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    bins = (
+        df.where(F.col(score_col).isNotNull())
+        .select(b.alias("bin"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("__s"))
+    )
+    w_pre = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = bins.select(
+        "bin", "n", "__s",
+        F.sum("n").over(w_pre).alias("__cn"),
+        F.sum("__s").over(w_pre).alias("__cs"),
+    )
+    lo = pre.select(
+        F.col("bin").alias("__j"),
+        (F.col("__cn") - F.col("n")).alias("__nj"),  # prefix BEFORE j
+        (F.col("__cs") - F.col("__s")).alias("__sj"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("__k"), F.col("__cn").alias("__nk"), F.col("__cs").alias("__sk")
+    )
+    mean_jk = (F.col("__sk") - F.col("__sj")).cast("double") / (
+        F.col("__nk") - F.col("__nj")
+    ).cast("double")
+    pair = (
+        lo.join(hi, F.col("__j") <= F.col("__k"))
+        .select("__j", "__k", mean_jk.alias("__m"))
+    )
+    w_suf = (
+        Window.partitionBy("__j")
+        .orderBy(F.col("__k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m_ji = pair.select("__j", "__k", F.min("__m").over(w_suf).alias("__minm"))
+    iso = (
+        m_ji.where(F.col("__j") <= F.col("__k"))
+        .groupBy(F.col("__k").alias("bin"))
+        .agg(F.max("__minm").alias("__iso"))
+    )
+    return (
+        bins.join(iso, "bin")
+        .select(
+            "bin",
+            F.round(F.col("bin").cast("double") / n_bins, ndigits).alias("score_lo"),
+            "n",
+            F.round(F.col("__s").cast("double") / F.col("n").cast("double"), ndigits).alias("y_rate"),
+            F.round(F.col("__iso"), ndigits).alias("calibrated"),
+        )
+    )

@@ -2269,3 +2269,38 @@ def test_ridge_train_by_matches_global_per_group(spark):
         )
     with pytest.raises(ValueError, match="max_groups"):
         ridge_train_by(df, "g", ["x1", "x2"], "y", max_groups=1)
+
+
+def test_isotonic_calibrate_pav(spark):
+    import pytest
+
+    from backend_spark.ml import isotonic_calibrate
+
+    # classic pooling case: bins 0/1/2 have rates 1, 0, 1 ->
+    # PAV pools the violating first two to 0.5, keeps the last at 1
+    rows = (
+        [(0.005, 1)]
+        + [(0.15, 0)]
+        + [(0.25, 1)]
+    )
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = {r.bin: r for r in isotonic_calibrate(df, "score", "y", n_bins=10).collect()}
+    assert got[0].calibrated == 0.5 and got[1].calibrated == 0.5
+    assert got[2].calibrated == 1.0
+    assert got[0].y_rate == 1.0 and got[1].y_rate == 0.0
+    # weighted pooling: rates (1.0 x1 row, 0.25 x4 rows) pool to 5/5... 
+    rows2 = [(0.05, 1)] + [(0.15, 1)] + [(0.15, 0)] * 3
+    df2 = spark.createDataFrame(rows2, "score double, y int")
+    got2 = {r.bin: r.calibrated for r in isotonic_calibrate(df2, "score", "y", n_bins=10).collect()}
+    assert got2[0] == got2[1] == 0.4  # pooled weighted mean 2/5
+    # a calibrated column is always non-decreasing in bin
+    import random
+    rnd = [( (i * 37 % 100) / 100.0, int((i * 13) % 7 < 3)) for i in range(300)]
+    df3 = spark.createDataFrame(rnd, "score double, y int")
+    out = sorted(isotonic_calibrate(df3, "score", "y", n_bins=20).collect(), key=lambda r: r.bin)
+    assert all(a.calibrated <= b.calibrated + 1e-12 for a, b in zip(out, out[1:]))
+    assert sum(r.n for r in out) == 300
+    with pytest.raises(ValueError, match="n_bins"):
+        isotonic_calibrate(df, "score", "y", n_bins=1)
+    with pytest.raises(ValueError, match="not in df"):
+        isotonic_calibrate(df, "zzz", "y")

@@ -329,6 +329,10 @@ EXPECT = {
     # per-segment scoring: weight pivot broadcast onto the fact scan —
     # never a sort-merge, never a window
     "ridge_apply_by": (["BroadcastHashJoin"], ["SortMergeJoin", "Window", "CartesianProduct"]),
+    # the pair minimax runs on the <= n_bins-row bin table (its theta
+    # join/windows are bounded there); the corpus side is one
+    # map-side-combined bin count — no corpus join, no Python
+    "isotonic": (["partial"], ["SortMergeJoin", "Python", "CartesianProduct"]),
 }
 
 
