@@ -4079,6 +4079,54 @@ def _sql_pca_top(d: int, scale: int, n_iter: int) -> str:
     return "\n".join(parts)
 
 
+def _q_cdc_apply(spark, sf):
+    """MERGE INTO over an orders snapshot and a synthesized changelog
+    (stale + winning updates, deletes, inserts): latest-change window
+    over the changelog only, base touched by ONE anti-join — never
+    sorted."""
+    from backend_spark.scale import cdc_apply
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = o.where(k % 5 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U2").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("seq"),
+    )
+    stale = o.where(k % 5 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("UX").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq"),
+    )
+    dele = o.where(k % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("seq"),
+    )
+    ins = o.where(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"), "o_custkey",
+        F.lit("N").alias("o_orderstatus"), "o_totalprice",
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("seq"),
+    )
+    changes = upd.unionByName(stale).unionByName(dele).unionByName(ins)
+    return cdc_apply(o, changes, "o_orderkey")
+
+
+def _q_rollup_merge(spark, sf):
+    """Incremental rollup maintenance: two per-batch partial-state
+    tables (even/odd event ids) folded on aggregate rows only —
+    fixed-point decimal sums make any merge tree bit-exact."""
+    from backend_spark.scale import rollup_merge, rollup_partials
+
+    ev = load_table(spark, sf, "events").select("event_id", "event_type", "value")
+    b1 = rollup_partials(ev.where(F.col("event_id") % 2 == 0), "event_type", ["value"])
+    b2 = rollup_partials(ev.where(F.col("event_id") % 2 == 1), "event_type", ["value"])
+    return rollup_merge(b1.unionByName(b2), "event_type", ["value"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4184,6 +4232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ridge_by": _q_ridge_by,
         "ridge_apply_by": _q_ridge_apply_by,
         "isotonic": _q_isotonic,
+        "cdc_apply": _q_cdc_apply,
+        "rollup_merge": _q_rollup_merge,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7382,6 +7432,60 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS y_rate,
                    round(iso.iso, 6) AS calibrated
             FROM b JOIN iso USING (bin)
+        """,
+        # scale.cdc_apply: latest-change-wins merge (seq desc, op desc);
+        # 'D' drops, anything else upserts; untouched base passes through
+        "cdc_apply": """
+            WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                                 o_totalprice FROM orders),
+            changes AS (
+                SELECT o_orderkey, o_custkey, 'U2' AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       'U' AS op, CAST(3 AS BIGINT) AS seq
+                FROM base WHERE o_orderkey % 5 = 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, 'UX', 0.0, 'U', 1
+                FROM base WHERE o_orderkey % 5 = 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       'D', 2
+                FROM base WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+                       'I', 1
+                FROM base WHERE o_orderkey % 11 = 0
+            ),
+            latest AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY seq DESC, op DESC) AS rn
+                    FROM changes
+                ) WHERE rn = 1
+            )
+            SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice
+            FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM latest l
+                              WHERE l.o_orderkey = b.o_orderkey)
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM latest WHERE op <> 'D'
+        """,
+        # scale.rollup_partials + rollup_merge: fixed-point
+        # floor(v*1e6 + 0.5) sums — the merged two-batch fold must equal
+        # this direct single-pass aggregate exactly
+        "rollup_merge": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(value) AS BIGINT) AS value_n,
+                   round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                              AS DOUBLE) / 1000000.0, 6) AS value_sum,
+                   min(value) AS value_min,
+                   max(value) AS value_max,
+                   CASE WHEN count(value) > 0 THEN
+                       round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                                  AS DOUBLE) / 1000000.0 / count(value), 6)
+                   END AS value_avg
+            FROM events GROUP BY event_type
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

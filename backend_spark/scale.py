@@ -366,6 +366,145 @@ def hll_distinct(
     )
 
 
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str] | str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC changelog (insert/update/delete rows) to a base
+    snapshot — the MERGE INTO of every lakehouse ingestion pipeline
+    (reference's closest analogue is the upsert path of the
+    elasticsearch sink, code/recipes.py:1478-1520; this is the batch
+    table-maintenance generalization).
+
+    ``changes`` carries the base schema plus ``op_col`` ('I'/'U'/'D')
+    and ``seq_col`` (a monotone version — commit LSN, ingest timestamp
+    tick).  Per key only the LATEST change wins (max ``seq``, tie-break
+    op descending 'U' > 'I' > 'D' — give changes unique seqs per key to
+    never rely on it): 'D' removes the row, 'I'/'U' replace it with the
+    change's payload; untouched base keys pass through unchanged.  Any
+    op value other than 'D' is treated as an upsert (documented loose
+    mode — validate upstream when the feed may be malformed).
+
+    Scale shape — the property that matters at 100 TB is that the BASE
+    NEVER SORTS: the per-key latest-change window runs over the
+    changelog only (a day's changes are orders of magnitude smaller
+    than the snapshot), and the base participates in exactly one keyed
+    LEFT ANTI join against the touched-key set (AQE broadcasts it when
+    the change batch is small).  Output = anti-join survivors UNION the
+    latest upserts — one shuffle of the changelog, one join of the
+    base, zero windows over the base.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    payload = list(base.columns)
+    missing = [c for c in [*payload, op_col, seq_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"cdc_apply: changes missing column(s): {missing}")
+    for c in (op_col, seq_col):
+        if c in payload:
+            raise ValueError(f"cdc_apply: {c!r} collides with a base column")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_list).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    touched = latest.select(*key_list)
+    kept = base.join(touched, key_list, "left_anti")
+    upserts = latest.where(F.col(op_col) != "D").select(*payload)
+    return kept.unionByName(upserts)
+
+
+def rollup_partials(
+    df: DataFrame,
+    keys: list[str] | str,
+    value_cols: list[str] | str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mergeable partial-aggregate state for incremental rollup
+    maintenance: per key, ``n_rows`` plus each value column's
+    (non-null count, fixed-point sum, min, max).  Compute this per
+    ingest batch (a day, an hour), persist it, and fold batches with
+    :func:`rollup_merge` — the 100 TB rollup then updates by touching
+    only aggregate rows, never re-scanning history (the same
+    partial-state shape Spark's own map-side combine uses, lifted to a
+    persistable table).
+
+    Sums are fixed-point ``decimal(38,0)`` of ``round(value * scale)``
+    — associative AND bit-exact under any merge order / engine (double
+    sums are neither), the convention every deterministic-learner op in
+    this repo uses.  One map-side-combinable groupBy; output is
+    |keys| rows per batch.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    if scale < 1:
+        raise ValueError(f"rollup_partials: scale must be >= 1, got {scale}")
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        v = F.floor(F.col(c) * scale + F.lit(0.5)).cast(dec)
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}_n"),
+            F.coalesce(F.sum(v), F.lit(0).cast(dec)).alias(f"{c}_sum"),
+            F.min(F.col(c)).alias(f"{c}_min"),
+            F.max(F.col(c)).alias(f"{c}_max"),
+        ]
+    return df.groupBy(*key_list).agg(*aggs)
+
+
+def rollup_merge(
+    partials: DataFrame,
+    keys: list[str] | str,
+    value_cols: list[str] | str,
+    scale: int = 1_000_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fold a union of :func:`rollup_partials` batches into the final
+    rollup: counts and fixed-point sums add, mins/maxes extremize —
+    every statistic is associative-commutative, so ANY merge tree gives
+    the identical result (the invariant the tests pin by comparing a
+    two-batch merge against the direct single-pass aggregate).  Emits
+    per key: ``n_rows`` and each column's (n, sum, min, max, avg), sums
+    and avgs descaled to doubles rounded ``ndigits``.
+
+    Merging touches |keys| × n_batches aggregate rows only — the raw
+    data is never re-read; this is incremental view maintenance, the
+    difference between a nightly 100 TB re-aggregation and a
+    seconds-long fold of per-batch state tables.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(f"{c}_n").cast("long").alias(f"{c}_n"),
+            F.sum(f"{c}_sum").alias(f"__sum_{c}"),
+            F.min(f"{c}_min").alias(f"{c}_min"),
+            F.max(f"{c}_max").alias(f"{c}_max"),
+        ]
+    merged = partials.groupBy(*key_list).agg(*aggs)
+    out_cols = [*key_list, "n_rows"]
+    for c in cols:
+        s = F.col(f"__sum_{c}").cast("double") / F.lit(float(scale))
+        out_cols += [
+            F.col(f"{c}_n"),
+            F.round(s, ndigits).alias(f"{c}_sum"),
+            F.col(f"{c}_min"),
+            F.col(f"{c}_max"),
+            F.round(
+                F.when(F.col(f"{c}_n") > 0, s / F.col(f"{c}_n")), ndigits
+            ).alias(f"{c}_avg"),
+        ]
+    return merged.select(*out_cols)
+
+
 def shard_stats(
     df: DataFrame,
     sort_cols: list[str] | str,

@@ -2304,3 +2304,71 @@ def test_isotonic_calibrate_pav(spark):
         isotonic_calibrate(df, "score", "y", n_bins=1)
     with pytest.raises(ValueError, match="not in df"):
         isotonic_calibrate(df, "zzz", "y")
+
+
+def test_cdc_apply_merge_semantics(spark):
+    import pytest
+
+    from backend_spark.scale import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 5),      # update key 2
+            (3, "c", 30.0, "D", 5),       # delete key 3
+            (4, "d", 40.0, "I", 5),       # insert key 4
+            (2, "bX", 99.0, "U", 3),      # stale update, loses to seq 5
+            (5, "e", 50.0, "I", 1),       # insert then delete: gone
+            (5, "e", 50.0, "D", 2),
+        ],
+        "k long, name string, v double, op string, seq long",
+    )
+    out = {r.k: r for r in cdc_apply(base, changes, "k").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].name == "a"            # untouched base row
+    assert out[2].name == "b2" and out[2].v == 21.0
+    assert out[4].name == "d"
+    # unknown op treated as upsert (documented loose mode)
+    weird = spark.createDataFrame([(1, "z", 0.0, "X", 9)], "k long, name string, v double, op string, seq long")
+    out2 = {r.k: r.name for r in cdc_apply(base, weird, "k").collect()}
+    assert out2[1] == "z"
+    with pytest.raises(ValueError, match="missing column"):
+        cdc_apply(base, changes.drop("seq"), "k")
+    with pytest.raises(ValueError, match="collides"):
+        cdc_apply(base.withColumnRenamed("name", "op"), changes.withColumnRenamed("name", "op2"), "k")
+
+
+def test_rollup_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from backend_spark.scale import rollup_merge, rollup_partials
+
+    rows = [(f"g{i % 3}", float(i) / 7.0, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x double, i long")
+    b1 = rollup_partials(df.where("i % 2 = 0"), "g", ["x"])
+    b2 = rollup_partials(df.where("i % 2 = 1"), "g", ["x"])
+    merged = {r.g: r for r in rollup_merge(b1.unionByName(b2), "g", ["x"]).collect()}
+    direct = {r.g: r for r in rollup_merge(rollup_partials(df, "g", ["x"]), "g", ["x"]).collect()}
+    assert merged == direct  # associativity: any merge tree, same result
+    ref = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round("x", 6)), 6).alias("s"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+        .collect()
+    }
+    for g, r in merged.items():
+        assert r.n_rows == ref[g].n and r.x_n == ref[g].n
+        assert abs(r.x_sum - ref[g].s) < 1e-6
+        assert r.x_min == ref[g].lo and r.x_max == ref[g].hi
+        assert abs(r.x_avg - r.x_sum / r.x_n) < 1e-6
+    # null accounting: nulls drop from x_n/sum but count in n_rows
+    dfn = spark.createDataFrame([("a", 1.0), ("a", None)], "g string, x double")
+    m = rollup_merge(rollup_partials(dfn, "g", ["x"]), "g", ["x"]).collect()[0]
+    assert m.n_rows == 2 and m.x_n == 1 and m.x_sum == 1.0

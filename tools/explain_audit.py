@@ -333,6 +333,13 @@ EXPECT = {
     # join/windows are bounded there); the corpus side is one
     # map-side-combined bin count — no corpus join, no Python
     "isotonic": (["partial"], ["SortMergeJoin", "Python", "CartesianProduct"]),
+    # latest-change window over the CHANGELOG only; the base meets the
+    # touched-key set in one anti-join (AQE broadcasts small batches) —
+    # the base itself is never window-sorted, no Python
+    "cdc_apply": (["Window"], ["CartesianProduct", "Python"]),
+    # two map-side-combined partial-state aggs + one merge agg on
+    # aggregate rows — no join, no window, no Python
+    "rollup_merge": (["partial"], ["Join", "Window", "CartesianProduct", "Python"]),
 }
 
 
