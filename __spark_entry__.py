@@ -4127,6 +4127,37 @@ def _q_rollup_merge(spark, sf):
     return rollup_merge(b1.unionByName(b2), "event_type", ["value"])
 
 
+def _q_match_cascade(spark, sf):
+    """Waterfall matching over synthesized dirty customer names: exact
+    pass, normalized pass, then a coarse (nation, segment) blocking
+    pass with deterministic min-struct disambiguation — each pass joins
+    only the shrinking unmatched remainder."""
+    from backend_spark.operators import match_cascade
+
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    lhs = cust.select(
+        k.alias("id"),
+        F.when(k % 3 == 1, F.col("c_name"))
+        .when(k % 3 == 0, F.upper("c_name"))
+        .otherwise(F.concat(F.col("c_name"), F.lit(" ~")))
+        .alias("name"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    passes = [
+        {"name": "exact", "keys": [("name", "c_name")]},
+        {"name": "norm", "keys": [("lower(name)", "lower(c_name)")]},
+        {
+            "name": "block",
+            "keys": [("c_nationkey", "c_nationkey"), ("c_mktsegment", "c_mktsegment")],
+        },
+    ]
+    return match_cascade(
+        lhs, cust, passes, {"matched_key": "c_custkey", "matched_bal": "c_acctbal"}
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4234,6 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic": _q_isotonic,
         "cdc_apply": _q_cdc_apply,
         "rollup_merge": _q_rollup_merge,
+        "match_cascade": _q_match_cascade,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7486,6 +7518,59 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE) / 1000000.0 / count(value), 6)
                    END AS value_avg
             FROM events GROUP BY event_type
+        """,
+        # operators.match_cascade: waterfall left-joins; per-pass
+        # referential dedupe = min struct over (matched_key,
+        # matched_bal) == row_number ordered by those fields
+        "match_cascade": """
+            WITH lhs AS (
+                SELECT c_custkey AS id,
+                       CASE WHEN c_custkey % 3 = 1 THEN c_name
+                            WHEN c_custkey % 3 = 0 THEN upper(c_name)
+                            ELSE c_name || ' ~' END AS name,
+                       c_nationkey, c_mktsegment
+                FROM customer),
+            d1 AS (SELECT c_name AS k, c_custkey AS matched_key,
+                          c_acctbal AS matched_bal FROM customer),
+            m1 AS (SELECT l.id, l.name, l.c_nationkey, l.c_mktsegment,
+                          d1.matched_key, d1.matched_bal,
+                          'exact' AS match_pass
+                   FROM lhs l JOIN d1 ON l.name = d1.k),
+            r1 AS (SELECT * FROM lhs
+                   WHERE id NOT IN (SELECT id FROM m1)),
+            d2 AS (SELECT lower(c_name) AS k, c_custkey AS matched_key,
+                          c_acctbal AS matched_bal FROM customer),
+            m2 AS (SELECT l.id, l.name, l.c_nationkey, l.c_mktsegment,
+                          d2.matched_key, d2.matched_bal,
+                          'norm' AS match_pass
+                   FROM r1 l JOIN d2 ON lower(l.name) = d2.k),
+            r2 AS (SELECT * FROM r1
+                   WHERE id NOT IN (SELECT id FROM m2)),
+            d3 AS (SELECT c_nationkey, c_mktsegment, matched_key,
+                          matched_bal
+                   FROM (SELECT c_nationkey, c_mktsegment,
+                                c_custkey AS matched_key,
+                                c_acctbal AS matched_bal,
+                                row_number() OVER (
+                                    PARTITION BY c_nationkey, c_mktsegment
+                                    ORDER BY c_custkey, c_acctbal) AS rn
+                         FROM customer)
+                   WHERE rn = 1),
+            m3 AS (SELECT l.id, l.name, l.c_nationkey, l.c_mktsegment,
+                          d3.matched_key, d3.matched_bal,
+                          'block' AS match_pass
+                   FROM r2 l JOIN d3
+                     ON l.c_nationkey = d3.c_nationkey
+                    AND l.c_mktsegment = d3.c_mktsegment),
+            r3 AS (SELECT * FROM r2
+                   WHERE id NOT IN (SELECT id FROM m3))
+            SELECT * FROM m1
+            UNION ALL SELECT * FROM m2
+            UNION ALL SELECT * FROM m3
+            UNION ALL SELECT id, name, c_nationkey, c_mktsegment,
+                             CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                             CAST(NULL AS VARCHAR)
+            FROM r3
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

@@ -41,6 +41,7 @@ from backend_spark.operators.er import (
     fs_score,
     fs_weights,
     key_collision,
+    match_cascade,
     pair_features,
     sorted_neighborhood,
 )
@@ -65,7 +66,7 @@ __all__ = [
     "interval_join",
     "compact_latest",
     "connected_components", "op_clique", "er_resolve", "pair_features", "blocking_eval",
-    "fs_weights", "fs_score", "fs_em", "key_collision",
+    "fs_weights", "fs_score", "fs_em", "key_collision", "match_cascade",
     "label_propagation", "link_prediction", "modularity",
     "shortest_paths", "sorted_neighborhood", "negative_edges",
 ]

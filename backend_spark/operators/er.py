@@ -506,6 +506,112 @@ def key_collision(
     )
 
 
+def _all_not_null(cols: "list[str]"):
+    cond = F.col(cols[0]).isNotNull()
+    for c in cols[1:]:
+        cond = cond & F.col(c).isNotNull()
+    return cond
+
+
+def match_cascade(
+    df: DataFrame,
+    ref: DataFrame,
+    passes: "list[dict]",
+    select: "dict[str, str]",
+    pass_col: str = "match_pass",
+) -> DataFrame:
+    """Waterfall matching — the reference's multi-step recipe idiom
+    (an exact join, then a normalized join, then a coarse blocking
+    join, each over the rows the previous step left unmatched;
+    code/recipes.py chains join steps exactly this way, with the
+    matched/unmatched split done by a ``keep`` filter between steps)
+    packaged as ONE operator.
+
+    ``passes`` is an ordered list of ``{"name": str, "keys":
+    [(left_expr, right_expr), ...]}`` — each key pair is a SQL
+    expression over the respective side (so ``lower(name)`` /
+    phonetic keys work without materializing columns), ANDed together;
+    SQL equality semantics mean a NULL key never matches and the row
+    falls through to the next pass.  ``select`` maps {out_col:
+    ref_col} for the attributes retrieved on match.  Rows matched by
+    pass i get ``pass_col`` = that pass's name; never-matched rows
+    come back with NULL attributes and NULL ``pass_col`` (left-outer
+    contract, like join_strict).
+
+    Within a pass the referential is collapsed to ONE row per key
+    tuple before the join — deterministic min over the struct of
+    retrieved attributes (field order = ``select`` order) — so an
+    ambiguous coarse pass can never fan the left side out.
+
+    Scale shape: each pass is a keyed equi-join of the SHRINKING
+    unmatched remainder against a deduped (one aggregate) referential
+    — AQE broadcasts the referential side when it is small; no
+    cross products, no windows over the fact side, and the early
+    cheap passes absorb the bulk of the rows before any expensive
+    key expression runs.  The remainder is localCheckpoint'd per pass
+    to keep the lineage flat across a long cascade.
+    """
+    if not passes:
+        raise ValueError("match_cascade: passes must be non-empty")
+    out_attrs = list(select)
+    clash = (set(out_attrs) | {pass_col}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"match_cascade: output column(s) collide with df: {sorted(clash)}"
+        )
+    names = [p["name"] for p in passes]
+    if len(set(names)) != len(names):
+        raise ValueError(f"match_cascade: duplicate pass names: {names}")
+    for p in passes:
+        if not p.get("keys"):
+            raise ValueError(f"match_cascade: pass {p.get('name')!r} has no keys")
+
+    base_cols = list(df.columns)
+    matched_parts: list[DataFrame] = []
+    remaining = df
+    for p in passes:
+        keys = p["keys"]
+        kcols = [f"__mc_k{j}" for j in range(len(keys))]
+        rded = (
+            ref.select(
+                *[F.expr(r).alias(k) for k, (_, r) in zip(kcols, keys)],
+                F.struct(
+                    *[F.col(c).alias(n) for n, c in select.items()]
+                ).alias("__mc_v"),
+            )
+            # a NULL key can never match (SQL equality) — drop such
+            # referential rows before the dedupe aggregate
+            .where(_all_not_null(kcols))
+            .groupBy(*kcols)
+            .agg(F.min("__mc_v").alias("__mc_v"))
+        )
+        lhs = remaining.select(
+            "*", *[F.expr(l).alias(k) for k, (l, _) in zip(kcols, keys)]
+        )
+        joined = lhs.join(rded, kcols, "left")
+        matched_parts.append(
+            joined.where(F.col("__mc_v").isNotNull()).select(
+                *base_cols,
+                *[F.col("__mc_v")[n].alias(n) for n in out_attrs],
+                F.lit(p["name"]).alias(pass_col),
+            )
+        )
+        remaining = (
+            joined.where(F.col("__mc_v").isNull())
+            .select(*base_cols)
+            .localCheckpoint(eager=False)
+        )
+    unmatched = remaining.select(
+        *base_cols,
+        *[F.lit(None).cast(ref.schema[c].dataType).alias(n) for n, c in select.items()],
+        F.lit(None).cast("string").alias(pass_col),
+    )
+    out = matched_parts[0]
+    for part in matched_parts[1:]:
+        out = out.unionByName(part)
+    return out.unionByName(unmatched)
+
+
 def fs_em(
     pairs: DataFrame,
     feature_cols: list[str],

@@ -2120,3 +2120,49 @@ def test_pca_top_matches_numpy(spark):
         pca_top(df, "zzz", dim=4)
     with pytest.raises(Exception, match="vector length"):
         pca_top(df, "emb", dim=5).collect()
+
+
+def test_match_cascade_waterfall(spark):
+    import pytest
+
+    from backend_spark.operators import match_cascade
+
+    ref = spark.createDataFrame(
+        [(1, "Alice", "N1"), (2, "Bob", "N1"), (3, "Carol", "N2")],
+        "rid long, rname string, rnation string",
+    )
+    df = spark.createDataFrame(
+        [
+            (10, "Alice", "N9"),   # pass 1: exact name
+            (11, "BOB", "N9"),     # pass 2: lowered name
+            (12, "Zed", "N2"),     # pass 3: nation block (-> Carol)
+            (13, "Zed", "N1"),     # pass 3 ambiguous (-> min struct = rid 1)
+            (14, "Zed", "N7"),     # never matches
+            (15, None, "N1"),      # null name skips passes 1-2, hits 3
+        ],
+        "id long, name string, nation string",
+    )
+    passes = [
+        {"name": "exact", "keys": [("name", "rname")]},
+        {"name": "norm", "keys": [("lower(name)", "lower(rname)")]},
+        {"name": "block", "keys": [("nation", "rnation")]},
+    ]
+    out = {
+        r.id: r
+        for r in match_cascade(df, ref, passes, {"m_id": "rid", "m_name": "rname"}).collect()
+    }
+    assert len(out) == 6
+    assert (out[10].m_id, out[10].match_pass) == (1, "exact")
+    assert (out[11].m_id, out[11].match_pass) == (2, "norm")
+    assert (out[12].m_id, out[12].match_pass) == (3, "block")
+    assert (out[13].m_id, out[13].match_pass) == (1, "block")  # deterministic min
+    assert out[14].m_id is None and out[14].match_pass is None
+    assert (out[15].m_id, out[15].match_pass) == (1, "block")
+    with pytest.raises(ValueError, match="non-empty"):
+        match_cascade(df, ref, [], {"m_id": "rid"})
+    with pytest.raises(ValueError, match="duplicate pass"):
+        match_cascade(df, ref, [passes[0], passes[0]], {"m_id": "rid"})
+    with pytest.raises(ValueError, match="collide"):
+        match_cascade(df, ref, passes, {"name": "rname"})
+    with pytest.raises(ValueError, match="no keys"):
+        match_cascade(df, ref, [{"name": "x", "keys": []}], {"m_id": "rid"})

@@ -340,6 +340,10 @@ EXPECT = {
     # two map-side-combined partial-state aggs + one merge agg on
     # aggregate rows — no join, no window, no Python
     "rollup_merge": (["partial"], ["Join", "Window", "CartesianProduct", "Python"]),
+    # waterfall of keyed equi-joins over the shrinking remainder; the
+    # per-pass referential dedupe is an aggregate, not a window —
+    # no cross products, no Python, no window over the fact side
+    "match_cascade": ([], ["CartesianProduct", "Python", "Window"]),
 }
 
 
