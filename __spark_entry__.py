@@ -4158,6 +4158,50 @@ def _q_match_cascade(spark, sf):
     )
 
 
+def _q_acf(spark, sf):
+    """Autocorrelation of the value series per event type: one keyed
+    exchange shared by all lag windows, exact decimal folds, bounded
+    (key, lag) explode."""
+    from backend_spark.features import acf
+
+    ev = load_table(spark, sf, "events")
+    return acf(ev, "event_type", ["ts", "event_id"], "value", max_lag=3)
+
+
+def _q_weighted_median(spark, sf):
+    """Quantity-weighted median extendedprice per returnflag: fixed-
+    point cumulative weights, one exchange shared by both windows."""
+    from backend_spark.features import weighted_median
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("g"), "l_extendedprice", "l_quantity"
+    )
+    return weighted_median(li, "g", "l_extendedprice", "l_quantity")
+
+
+def _q_gini(spark, sf):
+    """Gini concentration of document length per source — the corpus
+    data-mix audit: one keyed exchange (rank window + aggregate)."""
+    from backend_spark.features import gini
+
+    docs = load_table(spark, sf, "documents")
+    return gini(docs, "source", "n_chars")
+
+
+def _q_theil_sen(spark, sf):
+    """Robust Theil-Sen trend per market segment over a bounded
+    customer slice (pairs are quadratic in the group — the guard is
+    the point): keyed self-join, exact two-middle medians."""
+    from backend_spark.features import theil_sen
+
+    cust = load_table(spark, sf, "customer").where(F.col("c_custkey") < 300).select(
+        "c_mktsegment",
+        F.col("c_custkey").cast("double").alias("x"),
+        F.col("c_acctbal").alias("y"),
+    )
+    return theil_sen(cust, "c_mktsegment", "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4266,6 +4310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": _q_cdc_apply,
         "rollup_merge": _q_rollup_merge,
         "match_cascade": _q_match_cascade,
+        "acf": _q_acf,
+        "weighted_median": _q_weighted_median,
+        "gini": _q_gini,
+        "theil_sen": _q_theil_sen,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7571,6 +7619,143 @@ def oracle_sql() -> dict[str, str]:
                              CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
                              CAST(NULL AS VARCHAR)
             FROM r3
+        """,
+        # features.acf: fixed-point HUGEINT folds of the n^2-multiplied
+        # mean-free identity; lags count positions of the observed
+        # (ts, event_id)-ordered sequence
+        "acf": """
+            WITH v0 AS (SELECT event_type AS k, ts, event_id,
+                               CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS v
+                        FROM events WHERE value IS NOT NULL),
+            l AS (SELECT k, v,
+                         lead(v, 1) OVER w AS l1,
+                         lead(v, 2) OVER w AS l2,
+                         lead(v, 3) OVER w AS l3
+                  FROM v0 WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+            g AS (SELECT k, CAST(count(*) AS HUGEINT) AS n,
+                         sum(v) AS s, sum(v * v) AS q,
+                         coalesce(sum(v * l1), 0) AS p1,
+                         coalesce(sum(CASE WHEN l1 IS NOT NULL THEN v END), 0) AS h1,
+                         coalesce(sum(l1), 0) AS t1,
+                         coalesce(sum(v * l2), 0) AS p2,
+                         coalesce(sum(CASE WHEN l2 IS NOT NULL THEN v END), 0) AS h2,
+                         coalesce(sum(l2), 0) AS t2,
+                         coalesce(sum(v * l3), 0) AS p3,
+                         coalesce(sum(CASE WHEN l3 IS NOT NULL THEN v END), 0) AS h3,
+                         coalesce(sum(l3), 0) AS t3
+                  FROM l GROUP BY k)
+            SELECT k AS event_type, CAST(n AS BIGINT) AS n, 1 AS lag,
+                   CASE WHEN n > 1 AND (n*q - s*s) > 0 THEN
+                     round(CAST(n*n*p1 - n*s*(h1 + t1) + (n - 1)*s*s AS DOUBLE)
+                           / CAST(n*(n*q - s*s) AS DOUBLE), 6) END AS acf
+            FROM g
+            UNION ALL
+            SELECT k, CAST(n AS BIGINT), 2,
+                   CASE WHEN n > 2 AND (n*q - s*s) > 0 THEN
+                     round(CAST(n*n*p2 - n*s*(h2 + t2) + (n - 2)*s*s AS DOUBLE)
+                           / CAST(n*(n*q - s*s) AS DOUBLE), 6) END
+            FROM g
+            UNION ALL
+            SELECT k, CAST(n AS BIGINT), 3,
+                   CASE WHEN n > 3 AND (n*q - s*s) > 0 THEN
+                     round(CAST(n*n*p3 - n*s*(h3 + t3) + (n - 3)*s*s AS DOUBLE)
+                           / CAST(n*(n*q - s*s) AS DOUBLE), 6) END
+            FROM g
+        """,
+        # features.weighted_median: fixed-point cumulative weights; the
+        # lower weighted median is permutation-proof within value ties
+        "weighted_median": """
+            WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                              CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT) AS w
+                       FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL
+                         AND l_quantity IS NOT NULL
+                         AND floor(l_quantity * 1000000 + 0.5) > 0),
+            s AS (SELECT g, v,
+                         sum(w) OVER (PARTITION BY g ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS cw,
+                         sum(w) OVER (PARTITION BY g) AS tw,
+                         count(*) OVER (PARTITION BY g) AS n
+                  FROM b)
+            SELECT g, CAST(max(n) AS BIGINT) AS n,
+                   round(CAST(max(tw) AS DOUBLE) / 1000000.0, 6) AS total_w,
+                   min(CASE WHEN cw * 2 >= tw THEN v END) AS wmedian
+            FROM s GROUP BY g
+        """,
+        # features.gini: sorted identity 2*sum(i*x)/(n*sum(x)) - (n+1)/n;
+        # dropped rows sort NULLS LAST so real ranks stay 1..n
+        "gini": """
+            WITH b AS (SELECT source AS g,
+                              CASE WHEN n_chars IS NOT NULL AND n_chars >= 0
+                                   THEN CAST(floor(n_chars * 1000000 + 0.5)
+                                             AS HUGEINT) END AS v
+                       FROM documents),
+            r AS (SELECT g, v,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY v ASC NULLS LAST) AS i
+                  FROM b),
+            a AS (SELECT g, CAST(count(v) AS BIGINT) AS n,
+                         CAST(count(*) - count(v) AS BIGINT) AS n_dropped,
+                         coalesce(sum(v), 0) AS s,
+                         coalesce(sum(CASE WHEN v IS NOT NULL
+                                      THEN CAST(i AS HUGEINT) * v END), 0) AS si
+                  FROM r GROUP BY g)
+            SELECT g AS source, n, n_dropped,
+                   CASE WHEN n > 0 AND s > 0 THEN
+                     round(CAST(2 * si AS DOUBLE)
+                           / CAST(CAST(n AS HUGEINT) * s AS DOUBLE)
+                           - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   END AS gini
+            FROM a
+        """,
+        # features.theil_sen: pair slopes oriented by the (x, y)-ordered
+        # rid; exact two-middle medians; intercept uses the UNROUNDED
+        # slope (mirrors the Spark operand order), then rounds
+        "theil_sen": """
+            WITH base AS (SELECT c_mktsegment AS g,
+                                 CAST(c_custkey AS DOUBLE) AS x,
+                                 c_acctbal AS y
+                          FROM customer
+                          WHERE c_custkey < 300
+                            AND c_custkey IS NOT NULL
+                            AND c_acctbal IS NOT NULL),
+            ranked AS (SELECT g, x, y,
+                              row_number() OVER (PARTITION BY g
+                                                 ORDER BY x, y) AS rid
+                       FROM base),
+            med_src AS (SELECT g, x, y,
+                               count(*) OVER (PARTITION BY g) AS n,
+                               row_number() OVER (PARTITION BY g
+                                                  ORDER BY x, rid) AS rx,
+                               row_number() OVER (PARTITION BY g
+                                                  ORDER BY y, rid) AS ry
+                        FROM ranked),
+            meds AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+                            (sum(CASE WHEN floor((n+1)/2.0) = rx THEN x END)
+                           + sum(CASE WHEN floor((n+2)/2.0) = rx THEN x END))
+                            / 2.0 AS mx,
+                            (sum(CASE WHEN floor((n+1)/2.0) = ry THEN y END)
+                           + sum(CASE WHEN floor((n+2)/2.0) = ry THEN y END))
+                            / 2.0 AS my
+                     FROM med_src GROUP BY g),
+            pairs AS (SELECT a.g, (b.y - a.y) / (b.x - a.x) AS sl
+                      FROM ranked a JOIN ranked b
+                        ON a.g = b.g AND a.rid < b.rid AND a.x <> b.x),
+            sl_src AS (SELECT g, sl,
+                              count(*) OVER (PARTITION BY g) AS m,
+                              row_number() OVER (PARTITION BY g
+                                                 ORDER BY sl) AS rs
+                       FROM pairs),
+            slopes AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+                              (sum(CASE WHEN floor((m+1)/2.0) = rs THEN sl END)
+                             + sum(CASE WHEN floor((m+2)/2.0) = rs THEN sl END))
+                              / 2.0 AS slope
+                       FROM sl_src GROUP BY g)
+            SELECT meds.g AS c_mktsegment, meds.n,
+                   coalesce(slopes.n_pairs, 0) AS n_pairs,
+                   round(slopes.slope, 6) AS slope,
+                   round(meds.my - slopes.slope * meds.mx, 6) AS intercept
+            FROM meds LEFT JOIN slopes ON meds.g = slopes.g
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

@@ -1270,3 +1270,342 @@ def benford(
         F.round(expected, ndigits).alias("expected_p"),
         F.round(obs - expected, ndigits).alias("deviation"),
     )
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    order_cols: "list[str] | str",
+    value_col: str,
+    max_lag: int = 3,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-series autocorrelation function at lags ``1..max_lag`` — the
+    seasonality/persistence screen run before picking a forecasting or
+    anomaly model (a spike at lag 24 says "daily cycle"; a slow decay
+    says "trend — difference first").
+
+    r_k = sum_t (x_t - m)(x_{t+k} - m) / sum_t (x_t - m)^2 over each
+    key's series in ``order_cols`` order.  All statistics fold as
+    fixed-point ``decimal(38,0)`` of ``round(x * scale)`` and the mean
+    never materializes: multiplying through by n^2 gives
+
+        num_k * n^2 = n^2*P_k - n*S*(H_k + T_k) + (n-k)*S^2
+        den   * n^2 = n^2*Q   - n*S^2
+
+    with S = sum v, Q = sum v^2, P_k = sum v_t*v_{t+k}, H_k/T_k the
+    head/tail partial sums — every term an exact integer, so the only
+    float op is the final division (rounded ``round_to``), identical on
+    any engine.  The n^2*P_k term bounds series length: it must stay
+    under decimal(38,0), i.e. n^3 * (mean|x| * scale)^2 < 10^38 —
+    ~4.6M points per series at scale=1e6 and |x|~1e3; drop ``scale``
+    for longer series.
+
+    Scale shape: ONE keyed exchange — the lead() windows for every lag
+    share the same (key, order) sort — then one map-side-combined
+    aggregate per key and a bounded per-key explode into (key, lag)
+    rows.  NULL values are dropped up-front and the series is the
+    remaining values in order — lags count POSITIONS OF THE OBSERVED
+    SEQUENCE, not wall-clock gaps; resample/gap-fill first when the
+    distinction matters.
+    """
+    if max_lag < 1 or scale < 1:
+        raise ValueError(f"acf: max_lag and scale must be >= 1, got {max_lag}, {scale}")
+    orders = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    missing = [c for c in [key_col, *orders, value_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"acf: column(s) not in df: {missing}")
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(key_col).orderBy(*orders)
+    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast(dec)
+    df = df.where(F.col(value_col).isNotNull())
+    lagged = df.select(
+        F.col(key_col),
+        v.alias("__v"),
+        *[F.lead(v, k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum((F.col("__v") * F.col("__v")).cast(dec)).alias("__q"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.coalesce(F.sum((F.col("__v") * lk).cast(dec)), F.lit(0).cast(dec)).alias(f"__p{k}"),
+            F.coalesce(
+                F.sum(F.when(lk.isNotNull(), F.col("__v"))), F.lit(0).cast(dec)
+            ).alias(f"__h{k}"),
+            F.coalesce(F.sum(lk), F.lit(0).cast(dec)).alias(f"__t{k}"),
+        ]
+    g = lagged.groupBy(key_col).agg(*aggs)
+    n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
+    den = (n * q - s * s).cast(dec)
+    per_lag = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.when(
+                    (n > F.lit(k).cast(dec)) & (den > 0),
+                    F.round(
+                        (
+                            n * n * F.col(f"__p{k}")
+                            - n * s * (F.col(f"__h{k}") + F.col(f"__t{k}"))
+                            + (n - F.lit(k).cast(dec)) * s * s
+                        ).cast(dec).cast("double")
+                        / (n * den).cast(dec).cast("double"),
+                        round_to,
+                    ),
+                ).alias("acf"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return g.select(
+        key_col, n.cast("long").alias("n"), F.explode(per_lag).alias("__e")
+    ).select(key_col, "n", F.col("__e.lag").alias("lag"), F.col("__e.acf").alias("acf"))
+
+
+def weighted_median(
+    df: DataFrame,
+    by: "list[str] | str",
+    value_col: str,
+    weight_col: str,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group weighted (lower) median: the smallest value whose
+    cumulative weight reaches half the group total — the robust center
+    when observations carry unequal mass (revenue-weighted price,
+    token-weighted quality score).  Weights quantize to fixed-point
+    BIGINTs so the >= half-total comparison is integer-exact on any
+    engine; NULL values/weights and non-positive weights drop (a
+    zero-weight row can never move the median).
+
+    Scale shape: one exchange on the group key shared by the
+    cumulative-weight window and the total-weight window (same
+    partitioning), then one map-side-combined aggregate.  Equal values
+    are interchangeable under the rows-frame cumulative sum, so ties
+    cost nothing.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    missing = [c for c in [*keys, value_col, weight_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"weighted_median: column(s) not in df: {missing}")
+    if scale < 1:
+        raise ValueError(f"weighted_median: scale must be >= 1, got {scale}")
+    wv = F.floor(F.col(weight_col) * scale + F.lit(0.5)).cast("long")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull() & (wv > 0)
+    ).select(*keys, F.col(value_col).alias("__v"), wv.alias("__w"))
+    wp = Window.partitionBy(*keys)
+    wcum = wp.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = base.select(
+        *keys,
+        "__v",
+        F.sum("__w").over(wcum).alias("__cw"),
+        F.sum("__w").over(wp).alias("__tw"),
+        F.count(F.lit(1)).over(wp).alias("__n"),
+    )
+    return staged.groupBy(*keys).agg(
+        F.max("__n").alias("n"),
+        F.round(F.max("__tw").cast("double") / scale, round_to).alias("total_w"),
+        F.min(F.when(F.col("__cw") * 2 >= F.col("__tw"), F.col("__v"))).alias("wmedian"),
+    )
+
+
+def gini(
+    df: DataFrame,
+    by: "list[str] | str",
+    value_col: str,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Gini concentration of a non-negative quantity — the
+    one-number answer to "is this corpus dominated by a few sources /
+    users / documents?" (0 = perfectly even, ->1 = one row holds
+    everything).  Data-mix audits track it per snapshot: a rising Gini
+    on tokens-per-source says the crawl is collapsing onto few hosts.
+
+    Uses the sorted identity G = 2*sum(i*x_i) / (n*sum(x)) - (n+1)/n
+    (i = 1-based ascending rank).  Values quantize to fixed-point
+    BIGINTs and both sums fold as exact decimals — equal values commute
+    in sum(i*x_i), so tie order is irrelevant; the single float
+    division rounds to ``round_to``.  NULLs drop; negative values
+    raise upstream semantics questions, so they drop too and are
+    counted in ``n_dropped``.
+
+    Scale shape: one exchange on the group key (rank window + aggregate
+    share it), map-side-combined final fold.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    missing = [c for c in [*keys, value_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"gini: column(s) not in df: {missing}")
+    if scale < 1:
+        raise ValueError(f"gini: scale must be >= 1, got {scale}")
+    dec = "decimal(38,0)"
+    vv = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast(dec)
+    ok = F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    base = df.select(*keys, F.when(ok, vv).alias("__v"))
+    # dropped rows keep flowing (for n_dropped) but sort AFTER every
+    # real value, so row_number over the real values stays 1..n
+    w = Window.partitionBy(*keys).orderBy(F.col("__v").asc_nulls_last())
+    ranked = base.withColumn(
+        "__i", F.when(F.col("__v").isNotNull(), F.row_number().over(w).cast(dec))
+    )
+    g = ranked.groupBy(*keys).agg(
+        F.count("__v").cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count("__v")).cast("long").alias("n_dropped"),
+        F.coalesce(F.sum("__v"), F.lit(0).cast(dec)).alias("__s"),
+        F.coalesce(F.sum((F.col("__i") * F.col("__v")).cast(dec)), F.lit(0).cast(dec)).alias("__is"),
+    )
+    n = F.col("n").cast(dec)
+    gini_val = F.when(
+        (F.col("n") > 0) & (F.col("__s") > 0),
+        F.round(
+            (F.lit(2).cast(dec) * F.col("__is")).cast("double")
+            / (n * F.col("__s")).cast("double")
+            - (n + 1).cast("double") / n.cast("double"),
+            round_to,
+        ),
+    )
+    return g.select(*keys, "n", "n_dropped", gini_val.alias("gini"))
+
+
+def theil_sen(
+    df: DataFrame,
+    by: "list[str] | str",
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+    max_group_rows: "int | None" = 2000,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend: slope = median of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i), intercept = median(y) - slope *
+    median(x) — up to ~29% contamination cannot move it, which is why
+    it is the drift line fitted over monitoring series full of outliers
+    (OLS would chase every spike; compare :func:`rolling_anomaly`).
+
+    The pair stage is inherently quadratic IN THE GROUP, so this is a
+    per-series/per-segment operator, NOT a corpus regression:
+    ``max_group_rows`` (the er_resolve-style guard) raises with the
+    offending groups instead of letting a 10^7-row group detonate into
+    10^14 pairs — for big groups, downsample deterministically first
+    (det_sample) or bin to quantile medians.
+
+    Medians are exact two-middle averages over row_number windows (no
+    engine-specific percentile interpolation); pair orientation is
+    fixed by an (x, y)-ordered row id so every engine computes the
+    identical slope set.  Rows with NULL x or y drop; groups where all
+    x coincide yield NULL slope/intercept.
+
+    Scale shape: one exchange on the group key shared by the rid/median
+    windows, one keyed self-join (each group joins only itself), one
+    median window over the pair table, two keyed aggregates.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    missing = [c for c in [*keys, x_col, y_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"theil_sen: column(s) not in df: {missing}")
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *keys,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    if max_group_rows is not None:
+        if max_group_rows < 2:
+            raise ValueError(
+                f"theil_sen: max_group_rows must be >= 2 or None, got {max_group_rows}"
+            )
+        oversized = (
+            base.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_group_rows)
+            .orderBy(F.desc("n"), *keys)
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            detail = ", ".join(
+                f"{'|'.join(str(r[k]) for k in keys)}={r['n']}" for r in oversized
+            )
+            raise ValueError(
+                f"theil_sen: group(s) exceed max_group_rows={max_group_rows} "
+                f"(largest: {detail}); pairs are quadratic in the group — "
+                "det_sample the groups down or raise the cap deliberately"
+            )
+    wg = Window.partitionBy(*keys)
+    rid_w = wg.orderBy("__x", "__y")
+    ranked = base.select(
+        *keys, "__x", "__y", F.row_number().over(rid_w).alias("__rid")
+    ).localCheckpoint(eager=False)
+
+    # exact two-middle medians of x and y (one shared exchange)
+    n_w = wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    med_src = ranked.select(
+        *keys,
+        F.count(F.lit(1)).over(n_w).alias("__n"),
+        F.row_number().over(wg.orderBy("__x", "__rid")).alias("__rx"),
+        F.row_number().over(wg.orderBy("__y", "__rid")).alias("__ry"),
+        "__x",
+        "__y",
+    )
+    lo = (F.col("__n") + 1) / 2
+    hi = (F.col("__n") + 2) / 2
+    meds = med_src.groupBy(*keys).agg(
+        F.max("__n").cast("long").alias("n"),
+        (
+            (
+                F.sum(F.when(F.floor(lo) == F.col("__rx"), F.col("__x")))
+                + F.sum(F.when(F.floor(hi) == F.col("__rx"), F.col("__x")))
+            )
+            / 2.0
+        ).alias("__mx"),
+        (
+            (
+                F.sum(F.when(F.floor(lo) == F.col("__ry"), F.col("__y")))
+                + F.sum(F.when(F.floor(hi) == F.col("__ry"), F.col("__y")))
+            )
+            / 2.0
+        ).alias("__my"),
+    )
+
+    a = ranked.select(*keys, F.col("__rid").alias("__ra"), F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    b = ranked.select(*keys, F.col("__rid").alias("__rb"), F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    pairs = (
+        a.join(b, keys)
+        .where((F.col("__ra") < F.col("__rb")) & (F.col("__xa") != F.col("__xb")))
+        .select(
+            *keys,
+            ((F.col("__yb") - F.col("__ya")) / (F.col("__xb") - F.col("__xa"))).alias("__sl"),
+        )
+    )
+    pw = Window.partitionBy(*keys)
+    slope_src = pairs.select(
+        *keys,
+        "__sl",
+        F.count(F.lit(1)).over(pw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("__m"),
+        F.row_number().over(pw.orderBy("__sl")).alias("__rs"),
+    )
+    mlo = (F.col("__m") + 1) / 2
+    mhi = (F.col("__m") + 2) / 2
+    slopes = slope_src.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            (
+                F.sum(F.when(F.floor(mlo) == F.col("__rs"), F.col("__sl")))
+                + F.sum(F.when(F.floor(mhi) == F.col("__rs"), F.col("__sl")))
+            )
+            / 2.0
+        ).alias("__slope"),
+    )
+    out = meds.join(slopes, keys, "left")
+    return out.select(
+        *keys,
+        "n",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.round("__slope", round_to).alias("slope"),
+        F.round(F.col("__my") - F.col("__slope") * F.col("__mx"), round_to).alias("intercept"),
+    )

@@ -2372,3 +2372,91 @@ def test_rollup_merge_equals_direct(spark):
     dfn = spark.createDataFrame([("a", 1.0), ("a", None)], "g string, x double")
     m = rollup_merge(rollup_partials(dfn, "g", ["x"]), "g", ["x"]).collect()[0]
     assert m.n_rows == 2 and m.x_n == 1 and m.x_sum == 1.0
+
+
+def test_acf_linear_ramp(spark):
+    import pytest
+
+    from backend_spark.features import acf
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 6)], "k string, t long, x double"
+    )
+    got = {r.lag: r for r in acf(df, "k", "t", "x", max_lag=3).collect()}
+    assert got[1].n == 5
+    assert got[1].acf == 0.4      # ramp [1..5]: num 4 / den 10
+    assert got[2].acf == -0.1
+    assert got[3].acf == -0.4
+    # constant series: zero variance -> NULL
+    cdf = spark.createDataFrame([("c", i, 7.0) for i in range(4)], "k string, t long, x double")
+    assert all(r.acf is None for r in acf(cdf, "k", "t", "x", max_lag=2).collect())
+    # series shorter than lag -> NULL at that lag
+    sdf = spark.createDataFrame([("s", 0, 1.0), ("s", 1, 2.0)], "k string, t long, x double")
+    got2 = {r.lag: r.acf for r in acf(sdf, "k", "t", "x", max_lag=3).collect()}
+    assert got2[2] is None and got2[3] is None
+    with pytest.raises(ValueError, match="max_lag"):
+        acf(df, "k", "t", "x", max_lag=0)
+    with pytest.raises(ValueError, match="not in df"):
+        acf(df, "k", "t", "zzz")
+
+
+def test_weighted_median(spark):
+    from backend_spark.features import weighted_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 1.0), ("a", 4.0, 5.0),
+         ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 4.0, 1.0)],
+        "g string, v double, w double",
+    )
+    got = {r.g: r for r in weighted_median(df, "g", "v", "w").collect()}
+    assert got["a"].wmedian == 4.0      # the weight-5 row dominates
+    assert got["b"].wmedian == 2.0      # unweighted lower median
+    assert got["a"].total_w == 8.0 and got["b"].n == 4
+    # zero/negative weights and NULLs drop
+    dfn = spark.createDataFrame(
+        [("c", 1.0, 0.0), ("c", 2.0, 1.0), ("c", None, 9.0), ("c", 9.0, -1.0)],
+        "g string, v double, w double",
+    )
+    m = weighted_median(dfn, "g", "v", "w").collect()[0]
+    assert m.wmedian == 2.0 and m.n == 1
+
+
+def test_gini_concentration(spark):
+    from backend_spark.features import gini
+
+    df = spark.createDataFrame(
+        [("even", 5.0), ("even", 5.0), ("even", 5.0), ("even", 5.0),
+         ("conc", 0.0), ("conc", 0.0), ("conc", 0.0), ("conc", 10.0)],
+        "g string, v double",
+    )
+    got = {r.g: r for r in gini(df, "g", "v").collect()}
+    assert got["even"].gini == 0.0
+    assert got["conc"].gini == 0.75    # (n-1)/n with all mass on one row
+    # NULL and negative drop into n_dropped without shifting ranks
+    dfn = spark.createDataFrame(
+        [("m", None), ("m", -3.0), ("m", 5.0), ("m", 5.0)], "g string, v double"
+    )
+    r = gini(dfn, "g", "v").collect()[0]
+    assert r.n == 2 and r.n_dropped == 2 and r.gini == 0.0
+
+
+def test_theil_sen_robust_slope(spark):
+    import pytest
+
+    from backend_spark.features import theil_sen
+
+    pts = [(1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 9.0), (5.0, 100.0)]
+    df = spark.createDataFrame([("a", x, y) for x, y in pts], "g string, x double, y double")
+    r = theil_sen(df, "g", "x", "y").collect()[0]
+    assert r.slope == 2.0 and r.intercept == 1.0   # outlier (5,100) cannot move it
+    assert r.n == 5 and r.n_pairs == 10
+    # vertical-only group: all x equal -> NULL slope
+    vdf = spark.createDataFrame([("v", 1.0, float(i)) for i in range(3)], "g string, x double, y double")
+    rv = theil_sen(vdf, "g", "x", "y").collect()[0]
+    assert rv.slope is None and rv.n_pairs == 0
+    # guard trips on oversized groups
+    big = spark.createDataFrame([("z", float(i), float(i)) for i in range(30)], "g string, x double, y double")
+    with pytest.raises(ValueError, match="max_group_rows"):
+        theil_sen(big, "g", "x", "y", max_group_rows=10)
+    with pytest.raises(ValueError, match="not in df"):
+        theil_sen(df, "g", "x", "zzz")

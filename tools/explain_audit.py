@@ -344,6 +344,16 @@ EXPECT = {
     # per-pass referential dedupe is an aggregate, not a window —
     # no cross products, no Python, no window over the fact side
     "match_cascade": ([], ["CartesianProduct", "Python", "Window"]),
+    # all lag windows share one (key, order) sort; decimal folds in one
+    # map-side-combined aggregate; bounded per-key explode — no join
+    "acf": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
+    # one exchange shared by cumulative/total windows + one aggregate
+    "weighted_median": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
+    # rank window + aggregate on the same group-key exchange — no join
+    "gini": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
+    # keyed self-join (each group meets only itself) + median windows —
+    # quadratic only within the capped group, never a cross product
+    "theil_sen": (["Window"], ["CartesianProduct", "Python"]),
 }
 
 
