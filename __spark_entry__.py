@@ -4202,6 +4202,36 @@ def _q_theil_sen(spark, sf):
     return theil_sen(cust, "c_mktsegment", "x", "y")
 
 
+def _q_ab_test(spark, sf):
+    """Two-proportion z-test of hash-assigned arms on purchase
+    conversion: one aggregate + 1-row control broadcast."""
+    from backend_spark.quality import ab_test
+
+    ev = load_table(spark, sf, "events").select(
+        F.concat(F.lit("arm"), (F.col("user_id") % 3).cast("string")).alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return ab_test(ev, "arm", "conv", control="arm0")
+
+
+def _q_zipf_fit(spark, sf):
+    """Rank-frequency OLS over the top-100 corpus tokens: keyed count,
+    TakeOrderedAndProject cut, rank-ordered double folds."""
+    from backend_spark.llm import zipf_fit
+
+    docs = load_table(spark, sf, "documents")
+    return zipf_fit(docs, "text", top_n=100)
+
+
+def _q_seq_patterns(spark, sf):
+    """Frequent 3-step event paths per user: shared (key, order) sort
+    for the lead columns, one pattern groupBy, 1-row total broadcast."""
+    from backend_spark.features import seq_patterns
+
+    ev = load_table(spark, sf, "events")
+    return seq_patterns(ev, "user_id", ["ts", "event_id"], "event_type", length=3, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4314,6 +4344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": _q_weighted_median,
         "gini": _q_gini,
         "theil_sen": _q_theil_sen,
+        "ab_test": _q_ab_test,
+        "zipf_fit": _q_zipf_fit,
+        "seq_patterns": _q_seq_patterns,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7756,6 +7789,100 @@ def oracle_sql() -> dict[str, str]:
                    round(slopes.slope, 6) AS slope,
                    round(meds.my - slopes.slope * meds.mx, 6) AS intercept
             FROM meds LEFT JOIN slopes ON meds.g = slopes.g
+        """,
+        # quality.ab_test: pooled-variance two-proportion z; operand
+        # order mirrors the Spark expressions exactly
+        "ab_test": """
+            WITH e AS (SELECT 'arm' || CAST(user_id % 3 AS VARCHAR) AS arm,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS conv
+                       FROM events
+                       WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+            per AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(conv) AS BIGINT) AS conv
+                    FROM e GROUP BY arm),
+            c AS (SELECT n AS control_n, conv AS control_conv
+                  FROM per WHERE arm = 'arm0'),
+            j AS (SELECT p.arm, p.n, p.conv, c.control_n, c.control_conv,
+                         CAST(p.conv AS DOUBLE) / CAST(p.n AS DOUBLE) AS pt,
+                         CAST(c.control_conv AS DOUBLE)
+                           / CAST(c.control_n AS DOUBLE) AS pc,
+                         CAST(p.conv + c.control_conv AS DOUBLE)
+                           / CAST(p.n + c.control_n AS DOUBLE) AS pool
+                  FROM per p CROSS JOIN c WHERE p.arm <> 'arm0'),
+            z AS (SELECT *,
+                         pool * (1.0 - pool)
+                           * (1.0 / CAST(n AS DOUBLE)
+                              + 1.0 / CAST(control_n AS DOUBLE)) AS var,
+                         CASE WHEN pool * (1.0 - pool)
+                                   * (1.0 / CAST(n AS DOUBLE)
+                                      + 1.0 / CAST(control_n AS DOUBLE)) > 0
+                              THEN (pt - pc)
+                                   / sqrt(pool * (1.0 - pool)
+                                          * (1.0 / CAST(n AS DOUBLE)
+                                             + 1.0 / CAST(control_n AS DOUBLE)))
+                         END AS zraw
+                  FROM j)
+            SELECT arm, n, conv, round(pt, 6) AS rate,
+                   control_n, control_conv, round(pc, 6) AS control_rate,
+                   round(pt - pc, 6) AS lift, round(zraw, 6) AS z,
+                   CASE WHEN zraw IS NOT NULL
+                        THEN abs(zraw) >= 1.96 END AS significant
+            FROM z
+        """,
+        # llm.zipf_fit: top-100 tokens by (cnt desc, token asc); the five
+        # OLS sums fold in rank order on both engines
+        "zipf_fit": f"""
+            WITH toks AS (SELECT unnest(string_split_regex(
+                                     {_SQL_NORM.format(c="text")}, '\\s+')) AS token
+                          FROM documents),
+            counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+                       FROM toks WHERE token <> '' GROUP BY token),
+            top AS (SELECT token, cnt FROM counts
+                    ORDER BY cnt DESC, token ASC LIMIT 100),
+            ranked AS (SELECT CAST(row_number() OVER (
+                                  ORDER BY cnt DESC, token ASC) AS BIGINT) AS r,
+                              cnt
+                       FROM top),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                         sum(ln(CAST(r AS DOUBLE)) ORDER BY r) AS sx,
+                         sum(ln(CAST(cnt AS DOUBLE)) ORDER BY r) AS sy,
+                         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                             ORDER BY r) AS sxy,
+                         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                             ORDER BY r) AS sxx,
+                         sum(ln(CAST(cnt AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                             ORDER BY r) AS syy
+                  FROM ranked),
+            d AS (SELECT *, CAST(n_terms AS DOUBLE) AS n FROM s)
+            SELECT n_terms,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                         / n, 6) AS intercept,
+                   CASE WHEN (n * syy - sy * sy) > 0 THEN
+                     round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   END AS r2
+            FROM d
+        """,
+        # features.seq_patterns: 3-step lead windows per user; windows
+        # containing a NULL drop whole; share over ALL complete windows
+        "seq_patterns": """
+            WITH l AS (SELECT event_type AS s0,
+                              lead(event_type, 1) OVER w AS s1,
+                              lead(event_type, 2) OVER w AS s2
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            cmpl AS (SELECT s0 || '>' || s1 || '>' || s2 AS pattern FROM l
+                     WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+                       AND s2 IS NOT NULL),
+            counts AS (SELECT pattern, CAST(count(*) AS BIGINT) AS cnt
+                       FROM cmpl GROUP BY pattern),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM counts)
+            SELECT pattern, cnt,
+                   round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+            FROM counts CROSS JOIN t WHERE cnt >= 2
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

@@ -1609,3 +1609,63 @@ def theil_sen(
         F.round("__slope", round_to).alias("slope"),
         F.round(F.col("__my") - F.col("__slope") * F.col("__mx"), round_to).alias("intercept"),
     )
+
+
+def seq_patterns(
+    df: DataFrame,
+    key_col: str,
+    order_cols: "list[str] | str",
+    state_col: str,
+    length: int = 3,
+    min_count: int = 2,
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent consecutive state sequences of exactly ``length`` steps
+    per key (the k-step generalization of :func:`transition_counts`) —
+    "view>click>purchase happened 812 times, 3.1% of all 3-step
+    windows" — the path-mining summary behind funnel design and
+    next-event models.
+
+    Every window of ``length`` consecutive states (per key, in
+    ``order_cols`` order) becomes a ``sep``-joined pattern; windows
+    containing a NULL state are dropped whole (concat_ws would
+    silently shorten them into lies).  ``share`` is the pattern's
+    fraction of ALL complete windows, computed before the
+    ``min_count`` cut so rare-pattern shares stay honest.
+
+    Scale shape: the lead() columns share one (key, order) sort; then
+    one map-side-combined groupBy on the pattern string and a 1-row
+    total broadcast.  Pattern cardinality is bounded by distinct
+    state combinations actually observed, not the corpus.
+    """
+    if length < 2:
+        raise ValueError(f"seq_patterns: length must be >= 2, got {length}")
+    if min_count < 1:
+        raise ValueError(f"seq_patterns: min_count must be >= 1, got {min_count}")
+    orders = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    missing = [c for c in [key_col, *orders, state_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"seq_patterns: column(s) not in df: {missing}")
+    w = Window.partitionBy(key_col).orderBy(*orders)
+    steps = [F.col(state_col)] + [
+        F.lead(state_col, i).over(w) for i in range(1, length)
+    ]
+    complete = df.select(
+        F.concat_ws(sep, *steps).alias("pattern"),
+        *[s.alias(f"__s{i}") for i, s in enumerate(steps)],
+    )
+    for i in range(length):
+        complete = complete.where(F.col(f"__s{i}").isNotNull())
+    counts = complete.groupBy("pattern").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__tot"))
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("cnt") >= min_count)
+        .select(
+            "pattern",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("__tot").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )

@@ -4913,3 +4913,76 @@ def pca_top(
     return df.sparkSession.createDataFrame(
         rows, "dim int, loading double, eigenvalue double"
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency diagnostic: OLS of ln(freq) on ln(rank) over
+    the corpus's ``top_n`` most frequent tokens.  Natural text sits
+    near slope -1; a flat slope flags template/boilerplate floods and a
+    cliff flags a vocabulary collapse — tracked per crawl snapshot the
+    same way :func:`~backend_spark.features.gini` tracks source
+    concentration.
+
+    Scale shape: token counting is one map-side-combined groupBy over
+    the scan; the top-n cut is a distributed TakeOrderedAndProject
+    (cnt desc, token asc — total order); everything after runs on
+    <= ``top_n`` rows, where the rank window's single partition is the
+    point, not a bug.  The five OLS sums fold in rank order over a
+    sorted array, so the double accumulation order is pinned
+    cross-engine.  Returns ONE row: (n_terms, slope, intercept, r2).
+    """
+    if top_n < 3:
+        raise ValueError(f"zipf_fit: top_n must be >= 3, got {top_n}")
+    from backend_spark import functions as fn
+
+    toks = df.select(
+        F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = top.select(
+        F.row_number().over(w).cast("long").alias("r"), F.col("cnt")
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("r"),
+                F.log(F.col("r").cast("double")).alias("x"),
+                F.log(F.col("cnt").cast("double")).alias("y"),
+            )
+        )
+    )
+    folded = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"), arr.alias("__a")
+    )
+
+    def fold(expr):
+        return F.aggregate(F.col("__a"), F.lit(0.0), lambda a, e: a + expr(e))
+
+    stats = folded.select(
+        "n_terms",
+        fold(lambda e: e["x"]).alias("__sx"),
+        fold(lambda e: e["y"]).alias("__sy"),
+        fold(lambda e: e["x"] * e["y"]).alias("__sxy"),
+        fold(lambda e: e["x"] * e["x"]).alias("__sxx"),
+        fold(lambda e: e["y"] * e["y"]).alias("__syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    den = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = num / den
+    den_y = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return stats.select(
+        "n_terms",
+        F.round(slope, round_to).alias("slope"),
+        F.round((F.col("__sy") - slope * F.col("__sx")) / n, round_to).alias("intercept"),
+        F.round(
+            F.when(den_y > 0, (num * num) / (den * den_y)), round_to
+        ).alias("r2"),
+    )

@@ -336,3 +336,67 @@ def table_checksum(
             F.sum(F.col("__h") % F.lit(1_000_000_007)).alias("sum_sig"),
         )
     )
+
+
+def ab_test(
+    df: DataFrame,
+    arm_col: str,
+    conv_col: str,
+    control: str,
+    z_crit: float = 1.96,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test of every treatment arm against the named
+    control — the go/no-go readout of an experiment exposure log
+    (arm assignment column + 0/1 conversion column).  Per treatment
+    arm: counts, rates, absolute lift, the pooled-variance z statistic
+
+        z = (p_t - p_c) / sqrt(p_pool (1 - p_pool) (1/n_t + 1/n_c))
+
+    and ``significant`` = |z| >= ``z_crit`` (1.96 ~ two-sided 5%).
+
+    The statistics are closed-form over exact integer counts, so the
+    whole test is ONE map-side-combined aggregate on the arm column
+    (|arms| rows) + a broadcast of the 1-row control — nothing about
+    the corpus shuffles twice, and the same plan serves 10^2 or 10^12
+    exposures.  Rows with NULL arm or conversion drop; conversions
+    must be 0/1 (values outside that make p-hat meaningless — dq_check
+    upstream).  Arms with n=0 can't occur (group keys come from data);
+    z is NULL when the pooled variance is 0 (both rates 0 or both 1).
+    """
+    missing = [c for c in (arm_col, conv_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"ab_test: column(s) not in df: {missing}")
+    per = (
+        df.where(F.col(arm_col).isNotNull() & F.col(conv_col).isNotNull())
+        .groupBy(F.col(arm_col).alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(conv_col).cast("long")).alias("conv"),
+        )
+    )
+    ctrl = per.where(F.col("arm") == control).select(
+        F.col("n").alias("control_n"), F.col("conv").alias("control_conv")
+    )
+    t = per.where(F.col("arm") != control).crossJoin(F.broadcast(ctrl))
+    p_t = F.col("conv").cast("double") / F.col("n").cast("double")
+    p_c = F.col("control_conv").cast("double") / F.col("control_n").cast("double")
+    p_pool = (F.col("conv") + F.col("control_conv")).cast("double") / (
+        F.col("n") + F.col("control_n")
+    ).cast("double")
+    var = p_pool * (1.0 - p_pool) * (
+        1.0 / F.col("n").cast("double") + 1.0 / F.col("control_n").cast("double")
+    )
+    z = F.when(var > 0, (p_t - p_c) / F.sqrt(var))
+    return t.select(
+        "arm",
+        "n",
+        "conv",
+        F.round(p_t, round_to).alias("rate"),
+        "control_n",
+        "control_conv",
+        F.round(p_c, round_to).alias("control_rate"),
+        F.round(p_t - p_c, round_to).alias("lift"),
+        F.round(z, round_to).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) >= z_crit).alias("significant"),
+    )

@@ -2460,3 +2460,76 @@ def test_theil_sen_robust_slope(spark):
         theil_sen(big, "g", "x", "y", max_group_rows=10)
     with pytest.raises(ValueError, match="not in df"):
         theil_sen(df, "g", "x", "zzz")
+
+
+def test_ab_test_two_proportion(spark):
+    import math
+
+    import pytest
+
+    from backend_spark.quality import ab_test
+
+    rows = (
+        [("c", 1)] * 50 + [("c", 0)] * 50      # control: 50%
+        + [("t1", 1)] * 70 + [("t1", 0)] * 30  # strong lift
+        + [("t2", 1)] * 52 + [("t2", 0)] * 48  # noise
+    )
+    df = spark.createDataFrame(rows, "arm string, conv int")
+    got = {r.arm: r for r in ab_test(df, "arm", "conv", control="c").collect()}
+    assert set(got) == {"t1", "t2"}
+    t1 = got["t1"]
+    assert t1.n == 100 and t1.conv == 70 and t1.control_n == 100
+    assert t1.rate == 0.7 and t1.control_rate == 0.5 and t1.lift == 0.2
+    p = 120 / 200
+    z_exp = 0.2 / math.sqrt(p * (1 - p) * (2 / 100))
+    assert abs(t1.z - z_exp) < 1e-6 and t1.significant
+    assert not got["t2"].significant
+    # degenerate variance: both rates 0 -> NULL z
+    dz = spark.createDataFrame([("c", 0), ("t", 0)], "arm string, conv int")
+    r = ab_test(dz, "arm", "conv", control="c").collect()[0]
+    assert r.z is None and r.significant is None
+    with pytest.raises(ValueError, match="not in df"):
+        ab_test(df, "arm", "zzz", control="c")
+
+
+def test_zipf_fit_slope(spark):
+    import pytest
+
+    from backend_spark.llm import zipf_fit
+
+    # construct frequencies following freq = 1000 / rank exactly:
+    # slope must come out -1, r2 = 1
+    rows = []
+    for r in range(1, 11):
+        rows += [(f"tok{r:02d} ",)] * (1000 // r * 1)
+    docs = spark.createDataFrame([(" ".join(w for (w,) in rows),)], "text string")
+    out = zipf_fit(docs, "text", top_n=10).collect()[0]
+    assert out.n_terms == 10
+    assert abs(out.slope + 1.0) < 0.02    # floor(1000/r) quantization
+    assert out.r2 > 0.999
+    with pytest.raises(ValueError, match="top_n"):
+        zipf_fit(docs, "text", top_n=2)
+
+
+def test_seq_patterns_paths(spark):
+    import pytest
+
+    from backend_spark.features import seq_patterns
+
+    rows = [
+        ("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "buy"),
+        ("u2", 1, "view"), ("u2", 2, "click"), ("u2", 3, "buy"),
+        ("u3", 1, "view"), ("u3", 2, "click"), ("u3", 3, None), ("u3", 4, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "u string, t long, s string")
+    got = {r.pattern: r for r in seq_patterns(df, "u", "t", "s", length=3, min_count=1).collect()}
+    # u3's window (view,click,NULL) and (click,NULL,buy) drop whole
+    assert got["view>click>buy"].cnt == 2
+    assert all(p.count(">") == 2 for p in got)
+    total = sum(r.cnt for r in got.values())
+    assert abs(sum(r.share for r in got.values()) - 1.0) < 1e-9
+    assert got["view>click>buy"].share == round(2 / total, 6)
+    with pytest.raises(ValueError, match="length"):
+        seq_patterns(df, "u", "t", "s", length=1)
+    with pytest.raises(ValueError, match="not in df"):
+        seq_patterns(df, "u", "t", "zzz")

@@ -354,6 +354,14 @@ EXPECT = {
     # keyed self-join (each group meets only itself) + median windows —
     # quadratic only within the capped group, never a cross product
     "theil_sen": (["Window"], ["CartesianProduct", "Python"]),
+    # one map-side-combined arm aggregate + 1-row control broadcast
+    "ab_test": (["partial", "BroadcastNestedLoopJoin"], ["SortMergeJoin", "Window", "Python"]),
+    # keyed token count + TakeOrderedAndProject cut; the rank window
+    # runs on <= top_n rows by construction
+    "zipf_fit": (["TakeOrderedAndProject"], ["SortMergeJoin", "CartesianProduct", "Python"]),
+    # lead windows share one (key, order) sort; pattern groupBy +
+    # 1-row total broadcast — no corpus self-join
+    "seq_patterns": (["Window", "partial"], ["SortMergeJoin", "CartesianProduct", "Python"]),
 }
 
 
