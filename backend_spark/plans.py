@@ -391,6 +391,64 @@ class RecipeBook:
             return table_checksum(
                 df, a.get("select"), n_buckets=a.get("buckets", 256)
             )
+        if name == "cdc":
+            # apply a changelog dataset (op/seq columns) to this frame
+            from backend_spark.scale import cdc_apply
+
+            return cdc_apply(
+                df, self.dataset(a["changes"]), a["keys"],
+                op_col=a.get("op", "op"), seq_col=a.get("seq", "seq"),
+            )
+        if name == "rollup":
+            # mergeable partial-aggregate state; merge: folds this frame
+            # (already partials, e.g. a union of persisted batches),
+            # otherwise build partials from raw rows — with merge_with:
+            # fold extra persisted batch datasets in too
+            from backend_spark.scale import rollup_merge, rollup_partials
+
+            keys, cols = a["keys"], a["values"]
+            scale_ = a.get("scale", 1_000_000)
+            part = df if a.get("merge") else rollup_partials(df, keys, cols, scale=scale_)
+            for extra in a.get("merge_with", []):
+                part = part.unionByName(self.dataset(extra))
+            return rollup_merge(part, keys, cols, scale=scale_)
+        if name == "match_cascade":
+            # waterfall matching against a referential dataset
+            from backend_spark.operators import match_cascade
+
+            return match_cascade(
+                df, self.dataset(a["dataset"]), a["passes"], a["select"],
+                pass_col=a.get("pass_col", "match_pass"),
+            )
+        if name == "ab_test":
+            from backend_spark.quality import ab_test
+
+            return ab_test(
+                df, a["arm"], a["conv"], control=a["control"],
+                z_crit=a.get("z_crit", 1.96),
+            )
+        if name == "gini":
+            from backend_spark.features import gini
+
+            return gini(df, a["by"], a["value"], scale=a.get("scale", 1_000_000))
+        if name == "acf":
+            from backend_spark.features import acf
+
+            return acf(
+                df, a["key"], a["order"], a["value"],
+                max_lag=a.get("max_lag", 3), scale=a.get("scale", 1_000_000),
+            )
+        if name == "seq_patterns":
+            from backend_spark.features import seq_patterns
+
+            return seq_patterns(
+                df, a["key"], a["order"], a["state"],
+                length=a.get("length", 3), min_count=a.get("min_count", 2),
+            )
+        if name == "zipf":
+            from backend_spark.llm import zipf_fit
+
+            return zipf_fit(df, a.get("text", "text"), top_n=a.get("top_n", 100))
         raise KeyError(f"unknown step: {name}")
 
     def _apply_join(self, df: DataFrame, a: dict) -> DataFrame:

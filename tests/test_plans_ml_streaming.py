@@ -2533,3 +2533,78 @@ def test_seq_patterns_paths(spark):
         seq_patterns(df, "u", "t", "s", length=1)
     with pytest.raises(ValueError, match="not in df"):
         seq_patterns(df, "u", "t", "zzz")
+
+
+def test_recipe_new_steps_cdc_rollup_cascade(spark):
+    from backend_spark.plans import RecipeBook
+    from backend_spark.scale import rollup_partials
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(2, "b2", "U", 1), (3, "c", "I", 1)], "k long, v string, op string, seq long"
+    )
+    conf = {
+        "recipes": {
+            "merge": {"steps": [{"cdc": {"changes": "chg", "keys": ["k"]}}]},
+            "roll": {"steps": [{"rollup": {"keys": ["g"], "values": ["x"]}}]},
+            "roll2": {
+                "steps": [
+                    {"rollup": {"keys": ["g"], "values": ["x"], "merge": True,
+                                "merge_with": ["batch2"]}}
+                ]
+            },
+            "cascade": {
+                "steps": [
+                    {"match_cascade": {
+                        "dataset": "ref",
+                        "passes": [{"name": "exact", "keys": [["v", "rv"]]}],
+                        "select": {"m_id": "rid"},
+                    }}
+                ]
+            },
+        }
+    }
+    raw = spark.createDataFrame([("g1", 1.0), ("g1", 3.0)], "g string, x double")
+    b1 = rollup_partials(raw.where("x < 2"), ["g"], ["x"])
+    b2 = rollup_partials(raw.where("x >= 2"), ["g"], ["x"])
+    ref = spark.createDataFrame([(7, "a")], "rid long, rv string")
+    book = RecipeBook(conf, datasets={"chg": changes, "batch2": b2, "ref": ref}, spark=spark)
+    merged = {r.k: r.v for r in book.run("merge", base).collect()}
+    assert merged == {1: "a", 2: "b2", 3: "c"}
+    roll = book.run("roll", raw).collect()[0]
+    assert roll.n_rows == 2 and roll.x_sum == 4.0
+    roll2 = book.run("roll2", b1).collect()[0]
+    assert roll2.n_rows == 2 and roll2.x_avg == 2.0
+    casc = {r.v: r for r in book.run("cascade", base).collect()}
+    assert casc["a"].m_id == 7 and casc["a"].match_pass == "exact"
+    assert casc["b"].m_id is None
+
+
+def test_recipe_new_steps_stats(spark):
+    from backend_spark.plans import RecipeBook
+
+    conf = {
+        "recipes": {
+            "ab": {"steps": [{"ab_test": {"arm": "arm", "conv": "c", "control": "ctl"}}]},
+            "g": {"steps": [{"gini": {"by": "s", "value": "v"}}]},
+            "a": {"steps": [{"acf": {"key": "s", "order": "t", "value": "v", "max_lag": 1}}]},
+            "sq": {"steps": [{"seq_patterns": {"key": "s", "order": "t", "state": "e",
+                                               "length": 2, "min_count": 1}}]},
+            "z": {"steps": [{"zipf": {"text": "txt", "top_n": 3}}]},
+        }
+    }
+    book = RecipeBook(conf, spark=spark)
+    ab = spark.createDataFrame(
+        [("ctl", 0), ("ctl", 1), ("t", 1), ("t", 1)], "arm string, c int"
+    )
+    assert book.run("ab", ab).collect()[0].arm == "t"
+    ts = spark.createDataFrame(
+        [("s1", 1, 1.0, "x"), ("s1", 2, 2.0, "y"), ("s1", 3, 3.0, "x")],
+        "s string, t long, v double, e string",
+    )
+    assert book.run("g", ts).collect()[0].gini is not None
+    assert book.run("a", ts).collect()[0].lag == 1
+    pats = {r.pattern for r in book.run("sq", ts).collect()}
+    assert pats == {"x>y", "y>x"}
+    docs = spark.createDataFrame([("a a a b b c",)], "txt string")
+    assert book.run("z", docs).collect()[0].n_terms == 3
