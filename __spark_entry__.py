@@ -4232,6 +4232,60 @@ def _q_seq_patterns(spark, sf):
     return seq_patterns(ev, "user_id", ["ts", "event_id"], "event_type", length=3, min_count=2)
 
 
+def _q_stream_cdc(spark, sf):
+    """Streaming CDC apply (bucketed-state upsert with delete
+    tombstones) over the same synthesized changelog as cdc_apply, fed
+    as single-file micro-batches — final state must equal the batch
+    operator, so it shares cdc_apply's oracle."""
+    from backend_spark import streaming
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base_feed = o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit("B").alias("op"), F.lit(0).cast("long").alias("seq"),
+    )
+    upd = o.where(k % 5 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U2").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("seq"),
+    )
+    stale = o.where(k % 5 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("UX").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq"),
+    )
+    dele = o.where(k % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("seq"),
+    )
+    ins = o.where(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"), "o_custkey",
+        F.lit("N").alias("o_orderstatus"), "o_totalprice",
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("seq"),
+    )
+    feed = base_feed.unionByName(upd).unionByName(stale).unionByName(dele).unionByName(ins)
+    src = tempfile.mkdtemp(prefix="sg_scdc_") + "/feed"
+    feed.repartition(4).write.parquet(src)
+    state = tempfile.mkdtemp(prefix="sg_scdc_") + "/state"
+    sdf = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming.cdc_stream(
+        sdf, state, "o_orderkey", seq_col="seq", op_col="op",
+        checkpoint=tempfile.mkdtemp(prefix="sg_scdc_ck_"), n_buckets=8,
+    )
+    return streaming.read_cdc_state(spark, state).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4347,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": _q_ab_test,
         "zipf_fit": _q_zipf_fit,
         "seq_patterns": _q_seq_patterns,
+        "stream_cdc": _q_stream_cdc,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -8242,4 +8297,6 @@ def oracle_sql() -> dict[str, str]:
     out["stream_locf"] = out["fill_forward"]
     # one availableNow batch == the batch CUSUM closed form bit-for-bit
     out["stream_cusum"] = out["cusum"]
+    # micro-batched CDC state (any file slicing) == the batch merge
+    out["stream_cdc"] = out["cdc_apply"]
     return out

@@ -438,6 +438,60 @@ def write_stream_upsert(
     return q
 
 
+def cdc_stream(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str] | str,
+    seq_col: str,
+    op_col: str,
+    checkpoint: str,
+    n_buckets: int = 32,
+    trigger_available_now: bool = True,
+):
+    """Streaming CDC apply with delete tombstones — the continuous
+    counterpart of :func:`~backend_spark.scale.cdc_apply` (same
+    latest-change-wins contract: max ``seq``, ties by ``op``
+    descending so 'U' > 'I' > 'D').
+
+    Delegates the state maintenance to :func:`write_stream_upsert`
+    (hash-bucketed parquet state, per-batch touched-bucket rewrite).
+    Delete rows are NOT physically dropped from state — they persist
+    as tombstones so a stale update arriving in a LATER micro-batch
+    (out-of-order feeds are the normal case) still loses to the
+    delete instead of resurrecting the key.  Readers filter them:
+    :func:`read_cdc_state`.  Because each batch re-compacts
+    state ∪ batch on (seq, op), the final state is independent of how
+    the changelog was sliced into micro-batches — the batch-
+    equivalence property the stream_cdc driver query pins against the
+    batch operator's oracle.
+    """
+    return write_stream_upsert(
+        stream_df,
+        path,
+        key_cols,
+        ts_col=seq_col,
+        checkpoint=checkpoint,
+        n_buckets=n_buckets,
+        tiebreak_col=op_col,
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def read_cdc_state(
+    spark,
+    path: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    meta_cols: tuple = ("__bucket",),
+) -> DataFrame:
+    """Live view over a :func:`cdc_stream` state table: tombstones
+    filtered, bucket/meta columns dropped.  Keep ``op_col``/``seq_col``
+    available to callers who audit the feed; drop them at the caller's
+    select."""
+    df = spark.read.parquet(path)
+    return df.where(F.col(op_col) != delete_op).drop(*[c for c in meta_cols if c in df.columns])
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append", checkpoint: str | None = None):
     """Drain a stream into an in-memory table with availableNow (test
     harness; production sinks are parquet/kafka via writeStream)."""

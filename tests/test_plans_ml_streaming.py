@@ -2608,3 +2608,48 @@ def test_recipe_new_steps_stats(spark):
     assert pats == {"x>y", "y>x"}
     docs = spark.createDataFrame([("a a a b b c",)], "txt string")
     assert book.run("z", docs).collect()[0].n_terms == 3
+
+
+def test_cdc_stream_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from backend_spark.scale import cdc_apply
+    from backend_spark.streaming import cdc_stream, read_cdc_state
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 5),
+            (3, "c", 30.0, "D", 5),
+            (4, "d", 40.0, "I", 5),
+            (2, "bX", 99.0, "U", 3),   # stale: arrives in a LATER file
+            (3, "zombie", 0.0, "U", 4),  # stale vs the seq-5 delete
+        ],
+        "k long, name string, v double, op string, seq long",
+    )
+    # feed = base as seq-0 upserts + changes, sliced into many files ->
+    # many micro-batches in arbitrary order
+    feed = base.select(
+        "k", "name", "v", F.lit("B").alias("op"), F.lit(0).cast("long").alias("seq")
+    ).unionByName(changes)
+    src = str(tmp_path / "feed")
+    feed.repartition(4).write.parquet(src)
+    state = str(tmp_path / "state")
+    sdf = spark.readStream.schema(feed.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    cdc_stream(sdf, state, "k", seq_col="seq", op_col="op",
+               checkpoint=str(tmp_path / "ck"), n_buckets=4)
+    got = {
+        r.k: r
+        for r in read_cdc_state(spark, state).select("k", "name", "v").collect()
+    }
+    expect = {
+        r.k: r for r in cdc_apply(base, changes, "k").collect()
+    }
+    assert set(got) == set(expect) == {1, 2, 4}
+    for k in expect:
+        assert (got[k].name, got[k].v) == (expect[k].name, expect[k].v)
+    # the tombstone is physically present but filtered
+    raw = spark.read.parquet(state)
+    assert raw.where("k = 3").count() == 1
