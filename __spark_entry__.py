@@ -4286,6 +4286,20 @@ def _q_stream_cdc(spark, sf):
     )
 
 
+def _q_attribution(spark, sf):
+    """Linear-model conversion attribution over user event journeys:
+    one (key, order) window partitioning, two map-side-combined
+    aggregates, integer micro-unit credit."""
+    from backend_spark.features import attribution
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "conv", (F.col("event_type") == "purchase").cast("int")
+    )
+    return attribution(
+        ev, "user_id", ["ts", "event_id"], "event_type", "conv", model="linear"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4402,6 +4416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "seq_patterns": _q_seq_patterns,
         "stream_cdc": _q_stream_cdc,
+        "attribution": _q_attribution,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7938,6 +7953,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT pattern, cnt,
                    round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
             FROM counts CROSS JOIN t WHERE cnt >= 2
+        """,
+        # features.attribution (linear): journeys reset at each
+        # conversion; credit in exact integer micro-units (floor div)
+        "attribution": """
+            WITH s AS (
+                SELECT user_id AS k,
+                       event_type = 'purchase' AS c,
+                       event_type AS ch,
+                       coalesce(sum(CASE WHEN event_type = 'purchase'
+                                         THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS j,
+                       CASE WHEN event_type <> 'purchase' THEN
+                         sum(CASE WHEN event_type <> 'purchase'
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) END AS tr
+                FROM events),
+            journeys AS (
+                SELECT k, j,
+                       sum(CASE WHEN c THEN 1 ELSE 0 END) AS nconv,
+                       count(tr) AS ntouch
+                FROM s GROUP BY k, j),
+            conv AS (SELECT * FROM journeys WHERE nconv > 0),
+            touches AS (SELECT k, j, ch, CAST(count(*) AS BIGINT) AS n_ch
+                        FROM s WHERE tr IS NOT NULL GROUP BY k, j, ch),
+            credited AS (
+                SELECT t.ch AS channel,
+                       CAST(t.n_ch * 1000000 AS BIGINT)
+                         // CAST(c.ntouch AS BIGINT) AS micro
+                FROM touches t JOIN conv c ON t.k = c.k AND t.j = c.j
+                UNION ALL
+                SELECT '(direct)', 1000000 FROM conv WHERE ntouch = 0)
+            SELECT channel, CAST(count(*) AS BIGINT) AS journeys,
+                   round(CAST(sum(micro) AS DOUBLE) / 1000000.0, 6) AS credit
+            FROM credited GROUP BY channel
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

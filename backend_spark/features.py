@@ -1669,3 +1669,100 @@ def seq_patterns(
             ),
         )
     )
+
+
+def attribution(
+    df: DataFrame,
+    key_col: str,
+    order_cols: "list[str] | str",
+    channel_col: str,
+    conversion_col: str,
+    model: str = "last",
+    round_to: int = 6,
+) -> DataFrame:
+    """Marketing-style conversion attribution: credit each conversion
+    to the touch (non-conversion) events that preceded it within the
+    same key, under the three standard models — ``last`` (100% to the
+    most recent touch), ``first`` (100% to the earliest), ``linear``
+    (equal split over all touches in the journey).  Output one row per
+    channel: (channel, journeys, credit) — the ROI table campaign
+    dashboards are built on.
+
+    A conversion row is one where ``conversion_col`` is true; its
+    journey is every earlier touch for the same key SINCE THE PREVIOUS
+    CONVERSION (each conversion consumes its journey — the standard
+    resetting convention).  Conversions with no preceding touch credit
+    the synthetic channel ``'(direct)'``.  ``journeys`` counts the
+    journeys the channel earned credit in.
+
+    Linear credit is computed in exact integer micro-units
+    (``n_ch * 1e6 div n_touches`` per journey, floor), so the
+    aggregate is order-independent and engine-exact; a journey's
+    credit can undershoot 1.0 by < 1e-6 * channels from the floor —
+    the documented cost of exactness.
+
+    Scale shape: one (key, order) window partitioning shared by the
+    journey-epoch running count and the touch rank, ONE journey
+    groupBy, ONE channel groupBy (both map-side combined) — the
+    corpus never self-joins and never explodes.
+    """
+    if model not in ("last", "first", "linear"):
+        raise ValueError(f"attribution: unknown model {model!r}")
+    orders = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    missing = [c for c in [key_col, *orders, channel_col, conversion_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"attribution: column(s) not in df: {missing}")
+    w = Window.partitionBy(key_col).orderBy(*orders)
+    conv = F.col(conversion_col).cast("boolean")
+    # journey id = number of conversions STRICTLY BEFORE this row: a
+    # conversion row closes journey j and the next row opens j+1
+    epoch = F.coalesce(
+        F.sum(conv.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    touch_rank = F.sum((~conv).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        F.col(key_col).alias("__k"),
+        conv.alias("__c"),
+        F.col(channel_col).alias("__ch"),
+        epoch.alias("__j"),
+        F.when(~conv, touch_rank).alias("__tr"),
+    )
+    journeys = staged.groupBy("__k", "__j").agg(
+        F.sum(F.col("__c").cast("long")).alias("__nconv"),
+        F.count(F.col("__tr")).alias("__ntouch"),
+        F.min_by(F.col("__ch"), F.col("__tr")).alias("__first"),
+        F.max_by(F.col("__ch"), F.col("__tr")).alias("__last"),
+    )
+    converted = journeys.where(F.col("__nconv") > 0)
+    if model in ("last", "first"):
+        pick = F.col("__last") if model == "last" else F.col("__first")
+        credited = converted.select(
+            F.coalesce(pick, F.lit("(direct)")).alias("channel"),
+            F.lit(1_000_000).cast("long").alias("__micro"),
+        )
+    else:
+        touches = (
+            staged.where(F.col("__tr").isNotNull())
+            .groupBy("__k", "__j", "__ch")
+            .agg(F.count(F.lit(1)).alias("__n_ch"))
+        )
+        credited = touches.join(
+            converted.select("__k", "__j", "__ntouch"), ["__k", "__j"], "inner"
+        ).select(
+            F.col("__ch").alias("channel"),
+            F.expr("CAST(__n_ch * 1000000 AS BIGINT) div CAST(__ntouch AS BIGINT)").alias(
+                "__micro"
+            ),
+        ).unionByName(
+            converted.where(F.col("__ntouch") == 0).select(
+                F.lit("(direct)").alias("channel"),
+                F.lit(1_000_000).cast("long").alias("__micro"),
+            )
+        )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("journeys"),
+        F.round(F.sum("__micro").cast("double") / 1e6, round_to).alias("credit"),
+    )

@@ -2653,3 +2653,38 @@ def test_cdc_stream_matches_batch(spark, tmp_path):
     # the tombstone is physically present but filtered
     raw = spark.read.parquet(state)
     assert raw.where("k = 3").count() == 1
+
+
+def test_attribution_models(spark):
+    import pytest
+
+    from backend_spark.features import attribution
+
+    rows = [
+        # u1: ad > email > CONV ; then social > CONV
+        ("u1", 1, "ad", 0), ("u1", 2, "email", 0), ("u1", 3, "-", 1),
+        ("u1", 4, "social", 0), ("u1", 5, "-", 1),
+        # u2: conversion with NO touches -> (direct)
+        ("u2", 1, "-", 1),
+        # u3: touches but never converts -> no credit at all
+        ("u3", 1, "ad", 0), ("u3", 2, "ad", 0),
+    ]
+    df = spark.createDataFrame(rows, "u string, t long, ch string, conv int")
+    last = {r.channel: r for r in attribution(df, "u", "t", "ch", "conv", model="last").collect()}
+    assert last["email"].credit == 1.0 and last["social"].credit == 1.0
+    assert last["(direct)"].credit == 1.0 and "ad" not in last
+    first = {r.channel: r.credit for r in attribution(df, "u", "t", "ch", "conv", model="first").collect()}
+    assert first == {"ad": 1.0, "social": 1.0, "(direct)": 1.0}
+    lin = {r.channel: r for r in attribution(df, "u", "t", "ch", "conv", model="linear").collect()}
+    assert lin["ad"].credit == 0.5 and lin["email"].credit == 0.5
+    assert lin["social"].credit == 1.0 and lin["(direct)"].credit == 1.0
+    assert lin["ad"].journeys == 1
+    # three-way split floors at micro precision: 2/3 journey -> 0.666666
+    df3 = spark.createDataFrame(
+        [("x", 1, "a", 0), ("x", 2, "a", 0), ("x", 3, "b", 0), ("x", 4, "-", 1)],
+        "u string, t long, ch string, conv int",
+    )
+    lin3 = {r.channel: r.credit for r in attribution(df3, "u", "t", "ch", "conv", model="linear").collect()}
+    assert lin3["a"] == 0.666666 and lin3["b"] == 0.333333
+    with pytest.raises(ValueError, match="unknown model"):
+        attribution(df, "u", "t", "ch", "conv", model="shapley")

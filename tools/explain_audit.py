@@ -362,6 +362,10 @@ EXPECT = {
     # lead windows share one (key, order) sort; pattern groupBy +
     # 1-row total broadcast — no corpus self-join
     "seq_patterns": (["Window", "partial"], ["SortMergeJoin", "CartesianProduct", "Python"]),
+    # one (key, order) window partitioning + two keyed aggregates; the
+    # linear model's credit join is journey-keyed — never a corpus
+    # self-join, no explode, no Python
+    "attribution": (["Window", "partial"], ["CartesianProduct", "Python"]),
 }
 
 
