@@ -4300,6 +4300,22 @@ def _q_attribution(spark, sf):
     )
 
 
+def _q_compaction_plan(spark, sf):
+    """Small-file compaction planning over a synthesized manifest:
+    distributed prefix-sum fill (assign_row_ids generalized to byte
+    sums), big-first deterministic order, ~50 MB rewrite groups."""
+    from backend_spark.scale import compaction_plan
+
+    o = load_table(spark, sf, "orders")
+    manifest = o.select(
+        F.concat(F.lit("part-"), F.col("o_orderkey").cast("string")).alias("path"),
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit(60_000_000).cast("long"))
+        .otherwise((F.col("o_orderkey") * 7919) % 10_000_000 + 1000)
+        .alias("bytes"),
+    )
+    return compaction_plan(manifest, "path", "bytes", target_bytes=50_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4417,6 +4433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_patterns": _q_seq_patterns,
         "stream_cdc": _q_stream_cdc,
         "attribution": _q_attribution,
+        "compaction_plan": _q_compaction_plan,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -7992,6 +8009,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT channel, CAST(count(*) AS BIGINT) AS journeys,
                    round(CAST(sum(micro) AS DOUBLE) / 1000000.0, 6) AS credit
             FROM credited GROUP BY channel
+        """,
+        # scale.compaction_plan: exclusive-prefix-bytes div target in
+        # (bytes desc, path) order; >= cap files excluded
+        "compaction_plan": """
+            WITH m AS (SELECT 'part-' || CAST(o_orderkey AS VARCHAR) AS path,
+                              CAST(CASE WHEN o_orderkey % 100 = 0
+                                        THEN 60000000
+                                        ELSE (o_orderkey * 7919) % 10000000
+                                             + 1000 END AS BIGINT) AS bytes
+                       FROM orders),
+            cand AS (SELECT * FROM m WHERE bytes < 50000000),
+            c AS (SELECT path, bytes,
+                         sum(bytes) OVER (ORDER BY bytes DESC, path
+                                          ROWS UNBOUNDED PRECEDING)
+                           - bytes AS pre
+                  FROM cand)
+            SELECT path, bytes, CAST(pre // 50000000 AS BIGINT) AS bin,
+                   CAST(row_number() OVER (PARTITION BY pre // 50000000
+                                           ORDER BY bytes DESC, path) AS INT)
+                     AS bin_seq
+            FROM c
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

@@ -573,3 +573,67 @@ def shard_stats(
     return per_shard.select(
         "shard", F.col("__n").alias("n_rows"), F.explode(rows).alias("__s")
     ).select("shard", "__s.column", "__s.min_val", "__s.max_val", "__s.n_nulls", "n_rows")
+
+
+def compaction_plan(
+    df: DataFrame,
+    path_col: str,
+    size_col: str,
+    target_bytes: int,
+    max_candidate_bytes: int | None = None,
+) -> DataFrame:
+    """Small-file compaction planner — the operational answer to the
+    lakehouse small-files problem (a 100 TB table that has ingested
+    streaming micro-batches for a month has millions of KB-scale
+    files; scans pay per-file open cost and lose row-group pruning).
+    Takes a file manifest (path, bytes), picks the candidates smaller
+    than ``max_candidate_bytes`` (default: ``target_bytes`` — a file
+    already at target gains nothing), and assigns each to a rewrite
+    group of ≈ ``target_bytes`` by contiguous fill in (size desc,
+    path) order: group id = exclusive-prefix-bytes div target.  Every
+    group lands within one file's size of the target; big-first order
+    keeps the tail groups dense.
+
+    The prefix sum is computed WITHOUT a single-partition global
+    window (the assign_row_ids trick generalized from counts to
+    sums): range-repartition on the order key — Spark's distributed
+    sort — then partition-local running totals, then the one-row-per-
+    partition byte offsets broadcast back.  A million-file manifest
+    plans in seconds and the plan itself never funnels.
+
+    Returns (path, bytes, bin, bin_seq): feed each bin's paths to one
+    rewrite task (``spark.read.parquet(*paths).coalesce(1)``-style or
+    the table format's native compactor).
+    """
+    if target_bytes < 1:
+        raise ValueError(f"compaction_plan: target_bytes must be >= 1, got {target_bytes}")
+    cap = target_bytes if max_candidate_bytes is None else max_candidate_bytes
+    missing = [c for c in (path_col, size_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"compaction_plan: column(s) not in df: {missing}")
+    from pyspark.sql import Window
+
+    cand = df.select(
+        F.col(path_col).alias("path"), F.col(size_col).cast("long").alias("bytes")
+    ).where(F.col("bytes") < cap)
+    base = cand.repartitionByRange(F.col("bytes").desc(), F.col("path")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(F.col("bytes").desc(), F.col("path"))
+    local = base.withColumn(
+        "__run", F.sum("bytes").over(w_local).cast("long")
+    ).localCheckpoint(eager=False)
+    totals = local.groupBy("__pid").agg(F.sum("bytes").alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).cast("long")
+    )
+    planned = (
+        local.join(F.broadcast(offs.select("__pid", "__off")), "__pid")
+        .withColumn("__pre", F.col("__off") + F.col("__run") - F.col("bytes"))
+        .withColumn("bin", F.expr(f"__pre div CAST({int(target_bytes)} AS BIGINT)"))
+    )
+    w_bin = Window.partitionBy("bin").orderBy(F.col("bytes").desc(), F.col("path"))
+    return planned.select(
+        "path", "bytes", "bin", F.row_number().over(w_bin).alias("bin_seq")
+    )

@@ -2688,3 +2688,31 @@ def test_attribution_models(spark):
     assert lin3["a"] == 0.666666 and lin3["b"] == 0.333333
     with pytest.raises(ValueError, match="unknown model"):
         attribution(df, "u", "t", "ch", "conv", model="shapley")
+
+
+def test_compaction_plan_bins(spark):
+    import pytest
+
+    from backend_spark.scale import compaction_plan
+
+    # 10 files of 40 bytes -> target 100 -> bins of floor-fill
+    rows = [(f"f{i:02d}", 40) for i in range(10)] + [("big", 500)]
+    df = spark.createDataFrame(rows, "path string, sz long")
+    out = compaction_plan(df, "path", "sz", target_bytes=100).collect()
+    assert all(r.path != "big" for r in out)       # >= target excluded
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin, []).append(r)
+    # exclusive-prefix fill: bins 0..3 get [3,2,3,2] files (100-byte target,
+    # 40-byte files straddle boundaries into the bin they start in)
+    sizes = {b: sum(r.bytes for r in rs) for b, rs in by_bin.items()}
+    assert sum(sizes.values()) == 400
+    assert all(s <= 140 for s in sizes.values())   # within one file of target
+    assert sorted(r.bin_seq for r in by_bin[0]) == list(range(1, len(by_bin[0]) + 1))
+    # deterministic: same input -> same plan
+    out2 = compaction_plan(df, "path", "sz", target_bytes=100).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    with pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(df, "path", "sz", target_bytes=0)
+    with pytest.raises(ValueError, match="not in df"):
+        compaction_plan(df, "path", "zzz", target_bytes=10)

@@ -366,6 +366,10 @@ EXPECT = {
     # linear model's credit join is journey-keyed — never a corpus
     # self-join, no explode, no Python
     "attribution": (["Window", "partial"], ["CartesianProduct", "Python"]),
+    # distributed prefix sum: range exchange + partition-local windows +
+    # one-row-per-partition offsets broadcast — never a global
+    # single-partition sort of the manifest, no Python
+    "compaction_plan": (["BroadcastExchange"], ["CartesianProduct", "Python", "SortMergeJoin"]),
 }
 
 
