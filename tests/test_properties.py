@@ -502,3 +502,94 @@ def test_ridge_train_close_to_numpy(_spark, rows):
     ref = np.linalg.solve(A, X.T @ y)
     for name, i in (("__intercept__", 0), ("x1", 1), ("x2", 2)):
         assert abs(w[name] - ref[i]) < 1e-3, (w, ref)
+
+
+# --- round-9 third continuation: CDC / rollup invariants -----------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),        # key
+            st.sampled_from(["I", "U", "D"]),             # op
+            st.integers(min_value=1, max_value=20),       # seq
+            st.integers(min_value=0, max_value=99),       # payload
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[2]),  # unique seq per key
+    ),
+    split_seq=st.integers(min_value=1, max_value=20),
+)
+def test_cdc_apply_composes_over_seq_splits(_spark, changes, split_seq):
+    """cdc_apply(cdc_apply(base, early), late) == cdc_apply(base, all)
+    whenever the split respects seq order — the incremental-ingest
+    contract (yesterday's merge + today's batch == full replay)."""
+    from backend_spark.scale import cdc_apply
+
+    base = _spark.createDataFrame(
+        [(k, -1) for k in range(1, 4)], "k long, v long"
+    )
+    rows = [(k, v, op, s) for (k, op, s, v) in changes]
+    schema = "k long, v long, op string, seq long"
+    all_c = _spark.createDataFrame(rows, schema) if rows else _spark.createDataFrame([], schema)
+    early = all_c.where(F.col("seq") < split_seq)
+    late = all_c.where(F.col("seq") >= split_seq)
+    direct = sorted(map(tuple, cdc_apply(base, all_c, "k").collect()))
+    staged = sorted(map(tuple, cdc_apply(cdc_apply(base, early, "k"), late, "k").collect()))
+    assert direct == staged
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),
+                  st.floats(min_value=-100, max_value=100, allow_nan=False)),
+        min_size=1, max_size=20,
+    ),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+def test_rollup_merge_invariant_to_batching(_spark, vals, n_batches):
+    """ANY slicing of the rows into batches merges to the identical
+    rollup — the fixed-point partial-state associativity contract."""
+    from backend_spark.scale import rollup_merge, rollup_partials
+
+    rows = [(f"g{g}", float(v), i) for i, (g, v) in enumerate(vals)]
+    df = _spark.createDataFrame(rows, "g string, x double, i long")
+    direct = sorted(map(tuple, rollup_merge(
+        rollup_partials(df, "g", ["x"]), "g", ["x"]).collect()))
+    parts = None
+    for b in range(n_batches):
+        p = rollup_partials(df.where(F.col("i") % n_batches == b), "g", ["x"])
+        parts = p if parts is None else parts.unionByName(p)
+    sliced = sorted(map(tuple, rollup_merge(parts, "g", ["x"]).collect()))
+    assert direct == sliced
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    names=st.lists(st.text(alphabet="abc", min_size=1, max_size=3),
+                   min_size=1, max_size=8),
+)
+def test_match_cascade_partitions_input(_spark, names):
+    """Every input row comes back exactly once, matched or not — the
+    left-outer waterfall can neither drop nor fan out."""
+    from backend_spark.operators import match_cascade
+
+    df = _spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    ref = _spark.createDataFrame([(1, "a"), (2, "ab")], "rid long, rname string")
+    passes = [
+        {"name": "exact", "keys": [("name", "rname")]},
+        {"name": "prefix", "keys": [("substring(name, 1, 1)", "substring(rname, 1, 1)")]},
+    ]
+    out = match_cascade(df, ref, passes, {"m": "rid"}).collect()
+    assert sorted(r.id for r in out) == sorted(range(len(names)))
+    matched = {r.id: r.match_pass for r in out}
+    # pass priority: an exact hit never reports the later pass
+    for i, n in enumerate(names):
+        if n in ("a", "ab"):
+            assert matched[i] == "exact"
+        elif n.startswith("a"):
+            assert matched[i] == "prefix"
+        else:
+            assert matched[i] is None
