@@ -4316,6 +4316,18 @@ def _q_compaction_plan(spark, sf):
     return compaction_plan(manifest, "path", "bytes", target_bytes=50_000_000)
 
 
+def _q_label_encode(spark, sf):
+    """Deterministic StringIndexer-style dense ids for market segment:
+    dictionary built on the bounded distinct table, corpus joins keyed
+    and never sorts."""
+    from backend_spark.features import label_encode
+
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return label_encode(cust, "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", "c_mktsegment_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4434,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cdc": _q_stream_cdc,
         "attribution": _q_attribution,
         "compaction_plan": _q_compaction_plan,
+        "label_encode": _q_label_encode,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -8030,6 +8043,18 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY bytes DESC, path) AS INT)
                      AS bin_seq
             FROM c
+        """,
+        # features.label_encode: dictionary ranked (freq desc, value) on
+        # the bounded distinct table; corpus left-joins the ids
+        "label_encode": """
+            WITH counts AS (SELECT c_mktsegment AS v, count(*) AS n
+                            FROM customer WHERE c_mktsegment IS NOT NULL
+                            GROUP BY 1),
+            d AS (SELECT v, CAST(row_number() OVER (ORDER BY n DESC, v)
+                                 - 1 AS BIGINT) AS id
+                  FROM counts)
+            SELECT c.c_custkey, c.c_mktsegment, d.id AS c_mktsegment_id
+            FROM customer c LEFT JOIN d ON c.c_mktsegment = d.v
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

@@ -1766,3 +1766,50 @@ def attribution(
         F.count(F.lit(1)).cast("long").alias("journeys"),
         F.round(F.sum("__micro").cast("double") / 1e6, round_to).alias("credit"),
     )
+
+
+def label_encode(
+    df: DataFrame,
+    col: str,
+    out_col: "str | None" = None,
+    order: str = "frequency",
+) -> DataFrame:
+    """Dense 0-based integer ids for a categorical column — the
+    embedding-table / compact-join encoding (StringIndexer semantics,
+    but deterministic and engine-reproducible).  ``order='frequency'``
+    assigns 0 to the most frequent value (ties by value ascending —
+    exactly Spark ML's StringIndexer ``frequencyDesc`` contract), so
+    ids are stable under resampling of a heavy-tailed distribution;
+    ``order='value'`` sorts lexicographically for snapshot-independent
+    ids.  NULL encodes to NULL (filter or fillna upstream).
+
+    Scale shape: one map-side-combined distinct-count aggregate builds
+    the dictionary (|categories| rows), ids come from the
+    assign_row_ids distributed rank over THAT bounded table — never
+    over the corpus — and the dictionary joins back keyed (AQE
+    broadcasts it).  The corpus itself never sorts.
+    """
+    if order not in ("frequency", "value"):
+        raise ValueError(f"label_encode: unknown order {order!r}")
+    if col not in df.columns:
+        raise ValueError(f"label_encode: column {col!r} not in df")
+    out = out_col or f"{col}_id"
+    if out in df.columns:
+        raise ValueError(f"label_encode: output column {out!r} collides with df")
+    from backend_spark.scale import assign_row_ids
+
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    if order == "frequency":
+        staged = counts.select("__v", (-F.col("__n")).alias("__negn"))
+        order_cols = ["__negn", "__v"]
+    else:
+        staged = counts.select("__v")
+        order_cols = ["__v"]
+    dictionary = assign_row_ids(staged, order_cols, out_col="__rid").select(
+        F.col("__v").alias(col), (F.col("__rid") - 1).cast("long").alias(out)
+    )
+    return df.join(dictionary, col, "left")

@@ -2716,3 +2716,25 @@ def test_compaction_plan_bins(spark):
         compaction_plan(df, "path", "sz", target_bytes=0)
     with pytest.raises(ValueError, match="not in df"):
         compaction_plan(df, "path", "zzz", target_bytes=10)
+
+
+def test_label_encode_ids(spark):
+    import pytest
+
+    from backend_spark.features import label_encode
+
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("b",), ("a",), ("a",), ("c",), (None,)], "cat string"
+    )
+    freq = {r.cat: r.cat_id for r in label_encode(df, "cat").collect()}
+    assert freq == {"b": 0, "a": 1, "c": 2, None: None}  # freq desc, ties by value
+    val = {r.cat: r.cat_id for r in label_encode(df, "cat", order="value").collect()}
+    assert val == {"a": 0, "b": 1, "c": 2, None: None}
+    # frequency ties break by value ascending
+    df2 = spark.createDataFrame([("z",), ("y",)], "cat string")
+    tie = {r.cat: r.cat_id for r in label_encode(df2, "cat").collect()}
+    assert tie == {"y": 0, "z": 1}
+    with pytest.raises(ValueError, match="collides"):
+        label_encode(df.withColumnRenamed("cat", "cat_id").withColumn("cat", F.lit("x")), "cat")
+    with pytest.raises(ValueError, match="unknown order"):
+        label_encode(df, "cat", order="hash")

@@ -370,6 +370,9 @@ EXPECT = {
     # one-row-per-partition offsets broadcast — never a global
     # single-partition sort of the manifest, no Python
     "compaction_plan": (["BroadcastExchange"], ["CartesianProduct", "Python", "SortMergeJoin"]),
+    # dictionary rank runs on the bounded distinct table; the corpus
+    # joins it keyed (broadcast) and never sorts — no Python
+    "label_encode": (["BroadcastHashJoin"], ["CartesianProduct", "Python", "SortMergeJoin"]),
 }
 
 
