@@ -4328,6 +4328,26 @@ def _q_label_encode(spark, sf):
     )
 
 
+def _q_scd2_lookup(spark, sf):
+    """Point-in-time SCD2 consumption: purchases retrieve the user's
+    state version valid at purchase time — keyed hash join, per-key
+    fan-out = version count, validity filter keeps at most one."""
+    from backend_spark.quality import scd2_build, scd2_lookup
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    dim = scd2_build(
+        ev.select("user_id", "event_type", "us"), "user_id", "event_type", "us"
+    ).drop("is_current")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us"
+    )
+    return scd2_lookup(facts, dim, "user_id", "us").select(
+        "event_id", "user_id", "us",
+        "dim_event_type", "dim_valid_from", "dim_valid_to",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4447,6 +4467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": _q_attribution,
         "compaction_plan": _q_compaction_plan,
         "label_encode": _q_label_encode,
+        "scd2_lookup": _q_scd2_lookup,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -8055,6 +8076,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM counts)
             SELECT c.c_custkey, c.c_mktsegment, d.id AS c_mktsegment_id
             FROM customer c LEFT JOIN d ON c.c_mktsegment = d.v
+        """,
+        # quality.scd2_lookup over the scd2_build history: half-open
+        # validity, NULL valid_to = current; purchases always match
+        "scd2_lookup": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+            m AS (SELECT user_id, event_type, us,
+                         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                              THEN 1 ELSE 0 END AS chg
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_type)),
+            r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_type
+                                           ROWS UNBOUNDED PRECEDING) AS run
+                  FROM m),
+            g AS (SELECT user_id, event_type, run, min(us) AS valid_from
+                  FROM r GROUP BY 1, 2, 3),
+            d AS (SELECT user_id, event_type, valid_from,
+                         lead(valid_from) OVER (PARTITION BY user_id
+                                                ORDER BY valid_from, event_type) AS valid_to
+                  FROM g),
+            facts AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                      FROM events WHERE event_type = 'purchase')
+            SELECT f.event_id, f.user_id, f.us,
+                   d.event_type AS dim_event_type,
+                   d.valid_from AS dim_valid_from,
+                   d.valid_to AS dim_valid_to
+            FROM facts f LEFT JOIN d
+              ON f.user_id = d.user_id
+             AND f.us >= d.valid_from
+             AND (d.valid_to IS NULL OR f.us < d.valid_to)
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

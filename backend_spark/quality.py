@@ -400,3 +400,62 @@ def ab_test(
         F.round(z, round_to).alias("z"),
         F.when(z.isNotNull(), F.abs(z) >= z_crit).alias("significant"),
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    prefix: str = "dim_",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time dimension lookup against an SCD2 history — the
+    consumption half of :func:`scd2_build`: each fact row retrieves the
+    dimension version whose half-open validity ``[valid_from,
+    valid_to)`` contains the fact's ``ts_col`` (NULL ``valid_to`` =
+    still current).  This is the join every "what did the customer's
+    segment look like WHEN the order happened" question compiles to.
+
+    Scale shape: a plain hash equi-join on the natural key — SCD2
+    versions per key are few and non-overlapping BY CONSTRUCTION
+    (scd2_build emits gapless half-open runs), so the per-key fan-out
+    before the validity filter is the version count, not a range-join
+    blow-up, and each fact survives with AT MOST one version; no
+    binning machinery needed (compare :func:`~backend_spark.operators
+    .joins.range_join`, which exists for arbitrary overlapping
+    intervals).  Dimension columns come back ``prefix``-renamed;
+    ``how='left'`` keeps facts whose timestamp predates the first
+    version (NULL dimension columns).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"scd2_lookup supports inner/left, got {how!r}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    missing = [c for c in [*keys, valid_from, valid_to] if c not in dim.columns]
+    if missing:
+        raise ValueError(f"scd2_lookup: dim missing column(s): {missing}")
+    attrs = [c for c in dim.columns if c not in keys]
+    prefixed = {f"{prefix}{c}" for c in attrs}
+    clash = prefixed & set(facts.columns)
+    if clash:
+        raise ValueError(
+            f"scd2_lookup: prefixed dim column(s) collide with facts: "
+            f"{sorted(clash)} — pick a different prefix"
+        )
+    d = dim.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"{prefix}{c}") for c in attrs],
+    )
+    ts = F.col(ts_col)
+    valid = (ts >= F.col(f"{prefix}{valid_from}")) & (
+        F.col(f"{prefix}{valid_to}").isNull() | (ts < F.col(f"{prefix}{valid_to}"))
+    )
+    matched = facts.join(d, keys, "inner").where(valid)
+    if how == "inner":
+        return matched
+    missed = facts.join(
+        matched.select(*facts.columns).distinct(), facts.columns, "left_anti"
+    )
+    return matched.unionByName(missed, allowMissingColumns=True)

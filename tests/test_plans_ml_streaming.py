@@ -2738,3 +2738,39 @@ def test_label_encode_ids(spark):
         label_encode(df.withColumnRenamed("cat", "cat_id").withColumn("cat", F.lit("x")), "cat")
     with pytest.raises(ValueError, match="unknown order"):
         label_encode(df, "cat", order="hash")
+
+
+def test_scd2_lookup_point_in_time(spark):
+    import pytest
+
+    from backend_spark.quality import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", 10, 20),
+            (1, "silver", 20, 40),
+            (1, "gold", 40, None),
+            (2, "bronze", 5, None),
+        ],
+        "k long, tier string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 15), (101, 1, 20), (102, 1, 39), (103, 1, 99),
+         (104, 1, 5),   # predates history
+         (105, 2, 7), (106, 3, 7)],  # unknown key
+        "fid long, k long, ts long",
+    )
+    got = {r.fid: r for r in scd2_lookup(facts, dim, "k", "ts").collect()}
+    assert got[100].dim_tier == "bronze"
+    assert got[101].dim_tier == "silver"     # half-open: boundary -> new version
+    assert got[102].dim_tier == "silver"
+    assert got[103].dim_tier == "gold"       # NULL valid_to = current
+    assert got[104].dim_tier is None         # before first version, kept (left)
+    assert got[105].dim_tier == "bronze"
+    assert got[106].dim_tier is None
+    inner = scd2_lookup(facts, dim, "k", "ts", how="inner")
+    assert sorted(r.fid for r in inner.collect()) == [100, 101, 102, 103, 105]
+    with pytest.raises(ValueError, match="collide"):
+        scd2_lookup(facts.withColumn("dim_tier", F.lit("x")), dim, "k", "ts")
+    with pytest.raises(ValueError, match="missing column"):
+        scd2_lookup(facts, dim.drop("valid_to"), "k", "ts")

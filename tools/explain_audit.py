@@ -373,6 +373,9 @@ EXPECT = {
     # dictionary rank runs on the bounded distinct table; the corpus
     # joins it keyed (broadcast) and never sorts — no Python
     "label_encode": (["BroadcastHashJoin"], ["CartesianProduct", "Python", "SortMergeJoin"]),
+    # point-in-time lookup = keyed hash join + validity filter — never
+    # a range-predicate NLJ; the scd2_build windows ride one key sort
+    "scd2_lookup": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Python"]),
 }
 
 
