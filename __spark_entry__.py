@@ -4348,6 +4348,16 @@ def _q_scd2_lookup(spark, sf):
     )
 
 
+def _q_ks_test(spark, sf):
+    """Global-path exact KS drift test (click vs purchase values): the
+    cumulative counts ride the distributed prefix-sum, never a global
+    single-partition window over the distinct values."""
+    from backend_spark.features import ks_test
+
+    ev = load_table(spark, sf, "events")
+    return ks_test(ev, "event_type", "value", "click", "purchase")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4468,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _q_compaction_plan,
         "label_encode": _q_label_encode,
         "scd2_lookup": _q_scd2_lookup,
+        "ks_test": _q_ks_test,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -8104,6 +8115,45 @@ def oracle_sql() -> dict[str, str]:
               ON f.user_id = d.user_id
              AND f.us >= d.valid_from
              AND (d.valid_to IS NULL OR f.us < d.valid_to)
+        """,
+        # features.ks_test: D maximized on integer cross-products; p uses
+        # the UNROUNDED d with the Spark operand order
+        "ks_test": """
+            WITH base AS (SELECT value AS v,
+                                 CASE WHEN event_type = 'click'
+                                      THEN 1 ELSE 0 END AS ia,
+                                 CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END AS ib
+                          FROM events
+                          WHERE value IS NOT NULL
+                            AND event_type IN ('click', 'purchase')),
+            per_v AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+                             CAST(sum(ib) AS BIGINT) AS cb
+                      FROM base GROUP BY v),
+            run AS (SELECT sum(ca) OVER (ORDER BY v
+                                         ROWS UNBOUNDED PRECEDING) AS ra,
+                           sum(cb) OVER (ORDER BY v
+                                         ROWS UNBOUNDED PRECEDING) AS rb
+                    FROM per_v),
+            tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                           CAST(sum(cb) AS BIGINT) AS nb
+                    FROM per_v),
+            m AS (SELECT max(abs(ra * tot.nb - rb * tot.na)) AS mx
+                  FROM run CROSS JOIN tot),
+            d AS (SELECT tot.na, tot.nb,
+                         CAST(m.mx AS DOUBLE)
+                           / (CAST(tot.na AS DOUBLE)
+                              * CAST(tot.nb AS DOUBLE)) AS dd
+                  FROM m CROSS JOIN tot)
+            SELECT na AS n_a, nb AS n_b,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN round(dd, 6) END AS d_stat,
+                   CASE WHEN na > 0 AND nb > 0 THEN
+                     round(least(1.0,
+                       2.0 * exp((((-2.0 * dd) * dd) * CAST(na AS DOUBLE))
+                                 * CAST(nb AS DOUBLE)
+                                 / CAST(na + nb AS DOUBLE))), 6) END AS p_approx
+            FROM d
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

@@ -1813,3 +1813,123 @@ def label_encode(
         F.col("__v").alias(col), (F.col("__rid") - 1).cast("long").alias(out)
     )
     return df.join(dictionary, col, "left")
+
+
+def ks_test(
+    df: DataFrame,
+    sample_col: str,
+    value_col: str,
+    a: str,
+    b: str,
+    by: "list[str] | str | None" = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test — the
+    nonparametric complement to ``psi``: D = sup over observed values of
+    |ECDF_a - ECDF_b|, with the asymptotic two-sided p-value
+    ``2 exp(-2 D^2 n_a n_b / (n_a + n_b))`` (Smirnov's bound, the
+    standard monitoring readout).  ``sample_col`` labels each row ``a``
+    (reference) or ``b`` (candidate); rows with other labels or NULL
+    values drop.
+
+    Exactness: the supremum is maximized as the INTEGER cross-product
+    |cum_a * n_b - cum_b * n_a| over per-distinct-value cumulative
+    counts, so D is a ratio of exact integers; only the final division
+    and the p-value exponential are floats (rounded ``round_to``).
+
+    Scale shape: one map-side-combined count per (value, sample) pair,
+    then the cumulative counts.  With ``by`` the running sums ride a
+    key-partitioned window (one exchange).  WITHOUT ``by`` a naive
+    global window would funnel every distinct value through one task —
+    instead the global path uses the assign_row_ids prefix-sum trick
+    (range exchange + partition-local running sums + one-row-per-
+    partition offsets broadcast), so a billion-distinct-value KS still
+    distributes.  Output: by-cols + (n_a, n_b, d_stat, p_approx).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    missing = [c for c in [*keys, sample_col, value_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"ks_test: column(s) not in df: {missing}")
+    lab = F.col(sample_col)
+    base = df.where(
+        F.col(value_col).isNotNull() & lab.isin(a, b)
+    ).select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        (lab == a).cast("long").alias("__ia"),
+        (lab == b).cast("long").alias("__ib"),
+    )
+    per_v = base.groupBy(*keys, "__v").agg(
+        F.sum("__ia").alias("__ca"), F.sum("__ib").alias("__cb")
+    )
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("__v")
+        wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wall = Window.partitionBy(*keys)
+        staged = per_v.select(
+            *keys,
+            F.sum("__ca").over(wr).alias("__ra"),
+            F.sum("__cb").over(wr).alias("__rb"),
+            F.sum("__ca").over(wall).alias("__na"),
+            F.sum("__cb").over(wall).alias("__nb"),
+        )
+    else:
+        ranged = per_v.repartitionByRange("__v").withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        w_local = Window.partitionBy("__pid").orderBy("__v")
+        wr = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        local = ranged.select(
+            "__pid",
+            F.sum("__ca").over(wr).alias("__la"),
+            F.sum("__cb").over(wr).alias("__lb"),
+        ).localCheckpoint(eager=False)
+        ptot = local.groupBy("__pid").agg(
+            F.max("__la").alias("__ta"), F.max("__lb").alias("__tb")
+        )
+        w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        offs = ptot.select(
+            "__pid",
+            F.coalesce(F.sum("__ta").over(w_off), F.lit(0)).alias("__oa"),
+            F.coalesce(F.sum("__tb").over(w_off), F.lit(0)).alias("__ob"),
+        )
+        tot = ptot.agg(
+            F.sum("__ta").cast("long").alias("__na"),
+            F.sum("__tb").cast("long").alias("__nb"),
+        )
+        staged = (
+            local.join(F.broadcast(offs), "__pid")
+            .select(
+                (F.col("__la") + F.col("__oa")).alias("__ra"),
+                (F.col("__lb") + F.col("__ob")).alias("__rb"),
+            )
+            .crossJoin(F.broadcast(tot))
+        )
+    cross = F.abs(F.col("__ra") * F.col("__nb") - F.col("__rb") * F.col("__na"))
+    agg = staged.groupBy(*keys).agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.max(cross).alias("__m"),
+    )
+    d = F.col("__m").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    p = F.least(
+        F.lit(1.0),
+        2.0
+        * F.exp(
+            -2.0
+            * d
+            * d
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+        ),
+    )
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(d, round_to)).alias("d_stat"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(p, round_to)).alias("p_approx"),
+    )

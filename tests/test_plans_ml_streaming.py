@@ -2774,3 +2774,37 @@ def test_scd2_lookup_point_in_time(spark):
         scd2_lookup(facts.withColumn("dim_tier", F.lit("x")), dim, "k", "ts")
     with pytest.raises(ValueError, match="missing column"):
         scd2_lookup(facts, dim.drop("valid_to"), "k", "ts")
+
+
+def test_ks_test_exact(spark):
+    import math
+
+    import pytest
+
+    from backend_spark.features import ks_test
+
+    # identical distributions -> D = 0
+    rows = [("a", float(i % 5)) for i in range(50)] + [("b", float(i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = ks_test(df, "s", "v", "a", "b").collect()[0]
+    assert r.d_stat == 0.0 and r.p_approx == 1.0 and r.n_a == 50
+    # disjoint supports -> D = 1
+    rows2 = [("a", float(i)) for i in range(10)] + [("b", float(i + 100)) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "s string, v double")
+    r2 = ks_test(df2, "s", "v", "a", "b").collect()[0]
+    assert r2.d_stat == 1.0
+    assert r2.p_approx == round(2 * math.exp(-2 * 1 * 100 / 20), 6)
+    # hand-checked asymmetric case: a={1,2}, b={1,3,3}
+    df3 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 3.0), ("b", 3.0), ("x", 9.9)],
+        "s string, v double",
+    )
+    r3 = ks_test(df3, "s", "v", "a", "b").collect()[0]
+    # ECDFs at 1: 1/2 vs 1/3; at 2: 1 vs 1/3 -> D = 2/3; label 'x' ignored
+    assert r3.d_stat == round(2 / 3, 6) and r3.n_b == 3
+    # grouped path matches the global path per group
+    g = df3.withColumn("g", F.lit("g1"))
+    rg = ks_test(g, "s", "v", "a", "b", by="g").collect()[0]
+    assert rg.d_stat == r3.d_stat and rg.g == "g1"
+    with pytest.raises(ValueError, match="not in df"):
+        ks_test(df3, "s", "zzz", "a", "b")

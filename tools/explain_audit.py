@@ -376,6 +376,11 @@ EXPECT = {
     # point-in-time lookup = keyed hash join + validity filter — never
     # a range-predicate NLJ; the scd2_build windows ride one key sort
     "scd2_lookup": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Python"]),
+    # global KS: distinct-value count agg + distributed prefix sums
+    # (range exchange, partition-local windows, broadcast offsets) —
+    # no sort-merge join, no Python; the BNLJ is the bounded 1-row
+    # totals broadcast, same as ab_test
+    "ks_test": (["BroadcastExchange"], ["SortMergeJoin", "Python"]),
 }
 
 
