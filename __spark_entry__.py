@@ -4421,8 +4421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_index": _q_ann_ivf_index,
         "bpe_pairs": _q_bpe_pairs,
         # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (review_queue..k_truss and the 15
-        # second-continuation ops fs_weights..pca_top were locally
+        # round-10 rotation (review_queue..k_truss, the 15
+        # second-continuation ops fs_weights..pca_top, and the
+        # third-continuation set ridge_by..ks_test were all locally
         # hash-verified at birth — every one green in check_oracle,
         # explain_audit, and determinism_check on the final round-9
         # diff — and ride round 10; the 12 r4-stale rows
