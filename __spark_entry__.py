@@ -4358,6 +4358,44 @@ def _q_ks_test(spark, sf):
     return ks_test(ev, "event_type", "value", "click", "purchase")
 
 
+def _q_bipartite(spark, sf):
+    """Order-part co-purchase projection: wedge enumeration keyed on
+    the order id, simple-graph dedup, integer-exact Jaccard."""
+    from backend_spark.operators.graph import bipartite_projection
+
+    li = load_table(spark, sf, "lineitem")
+    return bipartite_projection(li, "l_orderkey", "l_partkey", min_common=2)
+
+
+def _q_twap(spark, sf):
+    """Time-weighted average event value per type: lead-duration
+    weighting on one (key, ts) window, exact decimal folds."""
+    from backend_spark.features import twap
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    return twap(ev.select("event_type", "us", "value"), "event_type", "us", "value")
+
+
+def _q_rfm(spark, sf):
+    """RFM segmentation of users from the event log: one aggregate to
+    |users| rows, three deterministic ntile windows over that."""
+    from backend_spark.features import rfm
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    return rfm(ev.select("user_id", "us", "value"), "user_id", "us", "value")
+
+
+def _q_bucket_quantiles(spark, sf):
+    """Exact p50/p95/p99 price bands per returnflag: rank-based lower
+    quantiles, one group-key exchange."""
+    from backend_spark.features import bucket_quantiles
+
+    li = load_table(spark, sf, "lineitem")
+    return bucket_quantiles(li, "l_returnflag", "l_extendedprice", percentiles=[50, 95, 99])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4480,6 +4518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_encode": _q_label_encode,
         "scd2_lookup": _q_scd2_lookup,
         "ks_test": _q_ks_test,
+        "bipartite": _q_bipartite,
+        "twap": _q_twap,
+        "rfm": _q_rfm,
+        "bucket_quantiles": _q_bucket_quantiles,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -8155,6 +8197,73 @@ def oracle_sql() -> dict[str, str]:
                                  * CAST(nb AS DOUBLE)
                                  / CAST(na + nb AS DOUBLE))), 6) END AS p_approx
             FROM d
+        """,
+        # graph.bipartite_projection on the order-part incidence
+        "bipartite": """
+            WITH e AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r
+                       FROM lineitem
+                       WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+            dr AS (SELECT r, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY r),
+            pairs AS (SELECT a.r AS item_i, b.r AS item_j,
+                             CAST(count(*) AS BIGINT) AS common
+                      FROM e a JOIN e b ON a.l = b.l AND a.r < b.r
+                      GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT p.item_i, p.item_j, p.common,
+                   round(CAST(p.common AS DOUBLE)
+                         / CAST(da.d + db.d - p.common AS DOUBLE), 6) AS jaccard
+            FROM pairs p
+            JOIN dr da ON da.r = p.item_i
+            JOIN dr db ON db.r = p.item_j
+        """,
+        # features.twap: piecewise-constant integral / span; the last
+        # observation carries no duration
+        "twap": """
+            WITH b AS (SELECT event_type AS k, epoch_us(ts) AS t,
+                              CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS v
+                       FROM events
+                       WHERE ts IS NOT NULL AND value IS NOT NULL),
+            l AS (SELECT k, t, v, lead(t) OVER (PARTITION BY k ORDER BY t) - t AS dur
+                  FROM b),
+            g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                         max(t) - min(t) AS span,
+                         coalesce(sum(v * CAST(dur AS HUGEINT)), 0) AS wsum
+                  FROM l GROUP BY k)
+            SELECT k AS event_type, n, span,
+                   CASE WHEN span > 0 THEN
+                     round(CAST(wsum AS DOUBLE) / CAST(span AS DOUBLE)
+                           / 1000000, 6) END AS twap
+            FROM g
+        """,
+        # features.rfm: aggregate to |users| rows, ntile with key
+        # tie-break on each axis
+        "rfm": """
+            WITH a AS (SELECT user_id, max(epoch_us(ts)) AS recency,
+                              CAST(count(*) AS BIGINT) AS frequency,
+                              coalesce(sum(CAST(floor(value * 1000000 + 0.5)
+                                                AS HUGEINT)), 0) AS m
+                       FROM events WHERE ts IS NOT NULL GROUP BY user_id)
+            SELECT user_id, recency, frequency,
+                   round(CAST(m AS DOUBLE) / 1000000, 6) AS monetary,
+                   CAST(ntile(5) OVER (ORDER BY recency ASC, user_id ASC) AS INT) AS r_score,
+                   CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS INT) AS f_score,
+                   CAST(ntile(5) OVER (ORDER BY m ASC, user_id ASC) AS INT) AS m_score
+            FROM a
+        """,
+        # features.bucket_quantiles: lower quantile at integer rank
+        # (p*n + 99) div 100
+        "bucket_quantiles": """
+            WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v
+                       FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            r AS (SELECT g, v,
+                         CAST(row_number() OVER (PARTITION BY g ORDER BY v ASC)
+                              AS BIGINT) AS rn,
+                         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                  FROM b)
+            SELECT g AS l_returnflag, max(n) AS n,
+                   min(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50,
+                   min(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS p95,
+                   min(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99
+            FROM r GROUP BY g
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

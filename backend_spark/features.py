@@ -1933,3 +1933,165 @@ def ks_test(
         F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(d, round_to)).alias("d_stat"),
         F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), F.round(p, round_to)).alias("p_approx"),
     )
+
+
+def twap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+    tie_break: "str | None" = None,
+) -> DataFrame:
+    """Time-weighted average per key — the piecewise-constant integral
+    of an observed level over its holding durations, divided by the
+    observed span (the TWAP of finance, the duty-cycle mean of
+    monitoring: a sensor that read 9 for an hour and 1 for a second
+    averages ~9, not 5).  Each observation holds until the next one;
+    the final observation contributes no duration (nothing is known
+    past it), so single-observation keys yield NULL.
+
+    Exactness: timestamps must already be integers (epoch micros — see
+    ``session.event_ts_us``); values quantize to fixed point, so every
+    duration-weighted product folds as an exact decimal and only the
+    final division is float (rounded ``round_to``).  Equal timestamps
+    within a key make the lead() pairing order-dependent (the tied
+    readings swap holding durations) — pass ``tie_break`` (a unique
+    column) to pin a total order; tied readings then hold 0 duration
+    except the last, deterministically.
+
+    Scale shape: one (key, ts) window partitioning for the lead()
+    duration, one map-side-combined aggregate.
+    """
+    if scale < 1:
+        raise ValueError(f"twap: scale must be >= 1, got {scale}")
+    missing = [c for c in (key_col, ts_col, value_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"twap: column(s) not in df: {missing}")
+    dec = "decimal(38,0)"
+    order = [F.col(ts_col)] + ([F.col(tie_break)] if tie_break else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast(dec)
+    base = df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    staged = base.select(
+        F.col(key_col),
+        F.col(ts_col).cast("long").alias("__t"),
+        v.alias("__v"),
+        (F.lead(F.col(ts_col).cast("long")).over(w) - F.col(ts_col).cast("long")).alias("__dur"),
+    )
+    agg = staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("__t") - F.min("__t")).alias("span"),
+        F.coalesce(
+            F.sum((F.col("__v") * F.col("__dur").cast(dec)).cast(dec)), F.lit(0).cast(dec)
+        ).alias("__wsum"),
+    )
+    return agg.select(
+        key_col,
+        "n",
+        "span",
+        F.round(
+            F.when(
+                F.col("span") > 0,
+                F.col("__wsum").cast("double") / F.col("span").cast("double") / scale,
+            ),
+            round_to,
+        ).alias("twap"),
+    )
+
+
+def rfm(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """RFM customer segmentation — Recency (latest activity), Frequency
+    (event count), Monetary (fixed-point amount sum) per key, each
+    scored 1..``n_tiles`` by ntile so 5/5/5 is the most recent, most
+    frequent, highest-spending segment.  The classic churn/value
+    screen, and the feature triple behind most lifecycle models.
+
+    Ties order deterministically by the key, so scores are
+    engine-exact; monetary sums are fixed-point decimals.  Scale
+    shape: one map-side-combined aggregate to |keys| rows, then the
+    three ntile windows run over THAT aggregate (keys, not events);
+    at extreme key cardinality ntile's global sort distributes via
+    range partitioning within the window exchange.
+    """
+    if n_tiles < 2:
+        raise ValueError(f"rfm: n_tiles must be >= 2, got {n_tiles}")
+    missing = [c for c in (key_col, ts_col, amount_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"rfm: column(s) not in df: {missing}")
+    dec = "decimal(38,0)"
+    amt = F.floor(F.col(amount_col) * scale + F.lit(0.5)).cast(dec)
+    agg = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.max(F.col(ts_col).cast("long")).alias("recency"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.coalesce(F.sum(amt), F.lit(0).cast(dec)).alias("__m"),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency").asc(), F.col(key_col).asc())
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col(key_col).asc())
+    m_w = Window.orderBy(F.col("__m").asc(), F.col(key_col).asc())
+    return agg.select(
+        key_col,
+        "recency",
+        "frequency",
+        F.round(F.col("__m").cast("double") / scale, round_to).alias("monetary"),
+        F.ntile(n_tiles).over(r_w).alias("r_score"),
+        F.ntile(n_tiles).over(f_w).alias("f_score"),
+        F.ntile(n_tiles).over(m_w).alias("m_score"),
+    )
+
+
+def bucket_quantiles(
+    df: DataFrame,
+    by: "list[str] | str",
+    value_col: str,
+    percentiles: "list[int]" = (50, 95, 99),
+    prefix: str = "p",
+) -> DataFrame:
+    """Exact per-group percentile bands — the p50/p95/p99 latency
+    readout of every service dashboard, computed as the LOWER
+    (rank-based) quantile: value at 1-based rank ``ceil(p*n/100)`` in
+    ascending order.  No interpolation, so the result is an actual
+    observed value and the rank arithmetic is pure integer —
+    engine-exact for any type with a total order (compare Spark's
+    ``percentile_approx``, which trades exactness for a sketch, and
+    ``F.percentile``, whose interpolation differs across engines).
+
+    One exchange on the group key (rank window + aggregate share it);
+    NULL values drop.  Output: by-cols + n + one column per requested
+    percentile (``p50``, ``p95``, ...).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    ps = list(percentiles)
+    if not ps or any(not (1 <= int(p) <= 100) for p in ps):
+        raise ValueError(f"bucket_quantiles: percentiles must be in 1..100, got {ps}")
+    missing = [c for c in [*keys, value_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"bucket_quantiles: column(s) not in df: {missing}")
+    base = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    wn = Window.partitionBy(*keys)
+    staged = base.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(w).cast("long").alias("__rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("__n"),
+    )
+    aggs = [F.max("__n").alias("n")]
+    for p in ps:
+        # ceil(p*n/100) in pure integer arithmetic: (p*n + 99) div 100
+        rank = F.expr(f"CAST(({int(p)} * __n + 99) div 100 AS BIGINT)")
+        aggs.append(F.min(F.when(F.col("__rn") == rank, F.col("__v"))).alias(f"{prefix}{int(p)}"))
+    return staged.groupBy(*keys).agg(*aggs)

@@ -1240,3 +1240,70 @@ def negative_edges(
         .where(F.col("neg_rank") <= k)
         .select("u", "v", "neg_rank")
     )
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_common: int = 2,
+    max_left_degree: "int | None" = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Project a bipartite incidence (user-item, order-part,
+    doc-entity) onto its RIGHT side: for every pair of right nodes
+    sharing at least ``min_common`` left neighbors, emit the
+    co-occurrence count and the Jaccard similarity of their left
+    neighbor sets — the co-purchase / co-click graph every
+    recommendation and substitutability analysis starts from (the
+    graph-shaped sibling of :func:`~backend_spark.features
+    .assoc_rules`, which scores directed rules instead of edges).
+
+    Distributed as wedge enumeration keyed by the left node (the
+    :func:`link_prediction` shape on a bipartite graph): cost is
+    O(Σ_l deg(l)²), dominated by hub left-nodes — ``max_left_degree``
+    drops wedges through lefts above the cap (a user who bought
+    everything co-occurs with everything and carries no signal; same
+    mitigation as link_prediction's).  Edges are deduplicated first
+    (simple-graph semantics), so multiplicities don't inflate counts.
+    Jaccard is a single division of exact integers (rounded
+    ``round_to``).  No cross product, no collect.
+    """
+    if min_common < 1:
+        raise ValueError(f"bipartite_projection: min_common must be >= 1, got {min_common}")
+    missing = [c for c in (left_col, right_col) if c not in edges.columns]
+    if missing:
+        raise ValueError(f"bipartite_projection: column(s) not in edges: {missing}")
+    e = (
+        edges.select(F.col(left_col).alias("__l"), F.col(right_col).alias("__r"))
+        .where(F.col("__l").isNotNull() & F.col("__r").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dl = e.groupBy("__l").agg(F.count(F.lit(1)).alias("__dl"))
+    dr = e.groupBy("__r").agg(F.count(F.lit(1)).alias("__dr"))
+    adj = e.join(dl, "__l")
+    if max_left_degree is not None:
+        adj = adj.where(F.col("__dl") <= max_left_degree)
+    pairs = (
+        adj.select("__l", F.col("__r").alias("item_i"))
+        .join(adj.select("__l", F.col("__r").alias("item_j")), "__l")
+        .where(F.col("item_i") < F.col("item_j"))
+        .groupBy("item_i", "item_j")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    return (
+        pairs.join(dr.select(F.col("__r").alias("item_i"), F.col("__dr").alias("__da")), "item_i")
+        .join(dr.select(F.col("__r").alias("item_j"), F.col("__dr").alias("__db")), "item_j")
+        .select(
+            "item_i",
+            "item_j",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("__da") + F.col("__db") - F.col("common")).cast("double"),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )

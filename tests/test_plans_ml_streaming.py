@@ -2808,3 +2808,77 @@ def test_ks_test_exact(spark):
     assert rg.d_stat == r3.d_stat and rg.g == "g1"
     with pytest.raises(ValueError, match="not in df"):
         ks_test(df3, "s", "zzz", "a", "b")
+
+
+def test_bipartite_projection_copurchase(spark):
+    import pytest
+
+    from backend_spark.operators.graph import bipartite_projection
+
+    edges = spark.createDataFrame(
+        [("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "b"), ("u3", "a"),
+         ("u3", "c"), ("u1", "a")],  # duplicate edge must not inflate
+        "u string, item string",
+    )
+    out = {(r.item_i, r.item_j): r for r in
+           bipartite_projection(edges, "u", "item", min_common=1).collect()}
+    ab = out[("a", "b")]
+    assert ab.common == 2                       # u1, u2 (dup collapsed)
+    assert ab.jaccard == round(2 / 3, 6)        # |{u1,u2}| / |{u1,u2,u3}|
+    assert out[("a", "c")].common == 1
+    assert ("b", "c") not in out
+    # hub cap: dropping u1 (deg 2... use cap 1) removes its wedges
+    capped = {(r.item_i, r.item_j): r.common for r in
+              bipartite_projection(edges, "u", "item", min_common=1, max_left_degree=1).collect()}
+    assert capped == {}   # every left with >=2 items exceeds cap 1
+    with pytest.raises(ValueError, match="min_common"):
+        bipartite_projection(edges, "u", "item", min_common=0)
+
+
+def test_twap_duration_weighting(spark):
+    import pytest
+
+    from backend_spark.features import twap
+
+    rows = [("s", 0, 9.0), ("s", 3600, 1.0), ("s", 3601, 1.0),
+            ("one", 5, 2.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    got = {r.k: r for r in twap(df, "k", "ts", "v").collect()}
+    # 9.0 held 3600s, 1.0 held 1s -> (9*3600 + 1*1)/3601
+    assert got["s"].twap == round((9 * 3600 + 1) / 3601, 6)
+    assert got["s"].span == 3601 and got["s"].n == 3
+    assert got["one"].twap is None              # no span
+    with pytest.raises(ValueError, match="not in df"):
+        twap(df, "k", "ts", "zzz")
+
+
+def test_rfm_scores(spark):
+    from backend_spark.features import rfm
+
+    rows = []
+    for i in range(10):
+        for e in range(i + 1):                  # key i has i+1 events
+            rows.append((i, 100 * i + e, float(10 * i)))
+    df = spark.createDataFrame(rows, "k long, ts long, amt double")
+    got = {r.k: r for r in rfm(df, "k", "ts", "amt").collect()}
+    assert got[9].r_score == 5 and got[9].f_score == 5 and got[9].m_score == 5
+    assert got[0].r_score == 1 and got[0].f_score == 1 and got[0].m_score == 1
+    assert got[9].frequency == 10 and got[9].monetary == 900.0
+    assert got[9].recency == 909
+
+
+def test_bucket_quantiles_exact(spark):
+    import pytest
+
+    from backend_spark.features import bucket_quantiles
+
+    df = spark.createDataFrame([("g", float(i)) for i in range(1, 101)], "g string, v double")
+    r = bucket_quantiles(df, "g", "v", percentiles=[50, 95, 99, 100]).collect()[0]
+    assert (r.p50, r.p95, r.p99, r.p100) == (50.0, 95.0, 99.0, 100.0)
+    assert r.n == 100
+    # small group: lower quantile = ceil(p*n/100)-th value
+    df2 = spark.createDataFrame([("g", 1.0), ("g", 2.0), ("g", 3.0)], "g string, v double")
+    r2 = bucket_quantiles(df2, "g", "v", percentiles=[50]).collect()[0]
+    assert r2.p50 == 2.0    # ceil(1.5) = 2nd value
+    with pytest.raises(ValueError, match="percentiles"):
+        bucket_quantiles(df, "g", "v", percentiles=[0])

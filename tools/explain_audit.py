@@ -381,6 +381,14 @@ EXPECT = {
     # no sort-merge join, no Python; the BNLJ is the bounded 1-row
     # totals broadcast, same as ab_test
     "ks_test": (["BroadcastExchange"], ["SortMergeJoin", "Python"]),
+    # wedge enumeration keyed by the left node — equi-joins only
+    "bipartite": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Python"]),
+    # one (key, ts) window + one map-side-combined aggregate
+    "twap": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
+    # event aggregate first; ntile windows run over |users| rows only
+    "rfm": (["partial", "Window"], ["Join", "CartesianProduct", "Python"]),
+    # rank + count windows share one group-key exchange; no join
+    "bucket_quantiles": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
 }
 
 
