@@ -4396,6 +4396,76 @@ def _q_bucket_quantiles(spark, sf):
     return bucket_quantiles(li, "l_returnflag", "l_extendedprice", percentiles=[50, 95, 99])
 
 
+def _q_bloom_join(spark, sf):
+    """Bloom-prefiltered semi-join: the key-set bitset broadcasts and
+    the fact side meets it in k broadcast joins (zero fact shuffles
+    before the exact join); no false negatives, so the result hashes
+    identically to the plain semi-join oracle."""
+    from backend_spark.scale import bloom_filter_join
+
+    li = load_table(spark, sf, "lineitem")
+    keys = load_table(spark, sf, "orders").where(
+        F.col("o_orderkey") % 17 == 0
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    return bloom_filter_join(li, keys, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+def _q_disparate_impact(spark, sf):
+    """Four-fifths-rule fairness audit across market segments on a
+    balance-derived outcome: one aggregate + 1-row reference
+    broadcast."""
+    from backend_spark.quality import disparate_impact
+
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("g"),
+        (F.col("c_acctbal") > 5000).cast("int").alias("y"),
+    )
+    return disparate_impact(cust, "g", "y", reference="BUILDING")
+
+
+def _q_freshness(spark, sf):
+    """Per-event-type ingestion freshness: latest micros + lag behind
+    the freshest feed, 1-hour staleness flag."""
+    from backend_spark.quality import freshness
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    return freshness(ev.select("event_type", "us"), "event_type", "us",
+                     max_lag_us=3_600_000_000)
+
+
+def _q_ece(spark, sf):
+    """Expected Calibration Error of the isotonic query's synthetic
+    score/label: exact bin counts + fixed-point confidence sums."""
+    from backend_spark.ml import ece
+
+    li = load_table(spark, sf, "lineitem").select(
+        ((F.col("l_partkey") % 100).cast("double") / 100.0).alias("score"),
+        (F.col("l_orderkey") % 100 < F.col("l_partkey") % 100).cast("int").alias("y"),
+    )
+    return ece(li, "score", "y", n_bins=10)
+
+
+def _q_mojibake(spark, sf):
+    """Crawl mojibake repair over documents with injected corruption:
+    ordered substring replacements, shuffle-free."""
+    from backend_spark.llm import fix_mojibake
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bad_cafe = " caf" + chr(0xC3) + chr(0xA9)
+    bad_quote = chr(0xE2) + chr(0x80) + chr(0x9C) + "q" + chr(0xE2) + chr(0x80) + chr(0x9D)
+    corrupted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(bad_cafe)))
+        .when(F.col("doc_id") % 3 == 1, F.concat("text", F.lit(" " + bad_quote)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return fix_mojibake(corrupted, "text").select("doc_id", "text_fixed", "mojibake")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4522,6 +4592,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap": _q_twap,
         "rfm": _q_rfm,
         "bucket_quantiles": _q_bucket_quantiles,
+        "bloom_join": _q_bloom_join,
+        "disparate_impact": _q_disparate_impact,
+        "freshness": _q_freshness,
+        "ece": _q_ece,
+        "mojibake": _q_mojibake,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -4673,6 +4748,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles (DuckDB SQL)
 # ---------------------------------------------------------------------------
+
+
+def _sql_mojibake_expr(col: str) -> str:
+    """Mirror of llm.fix_mojibake: the SAME MOJIBAKE_RULES table folded
+    into plain replace() calls, strings built from chr() so no literal
+    control bytes appear in the SQL text."""
+    x = col
+    for bad, good in llm.MOJIBAKE_RULES:
+        bad_sql = " || ".join(f"chr({ord(c)})" for c in bad)
+        good_sql = " || ".join(f"chr({ord(c)})" for c in good)
+        x = f"replace({x}, {bad_sql}, {good_sql})"
+    return x
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8264,6 +8351,86 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS p95,
                    min(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99
             FROM r GROUP BY g
+        """,
+        # scale.bloom_filter_join: no false negatives, so the result IS
+        # the plain semi-join — the bloom stage only cuts shuffle volume
+        "bloom_join": """
+            SELECT l.l_orderkey, CAST(l.l_linenumber AS INT) AS l_linenumber,
+                   l.l_partkey, l.l_quantity
+            FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey % 17 = 0
+                            AND o.o_orderkey = l.l_orderkey)
+        """,
+        # quality.disparate_impact: four-fifths rule vs BUILDING
+        "disparate_impact": """
+            WITH per AS (SELECT c_mktsegment AS g,
+                                CAST(count(*) AS BIGINT) AS n,
+                                CAST(sum(CASE WHEN c_acctbal > 5000
+                                              THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                         FROM customer GROUP BY 1),
+            ref AS (SELECT CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rr
+                    FROM per WHERE g = 'BUILDING')
+            SELECT g AS "group", n, pos AS positives,
+                   round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+                   round(ref.rr, 6) AS ref_rate,
+                   CASE WHEN ref.rr > 0 THEN
+                     round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) / ref.rr, 6)
+                   END AS di_ratio,
+                   CASE WHEN ref.rr > 0 THEN
+                     CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) / ref.rr < 0.8
+                   END AS adverse
+            FROM per CROSS JOIN ref WHERE g <> 'BUILDING'
+        """,
+        # quality.freshness: per-type latest micros + lag vs global max
+        "freshness": """
+            WITH per AS (SELECT event_type AS source,
+                                CAST(count(*) AS BIGINT) AS n,
+                                max(epoch_us(ts)) AS latest
+                         FROM events WHERE ts IS NOT NULL GROUP BY 1)
+            SELECT source, n, latest,
+                   (SELECT max(latest) FROM per) - latest AS lag_us,
+                   (SELECT max(latest) FROM per) - latest > 3600000000 AS stale
+            FROM per
+        """,
+        # ml.ece: exact bin counts, fixed-point confidence, bin-ordered
+        # weighted fold
+        "ece": """
+            WITH d AS (SELECT CAST(l_partkey % 100 AS DOUBLE) / 100.0 AS score,
+                              CASE WHEN l_orderkey % 100 < l_partkey % 100
+                                   THEN 1 ELSE 0 END AS y
+                       FROM lineitem),
+            b AS (SELECT CAST(least(greatest(floor(score * 10), 0), 9) AS INT) AS bin,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(y) AS BIGINT) AS pos,
+                         sum(CAST(floor(score * 1000000 + 0.5) AS HUGEINT)) AS conf
+                  FROM d WHERE score IS NOT NULL GROUP BY 1),
+            f AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS n_bins_used,
+                         sum(CAST(n AS DOUBLE)
+                             * abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                                   - CAST(conf AS DOUBLE) / 1000000.0
+                                     / CAST(n AS DOUBLE))
+                             ORDER BY bin) AS wsum
+                  FROM b)
+            SELECT n, n_bins_used, round(wsum / CAST(n AS DOUBLE), 6) AS ece
+            FROM f
+        """,
+        # llm.fix_mojibake: the shared rule table as chr()-built
+        # replace() chain over the same injected corruption
+        "mojibake": f"""
+            WITH c AS (SELECT doc_id,
+                              CASE WHEN doc_id % 3 = 0
+                                   THEN text || ' caf' || chr(195) || chr(169)
+                                   WHEN doc_id % 3 = 1
+                                   THEN text || ' ' || chr(226) || chr(128)
+                                        || chr(156) || 'q' || chr(226)
+                                        || chr(128) || chr(157)
+                                   ELSE text END AS text
+                       FROM documents)
+            SELECT doc_id, {_sql_mojibake_expr("text")} AS text_fixed,
+                   {_sql_mojibake_expr("text")} <> text AS mojibake
+            FROM c
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

@@ -4986,3 +4986,61 @@ def zipf_fit(
             F.when(den_y > 0, (num * num) / (den * den_y)), round_to
         ).alias("r2"),
     )
+
+
+# UTF-8 bytes mis-decoded as cp1252 -- the classic crawl mojibake
+# sequences and their intended characters, written as escapes because
+# several contain invisible control bytes.  Ordered: three-byte cp1252
+# punctuation first, else their two-byte prefixes would eat them.
+# Shared with the SQL oracle verbatim (plain replace, no regex).
+MOJIBAKE_RULES = (
+    ("\u00e2\u0080\u0099", "\u2019"),  # -> right single quote
+    ("\u00e2\u0080\u009c", "\u201c"),  # -> left double quote
+    ("\u00e2\u0080\u009d", "\u201d"),  # -> right double quote
+    ("\u00e2\u0080\u0093", "\u2013"),  # -> en dash
+    ("\u00e2\u0080\u0094", "\u2014"),  # -> em dash
+    ("\u00e2\u0080\u00a6", "\u2026"),  # -> ellipsis
+    ("\u00c3\u00a9", "\u00e9"),  # -> e acute
+    ("\u00c3\u00a8", "\u00e8"),  # -> e grave
+    ("\u00c3\u00a0", "\u00e0"),  # -> a grave
+    ("\u00c3\u00a2", "\u00e2"),  # -> a circumflex
+    ("\u00c3\u00a7", "\u00e7"),  # -> c cedilla
+    ("\u00c3\u00a4", "\u00e4"),  # -> a umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # -> o umlaut
+    ("\u00c3\u00bc", "\u00fc"),  # -> u umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # -> n tilde
+    ("\u00c3\u00ad", "\u00ed"),  # -> i acute
+    ("\u00c3\u00b3", "\u00f3"),  # -> o acute
+    ("\u00c3\u00ba", "\u00fa"),  # -> u acute
+)
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str,
+    out_col: "str | None" = None,
+) -> DataFrame:
+    """Repair the classic UTF-8-decoded-as-cp1252 mojibake sequences
+    (the A-tilde pairs for accented Latin letters, the a-circumflex
+    triples for curly punctuation) -- the single most common crawl
+    corruption, worth fixing BEFORE tokenization or dedup (a corrupted
+    and a clean copy of the same page otherwise hash apart).  A fixed
+    ordered table of plain substring replacements (``MOJIBAKE_RULES``,
+    longest-first so the punctuation triples win over their two-byte
+    prefixes) -- shuffle-free, regex-free, engine-neutral.  Adds
+    ``out_col`` (default ``<col>_fixed``) and ``mojibake`` (True when
+    anything changed).  This repairs the enumerated sequences, not
+    arbitrary double-encoding -- ``char_entropy`` is the detector for
+    the long tail.
+    """
+    if text_col not in df.columns:
+        raise ValueError(f"fix_mojibake: column {text_col!r} not in df")
+    out = out_col or f"{text_col}_fixed"
+    if out in df.columns:
+        raise ValueError(f"fix_mojibake: output column {out!r} collides with df")
+    x = F.col(text_col)
+    for bad, good in MOJIBAKE_RULES:
+        x = F.replace(x, F.lit(bad), F.lit(good))
+    return df.withColumn(out, x).withColumn(
+        "mojibake", F.col(out) != F.col(text_col)
+    )

@@ -960,3 +960,75 @@ def isotonic_calibrate(
             F.round(F.col("__iso"), ndigits).alias("calibrated"),
         )
     )
+
+
+def ece(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Expected Calibration Error — the one-number companion to
+    :func:`isotonic_calibrate` and the ``calibration_bins`` reliability
+    diagram: bin predictions by score, ECE = Σ_b (n_b/N) · |accuracy_b
+    − confidence_b|.  A model can have great AUC and terrible ECE;
+    this is the number that says whether 0.9 means 90%.
+
+    Scores quantize to fixed point so per-bin confidence sums are
+    exact integers; accuracy is an exact label count — the only floats
+    are |bins| divisions and the final weighted fold, computed in bin
+    order (bounded, deterministic).  ONE map-side-combined aggregate
+    to ≤ ``n_bins`` rows, then the fold over those.  Returns one row:
+    (n, n_bins_used, ece).
+    """
+    if n_bins < 2:
+        raise ValueError(f"ece: n_bins must be >= 2, got {n_bins}")
+    missing = [c for c in (score_col, label_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"ece: column(s) not in df: {missing}")
+    dec = "decimal(38,0)"
+    s = F.col(score_col)
+    b = F.least(
+        F.greatest(F.floor(s * n_bins), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    sv = F.floor(s * scale + F.lit(0.5)).cast(dec)
+    bins = (
+        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col(label_col).cast("long")).alias("__pos"),
+            F.sum(sv).alias("__conf"),
+        )
+    )
+    folded = bins.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__b"),
+                        (
+                            F.col("__n").cast("double")
+                            * F.abs(
+                                F.col("__pos").cast("double") / F.col("__n").cast("double")
+                                - F.col("__conf").cast("double")
+                                / F.lit(float(scale))
+                                / F.col("__n").cast("double")
+                            )
+                        ).alias("__w"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, e: a + e["__w"],
+        ).alias("__wsum"),
+    )
+    return folded.select(
+        "n",
+        "n_bins_used",
+        F.round(F.col("__wsum") / F.col("n").cast("double"), round_to).alias("ece"),
+    )

@@ -459,3 +459,91 @@ def scd2_lookup(
         matched.select(*facts.columns).distinct(), facts.columns, "left_anti"
     )
     return matched.unionByName(missed, allowMissingColumns=True)
+
+
+def disparate_impact(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    reference: str,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Disparate-impact audit — per-group positive-outcome rates and
+    their ratio to a named reference group, flagged by the four-fifths
+    rule (ratio < 0.8 = adverse impact, the EEOC screening convention):
+    the fairness readout run over any scored/selected population
+    (loan approvals, resume screens, content promotion) before a model
+    ships.  The ``ab_test`` sibling with a regulatory threshold
+    instead of a significance test.
+
+    One map-side-combined aggregate on the group column + a 1-row
+    reference broadcast; rows with NULL group or outcome drop; ratio
+    is NULL when the reference rate is 0.  Output: (group, n,
+    positives, rate, ref_rate, di_ratio, adverse).
+    """
+    missing = [c for c in (group_col, outcome_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"disparate_impact: column(s) not in df: {missing}")
+    per = (
+        df.where(F.col(group_col).isNotNull() & F.col(outcome_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(outcome_col).cast("long")).alias("positives"),
+        )
+    )
+    ref = per.where(F.col("group") == reference).select(
+        (F.col("positives").cast("double") / F.col("n").cast("double")).alias("__ref")
+    )
+    rate = F.col("positives").cast("double") / F.col("n").cast("double")
+    ratio = F.when(F.col("__ref") > 0, rate / F.col("__ref"))
+    return (
+        per.where(F.col("group") != reference)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "group",
+            "n",
+            "positives",
+            F.round(rate, round_to).alias("rate"),
+            F.round(F.col("__ref"), round_to).alias("ref_rate"),
+            F.round(ratio, round_to).alias("di_ratio"),
+            F.when(ratio.isNotNull(), ratio < threshold).alias("adverse"),
+        )
+    )
+
+
+def freshness(
+    df: DataFrame,
+    source_col: str,
+    ts_col: str,
+    max_lag_us: "int | None" = None,
+) -> DataFrame:
+    """Per-source data-freshness report: row count, latest timestamp,
+    and lag behind the freshest source (epoch-micros integers in,
+    integers out) — the first thing an ingestion dashboard shows and
+    the check that catches a silently-dead feed before anything
+    downstream does.  ``max_lag_us`` adds a ``stale`` flag.
+
+    One map-side-combined aggregate to |sources| rows + a 1-row global
+    max broadcast.  Rows with NULL timestamp drop (they carry no
+    freshness evidence but WOULD poison max()).
+    """
+    missing = [c for c in (source_col, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"freshness: column(s) not in df: {missing}")
+    per = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col(ts_col).cast("long")).alias("latest"),
+        )
+    )
+    top = per.agg(F.max("latest").alias("__top"))
+    out = per.crossJoin(F.broadcast(top)).select(
+        "source", "n", "latest", (F.col("__top") - F.col("latest")).alias("lag_us")
+    )
+    if max_lag_us is not None:
+        out = out.withColumn("stale", F.col("lag_us") > max_lag_us)
+    return out

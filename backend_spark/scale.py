@@ -637,3 +637,79 @@ def compaction_plan(
     return planned.select(
         "path", "bytes", "bin", F.row_number().over(w_bin).alias("bin_seq")
     )
+
+
+def bloom_filter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "left_semi",
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """Semi-join pushdown through a broadcast Bloom filter — the
+    shuffle-volume reducer for "big fact ⋈ selective-but-unbroadcastable
+    key set": the small side's join keys build a fixed ``m_bits``-bit
+    Bloom bitset (≤ m_bits/32 rows, always broadcastable no matter how
+    many keys), the big side pre-filters against it with ``k``
+    broadcast hash joins (ZERO shuffles of the big side), and only the
+    probable matches proceed to the exact join.  Bloom filters have no
+    false negatives, so the final result is EXACT — false positives
+    are eliminated by the exact join; their only cost is shuffle
+    volume, bounded by the (1 − e^{−kN/m})^k rate.
+
+    This is what Spark's runtime row-level filtering (DPP/Bloom
+    pushdown) does when the optimizer chooses to; this operator makes
+    the plan explicit, deterministic (md5 positions — the
+    :func:`~backend_spark.llm.bloom_bits` convention), and available
+    on any join the optimizer declines.
+
+    ``how``: 'left_semi' (big rows with a match) or 'inner' (full
+    join result, small's columns retained).
+    """
+    if how not in ("left_semi", "inner"):
+        raise ValueError(f"bloom_filter_join supports left_semi/inner, got {how!r}")
+    if m_bits <= 0 or k <= 0:
+        raise ValueError(f"m_bits and k must be positive, got {m_bits}, {k}")
+    from backend_spark import functions as fn
+
+    keys = small.select(F.col(on).cast("string").alias("__kv")).where(
+        F.col("__kv").isNotNull()
+    ).distinct()
+    pos = keys.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"), "__kv"
+    ).select(
+        F.pmod(
+            fn.md5_long(F.concat_ws("#", F.col("__kv"), F.col("__i").cast("string"))),
+            F.lit(m_bits),
+        ).alias("__pos")
+    )
+    bits = (
+        pos.select(
+            F.floor(F.col("__pos") / F.lit(32)).cast("long").alias("__w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__mask"))
+    )
+    survivors = big
+    cond = F.lit(True)
+    for i in range(k):
+        p = F.pmod(
+            fn.md5_long(
+                F.concat_ws("#", F.col(on).cast("string"), F.lit(str(i)))
+            ),
+            F.lit(m_bits),
+        )
+        w = F.floor(p / F.lit(32)).cast("long")
+        survivors = survivors.withColumn(f"__w{i}", w).withColumn(f"__b{i}", p % 32)
+        survivors = survivors.join(
+            F.broadcast(bits.select(F.col("__w").alias(f"__w{i}"), F.col("__mask").alias(f"__mask{i}"))),
+            f"__w{i}",
+            "left",
+        )
+        cond = cond & F.col(f"__mask{i}").isNotNull() & (
+            F.expr(f"(__mask{i} div shiftleft(CAST(1 AS BIGINT), CAST(__b{i} AS INT))) % 2") == 1
+        )
+    survivors = survivors.where(cond).select(*big.columns)
+    return survivors.join(small, on, how)

@@ -2882,3 +2882,92 @@ def test_bucket_quantiles_exact(spark):
     assert r2.p50 == 2.0    # ceil(1.5) = 2nd value
     with pytest.raises(ValueError, match="percentiles"):
         bucket_quantiles(df, "g", "v", percentiles=[0])
+
+
+def test_bloom_filter_join_exact(spark):
+    import pytest
+
+    from backend_spark.scale import bloom_filter_join
+
+    big = spark.createDataFrame([(i, f"r{i}") for i in range(500)], "k long, payload string")
+    small = spark.createDataFrame([(i * 7,) for i in range(30)], "k long")  # 0,7,...,203
+    semi = bloom_filter_join(big, small, "k")
+    expect = big.join(small, "k", "left_semi")
+    assert sorted(map(tuple, semi.collect())) == sorted(map(tuple, expect.collect()))
+    # inner keeps small's columns too
+    small2 = spark.createDataFrame([(7, "x")], "k long, tag string")
+    inner = bloom_filter_join(big, small2, "k", how="inner").collect()
+    assert len(inner) == 1 and inner[0].tag == "x" and inner[0].payload == "r7"
+    # big side never shuffles before the exact join: the bloom stage is
+    # broadcast joins only
+    plan = bloom_filter_join(big, small, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError, match="left_semi/inner"):
+        bloom_filter_join(big, small, "k", how="right")
+
+
+
+def test_disparate_impact_four_fifths(spark):
+    import pytest
+
+    from backend_spark.quality import disparate_impact
+
+    rows = [("ref", 1)] * 50 + [("ref", 0)] * 50 \
+        + [("g1", 1)] * 30 + [("g1", 0)] * 70 \
+        + [("g2", 1)] * 45 + [("g2", 0)] * 55
+    df = spark.createDataFrame(rows, "g string, y int")
+    got = {r.group: r for r in disparate_impact(df, "g", "y", reference="ref").collect()}
+    assert got["g1"].di_ratio == 0.6 and got["g1"].adverse
+    assert got["g2"].di_ratio == 0.9 and not got["g2"].adverse
+    assert got["g1"].ref_rate == 0.5 and got["g1"].rate == 0.3
+    with pytest.raises(ValueError, match="not in df"):
+        disparate_impact(df, "g", "zzz", reference="ref")
+
+
+def test_freshness_lag(spark):
+    from backend_spark.quality import freshness
+
+    df = spark.createDataFrame(
+        [("a", 1000), ("a", 5000), ("b", 4000), ("c", None)],
+        "src string, us long",
+    )
+    got = {r.source: r for r in freshness(df, "src", "us", max_lag_us=500).collect()}
+    assert got["a"].lag_us == 0 and not got["a"].stale
+    assert got["b"].lag_us == 1000 and got["b"].stale
+    assert "c" not in got            # only-NULL source has no evidence
+    assert got["a"].n == 2
+
+
+def test_ece_calibration_error(spark):
+    from backend_spark.ml import ece
+
+    # perfectly calibrated: 10 rows at 0.3 with 3 positives, etc.
+    rows = [(0.35, 1)] * 3 + [(0.35, 0)] * 7 + [(0.95, 1)] * 9 + [(0.95, 0)] * 1
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = ece(df, "score", "y").collect()[0]
+    # bin 3: acc 0.3 conf 0.35 -> |diff| .05; bin 9: acc 0.9 conf 0.95
+    assert r.ece == round((10 / 20) * 0.05 + (10 / 20) * 0.05, 6)
+    assert r.n == 20 and r.n_bins_used == 2
+    # overconfident garbage: score 0.99, never right
+    bad = spark.createDataFrame([(0.99, 0)] * 5, "score double, y int")
+    assert ece(bad, "score", "y").collect()[0].ece == 0.99
+
+
+def test_fix_mojibake_roundtrip(spark):
+    import pytest
+
+    from backend_spark.llm import MOJIBAKE_RULES, fix_mojibake
+
+    broken = "caf\u00c3\u00a9 \u00e2\u0080\u009cquoted\u00e2\u0080\u009d ok"
+    df = spark.createDataFrame([(1, broken), (2, "clean text")], "id long, text string")
+    got = {r.id: r for r in fix_mojibake(df, "text").collect()}
+    assert got[1].text_fixed == "caf\u00e9 \u201cquoted\u201d ok"
+    assert got[1].mojibake and not got[2].mojibake
+    assert got[2].text_fixed == "clean text"
+    # every rule actually fires
+    all_bad = " ".join(b for b, _ in MOJIBAKE_RULES)
+    all_good = " ".join(g for _, g in MOJIBAKE_RULES)
+    df2 = spark.createDataFrame([(all_bad,)], "text string")
+    assert fix_mojibake(df2, "text").collect()[0].text_fixed == all_good
+    with pytest.raises(ValueError, match="collides"):
+        fix_mojibake(df.withColumn("text_fixed", df.text), "text")

@@ -389,6 +389,18 @@ EXPECT = {
     "rfm": (["partial", "Window"], ["Join", "CartesianProduct", "Python"]),
     # rank + count windows share one group-key exchange; no join
     "bucket_quantiles": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
+    # the bloom stage is k BROADCAST joins of the fact side against the
+    # bitset (zero fact shuffles before the exact join); no NLJ on the
+    # fact path, no Python
+    "bloom_join": (["BroadcastHashJoin"], ["CartesianProduct", "Python"]),
+    # one aggregate + 1-row reference broadcast (ab_test shape)
+    "disparate_impact": (["partial", "BroadcastNestedLoopJoin"], ["SortMergeJoin", "Window", "Python"]),
+    # one aggregate + 1-row global-max broadcast
+    "freshness": (["partial"], ["SortMergeJoin", "Window", "CartesianProduct", "Python"]),
+    # one aggregate to <= n_bins rows; fold runs on those
+    "ece": (["partial"], ["Join", "Window", "CartesianProduct", "Python"]),
+    # pure replace-chain projection over the scan — shuffle-free
+    "mojibake": ([], ["Exchange", "CartesianProduct", "Python"]),
 }
 
 
