@@ -4466,6 +4466,37 @@ def _q_mojibake(spark, sf):
     return fix_mojibake(corrupted, "text").select("doc_id", "text_fixed", "mojibake")
 
 
+def _q_merge_intervals(spark, sf):
+    """Interval-union per user over the view-event spans (the
+    interval_join synthesis): running-max island detection on one
+    (key, lo, hi) window, one aggregate."""
+    from backend_spark.features import merge_intervals
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("us").alias("lo"),
+        (F.col("us") + (F.lit(1800) + (F.col("event_id") % 7) * 600) * 1_000_000).alias("hi"),
+    )
+    return merge_intervals(v, "user_id", "lo", "hi")
+
+
+def _q_ri_check(spark, sf):
+    """Referential-integrity audit of a deliberately corrupted
+    lineitem->supplier key: anti-join orphan counts + top offenders,
+    the fact side never sorts."""
+    from backend_spark.quality import ri_check
+
+    li = load_table(spark, sf, "lineitem").select(
+        F.when(F.col("l_orderkey") % 13 == 0, F.col("l_suppkey") + 1_000_000)
+        .otherwise(F.col("l_suppkey"))
+        .alias("fk")
+    )
+    supp = load_table(spark, sf, "supplier")
+    return ri_check(li, supp, "fk", dim_key="s_suppkey", top_k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4597,6 +4628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness": _q_freshness,
         "ece": _q_ece,
         "mojibake": _q_mojibake,
+        "merge_intervals": _q_merge_intervals,
+        "ri_check": _q_ri_check,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -8431,6 +8464,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_sql_mojibake_expr("text")} AS text_fixed,
                    {_sql_mojibake_expr("text")} <> text AS mojibake
             FROM c
+        """,
+        # features.merge_intervals: gaps-and-islands with a running max
+        # so contained intervals collapse
+        "merge_intervals": """
+            WITH v AS (SELECT user_id, epoch_us(ts) AS lo,
+                              epoch_us(ts) + (1800 + (event_id % 7) * 600)
+                                * 1000000 AS hi
+                       FROM events WHERE event_type = 'view'),
+            f AS (SELECT user_id, lo, hi,
+                         CASE WHEN max(hi) OVER w IS NULL
+                                OR lo > max(hi) OVER w + 0
+                              THEN 1 ELSE 0 END AS brk
+                  FROM v WHERE lo IS NOT NULL AND hi IS NOT NULL AND lo < hi
+                  WINDOW w AS (PARTITION BY user_id ORDER BY lo, hi
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)),
+            i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                           ORDER BY lo, hi
+                                           ROWS UNBOUNDED PRECEDING) AS island
+                  FROM f)
+            SELECT user_id, min(lo) AS lo, max(hi) AS hi,
+                   CAST(count(*) AS BIGINT) AS n_merged
+            FROM i GROUP BY user_id, island
+        """,
+        # quality.ri_check: orphan counts via NOT IN over distinct dim
+        # keys; top-k by (count desc, key text asc)
+        "ri_check": """
+            WITH fk AS (SELECT CASE WHEN l_orderkey % 13 = 0
+                                    THEN l_suppkey + 1000000
+                                    ELSE l_suppkey END AS k
+                        FROM lineitem),
+            dk AS (SELECT DISTINCT s_suppkey AS k FROM supplier
+                   WHERE s_suppkey IS NOT NULL),
+            orph AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt
+                     FROM fk
+                     WHERE k IS NOT NULL
+                       AND k NOT IN (SELECT k FROM dk)
+                     GROUP BY k),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+                           CAST(count(CASE WHEN k IS NULL THEN 1 END)
+                                AS BIGINT) AS nn
+                    FROM fk),
+            osum AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS no
+                     FROM orph)
+            SELECT 'summary' AS kind, CAST(NULL AS VARCHAR) AS key,
+                   tot.nf AS n,
+                   round((osum.no + tot.nn) / CAST(tot.nf AS DOUBLE), 6)
+                     AS orphan_rate
+            FROM tot CROSS JOIN osum
+            UNION ALL
+            SELECT 'null', NULL, tot.nn, CAST(NULL AS DOUBLE) FROM tot
+            UNION ALL
+            SELECT * FROM (
+                SELECT 'orphan' AS kind, CAST(k AS VARCHAR) AS key,
+                       cnt AS n, CAST(NULL AS DOUBLE) AS orphan_rate
+                FROM orph
+                ORDER BY cnt DESC, CAST(k AS VARCHAR) ASC LIMIT 5)
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

@@ -2095,3 +2095,62 @@ def bucket_quantiles(
         rank = F.expr(f"CAST(({int(p)} * __n + 99) div 100 AS BIGINT)")
         aggs.append(F.min(F.when(F.col("__rn") == rank, F.col("__v"))).alias(f"{prefix}{int(p)}"))
     return staged.groupBy(*keys).agg(*aggs)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    lo_col: str,
+    hi_col: str,
+    max_gap: int = 0,
+) -> DataFrame:
+    """Coalesce each key's half-open intervals ``[lo, hi)`` into maximal
+    non-overlapping spans, bridging gaps up to ``max_gap`` — the
+    interval union behind availability windows, on-call coverage,
+    contiguous-visit stitching, and validity-range cleanup before an
+    :func:`~backend_spark.quality.scd2_lookup`-style join.  The
+    continuous-time sibling of ``sessionize`` (which merges POINT
+    events by gap; this merges SPANS, where containment and overlap
+    must collapse too).
+
+    Gaps-and-islands on intervals: order by (lo, hi), a span breaks
+    where ``lo > running_max(hi so far) + max_gap`` — the running max
+    handles contained intervals (a long span swallowing later short
+    ones).  One (key, lo, hi) window partitioning shared by the
+    running max, the break flags, and the island ids; then ONE
+    aggregate.  Rows with NULL or inverted bounds drop.  Output: key,
+    merged (lo, hi), n_merged source intervals.
+    """
+    if max_gap < 0:
+        raise ValueError(f"merge_intervals: max_gap must be >= 0, got {max_gap}")
+    missing = [c for c in (key_col, lo_col, hi_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"merge_intervals: column(s) not in df: {missing}")
+    base = df.where(
+        F.col(lo_col).isNotNull()
+        & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) < F.col(hi_col))
+    ).select(
+        F.col(key_col),
+        F.col(lo_col).cast("long").alias("__lo"),
+        F.col(hi_col).cast("long").alias("__hi"),
+    )
+    w = Window.partitionBy(key_col).orderBy("__lo", "__hi")
+    prev_max = F.max("__hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col("__lo") > prev_max + max_gap), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(key_col, "__island")
+        .agg(
+            F.min("__lo").alias(lo_col),
+            F.max("__hi").alias(hi_col),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .drop("__island")
+    )

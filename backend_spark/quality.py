@@ -547,3 +547,64 @@ def freshness(
     if max_lag_us is not None:
         out = out.withColumn("stale", F.col("lag_us") > max_lag_us)
     return out
+
+
+def ri_check(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: "str | None" = None,
+    top_k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Referential-integrity audit (the dbt ``relationships`` test at
+    scale): how many fact rows point at a dimension key that does not
+    exist, and WHICH missing keys hurt most.  Run before a join goes
+    to production — a 2% orphan rate silently becomes a 2% row drop in
+    every downstream inner join.
+
+    One summary row (kind='summary', key=NULL) with n_facts,
+    n_orphans, orphan_rate; then the ``top_k`` heaviest orphan keys
+    (kind='orphan', ties by key text) with their row counts.  NULL
+    fact keys count as orphans of kind 'null' (they can never join) —
+    reported separately because the fix differs (upstream bug vs
+    missing dimension row).
+
+    Scale shape: one left-anti join of the fact keys against the
+    distinct dimension keys (AQE broadcasts the dim side when small),
+    one map-side-combined count per orphan key, TakeOrdered for the
+    top-k — the fact table never sorts.
+    """
+    dkey = dim_key or fact_key
+    if fact_key not in facts.columns:
+        raise ValueError(f"ri_check: column {fact_key!r} not in facts")
+    if dkey not in dim.columns:
+        raise ValueError(f"ri_check: column {dkey!r} not in dim")
+    fk = facts.select(F.col(fact_key).alias("__k"))
+    dk = dim.select(F.col(dkey).alias("__k")).where(F.col("__k").isNotNull()).distinct()
+    n_facts = fk.count()
+    nulls = fk.where(F.col("__k").isNull()).count()
+    orphans = (
+        fk.where(F.col("__k").isNotNull())
+        .join(dk, "__k", "left_anti")
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = facts.sparkSession
+    top = (
+        orphans.orderBy(F.col("cnt").desc(), F.col("__k").cast("string").asc())
+        .limit(top_k)
+        .select(
+            F.lit("orphan").alias("kind"),
+            F.col("__k").cast("string").alias("key"),
+            F.col("cnt").cast("long").alias("n"),
+            F.lit(None).cast("double").alias("orphan_rate"),
+        )
+    )
+    n_orphans = orphans.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
+    rate = round((n_orphans + nulls) / n_facts, round_to) if n_facts else None
+    summary = spark.createDataFrame(
+        [("summary", None, int(n_facts), rate), ("null", None, int(nulls), None)],
+        "kind string, key string, n long, orphan_rate double",
+    )
+    return summary.unionByName(top)

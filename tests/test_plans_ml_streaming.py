@@ -2971,3 +2971,48 @@ def test_fix_mojibake_roundtrip(spark):
     assert fix_mojibake(df2, "text").collect()[0].text_fixed == all_good
     with pytest.raises(ValueError, match="collides"):
         fix_mojibake(df.withColumn("text_fixed", df.text), "text")
+
+
+def test_merge_intervals_islands(spark):
+    import pytest
+
+    from backend_spark.features import merge_intervals
+
+    rows = [
+        ("k", 0, 10), ("k", 5, 12),      # overlap -> one span
+        ("k", 12, 15),                   # touching (half-open) -> merges at gap 0
+        ("k", 20, 40), ("k", 25, 30),    # contained interval swallowed
+        ("k", 50, 60),
+        ("k", 3, None), ("k", 9, 7),     # invalid rows drop
+    ]
+    df = spark.createDataFrame(rows, "k string, lo long, hi long")
+    got = sorted((r.lo, r.hi, r.n_merged) for r in merge_intervals(df, "k", "lo", "hi").collect())
+    assert got == [(0, 15, 3), (20, 40, 2), (50, 60, 1)]
+    # max_gap=5 bridges 15->20 (gap 5) but not 40->50 (gap 10)
+    g = sorted((r.lo, r.hi) for r in merge_intervals(df, "k", "lo", "hi", max_gap=5).collect())
+    assert g == [(0, 40), (50, 60)]
+    # max_gap=10 bridges everything
+    g10 = sorted((r.lo, r.hi) for r in merge_intervals(df, "k", "lo", "hi", max_gap=10).collect())
+    assert g10 == [(0, 60)]
+    with pytest.raises(ValueError, match="max_gap"):
+        merge_intervals(df, "k", "lo", "hi", max_gap=-1)
+
+
+def test_ri_check_orphans(spark):
+    import pytest
+
+    from backend_spark.quality import ri_check
+
+    facts = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (99,), (42,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    out = ri_check(facts, dim, "fk", dim_key="id", top_k=2)
+    rows = {(-1 if r.key is None else 0, r.kind, r.key): r for r in out.collect()}
+    summary = rows[(-1, "summary", None)]
+    assert summary.n == 8 and summary.orphan_rate == round(5 / 8, 6)  # 4 orphans + 1 null
+    assert rows[(-1, "null", None)].n == 1
+    assert rows[(0, "orphan", "99")].n == 3
+    assert rows[(0, "orphan", "42")].n == 1
+    with pytest.raises(ValueError, match="not in facts"):
+        ri_check(facts, dim, "zzz", dim_key="id")

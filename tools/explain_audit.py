@@ -401,6 +401,11 @@ EXPECT = {
     "ece": (["partial"], ["Join", "Window", "CartesianProduct", "Python"]),
     # pure replace-chain projection over the scan — shuffle-free
     "mojibake": ([], ["Exchange", "CartesianProduct", "Python"]),
+    # running-max + island windows + aggregate on ONE key exchange
+    "merge_intervals": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
+    # anti-join vs distinct dim keys + keyed count + TakeOrdered; the
+    # summary is a driver-assembled 2-row LocalTableScan
+    "ri_check": (["TakeOrderedAndProject"], ["CartesianProduct", "Python", "SortMergeJoin"]),
 }
 
 
