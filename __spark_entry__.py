@@ -4497,6 +4497,44 @@ def _q_ri_check(spark, sf):
     return ri_check(li, supp, "fk", dim_key="s_suppkey", top_k=5)
 
 
+def _q_sync_plan(spark, sf):
+    """Checksum-driven incremental sync plan between an orders snapshot
+    and a mutated copy: two one-aggregate checksums + a 64-row
+    full-outer diff — the work list re-ships only changed buckets."""
+    from backend_spark.quality import sync_plan
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    old = load_table(spark, sf, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    new = (
+        old.where(k % 7 != 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.when(k % 5 == 0, F.lit("X9")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        )
+        .unionByName(
+            old.where(k % 11 == 0).select(
+                (k + 10_000_000).alias("o_orderkey"), "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    return sync_plan(old, new, cols, n_buckets=64)
+
+
+def _q_gap_report(spark, sf):
+    """Feed-silence gaps per event type (>60s spacing, top-3 per key):
+    one (key, ts) window partitioning shared by the lead and the rank."""
+    from backend_spark.features import gap_report
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    return gap_report(
+        ev.select("event_type", "us"), "event_type", "us",
+        min_gap=60_000_000, top_k_per_key=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4630,6 +4668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake": _q_mojibake,
         "merge_intervals": _q_merge_intervals,
         "ri_check": _q_ri_check,
+        "sync_plan": _q_sync_plan,
+        "gap_report": _q_gap_report,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -8521,6 +8561,68 @@ def oracle_sql() -> dict[str, str]:
                        cnt AS n, CAST(NULL AS DOUBLE) AS orphan_rate
                 FROM orph
                 ORDER BY cnt DESC, CAST(k AS VARCHAR) ASC LIMIT 5)
+        """,
+        # quality.sync_plan: the table_checksum formula on both sides,
+        # full-outer bucket diff, matching buckets omitted
+        "sync_plan": """
+            WITH oldt AS (SELECT o_orderkey, o_custkey, o_orderstatus
+                          FROM orders),
+            newt AS (SELECT o_orderkey, o_custkey,
+                            CASE WHEN o_orderkey % 5 = 0 THEN 'X9'
+                                 ELSE o_orderstatus END AS o_orderstatus
+                     FROM orders WHERE o_orderkey % 7 <> 0
+                     UNION ALL
+                     SELECT o_orderkey + 10000000, o_custkey, 'N'
+                     FROM orders WHERE o_orderkey % 11 = 0),
+            ho AS (SELECT CAST('0x' || substr(md5(concat_ws(chr(31),
+                       coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+                       coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+                       coalesce(o_orderstatus, chr(0) || 'null'))), 1, 15) AS BIGINT) AS hv FROM oldt),
+            hn AS (SELECT CAST('0x' || substr(md5(concat_ws(chr(31),
+                       coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+                       coalesce(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+                       coalesce(o_orderstatus, chr(0) || 'null'))), 1, 15) AS BIGINT) AS hv FROM newt),
+            co AS (SELECT hv % 64 AS bucket,
+                          CAST(count(*) AS BIGINT) AS old_rows,
+                          bit_xor(hv) AS ox,
+                          CAST(sum(hv % 1000000007) AS BIGINT) AS os
+                   FROM ho GROUP BY 1),
+            cn AS (SELECT hv % 64 AS bucket,
+                          CAST(count(*) AS BIGINT) AS new_rows,
+                          bit_xor(hv) AS nx,
+                          CAST(sum(hv % 1000000007) AS BIGINT) AS ns
+                   FROM hn GROUP BY 1),
+            j AS (SELECT coalesce(co.bucket, cn.bucket) AS bucket,
+                         co.old_rows, cn.new_rows, ox, nx, os, ns
+                  FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket)
+            SELECT bucket, coalesce(old_rows, 0) AS old_rows,
+                   coalesce(new_rows, 0) AS new_rows,
+                   CASE WHEN old_rows IS NULL THEN 'copy'
+                        WHEN new_rows IS NULL THEN 'delete'
+                        ELSE 'resync' END AS action
+            FROM j
+            WHERE NOT (old_rows IS NOT DISTINCT FROM new_rows
+                       AND ox IS NOT DISTINCT FROM nx
+                       AND os IS NOT DISTINCT FROM ns)
+        """,
+        # features.gap_report: lead spacing + per-key top-3 rank on one
+        # exchange
+        "gap_report": """
+            WITH b AS (SELECT event_type AS k, epoch_us(ts) AS t
+                       FROM events WHERE ts IS NOT NULL),
+            l AS (SELECT k, t AS gap_start,
+                         lead(t) OVER (PARTITION BY k ORDER BY t) AS gap_end
+                  FROM b),
+            g AS (SELECT k, gap_start, gap_end,
+                         gap_end - gap_start AS gap_us
+                  FROM l WHERE gap_end IS NOT NULL
+                    AND gap_end - gap_start > 60000000),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY k
+                                ORDER BY gap_us DESC, gap_start ASC)
+                                AS INT) AS rank
+                  FROM g)
+            SELECT k AS event_type, gap_start, gap_end, gap_us, rank
+            FROM r WHERE rank <= 3
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

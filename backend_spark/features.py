@@ -2154,3 +2154,51 @@ def merge_intervals(
         )
         .drop("__island")
     )
+
+
+def gap_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gap: int,
+    top_k_per_key: "int | None" = None,
+) -> DataFrame:
+    """Missing-data gaps per series: every pair of consecutive
+    observations (per key, timestamps as epoch-micros integers) whose
+    spacing exceeds ``min_gap`` — the "where did my feed go silent"
+    report that complements :func:`~backend_spark.quality.freshness`
+    (which only sees the newest edge) and precedes
+    :func:`resample_gapfill` (which repairs what this one finds).
+
+    One (key, ts) window partitioning for the lead() spacing, an
+    optional per-key top-k window on the same exchange (largest gaps
+    first, ties by start time).  Output: key, gap_start, gap_end,
+    gap_us[, rank].
+    """
+    if min_gap < 1:
+        raise ValueError(f"gap_report: min_gap must be >= 1, got {min_gap}")
+    missing = [c for c in (key_col, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"gap_report: column(s) not in df: {missing}")
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    base = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(ts_col).cast("long").alias("gap_start"),
+            F.lead(F.col(ts_col).cast("long")).over(
+                Window.partitionBy(key_col).orderBy(F.col(ts_col).cast("long"))
+            ).alias("gap_end"),
+        )
+        .where(F.col("gap_end").isNotNull())
+        .withColumn("gap_us", F.col("gap_end") - F.col("gap_start"))
+        .where(F.col("gap_us") > min_gap)
+    )
+    if top_k_per_key is None:
+        return base
+    rw = Window.partitionBy(key_col).orderBy(
+        F.col("gap_us").desc(), F.col("gap_start").asc()
+    )
+    return base.withColumn("rank", F.row_number().over(rw)).where(
+        F.col("rank") <= top_k_per_key
+    )

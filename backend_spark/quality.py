@@ -608,3 +608,57 @@ def ri_check(
         "kind string, key string, n long, orphan_rate double",
     )
     return summary.unionByName(top)
+
+
+def sync_plan(
+    old: DataFrame,
+    new: DataFrame,
+    cols: "list[str] | None" = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Incremental-sync planner on top of :func:`table_checksum`: diff
+    the two sides' bucket checksums and emit ONE row per bucket that
+    needs work — ``action`` = 'copy' (bucket only on the new side),
+    'delete' (only on the old), or 'resync' (present on both but
+    content differs).  Buckets that match are omitted: at 100 TB the
+    point is that an incremental migration re-ships ``changed_buckets
+    / n_buckets`` of the data instead of all of it, and this report IS
+    the work list (filter each side by ``pmod(md5_long(row),
+    n_buckets) = bucket`` to materialize a bucket's rows).
+
+    Cost: two one-aggregate checksums + a full-outer join of two
+    ``n_buckets``-row tables.  The float canonicalization caveat of
+    table_checksum applies unchanged.
+    """
+    oc = table_checksum(old, cols, n_buckets=n_buckets).select(
+        "bucket",
+        F.col("n_rows").alias("old_rows"),
+        F.col("xor_sig").alias("__ox"),
+        F.col("sum_sig").alias("__os"),
+    )
+    nc = table_checksum(new, cols, n_buckets=n_buckets).select(
+        "bucket",
+        F.col("n_rows").alias("new_rows"),
+        F.col("xor_sig").alias("__nx"),
+        F.col("sum_sig").alias("__ns"),
+    )
+    j = oc.join(nc, "bucket", "full_outer")
+    same = (
+        F.col("old_rows").eqNullSafe(F.col("new_rows"))
+        & F.col("__ox").eqNullSafe(F.col("__nx"))
+        & F.col("__os").eqNullSafe(F.col("__ns"))
+    )
+    action = (
+        F.when(F.col("old_rows").isNull(), F.lit("copy"))
+        .when(F.col("new_rows").isNull(), F.lit("delete"))
+        .otherwise(F.lit("resync"))
+    )
+    return (
+        j.where(~same)
+        .select(
+            "bucket",
+            F.coalesce(F.col("old_rows"), F.lit(0)).alias("old_rows"),
+            F.coalesce(F.col("new_rows"), F.lit(0)).alias("new_rows"),
+            action.alias("action"),
+        )
+    )

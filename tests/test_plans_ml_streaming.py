@@ -3016,3 +3016,40 @@ def test_ri_check_orphans(spark):
     assert rows[(0, "orphan", "42")].n == 1
     with pytest.raises(ValueError, match="not in facts"):
         ri_check(facts, dim, "zzz", dim_key="id")
+
+
+def test_sync_plan_actions(spark):
+    from backend_spark.scale import cdc_apply  # noqa: F401  (module warm)
+    from backend_spark.quality import sync_plan
+
+    old = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    # new: k=5 changed, k=7 deleted, k=200 added
+    new = (
+        old.where("k <> 5 and k <> 7")
+        .unionByName(spark.createDataFrame([(5, "CHANGED"), (200, "v200")], "k long, v string"))
+    )
+    plan = sync_plan(old, new, n_buckets=16).collect()
+    assert plan, "identical tables would give an empty plan"
+    actions = {r.action for r in plan}
+    assert actions <= {"copy", "delete", "resync"}
+    # every touched bucket accounts for a real difference
+    assert all(r.old_rows != r.new_rows or r.action == "resync" for r in plan)
+    # identical inputs -> empty plan
+    assert sync_plan(old, old, n_buckets=16).count() == 0
+
+
+def test_gap_report_finds_silence(spark):
+    import pytest
+
+    from backend_spark.features import gap_report
+
+    rows = [("a", 0), ("a", 10), ("a", 1000), ("a", 1020), ("a", 5000),
+            ("b", 0), ("b", 5)]
+    df = spark.createDataFrame(rows, "k string, us long")
+    got = sorted((r.k, r.gap_start, r.gap_end, r.gap_us)
+                 for r in gap_report(df, "k", "us", min_gap=100).collect())
+    assert got == [("a", 10, 1000, 990), ("a", 1020, 5000, 3980)]
+    top = gap_report(df, "k", "us", min_gap=100, top_k_per_key=1).collect()
+    assert len(top) == 1 and top[0].gap_us == 3980 and top[0].rank == 1
+    with pytest.raises(ValueError, match="min_gap"):
+        gap_report(df, "k", "us", min_gap=0)

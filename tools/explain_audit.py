@@ -406,6 +406,10 @@ EXPECT = {
     # anti-join vs distinct dim keys + keyed count + TakeOrdered; the
     # summary is a driver-assembled 2-row LocalTableScan
     "ri_check": (["TakeOrderedAndProject"], ["CartesianProduct", "Python", "SortMergeJoin"]),
+    # two one-aggregate checksums + a bounded n_buckets-row outer diff
+    "sync_plan": (["partial"], ["CartesianProduct", "Python", "Window"]),
+    # lead spacing + per-key rank share one (key, ts) exchange
+    "gap_report": (["Window"], ["Join", "CartesianProduct", "Python"]),
 }
 
 
