@@ -4535,6 +4535,37 @@ def _q_gap_report(spark, sf):
     )
 
 
+def _q_dup_report(spark, sf):
+    """Corpus duplication audit on the dedup_near doubled corpus:
+    LSH pairs -> CC -> cluster-size histogram; the oracle reuses
+    dedup_near's recursive-CTE component chain with a histogram
+    epilogue."""
+    from backend_spark.llm import dup_report
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    return dup_report(
+        docs.unionByName(dupes), "doc_id", "text",
+        num_perm=16, bands=8, jaccard_threshold=0.8,
+    )
+
+
+def _q_pop_change(spark, sf):
+    """Month-over-month revenue per order priority: one aggregate to
+    |keys x periods| rows, then one lag window over that table."""
+    from backend_spark.features import pop_change
+
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("k"),
+        F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias("period"),
+        "o_totalprice",
+    )
+    return pop_change(o, "k", "period", "o_totalprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4670,6 +4701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_check": _q_ri_check,
         "sync_plan": _q_sync_plan,
         "gap_report": _q_gap_report,
+        "dup_report": _q_dup_report,
+        "pop_change": _q_pop_change,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -8624,6 +8657,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT k AS event_type, gap_start, gap_end, gap_us, rank
             FROM r WHERE rank <= 3
         """,
+        # features.pop_change: fixed-point per-period sums, lag window
+        # over the bounded aggregate; pct uses the ROUNDED values like
+        # the Spark side
+        "pop_change": """
+            WITH per AS (SELECT o_orderpriority AS k,
+                                strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS period,
+                                round(CAST(sum(CAST(floor(o_totalprice
+                                      * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                                      / 1000000, 6) AS value
+                         FROM orders GROUP BY 1, 2)
+            SELECT k, period, value,
+                   round(lag(value) OVER w, 6) AS prev_value,
+                   round(value - lag(value) OVER w, 6) AS change,
+                   CASE WHEN lag(value) OVER w <> 0 THEN
+                     round((value - lag(value) OVER w)
+                           / lag(value) OVER w, 6) END AS pct_change
+            FROM per WINDOW w AS (PARTITION BY k ORDER BY period)
+        """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)
         "ridge_by": _RIDGE_BY_CTES + """
@@ -8984,4 +9035,23 @@ def oracle_sql() -> dict[str, str]:
     out["stream_cusum"] = out["cusum"]
     # micro-batched CDC state (any file slicing) == the batch merge
     out["stream_cdc"] = out["cdc_apply"]
+    # dup_report reuses dedup_near's pair + recursive-CC chain with a
+    # cluster-size-histogram epilogue (singletons via the left join)
+    nd = out["dedup_near"]
+    out["dup_report"] = nd[: nd.index("losers AS")] + """comp AS (
+                SELECT node, min(lbl) AS c FROM reach GROUP BY node
+            ),
+            allc AS (
+                SELECT id, coalesce(comp.c, id) AS c
+                FROM all_docs LEFT JOIN comp ON comp.node = all_docs.id
+            ),
+            sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS size
+                      FROM allc GROUP BY c),
+            hist AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+                     FROM sizes GROUP BY size),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM all_docs)
+            SELECT size, n_clusters, size * n_clusters AS n_docs,
+                   round(CAST(size * n_clusters AS DOUBLE) / tot.n, 6)
+                     AS share
+            FROM hist CROSS JOIN tot"""
     return out

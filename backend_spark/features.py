@@ -2202,3 +2202,57 @@ def gap_report(
     return base.withColumn("rank", F.row_number().over(rw)).where(
         F.col("rank") <= top_k_per_key
     )
+
+
+def pop_change(
+    df: DataFrame,
+    key_cols: "list[str] | str",
+    period_col: str,
+    value_col: str,
+    agg: str = "sum",
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Period-over-period change — the BI staple behind every "vs last
+    month" tile: aggregate ``value_col`` per (key, period), then report
+    each period's value next to the PREVIOUS period's, the absolute
+    change, and the percent change (NULL for the first period and for
+    a zero base).  Period bucketing (month truncation, week floor) is
+    the caller's projection, so any calendar convention works.
+
+    ``agg``: 'sum' (fixed-point decimal — engine-exact) or 'count'.
+    "Previous" means the previous period THAT HAS DATA — feed
+    :func:`resample_gapfill` output first when silent periods must
+    count as zero.
+
+    Scale shape: one map-side-combined aggregate to |keys × periods|
+    rows, then one lag window over THAT table — the fact table never
+    sorts.
+    """
+    if agg not in ("sum", "count"):
+        raise ValueError(f"pop_change: agg must be sum or count, got {agg!r}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    missing = [c for c in [*keys, period_col, value_col] if c not in df.columns]
+    if missing:
+        raise ValueError(f"pop_change: column(s) not in df: {missing}")
+    dec = "decimal(38,0)"
+    if agg == "sum":
+        v = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast(dec)
+        metric = (
+            F.coalesce(F.sum(v), F.lit(0).cast(dec)).cast("double") / scale
+        )
+    else:
+        metric = F.count(F.col(value_col)).cast("double")
+    per = df.groupBy(*keys, period_col).agg(F.round(metric, round_to).alias("value"))
+    w = Window.partitionBy(*keys).orderBy(period_col)
+    prev = F.lag("value").over(w)
+    return per.select(
+        *keys,
+        period_col,
+        "value",
+        F.round(prev, round_to).alias("prev_value"),
+        F.round(F.col("value") - prev, round_to).alias("change"),
+        F.round(
+            F.when(prev != 0, (F.col("value") - prev) / prev), round_to
+        ).alias("pct_change"),
+    )

@@ -5044,3 +5044,55 @@ def fix_mojibake(
     return df.withColumn(out, x).withColumn(
         "mojibake", F.col(out) != F.col(text_col)
     )
+
+
+def dup_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus duplication audit — the headline "how duplicated are we"
+    table a crawl snapshot is judged by BEFORE anyone runs the actual
+    dedup: MinHash-LSH near-dup pairs (:func:`minhash_lsh_pairs`, the
+    exact same candidate machinery `dedup_minhash` removes with)
+    cluster via connected components, and the report is the cluster-
+    size histogram: one row per size with the cluster count, the
+    documents bound in clusters of that size, and their corpus share.
+    ``size=1`` rows are the unduplicated remainder; the duplication
+    rate is ``1 - share(size=1) - Σ n_clusters(size>1)/corpus``
+    (each cluster keeps one survivor).
+
+    Scale shape: the pair stage is the banded-LSH equi-join (no
+    all-pairs), CC is the hash-min label propagation, and everything
+    after runs on |clusters| rows — two keyed aggregates and a 1-row
+    total broadcast.
+    """
+    from backend_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    cc = connected_components(pairs, src="id1", dst="id2")
+    labeled = (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(F.coalesce(F.col("comp"), F.col(id_col)).alias("__c"))
+    )
+    sizes = labeled.groupBy("__c").agg(F.count(F.lit(1)).alias("size"))
+    hist = sizes.groupBy("size").agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    tot = labeled.agg(F.count(F.lit(1)).alias("__n"))
+    return hist.join(F.broadcast(tot)).select(
+        "size",
+        "n_clusters",
+        (F.col("size") * F.col("n_clusters")).alias("n_docs"),
+        F.round(
+            (F.col("size") * F.col("n_clusters")).cast("double")
+            / F.col("__n").cast("double"),
+            round_to,
+        ).alias("share"),
+    )

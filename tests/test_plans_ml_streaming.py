@@ -3053,3 +3053,47 @@ def test_gap_report_finds_silence(spark):
     assert len(top) == 1 and top[0].gap_us == 3980 and top[0].rank == 1
     with pytest.raises(ValueError, match="min_gap"):
         gap_report(df, "k", "us", min_gap=0)
+
+
+def test_dup_report_histogram(spark):
+    from backend_spark.llm import dup_report
+
+    # per-doc random hex words: char-shingle overlap across docs stays
+    # far below threshold, so only the exact copies cluster
+    import hashlib
+
+    base = [
+        (i, " ".join(hashlib.md5(f"{i}-{j}".encode()).hexdigest() for j in range(12)))
+        for i in range(20)
+    ]
+    # ids 100/101 duplicate doc 0's text; 200 duplicates doc 1's
+    dups = [(100, base[0][1]), (101, base[0][1]), (200, base[1][1])]
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    got = {r.size: r for r in dup_report(df, "doc_id", "text").collect()}
+    assert got[3].n_clusters == 1          # {0, 100, 101}
+    assert got[2].n_clusters == 1          # {1, 200}
+    assert got[1].n_clusters == 18
+    assert got[3].n_docs == 3 and got[3].share == round(3 / 23, 6)
+    assert sum(r.n_docs for r in got.values()) == 23
+
+
+def test_pop_change_periods(spark):
+    import pytest
+
+    from backend_spark.features import pop_change
+
+    rows = [("a", "2024-01", 10.0), ("a", "2024-01", 5.0),
+            ("a", "2024-02", 30.0), ("a", "2024-04", 15.0),
+            ("b", "2024-01", 8.0)]
+    df = spark.createDataFrame(rows, "k string, p string, v double")
+    got = {(r.k, r.p): r for r in pop_change(df, "k", "p", "v").collect()}
+    assert got[("a", "2024-01")].value == 15.0 and got[("a", "2024-01")].prev_value is None
+    feb = got[("a", "2024-02")]
+    assert (feb.prev_value, feb.change, feb.pct_change) == (15.0, 15.0, 1.0)
+    apr = got[("a", "2024-04")]
+    assert apr.prev_value == 30.0 and apr.pct_change == -0.5   # previous WITH data
+    assert got[("b", "2024-01")].prev_value is None
+    cnt = {(r.k, r.p): r.value for r in pop_change(df, "k", "p", "v", agg="count").collect()}
+    assert cnt[("a", "2024-01")] == 2.0
+    with pytest.raises(ValueError, match="agg"):
+        pop_change(df, "k", "p", "v", agg="avg")

@@ -410,6 +410,12 @@ EXPECT = {
     "sync_plan": (["partial"], ["CartesianProduct", "Python", "Window"]),
     # lead spacing + per-key rank share one (key, ts) exchange
     "gap_report": (["Window"], ["Join", "CartesianProduct", "Python"]),
+    # LSH pair stage + CC loop, then |clusters|-row aggregates — the
+    # dedup_near shape with a histogram epilogue; the BNLJ is the
+    # bounded 1-row corpus-total broadcast (ab_test shape)
+    "dup_report": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "Python"]),
+    # one fact aggregate, lag window over the bounded (key, period) table
+    "pop_change": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
 }
 
 
