@@ -4566,6 +4566,19 @@ def _q_pop_change(spark, sf):
     return pop_change(o, "k", "period", "o_totalprice")
 
 
+def _q_session_stats(spark, sf):
+    """Per-session depth/duration/bounce over the 8-hour-gap user
+    sessions: one (key, ts) exchange for the lag, counter, and
+    aggregate."""
+    from backend_spark.features import session_stats
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.withColumn("us", event_ts_us(ev))
+    return session_stats(
+        ev.select("user_id", "us"), "user_id", "us", gap_us=28_800_000_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
@@ -4703,6 +4716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_report": _q_gap_report,
         "dup_report": _q_dup_report,
         "pop_change": _q_pop_change,
+        "session_stats": _q_session_stats,
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -8674,6 +8688,28 @@ def oracle_sql() -> dict[str, str]:
                      round((value - lag(value) OVER w)
                            / lag(value) OVER w, 6) END AS pct_change
             FROM per WINDOW w AS (PARTITION BY k ORDER BY period)
+        """,
+        # features.session_stats: gaps-and-islands on epoch micros with
+        # the strictly-greater gap rule (matches session_window)
+        "session_stats": """
+            WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t
+                       FROM events WHERE ts IS NOT NULL),
+            f AS (SELECT k, t,
+                         CASE WHEN lag(t) OVER w IS NULL
+                                OR t - lag(t) OVER w > 28800000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM b WINDOW w AS (PARTITION BY k ORDER BY t)),
+            i AS (SELECT k, t,
+                         CAST(sum(brk) OVER (PARTITION BY k ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+                  FROM f)
+            SELECT k AS user_id, session,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(t) AS session_start,
+                   max(t) AS session_end,
+                   max(t) - min(t) AS duration_us,
+                   count(*) = 1 AS bounce
+            FROM i GROUP BY k, session
         """,
         # ml.ridge_train_by: the proven ridge Cramer algebra keyed by
         # returnflag (shared _RIDGE_BY_CTES chain)

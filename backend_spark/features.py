@@ -2256,3 +2256,56 @@ def pop_change(
             F.when(prev != 0, (F.col("value") - prev) / prev), round_to
         ).alias("pct_change"),
     )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-session engagement metrics — the table sessionization exists
+    to feed: one row per (key, session) with event depth, start/end,
+    duration, and the bounce flag (single-event session).  The batch
+    gaps-and-islands sibling of ``streaming.sessionize``'s
+    session_window aggregate, on integer epoch-micros timestamps so
+    every boundary decision is exact.
+
+    A session breaks where the spacing to the previous observation
+    exceeds ``gap_us`` (strictly greater, matching session_window's
+    gap-extended overlap rule).  Timestamp ties are harmless: tied
+    rows see a zero spacing whatever their order, so flags, session
+    ids, and the per-session aggregates are permutation-stable.
+
+    Scale shape: ONE (key, ts) exchange shared by the lag, the running
+    session counter, and the final aggregate.
+    """
+    if gap_us < 1:
+        raise ValueError(f"session_stats: gap_us must be >= 1, got {gap_us}")
+    missing = [c for c in (key_col, ts_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"session_stats: column(s) not in df: {missing}")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).cast("long"))
+    t = F.col(ts_col).cast("long")
+    prev = F.lag(t).over(w)
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(key_col),
+        t.alias("__t"),
+        F.when(prev.isNull() | (t - prev > gap_us), 1).otherwise(0).alias("__new"),
+    )
+    ids = base.withColumn(
+        "session",
+        F.sum("__new").over(
+            Window.partitionBy(key_col)
+            .orderBy("__t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return ids.groupBy(key_col, "session").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("__t").alias("session_start"),
+        F.max("__t").alias("session_end"),
+        (F.max("__t") - F.min("__t")).alias("duration_us"),
+        (F.count(F.lit(1)) == 1).alias("bounce"),
+    )

@@ -3097,3 +3097,26 @@ def test_pop_change_periods(spark):
     assert cnt[("a", "2024-01")] == 2.0
     with pytest.raises(ValueError, match="agg"):
         pop_change(df, "k", "p", "v", agg="avg")
+
+
+def test_session_stats_depth_and_bounce(spark):
+    import pytest
+
+    from backend_spark.features import session_stats
+
+    rows = [("u", 0), ("u", 50), ("u", 80),        # session 1: 3 events
+            ("u", 1000),                           # session 2: bounce
+            ("u", 3000), ("u", 3010),              # session 3
+            ("v", 7)]
+    df = spark.createDataFrame(rows, "k string, us long")
+    got = {(r.k, r.session): r for r in session_stats(df, "k", "us", gap_us=100).collect()}
+    s1 = got[("u", 1)]
+    assert (s1.n_events, s1.session_start, s1.session_end, s1.duration_us, s1.bounce) == (3, 0, 80, 80, False)
+    assert got[("u", 2)].bounce and got[("u", 2)].n_events == 1
+    assert got[("u", 3)].duration_us == 10
+    assert got[("v", 1)].bounce
+    # spacing exactly == gap does NOT break (strictly greater rule)
+    df2 = spark.createDataFrame([("w", 0), ("w", 100)], "k string, us long")
+    assert session_stats(df2, "k", "us", gap_us=100).count() == 1
+    with pytest.raises(ValueError, match="gap_us"):
+        session_stats(df, "k", "us", gap_us=0)

@@ -416,6 +416,8 @@ EXPECT = {
     "dup_report": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "Python"]),
     # one fact aggregate, lag window over the bounded (key, period) table
     "pop_change": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
+    # lag + running counter + aggregate on ONE (key, ts) exchange
+    "session_stats": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
 }
 
 
