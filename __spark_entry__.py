@@ -4369,12 +4369,17 @@ def _q_bipartite(spark, sf):
 
 def _q_twap(spark, sf):
     """Time-weighted average event value per type: lead-duration
-    weighting on one (key, ts) window, exact decimal folds."""
+    weighting on one (key, ts) window, exact decimal folds.  event_id
+    tie-breaks equal timestamps so the lead() pairing (and hence the
+    oracle hash) never depends on incidental timestamp uniqueness."""
     from backend_spark.features import twap
 
     ev = load_table(spark, sf, "events")
     ev = ev.withColumn("us", event_ts_us(ev))
-    return twap(ev.select("event_type", "us", "value"), "event_type", "us", "value")
+    return twap(
+        ev.select("event_type", "us", "value", "event_id"),
+        "event_type", "us", "value", tie_break="event_id",
+    )
 
 
 def _q_rfm(spark, sf):
@@ -4582,77 +4587,13 @@ def _q_session_stats(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
-    # mechanical queue).  Round-9 rotation: the 27 round-9 ops, the 9
-    # continuation ops (sssp, sorted_neighborhood, boilerplate,
-    # standardize, oov_rate, rolling_anomaly, stream_anomaly,
-    # er_incremental — all first-evidence-needed), ann_pq + bpe_encode
-    # (never driver-green), build_model (rows-only refresh), then the 12
-    # r4-stale rows up to the prefix boundary marked below; r5-era rows
-    # queue first for round 10, freshly-green r6/r8 rows go last.
+    # mechanical queue).  Round-10 rotation (the round-9 verdict's #1):
+    # the prefix holds the first 50 of the 64 never-driver-checked
+    # round-9 registrations, in their original registration order; the
+    # remaining 14 sit directly below the boundary and lead round 11,
+    # followed by the r5-stale rows, then r6, then the freshly-certified
+    # r8/r9 rows last.
     return {
-        "ridge_train": _q_ridge_train,
-        "ridge_score": _q_ridge_score,
-        "ridge_apply": _q_ridge_apply,
-        "url_normalize": _q_url_normalize,
-        "fill_forward": _q_fill_forward,
-        "transition_counts": _q_transition_counts,
-        "feature_hash": _q_feature_hash,
-        "readability": _q_readability,
-        "cdf_normalize": _q_cdf_normalize,
-        "mad_outliers": _q_mad_outliers,
-        "sentence_split": _q_sentence_split,
-        "cidr_filter": _q_cidr_filter,
-        "budget_select": _q_budget_select,
-        "group_centroid": _q_group_centroid,
-        "pair_features": _q_pair_features,
-        "blocking_eval": _q_blocking_eval,
-        "interpolate": _q_interpolate,
-        "stream_locf": _q_stream_locf,
-        "er_pipeline": _q_er_pipeline,
-        "extract_links": _q_extract_links,
-        "source_overlap": _q_source_overlap,
-        "refined_soundex": _q_refined_soundex,
-        "xml_roundtrip": _q_xml_roundtrip,
-        "threshold_sweep": _q_threshold_sweep,
-        "calibration_bins": _q_calibration_bins,
-        "auc": _q_auc,
-        "psi": _q_psi,
-        # round-9 continuation ops (first driver evidence needed)
-        "sssp": _q_sssp,
-        "sorted_neighborhood": _q_sorted_neighborhood,
-        "boilerplate": _q_boilerplate,
-        "standardize": _q_standardize,
-        "oov_rate": _q_oov_rate,
-        "rolling_anomaly": _q_rolling_anomaly,
-        "er_incremental": _q_er_incremental,
-        "geohash": _q_geohash,
-        "stream_anomaly": _q_stream_anomaly,
-        "ann_pq": _q_ann_pq,
-        "bpe_encode": _q_bpe_encode,
-        "build_vocab": _q_vocab,
-        "tfidf_topk": _q_tfidf,
-        "unigram_logprob": _q_unigram_lp,
-        "dedup_incremental": _q_dedup_incremental,
-        "collocations": _q_collocations,
-        "percentile_gate": _q_percentile_gate,
-        "range_join": _q_range_join,
-        "minhash_pairs": _q_minhash_pairs,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "ann_ivf_index": _q_ann_ivf_index,
-        "bpe_pairs": _q_bpe_pairs,
-        # --- 50-query-prefix boundary: everything below queues for the
-        # round-10 rotation (review_queue..k_truss, the 15
-        # second-continuation ops fs_weights..pca_top, and the
-        # third-continuation set ridge_by..ks_test were all locally
-        # hash-verified at birth — every one green in check_oracle,
-        # explain_audit, and determinism_check on the final round-9
-        # diff — and ride round 10; the 12 r4-stale rows
-        # keep the judge-named prefix slots;
-        # closeness_approx/build_model/apply_model are rows-only-by-
-        # design with r5 evidence; win_agg/scoring/sql_direct/csv/
-        # fwf_roundtrip were judge-fresh-verified in r8;
-        # k_core..token_count are the remaining r5-evidence rows) ---
         "review_queue": _q_review_queue,
         "negative_edges": _q_negative_edges,
         "priority_sample": _q_priority_sample,
@@ -4703,6 +4644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": _q_ks_test,
         "bipartite": _q_bipartite,
         "twap": _q_twap,
+        # --- 50-query-prefix boundary: the 14 remaining never-checked
+        # rows below lead the round-11 rotation; then stale-first ---
         "rfm": _q_rfm,
         "bucket_quantiles": _q_bucket_quantiles,
         "bloom_join": _q_bloom_join,
@@ -4717,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_report": _q_dup_report,
         "pop_change": _q_pop_change,
         "session_stats": _q_session_stats,
+        # r5-evidence rows (oldest driver certification)
         "closeness_approx": _q_closeness_approx,
         "build_model": _q_build_model,
         "apply_model": _q_apply_model,
@@ -4763,6 +4707,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,
         "token_count": _q_token_count,
+        # r6-evidence rows
+        "char_entropy": _q_char_entropy,
+        "pack_sequences": _q_pack,
+        "semdedup": _q_semdedup,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "nb_classify": _q_nb_classify,
+        "dup_ngrams": _q_dup_ngrams,
+        "cube": _q_cube,
+        "temperature_sample": _q_temperature_sample,
+        "dq_check": _q_dq_check,
+        "rollup": _q_rollup,
+        "bpe_train": _q_bpe_train,
+        "chunk_documents": _q_chunk_documents,
+        "source_mix": _q_source_mix,
+        "bigram_logprob": _q_bigram_logprob,
+        "closeness_anf_exact": _q_closeness_anf_exact,
+        "stream_pack": _q_stream_pack,
+        "model_features": _q_model_features,
+        "recipe_pipeline": _q_recipe,
+        "map": _q_map,
+        "rename": _q_rename,
+        "keep_where": _q_keep_where,
+        "delete": _q_delete,
+        "fillna": _q_fillna,
+        "to_integer": _q_to_integer,
+        "to_float": _q_to_float,
+        "parsedate": _q_parsedate,
+        "replace": _q_replace,
+        "normalize": _q_normalize,
+        "eval_tier1": _q_eval_tier1,
+        "eval_tier2": _q_eval_tier2,
+        "exec": _q_exec,
+        "shuffle": _q_shuffle,
+        "groupby_agg": _q_groupby_agg,
+        "groupby_agg_list": _q_groupby_agg_list,
+        "groupby_transform": _q_groupby_transform,
+        "groupby_rank": _q_groupby_rank,
+        "unfold": _q_unfold,
+        "unnest": _q_unnest,
+        "nest": _q_nest,
+        "ngram": _q_ngram,
+        "join_strict": _q_join_strict,
+        "join_fuzzy": _q_join_fuzzy,
+        "join_topk": _q_join_topk,
+        "clique": _q_clique,
+        "clique_list": _q_clique_list,
+        "closeness": _q_closeness,
+        "graph_metrics": _q_graph_metrics,
+        "pagerank": _q_pagerank,
+        "dedup_exact": _q_dedup_exact,
+        # r8-evidence rows
         "interval_join": _q_interval_join,
         "scd2": _q_scd2,
         "er_golden": _q_er_golden,
@@ -4813,55 +4808,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann,
         "bm25_topk": _q_bm25,
-        "char_entropy": _q_char_entropy,
-        "pack_sequences": _q_pack,
-        "semdedup": _q_semdedup,
-        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
-        "nb_classify": _q_nb_classify,
-        "dup_ngrams": _q_dup_ngrams,
-        "cube": _q_cube,
-        "temperature_sample": _q_temperature_sample,
-        "dq_check": _q_dq_check,
-        "rollup": _q_rollup,
-        "bpe_train": _q_bpe_train,
-        "chunk_documents": _q_chunk_documents,
-        "source_mix": _q_source_mix,
-        "bigram_logprob": _q_bigram_logprob,
-        "closeness_anf_exact": _q_closeness_anf_exact,
-        "stream_pack": _q_stream_pack,
-        "model_features": _q_model_features,
-        "recipe_pipeline": _q_recipe,
-        "map": _q_map,
-        "rename": _q_rename,
-        "keep_where": _q_keep_where,
-        "delete": _q_delete,
-        "fillna": _q_fillna,
-        "to_integer": _q_to_integer,
-        "to_float": _q_to_float,
-        "parsedate": _q_parsedate,
-        "replace": _q_replace,
-        "normalize": _q_normalize,
-        "eval_tier1": _q_eval_tier1,
-        "eval_tier2": _q_eval_tier2,
-        "exec": _q_exec,
-        "shuffle": _q_shuffle,
-        "groupby_agg": _q_groupby_agg,
-        "groupby_agg_list": _q_groupby_agg_list,
-        "groupby_transform": _q_groupby_transform,
-        "groupby_rank": _q_groupby_rank,
-        "unfold": _q_unfold,
-        "unnest": _q_unnest,
-        "nest": _q_nest,
-        "ngram": _q_ngram,
-        "join_strict": _q_join_strict,
-        "join_fuzzy": _q_join_fuzzy,
-        "join_topk": _q_join_topk,
-        "clique": _q_clique,
-        "clique_list": _q_clique_list,
-        "closeness": _q_closeness,
-        "graph_metrics": _q_graph_metrics,
-        "pagerank": _q_pagerank,
-        "dedup_exact": _q_dedup_exact,
+        # r9-evidence rows (freshest)
+        "ridge_train": _q_ridge_train,
+        "ridge_score": _q_ridge_score,
+        "ridge_apply": _q_ridge_apply,
+        "url_normalize": _q_url_normalize,
+        "fill_forward": _q_fill_forward,
+        "transition_counts": _q_transition_counts,
+        "feature_hash": _q_feature_hash,
+        "readability": _q_readability,
+        "cdf_normalize": _q_cdf_normalize,
+        "mad_outliers": _q_mad_outliers,
+        "sentence_split": _q_sentence_split,
+        "cidr_filter": _q_cidr_filter,
+        "budget_select": _q_budget_select,
+        "group_centroid": _q_group_centroid,
+        "pair_features": _q_pair_features,
+        "blocking_eval": _q_blocking_eval,
+        "interpolate": _q_interpolate,
+        "stream_locf": _q_stream_locf,
+        "er_pipeline": _q_er_pipeline,
+        "extract_links": _q_extract_links,
+        "source_overlap": _q_source_overlap,
+        "refined_soundex": _q_refined_soundex,
+        "xml_roundtrip": _q_xml_roundtrip,
+        "threshold_sweep": _q_threshold_sweep,
+        "calibration_bins": _q_calibration_bins,
+        "auc": _q_auc,
+        "psi": _q_psi,
+        "sssp": _q_sssp,
+        "sorted_neighborhood": _q_sorted_neighborhood,
+        "boilerplate": _q_boilerplate,
+        "standardize": _q_standardize,
+        "oov_rate": _q_oov_rate,
+        "rolling_anomaly": _q_rolling_anomaly,
+        "er_incremental": _q_er_incremental,
+        "geohash": _q_geohash,
+        "stream_anomaly": _q_stream_anomaly,
+        "ann_pq": _q_ann_pq,
+        "bpe_encode": _q_bpe_encode,
+        "build_vocab": _q_vocab,
+        "tfidf_topk": _q_tfidf,
+        "unigram_logprob": _q_unigram_lp,
+        "dedup_incremental": _q_dedup_incremental,
+        "collocations": _q_collocations,
+        "percentile_gate": _q_percentile_gate,
+        "range_join": _q_range_join,
+        "minhash_pairs": _q_minhash_pairs,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "ann_ivf_index": _q_ann_ivf_index,
+        "bpe_pairs": _q_bpe_pairs,
     }
 
 
@@ -8425,11 +8422,12 @@ def oracle_sql() -> dict[str, str]:
         # features.twap: piecewise-constant integral / span; the last
         # observation carries no duration
         "twap": """
-            WITH b AS (SELECT event_type AS k, epoch_us(ts) AS t,
+            WITH b AS (SELECT event_type AS k, epoch_us(ts) AS t, event_id,
                               CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS v
                        FROM events
                        WHERE ts IS NOT NULL AND value IS NOT NULL),
-            l AS (SELECT k, t, v, lead(t) OVER (PARTITION BY k ORDER BY t) - t AS dur
+            l AS (SELECT k, t, v,
+                         lead(t) OVER (PARTITION BY k ORDER BY t, event_id) - t AS dur
                   FROM b),
             g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
                          max(t) - min(t) AS span,

@@ -2018,16 +2018,22 @@ def rfm(
 
     Ties order deterministically by the key, so scores are
     engine-exact; monetary sums are fixed-point decimals.  Scale
-    shape: one map-side-combined aggregate to |keys| rows, then the
-    three ntile windows run over THAT aggregate (keys, not events);
-    at extreme key cardinality ntile's global sort distributes via
-    range partitioning within the window exchange.
+    shape: one map-side-combined aggregate to |keys| rows, then each
+    score axis gets a DISTRIBUTED global rank via the assign_row_ids
+    prefix-sum (range exchange + partition-local row numbers +
+    broadcast offsets — a bare ``ntile().over(Window.orderBy(...))``
+    would funnel all |keys| rows through one task), and the ntile
+    bucket is recovered from (rank, N) with the standard integer
+    arithmetic (first ``N mod n`` buckets one row larger) — bit-exact
+    with ``ntile`` in any engine.
     """
     if n_tiles < 2:
         raise ValueError(f"rfm: n_tiles must be >= 2, got {n_tiles}")
     missing = [c for c in (key_col, ts_col, amount_col) if c not in df.columns]
     if missing:
         raise ValueError(f"rfm: column(s) not in df: {missing}")
+    from .scale import assign_row_ids
+
     dec = "decimal(38,0)"
     amt = F.floor(F.col(amount_col) * scale + F.lit(0.5)).cast(dec)
     agg = (
@@ -2039,17 +2045,31 @@ def rfm(
             F.coalesce(F.sum(amt), F.lit(0).cast(dec)).alias("__m"),
         )
     )
-    r_w = Window.orderBy(F.col("recency").asc(), F.col(key_col).asc())
-    f_w = Window.orderBy(F.col("frequency").asc(), F.col(key_col).asc())
-    m_w = Window.orderBy(F.col("__m").asc(), F.col(key_col).asc())
-    return agg.select(
+    ranked = assign_row_ids(agg, ["recency", key_col], "__rr")
+    ranked = assign_row_ids(ranked, ["frequency", key_col], "__rf")
+    ranked = assign_row_ids(ranked, ["__m", key_col], "__rm")
+    tot = ranked.agg(F.max("__rm").cast("long").alias("__N"))
+
+    n = int(n_tiles)
+    q = f"(__N div {n})"          # base bucket size
+    r = f"(__N % {n})"            # number of buckets one row larger
+    cut = f"({r} * ({q} + 1))"    # last rank inside the larger buckets
+
+    def tile(rn: str):
+        return F.expr(
+            f"CAST(CASE WHEN {rn} <= {cut} "
+            f"THEN ({rn} + {q}) div ({q} + 1) "
+            f"ELSE {r} + (({rn} - {cut} + {q} - 1) div {q}) END AS INT)"
+        )
+
+    return ranked.crossJoin(F.broadcast(tot)).select(
         key_col,
         "recency",
         "frequency",
         F.round(F.col("__m").cast("double") / scale, round_to).alias("monetary"),
-        F.ntile(n_tiles).over(r_w).alias("r_score"),
-        F.ntile(n_tiles).over(f_w).alias("f_score"),
-        F.ntile(n_tiles).over(m_w).alias("m_score"),
+        tile("__rr").alias("r_score"),
+        tile("__rf").alias("f_score"),
+        tile("__rm").alias("m_score"),
     )
 
 

@@ -565,6 +565,15 @@ def match_cascade(
     for p in passes:
         if not p.get("keys"):
             raise ValueError(f"match_cascade: pass {p.get('name')!r} has no keys")
+    n_keys = max(len(p["keys"]) for p in passes)
+    reserved = {f"__mc_k{j}" for j in range(n_keys)} | {"__mc_v"}
+    for side, cols in (("df", df.columns), ("ref", ref.columns)):
+        hit = reserved & set(cols)
+        if hit:
+            raise ValueError(
+                f"match_cascade: {side} column(s) {sorted(hit)} collide "
+                "with reserved internal names"
+            )
 
     base_cols = list(df.columns)
     matched_parts: list[DataFrame] = []

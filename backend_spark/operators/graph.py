@@ -1264,7 +1264,10 @@ def bipartite_projection(
     O(Σ_l deg(l)²), dominated by hub left-nodes — ``max_left_degree``
     drops wedges through lefts above the cap (a user who bought
     everything co-occurs with everything and carries no signal; same
-    mitigation as link_prediction's).  Edges are deduplicated first
+    mitigation as link_prediction's) — under the cap BOTH the common
+    counts and the jaccard denominators are computed over the capped
+    edge set, so the similarity stays a true Jaccard of the surviving
+    neighbor sets.  Edges are deduplicated first
     (simple-graph semantics), so multiplicities don't inflate counts.
     Jaccard is a single division of exact integers (rounded
     ``round_to``).  No cross product, no collect.
@@ -1281,10 +1284,14 @@ def bipartite_projection(
         .localCheckpoint(eager=False)
     )
     dl = e.groupBy("__l").agg(F.count(F.lit(1)).alias("__dl"))
-    dr = e.groupBy("__r").agg(F.count(F.lit(1)).alias("__dr"))
     adj = e.join(dl, "__l")
     if max_left_degree is not None:
         adj = adj.where(F.col("__dl") <= max_left_degree)
+    # right-degrees over the SAME (capped) edge set the wedges come
+    # from — so jaccard = |A∩B| / |A∪B| of consistent neighbor sets
+    # even when max_left_degree drops hub wedges (degrees over the
+    # uncapped set would systematically understate similarity)
+    dr = adj.groupBy("__r").agg(F.count(F.lit(1)).alias("__dr"))
     pairs = (
         adj.select("__l", F.col("__r").alias("item_i"))
         .join(adj.select("__l", F.col("__r").alias("item_j")), "__l")

@@ -171,7 +171,13 @@ def fuzzy_match(
     else:
         raise ValueError(f"unknown fuzzy method {method!r} (automata|fastcomp|jellyfish|jw)")
     best = best.withColumnRenamed(best.columns[1], out_col)
-    return df.join(F.broadcast(best), df[left_col] == best["__k"], "left").drop("__k")
+    # the per-key result table is bounded by DISTINCT LEFT KEYS, not by
+    # the dictionary — forcing a broadcast here would bypass AQE's size
+    # check and OOM executors at high key cardinality.  No hint: AQE
+    # broadcasts small tables at runtime from their actual shuffle
+    # size; a large result falls back to the shuffle hash join on __k,
+    # reusing the partitioning the tie-break window already produced.
+    return df.join(best, df[left_col] == best["__k"], "left").drop("__k")
 
 
 def _jw_best_match(df: DataFrame, words: DataFrame, left_col: str, word_col: str) -> DataFrame:

@@ -419,14 +419,19 @@ def scd2_lookup(
     still current).  This is the join every "what did the customer's
     segment look like WHEN the order happened" question compiles to.
 
-    Scale shape: a plain hash equi-join on the natural key — SCD2
-    versions per key are few and non-overlapping BY CONSTRUCTION
-    (scd2_build emits gapless half-open runs), so the per-key fan-out
-    before the validity filter is the version count, not a range-join
-    blow-up, and each fact survives with AT MOST one version; no
-    binning machinery needed (compare :func:`~backend_spark.operators
+    Scale shape: ONE hash equi-join on the natural key with the
+    validity window as the join's residual condition — SCD2 versions
+    per key are few and non-overlapping BY CONSTRUCTION (scd2_build
+    emits gapless half-open runs), so each fact matches AT MOST one
+    version and the left-outer join never fans out; no binning
+    machinery needed (compare :func:`~backend_spark.operators
     .joins.range_join`, which exists for arbitrary overlapping
-    intervals).  Dimension columns come back ``prefix``-renamed;
+    intervals).  Because the validity predicate lives IN the join
+    condition (not a post-filter + anti-join), ``how='left'`` needs no
+    second pass over the facts and is NULL-safe: fact rows containing
+    NULL payload columns are kept exactly once (a payload-column
+    anti-join would use NULL-unequal SQL semantics and duplicate
+    them).  Dimension columns come back ``prefix``-renamed;
     ``how='left'`` keeps facts whose timestamp predates the first
     version (NULL dimension columns).
     """
@@ -444,21 +449,25 @@ def scd2_lookup(
             f"scd2_lookup: prefixed dim column(s) collide with facts: "
             f"{sorted(clash)} — pick a different prefix"
         )
+    kcols = [f"__scd2_k{i}" for i in range(len(keys))]
+    reserved = set(kcols) & (set(facts.columns) | prefixed)
+    if reserved:
+        raise ValueError(
+            f"scd2_lookup: column(s) {sorted(reserved)} collide with "
+            "reserved internal names"
+        )
     d = dim.select(
-        *[F.col(k) for k in keys],
+        *[F.col(k).alias(a) for k, a in zip(keys, kcols)],
         *[F.col(c).alias(f"{prefix}{c}") for c in attrs],
     )
     ts = F.col(ts_col)
     valid = (ts >= F.col(f"{prefix}{valid_from}")) & (
         F.col(f"{prefix}{valid_to}").isNull() | (ts < F.col(f"{prefix}{valid_to}"))
     )
-    matched = facts.join(d, keys, "inner").where(valid)
-    if how == "inner":
-        return matched
-    missed = facts.join(
-        matched.select(*facts.columns).distinct(), facts.columns, "left_anti"
-    )
-    return matched.unionByName(missed, allowMissingColumns=True)
+    cond = valid
+    for k, a in zip(keys, kcols):
+        cond = (facts[k] == d[a]) & cond
+    return facts.join(d, cond, how).drop(*kcols)
 
 
 def disparate_impact(

@@ -11,6 +11,18 @@ medians).  Rounds 5-8 each burned a judge/builder cycle adjudicating
 single-run sub-second drift on a loaded machine; medians absorb it.
 ``wall_s`` is the raw wall-clock of the whole timing loop (all runs,
 warmups included) for anyone who wants the old single-number view.
+
+Since round 10 a SECOND suite (``suite2`` / ``suite2_value``) tracks
+ten round-9-era operator families (CDC, drift tests, cascade matching,
+ridge, attribution, session analytics, ER, compaction, Fellegi-Sunter,
+dup reporting).  Suite-2 timings REBUILD the query each run and time
+construction + execution together: several of these run eager
+driver-coordinated stages at build time (ridge's moment solve, fs_em's
+EM iterations, er_pipeline's CC loop), which the suite-1 protocol —
+timing the second noop save of one built DataFrame — would miss
+entirely (the bpe_train exclusion note below).  The two suites are
+therefore NOT comparable to each other; suite 1 keeps its round-3
+protocol for cross-round comparability.
 """
 
 from __future__ import annotations
@@ -62,6 +74,21 @@ HEADLINE = [
     "square_clustering",
 ]
 
+# round-9-era representatives (round-10 verdict #3) — construction is
+# timed (see module docstring); one per new operator family
+SUITE2 = [
+    "cdc_apply",
+    "ks_test",
+    "match_cascade",
+    "ridge_train",
+    "attribution",
+    "session_stats",
+    "er_pipeline",
+    "compaction_plan",
+    "fs_em",
+    "dup_report",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,6 +107,16 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
+
+    suite2: dict[str, float] = {}
+    for name in SUITE2:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        suite2[name] = round(statistics.median(samples), 3)
     wall_s = round(time.time() - wall0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -93,9 +130,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "headline16": r3_subtotal,
+                "suite2_value": round(sum(suite2.values()), 3),
                 "runs_per_query": RUNS,
                 "wall_s": wall_s,
                 "queries": timings,
+                "suite2": suite2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

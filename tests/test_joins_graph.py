@@ -2166,3 +2166,9 @@ def test_match_cascade_waterfall(spark):
         match_cascade(df, ref, passes, {"name": "rname"})
     with pytest.raises(ValueError, match="no keys"):
         match_cascade(df, ref, [{"name": "x", "keys": []}], {"m_id": "rid"})
+    # reserved internal names fail fast with a clear error, not an
+    # ambiguous-column analysis error deep in the cascade
+    with pytest.raises(ValueError, match="reserved"):
+        match_cascade(df.withColumn("__mc_v", F.lit(1)), ref, passes, {"m_id": "rid"})
+    with pytest.raises(ValueError, match="reserved"):
+        match_cascade(df, ref.withColumn("__mc_k0", F.lit(1)), passes, {"m_id": "rid"})

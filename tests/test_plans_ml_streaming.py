@@ -2770,6 +2770,18 @@ def test_scd2_lookup_point_in_time(spark):
     assert got[106].dim_tier is None
     inner = scd2_lookup(facts, dim, "k", "ts", how="inner")
     assert sorted(r.fid for r in inner.collect()) == [100, 101, 102, 103, 105]
+    # NULL-safe left: a MATCHED fact carrying a NULL payload column must
+    # come back exactly once, with its dim attrs (a payload-column
+    # anti-join would duplicate it — NULL never equals NULL in SQL)
+    nf = spark.createDataFrame(
+        [(200, 1, 15, None), (201, 1, 5, None)],
+        "fid long, k long, ts long, note string",
+    )
+    nrows = scd2_lookup(nf, dim, "k", "ts").collect()
+    assert len(nrows) == 2
+    by_fid = {r.fid: r for r in nrows}
+    assert by_fid[200].dim_tier == "bronze" and by_fid[200].note is None
+    assert by_fid[201].dim_tier is None      # predates history, kept once
     with pytest.raises(ValueError, match="collide"):
         scd2_lookup(facts.withColumn("dim_tier", F.lit("x")), dim, "k", "ts")
     with pytest.raises(ValueError, match="missing column"):
@@ -2831,6 +2843,17 @@ def test_bipartite_projection_copurchase(spark):
     capped = {(r.item_i, r.item_j): r.common for r in
               bipartite_projection(edges, "u", "item", min_common=1, max_left_degree=1).collect()}
     assert capped == {}   # every left with >=2 items exceeds cap 1
+    # under an ACTIVE cap the jaccard denominator must use degrees over
+    # the capped edge set: u1:{a,b}, u2:{a,b,c} with cap 2 drops u2
+    # entirely -> common(a,b)=1 over capped degrees 1,1 -> jaccard 1.0
+    # (uncapped degrees 2,2 would understate it as 1/3)
+    e2 = spark.createDataFrame(
+        [("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "b"), ("u2", "c")],
+        "u string, item string",
+    )
+    c2 = {(r.item_i, r.item_j): r for r in
+          bipartite_projection(e2, "u", "item", min_common=1, max_left_degree=2).collect()}
+    assert c2[("a", "b")].common == 1 and c2[("a", "b")].jaccard == 1.0
     with pytest.raises(ValueError, match="min_common"):
         bipartite_projection(edges, "u", "item", min_common=0)
 
@@ -2848,6 +2871,15 @@ def test_twap_duration_weighting(spark):
     assert got["s"].twap == round((9 * 3600 + 1) / 3601, 6)
     assert got["s"].span == 3601 and got["s"].n == 3
     assert got["one"].twap is None              # no span
+    # equal timestamps: tie_break pins the lead() pairing — tied
+    # readings hold 0 duration except the last, deterministically
+    tied = spark.createDataFrame(
+        [("t", 0, 5.0, "b"), ("t", 0, 7.0, "a"), ("t", 10, 1.0, "c")],
+        "k string, ts long, v double, id string",
+    )
+    r = {x.k: x for x in twap(tied, "k", "ts", "v", tie_break="id").collect()}
+    # order (0,'a')=7, (0,'b')=5, (10,'c'): 7 holds 0s, 5 holds 10s
+    assert r["t"].twap == 5.0 and r["t"].span == 10
     with pytest.raises(ValueError, match="not in df"):
         twap(df, "k", "ts", "zzz")
 
@@ -2865,6 +2897,13 @@ def test_rfm_scores(spark):
     assert got[0].r_score == 1 and got[0].f_score == 1 and got[0].m_score == 1
     assert got[9].frequency == 10 and got[9].monetary == 900.0
     assert got[9].recency == 909
+    # uneven split must reproduce ntile exactly: 7 keys into 3 tiles ->
+    # bucket sizes 3,2,2 (first N mod n buckets one larger)
+    df7 = spark.createDataFrame(
+        [(i, 10 * i, float(i)) for i in range(7)], "k long, ts long, amt double"
+    )
+    s7 = {r.k: r.r_score for r in rfm(df7, "k", "ts", "amt", n_tiles=3).collect()}
+    assert s7 == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3}
 
 
 def test_bucket_quantiles_exact(spark):

@@ -24,7 +24,9 @@ EXPECT = {
     # name: (must_contain, must_not_contain)
     "keep_where": (["PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal"], ["CartesianProduct"]),
     "join_strict": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
-    "join_fuzzy": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # dictionary side broadcast (forced, bounded); the per-key result
+    # join is AQE-decided — equi-join in both regimes, never an NLJ
+    "join_fuzzy": (["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "join_topk": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "minhash_pairs": ([], ["CartesianProduct"]),
     "clique": ([], ["CartesianProduct"]),
@@ -385,8 +387,11 @@ EXPECT = {
     "bipartite": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Python"]),
     # one (key, ts) window + one map-side-combined aggregate
     "twap": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
-    # event aggregate first; ntile windows run over |users| rows only
-    "rfm": (["partial", "Window"], ["Join", "CartesianProduct", "Python"]),
+    # event aggregate first; each score axis ranks via assign_row_ids
+    # (range exchange behind localCheckpoint -> ExistingRDD, broadcast
+    # offset joins) — never a global single-task ntile window; the BNLJ
+    # is the bounded 1-row N broadcast (ab_test shape)
+    "rfm": (["partial", "BroadcastHashJoin", "Scan ExistingRDD"], ["CartesianProduct", "SortMergeJoin", "Python"]),
     # rank + count windows share one group-key exchange; no join
     "bucket_quantiles": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
     # the bloom stage is k BROADCAST joins of the fact side against the
