@@ -141,13 +141,24 @@ def dedup_minhash(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    max_cluster_size: "int | None" = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-dup dedup: LSH pairs → connected components → keep the
     smallest id of every duplicate cluster (the reference groups match
-    pairs with `clique` the same way, code/recipes.py:1989-2062)."""
+    pairs with `clique` the same way, code/recipes.py:1989-2062).
+
+    ``max_cluster_size`` guards against banding collapse (e.g. empty /
+    boilerplate-identical texts all landing in one band bucket): if any
+    duplicate cluster exceeds the cap, raise with the offending cluster
+    ids instead of silently anti-joining half the corpus away (the
+    er_resolve mega-cluster guard, shared via
+    :func:`~backend_spark.operators.graph.check_cluster_cap`)."""
+    from backend_spark.operators.graph import check_cluster_cap
+
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
     cc = connected_components(pairs, src="id1", dst="id2")
+    check_cluster_cap(cc, max_cluster_size, "dedup_minhash")
     losers = cc.where(F.col("node") != F.col("comp")).select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 
@@ -158,6 +169,7 @@ def dedup_keep_best(
     pairs: DataFrame,
     score: Column,
     higher_is_better: bool = True,
+    max_cluster_size: "int | None" = None,
 ) -> DataFrame:
     """Cluster-level representative selection over a duplicate-pair list:
     connected components → keep the argmax-``score`` member of every
@@ -175,9 +187,15 @@ def dedup_keep_best(
     enters the CC loop); component labels converge in O(log n) pointer-
     jumping rounds; survivor choice is one window over ``cluster`` —
     a single keyed shuffle on cluster label, which is bounded by the
-    duplicate-cluster count, not the corpus.
+    duplicate-cluster count, not the corpus.  ``max_cluster_size``
+    fails fast on banding collapse (the er_resolve mega-cluster guard)
+    before the survivor window would funnel a corpus-sized cluster
+    through one task.
     """
+    from backend_spark.operators.graph import check_cluster_cap
+
     cc = connected_components(pairs, src="id1", dst="id2")
+    check_cluster_cap(cc, max_cluster_size, "dedup_keep_best")
     labeled = df.withColumn("__score", score).join(
         cc.select(F.col("node").alias(id_col), F.col("comp").alias("cluster")),
         id_col,

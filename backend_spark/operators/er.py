@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from backend_spark.operators.graph import connected_components
+from backend_spark.operators.graph import check_cluster_cap, connected_components
 
 _RULES = ("first", "mode", "min", "max", "sum")
 
@@ -79,26 +79,7 @@ def er_resolve(
         )
     )
     comp = connected_components(edges)  # (node, comp)
-    if max_cluster_size is not None:
-        if max_cluster_size < 1:
-            raise ValueError(
-                f"max_cluster_size must be >= 1 or None, got {max_cluster_size}"
-            )
-        oversized = (
-            comp.groupBy("comp")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_cluster_size)
-            .orderBy(F.desc("n"), "comp")
-            .limit(5)
-            .collect()
-        )
-        if oversized:
-            detail = ", ".join(f"{r['comp']}={r['n']}" for r in oversized)
-            raise ValueError(
-                f"er_resolve: cluster(s) exceed max_cluster_size="
-                f"{max_cluster_size} (largest: {detail}); upstream blocking "
-                "is likely broken — inspect with skew_report or raise the cap"
-            )
+    check_cluster_cap(comp, max_cluster_size, "er_resolve")
     members = records.join(
         comp.withColumnRenamed("node", id_col), id_col, "inner"
     )

@@ -87,6 +87,47 @@ def connected_components(
     return labels
 
 
+def check_cluster_cap(
+    comp: DataFrame,
+    max_cluster_size: "int | None",
+    op_name: str,
+    node_col: str = "node",
+    comp_col: str = "comp",
+) -> None:
+    """Fail fast when a connected component exceeds ``max_cluster_size``
+    — the shared guard behind er_resolve / dedup's cluster consumers.
+    A mega-cluster means upstream blocking/banding collapsed (a blank
+    key matching everything); downstream per-cluster work would then
+    funnel the corpus through one task or OOM an executor mid-shuffle.
+    Raising early with the offending cluster ids turns that opaque
+    death into an actionable message (inspect with ``skew_report``).
+
+    Count-only aggregate on the (node, comp) labels — never touches
+    row data; no-op when ``max_cluster_size`` is None.
+    """
+    if max_cluster_size is None:
+        return
+    if max_cluster_size < 1:
+        raise ValueError(
+            f"max_cluster_size must be >= 1 or None, got {max_cluster_size}"
+        )
+    oversized = (
+        comp.groupBy(comp_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cluster_size)
+        .orderBy(F.desc("n"), comp_col)
+        .limit(5)
+        .collect()
+    )
+    if oversized:
+        detail = ", ".join(f"{r[comp_col]}={r['n']}" for r in oversized)
+        raise ValueError(
+            f"{op_name}: cluster(s) exceed max_cluster_size="
+            f"{max_cluster_size} (largest: {detail}); upstream blocking "
+            "is likely broken — inspect with skew_report or raise the cap"
+        )
+
+
 def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected simple-graph edge list: both directions, self loops
     and duplicates removed."""

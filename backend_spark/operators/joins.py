@@ -186,7 +186,16 @@ def _jw_best_match(df: DataFrame, words: DataFrame, left_col: str, word_col: str
     prune: jw = j + l·0.1·(1-j) with l ≤ 4, so jw ≥ 0.95 ⇒ j ≥ 11/12;
     j ≤ (m/l1 + m/l2 + 1)/3 with m ≤ min(l1,l2) gives
     min(l1,l2) ≥ 0.75·max(l1,l2) — rows outside the band can never pass
-    the threshold, so pruning them preserves exactness."""
+    the threshold, so pruning them preserves exactness.
+
+    Deliberately NOT pre-blocked on soundex / first characters: no such
+    block is exactness-preserving for jw ≥ 0.95 (a leading
+    transposition — "abcdefgh" vs "bacdefgh" — scores jw ≈ 0.958 while
+    changing both the first character and the soundex code), and this
+    operator's contract is parity with the reference's exhaustive scan.
+    The length band is the provably-lossless prune; callers needing a
+    lossy-but-cheaper candidate stage at scale should use the
+    automata/fastcomp methods or block explicitly upstream."""
     from backend_spark import functions as fn
 
     keys = df.select(F.col(left_col).alias("__k")).where(F.col("__k").isNotNull()).distinct()

@@ -99,6 +99,10 @@ def test_minhash_dedup_removes_near_dups(spark):
     assert {(r.id1, r.id2) for r in pairs.collect()} == {(1, 2)}
     kept = llm.dedup_minhash(df, "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.5)
     assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    # mega-cluster guard: the {1,2} cluster trips a cap of 1
+    with pytest.raises(ValueError, match="dedup_minhash.*max_cluster_size"):
+        llm.dedup_minhash(df, "doc_id", "text", max_cluster_size=1,
+                          num_perm=16, bands=8, jaccard_threshold=0.5)
 
 
 def test_ann_bruteforce_self_similarity_excluded(spark):

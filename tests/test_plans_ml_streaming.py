@@ -809,6 +809,13 @@ def test_dedup_keep_best_keeps_argmax_per_cluster(spark):
     # lower-is-better flips the survivor
     out2 = llm.dedup_keep_best(docs, "doc_id", pairs, score=F.col("q"), higher_is_better=False)
     assert {r.doc_id for r in out2.collect()} == {1, 4}
+    # mega-cluster guard (banding collapse): fail fast with cluster ids
+    import pytest
+
+    with pytest.raises(ValueError, match="dedup_keep_best.*max_cluster_size"):
+        llm.dedup_keep_best(docs, "doc_id", pairs, score=F.col("q"), max_cluster_size=2)
+    ok = llm.dedup_keep_best(docs, "doc_id", pairs, score=F.col("q"), max_cluster_size=3)
+    assert {r.doc_id for r in ok.collect()} == {2, 4}
 
 
 def test_shuffle_order_is_deterministic_permutation(spark):

@@ -1,13 +1,19 @@
-"""Parallelism-determinism gate: run every ``queries()`` entry under two
-deliberately different execution shapes (shuffle partitions 32 vs 3,
-file splits default vs tiny) and diff the canonical results.
+"""Parallelism-determinism gate: run every ``queries()`` entry under
+three deliberately different execution shapes (shuffle partitions 32
+vs 3, file splits default vs tiny, Arrow batch default vs 64 records)
+and diff the canonical results.
 
 This targets the bug class behind the one red driver row of round 4
 (char_entropy): a float aggregate whose partial-sum order changes with
 partitioning can round differently at a value boundary, so it passes at
-one parallelism and fails at another.  Any query listed by this tool is
-nondeterministic under Spark's execution model and will eventually
-diverge from its oracle on some machine.
+one parallelism and fails at another.  The third shape shrinks
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so every
+mapInPandas/applyInPandas/pandas_udf boundary sees many small Arrow
+batches — a UDF that accidentally depends on batch extent (state
+carried across rows, per-batch reductions folded in float order)
+diverges here while passing both row-shape runs.  Any query listed by
+this tool is nondeterministic under Spark's execution model and will
+eventually diverge from its oracle on some machine.
 
 Usage: python tools/determinism_check.py [name ...]   (exit 1 on diff)
 """
@@ -25,9 +31,14 @@ from tools.check_oracle import SF_DIR, _canon  # noqa: E402
 
 SHAPES = (
     {"spark.sql.shuffle.partitions": "32",
-     "spark.sql.files.maxPartitionBytes": "134217728"},
+     "spark.sql.files.maxPartitionBytes": "134217728",
+     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000"},
     {"spark.sql.shuffle.partitions": "3",
-     "spark.sql.files.maxPartitionBytes": "65536"},
+     "spark.sql.files.maxPartitionBytes": "65536",
+     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000"},
+    {"spark.sql.shuffle.partitions": "32",
+     "spark.sql.files.maxPartitionBytes": "134217728",
+     "spark.sql.execution.arrow.maxRecordsPerBatch": "64"},
 )
 
 
@@ -52,17 +63,19 @@ def main(only=None) -> int:
         finally:
             for k, v in SHAPES[0].items():
                 spark.conf.set(k, v)
-        if runs[0] != runs[1]:
+        if any(r != runs[0] for r in runs[1:]):
             bad.append(name)
+            other = next(i for i, r in enumerate(runs) if r != runs[0])
             diff = next(
-                ((i, a, b) for i, (a, b) in enumerate(zip(*runs)) if a != b), None
+                ((i, a, b) for i, (a, b) in enumerate(zip(runs[0], runs[other])) if a != b),
+                None,
             )
             if diff is None:  # one result is a prefix of the other
                 print(f"✗ {name:20s} DIVERGES in row count: "
-                      f"shape A {len(runs[0])} rows, shape B {len(runs[1])} rows")
+                      f"shape A {len(runs[0])} rows, shape {other} {len(runs[other])} rows")
             else:
-                print(f"✗ {name:20s} DIVERGES at sorted row {diff[0]}:\n"
-                      f"    shape A: {diff[1]}\n    shape B: {diff[2]}")
+                print(f"✗ {name:20s} DIVERGES (shape {other}) at sorted row {diff[0]}:\n"
+                      f"    shape A: {diff[1]}\n    shape {other}: {diff[2]}")
         else:
             print(f"✓ {name:20s} stable ({len(runs[0])} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(bad)} divergent, {len(errs)} errored")
