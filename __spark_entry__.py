@@ -1210,8 +1210,15 @@ def _q_minhash_pairs(spark, sf):
         F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
     )
     both = docs.unionByName(dupes)
+    # LSH parameters matched to the verify threshold: 4 bands of 4 rows
+    # give a candidate s-curve midpoint of (1/4)^(1/4) ~ 0.71 for the
+    # 0.8 verify, and 5-char shingles keep template-sharing corpora
+    # from colliding (3-char shingles put most UNRELATED doc pairs
+    # above a 2-row band's ~0.35 midpoint: measured 9.4M candidates
+    # for 5.1k docs at sf0.1 vs ~400 with these settings)
     return llm.minhash_lsh_pairs(
-        both, "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.8
+        both, "doc_id", "text", num_perm=16, bands=4, shingle_n=5,
+        jaccard_threshold=0.8,
     )
 
 
@@ -1225,7 +1232,8 @@ def _q_dedup_near(spark, sf):
         F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
     )
     out = llm.dedup_minhash(
-        docs.unionByName(dupes), "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.8
+        docs.unionByName(dupes), "doc_id", "text", num_perm=16, bands=4,
+        shingle_n=5, jaccard_threshold=0.8,
     )
     return out.select("doc_id")
 
@@ -1527,7 +1535,8 @@ def _q_dedup_keep_best(spark, sf):
     )
     both = docs.unionByName(dupes)
     pairs = llm.minhash_lsh_pairs(
-        both, "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.8
+        both, "doc_id", "text", num_perm=16, bands=4, shingle_n=5,
+        jaccard_threshold=0.8,
     )
     out = llm.dedup_keep_best(both, "doc_id", pairs, score=F.length("text"))
     return out.select("doc_id", F.col("cluster").cast("long").alias("cluster"))
@@ -4384,7 +4393,8 @@ def _q_twap(spark, sf):
 
 def _q_rfm(spark, sf):
     """RFM segmentation of users from the event log: one aggregate to
-    |users| rows, three deterministic ntile windows over that."""
+    |users| rows, then three distributed prefix-sum ranks with exact
+    integer ntile arithmetic over that (never a global ntile window)."""
     from backend_spark.features import rfm
 
     ev = load_table(spark, sf, "events")
@@ -4554,7 +4564,7 @@ def _q_dup_report(spark, sf):
     )
     return dup_report(
         docs.unionByName(dupes), "doc_id", "text",
-        num_perm=16, bands=8, jaccard_threshold=0.8,
+        num_perm=16, bands=4, shingle_n=5, jaccard_threshold=0.8,
     )
 
 
@@ -5345,7 +5355,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 10000, text || ' zzz extra' FROM documents
             ),
             t AS (SELECT id, {norm_text} AS s FROM all_docs),
-            sh AS (SELECT id, {shingles3} AS shingles FROM t),
+            sh AS (SELECT id, {shingles5} AS shingles FROM t),
             sig AS (
                 SELECT id, shingles,
                        [list_min(list_transform(
@@ -5356,9 +5366,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             bands AS (
                 SELECT id, shingles, p.b AS band,
-                       CAST(sg[p.b * 2 + 1] AS VARCHAR) || '-' || CAST(sg[p.b * 2 + 2] AS VARCHAR)
+                       CAST(sg[p.b * 4 + 1] AS VARCHAR) || '-' || CAST(sg[p.b * 4 + 2] AS VARCHAR)
+                         || '-' || CAST(sg[p.b * 4 + 3] AS VARCHAR)
+                         || '-' || CAST(sg[p.b * 4 + 4] AS VARCHAR)
                          AS key
-                FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) p
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) p
             ),
             cand AS (
                 SELECT DISTINCT a.id AS id1, b.id AS id2
@@ -5426,7 +5438,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 10000, text || ' zzz extra' FROM documents WHERE doc_id < 100
             ),
             t AS (SELECT id, {norm_text} AS s FROM all_docs),
-            sh AS (SELECT id, {shingles3} AS shingles FROM t),
+            sh AS (SELECT id, {shingles5} AS shingles FROM t),
             sig AS (
                 SELECT id, shingles,
                        [list_min(list_transform(
@@ -5437,9 +5449,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             bands AS (
                 SELECT id, shingles, p.b AS band,
-                       CAST(sg[p.b * 2 + 1] AS VARCHAR) || '-' || CAST(sg[p.b * 2 + 2] AS VARCHAR)
+                       CAST(sg[p.b * 4 + 1] AS VARCHAR) || '-' || CAST(sg[p.b * 4 + 2] AS VARCHAR)
+                         || '-' || CAST(sg[p.b * 4 + 3] AS VARCHAR)
+                         || '-' || CAST(sg[p.b * 4 + 4] AS VARCHAR)
                          AS key
-                FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) p
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) p
             ),
             cand AS (
                 SELECT DISTINCT a.id AS id1, b.id AS id2
@@ -5884,7 +5898,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 10000, text || ' zzz extra' FROM documents WHERE doc_id < 100
             ),
             t AS (SELECT id, {norm_text} AS s FROM all_docs),
-            sh AS (SELECT id, {shingles3} AS shingles FROM t),
+            sh AS (SELECT id, {shingles5} AS shingles FROM t),
             sig AS (
                 SELECT id, shingles,
                        [list_min(list_transform(
@@ -5895,9 +5909,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             bands AS (
                 SELECT id, shingles, p.b AS band,
-                       CAST(sg[p.b * 2 + 1] AS VARCHAR) || '-' || CAST(sg[p.b * 2 + 2] AS VARCHAR)
+                       CAST(sg[p.b * 4 + 1] AS VARCHAR) || '-' || CAST(sg[p.b * 4 + 2] AS VARCHAR)
+                         || '-' || CAST(sg[p.b * 4 + 3] AS VARCHAR)
+                         || '-' || CAST(sg[p.b * 4 + 4] AS VARCHAR)
                          AS key
-                FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) p
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) p
             ),
             cand AS (
                 SELECT DISTINCT a.id AS id1, b.id AS id2

@@ -127,7 +127,18 @@ def minhash_lsh_pairs(
     )
     s1 = hash_tbl.select(F.col(id_col).alias("id1"), F.col("__hs").alias("__h1"), F.col("__n").alias("__n1"))
     s2 = hash_tbl.select(F.col(id_col).alias("id2"), F.col("__hs").alias("__h2"), F.col("__n").alias("__n2"))
-    verified = cand.join(s1, "id1").join(s2, "id2")
+    # exact size-ratio prune BEFORE the O(|shingles|) intersect:
+    # jaccard = i/u with i <= min(n1,n2) and u >= max(n1,n2), so
+    # jaccard <= min/max — a pair whose set-size ratio is below the
+    # threshold can never verify, and skipping it costs one comparison
+    # instead of an array intersect.  The 1e-6 slack covers the
+    # round(.,6) on the final jaccard (which can raise a boundary value
+    # by at most 5e-7), so no pair that would pass is ever pruned.
+    verified = cand.join(s1, "id1").join(s2, "id2").where(
+        F.least("__n1", "__n2").cast("double")
+        >= (F.lit(float(jaccard_threshold)) - F.lit(1e-6))
+        * F.greatest("__n1", "__n2").cast("double")
+    )
     inter = F.size(F.array_intersect("__h1", "__h2")).cast("double")
     union = (F.col("__n1") + F.col("__n2")).cast("double") - inter
     return (
@@ -5069,7 +5080,8 @@ def dup_report(
     id_col: str,
     text_col: str,
     num_perm: int = 16,
-    bands: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     round_to: int = 6,
 ) -> DataFrame:
@@ -5087,13 +5099,17 @@ def dup_report(
     Scale shape: the pair stage is the banded-LSH equi-join (no
     all-pairs), CC is the hash-min label propagation, and everything
     after runs on |clusters| rows — two keyed aggregates and a 1-row
-    total broadcast.
+    total broadcast.  The default banding is 4 bands of 4 rows —
+    paired with the 0.8 default threshold (s-curve midpoint
+    ``(1/4)^(1/4) ≈ 0.71``); 8 bands of 2 rows would admit every pair
+    above ~0.35 as a candidate and shift the real cost into the
+    verify intersect (see SCALING.md, round-10 LSH pairing note).
     """
     from backend_spark.operators.graph import connected_components
 
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, num_perm=num_perm, bands=bands,
-        jaccard_threshold=jaccard_threshold,
+        shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
     )
     cc = connected_components(pairs, src="id1", dst="id2")
     labeled = (

@@ -105,6 +105,19 @@ def test_minhash_dedup_removes_near_dups(spark):
                           num_perm=16, bands=8, jaccard_threshold=0.5)
 
 
+def test_minhash_pairs_size_prune_keeps_boundary(spark):
+    # shingle sets {abc,bcd,cde,def} ⊂ {abc,...,efg}: jaccard = 4/5,
+    # exactly at the threshold with UNEQUAL set sizes — the verify
+    # stage's size-ratio prune (min/max >= t - 1e-6) must keep it
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdefg")], "doc_id long, text string"
+    )
+    out = llm.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=16, bands=8, jaccard_threshold=0.8
+    ).collect()
+    assert [(r.id1, r.id2, r.jaccard) for r in out] == [(1, 2, 0.8)]
+
+
 def test_ann_bruteforce_self_similarity_excluded(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")

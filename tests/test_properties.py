@@ -593,3 +593,82 @@ def test_match_cascade_partitions_input(_spark, names):
             assert matched[i] == "prefix"
         else:
             assert matched[i] is None
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    facts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60),
+                  st.one_of(st.none(), st.text(alphabet="xy", max_size=2))),
+        min_size=1, max_size=25,
+    ),
+)
+def test_scd2_lookup_left_is_exactly_fact_preserving(_spark, facts):
+    """how='left' partitions the facts: every fact row returns exactly
+    once (never dropped, never duplicated) regardless of NULL payload
+    columns, with the version the brute-force point-in-time lookup
+    picks — the round-10 NULL-unequal anti-join regression class."""
+    from backend_spark.quality import scd2_lookup
+
+    versions = [(10, 25), (25, 40), (40, None)]
+    dim = _spark.createDataFrame(
+        [(k, f"t{k}_{i}", lo, hi)
+         for k in range(3) for i, (lo, hi) in enumerate(versions)],
+        "k long, tier string, valid_from long, valid_to long",
+    )
+    fdf = _spark.createDataFrame(
+        [(i, k, ts, note) for i, (k, ts, note) in enumerate(facts)],
+        "fid long, k long, ts long, note string",
+    )
+    out = scd2_lookup(fdf, dim, "k", "ts").collect()
+    assert len(out) == len(facts)
+    by_fid = {r.fid: r for r in out}
+    assert len(by_fid) == len(facts)
+    for i, (k, ts, note) in enumerate(facts):
+        exp = None
+        if k <= 2:
+            for j, (lo, hi) in enumerate(versions):
+                if ts >= lo and (hi is None or ts < hi):
+                    exp = f"t{k}_{j}"
+        assert by_fid[i].dim_tier == exp and by_fid[i].note == note, (k, ts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 50), st.integers(0, 20)),
+        min_size=1, max_size=40,
+    ),
+    n_tiles=st.integers(2, 5),
+)
+def test_rfm_tiles_match_ntile_window(_spark, rows, n_tiles):
+    """The distributed prefix-sum rank + integer ntile arithmetic must
+    be bit-identical to Spark's own ntile() window (the independent
+    engine implementation) under the same (value, key) total order."""
+    from pyspark.sql import Window
+
+    from backend_spark.features import rfm
+
+    df = _spark.createDataFrame(
+        [(k, ts, float(a)) for k, ts, a in rows], "k long, ts long, amt double"
+    )
+    got = {r.k: r for r in rfm(df, "k", "ts", "amt", n_tiles=n_tiles).collect()}
+    agg = df.groupBy("k").agg(
+        F.max("ts").alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("amt").alias("mon"),
+    )
+
+    def w(c):
+        return Window.orderBy(F.col(c), F.col("k"))
+
+    exp = agg.select(
+        "k",
+        F.ntile(n_tiles).over(w("rec")).alias("r"),
+        F.ntile(n_tiles).over(w("freq")).alias("f"),
+        F.ntile(n_tiles).over(w("mon")).alias("m"),
+    ).collect()
+    assert len(exp) == len(got)
+    for e in exp:
+        g = got[e.k]
+        assert (g.r_score, g.f_score, g.m_score) == (e.r, e.f, e.m), e.k
