@@ -9,6 +9,9 @@ bucketed storage removes the shuffle entirely.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -405,6 +408,12 @@ def cdc_apply(
     for c in (op_col, seq_col):
         if c in payload:
             raise ValueError(f"cdc_apply: {c!r} collides with a base column")
+    reserved = {f"__cdc_k{i}" for i in range(len(key_list))} & set(payload)
+    if reserved:
+        raise ValueError(
+            f"cdc_apply: column(s) {sorted(reserved)} collide with reserved "
+            "internal names"
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(*key_list).orderBy(
@@ -415,8 +424,20 @@ def cdc_apply(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    touched = latest.select(*key_list)
-    kept = base.join(touched, key_list, "left_anti")
+    # null-safe anti-join: the latest-change window above groups NULL
+    # keys together (partitionBy treats NULL as a value), so the anti
+    # must match them too — plain list-of-names equality is
+    # NULL-unequal and would keep a NULL-keyed base row AND emit the
+    # NULL-keyed upsert (the scd2_lookup duplicate shape).  <=> is an
+    # equi-join predicate to Spark, so the hash-join plan is unchanged.
+    touched = latest.select(
+        *[F.col(k).alias(f"__cdc_k{i}") for i, k in enumerate(key_list)]
+    )
+    cond = functools.reduce(
+        operator.and_,
+        [base[k].eqNullSafe(touched[f"__cdc_k{i}"]) for i, k in enumerate(key_list)],
+    )
+    kept = base.join(touched, cond, "left_anti")
     upserts = latest.where(F.col(op_col) != "D").select(*payload)
     return kept.unionByName(upserts)
 

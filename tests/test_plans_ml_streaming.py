@@ -2347,6 +2347,44 @@ def test_cdc_apply_merge_semantics(spark):
         cdc_apply(base.withColumnRenamed("name", "op"), changes.withColumnRenamed("name", "op2"), "k")
 
 
+def test_cdc_apply_null_key_is_a_key(spark):
+    """NULL keys behave as one key end-to-end: the latest-change window
+    already groups them (partitionBy treats NULL as a value), so the
+    base anti-join must match them too — the NULL-unequal list-equality
+    form kept the NULL base row AND emitted the upsert (the scd2_lookup
+    duplicate shape, ADVICE r9)."""
+    from backend_spark.scale import cdc_apply
+
+    base = spark.createDataFrame(
+        [(None, "null-row", 1.0), (1, "a", 10.0)], "k long, name string, v double"
+    )
+    upd = spark.createDataFrame(
+        [(None, "null-row2", 2.0, "U", 5)],
+        "k long, name string, v double, op string, seq long",
+    )
+    out = cdc_apply(base, upd, "k").collect()
+    assert len(out) == 2  # no duplicate NULL-key row
+    got = {r.name for r in out}
+    assert got == {"null-row2", "a"}
+    # and a delete tombstone removes the NULL-keyed row
+    dele = spark.createDataFrame(
+        [(None, "x", 0.0, "D", 9)],
+        "k long, name string, v double, op string, seq long",
+    )
+    out2 = cdc_apply(base, dele, "k").collect()
+    assert [r.name for r in out2] == ["a"]
+    # composite keys: only the matching (NULL, g) pair is replaced
+    base2 = spark.createDataFrame(
+        [(None, "g1", 1.0), (None, "g2", 2.0)], "k long, g string, v double"
+    )
+    upd2 = spark.createDataFrame(
+        [(None, "g1", 11.0, "U", 1)],
+        "k long, g string, v double, op string, seq long",
+    )
+    out3 = {r.g: r.v for r in cdc_apply(base2, upd2, ["k", "g"]).collect()}
+    assert out3 == {"g1": 11.0, "g2": 2.0}
+
+
 def test_rollup_merge_equals_direct(spark):
     from pyspark.sql import functions as F
 
