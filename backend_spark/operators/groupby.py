@@ -44,6 +44,10 @@ def op_groupby(
 
     agg:       {col: fn | [fns]} -> one row per group, columns col_fn
                ('list' -> collect_list, reference tools.union).
+               'first'/'last' are partition-order-dependent in Spark,
+               exactly as they are row-order-dependent in the
+               reference's pandas — pick min/max or compact_latest
+               when the choice must be reproducible.
     transform: {col: fn} -> per-group aggregate appended to every row
                as col_fn (window aggregate, no frame).
     rank:      [col] -> dense_rank desc within group as col_rank.

@@ -423,6 +423,89 @@ EXPECT = {
     "pop_change": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
     # lag + running counter + aggregate on ONE (key, ts) exchange
     "session_stats": (["Window", "partial"], ["Join", "CartesianProduct", "Python"]),
+    # --- round-10 coverage batch: the rfm lesson is that an operator's
+    # scale claim only holds if a pin watches it, so the remaining
+    # high-claim unpinned queries get their intended shapes here ---
+    # pure Column projections over the scan — ZERO shuffle; a future
+    # edit that sneaks an Exchange into these hot paths fails loudly
+    "map": ([], ["Exchange", "CartesianProduct"]),
+    "rename": ([], ["Exchange", "CartesianProduct"]),
+    "delete": ([], ["Exchange", "CartesianProduct"]),
+    "fillna": ([], ["Exchange", "CartesianProduct"]),
+    "to_integer": ([], ["Exchange", "CartesianProduct"]),
+    "to_float": ([], ["Exchange", "CartesianProduct"]),
+    "parsedate": ([], ["Exchange", "CartesianProduct"]),
+    "replace": ([], ["Exchange", "CartesianProduct"]),
+    "normalize": ([], ["Exchange", "CartesianProduct"]),
+    "eval_tier1": ([], ["Exchange", "CartesianProduct"]),
+    "text_stats": ([], ["Exchange", "CartesianProduct"]),
+    "language_id": ([], ["Exchange", "CartesianProduct"]),
+    "token_count": ([], ["Exchange", "CartesianProduct"]),
+    "det_sample": ([], ["Exchange", "CartesianProduct"]),
+    # explode/struct reshapes stay scan-local projections
+    "unfold": ([], ["Exchange", "CartesianProduct"]),
+    "unnest": ([], ["Exchange", "CartesianProduct"]),
+    "nest": ([], ["Exchange", "CartesianProduct"]),
+    "ngram": ([], ["Exchange", "CartesianProduct"]),
+    # Arrow-UDF boundaries (tier-2 eval, exec barrier, multimodal
+    # decode) move batches, never shuffle rows
+    "eval_tier2": ([], ["Exchange", "CartesianProduct"]),
+    "exec": ([], ["Exchange", "CartesianProduct"]),
+    "multimodal": ([], ["Exchange", "CartesianProduct"]),
+    "audio_features": ([], ["Exchange", "CartesianProduct"]),
+    "video_frames": ([], ["Exchange", "CartesianProduct"]),
+    # map-side-combined keyed aggregates; no window, no nested loop
+    "groupby_agg_list": (["partial"], ["CartesianProduct", "Window", "SortMergeJoin"]),
+    "cube": (["partial"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    "rollup": (["partial"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    "dq_check": (["partial"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    "salted_agg": (["partial"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    "profile": (["partial"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    "char_entropy": (["partial"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    # time-window aggregates (F.window / F.session_window), NOT window
+    # functions: one keyed exchange, no per-row Window node
+    "win_agg": (["partial"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    "sessionize": (["partial"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    # vocabulary distinct only — never a join or window
+    "caverphone": ([], ["CartesianProduct", "Window", "SortMergeJoin"]),
+    # per-key window transforms share ONE keyed exchange
+    "groupby_transform": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "groupby_rank": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "scd2": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "pack_sequences": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "stream_topk": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "review_queue": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "er_golden": (["Window"], ["CartesianProduct"]),
+    # bin-blocked interval equi-join — keyed, never a nested loop
+    "interval_join": (["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # hash-groupBy dedup + keyed survivor join
+    "dedup_exact": (["partial"], ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"]),
+    # min-owner gram agg + keyed join back (dup_ngrams family)
+    "dup_ngrams": (["BroadcastHashJoin", "partial"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # banded candidates re-join the corpus on id — no corpus self-NLJ
+    "decontaminate_fuzzy": (["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # query side broadcast into the keyed posting join
+    "bm25_topk": (["BroadcastHashJoin", "Window"], ["CartesianProduct", "SortMergeJoin"]),
+    # 1-row totals ride a scalar NLJ; the gram joins stay keyed
+    "collocations": (["BroadcastHashJoin", "partial"], ["CartesianProduct", "SortMergeJoin"]),
+    # centroid table broadcast (kmeans pattern); corpus never sort-merges
+    "ann_ivf": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    "ann_ivf_index": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # iterative kernels are lineage-cut each round: the final plan must
+    # read the checkpointed RDD, not replay the join tree
+    "minhash_sig": (["Scan ExistingRDD"], ["CartesianProduct"]),
+    "fingerprint": (["Scan ExistingRDD"], ["CartesianProduct"]),
+    "kcenter": (["Scan ExistingRDD"], ["CartesianProduct"]),
+    "mmr": (["Scan ExistingRDD"], ["CartesianProduct"]),
+    "blocking_eval": (["Scan ExistingRDD"], ["CartesianProduct"]),
+    "ridge_train": (["Scan ExistingRDD"], ["CartesianProduct"]),
+    "closeness_anf_exact": (["Scan ExistingRDD"], ["CartesianProduct"]),
+    "clique_list": (["Scan ExistingRDD"], ["CartesianProduct"]),
+    "dedup_near": (["Scan ExistingRDD"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # keyed node joins + map-side combine (graph kernels without a cut
+    # in the final plan)
+    "k_core": (["partial"], ["CartesianProduct"]),
+    "closeness": (["partial"], ["CartesianProduct"]),
 }
 
 
