@@ -510,7 +510,9 @@ def test_ridge_train_close_to_numpy(_spark, rows):
 @given(
     changes=st.lists(
         st.tuples(
-            st.integers(min_value=1, max_value=6),        # key
+            # None = the NULL key, which cdc_apply treats as one key
+            # end-to-end (window AND null-safe anti-join)
+            st.one_of(st.none(), st.integers(min_value=1, max_value=6)),  # key
             st.sampled_from(["I", "U", "D"]),             # op
             st.integers(min_value=1, max_value=20),       # seq
             st.integers(min_value=0, max_value=99),       # payload
@@ -524,19 +526,24 @@ def test_ridge_train_close_to_numpy(_spark, rows):
 def test_cdc_apply_composes_over_seq_splits(_spark, changes, split_seq):
     """cdc_apply(cdc_apply(base, early), late) == cdc_apply(base, all)
     whenever the split respects seq order — the incremental-ingest
-    contract (yesterday's merge + today's batch == full replay)."""
+    contract (yesterday's merge + today's batch == full replay).
+    Keys include NULL, so the property also pins that a NULL-keyed row
+    upserts/deletes exactly once across any batch split."""
     from backend_spark.scale import cdc_apply
 
     base = _spark.createDataFrame(
-        [(k, -1) for k in range(1, 4)], "k long, v long"
+        [(k, -1) for k in range(1, 4)] + [(None, -1)], "k long, v long"
     )
     rows = [(k, v, op, s) for (k, op, s, v) in changes]
     schema = "k long, v long, op string, seq long"
     all_c = _spark.createDataFrame(rows, schema) if rows else _spark.createDataFrame([], schema)
     early = all_c.where(F.col("seq") < split_seq)
     late = all_c.where(F.col("seq") >= split_seq)
-    direct = sorted(map(tuple, cdc_apply(base, all_c, "k").collect()))
-    staged = sorted(map(tuple, cdc_apply(cdc_apply(base, early, "k"), late, "k").collect()))
+    key = lambda t: (t[0] is None, t[0] or 0, t[1])  # NULL keys sort last
+    direct = sorted(map(tuple, cdc_apply(base, all_c, "k").collect()), key=key)
+    staged = sorted(
+        map(tuple, cdc_apply(cdc_apply(base, early, "k"), late, "k").collect()), key=key
+    )
     assert direct == staged
 
 
