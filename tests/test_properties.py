@@ -679,3 +679,180 @@ def test_rfm_tiles_match_ntile_window(_spark, rows, n_tiles):
     for e in exp:
         g = got[e.k]
         assert (g.r_score, g.f_score, g.m_score) == (e.r, e.f, e.m), e.k
+
+
+# --- round-10 continuation: interval / calibration / attribution / trend ---
+
+@settings(max_examples=8, deadline=None)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1),   # key
+                  st.integers(min_value=0, max_value=30),  # lo
+                  st.integers(min_value=-2, max_value=10)),  # length (<=0 drops)
+        min_size=1, max_size=15,
+    ),
+    max_gap=st.sampled_from([0, 1, 3]),
+)
+def test_merge_intervals_matches_python_sweep(_spark, iv, max_gap):
+    """Merged spans equal a plain Python sweep-line union with gap
+    bridging: disjoint, separated by > max_gap, covering the same
+    inputs, with n_merged accounting for every surviving interval."""
+    from backend_spark.features import merge_intervals
+
+    rows = [(f"k{k}", lo, lo + ln) for k, lo, ln in iv]
+    df = _spark.createDataFrame(rows, "k string, lo long, hi long")
+    got = sorted(
+        (r.k, r.lo, r.hi, r.n_merged)
+        for r in merge_intervals(df, "k", "lo", "hi", max_gap=max_gap).collect()
+    )
+    exp = []
+    by_key = {}
+    for k, lo, hi in rows:
+        if lo < hi:
+            by_key.setdefault(k, []).append((lo, hi))
+    for k, spans in by_key.items():
+        spans.sort()
+        cur_lo, cur_hi, n = spans[0][0], spans[0][1], 1
+        for lo, hi in spans[1:]:
+            if lo > cur_hi + max_gap:
+                exp.append((k, cur_lo, cur_hi, n))
+                cur_lo, cur_hi, n = lo, hi, 1
+            else:
+                cur_hi, n = max(cur_hi, hi), n + 1
+        exp.append((k, cur_lo, cur_hi, n))
+    assert got == sorted(exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=0.999, allow_nan=False),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=2, max_size=30,
+    ),
+)
+def test_isotonic_matches_sequential_pav(_spark, pts):
+    """The minimax-identity isotonic fit equals the classic sequential
+    pool-adjacent-violators result on the binned counts."""
+    from backend_spark.ml import isotonic_calibrate
+
+    n_bins = 8
+    df = _spark.createDataFrame(pts, "score double, label int")
+    got = {r.bin: r.calibrated for r in
+           isotonic_calibrate(df, "score", "label", n_bins=n_bins).collect()}
+    # python PAV on the same fixed-width bins
+    agg = {}
+    for s, y in pts:
+        b = min(max(int(s * n_bins), 0), n_bins - 1)
+        n, t = agg.get(b, (0, 0))
+        agg[b] = (n + 1, t + y)
+    blocks = [[b, n, t] for b, (n, t) in sorted(agg.items())]  # bin, n, sum
+    pooled = []
+    for blk in blocks:
+        pooled.append([[blk[0]], blk[1], blk[2]])
+        while len(pooled) > 1 and (
+            pooled[-2][2] * pooled[-1][1] > pooled[-1][2] * pooled[-2][1]
+        ):  # mean(prev) > mean(cur) -> pool (exact integer compare)
+            bs, n1, t1 = pooled.pop()
+            pooled[-1][0].extend(bs)
+            pooled[-1][1] += n1
+            pooled[-1][2] += t1
+    exp = {}
+    for bs, n, t in pooled:
+        for b in bs:
+            exp[b] = round(t / n, 6)
+    assert set(got) == set(exp)
+    for b in exp:
+        assert abs(got[b] - exp[b]) < 1e-9, (b, got[b], exp[b])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),          # key
+            st.sampled_from(["a", "b", "c"]),               # channel
+            st.booleans(),                                   # conversion
+        ),
+        min_size=1, max_size=14,
+    ),
+)
+def test_attribution_linear_matches_python(_spark, ev):
+    """Linear attribution equals a direct Python replay of the
+    journey-resetting convention, including the exact floor-division
+    micro-unit credits and the (direct) fallback."""
+    from backend_spark.features import attribution
+
+    rows = [(f"k{k}", i, ch, c) for i, (k, ch, c) in enumerate(ev)]
+    df = _spark.createDataFrame(rows, "k string, ts long, ch string, conv boolean")
+    got = sorted(
+        (r.channel, r.journeys, r.credit)
+        for r in attribution(df, "k", "ts", "ch", "conv", model="linear").collect()
+    )
+    # python replay
+    from collections import defaultdict
+    micro = defaultdict(int)
+    journeys = defaultdict(int)
+    seqs = defaultdict(list)
+    for k, ts, ch, c in rows:
+        seqs[k].append((ts, ch, c))
+    for k, seq in seqs.items():
+        seq.sort()
+        touches = []
+        for _, ch, c in seq:
+            if c:
+                if not touches:
+                    micro["(direct)"] += 1_000_000
+                    journeys["(direct)"] += 1
+                else:
+                    per_ch = defaultdict(int)
+                    for t in touches:
+                        per_ch[t] += 1
+                    for ch2, n_ch in per_ch.items():
+                        micro[ch2] += n_ch * 1_000_000 // len(touches)
+                        journeys[ch2] += 1
+                touches = []
+            else:
+                touches.append(ch)
+    exp = sorted((ch, journeys[ch], round(m / 1e6, 6)) for ch, m in micro.items())
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=-20, max_value=20), min_size=3, max_size=12,
+                unique=True),
+    a=st.integers(min_value=-5, max_value=5),
+    b=st.integers(min_value=-10, max_value=10),
+)
+def test_theil_sen_exact_on_linear_data(_spark, xs, a, b):
+    """On exactly linear integer data every pairwise slope is the true
+    slope, so Theil-Sen recovers (a, b) exactly."""
+    from backend_spark.features import theil_sen
+
+    rows = [("g", float(x), float(a * x + b)) for x in xs]
+    df = _spark.createDataFrame(rows, "g string, x double, y double")
+    r = theil_sen(df, "g", "x", "y").collect()[0]
+    assert r.slope == float(a), r
+    assert r.intercept == float(b), r
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=25),
+)
+def test_ks_test_identity_and_full_separation(_spark, vals):
+    """D = 0 when both samples are identical; D = 1 when their supports
+    are disjoint (every value of one sample below the other's)."""
+    from backend_spark.features import ks_test
+
+    same = [("a", float(v)) for v in vals] + [("b", float(v)) for v in vals]
+    df = _spark.createDataFrame(same, "s string, v double")
+    r = ks_test(df, "s", "v", "a", "b").collect()[0]
+    assert r.d_stat == 0.0, r
+    apart = [("a", float(v)) for v in vals] + [("b", float(v) + 1000.0) for v in vals]
+    df2 = _spark.createDataFrame(apart, "s string, v double")
+    r2 = ks_test(df2, "s", "v", "a", "b").collect()[0]
+    assert r2.d_stat == 1.0, r2
