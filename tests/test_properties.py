@@ -856,3 +856,129 @@ def test_ks_test_identity_and_full_separation(_spark, vals):
     df2 = _spark.createDataFrame(apart, "s string, v double")
     r2 = ks_test(df2, "s", "v", "a", "b").collect()[0]
     assert r2.d_stat == 1.0, r2
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1),   # key
+                  st.integers(min_value=-10, max_value=10),  # value
+                  st.integers(min_value=1, max_value=5)),    # weight
+        min_size=1, max_size=16,
+    ),
+)
+def test_weighted_median_matches_python_sweep(_spark, rows):
+    """Lower weighted median: smallest value whose cumulative weight
+    reaches half the total — python sweep over value-aggregated
+    weights must agree (equal values commute in the cumsum)."""
+    from collections import defaultdict
+
+    from backend_spark.features import weighted_median
+
+    df = _spark.createDataFrame(
+        [(f"k{k}", float(v), float(w)) for k, v, w in rows],
+        "k string, v double, w double",
+    )
+    got = {r.k: (r.n, r.wmedian) for r in weighted_median(df, "k", "v", "w").collect()}
+    per = defaultdict(lambda: defaultdict(int))
+    cnt = defaultdict(int)
+    for k, v, w in rows:
+        per[f"k{k}"][v] += w * 1_000_000
+        cnt[f"k{k}"] += 1
+    for k, wm in per.items():
+        tot = sum(wm.values())
+        cum, med = 0, None
+        for v in sorted(wm):
+            cum += wm[v]
+            if 2 * cum >= tot:
+                med = float(v)
+                break
+        assert got[k] == (cnt[k], med), (k, got[k], med)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=20),
+)
+def test_gini_matches_python_formula(_spark, vals):
+    """G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted
+    values — the python fold must agree to the rounded digit."""
+    from backend_spark.features import gini
+
+    df = _spark.createDataFrame([("g", float(v)) for v in vals], "k string, v double")
+    r = gini(df, "k", "v").collect()[0]
+    xs = sorted(v * 1_000_000 for v in vals)
+    n, s = len(xs), sum(xs)
+    if s == 0:
+        assert r.gini is None
+    else:
+        exp = round(2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (n + 1) / n, 6)
+        assert r.gini == pytest.approx(exp, abs=1e-9), (vals, r.gini, exp)
+    assert r.n == len(vals)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1),
+                  st.integers(min_value=0, max_value=1000)),
+        min_size=2, max_size=16,
+    ),
+    min_gap=st.sampled_from([1, 50, 200]),
+)
+def test_gap_report_matches_python_diffs(_spark, ts, min_gap):
+    """Gaps = consecutive sorted-timestamp diffs above min_gap; ties
+    contribute zero-width pairs that the filter drops, so any tie
+    order yields the same value multiset."""
+    from collections import defaultdict
+
+    from backend_spark.features import gap_report
+
+    df = _spark.createDataFrame(
+        [(f"k{k}", t) for k, t in ts], "k string, ts long"
+    )
+    got = sorted(
+        (r.k, r.gap_start, r.gap_end, r.gap_us)
+        for r in gap_report(df, "k", "ts", min_gap=min_gap).collect()
+    )
+    series = defaultdict(list)
+    for k, t in ts:
+        series[f"k{k}"].append(t)
+    exp = []
+    for k, seq in series.items():
+        seq.sort()
+        for a, b in zip(seq, seq[1:]):
+            if b - a > min_gap:
+                exp.append((k, a, b, b - a))
+    assert got == sorted(exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=10),
+    rights=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=100),
+                  st.integers(min_value=0, max_value=9)),
+        min_size=0, max_size=10,
+        unique_by=lambda t: t[0],  # unique right ts per key group
+    ),
+    tolerance=st.sampled_from([None, 10, 40]),
+)
+def test_asof_join_matches_python_backward_scan(_spark, lefts, rights, tolerance):
+    """Backward as-of semantics: each left row attaches the right row
+    with the greatest right_ts <= left_ts (exact match allowed),
+    dropped when older than left_ts - tolerance."""
+    from backend_spark.operators.joins import asof_join
+
+    l = _spark.createDataFrame(
+        [("g", i, t) for i, t in enumerate(lefts)], "k string, lid long, lts long"
+    )
+    r = _spark.createDataFrame([("g", t, v) for t, v in rights], "k string, rts long, val long")
+    out = asof_join(l, r, "k", "lts", "rts", tolerance=tolerance)
+    got = {row.lid: row.asof_val for row in out.collect()}
+    assert set(got) == set(range(len(lefts)))  # exactly fact-preserving
+    for i, t in enumerate(lefts):
+        cands = [(rt, v) for rt, v in rights
+                 if rt <= t and (tolerance is None or rt >= t - tolerance)]
+        exp = max(cands)[1] if cands else None
+        assert got[i] == exp, (i, t, rights, tolerance, got[i], exp)
