@@ -982,3 +982,118 @@ def test_asof_join_matches_python_backward_scan(_spark, lefts, rights, tolerance
                  if rt <= t and (tolerance is None or rt >= t - tolerance)]
         exp = max(cands)[1] if cands else None
         assert got[i] == exp, (i, t, rights, tolerance, got[i], exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-8, max_value=8), min_size=1, max_size=20),
+)
+def test_cusum_matches_python_recursion(_spark, vals):
+    """The closed-form two-window CUSUM (cum - min prior dip) equals
+    the textbook sequential recursion S_t = max(0, S_{t-1} + d_t) on
+    both sides.  Integer values/targets make quantization exact."""
+    from backend_spark.features import cusum
+
+    target, k, h = 1.0, 0.5, 3.0
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = _spark.createDataFrame(rows, "k string, ts long, v double")
+    got = {r.ts: (r.cusum_hi, r.cusum_lo, r.cusum_alarm)
+           for r in cusum(df, "k", "ts", "v", target=target, k=k, h=h).collect()}
+    s_hi = s_lo = 0.0
+    for i, v in enumerate(vals):
+        s_hi = max(0.0, s_hi + (v - target - k))
+        s_lo = max(0.0, s_lo + (target - v - k))
+        alarm = 1 if (s_hi > h or s_lo > h) else 0
+        assert got[i] == (round(s_hi, 6), round(s_lo, 6), alarm), (i, vals, got[i])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6),
+                  st.integers(min_value=0, max_value=6)),
+        min_size=2, max_size=15,
+    ),
+)
+def test_rank_corr_matches_python_spearman(_spark, pts):
+    """Spearman with textbook average-rank ties == Pearson over
+    average ranks computed in plain Python."""
+    import math
+
+    from backend_spark.features import rank_corr
+
+    df = _spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in pts], "k string, x double, y double"
+    )
+    r = rank_corr(df, "k", "x", "y").collect()[0]
+
+    def avg_ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        ranks = [0.0] * len(xs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for t in range(i, j + 1):
+                ranks[order[t]] = avg
+            i = j + 1
+        return ranks
+
+    ra = avg_ranks([p[0] for p in pts])
+    rb = avg_ranks([p[1] for p in pts])
+    n = len(pts)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    num = sum((a - ma) * (b - mb) for a, b in zip(ra, rb))
+    da = math.sqrt(sum((a - ma) ** 2 for a in ra))
+    db = math.sqrt(sum((b - mb) ** 2 for b in rb))
+    if da == 0 or db == 0:
+        assert r.rho is None, r
+    else:
+        assert r.rho == pytest.approx(num / (da * db), abs=1e-6), (pts, r.rho)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-5000, max_value=5000), min_size=1, max_size=25),
+)
+def test_benford_matches_python_histogram(_spark, vals):
+    """First-decimal-digit histogram equals a python string scan;
+    zeros and |v| < 1 excluded."""
+    from collections import Counter
+
+    from backend_spark.features import benford
+
+    df = _spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {r.digit: (r.n, r.observed_p) for r in benford(df, "v").collect()}
+    digits = [int(str(abs(v))[0]) for v in vals if abs(v) >= 1]
+    c = Counter(digits)
+    assert set(got) == set(c)
+    for d, n in c.items():
+        assert got[d] == (n, round(n / len(digits), 6)), (d, got[d])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-10, max_value=10), min_size=3, max_size=18),
+)
+def test_acf_matches_python_formula(_spark, vals):
+    """r_k = sum (x_t - m)(x_{t+k} - m) / sum (x_t - m)^2 over the
+    observed sequence — python float fold must agree to the rounding
+    tolerance (integer inputs, exact quantization)."""
+    from backend_spark.features import acf
+
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = _spark.createDataFrame(rows, "k string, ts long, v double")
+    max_lag = 2
+    got = {r.lag: r.acf for r in acf(df, "k", "ts", "v", max_lag=max_lag).collect()}
+    n = len(vals)
+    m = sum(vals) / n
+    den = sum((v - m) ** 2 for v in vals)
+    for k in range(1, max_lag + 1):
+        if den == 0 or n <= k:
+            assert got.get(k) is None or got[k] is None
+        else:
+            exp = sum((vals[t] - m) * (vals[t + k] - m) for t in range(n - k)) / den
+            assert got[k] == pytest.approx(exp, abs=1e-6), (k, vals, got[k])
