@@ -1097,3 +1097,69 @@ def test_acf_matches_python_formula(_spark, vals):
         else:
             exp = sum((vals[t] - m) * (vals[t + k] - m) for t in range(n - k)) / den
             assert got[k] == pytest.approx(exp, abs=1e-6), (k, vals, got[k])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=7),
+                  st.integers(min_value=0, max_value=7)),
+        min_size=1, max_size=16,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_k_core_matches_python_peeling(_spark, edges, k):
+    """Distributed peeling reaches the same fixpoint as the sequential
+    networkx-style peel on the simple undirected graph."""
+    from collections import defaultdict
+
+    from backend_spark.operators.graph import k_core
+
+    e = [(a, b) for a, b in edges if a != b]
+    if not e:
+        return
+    df = _spark.createDataFrame(e, "src long, dst long")
+    got = {r.node: r.core_degree for r in k_core(df, k=k).collect()}
+    # python peel on the simple graph
+    adj = defaultdict(set)
+    for a, b in e:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    exp = {n: len(nb) for n, nb in adj.items()}
+    assert got == exp, (e, k, got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    recs=st.lists(st.text(alphabet="ab", min_size=0, max_size=3),
+                  min_size=2, max_size=12),
+    window=st.sampled_from([2, 3, 5]),
+)
+def test_sorted_neighborhood_is_exhaustive(_spark, recs, window):
+    """The bucketed candidate join must emit EXACTLY the pairs within
+    rank distance < window of the (key, id)-sorted order — no misses
+    at bucket boundaries, no duplicates, correct rank_dist."""
+    from backend_spark.operators.er import sorted_neighborhood
+
+    rows = [(i, s) for i, s in enumerate(recs)]
+    df = _spark.createDataFrame(rows, "rid long, name string")
+    got = sorted(
+        (r.left_id, r.right_id, r.rank_dist)
+        for r in sorted_neighborhood(df, "rid", "name", window=window).collect()
+    )
+    order = [i for _, i in sorted((s, i) for i, s in rows)]
+    exp = sorted(
+        (order[a], order[b], b - a)
+        for a in range(len(order))
+        for b in range(a + 1, min(a + window, len(order)))
+    )
+    assert got == exp, (recs, window, got, exp)
