@@ -697,10 +697,13 @@ def psi(
     a production one: ``term_i = (p_i − q_i)·ln(p_i/q_i)`` over
     fixed-width bins of [0, 1]; Σ terms < 0.1 is conventionally
     "stable".  Empty bins substitute ``eps`` (the standard guard), so
-    the table is total and deterministic.  Scores outside [0, 1) fall
-    outside every bin and are excluded from both totals (bin the raw
-    score through :func:`calibration_bins`'s clipping first if
-    out-of-range mass must count).
+    the table is total and deterministic.  Out-of-range handling is
+    one-sided by construction: scores >= 1 CLAMP into the top bin (the
+    ``least`` guard, same convention as ``isotonic_calibrate``), while
+    negative scores land in negative bin ids that the 0..n_bins-1 bin
+    table's left join excludes from both totals — run the raw score
+    through :func:`calibration_bins`'s clipping first if negative mass
+    must count.
 
     Scale shape: one map-side-combined bin count per side, joined on
     the ≤ ``n_bins``-row bin table — both corpora stream through one

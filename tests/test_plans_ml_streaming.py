@@ -1603,6 +1603,12 @@ def test_psi_zero_for_identical_and_positive_for_shift(spark):
     assert len(drift) == 5                  # empty bins present via eps guard
     with _pytest.raises(ValueError, match="n_bins"):
         ml.psi(e, e, "s", n_bins=0)
+    # out-of-range convention (docstring contract): scores >= 1 clamp
+    # into the top bin; negative scores are excluded from the totals
+    edge = spark.createDataFrame([(1.0,), (7.5,), (-0.1,), (0.0,)], "s double")
+    rows = {r.bin: r for r in ml.psi(edge, edge, "s", n_bins=5).collect()}
+    assert rows[4].p_expected == _pytest.approx(2 / 3, abs=1e-6)  # 1.0, 7.5 clamp to bin 4
+    assert rows[0].p_expected == _pytest.approx(1 / 3, abs=1e-6)  # 0.0; -0.1 excluded
 
 
 def test_recipe_round9_steps(spark):
