@@ -662,7 +662,9 @@ def pareto_front(
     multi-objective selection step (best quality-vs-length-vs-dup-rate
     documents, cheapest-vs-freshest sources) that a WHERE clause can't
     express.  Rows with a NULL metric are excluded (NULL is not
-    comparable under dominance; documented, not silently kept).
+    comparable under dominance; documented, not silently kept); a NULL
+    ``group_col`` value is a real group of its own (null-safe both in
+    the pandas local prune and the verify join).
 
     Scale shape — the classic two-phase skyline (Börzsönyi et al., ICDE
     2001, adapted to Spark):
@@ -712,7 +714,10 @@ def pareto_front(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            parts = pdf.groupby(gcols, sort=False) if gcols else [(None, pdf)]
+            # dropna=False: a NULL group is a real group — the pandas
+            # default silently DROPS those rows from the local prune
+            # (the scd2/cdc NULL-key bug shape, in pandas form)
+            parts = pdf.groupby(gcols, sort=False, dropna=False) if gcols else [(None, pdf)]
             for _, g in parts:
                 X = g[ocols].to_numpy(dtype=float)
                 order = np.argsort(-X.sum(axis=1), kind="stable")
@@ -743,7 +748,9 @@ def pareto_front(
         any_gt = gt if any_gt is None else (any_gt | gt)
     cond = all_geq & any_gt
     for g in gcols:
-        cond = (F.col(f"__g_{g}") == F.col(g)) & cond
+        # null-safe: NULL-group rows must verify against EACH OTHER,
+        # not sail through because NULL == NULL is never true
+        cond = F.col(f"__g_{g}").eqNullSafe(F.col(g)) & cond
     survivors = cand.join(F.broadcast(right), cond, "left_anti")
     return survivors.drop(*ocols)
 

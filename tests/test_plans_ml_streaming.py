@@ -939,6 +939,25 @@ def test_pareto_front_2d_with_ties_and_groups(spark):
     assert {r.id for r in out.collect()} == {2, 3, 4, 6}
 
 
+def test_pareto_front_null_group_is_a_group(spark):
+    """A NULL group must behave as its own group: its rows are neither
+    dropped (pandas groupby dropna default) nor all kept (NULL-unequal
+    verify join) — dominance applies WITHIN the NULL group."""
+    from backend_spark.features import pareto_front
+
+    rows = [
+        (1, None, 10.0, 1.0),   # dominated by 2 within the NULL group
+        (2, None, 20.0, 0.5),   # NULL-group frontier
+        (3, "g1", 5.0, 5.0),    # alone in g1 -> survives
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, price double, disc double")
+    # repartition so the NULL-group rows can land in different partitions
+    # (exercises the cross-partition verify, not just the local prune)
+    df = df.repartition(4)
+    out = pareto_front(df, {"price": "max", "disc": "min"}, group_col="g")
+    assert {r.id for r in out.collect()} == {2, 3}
+
+
 def test_pareto_front_3d_matches_bruteforce(spark):
     from backend_spark.features import pareto_front
 
