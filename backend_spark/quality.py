@@ -363,6 +363,9 @@ def ab_test(
     must be 0/1 (values outside that make p-hat meaningless — dq_check
     upstream).  Arms with n=0 can't occur (group keys come from data);
     z is NULL when the pooled variance is 0 (both rates 0 or both 1).
+    A ``control`` value that matches no arm yields an EMPTY result, not
+    an error — the plan stays action-free by design, so validate the
+    arm name upstream when it comes from user input.
     """
     missing = [c for c in (arm_col, conv_col) if c not in df.columns]
     if missing:
