@@ -1163,3 +1163,75 @@ def test_sorted_neighborhood_is_exhaustive(_spark, recs, window):
         for b in range(a + 1, min(a + window, len(order)))
     )
     assert got == exp, (recs, window, got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ev=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),        # key
+                  st.sampled_from(["a", "b", "c"])),            # event type
+        min_size=1, max_size=18,
+    ),
+)
+def test_funnel_matches_python_replay(_spark, ev):
+    """Each step's timestamp = earliest occurrence strictly after the
+    previous step's — a per-key Python scan must agree, including the
+    reached count and null-propagation after a break."""
+    from collections import defaultdict
+
+    from backend_spark.features import funnel
+
+    rows = [(f"k{k}", i, t) for i, (k, t) in enumerate(ev)]
+    df = _spark.createDataFrame(rows, "k string, ts long, et string")
+    steps = ["a", "b", "c"]
+    got = {r.k: (r.step_0_ts, r.step_1_ts, r.step_2_ts, r.reached)
+           for r in funnel(df, "k", "ts", "et", steps).collect()}
+    series = defaultdict(list)
+    for k, ts, t in rows:
+        series[k].append((ts, t))
+    for k, seq in series.items():
+        seq.sort()
+        prev, out = None, []
+        for step in steps:
+            cand = [ts for ts, t in seq if t == step and (prev is None or ts > prev)]
+            cur = min(cand) if cand else None
+            out.append(cur)
+            if cur is None:
+                out.extend([None] * (len(steps) - len(out)))
+                break
+            prev = cur
+        reached = sum(1 for o in out if o is not None)
+        assert got[k] == (*out, reached), (k, seq, got[k], out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ev=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1),
+                  st.sampled_from(["x", "y", None])),
+        min_size=2, max_size=16,
+    ),
+)
+def test_seq_patterns_matches_python_windows(_spark, ev):
+    """Every complete length-2 consecutive window counts once; windows
+    touching a NULL state drop whole; share uses the pre-cut total."""
+    from collections import Counter, defaultdict
+
+    from backend_spark.features import seq_patterns
+
+    rows = [(f"k{k}", i, s) for i, (k, s) in enumerate(ev)]
+    df = _spark.createDataFrame(rows, "k string, ts long, s string")
+    got = {r.pattern: (r.cnt, r.share)
+           for r in seq_patterns(df, "k", "ts", "s", length=2, min_count=1).collect()}
+    series = defaultdict(list)
+    for k, ts, s in rows:
+        series[k].append((ts, s))
+    c = Counter()
+    for k, seq in series.items():
+        seq.sort()
+        for (t1, a), (t2, b) in zip(seq, seq[1:]):
+            if a is not None and b is not None:
+                c[f"{a}>{b}"] += 1
+    tot = sum(c.values())
+    exp = {p: (n, round(n / tot, 6)) for p, n in c.items()}
+    assert got == exp, (ev, got, exp)
