@@ -1235,3 +1235,107 @@ def test_seq_patterns_matches_python_windows(_spark, ev):
     tot = sum(c.values())
     exp = {p: (n, round(n / tot, 6)) for p, n in c.items()}
     assert got == exp, (ev, got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1),
+                  st.integers(min_value=0, max_value=500)),
+        min_size=1, max_size=16,
+    ),
+    gap=st.sampled_from([1, 50, 150]),
+)
+def test_session_stats_matches_python_islands(_spark, ts, gap):
+    """Gaps-and-islands sessionization: a Python scan over sorted
+    timestamps must produce the same sessions, depths, bounds, and
+    bounce flags (ties give zero spacing, so any tie order agrees)."""
+    from collections import defaultdict
+
+    from backend_spark.features import session_stats
+
+    df = _spark.createDataFrame([(f"k{k}", t) for k, t in ts], "k string, ts long")
+    got = sorted(
+        (r.k, r.session, r.n_events, r.session_start, r.session_end,
+         r.duration_us, r.bounce)
+        for r in session_stats(df, "k", "ts", gap_us=gap).collect()
+    )
+    series = defaultdict(list)
+    for k, t in ts:
+        series[f"k{k}"].append(t)
+    exp = []
+    for k, seq in series.items():
+        seq.sort()
+        sessions, cur = [], [seq[0]]
+        for prev, t in zip(seq, seq[1:]):
+            if t - prev > gap:
+                sessions.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        sessions.append(cur)
+        for i, s in enumerate(sessions, start=1):
+            exp.append((k, i, len(s), s[0], s[-1], s[-1] - s[0], len(s) == 1))
+    assert got == sorted(exp), (ts, gap, got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ev=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),        # user
+                  st.integers(min_value=0, max_value=40)),      # time
+        min_size=1, max_size=20,
+    ),
+)
+def test_retention_cohorts_matches_python(_spark, ev):
+    """Cohort = bucket of first activity; (cohort, age) distinct-user
+    counts must match a Python fold (bucket width 10)."""
+    from collections import defaultdict
+
+    from backend_spark.features import retention_cohorts
+
+    df = _spark.createDataFrame([(f"u{u}", t) for u, t in ev], "u string, ts long")
+    got = sorted(
+        (r.cohort_bucket, r.age, r.n_users)
+        for r in retention_cohorts(df, "u", "ts", bucket_us=10).collect()
+    )
+    first = {}
+    for u, t in ev:
+        b = t // 10
+        first[f"u{u}"] = min(first.get(f"u{u}", b), b)
+    cells = defaultdict(set)
+    for u, t in ev:
+        uu = f"u{u}"
+        cells[(first[uu], t // 10 - first[uu])].add(uu)
+    exp = sorted((c, a, len(us)) for (c, a), us in cells.items())
+    assert got == exp, (ev, got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["p", "q", None]),   # feature value
+                  st.sampled_from([0, 1])),            # label
+        min_size=1, max_size=20,
+    ),
+)
+def test_mutual_info_matches_python_formula(_spark, rows):
+    """I(X;Y) = sum p(x,y) ln(p(x,y)/(p(x)p(y))) with NULL as a real
+    category — python float fold must agree to the rounding digit."""
+    import math
+    from collections import Counter
+
+    from backend_spark.features import mutual_info
+
+    df = _spark.createDataFrame(rows, "f string, y int")
+    r = mutual_info(df, ["f"], "y").collect()[0]
+    n = len(rows)
+    cxy = Counter(rows)
+    cx = Counter(x for x, _ in rows)
+    cy = Counter(y for _, y in rows)
+    mi = sum(
+        (c / n) * math.log(c * n / (cx[x] * cy[y]))
+        for (x, y), c in cxy.items()
+    )
+    assert r.n == n
+    assert r.mi == pytest.approx(mi, abs=1e-6), (rows, r.mi, mi)
