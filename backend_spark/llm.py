@@ -5005,14 +5005,20 @@ def zipf_fit(
     n = F.col("n_terms").cast("double")
     den = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
     num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    slope = num / den
+    # den == 0 exactly when < 2 distinct ranks (a 1-token vocabulary):
+    # no line exists, so slope/intercept/r2 are NULL — and the guard is
+    # mandatory under ANSI mode, where a bare num/den raises
+    # DIVIDE_BY_ZERO instead of returning NULL
+    slope = F.when(den > 0, num / den)
     den_y = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
     return stats.select(
         "n_terms",
         F.round(slope, round_to).alias("slope"),
-        F.round((F.col("__sy") - slope * F.col("__sx")) / n, round_to).alias("intercept"),
         F.round(
-            F.when(den_y > 0, (num * num) / (den * den_y)), round_to
+            F.when(n > 0, (F.col("__sy") - slope * F.col("__sx")) / n), round_to
+        ).alias("intercept"),
+        F.round(
+            F.when((den > 0) & (den_y > 0), (num * num) / (den * den_y)), round_to
         ).alias("r2"),
     )
 

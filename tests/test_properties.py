@@ -1339,3 +1339,110 @@ def test_mutual_info_matches_python_formula(_spark, rows):
     )
     assert r.n == n
     assert r.mi == pytest.approx(mi, abs=1e-6), (rows, r.mi, mi)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(min_value=-5, max_value=5)),
+        min_size=1, max_size=16,
+    ),
+    smoothing=st.sampled_from([1.0, 10.0]),
+)
+def test_target_encode_matches_python_loo(_spark, rows, smoothing):
+    """Leave-one-out encoding replays exactly: quantized integer sums,
+    then the fixed double chain ((cs - y_i) + m*prior)/(n - 1 + m)."""
+    from collections import defaultdict
+
+    from backend_spark.features import target_encode
+
+    df = _spark.createDataFrame(
+        [(i, c, float(y)) for i, (c, y) in enumerate(rows)],
+        "id long, cat string, y double",
+    )
+    out = target_encode(df, "cat", "y", smoothing=smoothing)
+    got = {r.id: r.encoded for r in out.collect()}
+    scale = 10**6
+    cs, cn = defaultdict(int), defaultdict(int)
+    gs = gn = 0
+    for c, y in rows:
+        q = round(y * scale)
+        cs[c] += q
+        cn[c] += 1
+        gs += q
+        gn += 1
+    prior = gs / gn
+    for i, (c, y) in enumerate(rows):
+        q = round(y * scale)
+        enc = ((cs[c] - q) + smoothing * prior) / (cn[c] - 1 + smoothing) / scale
+        assert got[i] == pytest.approx(enc, abs=1e-6), (i, rows, got[i], enc)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=20),
+    bins=st.sampled_from([1, 4, 7]),
+)
+def test_histogram_matches_python_binning(_spark, vals, bins):
+    """Fixed-width bins over [min, max]: counts equal the python
+    binning (max folds into the last bin; degenerate range -> bin 0),
+    and empty bins appear with count 0."""
+    from backend_spark.features import histogram
+
+    df = _spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = {r.bin: r.cnt for r in histogram(df, "v", bins=bins).collect()}
+    lo, hi = min(vals), max(vals)
+    exp = {b: 0 for b in range(bins)}
+    for v in vals:
+        if hi == lo:
+            b = 0
+        else:
+            w = (hi - lo) / bins
+            b = min(int((v - lo) // w), bins - 1)
+        exp[b] += 1
+    assert got == exp, (vals, bins, got, exp)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="ab c", min_size=1, max_size=20),
+                   min_size=1, max_size=8),
+)
+def test_zipf_fit_matches_python_ols(_spark, texts):
+    """ln(freq)-on-ln(rank) OLS over the top-n tokens replays in
+    python with the same (cnt desc, token asc) rank order."""
+    import math
+    from collections import Counter
+
+    from backend_spark.llm import zipf_fit
+
+    df = _spark.createDataFrame([(t,) for t in texts], "text string")
+    r = zipf_fit(df, "text", top_n=50).collect()[0]
+    c = Counter()
+    for t in texts:
+        for tok in _py_norm(t).split():
+            if tok:
+                c[tok] += 1
+    if not c:
+        assert r.n_terms == 0
+        return
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    n = len(top)
+    assert r.n_terms == n
+    if n < 2:
+        assert r.slope is None
+        return
+    xs = [math.log(i + 1) for i in range(n)]
+    ys = [math.log(cnt) for _, cnt in top]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = n * sxx - sx * sx
+    if den == 0:
+        assert r.slope is None
+        return
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    assert r.slope == pytest.approx(slope, abs=1e-6), (texts, r.slope, slope)
+    assert r.intercept == pytest.approx(intercept, abs=1e-6)
