@@ -737,8 +737,17 @@ def psi(
     )
     tot = j.agg(F.sum("__ne").alias("__te"), F.sum("__na").alias("__ta"))
     jj = j.crossJoin(F.broadcast(tot))
-    p = F.greatest(F.col("__ne") / F.col("__te"), F.lit(float(eps)))
-    q = F.greatest(F.col("__na") / F.col("__ta"), F.lit(float(eps)))
+    # a side with ZERO in-range rows has no distribution: every bin
+    # falls to the eps floor (guard mandatory under ANSI mode, where
+    # the bare n/total raises DIVIDE_BY_ZERO instead of NULLing)
+    p = F.greatest(
+        F.when(F.col("__te") > 0, F.col("__ne") / F.col("__te")).otherwise(0.0),
+        F.lit(float(eps)),
+    )
+    q = F.greatest(
+        F.when(F.col("__ta") > 0, F.col("__na") / F.col("__ta")).otherwise(0.0),
+        F.lit(float(eps)),
+    )
     return jj.select(
         "bin",
         F.round(p, ndigits).alias("p_expected"),

@@ -1628,6 +1628,12 @@ def test_psi_zero_for_identical_and_positive_for_shift(spark):
     rows = {r.bin: r for r in ml.psi(edge, edge, "s", n_bins=5).collect()}
     assert rows[4].p_expected == _pytest.approx(2 / 3, abs=1e-6)  # 1.0, 7.5 clamp to bin 4
     assert rows[0].p_expected == _pytest.approx(1 / 3, abs=1e-6)  # 0.0; -0.1 excluded
+    # a side with ZERO in-range rows: every bin falls to the eps floor
+    # instead of raising DIVIDE_BY_ZERO under ANSI mode
+    allneg = spark.createDataFrame([(-0.5,), (-0.9,)], "s double")
+    degen = ml.psi(allneg, e, "s", n_bins=5).collect()
+    assert len(degen) == 5
+    assert all(r.p_expected == _pytest.approx(1e-6) for r in degen)
 
 
 def test_recipe_round9_steps(spark):
