@@ -595,9 +595,13 @@ def interpolate_linear(
     nt = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd)
     interp = F.when(v.isNotNull(), v).otherwise(
         F.when(
-            pv.isNotNull() & nv.isNotNull(),
+            # nt == pt happens only with tied order values (an anchor
+            # and the null row at the same timestamp): the two anchors
+            # coincide in time, so take the backward value — and under
+            # ANSI mode the unguarded 0/0 would raise, not NULL
+            pv.isNotNull() & nv.isNotNull() & (nt > pt),
             pv + (nv - pv) * ((t - pt) / (nt - pt)),
-        )
+        ).otherwise(F.when(pv.isNotNull() & nv.isNotNull(), pv))
     )
     return df.withColumn(f"{value_col}_interp", F.round(interp, ndigits))
 

@@ -1489,6 +1489,24 @@ def test_interpolate_linear_blend_and_no_extrapolation(spark):
     assert got[("v", 5)] is None          # all-null key
 
 
+def test_interpolate_linear_tied_order_takes_backward_anchor(spark):
+    """A null row time-tied with its anchors has coincident anchor
+    timestamps (nt == pt): the blend fraction is 0/0, which must fall
+    back to the backward value, not raise DIVIDE_BY_ZERO (ANSI)."""
+    from backend_spark.features import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 5, None), ("k", 5, 2.0), ("k", 10, None), ("k", 20, 4.0)],
+        "k string, ts long, v double",
+    )
+    got = {
+        (r.ts, r.v, r.v_interp)
+        for r in interpolate_linear(df, "k", "ts", "v").collect()
+    }
+    assert (5, None, 1.0) in got          # tied-ts null -> backward anchor
+    assert (10, None, 2.666667) in got    # normal blend unaffected
+
+
 def test_locf_stream_one_batch_equals_batch_fill_forward(spark, tmp_path):
     from backend_spark import streaming
     from backend_spark.features import fill_forward
