@@ -101,12 +101,17 @@ class _Compiler(ast.NodeVisitor):
             return _t(a.col - b.col, "num")
         if isinstance(op, ast.Mult):
             return _t(a.col * b.col, "num")
+        # try_divide/try_mod, not bare operators: the reference's
+        # safeeval catches per-row errors and yields a marker/None for
+        # just that row (tools.py:232-243), and tier-2 mirrors it — a
+        # bare / under ANSI mode would instead kill the whole query on
+        # one zero divisor, diverging from both
         if isinstance(op, ast.Div):
-            return _t(a.col / b.col, "num")
+            return _t(F.try_divide(a.col, b.col), "num")
         if isinstance(op, ast.FloorDiv):
-            return _t(F.floor(a.col / b.col).cast("long"), "num")
+            return _t(F.floor(F.try_divide(a.col, b.col)).cast("long"), "num")
         if isinstance(op, ast.Mod):
-            return _t(a.col % b.col, "num")
+            return _t(F.try_mod(a.col, b.col), "num")
         if isinstance(op, ast.Pow):
             return _t(F.pow(a.col, b.col), "num")
         raise CompileError(f"unsupported binop {op}")

@@ -134,6 +134,17 @@ def test_eval_tier2_fallback_list_comprehension(spark):
     assert out.collect()[0].w == "ac"
 
 
+def test_eval_tier1_zero_divisor_nulls_the_row(spark):
+    """Division by zero poisons only ITS row (NULL), matching tier-2's
+    per-row safeeval catch (reference tools.py:232-243) — a bare / in
+    ANSI mode would instead kill the whole query."""
+    df = spark.createDataFrame([(1.0, 0.0), (4.0, 2.0)], "x double, y double")
+    out = op_eval(df, [{"z": "x / y"}, {"fd": "x // y"}, {"md": "x % y"}])
+    rows = {r.x: (r.z, r.fd, r.md) for r in out.collect()}
+    assert rows[1.0] == (None, None, None)
+    assert rows[4.0] == (2.0, 2, 0.0)
+
+
 def test_eval_error_marks_cell(spark):
     # reference keeps going and marks the cell (code/recipes.py:1680-1686)
     df = spark.createDataFrame([("x",), (None,)], "v string")
