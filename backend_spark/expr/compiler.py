@@ -263,8 +263,11 @@ class _Compiler(ast.NodeVisitor):
         if idx is None:
             raise CompileError("non-constant subscript -> tier 2")
         if base.kind == "array":
-            # element_at supports negative positions natively
-            return _t(F.element_at(base.col, idx + 1 if idx >= 0 else idx), "any")
+            # try_element_at (negative positions supported): python's
+            # IndexError is a per-row "Ooops" in the reference's
+            # safeeval, so an out-of-range index must NULL the row —
+            # under ANSI a bare element_at would kill the whole query
+            return _t(F.try_element_at(base.col, F.lit(idx + 1 if idx >= 0 else idx)), "any")
         if idx < 0:
             return _t(F.substring(base.col, idx, 1), "str")
         return _t(base.col.substr(F.lit(idx + 1), F.lit(1)), "str")

@@ -145,6 +145,17 @@ def test_eval_tier1_zero_divisor_nulls_the_row(spark):
     assert rows[4.0] == (2.0, 2, 0.0)
 
 
+def test_eval_tier1_out_of_range_index_nulls_the_row(spark):
+    """a[i] past the end is python IndexError -> per-row marker in the
+    reference; tier-1 must NULL that row, not raise ANSI
+    INVALID_ARRAY_INDEX for the whole query."""
+    df = spark.createDataFrame([([1, 2],), ([],)], "a array<int>")
+    rows = op_eval(df, [{"z": "a[0]"}, {"w": "a[-1]"}]).collect()
+    by_len = {len(r.a): (r.z, r.w) for r in rows}
+    assert by_len[2] == (1, 2)
+    assert by_len[0] == (None, None)
+
+
 def test_eval_error_marks_cell(spark):
     # reference keeps going and marks the cell (code/recipes.py:1680-1686)
     df = spark.createDataFrame([("x",), (None,)], "v string")
