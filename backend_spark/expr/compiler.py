@@ -341,12 +341,15 @@ class _Compiler(ast.NodeVisitor):
             return _t(F.length(c[0]), "num")
         if name == "str":
             return _t(c[0].cast("string"), "str")
+        # try_cast, not cast: int('junk') is a python ValueError, which
+        # the reference's per-row safeeval turns into a marker cell —
+        # an ANSI cast would instead kill the whole query on one bad row
         if name == "int":
-            return _t(c[0].cast("long"), "num")
+            return _t(c[0].try_cast("long"), "num")
         if name == "float":
-            return _t(c[0].cast("double"), "num")
+            return _t(c[0].try_cast("double"), "num")
         if name == "bool":
-            return _t(c[0].cast("boolean"), "bool")
+            return _t(c[0].try_cast("boolean"), "bool")
         if name == "abs":
             return _t(F.abs(c[0]), "num")
         if name == "round":

@@ -156,6 +156,17 @@ def test_eval_tier1_out_of_range_index_nulls_the_row(spark):
     assert by_len[0] == (None, None)
 
 
+def test_eval_tier1_bad_cast_nulls_the_row(spark):
+    """int('junk') is a python ValueError -> per-row marker in the
+    reference; tier-1 must NULL the row (try_cast), not raise ANSI
+    CAST_INVALID_INPUT for the whole query."""
+    df = spark.createDataFrame([("12",), ("junk",)], "s string")
+    rows = {r.s: (r.z, r.w) for r in
+            op_eval(df, [{"z": "int(s)"}, {"w": "float(s)"}]).collect()}
+    assert rows["12"] == (12, 12.0)
+    assert rows["junk"] == (None, None)
+
+
 def test_eval_error_marks_cell(spark):
     # reference keeps going and marks the cell (code/recipes.py:1680-1686)
     df = spark.createDataFrame([("x",), (None,)], "v string")
