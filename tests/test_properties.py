@@ -1446,3 +1446,83 @@ def test_zipf_fit_matches_python_ols(_spark, texts):
     intercept = (sy - slope * sx) / n
     assert r.slope == pytest.approx(slope, abs=1e-6), (texts, r.slope, slope)
     assert r.intercept == pytest.approx(intercept, abs=1e-6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z", None]),   # name value
+                  st.integers(min_value=0, max_value=9)),   # numeric value
+        min_size=1, max_size=10,
+    ),
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),
+                  st.integers(min_value=0, max_value=9)),
+        max_size=12,
+    ),
+)
+def test_er_resolve_matches_python_cc_and_rules(_spark, vals, edges):
+    """Golden records == python union-find clustering + rule replay:
+    entity = min member id; first = min-id record's value; mode = most
+    frequent non-null, ties smallest; sum over the cluster."""
+    from collections import Counter
+
+    from backend_spark.operators import er_resolve
+
+    n = len(vals)
+    recs = [(i, name, float(v)) for i, (name, v) in enumerate(vals)]
+    pair_rows = [(a, b) for a, b in edges if a < n and b < n]
+    df = _spark.createDataFrame(recs, "rid long, name string, v double")
+    pairs = (
+        _spark.createDataFrame(pair_rows, "left_id long, right_id long")
+        if pair_rows else
+        _spark.createDataFrame([], "left_id long, right_id long")
+    )
+    out = er_resolve(df, pairs, "rid", {"name": "first", "v": "sum"})
+    got = {r.entity_id: (r.n_members, r.name, r.v) for r in out.collect()}
+    # python union-find over ids 0..n-1 with the same edges
+    parent = list(range(n))
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+    exp = {}
+    for members in clusters.values():
+        eid = min(members)
+        name = vals[eid][0]                      # first = min-id record's value
+        total = float(sum(vals[i][1] for i in members))
+        exp[eid] = (len(members), name, total)
+    assert got == exp, (vals, pair_rows, got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.sampled_from(["x", "y", "z", None]), min_size=2, max_size=10),
+)
+def test_er_resolve_mode_ties_to_smallest(_spark, vals):
+    """mode = most frequent non-null value, ties to the smallest —
+    over one all-connected cluster."""
+    from collections import Counter
+
+    from backend_spark.operators import er_resolve
+
+    n = len(vals)
+    df = _spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "rid long, name string"
+    )
+    pairs = _spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "left_id long, right_id long"
+    )
+    out = er_resolve(df, pairs, "rid", {"name": "mode"}).collect()
+    assert len(out) == 1
+    c = Counter(v for v in vals if v is not None)
+    exp = min((-cnt, v) for v, cnt in c.items())[1] if c else None
+    assert out[0].name == exp, (vals, out[0].name, exp)
