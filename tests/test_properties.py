@@ -1526,3 +1526,28 @@ def test_er_resolve_mode_ties_to_smallest(_spark, vals):
     c = Counter(v for v in vals if v is not None)
     exp = min((-cnt, v) for v, cnt in c.items())[1] if c else None
     assert out[0].name == exp, (vals, out[0].name, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),   # key
+                  st.integers(min_value=0, max_value=5),   # ts (ties likely)
+                  st.integers(min_value=0, max_value=99)), # tiebreak/payload
+        min_size=1, max_size=20,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    ),
+)
+def test_compact_latest_matches_python_argmax(_spark, rows):
+    """Newest row per key with (ts, tiebreak) ordering == python argmax
+    — ties on ts resolve by the highest tiebreak, deterministically."""
+    from backend_spark.operators.groupby import compact_latest
+
+    df = _spark.createDataFrame(rows, "k long, ts long, tb long")
+    got = {r.k: (r.ts, r.tb)
+           for r in compact_latest(df, "k", "ts", tiebreak_col="tb").collect()}
+    exp = {}
+    for k, ts, tb in rows:
+        if k not in exp or (ts, tb) > exp[k]:
+            exp[k] = (ts, tb)
+    assert got == exp, (rows, got, exp)
