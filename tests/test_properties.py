@@ -1551,3 +1551,28 @@ def test_compact_latest_matches_python_argmax(_spark, rows):
         if k not in exp or (ts, tb) > exp[k]:
             exp[k] = (ts, tb)
     assert got == exp, (rows, got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=18),
+    n_bins=st.sampled_from([2, 4]),
+)
+def test_quantile_bins_matches_numpy_percentile(_spark, vals, n_bins):
+    """bin = number of interior linear-interpolation quantile
+    boundaries <= x; numpy's 'linear' percentile is the same
+    definition as F.percentile, exact in doubles for integer input."""
+    import numpy as np
+
+    from backend_spark.features import quantile_bins
+
+    df = _spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = [
+        (r.v, r.v_bin)
+        for r in quantile_bins(df, "v", n_bins=n_bins).collect()
+    ]
+    qs = [100.0 * i / n_bins for i in range(1, n_bins)]
+    bounds = [float(np.percentile(np.array(vals, dtype=float), q)) for q in qs]
+    for v, b in got:
+        exp = sum(1 for t in bounds if t <= v)
+        assert b == exp, (vals, n_bins, bounds, v, b, exp)
