@@ -1576,3 +1576,36 @@ def test_quantile_bins_matches_numpy_percentile(_spark, vals, n_bins):
     for v, b in got:
         exp = sum(1 for t in bounds if t <= v)
         assert b == exp, (vals, n_bins, bounds, v, b, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2", None]),
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=1, max_size=18,
+    ),
+)
+def test_winsorize_matches_numpy_clip(_spark, rows):
+    """Per-group winsorized clip == numpy percentile clip, with the
+    NULL group as a real group and every row preserved."""
+    import numpy as np
+    from collections import defaultdict
+
+    from backend_spark.features import winsorize
+
+    df = _spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    out = winsorize(df, "v", lower=0.25, upper=0.75, group_col="g").collect()
+    assert len(out) == len(rows)  # keeps every row
+    series = defaultdict(list)
+    for g, v in rows:
+        series[g].append(float(v))
+    lohi = {
+        g: (float(np.percentile(vs, 25)), float(np.percentile(vs, 75)))
+        for g, vs in series.items()
+    }
+    for r in out:
+        lo, hi = lohi[r.g]
+        assert r.v_w == pytest.approx(min(max(r.v, lo), hi), abs=1e-9), (rows, r)
