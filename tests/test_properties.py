@@ -1609,3 +1609,37 @@ def test_winsorize_matches_numpy_clip(_spark, rows):
     for r in out:
         lo, hi = lohi[r.g]
         assert r.v_w == pytest.approx(min(max(r.v, lo), hi), abs=1e-9), (rows, r)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ev=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1),
+                  st.sampled_from(["a", "b", "c"])),
+        min_size=2, max_size=18,
+    ),
+)
+def test_transition_counts_matches_python_markov(_spark, ev):
+    """(src -> dst) adjacency counts per key + conditional p == a
+    python fold over the sorted sequences."""
+    from collections import Counter, defaultdict
+
+    from backend_spark.features import transition_counts
+
+    rows = [(f"k{k}", i, s) for i, (k, s) in enumerate(ev)]
+    df = _spark.createDataFrame(rows, "k string, ts long, s string")
+    got = {(r.src, r.dst): (r.cnt, r.p)
+           for r in transition_counts(df, "k", "ts", "s").collect()}
+    series = defaultdict(list)
+    for k, ts, s in rows:
+        series[k].append((ts, s))
+    c = Counter()
+    for k, seq in series.items():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            c[(a, b)] += 1
+    src_tot = Counter()
+    for (a, _), n in c.items():
+        src_tot[a] += n
+    exp = {(a, b): (n, round(n / src_tot[a], 6)) for (a, b), n in c.items()}
+    assert got == exp, (ev, got, exp)
