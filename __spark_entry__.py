@@ -4597,65 +4597,12 @@ def _q_session_stats(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples a
     # 50-query prefix per round; tools/staleness_report.py prints the
-    # mechanical queue).  Round-10 rotation (the round-9 verdict's #1):
-    # the prefix holds the first 50 of the 64 never-driver-checked
-    # round-9 registrations, in their original registration order; the
-    # remaining 14 sit directly below the boundary and lead round 11,
-    # followed by the r5-stale rows, then r6, then the freshly-certified
-    # r8/r9 rows last.
+    # mechanical queue).  Round-11 rotation (the round-10 verdict's #1):
+    # the prefix is the 14 rows with no driver evidence ever plus the 36
+    # oldest r5-certified rows, in registration order; the 10 remaining
+    # r5 rows sit directly below the boundary and lead round 12,
+    # followed by r6, r8, r9, and the freshly-r10-certified rows last.
     return {
-        "review_queue": _q_review_queue,
-        "negative_edges": _q_negative_edges,
-        "priority_sample": _q_priority_sample,
-        "script_mix": _q_script_mix,
-        "pareto_front": _q_pareto_front,
-        "ppr": _q_ppr,
-        "tfidf_cosine": _q_tfidf_cosine,
-        "cross_dup_spans": _q_cross_dup_spans,
-        "chunk_text": _q_chunk_text,
-        "hits": _q_hits,
-        "decay_agg": _q_decay_agg,
-        "stream_topk": _q_stream_topk,
-        "target_encode": _q_target_encode,
-        "k_truss": _q_k_truss,
-        "fs_weights": _q_fs_weights,
-        "fs_score": _q_fs_score,
-        "cusum": _q_cusum,
-        "rank_corr": _q_rank_corr,
-        "table_checksum": _q_table_checksum,
-        "freq_phrases": _q_freq_phrases,
-        "stream_cusum": _q_stream_cusum,
-        "mutual_info": _q_mutual_info,
-        "assoc_rules": _q_assoc_rules,
-        "key_collision": _q_key_collision,
-        "shard_stats": _q_shard_stats,
-        "seasonal_adjust": _q_seasonal_adjust,
-        "benford": _q_benford,
-        "fs_em": _q_fs_em,
-        "pca_top": _q_pca_top,
-        "ridge_by": _q_ridge_by,
-        "ridge_apply_by": _q_ridge_apply_by,
-        "isotonic": _q_isotonic,
-        "cdc_apply": _q_cdc_apply,
-        "rollup_merge": _q_rollup_merge,
-        "match_cascade": _q_match_cascade,
-        "acf": _q_acf,
-        "weighted_median": _q_weighted_median,
-        "gini": _q_gini,
-        "theil_sen": _q_theil_sen,
-        "ab_test": _q_ab_test,
-        "zipf_fit": _q_zipf_fit,
-        "seq_patterns": _q_seq_patterns,
-        "stream_cdc": _q_stream_cdc,
-        "attribution": _q_attribution,
-        "compaction_plan": _q_compaction_plan,
-        "label_encode": _q_label_encode,
-        "scd2_lookup": _q_scd2_lookup,
-        "ks_test": _q_ks_test,
-        "bipartite": _q_bipartite,
-        "twap": _q_twap,
-        # --- 50-query-prefix boundary: the 14 remaining never-checked
-        # rows below lead the round-11 rotation; then stale-first ---
         "rfm": _q_rfm,
         "bucket_quantiles": _q_bucket_quantiles,
         "bloom_join": _q_bloom_join,
@@ -4707,6 +4654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": _q_stream_join,
         "stream_compact": _q_stream_compact,
         "salted_agg": _q_salted_agg,
+        # --- 50-query-prefix boundary (14 never-checked + 36 r5-stale
+        # above): the 10 remaining r5 rows below lead round 12 ---
         "row_ids": _q_row_ids,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
@@ -4869,6 +4818,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_index": _q_ann_ivf_index,
         "bpe_pairs": _q_bpe_pairs,
+        # r10-evidence rows (freshest driver certification)
+        "review_queue": _q_review_queue,
+        "negative_edges": _q_negative_edges,
+        "priority_sample": _q_priority_sample,
+        "script_mix": _q_script_mix,
+        "pareto_front": _q_pareto_front,
+        "ppr": _q_ppr,
+        "tfidf_cosine": _q_tfidf_cosine,
+        "cross_dup_spans": _q_cross_dup_spans,
+        "chunk_text": _q_chunk_text,
+        "hits": _q_hits,
+        "decay_agg": _q_decay_agg,
+        "stream_topk": _q_stream_topk,
+        "target_encode": _q_target_encode,
+        "k_truss": _q_k_truss,
+        "fs_weights": _q_fs_weights,
+        "fs_score": _q_fs_score,
+        "cusum": _q_cusum,
+        "rank_corr": _q_rank_corr,
+        "table_checksum": _q_table_checksum,
+        "freq_phrases": _q_freq_phrases,
+        "stream_cusum": _q_stream_cusum,
+        "mutual_info": _q_mutual_info,
+        "assoc_rules": _q_assoc_rules,
+        "key_collision": _q_key_collision,
+        "shard_stats": _q_shard_stats,
+        "seasonal_adjust": _q_seasonal_adjust,
+        "benford": _q_benford,
+        "fs_em": _q_fs_em,
+        "pca_top": _q_pca_top,
+        "ridge_by": _q_ridge_by,
+        "ridge_apply_by": _q_ridge_apply_by,
+        "isotonic": _q_isotonic,
+        "cdc_apply": _q_cdc_apply,
+        "rollup_merge": _q_rollup_merge,
+        "match_cascade": _q_match_cascade,
+        "acf": _q_acf,
+        "weighted_median": _q_weighted_median,
+        "gini": _q_gini,
+        "theil_sen": _q_theil_sen,
+        "ab_test": _q_ab_test,
+        "zipf_fit": _q_zipf_fit,
+        "seq_patterns": _q_seq_patterns,
+        "stream_cdc": _q_stream_cdc,
+        "attribution": _q_attribution,
+        "compaction_plan": _q_compaction_plan,
+        "label_encode": _q_label_encode,
+        "scd2_lookup": _q_scd2_lookup,
+        "ks_test": _q_ks_test,
+        "bipartite": _q_bipartite,
+        "twap": _q_twap,
     }
 
 

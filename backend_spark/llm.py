@@ -1189,9 +1189,13 @@ def build_vocab(
     frequency-based filtering.  Optional ``top_k`` ranks by term
     frequency with a deterministic (tf desc, token asc) tie-break.
 
-    One explode + one hash aggregate (map-side combined); the optional
-    global top-k is a single-partition window over the already-tiny
-    vocabulary, never over the corpus.
+    One explode + one hash aggregate (map-side combined).  The optional
+    global top-k is staged: a distributed TakeOrderedAndProject
+    (``orderBy().limit(k)``) cuts the vocabulary — which at crawl scale
+    is 1e8+ distinct tokens post-``min_df``, NOT tiny — down to the k
+    survivors, and only those k rows pass through the single-partition
+    rank window (same pattern as :func:`zipf_fit` and
+    ``scale.skew_report``).
     """
     toks = df.select(
         F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks")
@@ -1203,11 +1207,9 @@ def build_vocab(
         .where(F.col("df") >= min_df)
     )
     if top_k is not None:
+        top = vocab.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(top_k)
         w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
-        vocab = (
-            vocab.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= top_k)
-        )
+        vocab = top.withColumn("rank", F.row_number().over(w))
     return vocab
 
 

@@ -152,6 +152,11 @@ def model_features(
     out = _prep(df, num_cols).select(id_col, *num_cols, *(categorical or []))
     for c in categorical or []:
         freq = df.where(F.col(c).isNotNull()).groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
+        # partition-less rank window is bounded by LABEL CARDINALITY,
+        # not corpus size: `freq` has one row per distinct category, and
+        # a column only belongs here if it is one-hot-encodable (the
+        # broadcast join below makes the same assumption) — ~1e3-1e5
+        # rows, never data-shaped input
         w = Window.orderBy(F.col("__cnt").desc(), F.col(c).asc())
         idx = freq.select(F.col(c), (F.row_number().over(w) - 1).cast("bigint").alias(f"__i_{c}"))
         n_labels = idx.agg(F.count(F.lit(1)).alias(f"__n_{c}"))
@@ -643,9 +648,12 @@ def auc_score(
 
     Scale shape: scores are quantized to ``round(score, 6)`` and
     aggregated to one row per DISTINCT score first (≤ ~2e6 rows for
-    scores in [-1, 1] — bounded regardless of corpus size), so the one
-    ordered window needed for cumulative counts runs over the tiny
-    distinct-score table, never a global sort of the data.
+    scores in [-1, 1] — bounded regardless of corpus size).  The
+    cumulative count over that table then uses the distributed
+    prefix-sum (the ``ks_test`` pattern, features.py): range-partition
+    by score, per-partition local running sums, and a broadcast of the
+    per-partition offsets — the only partition-less window runs over
+    the #shuffle-partitions offset rows, never over data-shaped input.
 
     Returns one row: (auc, n_pos, n_neg).  Degenerate inputs (no
     positives or no negatives) yield NULL auc rather than a division
@@ -663,8 +671,34 @@ def auc_score(
             F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0)).alias("__pos"),
         )
     )
-    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = per.withColumn("__cum", F.sum("__cnt").over(w))
+    # distributed prefix sum of __cnt in __s order: local running sums
+    # within range partitions + broadcast per-partition offsets (exactly
+    # reproduces the global cumulative regardless of boundary placement;
+    # localCheckpoint pins the sampled range boundaries across the two
+    # reads of `local`)
+    ranged = per.repartitionByRange("__s").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "__pid",
+        "__s",
+        "__cnt",
+        "__pos",
+        F.sum("__cnt").over(w_local).alias("__lcum"),
+    ).localCheckpoint(eager=False)
+    ptot = local.groupBy("__pid").agg(F.max("__lcum").alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "__pid", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off")
+    )
+    ranked = local.join(F.broadcast(offs), "__pid").withColumn(
+        "__cum", F.col("__lcum") + F.col("__off")
+    )
     # 2*avg_rank for every member of this tie group, exact integer
     two_rank = F.lit(2) * F.col("__cum") - F.col("__cnt") + F.lit(1)
     agg = ranked.agg(

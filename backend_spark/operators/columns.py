@@ -153,7 +153,18 @@ def op_eval(df: DataFrame, exprs: list[dict], result_type: str | None = None) ->
     """The swiss-knife (reference internal_eval, code/recipes.py:1644-1695).
     [{col: expr}] adds/overwrites col; a list of exprs produces an array
     column.  Tier-1 Column compilation with transparent tier-2 Python
-    fallback (see backend_spark.expr)."""
+    fallback (see backend_spark.expr).
+
+    Error-value divergence between the tiers, by design: a per-row
+    erroring expression (division by zero, bad cast, out-of-range
+    index) yields NULL on the tier-1 Column path (ANSI-safe
+    try_divide/try_mod/try_element_at/try_cast lowering), but the
+    reference's "Ooops: ..." marker STRING on the tier-2 safeeval path
+    (expr/fallback.py:230, mirroring code/recipes.py:1680-1686).  Both
+    keep the pipeline alive; which shape an erroring row takes depends
+    on which tier the expression routes to.  Users comparing output
+    against the reference should expect NULL where tier-1 handled the
+    expression."""
     if isinstance(exprs, dict):
         exprs = [exprs]
     out = df

@@ -433,11 +433,21 @@ def cdc_apply(
     touched = latest.select(
         *[F.col(k).alias(f"__cdc_k{i}") for i, k in enumerate(key_list)]
     )
+    # Alias both sides and resolve the condition through the aliases:
+    # `changes` may share lineage with `base` (a changelog derived from
+    # the snapshot), and bare base[k]/touched[...] attribute references
+    # can then trip AMBIGUOUS_SELF_JOIN or mis-resolve; alias-qualified
+    # names are self-join-safe while keeping the null-safe predicate.
+    b = base.alias("__cdc_base")
+    t = touched.alias("__cdc_touched")
     cond = functools.reduce(
         operator.and_,
-        [base[k].eqNullSafe(touched[f"__cdc_k{i}"]) for i, k in enumerate(key_list)],
+        [
+            F.col(f"__cdc_base.`{k}`").eqNullSafe(F.col(f"__cdc_touched.__cdc_k{i}"))
+            for i, k in enumerate(key_list)
+        ],
     )
-    kept = base.join(touched, cond, "left_anti")
+    kept = b.join(t, cond, "left_anti")
     upserts = latest.where(F.col(op_col) != "D").select(*payload)
     return kept.unionByName(upserts)
 

@@ -1492,16 +1492,27 @@ def test_interpolate_linear_blend_and_no_extrapolation(spark):
 def test_interpolate_linear_tied_order_takes_backward_anchor(spark):
     """A null row time-tied with its anchors has coincident anchor
     timestamps (nt == pt): the blend fraction is 0/0, which must fall
-    back to the backward value, not raise DIVIDE_BY_ZERO (ANSI)."""
+    back to the backward value, not raise DIVIDE_BY_ZERO (ANSI).
+
+    A seq tiebreak_col pins the order among the ts=5 rows — without it
+    the window sort among ties is nondeterministic and "backward" could
+    be either anchor (the docstring only promises determinism for
+    unique order_col)."""
     from backend_spark.features import interpolate_linear
 
     df = spark.createDataFrame(
-        [("k", 5, 1.0), ("k", 5, None), ("k", 5, 2.0), ("k", 10, None), ("k", 20, 4.0)],
-        "k string, ts long, v double",
+        [
+            ("k", 5, 0, 1.0),
+            ("k", 5, 1, None),
+            ("k", 5, 2, 2.0),
+            ("k", 10, 3, None),
+            ("k", 20, 4, 4.0),
+        ],
+        "k string, ts long, seq long, v double",
     )
     got = {
         (r.ts, r.v, r.v_interp)
-        for r in interpolate_linear(df, "k", "ts", "v").collect()
+        for r in interpolate_linear(df, "k", "ts", "v", tiebreak_col="seq").collect()
     }
     assert (5, None, 1.0) in got          # tied-ts null -> backward anchor
     assert (10, None, 2.666667) in got    # normal blend unaffected
@@ -2422,6 +2433,31 @@ def test_cdc_apply_null_key_is_a_key(spark):
     )
     out2 = cdc_apply(base, dele, "k").collect()
     assert [r.name for r in out2] == ["a"]
+
+
+def test_cdc_apply_changes_derived_from_base(spark):
+    """A changelog built FROM the snapshot (shared lineage) must not
+    trip AMBIGUOUS_SELF_JOIN or mis-resolve the anti-join condition —
+    the eqNullSafe predicate is built through explicit aliases on both
+    sides (ADVICE r10)."""
+    from backend_spark.scale import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    # derive the changes from base itself: bump v on key 2, delete key 3
+    changes = base.where("k >= 2").select(
+        "k",
+        F.col("name"),
+        (F.col("v") + 1).alias("v"),
+        F.when(F.col("k") == 3, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit(7).alias("seq"),
+    )
+    out = {r.k: r for r in cdc_apply(base, changes, "k").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].v == 10.0
+    assert out[2].v == 21.0
     # composite keys: only the matching (NULL, g) pair is replaced
     base2 = spark.createDataFrame(
         [(None, "g1", 1.0), (None, "g2", 2.0)], "k long, g string, v double"
