@@ -1643,3 +1643,36 @@ def test_transition_counts_matches_python_markov(_spark, ev):
         src_tot[a] += n
     exp = {(a, b): (n, round(n / src_tot[a], 6)) for (a, b), n in c.items()}
     assert got == exp, (ev, got, exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),  # score/10 -> forces ties
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+def test_auc_score_matches_python_mann_whitney(_spark, rows):
+    """Tie-aware ROC-AUC through the distributed prefix-sum == the
+    brute-force pairwise Mann-Whitney count (wins + half-ties), and the
+    degenerate one-class inputs yield NULL auc."""
+    from backend_spark.ml import auc_score
+
+    data = [(s / 10.0, float(y)) for s, y in rows]
+    df = _spark.createDataFrame(data, "score double, label double")
+    got = auc_score(df, "score", "label").collect()[0]
+    pos = [s for s, y in data if y == 1.0]
+    neg = [s for s, y in data if y == 0.0]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    if not pos or not neg:
+        assert got.auc is None
+    else:
+        wins = sum(
+            1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+        )
+        assert got.auc == pytest.approx(wins / (len(pos) * len(neg)), abs=1e-6), (
+            rows, got,
+        )
