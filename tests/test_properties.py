@@ -8,6 +8,8 @@ tie-break (distance 0 first, then first in sorted order,
 code/recipes.py:2200-2204).
 """
 
+import math
+
 import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -1676,3 +1678,284 @@ def test_auc_score_matches_python_mann_whitney(_spark, rows):
         assert got.auc == pytest.approx(wins / (len(pos) * len(neg)), abs=1e-6), (
             rows, got,
         )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # key
+            st.integers(min_value=0, max_value=40),         # ts
+            st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),
+        ),
+        min_size=1, max_size=20,
+    ),
+)
+def test_interpolate_linear_matches_python_blend(_spark, rows):
+    """Per-key linear gap interpolation == a python two-pointer replay
+    (observed rows pass through; interior nulls blend by position; no
+    extrapolation past either end; coincident anchors take backward).
+    A seq tiebreak pins tied-ts ordering so the replay is total."""
+    from backend_spark.features import interpolate_linear
+
+    data = [
+        (f"k{k}", ts, i, None if v is None else float(v))
+        for i, (k, ts, v) in enumerate(rows)
+    ]
+    df = _spark.createDataFrame(data, "k string, ts long, seq long, v double")
+    got = {
+        r.seq: r.v_interp
+        for r in interpolate_linear(df, "k", "ts", "v", tiebreak_col="seq").collect()
+    }
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for k, ts, seq, v in data:
+        series[k].append((ts, seq, v))
+    exp = {}
+    for k, seq_rows in series.items():
+        seq_rows.sort(key=lambda r: (r[0], r[1]))
+        for i, (ts, seq, v) in enumerate(seq_rows):
+            if v is not None:
+                exp[seq] = round(v, 6)
+                continue
+            prev = next(
+                ((t, x) for t, _, x in reversed(seq_rows[:i]) if x is not None), None
+            )
+            nxt = next(((t, x) for t, _, x in seq_rows[i + 1:] if x is not None), None)
+            if prev is None or nxt is None:
+                exp[seq] = None
+            elif nxt[0] > prev[0]:
+                pt, pv = prev
+                nt, nv = nxt
+                exp[seq] = round(pv + (nv - pv) * (ts - pt) / (nt - pt), 6)
+            else:
+                exp[seq] = round(prev[1], 6)  # coincident anchors -> backward
+    assert got == {s: (pytest.approx(v, abs=1e-9) if v is not None else None)
+                   for s, v in exp.items()}, (rows, got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),           # key
+            st.integers(min_value=0, max_value=100),         # ts (unique-ified below)
+            st.integers(min_value=-50, max_value=50),        # value
+        ),
+        min_size=1, max_size=15,
+    ),
+)
+def test_twap_matches_python_integral(_spark, rows):
+    """Duration-weighted mean == python piecewise-constant integral
+    over the holding periods (last observation holds nothing)."""
+    from collections import defaultdict
+
+    from backend_spark.features import twap
+
+    # unique (key, ts): tied stamps are a documented tie_break case
+    seen = set()
+    data = []
+    for k, ts, v in rows:
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        data.append((f"k{k}", ts, float(v)))
+    df = _spark.createDataFrame(data, "k string, ts long, v double")
+    got = {r.k: (r.n, r.span, r.twap) for r in twap(df, "k", "ts", "v").collect()}
+    series = defaultdict(list)
+    for k, ts, v in data:
+        series[k].append((ts, v))
+    for k, obs in series.items():
+        obs.sort()
+        n, span = len(obs), obs[-1][0] - obs[0][0]
+        assert got[k][0] == n and got[k][1] == span
+        if span == 0:
+            assert got[k][2] is None
+        else:
+            integral = sum(
+                v * (obs[i + 1][0] - t) for i, (t, v) in enumerate(obs[:-1])
+            )
+            assert got[k][2] == pytest.approx(integral / span, abs=1e-6), (data, k)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    exp_scores=st.lists(st.floats(min_value=0.0, max_value=0.999), min_size=0, max_size=15),
+    act_scores=st.lists(st.floats(min_value=0.0, max_value=0.999), min_size=0, max_size=15),
+)
+def test_psi_matches_python_formula(_spark, exp_scores, act_scores):
+    """Per-bin PSI terms == python histogram + (p-q)ln(p/q) with the
+    same eps floor, including the zero-total degenerate side."""
+    import math
+
+    from backend_spark.ml import psi
+
+    n_bins, eps = 5, 1e-6
+    e_df = _spark.createDataFrame([(s,) for s in exp_scores] or [(None,)], "s double").where("s is not null")
+    a_df = _spark.createDataFrame([(s,) for s in act_scores] or [(None,)], "s double").where("s is not null")
+    got = {r.bin: (r.p_expected, r.p_actual, r.psi_term)
+           for r in psi(e_df, a_df, "s", n_bins=n_bins, eps=eps).collect()}
+    assert set(got) == set(range(n_bins))
+
+    def hist(scores):
+        c = [0] * n_bins
+        for s in scores:
+            c[min(int(s * n_bins), n_bins - 1)] += 1
+        return c
+
+    he, ha = hist(exp_scores), hist(act_scores)
+    te, ta = sum(he), sum(ha)
+    for b in range(n_bins):
+        p = max(he[b] / te if te else 0.0, eps)
+        q = max(ha[b] / ta if ta else 0.0, eps)
+        assert got[b][0] == pytest.approx(round(p, 6), abs=1e-9)
+        assert got[b][1] == pytest.approx(round(q, 6), abs=1e-9)
+        assert got[b][2] == pytest.approx((p - q) * math.log(p / q), abs=1e-5), (b, he, ha)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=0.999),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+def test_ece_matches_python_binning(_spark, rows):
+    """ECE == python Σ (n_b/N)·|acc_b − conf_b| over the same
+    fixed-width score bins (confidence via the same fixed-point
+    quantization)."""
+    from collections import defaultdict
+
+    from backend_spark.ml import ece
+
+    n_bins, scale = 5, 1_000_000
+    df = _spark.createDataFrame([(s, y) for s, y in rows], "s double, y int")
+    got = ece(df, "s", "y", n_bins=n_bins, scale=scale).collect()[0]
+    bins = defaultdict(lambda: [0, 0, 0])  # n, pos, conf_scaled
+    for s, y in rows:
+        b = min(int(s * n_bins), n_bins - 1)
+        bins[b][0] += 1
+        bins[b][1] += y
+        bins[b][2] += math.floor(s * scale + 0.5)
+    n = sum(v[0] for v in bins.values())
+    expected = sum(
+        v[0] * abs(v[1] / v[0] - v[2] / scale / v[0]) for v in bins.values()
+    ) / n
+    assert got.n == n and got.n_bins_used == len(bins)
+    assert got.ece == pytest.approx(expected, abs=1e-5), (rows, got)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # group id
+            st.integers(min_value=1, max_value=60),     # value
+        ),
+        min_size=1, max_size=30,
+    ),
+    ps=st.lists(st.sampled_from([1, 25, 50, 75, 95, 100]), min_size=1, max_size=3, unique=True),
+)
+def test_bucket_quantiles_matches_python_rank(_spark, rows, ps):
+    """Exact lower-rank percentile == python sorted[ceil(p*n/100)-1]
+    per group."""
+    import math as _math
+    from collections import defaultdict
+
+    from backend_spark.features import bucket_quantiles
+
+    df = _spark.createDataFrame(
+        [(f"g{g}", float(v)) for g, v in rows], "g string, v double"
+    )
+    out = {r.g: r.asDict() for r in bucket_quantiles(df, "g", "v", percentiles=ps).collect()}
+    series = defaultdict(list)
+    for g, v in rows:
+        series[f"g{g}"].append(float(v))
+    for g, vs in series.items():
+        vs.sort()
+        assert out[g]["n"] == len(vs)
+        for p in ps:
+            rank = _math.ceil(p * len(vs) / 100)
+            assert out[g][f"p{p}"] == vs[rank - 1], (rows, ps, g)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["ref", "a", "b"]),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+def test_disparate_impact_matches_python_ratio(_spark, rows):
+    """Four-fifths-rule readout == python per-group rate / reference
+    rate, NULL ratio when the reference rate is 0 or absent-side
+    groups only."""
+    from collections import defaultdict
+
+    from backend_spark.quality import disparate_impact
+
+    df = _spark.createDataFrame([(g, y) for g, y in rows], "g string, y int")
+    got = {r.group: r for r in disparate_impact(df, "g", "y", reference="ref").collect()}
+    stats = defaultdict(lambda: [0, 0])
+    for g, y in rows:
+        stats[g][0] += 1
+        stats[g][1] += y
+    ref_rate = (stats["ref"][1] / stats["ref"][0]) if "ref" in stats else None
+    for g, (n, pos) in stats.items():
+        if g == "ref":
+            assert g not in got
+            continue
+        if ref_rate is None:
+            # no reference row at all -> the broadcast ref is empty ->
+            # the cross join yields nothing
+            assert g not in got
+            continue
+        r = got[g]
+        assert (r.n, r.positives) == (n, pos)
+        if ref_rate == 0:
+            assert r.di_ratio is None and r.adverse is None
+        else:
+            ratio = (pos / n) / ref_rate
+            assert r.di_ratio == pytest.approx(ratio, abs=1e-5)
+            assert r.adverse == (ratio < 0.8)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    big_keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    small_keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=10),
+)
+def test_bloom_filter_join_equals_exact_join(_spark, big_keys, small_keys):
+    """The Bloom prefilter must be exactness-preserving: no false
+    negatives means semi/inner results equal the plain joins on any
+    key distribution (tiny m_bits forces heavy false-positive load,
+    which the exact join must absorb)."""
+    from backend_spark.scale import bloom_filter_join
+
+    big = _spark.createDataFrame([(k, f"r{i}") for i, k in enumerate(big_keys)], "k long, payload string")
+    small = _spark.createDataFrame([(k,) for k in small_keys], "k long")
+    semi = sorted((r.k, r.payload) for r in bloom_filter_join(big, small, "k", m_bits=64, k=2).collect())
+    exact_semi = sorted((r.k, r.payload) for r in big.join(small.distinct(), "k", "left_semi").collect())
+    assert semi == exact_semi, (big_keys, small_keys)
+
+
+@settings(max_examples=15, deadline=None)
+@given(s=st.text(alphabet="abÃ©Â¢â€™ ÂŸÃ©â", min_size=0, max_size=20))
+def test_fix_mojibake_matches_python_replace_chain(_spark, s):
+    """The mojibake repair == the same ordered MOJIBAKE_RULES table
+    folded as python str.replace — order matters and must match."""
+    from backend_spark import llm
+
+    df = _spark.createDataFrame([(s,)], "t string")
+    got = llm.fix_mojibake(df, "t").collect()[0]
+    exp = s
+    for bad, good in llm.MOJIBAKE_RULES:
+        exp = exp.replace(bad, good)
+    assert got.t_fixed == exp, (repr(s), repr(got.t_fixed), repr(exp))
