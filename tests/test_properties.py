@@ -1959,3 +1959,169 @@ def test_fix_mojibake_matches_python_replace_chain(_spark, s):
     for bad, good in llm.MOJIBAKE_RULES:
         exp = exp.replace(bad, good)
     assert got.t_fixed == exp, (repr(s), repr(got.t_fixed), repr(exp))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=1000)),
+        ),
+        min_size=1, max_size=20,
+    ),
+    max_lag=st.integers(min_value=0, max_value=500),
+)
+def test_freshness_matches_python_lag(_spark, rows, max_lag):
+    """Per-source latest/lag/stale == python max + global-max diff;
+    NULL timestamps carry no evidence."""
+    from collections import defaultdict
+
+    from backend_spark.quality import freshness
+
+    df = _spark.createDataFrame(rows, "src string, ts long")
+    got = {r.source: r for r in freshness(df, "src", "ts", max_lag_us=max_lag).collect()}
+    per = defaultdict(list)
+    for s, ts in rows:
+        if ts is not None:
+            per[s].append(ts)
+    if not per:
+        assert got == {}
+        return
+    top = max(max(v) for v in per.values())
+    assert set(got) == set(per)
+    for s, tss in per.items():
+        r = got[s]
+        assert (r.n, r.latest, r.lag_us) == (len(tss), max(tss), top - max(tss))
+        assert r.stale == (top - max(tss) > max_lag)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    fact_keys=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=12)),
+        min_size=1, max_size=25,
+    ),
+    dim_keys=st.lists(st.integers(min_value=0, max_value=12), min_size=0, max_size=8),
+    top_k=st.integers(min_value=1, max_value=4),
+)
+def test_ri_check_matches_python_orphans(_spark, fact_keys, dim_keys, top_k):
+    """Orphan totals, null accounting, and the top-k heaviest orphan
+    keys (cnt desc, key-text asc ties) == a python replay."""
+    from collections import Counter
+
+    from backend_spark.quality import ri_check
+
+    facts = _spark.createDataFrame([(k,) for k in fact_keys], "k long")
+    dim = _spark.createDataFrame([(k,) for k in dim_keys] or [(None,)], "k long").where(
+        "k is not null"
+    )
+    out = ri_check(facts, dim, "k", top_k=top_k).collect()
+    summary = next(r for r in out if r.kind == "summary")
+    nullrow = next(r for r in out if r.kind == "null")
+    orphan_rows = [(r.key, r.n) for r in out if r.kind == "orphan"]
+
+    dset = set(dim_keys)
+    nulls = sum(1 for k in fact_keys if k is None)
+    c = Counter(k for k in fact_keys if k is not None and k not in dset)
+    n_orph = sum(c.values())
+    assert summary.n == len(fact_keys)
+    assert summary.orphan_rate == pytest.approx(
+        round((n_orph + nulls) / len(fact_keys), 6), abs=1e-9
+    )
+    assert nullrow.n == nulls
+    exp_top = sorted(c.items(), key=lambda kv: (-kv[1], str(kv[0])))[:top_k]
+    assert orphan_rows == [(str(k), n) for k, n in exp_top], (fact_keys, dim_keys)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    base=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=20, unique=True),
+    added=st.lists(st.integers(min_value=61, max_value=90), min_size=0, max_size=6, unique=True),
+    dropped=st.integers(min_value=0, max_value=5),
+)
+def test_sync_plan_reconciles_old_to_new(_spark, base, added, dropped):
+    """The emitted bucket work-list is complete and minimal: replacing
+    exactly the flagged buckets' rows in `old` with `new`'s yields
+    `new`, and unflagged buckets are byte-identical on both sides."""
+    from backend_spark import functions as fn
+    from backend_spark.quality import sync_plan
+
+    n_buckets = 8
+    old_rows = base
+    new_rows = base[dropped:] + added   # drop a prefix, add fresh keys
+    old = _spark.createDataFrame([(v,) for v in old_rows], "v long")
+    new = _spark.createDataFrame([(v,) for v in new_rows], "v long")
+    plan = sync_plan(old, new, n_buckets=n_buckets).collect()
+    flagged = {r.bucket for r in plan}
+
+    bucket_of = F.pmod(
+        fn.md5_long(F.coalesce(F.col("v").cast("string"), F.lit("\x00null"))),
+        F.lit(n_buckets),
+    ).cast("long")
+    ob = {r.v: r.b for r in old.select("v", bucket_of.alias("b")).collect()}
+    nb = {r.v: r.b for r in new.select("v", bucket_of.alias("b")).collect()}
+    reconciled = sorted(
+        [v for v, b in ob.items() if b not in flagged]
+        + [v for v, b in nb.items() if b in flagged]
+    )
+    assert reconciled == sorted(new_rows), (base, added, dropped, flagged)
+    # minimality: an unflagged bucket has identical content on both sides
+    for b in set(ob.values()) | set(nb.values()):
+        if b not in flagged:
+            assert sorted(v for v, x in ob.items() if x == b) == sorted(
+                v for v, x in nb.items() if x == b
+            )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),     # key
+            st.integers(min_value=0, max_value=5),     # period
+            st.integers(min_value=-30, max_value=30),  # value
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+def test_pop_change_matches_python_lag(_spark, rows):
+    """Period-over-period sums, deltas, and pct vs the previous
+    period-with-data == a python groupby + lag replay (zero base ->
+    NULL pct)."""
+    from collections import defaultdict
+
+    from backend_spark.features import pop_change
+
+    df = _spark.createDataFrame(
+        [(f"k{k}", p, float(v)) for k, p, v in rows], "k string, p long, v double"
+    )
+    got = {
+        (r.k, r.p): (r.value, r.prev_value, r.change, r.pct_change)
+        for r in pop_change(df, "k", "p", "v").collect()
+    }
+    sums = defaultdict(float)
+    for k, p, v in rows:
+        sums[(f"k{k}", p)] += float(v)
+    series = defaultdict(list)
+    for (k, p), v in sums.items():
+        series[k].append((p, round(v, 6)))
+    exp = {}
+    for k, pv in series.items():
+        pv.sort()
+        for i, (p, v) in enumerate(pv):
+            prev = pv[i - 1][1] if i else None
+            change = round(v - prev, 6) if prev is not None else None
+            pct = (
+                round((v - prev) / prev, 6)
+                if prev is not None and prev != 0
+                else None
+            )
+            exp[(k, p)] = (v, prev, change, pct)
+    assert set(got) == set(exp)
+    for key in exp:
+        for a, b in zip(got[key], exp[key]):
+            if b is None:
+                assert a is None, (key, got[key], exp[key])
+            else:
+                assert a == pytest.approx(b, abs=1e-6), (key, got[key], exp[key])
