@@ -2125,3 +2125,35 @@ def test_pop_change_matches_python_lag(_spark, rows):
                 assert a is None, (key, got[key], exp[key])
             else:
                 assert a == pytest.approx(b, abs=1e-6), (key, got[key], exp[key])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    group_sizes=st.lists(st.integers(min_value=1, max_value=4), min_size=1, max_size=5),
+)
+def test_dup_report_histogram_on_exact_copies(_spark, group_sizes):
+    """With pairwise token-disjoint base texts and exact copies, the
+    LSH+CC cluster-size histogram must equal the copy-group histogram:
+    identical docs always pair (identical signatures, Jaccard 1) and
+    disjoint docs never survive the exact-Jaccard verify."""
+    from collections import Counter
+
+    from backend_spark.llm import dup_report
+
+    rows = []
+    doc_id = 0
+    for g, size in enumerate(group_sizes):
+        # disjoint vocabularies across groups -> cross-group Jaccard 0
+        text = " ".join(f"tok{g}x{w} " * 2 for w in range(6))
+        for _ in range(size):
+            rows.append((doc_id, text))
+            doc_id += 1
+    df = _spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.size: (r.n_clusters, r.n_docs, r.share) for r in dup_report(df, "doc_id", "text").collect()}
+    hist = Counter(group_sizes)
+    n = sum(group_sizes)
+    exp = {s: (c, s * c, round(s * c / n, 6)) for s, c in hist.items()}
+    assert got.keys() == exp.keys(), (group_sizes, got)
+    for s in exp:
+        assert got[s][0] == exp[s][0] and got[s][1] == exp[s][1]
+        assert got[s][2] == pytest.approx(exp[s][2], abs=1e-9)
