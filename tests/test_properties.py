@@ -2157,3 +2157,89 @@ def test_dup_report_histogram_on_exact_copies(_spark, group_sizes):
     for s in exp:
         assert got[s][0] == exp[s][0] and got[s][1] == exp[s][1]
         assert got[s][2] == pytest.approx(exp[s][2], abs=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),        # key
+            st.integers(min_value=0, max_value=50),       # ts
+            st.integers(min_value=-10, max_value=10),     # value
+        ),
+        min_size=1, max_size=20,
+    ),
+    bucket=st.sampled_from([1, 3, 7]),
+)
+def test_resample_gapfill_matches_python_grid(_spark, rows, bucket):
+    """Bucketed counts/sums plus the dense empty-bucket grid == a
+    python floor-div histogram over each key's [min, max] span."""
+    from collections import defaultdict
+
+    from backend_spark.features import resample_gapfill
+
+    data = [(f"k{k}", ts, float(v)) for k, ts, v in rows]
+    df = _spark.createDataFrame(data, "k string, ts long, v double")
+    got = {
+        (r.k, r.bucket): (r.n_events, r.v_sum)
+        for r in resample_gapfill(df, "k", "ts", bucket, value_col="v").collect()
+    }
+    per = defaultdict(list)
+    for k, ts, v in data:
+        per[k].append(((ts // bucket) * bucket, v))
+    exp = {}
+    for k, evs in per.items():
+        lo = min(b for b, _ in evs)
+        hi = max(b for b, _ in evs)
+        for b in range(lo, hi + 1, bucket):
+            hits = [v for bb, v in evs if bb == b]
+            exp[(k, b)] = (len(hits), round(sum(hits), 2) if hits else None)
+    assert set(got) == set(exp), (rows, bucket)
+    for key in exp:
+        assert got[key][0] == exp[key][0], (key, rows)
+        if exp[key][1] is None:
+            assert got[key][1] is None
+        else:
+            assert got[key][1] == pytest.approx(exp[key][1], abs=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),       # key
+            st.integers(min_value=0, max_value=100),     # ts
+            st.integers(min_value=-20, max_value=20),    # value
+        ),
+        min_size=1, max_size=20,
+    ),
+    halflife=st.sampled_from([5.0, 20.0]),
+)
+def test_decay_agg_matches_python_fold(_spark, rows, halflife):
+    """Exponential recency weighting == python Σ v·0.5^(Δt/h) with the
+    same per-row fixed-point quantization (t_ref = global max ts)."""
+    from collections import defaultdict
+
+    from backend_spark.features import decay_agg
+
+    scale = 10**6
+    data = [(f"k{k}", ts, float(v)) for k, ts, v in rows]
+    df = _spark.createDataFrame(data, "k string, ts long, v double")
+    got = {
+        r.k: (r.n_events, r.decayed_sum, r.decayed_weight)
+        for r in decay_agg(df, "k", "ts", "v", halflife=halflife).collect()
+    }
+    ref = max(ts for _, ts, _ in data)
+    per = defaultdict(list)
+    for k, ts, v in data:
+        per[k].append((ts, v))
+    for k, evs in per.items():
+        qs = qw = 0
+        for ts, v in evs:
+            f = 0.5 ** ((ref - ts) / halflife)
+            # round-half-up like F.round on .5 boundaries is banker-free
+            qs += int(round(v * f * scale))
+            qw += int(round(f * scale))
+        assert got[k][0] == len(evs)
+        assert got[k][1] == pytest.approx(round(qs / scale, 6), abs=2e-6), (rows, k)
+        assert got[k][2] == pytest.approx(round(qw / scale, 6), abs=2e-6), (rows, k)
