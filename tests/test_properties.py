@@ -2243,3 +2243,49 @@ def test_decay_agg_matches_python_fold(_spark, rows, halflife):
         assert got[k][0] == len(evs)
         assert got[k][1] == pytest.approx(round(qs / scale, 6), abs=2e-6), (rows, k)
         assert got[k][2] == pytest.approx(round(qw / scale, 6), abs=2e-6), (rows, k)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30, unique=True),
+    rate_ppm=st.sampled_from([0, 137_000, 500_000, 905_000, 1_000_000]),
+)
+def test_deterministic_sample_matches_python_md5(_spark, ids, rate_ppm):
+    """The hash-gate sample is bit-reproducible OUTSIDE Spark too:
+    python hashlib.md5 replays the exact keep set (the property that
+    makes the sample identical across engines and reruns)."""
+    import hashlib
+
+    from backend_spark.llm import deterministic_sample
+
+    rate = rate_ppm / 1_000_000
+    df = _spark.createDataFrame([(i,) for i in ids], "id long")
+    got = sorted(r.id for r in deterministic_sample(df, "id", rate).collect())
+    exp = sorted(
+        i
+        for i in ids
+        if int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        < int(rate * 1_000_000)
+    )
+    assert got == exp, (ids, rate)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=25, unique=True),
+)
+def test_shuffle_order_matches_python_md5_rank(_spark, ids):
+    """The global deterministic shuffle position == python rank in
+    md5(salt:id) order — engine-independent training order."""
+    import hashlib
+
+    from backend_spark.llm import shuffle_order
+
+    df = _spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r.id: r.shuffle_pos for r in shuffle_order(df, "id").collect()}
+
+    def h(i):
+        return int(hashlib.md5(f"shuf:{i}".encode()).hexdigest()[:15], 16)
+
+    exp = {i: pos for pos, i in enumerate(sorted(ids, key=lambda i: (h(i), str(i))), 1)}
+    assert got == exp, (ids, got, exp)
