@@ -4595,67 +4595,17 @@ def _q_session_stats(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registration order = driver-evidence priority (the driver samples a
-    # 50-query prefix per round; tools/staleness_report.py prints the
-    # mechanical queue).  Round-11 rotation (the round-10 verdict's #1):
-    # the prefix is the 14 rows with no driver evidence ever plus the 36
-    # oldest r5-certified rows, in registration order; the 10 remaining
-    # r5 rows sit directly below the boundary and lead round 12,
-    # followed by r6, r8, r9, and the freshly-r10-certified rows last.
+    # Registration order = driver-evidence priority (the driver samples
+    # a 50-query prefix per round; tools/staleness_report.py prints the
+    # mechanical queue).  Round-12 rotation (the round-11 verdict's #1):
+    # the prefix is the 10 remaining r5-certified rows plus the 40
+    # oldest r6 rows; every later group follows in evidence order
+    # (r6 remainder, r8, r9, r10, r11).  The three rows with no exact
+    # cross-engine oracle (closeness_approx, build_model, apply_model)
+    # sit at the very tail so no future 50-slot prefix spends slots on
+    # rows that can never hash-match.
     return {
-        "rfm": _q_rfm,
-        "bucket_quantiles": _q_bucket_quantiles,
-        "bloom_join": _q_bloom_join,
-        "disparate_impact": _q_disparate_impact,
-        "freshness": _q_freshness,
-        "ece": _q_ece,
-        "mojibake": _q_mojibake,
-        "merge_intervals": _q_merge_intervals,
-        "ri_check": _q_ri_check,
-        "sync_plan": _q_sync_plan,
-        "gap_report": _q_gap_report,
-        "dup_report": _q_dup_report,
-        "pop_change": _q_pop_change,
-        "session_stats": _q_session_stats,
-        # r5-evidence rows (oldest driver certification)
-        "closeness_approx": _q_closeness_approx,
-        "build_model": _q_build_model,
-        "apply_model": _q_apply_model,
-        "win_agg": _q_win_agg,
-        "scoring": _q_scoring,
-        "sql_direct": _q_sql_direct,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "fwf_roundtrip": _q_fwf_roundtrip,
-        "k_core": _q_k_core,
-        "eigenvector": _q_eigenvector,
-        "square_clustering": _q_square_clustering,
-        "compact_latest": _q_compact_latest,
-        "profile": _q_profile,
-        "pivot": _q_pivot,
-        "melt": _q_melt,
-        "window_funcs": _q_window_funcs,
-        "quantile_bins": _q_quantile_bins,
-        "resample": _q_resample,
-        "funnel": _q_funnel,
-        "zscore": _q_zscore,
-        "embed_banded": _q_embed_banded,
-        "pii_scan": _q_pii_scan,
-        "decontaminate": _q_decontaminate,
-        "repetition_stats": _q_repetition,
-        "quality_filter": _q_quality_filter,
-        "det_sample": _q_sample,
-        "dedup_lines": _q_dedup_lines,
-        "asof_join": _q_asof_join,
-        "sessionize": _q_sessionize,
-        "corpus_clean": _q_corpus_clean,
-        "stream_win_agg": _q_stream_win,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_join": _q_stream_join,
-        "stream_compact": _q_stream_compact,
-        "salted_agg": _q_salted_agg,
-        # --- 50-query-prefix boundary (14 never-checked + 36 r5-stale
-        # above): the 10 remaining r5 rows below lead round 12 ---
+        # --- r5-evidence rows (oldest first) ---
         "row_ids": _q_row_ids,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
@@ -4666,7 +4616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "language_id": _q_language_id,
         "token_count": _q_token_count,
-        # r6-evidence rows
+        # --- r6-evidence rows (oldest first) ---
         "char_entropy": _q_char_entropy,
         "pack_sequences": _q_pack,
         "semdedup": _q_semdedup,
@@ -4707,6 +4657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unnest": _q_unnest,
         "nest": _q_nest,
         "ngram": _q_ngram,
+        # --- 50-query-prefix boundary (10 r5 + 40 oldest r6 above) ---
         "join_strict": _q_join_strict,
         "join_fuzzy": _q_join_fuzzy,
         "join_topk": _q_join_topk,
@@ -4716,7 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metrics": _q_graph_metrics,
         "pagerank": _q_pagerank,
         "dedup_exact": _q_dedup_exact,
-        # r8-evidence rows
+        # --- r8-evidence rows (oldest first) ---
         "interval_join": _q_interval_join,
         "scd2": _q_scd2,
         "er_golden": _q_er_golden,
@@ -4767,7 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann,
         "bm25_topk": _q_bm25,
-        # r9-evidence rows (freshest)
+        # --- r9-evidence rows (oldest first) ---
         "ridge_train": _q_ridge_train,
         "ridge_score": _q_ridge_score,
         "ridge_apply": _q_ridge_apply,
@@ -4818,7 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_index": _q_ann_ivf_index,
         "bpe_pairs": _q_bpe_pairs,
-        # r10-evidence rows (freshest driver certification)
+        # --- r10-evidence rows (oldest first) ---
         "review_queue": _q_review_queue,
         "negative_edges": _q_negative_edges,
         "priority_sample": _q_priority_sample,
@@ -4869,6 +4820,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": _q_ks_test,
         "bipartite": _q_bipartite,
         "twap": _q_twap,
+        # --- r11-evidence rows (oldest first) ---
+        "rfm": _q_rfm,
+        "bucket_quantiles": _q_bucket_quantiles,
+        "bloom_join": _q_bloom_join,
+        "disparate_impact": _q_disparate_impact,
+        "freshness": _q_freshness,
+        "ece": _q_ece,
+        "mojibake": _q_mojibake,
+        "merge_intervals": _q_merge_intervals,
+        "ri_check": _q_ri_check,
+        "sync_plan": _q_sync_plan,
+        "gap_report": _q_gap_report,
+        "dup_report": _q_dup_report,
+        "pop_change": _q_pop_change,
+        "session_stats": _q_session_stats,
+        "win_agg": _q_win_agg,
+        "scoring": _q_scoring,
+        "sql_direct": _q_sql_direct,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "fwf_roundtrip": _q_fwf_roundtrip,
+        "k_core": _q_k_core,
+        "eigenvector": _q_eigenvector,
+        "square_clustering": _q_square_clustering,
+        "compact_latest": _q_compact_latest,
+        "profile": _q_profile,
+        "pivot": _q_pivot,
+        "melt": _q_melt,
+        "window_funcs": _q_window_funcs,
+        "quantile_bins": _q_quantile_bins,
+        "resample": _q_resample,
+        "funnel": _q_funnel,
+        "zscore": _q_zscore,
+        "embed_banded": _q_embed_banded,
+        "pii_scan": _q_pii_scan,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition,
+        "quality_filter": _q_quality_filter,
+        "det_sample": _q_sample,
+        "dedup_lines": _q_dedup_lines,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "corpus_clean": _q_corpus_clean,
+        "stream_win_agg": _q_stream_win,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_join": _q_stream_join,
+        "stream_compact": _q_stream_compact,
+        "salted_agg": _q_salted_agg,
+        # --- registry tail: no exact oracle by construction (driver
+        # records rows-only) — parked so prefixes stay hash-checkable ---
+        "closeness_approx": _q_closeness_approx,
+        "build_model": _q_build_model,
+        "apply_model": _q_apply_model,
     }
 
 
