@@ -54,6 +54,7 @@ from backend_spark.operators import (
 )
 from backend_spark.session import event_ts_us, load_table
 from backend_spark.sources import read_dataset, write_dataset
+from backend_spark.scale import stage
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect) mirroring backend_spark.functions
@@ -1196,7 +1197,7 @@ def _q_minhash_sig(spark, sf):
         .withColumn("__sh", fn.shingles(F.col("__n"), 3))
         .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
         .select("doc_id", "__hs")
-        .localCheckpoint(eager=False)  # 8 perm mins below each reference __hs
+        .transform(stage, eager=False)  # 8 perm mins below each reference __hs
     )
     return hs.select(
         "doc_id", F.to_json(fn.minhash_signature_from_hashes(F.col("__hs"), 8)).alias("sig")
@@ -2065,7 +2066,7 @@ def _q_dedup_lines(spark, sf):
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", fn.tokenize(fn.normalize(F.col("text"))).alias("__toks")
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     n = F.size("__toks")
     chunks = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -2079,7 +2080,7 @@ def _q_dedup_lines(spark, sf):
             F.col("doc_id") % 5 == 0,
             F.concat(F.col("lines"), F.array(F.lit("subscribe to our newsletter now"))),
         ).otherwise(F.col("lines")),
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     return llm.dedup_lines(lined, "doc_id", "lines", min_df=2)
 
 
@@ -3241,7 +3242,7 @@ def _q_er_pipeline(spark, sf):
     # stage the feature matrix: ridge_score walks it twice (the training
     # aggregate, then scoring) and the jw/join pipeline is the expensive
     # part — a lineage cut halves the query (~18s -> ~11s at sf0.1)
-    lab = lab.localCheckpoint(eager=False)
+    lab = lab.transform(stage, eager=False)
     scored = ml.ridge_score(lab, ["f_nname_lev_norm", "f_bal_abs_diff"], "y")
     acc = scored.where(F.col("pred") >= 0.5).select("left_id", "right_id")
     out = er_resolve(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from backend_spark.scale import stage
 
 
 def quantile_bins(
@@ -737,7 +738,7 @@ def pareto_front(
                 yield g.iloc[order[front]]
 
     cand = oriented.mapInPandas(_local_front, schema=out_fields)
-    cand = cand.localCheckpoint(eager=False)  # both join sides see one prune
+    cand = cand.transform(stage, eager=False)  # both join sides see one prune
 
     right = cand.select(
         *[F.col(g).alias(f"__g_{g}") for g in gcols],
@@ -1131,7 +1132,7 @@ def assoc_rules(
     kept = items.join(
         sizes.where(F.col("__sz") <= max_basket_size).select("__b"), "__b"
     )
-    kept = kept.localCheckpoint(eager=False)  # feeds totals, item counts, pairs
+    kept = kept.transform(stage, eager=False)  # feeds totals, item counts, pairs
     n_baskets = kept.select("__b").distinct().count()
     if n_baskets == 0:
         raise ValueError("assoc_rules: no baskets survive the filters")
@@ -1551,7 +1552,7 @@ def theil_sen(
     rid_w = wg.orderBy("__x", "__y")
     ranked = base.select(
         *keys, "__x", "__y", F.row_number().over(rid_w).alias("__rid")
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
 
     # exact two-middle medians of x and y (one shared exchange)
     n_w = wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1894,7 +1895,7 @@ def ks_test(
             "__pid",
             F.sum("__ca").over(wr).alias("__la"),
             F.sum("__cb").over(wr).alias("__lb"),
-        ).localCheckpoint(eager=False)
+        ).transform(stage, eager=False)
         ptot = local.groupBy("__pid").agg(
             F.max("__la").alias("__ta"), F.max("__lb").alias("__tb")
         )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from backend_spark import functions as fn
 from backend_spark.operators.graph import connected_components
+from backend_spark.scale import stage
 
 
 # ---------------------------------------------------------------------------
@@ -84,11 +85,11 @@ def minhash_lsh_pairs(
         .withColumn("__sh", fn.shingles(F.col("__n"), shingle_n))
         .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
         .select(F.col(id_col), F.col("__hs"))
-        .localCheckpoint(eager=False)
+        .transform(stage, eager=False)
     )
     sig = hs_df.withColumn("__sig", fn.minhash_signature_from_hashes(F.col("__hs"), num_perm))
     # three consumers (banding + both verify sides): materialize once
-    sig = sig.localCheckpoint(eager=False)
+    sig = sig.transform(stage, eager=False)
 
     # verify on the (distinct) shingle *hashes*: same set cardinalities
     # as the string shingles (md5_long is collision-free at corpus
@@ -259,7 +260,7 @@ def ngram_jaccard_pairs(
         .withColumn("__hs", F.array_distinct(F.transform(F.col("__sh"), lambda t: fn.md5_long(t))))
         .select(id_col, "__hs")
     )
-    sh = sh.localCheckpoint(eager=False)  # reused by DF count, prefix, verify
+    sh = sh.transform(stage, eager=False)  # reused by DF count, prefix, verify
 
     tok = sh.select(F.col(id_col), F.explode("__hs").alias("__h"))
     dfreq = tok.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
@@ -377,7 +378,7 @@ def embed_cosine_pairs(
                 )
                 for band in range(n_bands)
             ],
-        ).localCheckpoint(eager=False)
+        ).transform(stage, eager=False)
         bucketed = sig.select(
             "__id",
             F.explode(
@@ -538,11 +539,11 @@ def crosscorpus_neardup(
             .withColumn("__sh", fn.shingles(F.col("__n"), shingle_n))
             .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
             .select(F.col(idc), F.col("__hs"))
-            .localCheckpoint(eager=False)
+            .transform(stage, eager=False)
         )
         return hs.withColumn(
             "__sig", fn.minhash_signature_from_hashes(F.col("__hs"), num_perm)
-        ).localCheckpoint(eager=False)
+        ).transform(stage, eager=False)
 
     def _banded(sig: DataFrame, idc: str) -> DataFrame:
         return sig.select(
@@ -621,7 +622,7 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -
         # barrier before explode: a computed array re-evaluates per
         # output element otherwise
         .select(F.col(id_col), F.col("__hs"))
-        .localCheckpoint(eager=False)
+        .transform(stage, eager=False)
     )
     # explode_outer: a zero-token doc keeps one null-hash row, whose
     # votes are all -1 -> packed simhash 0, same as the old array path
@@ -663,7 +664,7 @@ def simhash_neardup_pairs(
     Returns (id1, id2, hamming).
     """
     sig = simhash_buckets(df, id_col, text_col, bits=bits)
-    sig = sig.localCheckpoint(eager=False)  # banding + both verify sides
+    sig = sig.transform(stage, eager=False)  # banding + both verify sides
     n_slices = max_hamming + 1
     width = -(-bits // n_slices)  # ceil; trailing zero bits pad the last slice
     mask = (1 << width) - 1
@@ -1075,10 +1076,10 @@ def decontaminate(
     def _grams(src: DataFrame, text: str, extra: list[str]) -> DataFrame:
         toks = src.select(
             *extra, fn.tokenize(fn.normalize(F.col(text))).alias("__toks")
-        ).localCheckpoint(eager=False)
+        ).transform(stage, eager=False)
         return toks.select(
             *extra, word_ngrams_from_tokens(F.col("__toks"), n).alias("__gs")
-        ).localCheckpoint(eager=False)
+        ).transform(stage, eager=False)
 
     bench_grams = (
         _grams(benchmark, bench_text_col, [])
@@ -1127,10 +1128,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
     toks = df.select(
         F.col(id_col),
         fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     base = toks.withColumn(
         "__grams", word_ngrams_from_tokens(F.col("__toks"), ngram_n)
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     def _dup_frac(col: str) -> Column:
         # 0.0 for an empty array (no occurrences -> nothing duplicated);
         # col is materialized above so the repeated references are cheap
@@ -1199,7 +1200,7 @@ def build_vocab(
     """
     toks = df.select(
         F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks")
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     vocab = (
         toks.select(F.col(id_col), F.explode("__toks").alias("token"))
         .groupBy("token")
@@ -1416,7 +1417,7 @@ def collocations(
     """
     toks = df.select(
         fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks")
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     uni = toks.select(F.explode("__toks").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("cw")
     )
@@ -1724,7 +1725,7 @@ def tfidf_cosine_pairs(
             .alias("qw"),
         )
     )
-    q = q.localCheckpoint(eager=False)  # reused by norms and the pair join
+    q = q.transform(stage, eager=False)  # reused by norms and the pair join
     norms = q.groupBy(id_col).agg(
         F.sum((F.col("qw") * F.col("qw")).cast(dec)).alias("__s2")
     )
@@ -1790,12 +1791,12 @@ def bm25_topk(
     d_toks = corpus.select(
         F.col(doc_id).alias("__did"),
         fn.tokenize(fn.normalize(F.col(doc_text))).alias("__toks"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     postings = (
         d_toks.select("__did", F.size("__toks").alias("__dl"), F.explode("__toks").alias("__t"))
         .groupBy("__did", "__dl", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     n_docs = d_toks.count()
     avgdl = d_toks.select(F.avg(F.size("__toks"))).first()[0] or 1.0
     dfreq = postings.groupBy("__t").agg(F.countDistinct("__did").alias("__df"))
@@ -2451,7 +2452,7 @@ def dup_ngram_fraction(
     # decontaminate)
     toks = df.select(
         F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__t")
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     grams = (
         toks.select(
             F.col(id_col),
@@ -2459,7 +2460,7 @@ def dup_ngram_fraction(
         )
         .withColumn("__h", fn.md5_long(F.col("__g")))
         .select(F.col(id_col), "__h")
-        .localCheckpoint(eager=False)
+        .transform(stage, eager=False)
     )
     owners = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__docs"))
     return (
@@ -2660,7 +2661,7 @@ def kmeans_assign(
     base = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
 
     init = (
         base.withColumn(
@@ -2756,7 +2757,7 @@ def containment_pairs(
         )
         .select(id_col, "__hs")
     )
-    sh = sh.localCheckpoint(eager=False)  # reused by DF count, prefix, index, verify
+    sh = sh.transform(stage, eager=False)  # reused by DF count, prefix, index, verify
 
     tok = sh.select(F.col(id_col), F.explode("__hs").alias("__h"))
     dfreq = tok.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
@@ -2835,7 +2836,7 @@ def kcenter_coreset(
     base = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     seed = base.orderBy(F.col("__id").asc()).limit(1).collect()
     if not seed:
         return spark.createDataFrame([], f"{id_col} long, sel_rank long, dist double")
@@ -2853,7 +2854,7 @@ def kcenter_coreset(
             ndigits,
         )
         mind = F.least(F.col("__mind"), step) if have_mind else step
-        base = base.select("__id", "__v", mind.alias("__mind")).localCheckpoint(eager=True)
+        base = base.select("__id", "__v", mind.alias("__mind")).transform(stage, eager=True)
         have_mind = True
         top = base.orderBy(F.col("__mind").desc(), F.col("__id").asc()).limit(1).collect()
         # coverage radius 0 = every point coincides with a selection
@@ -2906,7 +2907,7 @@ def mmr_rerank(
         F.col(score_col).cast("double").alias("__rel"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
         F.lit(0.0).alias("__ms"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage, eager=True)
     picks = []
     for r in range(1, k + 1):
         mmr = F.round(F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__ms"), ndigits)
@@ -2930,7 +2931,7 @@ def mmr_rerank(
                     F.col("__ms"), F.round(fn.cosine_similarity(F.col("__v"), cvec), ndigits)
                 ).alias("__ms"),
             )
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
     out = spark.createDataFrame(picks, ["__id", "sel_rank", "mmr_score"])
     return out.select(
@@ -2977,7 +2978,7 @@ def pq_encode(
     base = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     dim_row = base.select(F.size("__v").alias("d")).limit(1).collect()
     if not dim_row:
         return df.sparkSession.createDataFrame(
@@ -3059,7 +3060,7 @@ def ann_pq(
     base = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     dim_row = base.select(F.size("__v").alias("d")).limit(1).collect()
     if not dim_row:
         return spark.createDataFrame([], f"q_id long, {id_col} long, adist double")
@@ -3288,7 +3289,7 @@ def trim_duplicate_spans(
     """
     toks = df.select(
         F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__t")
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     # gram start positions, 1-based (posexplode index j -> slice start j+1)
     grams = (
         toks.select(
@@ -3296,7 +3297,7 @@ def trim_duplicate_spans(
             F.posexplode(word_ngrams_from_tokens(F.col("__t"), n)).alias("__j", "__g"),
         )
         .select(F.col(id_col), (F.col("__j") + 1).alias("__start"), fn.md5_long("__g").alias("__h"))
-        .localCheckpoint(eager=False)
+        .transform(stage, eager=False)
     )
     dup = (
         grams.select(id_col, "__h")
@@ -3369,10 +3370,10 @@ def quality_filter(
         F.col(id_col),
         F.col(text_col).alias("__text"),
         fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     base = base.withColumn(
         "__grams", word_ngrams_from_tokens(F.col("__toks"), ngram_n)
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
 
     n = F.size("__toks")
     safe_n = F.greatest(n.cast("double"), F.lit(1.0))
@@ -3454,7 +3455,7 @@ def bpe_train(
     seqs = words.select(
         F.concat(F.lit("  "), F.concat_ws("  ", F.split("word", "")), F.lit("  ")).alias("seq"),
         "wf",
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
 
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
@@ -3480,7 +3481,7 @@ def bpe_train(
         seqs = seqs.select(
             F.replace("seq", F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs + rhs} ")).alias("seq"),
             "wf",
-        ).localCheckpoint(eager=False)
+        ).transform(stage, eager=False)
 
     return df.sparkSession.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, cnt bigint"
@@ -3674,7 +3675,7 @@ def bigram_logprob(
             F.posexplode(F.filter(pairs, lambda p: p.isNotNull())).alias("pos", "__p"),
         )
         .select(F.col(id_col), "pos", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-        .localCheckpoint(eager=False)
+        .transform(stage, eager=False)
     )
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
     hc = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__ch"))
@@ -3746,7 +3747,7 @@ def kn_bigram_logprob(
             ).alias("pos", "__p"),
         )
         .select(F.col(id_col), "pos", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-        .localCheckpoint(eager=False)
+        .transform(stage, eager=False)
     )
     cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
     ch = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("__ch"))
@@ -4019,9 +4020,9 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, windo
     # barrier after normalize: the gram-builder lambda references __n per
     # element, and an inlined normalize would re-run its regex chain once
     # per gram (measured 2x the whole operator's cost at sf0.1)
-    norm = df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n")).localCheckpoint(
-        eager=False
-    )
+    norm = df.select(
+        F.col(id_col), fn.normalize(F.col(text_col)).alias("__n")
+    ).transform(stage, eager=False)
     staged = (
         norm.withColumn(
             "__grams",
@@ -4036,7 +4037,7 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, windo
         .select(F.col(id_col), F.col("__hs"))
         # barrier before the rolling min: 4 slice references below would
         # otherwise re-evaluate the whole gram+hash chain 4x
-        .localCheckpoint(eager=False)
+        .transform(stage, eager=False)
     )
     # rolling min over `window` = elementwise least of `window` shifted
     # copies — `window` slices total instead of one slice per position
@@ -4609,7 +4610,7 @@ def source_overlap(
     toks = df.select(
         F.col(group_col).alias("src"),
         fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     grams = (
         toks.select("src", F.explode(word_ngrams_from_tokens(F.col("__toks"), n)).alias("g"))
         .distinct()
@@ -4787,7 +4788,7 @@ def freq_phrases(
         raise ValueError(f"freq_phrases: min_count must be >= 1, got {min_count}")
     toks = df.select(
         fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks")
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     levels = []
     killers = []
     for n in range(n_min, n_max + 2):

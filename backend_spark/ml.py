@@ -23,6 +23,7 @@ import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from backend_spark.scale import stage
 
 
 def _feature_pipeline(df: DataFrame, numerical, categorical):
@@ -233,7 +234,7 @@ def classifier_eval(
         df.groupBy(
             F.col(gold_col).alias("__g"), F.col(pred_col).alias("__p")
         ).agg(F.count(F.lit(1)).alias("__n"))
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     support = pairs.groupBy(F.col("__g").alias("label")).agg(F.sum("__n").alias("support"))
     pred_cnt = pairs.groupBy(F.col("__p").alias("label")).agg(F.sum("__n").alias("pred_cnt"))
     # null-safe throughout: a null label is a legitimate label value
@@ -654,6 +655,14 @@ def auc_score(
     by score, per-partition local running sums, and a broadcast of the
     per-partition offsets — the only partition-less window runs over
     the #shuffle-partitions offset rows, never over data-shaped input.
+    The local stage is pinned via :func:`backend_spark.scale.stage` so
+    the offset pass and the rank pass see the same sampled range
+    boundaries; under the default ``local`` mode the pinned blocks are
+    non-replayable (executor loss aborts the query — acceptable on
+    local/on-demand fleets), while ``stage.mode=reliable`` keeps the
+    same exactness with fault tolerance.  ``persist`` mode is NOT safe
+    here: a recomputed partition could re-sample range boundaries (see
+    SCALING.md "Lineage cuts and fault tolerance").
 
     Returns one row: (auc, n_pos, n_neg).  Degenerate inputs (no
     positives or no negatives) yield NULL auc rather than a division
@@ -690,7 +699,7 @@ def auc_score(
         "__cnt",
         "__pos",
         F.sum("__cnt").over(w_local).alias("__lcum"),
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     ptot = local.groupBy("__pid").agg(F.max("__lcum").alias("__t"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = ptot.select(

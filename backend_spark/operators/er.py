@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from backend_spark.operators.graph import check_cluster_cap, connected_components
+from backend_spark.scale import stage
 
 _RULES = ("first", "mode", "min", "max", "sum")
 
@@ -589,7 +590,7 @@ def match_cascade(
         remaining = (
             joined.where(F.col("__mc_v").isNull())
             .select(*base_cols)
-            .localCheckpoint(eager=False)
+            .transform(stage, eager=False)
         )
     unmatched = remaining.select(
         *base_cols,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from backend_spark.scale import stage
 
 
 def connected_components(
@@ -41,13 +42,13 @@ def connected_components(
     )
     # undirected: both directions + self loops so isolated endpoints keep labels
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(stage, eager=True)
 
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(stage, eager=True)
     )
 
     for _ in range(max_iter):
@@ -79,7 +80,7 @@ def connected_components(
                 (F.col("__chg") | (F.col("__gcomp") < F.col("comp"))).alias("__chg"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(stage, eager=True)
         changed = new_labels.where(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
@@ -159,7 +160,7 @@ def node_metrics(
 
     Returns one row per node: (node, <metrics...>).
     """
-    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
     out = deg
     if "triangles" in metrics or "clustering" in metrics:
@@ -208,7 +209,7 @@ def pagerank(
     shuffle budget as a groupBy per iteration, no driver-side state.
     Returns (node, pagerank).
     """
-    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
     n_nodes = deg.count()
     if n_nodes == 0:
@@ -230,7 +231,7 @@ def pagerank(
             )
             # eager: truncate lineage NOW so the loop never builds a
             # max_iter-deep nested plan for Catalyst to re-analyze
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
         if tol > 0:
             delta = (
@@ -287,7 +288,7 @@ def k_truss(
     e = (
         _sym_edges(edges, src, dst)
         .where(F.col("a") < F.col("b"))
-        .localCheckpoint(eager=True)
+        .transform(stage, eager=True)
     )
     n_edges = e.count()
     supp = None
@@ -304,9 +305,9 @@ def k_truss(
         scored = (
             e.join(tri, ["a", "b"], "left")
             .select("a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support"))
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
-        e2 = scored.where(F.col("support") >= k - 2).localCheckpoint(eager=True)
+        e2 = scored.where(F.col("support") >= k - 2).transform(stage, eager=True)
         n2_edges = e2.count()
         supp = e2
         e = e2.select("a", "b")
@@ -346,7 +347,7 @@ def personalized_pagerank(
     if not sources:
         raise ValueError("personalized_pagerank: sources must be non-empty")
     seeds = sorted(set(sources))
-    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
     tele = F.when(F.col("node").isin(seeds), F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
     ranks = deg.withColumn("__r", tele)
@@ -366,7 +367,7 @@ def personalized_pagerank(
                     + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("__r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
     out = ranks.select("node", F.col("__r").alias("ppr"))
     if round_to is not None:
@@ -409,12 +410,12 @@ def hits(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
     )
-    e = e.localCheckpoint(eager=False)
+    e = e.transform(stage, eager=False)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(stage, eager=False)
     )
     hv = nodes.withColumn("__h", F.lit(1).cast("long"))
     av = None
@@ -427,7 +428,7 @@ def hits(
         av = (
             nodes.join(a_in, "node", "left")
             .select("node", F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("__a"))
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
         h_out = (
             e.join(av.withColumnRenamed("node", "d"), "d")
@@ -437,7 +438,7 @@ def hits(
         hv = (
             nodes.join(h_out, "node", "left")
             .select("node", F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("__h"))
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
     joined = hv.join(av, "node")
     totals = joined.agg(
@@ -585,14 +586,14 @@ def closeness_centrality(
     component use :func:`closeness_centrality_approx` (ANF sketches,
     O(nodes) state).  Returns (node, closeness).
     """
-    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
-    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
+    nodes = sym.select(F.col("a").alias("node")).distinct().transform(stage, eager=True)
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("node", F.lit(0.0).alias("closeness"))
     known = nodes.select(
         F.col("node").alias("s"), F.col("node").alias("v"), F.lit(0).alias("d")
-    ).localCheckpoint(eager=True)
+    ).transform(stage, eager=True)
     frontier = known
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -600,11 +601,11 @@ def closeness_centrality(
             .select("s", F.col("b").alias("v"), F.lit(hop).alias("d"))
             .distinct()
             .join(known.select("s", "v"), ["s", "v"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
         if nxt.isEmpty():
             break
-        known = known.unionByName(nxt).localCheckpoint(eager=True)
+        known = known.unionByName(nxt).transform(stage, eager=True)
         frontier = nxt
     per_src = known.groupBy("s").agg(
         F.count(F.lit(1)).alias("__r"), F.sum("d").alias("__sum")
@@ -649,13 +650,13 @@ def eigenvector_centrality(
     ``PowerIterationFailedConvergence`` (an unconverged vector is
     silently wrong).  Returns (node, eigenvector).
     """
-    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
-    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
+    nodes = sym.select(F.col("a").alias("node")).distinct().transform(stage, eager=True)
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("node", F.lit(0.0).alias("eigenvector"))
 
-    x = nodes.withColumn("__x", F.lit(1.0 / n_nodes)).localCheckpoint(eager=True)
+    x = nodes.withColumn("__x", F.lit(1.0 / n_nodes)).transform(stage, eager=True)
     ordered_sum = lambda col: F.aggregate(  # noqa: E731 — fixed-order float fold
         F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, v: a + v["v"]
     )
@@ -687,7 +688,7 @@ def eigenvector_centrality(
                 "node",
                 (F.col("__u") / F.when(F.col("__norm") > 0, F.col("__norm")).otherwise(F.lit(1.0))).alias("__x"),
             )
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
         if tol > 0:
             delta = (
@@ -741,7 +742,7 @@ def square_clustering(
     triangle counting, spread by equi-join shuffles, no per-node
     adjacency materialization.  Returns (node, square_clustering).
     """
-    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("k"))
 
     # P2(u, w): number of length-2 paths u—z—w (u ≠ w) == |N(u) ∩ N(w)|
@@ -819,7 +820,7 @@ def closeness_centrality_approx(
     path runs at scale (per-node state grows to O(component), so it is
     a small-graph/oracle mode, not the 100 TB path).
     """
-    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
     if exact_sets:
         # sym has one row per incident edge: dedup to the singleton {node}
         init_sk = F.array_distinct(F.array_agg("node"))
@@ -837,7 +838,7 @@ def closeness_centrality_approx(
         .agg(init_sk.alias("__sk"))
         .withColumn("__est", estimate(F.col("__sk")))
         .withColumn("__sumdist", F.lit(0.0))
-        .localCheckpoint(eager=True)
+        .transform(stage, eager=True)
     )
     n_nodes = state.count()
     if n_nodes == 0:
@@ -865,7 +866,7 @@ def closeness_centrality_approx(
                 + F.lit(float(hop)) * F.greatest(F.col("__est") - F.col("__prev"), F.lit(0)),
             )
             .drop("__prev")
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
         grew = new_state.join(
             state.select("node", F.col("__est").alias("__old")), "node"
@@ -908,7 +909,7 @@ def k_core(
     node, so ``max_iter`` bounds the node count peeled, not hops).
     Returns (node, core_degree) for the surviving nodes.
     """
-    alive = _sym_edges(edges, src, dst).localCheckpoint(eager=True)
+    alive = _sym_edges(edges, src, dst).transform(stage, eager=True)
     n_alive = alive.count()
     for _ in range(max_iter):
         deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
@@ -917,7 +918,7 @@ def k_core(
             alive.join(keep, "a")
             .join(keep.withColumnRenamed("a", "b"), "b")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
         n_pruned = pruned.count()
         converged = n_pruned == n_alive
@@ -960,12 +961,12 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
-    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(stage, eager=True)
     )
     w = Window.partitionBy("a").orderBy(F.col("__c").desc(), F.col("lbl").asc())
     for _ in range(n_rounds):
@@ -978,7 +979,7 @@ def label_propagation(
             freq.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .select(F.col("a").alias("node"), "lbl")
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
 
@@ -1008,7 +1009,7 @@ def link_prediction(
     too-common shingles in MinHash blocking).  Everything else is
     keyed joins/aggregates on node ids: no crossJoin, no collect.
     """
-    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
     deg = sym.groupBy(F.col("a").alias("w")).agg(F.count(F.lit(1)).alias("dw"))
     # (w, u) adjacency annotated with deg(w), the wedge midpoint
     adj = sym.select(F.col("a").alias("u"), F.col("b").alias("w")).join(deg, "w")
@@ -1160,7 +1161,7 @@ def shortest_paths(
         )
     else:
         sym = _sym_edges(edges, src, dst)
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(stage, eager=False)
     spark = edges.sparkSession
 
     # both endpoints: in directed mode a sink-only node is still a
@@ -1175,7 +1176,7 @@ def shortest_paths(
     dist = (
         nodes.join(seed.distinct(), "node", "left_semi")
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .transform(stage, eager=True)
     )
     frontier = dist
     n_frontier = frontier.count()
@@ -1193,12 +1194,12 @@ def shortest_paths(
         # since the eager checkpoint materializes the count for free)
         frontier = (
             reached.join(dist.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(stage, eager=True)
         )
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
-        dist = dist.unionByName(frontier).localCheckpoint(eager=True)
+        dist = dist.unionByName(frontier).transform(stage, eager=True)
     return dist
 
 
@@ -1236,7 +1237,7 @@ def negative_edges(
         raise ValueError(f"negative_edges: k and oversample must be >= 1, got {k}/{oversample}")
     from backend_spark import functions as fn
 
-    sym = _sym_edges(edges, src, dst).localCheckpoint(eager=False)
+    sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
     nodes = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -1251,7 +1252,7 @@ def negative_edges(
     n_nodes = nodes.count()
     ranked = assign_row_ids(nodes, "node", out_col="__r1").select(
         "node", (F.col("__r1") - 1).alias("__r")
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     props = (
         ranked.select(F.col("node").alias("u"))
         .select("u", F.explode(F.array(*[F.lit(i) for i in range(k * oversample)])).alias("__i"))
@@ -1322,7 +1323,7 @@ def bipartite_projection(
         edges.select(F.col(left_col).alias("__l"), F.col(right_col).alias("__r"))
         .where(F.col("__l").isNotNull() & F.col("__r").isNotNull())
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(stage, eager=False)
     )
     dl = e.groupBy("__l").agg(F.count(F.lit(1)).alias("__dl"))
     adj = e.join(dl, "__l")

@@ -14,8 +14,73 @@ import operator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _AGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+STAGE_MODE_CONF = "spark.backend_spark.stage.mode"
+STAGE_DIR_CONF = "spark.backend_spark.stage.dir"
+_STAGE_MODES = ("local", "reliable", "persist")
+
+
+def stage(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Cut lineage / pin an intermediate result, with the storage
+    strategy selected at runtime by the session conf
+    ``spark.backend_spark.stage.mode`` — the single funnel for every
+    lineage cut in the engine (use ``df.transform(stage, eager=...)``
+    in operator code; raw ``DataFrame.localCheckpoint`` is reserved to
+    this helper).
+
+    Modes (see SCALING.md "Lineage cuts and fault tolerance"):
+
+    * ``local`` (default) — ``localCheckpoint``: blocks live in
+      executor storage.  Fastest (no DFS round-trip), and the pinned
+      blocks are never recomputed, so nondeterministic upstreams
+      (sampled range boundaries, ``F.rand``) stay frozen.  NOT
+      fault-tolerant: checkpointed partitions are non-replayable, so
+      one lost executor aborts the query.  Right for ``local[*]`` and
+      on-demand fleets; wrong for spot instances at 100 TB.
+    * ``reliable`` — ``DataFrame.checkpoint()`` to the cluster
+      checkpoint directory (``sc.setCheckpointDir`` or the
+      ``spark.backend_spark.stage.dir`` conf, e.g. an HDFS/S3 path).
+      Survives any executor loss and still freezes nondeterminism;
+      costs one DFS write+read per cut.  The right mode for long jobs
+      on preemptible fleets.
+    * ``persist`` — ``persist(DISK_ONLY)``: spills to executor-local
+      disk but KEEPS lineage, so lost blocks are recomputed instead of
+      failing the job.  Caveats: recomputation re-rolls
+      nondeterministic expressions (do not use under ``auc_score`` /
+      ``ks_test`` / ``assign_row_ids``-style boundary pinning if
+      executors may be lost), and iterative loops (connected
+      components, pagerank, BFS) grow their analyzed plans per
+      iteration because nothing truncates lineage.
+
+    ``eager`` forces materialization now (``local``/``reliable``
+    honor it natively; ``persist`` is always lazy — the first action
+    materializes, which every loop here performs via its convergence
+    read).
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get(STAGE_MODE_CONF, "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            ckdir = spark.conf.get(STAGE_DIR_CONF, None)
+            if not ckdir:
+                raise ValueError(
+                    f"{STAGE_MODE_CONF}=reliable requires a checkpoint "
+                    f"directory: call sc.setCheckpointDir(...) or set "
+                    f"{STAGE_DIR_CONF} to a cluster-visible path"
+                )
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    if mode == "persist":
+        return df.persist(StorageLevel.DISK_ONLY)
+    raise ValueError(
+        f"unknown {STAGE_MODE_CONF} {mode!r}; expected one of {_STAGE_MODES}"
+    )
 
 
 def salted_agg(
@@ -221,7 +286,7 @@ def assign_row_ids(
     w_local = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
     local = base.withColumn(
         "__local", F.row_number().over(w_local).cast("long")
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.withColumn(
@@ -416,7 +481,12 @@ def cdc_apply(
         )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*key_list).orderBy(
+    # quote key references (`` = literal backtick) so arbitrary column
+    # names — including ones containing backticks — parse correctly
+    def _qcol(name: str, prefix: str = ""):
+        return F.col(prefix + "`" + name.replace("`", "``") + "`")
+
+    w = Window.partitionBy(*[_qcol(k) for k in key_list]).orderBy(
         F.col(seq_col).desc(), F.col(op_col).desc()
     )
     latest = (
@@ -431,7 +501,7 @@ def cdc_apply(
     # NULL-keyed upsert (the scd2_lookup duplicate shape).  <=> is an
     # equi-join predicate to Spark, so the hash-join plan is unchanged.
     touched = latest.select(
-        *[F.col(k).alias(f"__cdc_k{i}") for i, k in enumerate(key_list)]
+        *[_qcol(k).alias(f"__cdc_k{i}") for i, k in enumerate(key_list)]
     )
     # Alias both sides and resolve the condition through the aliases:
     # `changes` may share lineage with `base` (a changelog derived from
@@ -443,12 +513,16 @@ def cdc_apply(
     cond = functools.reduce(
         operator.and_,
         [
-            F.col(f"__cdc_base.`{k}`").eqNullSafe(F.col(f"__cdc_touched.__cdc_k{i}"))
+            _qcol(k, prefix="__cdc_base.").eqNullSafe(
+                F.col(f"__cdc_touched.__cdc_k{i}")
+            )
             for i, k in enumerate(key_list)
         ],
     )
     kept = b.join(t, cond, "left_anti")
-    upserts = latest.where(F.col(op_col) != "D").select(*payload)
+    upserts = latest.where(F.col(op_col) != "D").select(
+        *[_qcol(c).alias(c) for c in payload]
+    )
     return kept.unionByName(upserts)
 
 
@@ -653,7 +727,7 @@ def compaction_plan(
     w_local = Window.partitionBy("__pid").orderBy(F.col("bytes").desc(), F.col("path"))
     local = base.withColumn(
         "__run", F.sum("bytes").over(w_local).cast("long")
-    ).localCheckpoint(eager=False)
+    ).transform(stage, eager=False)
     totals = local.groupBy("__pid").agg(F.sum("bytes").alias("__t"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = totals.withColumn(

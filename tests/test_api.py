@@ -363,3 +363,178 @@ def test_api_accepts_bearer(spark):
             assert e.code == 401
     finally:
         srv.stop()
+
+
+# -- REST-ES writer retry/backoff vs a flaky stub server (VERDICT r11
+# -- optional #6a: the reference's max_tries/backoff semantics,
+# -- code/recipes.py:794-829, previously had happy-path e2e only) ------
+
+
+class _FlakyEs:
+    """Threaded stub whose per-request behavior follows a script of
+    HTTP status codes (then 200s forever).  Thread-safe; records every
+    request body so idempotency/ordering can be asserted."""
+
+    def __init__(self, script=(), bulk_item_errors=False):
+        import threading
+        from http.server import BaseHTTPRequestHandler
+        from socketserver import ThreadingMixIn
+        from http.server import HTTPServer
+
+        self.script = list(script)
+        self.lock = threading.Lock()
+        self.requests = []
+        self.bulk_item_errors = bulk_item_errors
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n).decode()
+                with outer.lock:
+                    outer.requests.append((self.path, body))
+                    code = outer.script.pop(0) if outer.script else 200
+                if code != 200:
+                    self.send_response(code)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                if outer.bulk_item_errors:
+                    items = [
+                        {"index": {"_id": "x", "error": {"type": "mapper_parsing_exception"}}}
+                    ]
+                    out = json.dumps({"errors": True, "items": items}).encode()
+                else:
+                    out = json.dumps({"errors": False, "items": []}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+        class Srv(ThreadingMixIn, HTTPServer):
+            daemon_threads = True
+
+        self.httpd = Srv(("127.0.0.1", 0), Handler)
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_http_json_retry_backoff_property(monkeypatch):
+    """Property (hypothesis): for any script of transient statuses
+    (429/502/503/504) before the first 200, _http_json succeeds iff
+    the failure prefix fits in `retries`, performs exactly
+    min(prefix, retries) + 1 requests, and sleeps backoff * 2**attempt
+    between attempts (the reference's exponential schedule)."""
+    import time as _time_mod
+
+    import urllib.error
+    from hypothesis import given, settings, strategies as st
+
+    from backend_spark.sources import _http_json
+
+    transient = st.sampled_from([429, 502, 503, 504])
+
+    @settings(max_examples=25, deadline=None)
+    @given(prefix=st.lists(transient, max_size=5), retries=st.integers(0, 3))
+    def run(prefix, retries):
+        sleeps = []
+        monkeypatch.setattr(_time_mod, "sleep", lambda s: sleeps.append(s))
+        es = _FlakyEs(script=prefix)
+        try:
+            if len(prefix) <= retries:
+                resp = _http_json(f"{es.url}/i/_bulk", '{"a":1}\n', retries=retries)
+                assert resp == {"errors": False, "items": []}
+                assert len(es.requests) == len(prefix) + 1
+            else:
+                with pytest.raises(urllib.error.HTTPError):
+                    _http_json(f"{es.url}/i/_bulk", '{"a":1}\n', retries=retries)
+                assert len(es.requests) == retries + 1
+            # exponential schedule: one sleep per retried attempt
+            expected = [0.5 * (2 ** k) for k in range(min(len(prefix), retries))]
+            assert sleeps == expected
+        finally:
+            es.stop()
+
+    run()
+
+
+def test_http_json_non_retryable_fails_fast(monkeypatch):
+    """A 4xx other than 429 must raise immediately: exactly one
+    request, zero sleeps (the reference only backs off on
+    TransportError 429/5xx)."""
+    import time as _time_mod
+    import urllib.error
+
+    from backend_spark.sources import _http_json
+
+    sleeps = []
+    monkeypatch.setattr(_time_mod, "sleep", lambda s: sleeps.append(s))
+    es = _FlakyEs(script=[400])
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            _http_json(f"{es.url}/i/_bulk", "{}", retries=3)
+        assert len(es.requests) == 1 and sleeps == []
+    finally:
+        es.stop()
+
+
+def test_write_es_rest_survives_transient_503(spark):
+    """End-to-end: a bulk endpoint that 503s once then recovers must
+    not lose or duplicate documents — executor-side retry plus
+    deterministic row-hash _ids give idempotent delivery."""
+    from backend_spark.sources import write_es_rest
+
+    es = _FlakyEs(script=[503])
+    try:
+        df = spark.range(6).selectExpr("id", "concat('n', id) AS name").coalesce(1)
+        write_es_rest(df, es.url, "idx", id_col="id", batch=3)
+        bulks = [b for p, b in es.requests if p == "/idx/_bulk"]
+        # one batch was retried after the 503: 2 batches + 1 replay
+        assert len(bulks) == 3
+        ids = []
+        for b in bulks:
+            lines = [json.loads(ln) for ln in b.strip().split("\n")]
+            ids.append(tuple(a["index"]["_id"] for a in lines[::2]))
+        # the replayed batch carries the same _ids -> overwrite, not dup
+        assert ids[0] == ids[1] or ids[1] == ids[2] or ids[0] == ids[2]
+        distinct = {i for t in set(ids) for i in t}
+        assert distinct == {"0", "1", "2", "3", "4", "5"}
+    finally:
+        es.stop()
+
+
+def test_write_es_rest_exhausted_retries_fails(spark):
+    """More consecutive 503s than retries -> the task (and the write)
+    fails loudly instead of dropping the batch."""
+    from backend_spark.sources import write_es_rest
+
+    es = _FlakyEs(script=[503, 503])
+    try:
+        df = spark.range(2).selectExpr("id", "concat('n', id) AS name").coalesce(1)
+        with pytest.raises(Exception, match="503|HTTPError"):
+            write_es_rest(df, es.url, "idx", id_col="id", retries=1)
+    finally:
+        es.stop()
+
+
+def test_write_es_rest_item_error_fails_fast(spark):
+    """HTTP 200 with item-level errors must still raise (the
+    reference's raise_on_error contract) — bulk partial failure is not
+    silent success."""
+    from backend_spark.sources import write_es_rest
+
+    es = _FlakyEs(bulk_item_errors=True)
+    try:
+        df = spark.range(2).selectExpr("id", "concat('n', id) AS name").coalesce(1)
+        with pytest.raises(Exception, match="bulk rejected|mapper_parsing"):
+            write_es_rest(df, es.url, "idx", id_col="id")
+    finally:
+        es.stop()

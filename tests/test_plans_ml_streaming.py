@@ -2,6 +2,7 @@
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from backend_spark import ml, streaming
@@ -2458,7 +2459,16 @@ def test_cdc_apply_changes_derived_from_base(spark):
     assert set(out) == {1, 2}
     assert out[1].v == 10.0
     assert out[2].v == 21.0
-    # composite keys: only the matching (NULL, g) pair is replaced
+
+
+def test_cdc_apply_composite_null_key(spark):
+    """Composite keys with a NULL component: only the matching
+    (NULL, g) pair is replaced — the null-safe predicate applies
+    per key column, not to the tuple as a whole (ADVICE r11: this
+    block lives in its own test so a composite-key failure reports
+    under the right name)."""
+    from backend_spark.scale import cdc_apply
+
     base2 = spark.createDataFrame(
         [(None, "g1", 1.0), (None, "g2", 2.0)], "k long, g string, v double"
     )
@@ -2468,6 +2478,85 @@ def test_cdc_apply_changes_derived_from_base(spark):
     )
     out3 = {r.g: r.v for r in cdc_apply(base2, upd2, ["k", "g"]).collect()}
     assert out3 == {"g1": 11.0, "g2": 2.0}
+
+
+def test_cdc_apply_backtick_key_name(spark):
+    """A key column whose NAME contains a backtick must round-trip the
+    alias-qualified reference (escaped `` form) instead of breaking the
+    parse (ADVICE r11)."""
+    from backend_spark.scale import cdc_apply
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k`q", "name"])
+    upd = spark.createDataFrame(
+        [(2, "b2", "U", 5)], ["k`q", "name", "op", "seq"]
+    )
+    out = {r["k`q"]: r["name"] for r in cdc_apply(base, upd, "k`q").collect()}
+    assert out == {1: "a", 2: "b2"}
+
+
+def test_stage_modes_switch_mechanism(spark, tmp_path):
+    """scale.stage honors the session-conf switch: local (default) =
+    localCheckpoint, reliable = checkpoint() into the configured dir,
+    persist = DISK_ONLY with lineage kept; unknown mode and missing
+    checkpoint dir raise with actionable messages (VERDICT r11 #3)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from backend_spark.scale import STAGE_DIR_CONF, STAGE_MODE_CONF, stage
+
+    df = spark.range(50).toDF("x")
+    try:
+        # default (conf unset) = local: RDD reports checkpointed state
+        out = stage(df, eager=True)
+        assert out.rdd.isCheckpointed() or out.rdd.getCheckpointFile() is None
+        assert sorted(r.x for r in out.collect()) == list(range(50))
+
+        spark.conf.set(STAGE_MODE_CONF, "persist")
+        outp = stage(df)
+        assert outp.storageLevel == StorageLevel.DISK_ONLY
+        assert outp.count() == 50
+        outp.unpersist()
+
+        spark.conf.set(STAGE_MODE_CONF, "bogus")
+        with pytest.raises(ValueError, match="unknown"):
+            stage(df)
+
+        spark.conf.set(STAGE_MODE_CONF, "reliable")
+        if spark.sparkContext.getCheckpointDir() is None:
+            spark.conf.set(STAGE_DIR_CONF, str(tmp_path / "ck"))
+        outr = stage(df, eager=True)
+        assert outr.count() == 50
+        assert spark.sparkContext.getCheckpointDir() is not None
+    finally:
+        spark.conf.set(STAGE_MODE_CONF, "local")
+
+
+def test_stage_modes_agree_on_iterative_query(spark, tmp_path):
+    """The checkpoint-heaviest path (connected-components pointer
+    jumping, one lineage cut per round) returns identical labels under
+    all three stage modes — the switch changes fault-tolerance cost,
+    never results."""
+    from backend_spark.operators.graph import connected_components
+    from backend_spark.scale import STAGE_DIR_CONF, STAGE_MODE_CONF
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (11, 12), (3, 1)],
+        "src long, dst long",
+    )
+
+    def run():
+        out = connected_components(edges, src="src", dst="dst")
+        return sorted((r[0], r[1]) for r in out.collect())
+
+    try:
+        base = run()
+        spark.conf.set(STAGE_MODE_CONF, "persist")
+        assert run() == base
+        spark.conf.set(STAGE_MODE_CONF, "reliable")
+        if spark.sparkContext.getCheckpointDir() is None:
+            spark.conf.set(STAGE_DIR_CONF, str(tmp_path / "ck2"))
+        assert run() == base
+    finally:
+        spark.conf.set(STAGE_MODE_CONF, "local")
 
 
 def test_rollup_merge_equals_direct(spark):

@@ -16,6 +16,10 @@ this tool is nondeterministic under Spark's execution model and will
 eventually diverge from its oracle on some machine.
 
 Usage: python tools/determinism_check.py [name ...]   (exit 1 on diff)
+       python tools/determinism_check.py --cluster [name ...]
+         — fourth shape: re-run (default: the checkpoint-heavy set) on
+         a real 2-executor ``local-cluster[2,8,4096]`` under BOTH
+         ``stage.mode=local`` and ``=reliable`` and diff vs local[*].
 """
 
 from __future__ import annotations
@@ -40,6 +44,84 @@ SHAPES = (
      "spark.sql.files.maxPartitionBytes": "134217728",
      "spark.sql.execution.arrow.maxRecordsPerBatch": "64"},
 )
+
+
+# --cluster mode (VERDICT r11 optional #6b): the three shapes above
+# vary parallelism inside ONE executor JVM; this fourth shape runs on a
+# real 2-executor local-cluster topology — separate worker JVMs, real
+# serialization between executors, localCheckpoint blocks spread across
+# two block managers — and additionally re-runs under
+# stage.mode=reliable, the honest signal that scale.stage()'s reliable
+# checkpoint path works on a multi-executor cluster, not just local[*].
+CLUSTER_DEFAULT = (
+    "dup_report er_pipeline shuffle_order row_ids pagerank auc "
+    "dedup_near clique det_sample".split()
+)
+
+
+def main_cluster(only=None) -> int:
+    import os
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    from backend_spark.scale import STAGE_DIR_CONF, STAGE_MODE_CONF
+
+    names = sorted(only) if only else list(CLUSTER_DEFAULT)
+    qs = entry_mod.queries()
+    names = [n for n in names if n in qs]
+
+    spark = get_session("determinism-cluster-base")
+    for k, v in SHAPES[0].items():
+        spark.conf.set(k, v)
+    base = {}
+    for n in names:
+        base[n] = _canon(qs[n](spark, SF_DIR).toPandas())[0]
+        print(f". {n:20s} baseline local[*] ({len(base[n])} rows)")
+    spark.stop()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark2 = (
+        SparkSession.builder.master("local-cluster[2,8,4096]")
+        .appName("determinism-cluster")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", root)
+        .getOrCreate()
+    )
+    spark2.sparkContext.setLogLevel("WARN")
+    bad, errs = [], []
+    try:
+        for mode in ("local", "reliable"):
+            spark2.conf.set(STAGE_MODE_CONF, mode)
+            if mode == "reliable":
+                spark2.conf.set(
+                    STAGE_DIR_CONF, tempfile.mkdtemp(prefix="sg_detck_")
+                )
+            for n in names:
+                t0 = time.time()
+                try:
+                    got = _canon(qs[n](spark2, SF_DIR).toPandas())[0]
+                except Exception as e:
+                    errs.append(f"{n}[{mode}]")
+                    print(f"!  {n:20s} [{mode}] ERROR {type(e).__name__}: {str(e)[:160]}")
+                    continue
+                if got != base[n]:
+                    bad.append(f"{n}[{mode}]")
+                    print(f"✗ {n:20s} [{mode}] DIVERGES from local[*] "
+                          f"({len(got)} vs {len(base[n])} rows)")
+                else:
+                    print(f"✓ {n:20s} [{mode}] 2-executor cluster matches "
+                          f"({len(got)} rows, {time.time()-t0:.1f}s)")
+    finally:
+        spark2.stop()
+    print(f"\ncluster shape: {len(bad)} divergent, {len(errs)} errored "
+          f"of {2 * len(names)} runs")
+    return 1 if (bad or errs) else 0
 
 
 def main(only=None) -> int:
@@ -85,4 +167,7 @@ def main(only=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(set(sys.argv[1:]) or None))
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--cluster":
+        sys.exit(main_cluster(set(argv[1:]) or None))
+    sys.exit(main(set(argv) or None))
