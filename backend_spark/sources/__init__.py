@@ -260,12 +260,21 @@ def _coerce_schema(schema):
 # -- HTTP via the elasticsearch-py client, code/recipes.py:632-687) ----
 
 
+def _retry_sleep(seconds: float) -> None:
+    """Backoff sleep behind a module-level seam: tests record the
+    exponential schedule by patching THIS name — patching the global
+    ``time.sleep`` also captures sleeps from unrelated background
+    threads (py4j gateway keepalives etc.) and flakes under load."""
+    import time
+
+    time.sleep(seconds)
+
+
 def _http_json(url: str, payload=None, method: str = "POST", retries: int = 3, backoff: float = 0.5):
     """Minimal urllib JSON call with the reference's retry+backoff
     (429/5xx retried, everything else raised).  Executor-safe: stdlib
     only, no session state."""
     import json as _json
-    import time as _time
     import urllib.error
     import urllib.request
 
@@ -287,7 +296,7 @@ def _http_json(url: str, payload=None, method: str = "POST", retries: int = 3, b
             if e.code not in (429, 502, 503, 504) or attempt == retries:
                 raise
             last = e
-            _time.sleep(backoff * (2 ** attempt))
+            _retry_sleep(backoff * (2 ** attempt))
     raise last
 
 

@@ -433,11 +433,10 @@ def test_http_json_retry_backoff_property(monkeypatch):
     the failure prefix fits in `retries`, performs exactly
     min(prefix, retries) + 1 requests, and sleeps backoff * 2**attempt
     between attempts (the reference's exponential schedule)."""
-    import time as _time_mod
-
     import urllib.error
     from hypothesis import given, settings, strategies as st
 
+    import backend_spark.sources as srcmod
     from backend_spark.sources import _http_json
 
     transient = st.sampled_from([429, 502, 503, 504])
@@ -446,7 +445,9 @@ def test_http_json_retry_backoff_property(monkeypatch):
     @given(prefix=st.lists(transient, max_size=5), retries=st.integers(0, 3))
     def run(prefix, retries):
         sleeps = []
-        monkeypatch.setattr(_time_mod, "sleep", lambda s: sleeps.append(s))
+        # patch the module seam, NOT time.sleep: spark/py4j background
+        # threads also call time.sleep and would pollute the recording
+        monkeypatch.setattr(srcmod, "_retry_sleep", lambda s: sleeps.append(s))
         es = _FlakyEs(script=prefix)
         try:
             if len(prefix) <= retries:
@@ -470,13 +471,13 @@ def test_http_json_non_retryable_fails_fast(monkeypatch):
     """A 4xx other than 429 must raise immediately: exactly one
     request, zero sleeps (the reference only backs off on
     TransportError 429/5xx)."""
-    import time as _time_mod
     import urllib.error
 
+    import backend_spark.sources as srcmod
     from backend_spark.sources import _http_json
 
     sleeps = []
-    monkeypatch.setattr(_time_mod, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.setattr(srcmod, "_retry_sleep", lambda s: sleeps.append(s))
     es = _FlakyEs(script=[400])
     try:
         with pytest.raises(urllib.error.HTTPError):
