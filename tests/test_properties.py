@@ -2289,3 +2289,438 @@ def test_shuffle_order_matches_python_md5_rank(_spark, ids):
 
     exp = {i: pos for pos, i in enumerate(sorted(ids, key=lambda i: (h(i), str(i))), 1)}
     assert got == exp, (ids, got, exp)
+
+# ---------------------------------------------------------------------------
+# corpus-prep replays: pack_sequences / temperature_sample / oversample /
+# source_mix / unigram_logprob / nb_train+nb_score — each operator's
+# deterministic contract re-derived in pure python (hashlib + IEEE floats),
+# the same cross-engine-reproducibility argument as the det_sample replay.
+# ---------------------------------------------------------------------------
+
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_normalize(s: str) -> str:
+    import re
+    import unicodedata
+
+    folded = "".join(
+        ch for ch in unicodedata.normalize("NFKD", s) if not unicodedata.combining(ch)
+    )
+    return re.sub(r"[^a-z0-9]+", " ", folded.lower()).strip()
+
+
+def _py_tokens(s: str) -> list:
+    n = _py_normalize(s)
+    return n.split() if n else []
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Replay F.round on doubles: java BigDecimal.valueOf(d) parses the
+    shortest decimal repr (== python repr) then setScale(HALF_UP)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9999),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.sampled_from([1, 7, 64]),
+    shards=st.sampled_from([1, 3, 8]),
+)
+def test_pack_sequences_matches_python_replay(_spark, rows, budget, shards):
+    """Shard assignment (md5 gate), per-shard id-ordered cumulative
+    offsets and shard-prefixed bin ids all replay in pure python — the
+    packed layout is engine- and parallelism-independent."""
+    from backend_spark.llm import pack_sequences
+
+    df = _spark.createDataFrame(rows, "id long, n long")
+    got = {
+        r.id: (r.n_tokens, r.shard, r.start_offset, r.bin_id)
+        for r in pack_sequences(df, "id", "n", budget=budget, shards=shards).collect()
+    }
+    exp = {}
+    by_shard = {}
+    for i, n in rows:
+        by_shard.setdefault(_md5_60(f"pack:{i}") % shards, []).append((i, n))
+    for shard, docs in by_shard.items():
+        off = 0
+        for i, n in sorted(docs):
+            exp[i] = (n, shard, off, shard * 2**33 + off // budget)
+            off += n
+    assert got == exp, (rows, budget, shards)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    groups=st.lists(
+        st.sampled_from(["web", "code", "wiki"]), min_size=1, max_size=40
+    ),
+    alpha=st.sampled_from([1.0, 2.0]),
+)
+def test_temperature_sample_matches_python_replay(_spark, groups, alpha):
+    """With alpha in {1, 2} every float step (pow with an integral
+    exponent, double division, HALF_UP rounding, md5 gate) is
+    bit-replayable in python: the kept id set and per-row sample_rate
+    must match exactly.  alpha=1 additionally must be a no-op."""
+    from backend_spark.llm import temperature_sample
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = _spark.createDataFrame(rows, "id long, grp string")
+    got = {
+        r.id: r.sample_rate
+        for r in temperature_sample(df, "grp", "id", alpha=alpha).collect()
+    }
+
+    counts = {}
+    for _, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    tot = len(rows)
+    r_by_g = {g: (n / tot) ** (alpha - 1.0) for g, n in counts.items()}
+    rmax = max(r_by_g.values())
+    rate = {g: _round_half_up(r / rmax, 6) for g, r in r_by_g.items()}
+    exp = {}
+    for i, g in rows:
+        thr = int(_round_half_up(rate[g] * 1_000_000, 0))
+        if _md5_60(f"ts:{i}") % 1_000_000 < thr:
+            exp[i] = rate[g]
+    assert got == exp, (groups, alpha, got, exp)
+    if alpha == 1.0:
+        assert set(got) == {i for i, _ in rows}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    groups=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=25),
+    factor_b=st.sampled_from([0.0, 0.5, 1.25, 2.0, 3.5]),
+)
+def test_oversample_matches_python_replay(_spark, groups, factor_b):
+    """Copy multiplicity replays exactly: floor(factor) whole copies
+    plus one md5-gated fractional copy; groups outside the factor map
+    pass through once; factor 0 drops the group."""
+    import math
+
+    from backend_spark.llm import oversample
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = _spark.createDataFrame(rows, "id long, grp string")
+    out = oversample(df, "id", "grp", {"b": factor_b}).collect()
+    got = sorted((r.id, r.copy) for r in out)
+
+    exp = []
+    for i, g in rows:
+        f = factor_b if g == "b" else 1.0
+        whole = math.floor(f)
+        frac = f - whole
+        for c in range(1, int(whole) + 1):
+            exp.append((i, c))
+        if frac > 0:
+            c = int(whole) + 1
+            gate = _md5_60(f"over:{i}:{c}") % 1_000_000
+            if gate < math.floor(frac * 1_000_000):
+                exp.append((i, c))
+    assert got == sorted(exp), (groups, factor_b)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["cc", "books"]),
+            st.sampled_from(["en", "fr"]),
+            st.text(alphabet="ab Eé.,", max_size=12),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_source_mix_matches_python(_spark, docs):
+    """The mixture report's integer sums are exact and the doc_share
+    HALF_UP rounding replays via the shortest-repr decimal rule."""
+    from backend_spark.llm import source_mix
+
+    rows = [(s, l, t) for s, l, t in docs]
+    df = _spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens, r.n_chars, r.doc_share)
+        for r in source_mix(df).collect()
+    }
+    agg = {}
+    for s, l, t in rows:
+        d, tk, ch = agg.get((s, l), (0, 0, 0))
+        agg[(s, l)] = (d + 1, tk + len(_py_tokens(t)), ch + len(t))
+    exp = {
+        k: (d, tk, ch, _round_half_up(d / len(rows), 6))
+        for k, (d, tk, ch) in agg.items()
+    }
+    assert got == exp, (docs, got, exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abc ", max_size=16), min_size=1, max_size=15),
+)
+def test_unigram_logprob_matches_python(_spark, texts):
+    """Per-doc mean unigram log-prob under the corpus's own unigram
+    distribution replays in python (fixed position-order fold, then
+    round-to-4) — docs with no tokens are absent."""
+    import math
+
+    from backend_spark.llm import unigram_logprob
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.n_tokens, r.avg_logprob) for r in unigram_logprob(df, "id", "text").collect()}
+
+    tf = {}
+    toks_by_id = {}
+    for i, t in rows:
+        toks = _py_tokens(t)
+        toks_by_id[i] = toks
+        for w in toks:
+            tf[w] = tf.get(w, 0) + 1
+    total = sum(tf.values())
+    exp_ids = {i for i, toks in toks_by_id.items() if toks}
+    assert set(got) == exp_ids, texts
+    for i in exp_ids:
+        toks = toks_by_id[i]
+        mean = sum(math.log(tf[w] / total) for w in toks) / len(toks)
+        assert got[i][0] == len(toks)
+        assert got[i][1] == pytest.approx(round(mean, 4), abs=2e-4), (texts, i)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["spam", "ham"]),
+            st.lists(st.sampled_from(["aa", "ab", "ba", "cc"]), min_size=1, max_size=6),
+        ),
+        min_size=2,
+        max_size=12,
+    ).filter(lambda d: len({l for l, _ in d}) == 2),
+)
+def test_nb_train_and_score_match_python(_spark, docs):
+    """Multinomial NB with add-one smoothing replays in python: the
+    dense (label, token) model carries ln((c+1)/(N_label+V)) and the
+    document prior; scoring is prior + sum of in-vocab log_conds with
+    the argmax/margin tie-break on label order."""
+    import math
+
+    from backend_spark.llm import nb_score, nb_train
+
+    rows = [(label, " ".join(toks)) for label, toks in docs]
+    df = _spark.createDataFrame(rows, "label string, text string")
+    model = nb_train(df, "label", "text")
+    got_model = {(r.label, r.token): (r.log_cond, r.log_prior) for r in model.collect()}
+
+    # python replay of the dense model
+    c = {}
+    n_label = {}
+    d_label = {}
+    vocab = set()
+    for label, text in rows:
+        d_label[label] = d_label.get(label, 0) + 1
+        for w in _py_tokens(text):
+            c[(label, w)] = c.get((label, w), 0) + 1
+            n_label[label] = n_label.get(label, 0) + 1
+            vocab.add(w)
+    v = len(vocab)
+    d_tot = len(rows)
+    labels = sorted(d_label)
+    exp_keys = {(l, w) for l in labels for w in vocab}
+    assert set(got_model) == exp_keys
+    for (l, w), (log_cond, log_prior) in got_model.items():
+        assert log_cond == pytest.approx(
+            math.log((c.get((l, w), 0) + 1) / (n_label.get(l, 0) + v)), rel=1e-12
+        )
+        assert log_prior == pytest.approx(math.log(d_label[l] / d_tot), rel=1e-12)
+
+    # scoring replay on the training docs themselves
+    sdf = _spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)], "id long, text string"
+    )
+    got_scores = {r.id: (r.label, r.score, r.margin) for r in nb_score(sdf, model, "id", "text").collect()}
+    for i, (_, text) in enumerate(rows):
+        toks = [w for w in _py_tokens(text) if w in vocab]
+        if not toks:
+            assert i not in got_scores
+            continue
+        per = []
+        for l in labels:
+            s = math.log(d_label[l] / d_tot) + sum(
+                math.log((c.get((l, w), 0) + 1) / (n_label.get(l, 0) + v)) for w in toks
+            )
+            per.append((-s, l))
+        per.sort()
+        best_s, best_l = -per[0][0], per[0][1]
+        margin = best_s - (-per[1][0]) if len(per) > 1 else None
+        gl, gs, gm = got_scores[i]
+        assert gl == best_l, (docs, i)
+        assert gs == pytest.approx(round(best_s, 4), abs=2e-4)
+        if margin is None:
+            assert gm is None
+        else:
+            assert gm == pytest.approx(round(margin, 4), abs=2e-4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    cand=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
+        max_size=30,
+    ),
+    gold=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
+        max_size=15,
+    ),
+)
+def test_blocking_eval_matches_python(_spark, cand, gold):
+    """Pair completeness / reduction ratio replay: orientation-normalize
+    both sides, dedup, count the intersection; ratios HALF_UP-round."""
+    from backend_spark.operators.er import blocking_eval
+
+    total_pairs = 13 * 12 // 2
+    cdf = _spark.createDataFrame(cand or [(0, 1)], "left_id long, right_id long")
+    gdf = _spark.createDataFrame(gold or [(0, 1)], "left_id long, right_id long")
+    if not cand:
+        cdf = cdf.limit(0)
+    if not gold:
+        gdf = gdf.limit(0)
+    row = blocking_eval(cdf, gdf, total_pairs).collect()[0]
+
+    cset = {(min(a, b), max(a, b)) for a, b in cand}
+    gset = {(min(a, b), max(a, b)) for a, b in gold}
+    found = len(gset & cset)
+    assert (row.n_candidates, row.n_gold, row.n_found) == (len(cset), len(gset), found)
+    if gset:
+        assert row.pair_completeness == _round_half_up(found / len(gset), 6)
+    else:
+        assert row.pair_completeness is None
+    assert row.reduction_ratio == _round_half_up(1.0 - len(cset) / float(total_pairs), 6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from([0, 1, None]),  # feature f1 agreement
+            st.sampled_from([0, 1]),        # feature f2 agreement
+            st.sampled_from([0, 1]),        # label
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_fs_weights_matches_python(_spark, pairs):
+    """Fellegi-Sunter m/u probabilities and log2 weights replay from
+    the agreement/label cross-counts with Laplace smoothing; NULL
+    agreement counts as disagreement."""
+    import math
+
+    from backend_spark.operators.er import fs_weights
+
+    df = _spark.createDataFrame(pairs, "f1 int, f2 int, label int")
+    got = {r.feature: (r.m_prob, r.u_prob, r.w_agree, r.w_disagree)
+           for r in fs_weights(df, ["f1", "f2"], "label").collect()}
+
+    nm = sum(1 for *_, l in pairs if l)
+    nu = len(pairs) - nm
+    s = 0.5
+    for fi, name in ((0, "f1"), (1, "f2")):
+        am = sum(1 for t in pairs if (t[fi] or 0) != 0 and t[2])
+        au = sum(1 for t in pairs if (t[fi] or 0) != 0 and not t[2])
+        m = (am + s) / (nm + 2 * s)
+        u = (au + s) / (nu + 2 * s)
+        gm, gu, gwa, gwd = got[name]
+        assert gm == pytest.approx(round(m, 6), abs=2e-6)
+        assert gu == pytest.approx(round(u, 6), abs=2e-6)
+        assert gwa == pytest.approx(round(math.log2(m / u), 6), abs=2e-6)
+        assert gwd == pytest.approx(round(math.log2((1 - m) / (1 - u)), 6), abs=2e-6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(st.text(alphabet="ab", max_size=4), st.integers(0, 50)),
+        min_size=2,
+        max_size=10,
+    ),
+    links=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=12),
+)
+def test_pair_features_exact_absdiff_match_python(_spark, recs, links):
+    """exact (null-safe equality) and abs_diff feature columns replay
+    per pair; pairs referencing absent ids drop out of the inner join."""
+    from backend_spark.operators.er import pair_features
+
+    rows = [(i, nm, ag) for i, (nm, ag) in enumerate(recs)]
+    rdf = _spark.createDataFrame(rows, "id long, name string, age long")
+    pdf = _spark.createDataFrame(links or [(0, 1)], "left_id long, right_id long")
+    if not links:
+        pdf = pdf.limit(0)
+    out = pair_features(
+        rdf, pdf, "id", {"name": "exact", "age": "abs_diff"}
+    ).collect()
+    got = sorted((r.left_id, r.right_id, r.f_name_exact, r.f_age_abs_diff) for r in out)
+
+    by_id = {i: (nm, ag) for i, nm, ag in rows}
+    exp = sorted(
+        (
+            l,
+            r,
+            int(by_id[l][0] == by_id[r][0]),
+            _round_half_up(abs(float(by_id[l][1]) - float(by_id[r][1])), 6),
+        )
+        for l, r in links
+        if l in by_id and r in by_id
+    )
+    assert got == exp, (recs, links)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abc ", max_size=20), min_size=1, max_size=12),
+)
+def test_bigram_logprob_matches_python(_spark, texts):
+    """Mean bigram conditional log-prob replays: numerator = corpus
+    bigram count, denominator = the head token's occurrences AS a
+    bigram head; docs with < 2 tokens are absent."""
+    import math
+
+    from backend_spark.llm import bigram_logprob
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.n_bigrams, r.avg_bigram_lp) for r in bigram_logprob(df, "id", "text").collect()}
+
+    bigrams_by_id = {}
+    bc = {}
+    hc = {}
+    for i, t in rows:
+        toks = _py_tokens(t)
+        bgs = list(zip(toks, toks[1:]))
+        bigrams_by_id[i] = bgs
+        for b in bgs:
+            bc[b] = bc.get(b, 0) + 1
+            hc[b[0]] = hc.get(b[0], 0) + 1
+    exp_ids = {i for i, bgs in bigrams_by_id.items() if bgs}
+    assert set(got) == exp_ids, texts
+    for i in exp_ids:
+        bgs = bigrams_by_id[i]
+        mean = sum(math.log(bc[b] / hc[b[0]]) for b in bgs) / len(bgs)
+        assert got[i][0] == len(bgs)
+        assert got[i][1] == pytest.approx(round(mean, 4), abs=2e-4), (texts, i)
