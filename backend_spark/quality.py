@@ -82,11 +82,17 @@ def dq_check(df: DataFrame, rules: list[dict]) -> DataFrame:
             # counts as one value, like Deequ's uniqueness)
             measures.append(
                 (F.count(F.lit(1)) - F.count_distinct(F.col(r["col"]))
-                 - F.max(F.col(r["col"]).isNull().cast("long"))).alias(f"__m{i}")
+                 - F.coalesce(F.max(F.col(r["col"]).isNull().cast("long")), F.lit(0))
+                 ).alias(f"__m{i}")
             )
         else:
+            # coalesce: SUM over zero counted rows is NULL, and in_set's
+            # predicate is NULL on NULL values — an all-NULL column (or an
+            # empty table) must report 0 violations / passed=TRUE, not NULL
             measures.append(
-                F.sum(_violation_pred(df, r).cast("long")).alias(f"__m{i}")
+                F.coalesce(
+                    F.sum(_violation_pred(df, r).cast("long")), F.lit(0)
+                ).alias(f"__m{i}")
             )
     one = df.agg(*measures)
 

@@ -2724,3 +2724,198 @@ def test_bigram_logprob_matches_python(_spark, texts):
         mean = sum(math.log(bc[b] / hc[b[0]]) for b in bgs) / len(bgs)
         assert got[i][0] == len(bgs)
         assert got[i][1] == pytest.approx(round(mean, 4), abs=2e-4), (texts, i)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abe .!?XY", max_size=25), min_size=1, max_size=12
+    ),
+)
+def test_readability_matches_python_flesch(_spark, texts):
+    """The Flesch heuristic's three regex counts and the score formula
+    replay in python re; word-free texts score NULL."""
+    import re
+
+    from backend_spark.llm import readability
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n_words, r.n_sentences, r.n_syllables, r.flesch)
+        for r in readability(df, "id", "text").collect()
+    }
+    for i, t in rows:
+        w = len(re.findall(r"[A-Za-z]+", t))
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        y = max(len(re.findall(r"[aeiouyAEIOUY]+", t)), 1)
+        gw, gs, gy, gf = got[i]
+        assert (gw, gs, gy) == (w, s, y), (t,)
+        if w == 0:
+            assert gf is None
+        else:
+            score = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+            assert gf == pytest.approx(round(score, 4), abs=2e-4), (t,)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.lists(st.sampled_from(["hdr", "foot", "x", "y", ""]), max_size=5),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    min_share=st.sampled_from([0.5, 0.75, 1.0]),
+)
+def test_boilerplate_lines_matches_python(_spark, docs, min_share):
+    """Per-group boilerplate = line document-frequency within the group
+    crossing both the absolute and the share threshold; within-doc
+    duplicates count once, empty lines drop."""
+    from backend_spark.llm import boilerplate_lines
+
+    rows = [(i, g, lines) for i, (g, lines) in enumerate(docs)]
+    df = _spark.createDataFrame(rows, "id long, grp string, lines array<string>")
+    got = {
+        (r.grp, r.line): (r.doc_freq, r.group_docs, r.share)
+        for r in boilerplate_lines(df, "id", "grp", "lines", min_share=min_share).collect()
+    }
+    gd = {}
+    freq = {}
+    for i, g, lines in rows:
+        gd[g] = gd.get(g, 0) + 1
+        for ln in {l for l in lines if l}:
+            freq[(g, ln)] = freq.get((g, ln), 0) + 1
+    exp = {
+        k: (c, gd[k[0]], _round_half_up(c / gd[k[0]], 6))
+        for k, c in freq.items()
+        if c >= 2 and c >= gd[k[0]] * min_share
+    }
+    assert got == exp, (docs, min_share)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abc ", max_size=16), min_size=1, max_size=10),
+    vocab=st.lists(st.sampled_from(["a", "b", "c", "aa", "ab", "abc"]), max_size=5),
+)
+def test_oov_rate_matches_python(_spark, texts, vocab):
+    """OOV share per doc replays from the token/vocab membership; the
+    zero-token doc keeps n_tokens=0 with a NULL rate."""
+    from backend_spark.llm import oov_rate
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    vdf = _spark.createDataFrame([(w,) for w in vocab] or [("zz",)], "token string")
+    if not vocab:
+        vdf = vdf.limit(0)
+    got = {r.id: (r.n_tokens, r.n_oov, r.oov_rate) for r in oov_rate(df, vdf, "id", "text").collect()}
+    vset = set(vocab)
+    for i, t in rows:
+        toks = _py_tokens(t)
+        oov = sum(1 for w in toks if w not in vset)
+        gn, go, gr = got[i]
+        assert (gn, go) == (len(toks), oov), (t, vocab)
+        if toks:
+            assert gr == _round_half_up(oov / len(toks), 6)
+        else:
+            assert gr is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=2, max_size=6),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n_buckets=st.sampled_from([2, 3]),
+)
+def test_perplexity_buckets_matches_python_ntile(_spark, docs, n_buckets):
+    """The per-language band assignment replays as python ntile over
+    (score desc, id asc) — exact equal-split banding, no interpolation."""
+    import math
+
+    from backend_spark.llm import perplexity_buckets
+
+    rows = [(i, l, " ".join(toks)) for i, (l, toks) in enumerate(docs)]
+    df = _spark.createDataFrame(rows, "id long, lang string, text string")
+    got = {r.id: (r.lang, r.bucket, r.band) for r in perplexity_buckets(df, "id", "text", "lang", n_buckets=n_buckets).collect()}
+
+    # replay the bigram score (same as test_bigram_logprob) then ntile
+    bc, hc = {}, {}
+    bgs_by_id = {}
+    for i, _, t in rows:
+        toks = _py_tokens(t)
+        bgs = list(zip(toks, toks[1:]))
+        bgs_by_id[i] = bgs
+        for b in bgs:
+            bc[b] = bc.get(b, 0) + 1
+            hc[b[0]] = hc.get(b[0], 0) + 1
+    scores = {
+        i: round(sum(math.log(bc[b] / hc[b[0]]) for b in bgs) / len(bgs), 4)
+        for i, bgs in bgs_by_id.items()
+        if bgs
+    }
+    by_lang = {}
+    for i, l, _ in rows:
+        if i in scores:
+            by_lang.setdefault(l, []).append(i)
+    for l, ids in by_lang.items():
+        ids.sort(key=lambda i: (-scores[i], i))
+        n = len(ids)
+        base, rem = divmod(n, n_buckets)
+        pos = 0
+        for b in range(1, n_buckets + 1):
+            size = base + (1 if b <= rem else 0)
+            for i in ids[pos : pos + size]:
+                glang, gbucket, gband = got[i]
+                assert (glang, gbucket) == (l, b), (docs, i)
+                if n_buckets == 3:
+                    assert gband == {1: "head", 2: "middle", 3: "tail"}[b]
+                else:
+                    assert gband == str(b)
+            pos += size
+    assert set(got) == set(scores), docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=30)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_dq_check_matches_python_counts(_spark, vals):
+    """not_null / min / max / in_set / unique violation counts replay:
+    min/max count NULL as violating, in_set skips NULLs (documented
+    asymmetry), unique counts EXCESS duplicate rows with NULL as one
+    value (Deequ-style)."""
+    from backend_spark.quality import dq_check
+
+    df = _spark.createDataFrame([(v,) for v in vals], "x int")
+    rules = [
+        {"col": "x", "check": "not_null"},
+        {"col": "x", "check": "min", "value": 0},
+        {"col": "x", "check": "max", "value": 10},
+        {"col": "x", "check": "in_set", "values": [0, 1, 2, 3]},
+        {"col": "x", "check": "unique"},
+    ]
+    got = {r.rule_id: (r.violations, r.n_rows, r.passed) for r in dq_check(df, rules).collect()}
+    n = len(vals)
+    nn = sum(1 for v in vals if v is None)
+    below = sum(1 for v in vals if v is None or v < 0)
+    above = sum(1 for v in vals if v is None or v > 10)
+    outside = sum(1 for v in vals if v is not None and v not in (0, 1, 2, 3))
+    distinct_nonnull = len({v for v in vals if v is not None})
+    has_null = 1 if nn else 0
+    uniq_viol = n - distinct_nonnull - has_null
+    exp = {0: nn, 1: below, 2: above, 3: outside, 4: uniq_viol}
+    for rid, v in exp.items():
+        assert got[rid] == (v, n, v == 0), (vals, rid, got)
