@@ -2919,3 +2919,163 @@ def test_dq_check_matches_python_counts(_spark, vals):
     exp = {0: nn, 1: below, 2: above, 3: outside, 4: uniq_viol}
     for rid, v in exp.items():
         assert got[rid] == (v, n, v == 0), (vals, rid, got)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abc ", max_size=20), min_size=1, max_size=10),
+    discount=st.sampled_from([0.25, 0.75]),
+)
+def test_kn_bigram_logprob_matches_python(_spark, texts, discount):
+    """Interpolated Kneser-Ney bigram scores replay: fixed discount,
+    continuation distribution over distinct-predecessor counts."""
+    import math
+
+    from backend_spark.llm import kn_bigram_logprob
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.n_bigrams, r.avg_kn_lp) for r in kn_bigram_logprob(df, "id", "text", discount=discount).collect()}
+
+    cb, ch, n1fw, n1bw = {}, {}, {}, {}
+    bgs_by_id = {}
+    for i, t in rows:
+        toks = _py_tokens(t)
+        bgs = list(zip(toks, toks[1:]))
+        bgs_by_id[i] = bgs
+        for b in bgs:
+            if b not in cb:
+                n1fw[b[0]] = n1fw.get(b[0], 0) + 1
+                n1bw[b[1]] = n1bw.get(b[1], 0) + 1
+            cb[b] = cb.get(b, 0) + 1
+            ch[b[0]] = ch.get(b[0], 0) + 1
+    n_types = float(len(cb))
+    exp_ids = {i for i, bgs in bgs_by_id.items() if bgs}
+    assert set(got) == exp_ids, texts
+    for i in exp_ids:
+        bgs = bgs_by_id[i]
+        s = 0.0
+        for w1, w2 in bgs:
+            p = (
+                max(cb[(w1, w2)] - discount, 0.0)
+                + discount * n1fw[w1] * (n1bw[w2] / n_types)
+            ) / ch[w1]
+            s += math.log(p)
+        assert got[i][0] == len(bgs)
+        assert got[i][1] == pytest.approx(round(s / len(bgs), 6), abs=2e-6), (texts, i)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    raw=st.lists(st.text(alphabet="ab ", max_size=14), min_size=1, max_size=8),
+    target=st.lists(st.text(alphabet="ab ", max_size=14), min_size=1, max_size=8),
+    buckets=st.sampled_from([4, 64]),
+)
+def test_dsir_weights_matches_python(_spark, raw, target, buckets):
+    """DSIR importance log-weights replay: hashed unigram+bigram bag,
+    add-one-smoothed bucket distributions for both corpora, per-doc
+    count-weighted log-ratio fold."""
+    import math
+
+    from backend_spark.llm import dsir_weights
+
+    rdf = _spark.createDataFrame([(i, t) for i, t in enumerate(raw)], "id long, text string")
+    tdf = _spark.createDataFrame([(t,) for t in target], "text string")
+    got = {r.id: (r.n_feats, r.logweight) for r in dsir_weights(rdf, tdf, "id", "text", buckets=buckets).collect()}
+
+    def feats(t):
+        toks = _py_tokens(t)
+        grams = toks + [" ".join(p) for p in zip(toks, toks[1:])]
+        return [_md5_60(g) % buckets for g in grams]
+
+    def dist(texts):
+        c = {}
+        for t in texts:
+            for b in feats(t):
+                c[b] = c.get(b, 0) + 1
+        total = sum(c.values())
+        denom = float(total) + 1.0 * buckets
+        return lambda b: math.log((c.get(b, 0) + 1.0) / denom)
+
+    lt, lr = dist(target), dist(raw)
+    for i, t in enumerate(raw):
+        fs = feats(t)
+        if not fs:
+            assert i not in got
+            continue
+        w = sum(lt(b) - lr(b) for b in fs)
+        assert got[i][0] == len(fs)
+        assert got[i][1] == pytest.approx(round(w, 6), abs=2e-6), (raw, target, i)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=9999), min_size=1, max_size=25, unique=True),
+    n_shards=st.sampled_from([1, 4]),
+)
+def test_training_shards_manifest_matches_python(_spark, ids, n_shards, tmp_path_factory):
+    """The shard export replays end-to-end: round-robin shard = md5
+    shuffle rank mod n_shards, manifest counts and xor checksums match
+    a python fold, and the written parquet carries exactly the corpus."""
+    import hashlib
+    from functools import reduce
+
+    from backend_spark.llm import write_training_shards
+
+    path = str(tmp_path_factory.mktemp("shards"))
+    df = _spark.createDataFrame([(i,) for i in ids], "id long")
+    manifest = {
+        r.shard: (r.n_rows, r.id_checksum)
+        for r in write_training_shards(df, path, "id", n_shards=n_shards).collect()
+    }
+
+    def h(i):
+        return int(hashlib.md5(f"shuf:{i}".encode()).hexdigest()[:15], 16)
+
+    by_shard = {}
+    for pos, i in enumerate(sorted(ids, key=lambda i: (h(i), str(i))), 1):
+        by_shard.setdefault(pos % n_shards, []).append(i)
+    # the manifest checksum xors the UNSALTED id hash (md5_long(str(id)))
+    # — only the shuffle rank uses the salt
+    exp = {
+        s: (len(members), reduce(lambda a, i: a ^ _md5_60(str(i)), members, 0))
+        for s, members in by_shard.items()
+    }
+    assert manifest == exp, (ids, n_shards)
+    back = sorted(r.id for r in _spark.read.parquet(path).collect())
+    assert back == sorted(ids)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 999), st.sampled_from(["en", "fr", "de"])),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.sampled_from([1, 3]),
+)
+def test_stratified_topn_matches_python(_spark, rows, n):
+    """Exact-count stratified sampling replays: per stratum, the n
+    smallest (md5(salt:id), id) ranks are kept — uniform within the
+    stratum and engine-independent."""
+    import hashlib
+
+    from backend_spark.llm import stratified_topn
+
+    df = _spark.createDataFrame(rows, "id long, lang string")
+    got = sorted((r.id, r.lang) for r in stratified_topn(df, "id", "lang", n).collect())
+
+    def h(i):
+        return int(hashlib.md5(f"strat:{i}".encode()).hexdigest()[:15], 16)
+
+    by_s = {}
+    for i, s in rows:
+        by_s.setdefault(s, []).append(i)
+    exp = sorted(
+        (i, s)
+        for s, members in by_s.items()
+        for i in sorted(members, key=lambda i: (h(i), i))[:n]
+    )
+    assert got == exp, (rows, n)
