@@ -3079,3 +3079,258 @@ def test_stratified_topn_matches_python(_spark, rows, n):
         for i in sorted(members, key=lambda i: (h(i), i))[:n]
     )
     assert got == exp, (rows, n)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    bench=st.lists(st.text(alphabet="ab ", max_size=16), min_size=1, max_size=6),
+    corpus=st.lists(st.text(alphabet="ab ", max_size=16), min_size=1, max_size=8),
+)
+def test_bloom_bits_and_decontaminate_match_python(_spark, bench, corpus):
+    """The Bloom bitset packs replayable md5 positions into 32-bit
+    words, and the probe's hit fraction — INCLUDING false positives —
+    replays bit-for-bit; benchmark grams can never miss (no false
+    negatives)."""
+    from backend_spark.llm import bloom_bits, bloom_decontaminate
+
+    N, M, K = 2, 64, 2
+    bdf = _spark.createDataFrame([(t,) for t in bench], "text string")
+    got_bits = {r.word: r.mask for r in bloom_bits(bdf, "text", n=N, m_bits=M, k=K).collect()}
+
+    def grams_of(t):
+        toks = _py_tokens(t)
+        return {" ".join(toks[i : i + N]) for i in range(len(toks) - N + 1)}
+
+    bench_grams = set().union(*(grams_of(t) for t in bench)) if bench else set()
+    words = {}
+    positions = set()
+    for g in bench_grams:
+        for i in range(K):
+            p = _md5_60(f"{g}#{i}") % M
+            positions.add(p)
+            words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+    assert got_bits == words, (bench,)
+
+    cdf = _spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "id long, text string")
+    got = {
+        r.id: (r.n_grams, r.hit_frac, r.flagged)
+        for r in bloom_decontaminate(cdf, bdf, "id", "text", n=N, m_bits=M, k=K).collect()
+    }
+    for i, t in enumerate(corpus):
+        gs = grams_of(t)
+        if not gs:
+            assert i not in got
+            continue
+        hits = sum(
+            1
+            for g in gs
+            if all((_md5_60(f"{g}#{j}") % M) in positions for j in range(K))
+        )
+        frac = hits / len(gs)
+        assert got[i] == (len(gs), _round_half_up(frac, 6), frac >= 0.5), (bench, t)
+        # no false negatives: a gram also in the benchmark always hits
+        if gs & bench_grams:
+            assert got[i][1] >= _round_half_up(len(gs & bench_grams) / len(gs), 6) or got[i][1] > 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 999),                  # id
+            st.sampled_from(["s1", "s2"]),        # group
+            st.integers(0, 20),                   # size
+            st.integers(0, 5),                    # priority
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.sampled_from([0, 10, 40]),
+)
+def test_budget_select_matches_python_greedy(_spark, rows, budget):
+    """Per-group greedy budget replay: (priority desc, id asc) order,
+    keep while the running size INCLUDING the row stays <= budget.
+    cum_size accumulates over ALL preceding rows (kept or not), so a
+    row that crosses the budget is dropped and the gate never re-opens
+    for a group once the running total exceeds budget."""
+    from backend_spark.llm import budget_select
+
+    df = _spark.createDataFrame(rows, "id long, grp string, sz long, prio long")
+    got = sorted((r.id, r.cum_size) for r in budget_select(df, "grp", "sz", budget, "prio", "id").collect())
+
+    exp = []
+    by_g = {}
+    for i, g, s, p in rows:
+        by_g.setdefault(g, []).append((i, s, p))
+    for g, members in by_g.items():
+        cum = 0
+        for i, s, p in sorted(members, key=lambda t: (-t[2], t[0])):
+            cum += s
+            if cum <= budget:
+                exp.append((i, cum))
+    assert got == sorted(exp), (rows, budget)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="ab .!?", max_size=25), min_size=1, max_size=10),
+)
+def test_sentence_split_matches_python(_spark, texts):
+    """Sentence segmentation replays with re.split on the identical
+    pattern (non-capturing — java's split drops captured groups);
+    sent_id is the pre-filter split position."""
+    import re
+
+    from backend_spark.llm import sentence_split
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        (r.id, r.sent_id, r.sentence, r.n_words)
+        for r in sentence_split(df, "id", "text").collect()
+    )
+    exp = []
+    for i, t in rows:
+        parts = re.split(r"[.!?]+(?:\s+|$)", t)
+        for j, p in enumerate(parts):
+            s = p.strip()
+            if s:
+                exp.append((i, j, s, len(re.split(r"\s+", s))))
+    assert got == sorted(exp), texts
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=8), min_size=1, max_size=8
+    ),
+    n=st.sampled_from([2, 3]),
+)
+def test_trim_duplicate_spans_matches_python(_spark, docs, n):
+    """ExactSubstr-style span removal replays: tokens covered by any
+    word n-gram present in >= min_docs distinct documents are deleted,
+    the doc is rebuilt from survivors in order."""
+    from backend_spark.llm import trim_duplicate_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in trim_duplicate_spans(df, "id", "text", n=n, min_docs=2).collect()
+    }
+    gram_docs = {}
+    for i, toks in enumerate(docs):
+        for j in range(len(toks) - n + 1):
+            gram_docs.setdefault(tuple(toks[j : j + n]), set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in got
+            continue
+        covered = set()
+        for j in range(len(toks) - n + 1):
+            if tuple(toks[j : j + n]) in dup:
+                covered.update(range(j, j + n))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        assert got[i] == (len(toks), len(covered), " ".join(kept)), (docs, n, i)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abC é!", max_size=15), min_size=1, max_size=10),
+)
+def test_char_entropy_matches_python(_spark, texts):
+    """H = ln(n) − Σ c·ln c / n over the normalized char histogram
+    replays; the empty normalized string splits to one '' char."""
+    import math
+
+    from backend_spark.llm import char_entropy
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.n_chars_norm, r.entropy) for r in char_entropy(df, "id", "text").collect()}
+    for i, t in rows:
+        norm = _py_normalize(t)
+        chars = list(norm) if norm else [""]
+        c = {}
+        for ch in chars:
+            c[ch] = c.get(ch, 0) + 1
+        nn = len(chars)
+        s = sum(v * math.log(v) for v in c.values())
+        ent = math.log(nn) - s / nn
+        gn, ge = got[i]
+        assert gn == nn, (t,)
+        assert ge == pytest.approx(round(ent, 4), abs=2e-4), (t,)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abc ", max_size=16), min_size=1, max_size=10),
+    k=st.sampled_from([1, 2]),
+)
+def test_tfidf_topk_matches_python(_spark, texts, k):
+    """Per-doc top-k TF-IDF terms replay: score = round(tf·ln(N/df), 4)
+    with (score desc, term asc) ranking."""
+    import math
+
+    from backend_spark.llm import tfidf_topk_terms
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        (r.id, r.term, r.score, r.rank)
+        for r in tfidf_topk_terms(df, "id", "text", k=k).collect()
+    )
+    tf = {}
+    for i, t in rows:
+        for w in _py_tokens(t):
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    dfreq = {}
+    for (i, w), _c in tf.items():
+        dfreq[w] = dfreq.get(w, 0) + 1
+    n_docs = len({i for i, _ in rows})
+    exp = []
+    by_doc = {}
+    for (i, w), c in tf.items():
+        by_doc.setdefault(i, []).append((w, _round_half_up(c * math.log(n_docs / dfreq[w]), 4)))
+    for i, terms in by_doc.items():
+        terms.sort(key=lambda t: (-t[1], t[0]))
+        for r, (w, s) in enumerate(terms[:k], 1):
+            exp.append((i, w, s, r))
+    assert got == sorted(exp), (texts, k)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.text(alphabet="abA é.", max_size=8)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_key_collision_matches_python(_spark, vals):
+    """OpenRefine-style fingerprint clustering replays: key = sorted
+    distinct normalized tokens, canonical = most frequent original
+    variant with lexicographic tie-break; empty keys and NULLs drop."""
+    from backend_spark.operators.er import key_collision
+
+    df = _spark.createDataFrame([(v,) for v in vals], "name string")
+    got = {
+        r.key: (r.n_rows, r.n_variants, r.canonical)
+        for r in key_collision(df, "name", min_variants=1).collect()
+    }
+    counts = {}
+    for v in vals:
+        if v is None:
+            continue
+        key = " ".join(sorted(set(_py_tokens(v))))
+        if not key:
+            continue
+        counts.setdefault(key, {})
+        counts[key][v] = counts[key].get(v, 0) + 1
+    exp = {}
+    for key, variants in counts.items():
+        canon = sorted(variants.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        exp[key] = (sum(variants.values()), len(variants), canon)
+    assert got == exp, (vals,)
