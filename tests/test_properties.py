@@ -3334,3 +3334,66 @@ def test_key_collision_matches_python(_spark, vals):
         canon = sorted(variants.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         exp[key] = (sum(variants.values()), len(variants), canon)
     assert got == exp, (vals,)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=7), min_size=1, max_size=8
+    ),
+    n=st.sampled_from([2, 3]),
+)
+def test_dup_ngram_fraction_matches_python(_spark, docs, n):
+    """Per-doc duplicate n-gram fraction replays: distinct word n-grams
+    per doc, a gram is 'dup' when >= 2 docs contain it; short docs are
+    absent."""
+    from backend_spark.llm import dup_ngram_fraction
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.n_grams, r.dup_frac) for r in dup_ngram_fraction(df, "id", "text", n=n).collect()}
+
+    gsets = {
+        i: {tuple(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        for i, toks in enumerate(docs)
+    }
+    owners = {}
+    for i, gs in gsets.items():
+        for g in gs:
+            owners[g] = owners.get(g, 0) + 1
+    for i, gs in gsets.items():
+        if not gs:
+            assert i not in got
+            continue
+        dup = sum(1 for g in gs if owners[g] > 1)
+        assert got[i] == (len(gs), _round_half_up(dup / len(gs), 6)), (docs, n, i)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["en", "fr"]), st.integers(-20, 20)),
+        min_size=1,
+        max_size=25,
+    ),
+    q=st.sampled_from([0.25, 0.5, 0.9]),
+)
+def test_percentile_filter_matches_python(_spark, rows, q):
+    """The per-group exact-percentile floor replays with numpy's linear
+    interpolation (the same definition as Spark's percentile())."""
+    import numpy as np
+
+    from backend_spark.llm import percentile_filter
+
+    data = [(i, g, float(v)) for i, (g, v) in enumerate(rows)]
+    df = _spark.createDataFrame(data, "id long, grp string, score double")
+    got = sorted(r.id for r in percentile_filter(df, "score", "grp", q=q).collect())
+
+    by_g = {}
+    for i, g, v in data:
+        by_g.setdefault(g, []).append((i, v))
+    exp = []
+    for g, members in by_g.items():
+        thr = float(np.percentile([v for _, v in members], q * 100, method="linear"))
+        exp.extend(i for i, v in members if v >= thr)
+    assert got == sorted(exp), (rows, q)
