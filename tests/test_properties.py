@@ -3397,3 +3397,147 @@ def test_percentile_filter_matches_python(_spark, rows, q):
         thr = float(np.percentile([v for _, v in members], q * 100, method="linear"))
         exp.extend(i for i, v in members if v >= thr)
     assert got == sorted(exp), (rows, q)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["the", "of", "el", "la", "der", "und", "le", "les", "zzz", "qqq"]),
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_language_id_matches_python_vote(_spark, texts):
+    """Stopword-vote language id replays: per-language hit counts,
+    argmax with first-language tie-break, zero hits -> 'und'."""
+    from backend_spark.llm import STOPWORDS, language_id
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.lang for r in df.select("id", language_id(F.col("text")).alias("lang")).collect()}
+    langs = ("en", "es", "de", "fr")
+    for i, toks in enumerate(texts):
+        votes = {l: sum(1 for t in toks if t in STOPWORDS[l]) for l in langs}
+        best = max(votes.values()) if votes else 0
+        exp = "und" if best <= 0 else next(l for l in langs if votes[l] == best)
+        assert got[i] == exp, (toks, votes)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="ab1 .,!", max_size=20), min_size=1, max_size=15),
+)
+def test_token_count_bpe_matches_python(_spark, texts):
+    """The BPE-ish pre-tokenizer count replays with the identical regex
+    in python re (ASCII input keeps java/python \\w in agreement)."""
+    import re
+
+    from backend_spark.llm import token_count_bpe
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.n for r in df.select("id", token_count_bpe(F.col("text")).alias("n")).collect()}
+    for i, t in rows:
+        assert got[i] == len(re.findall(r"\w+|[^\w\s]", t)), (t,)
+
+
+_PII_FRAGS = [
+    "bob@x.com", "a.b@mail.org", "10.0.0.1", "1.2.3.4", "123-45-6789",
+    "555-123.4567", "555.123.4567", "plain", "word", "a@b", "1.2.3",
+]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    frags=st.lists(st.sampled_from(_PII_FRAGS), min_size=0, max_size=8),
+)
+def test_pii_scan_matches_python(_spark, frags):
+    """PII counts and the in-order redaction chain replay with python
+    re on the same RE2-safe patterns."""
+    import re
+
+    from backend_spark.llm import PII_PATTERNS, pii_scan
+
+    text = " ".join(frags)
+    df = _spark.createDataFrame([(0, text)], "id long, text string")
+    row = pii_scan(df, "id", "text").collect()[0]
+    total = 0
+    for name, pat, _ in PII_PATTERNS:
+        c = len(re.findall(pat, text))
+        assert row[f"n_{name}"] == c, (text, name)
+        total += c
+    assert row.pii_total == total
+    red = text
+    for _, pat, tok in PII_PATTERNS:
+        red = re.sub(pat, tok, red)
+    assert row.text_redacted == red, (text,)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=6), min_size=1, max_size=8
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=5), min_size=1, max_size=4
+    ),
+)
+def test_decontaminate_matches_python(_spark, corpus, bench):
+    """Benchmark decontamination replays: per-doc count of DISTINCT
+    word n-grams shared with the benchmark set; gram-free docs report
+    0/False (never absent)."""
+    from backend_spark.llm import decontaminate
+
+    N = 2
+    cdf = _spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus)], "id long, text string"
+    )
+    bdf = _spark.createDataFrame([(" ".join(t),) for t in bench], "text string")
+    got = {
+        r.id: (r.n_contaminated_ngrams, r.contaminated)
+        for r in decontaminate(cdf, "id", "text", bdf, n=N).collect()
+    }
+
+    def grams(toks):
+        return {tuple(toks[j : j + N]) for j in range(len(toks) - N + 1)}
+
+    bench_grams = set().union(*(grams(t) for t in bench)) if bench else set()
+    assert set(got) == set(range(len(corpus)))
+    for i, toks in enumerate(corpus):
+        n_hit = len(grams(toks) & bench_grams)
+        assert got[i] == (n_hit, n_hit > 0), (corpus, bench, i)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="ab the of,.", max_size=25), min_size=1, max_size=10),
+)
+def test_text_stats_matches_python(_spark, texts):
+    """token count / mean token length / stopword ratio / punctuation
+    ratio replay — note text_stats tokenizes the RAW text (whitespace
+    split, no normalize), and punct counts [^\\w\\s] over raw chars."""
+    import re
+
+    from backend_spark.llm import text_stats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n_tokens, r.mean_token_len, r.stopword_ratio, r.punct_ratio)
+        for r in df.select("id", *text_stats(df, "text")).collect()
+    }
+    stop_en = {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"}
+    for i, t in rows:
+        trimmed = t.strip()
+        toks = re.split(r"\s+", trimmed) if trimmed else []
+        n = len(toks)
+        safe = max(float(n), 1.0)
+        mean_len = _round_half_up(sum(len(w) for w in toks) / safe, 6)
+        stop = _round_half_up(sum(1 for w in toks if w in stop_en) / safe, 6)
+        punct = _round_half_up(
+            len(re.findall(r"[^\w\s]", t)) / max(float(len(t)), 1.0), 6
+        )
+        assert got[i] == (n, mean_len, stop, punct), (t, got[i])
