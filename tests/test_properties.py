@@ -3541,3 +3541,148 @@ def test_text_stats_matches_python(_spark, texts):
             len(re.findall(r"[^\w\s]", t)) / max(float(len(t)), 1.0), 6
         )
         assert got[i] == (n, mean_len, stop, punct), (t, got[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=8), min_size=1, max_size=10
+    ),
+)
+def test_repetition_stats_matches_python(_spark, docs):
+    """Gopher repetition fractions replay: duplicate-word/-bigram
+    fractions from distinct counts, modal-bigram share from the per-doc
+    gram histogram; empty docs score all-zero."""
+    from backend_spark.llm import repetition_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n_words, r.dup_word_frac, r.dup_ngram_frac, r.top_ngram_frac)
+        for r in repetition_stats(df, "id", "text").collect()
+    }
+    for i, toks in enumerate(docs):
+        grams = [tuple(toks[j : j + 2]) for j in range(len(toks) - 1)]
+
+        def dup_frac(xs):
+            return 0.0 if not xs else _round_half_up(1.0 - len(set(xs)) / len(xs), 6)
+
+        if grams:
+            c = {}
+            for g in grams:
+                c[g] = c.get(g, 0) + 1
+            top = _round_half_up(max(c.values()) / len(grams), 6)
+        else:
+            top = 0.0
+        assert got[i] == (len(toks), dup_frac(toks), dup_frac(grams), top), (docs, i)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                [
+                    "Good line with many words here.",
+                    "short.",
+                    "no terminal punct at all",
+                    "uses javascript inside a long line.",
+                    'quoted line with enough words here"',
+                    "lorem ipsum marker in this line.",
+                    "curly { brace line with words here.",
+                ]
+            ),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_c4_line_filter_matches_python(_spark, docs):
+    """C4 line rules replay: terminal punctuation, >= min_words words,
+    no line-drop terms; doc gate on drop terms anywhere in the raw
+    text or < min_kept_lines survivors."""
+    import re
+
+    from backend_spark.llm import c4_line_filter
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n_lines, r.n_kept, r.keep_doc, r.text_clean)
+        for r in c4_line_filter(df, "id", "text").collect()
+    }
+    for i, _lines in enumerate(docs):
+        text = "\n".join(_lines)
+        lines = text.split("\n")
+
+        def ok(ln):
+            t = ln.strip()
+            return (
+                bool(re.search(r'[.!?"]$', t))
+                and len(re.split(r"\s+", t)) >= 5
+                and "javascript" not in ln.lower()
+            )
+
+        kept = [ln for ln in lines if ok(ln)]
+        keep_doc = (
+            len(kept) >= 3
+            and "lorem ipsum" not in text.lower()
+            and "{" not in text.lower()
+        )
+        assert got[i] == (len(lines), len(kept), keep_doc, "\n".join(kept)), (docs, i)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="ab c!", max_size=16), min_size=1, max_size=12),
+    max_rate=st.sampled_from([0.0, 0.5]),
+)
+def test_blocklist_hit_rate_matches_python(_spark, texts, max_rate):
+    """Blocklist token-hit fraction replays over the normalized token
+    stream; empty docs score 0 and keep."""
+    from backend_spark.llm import blocklist_hit_rate
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n_tokens, r.n_hits, r.hit_rate, r.keep)
+        for r in blocklist_hit_rate(df, "id", "text", ["c", "ab"], max_rate=max_rate).collect()
+    }
+    for i, t in rows:
+        toks = _py_tokens(t)
+        hits = sum(1 for w in toks if w in ("c", "ab"))
+        rate = _round_half_up(hits / len(toks), 6) if toks else 0.0
+        assert got[i] == (len(toks), hits, rate, rate <= max_rate), (t, max_rate)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=6), min_size=1, max_size=8
+    ),
+)
+def test_ngram_novelty_matches_python(_spark, docs):
+    """First-occurrence novelty replays: a doc's distinct n-gram is
+    novel iff the minimum doc id containing it is this doc."""
+    from backend_spark.llm import ngram_novelty
+
+    N = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.n_grams, r.novel_frac) for r in ngram_novelty(df, "id", "text", n=N).collect()}
+
+    gsets = {
+        i: {tuple(toks[j : j + N]) for j in range(len(toks) - N + 1)}
+        for i, toks in enumerate(docs)
+    }
+    first = {}
+    for i in sorted(gsets):
+        for g in gsets[i]:
+            first.setdefault(g, i)
+    for i, gs in gsets.items():
+        if not gs:
+            assert i not in got
+            continue
+        nov = sum(1 for g in gs if first[g] == i)
+        assert got[i] == (len(gs), _round_half_up(nov / len(gs), 6)), (docs, i)
