@@ -3686,3 +3686,126 @@ def test_ngram_novelty_matches_python(_spark, docs):
             continue
         nov = sum(1 for g in gs if first[g] == i)
         assert got[i] == (len(gs), _round_half_up(nov / len(gs), 6)), (docs, i)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=10), min_size=1, max_size=10
+    ),
+    min_count=st.sampled_from([2, 3]),
+)
+def test_freq_phrases_matches_python_closed_mining(_spark, docs, min_count):
+    """Closed frequent-phrase mining replays: level counts with the
+    min_count cutoff, then prune any phrase whose one-word prefix- or
+    suffix-extension (itself above the cutoff) occurs >= as often."""
+    from backend_spark.llm import freq_phrases
+
+    N_MIN, N_MAX = 2, 3
+    df = _spark.createDataFrame([(" ".join(t),) for t in docs], "text string")
+    got = sorted(
+        (r.phrase, r.n, r.cnt)
+        for r in freq_phrases(df, "text", n_min=N_MIN, n_max=N_MAX, min_count=min_count).collect()
+    )
+
+    counts = {}
+    for n in range(N_MIN, N_MAX + 2):
+        for toks in docs:
+            for j in range(len(toks) - n + 1):
+                p = " ".join(toks[j : j + n])
+                counts.setdefault(n, {})
+                counts[n][p] = counts[n].get(p, 0) + 1
+    passed = {n: {p: c for p, c in lvl.items() if c >= min_count} for n, lvl in counts.items()}
+    kill = {}
+    for n in range(N_MIN + 1, N_MAX + 2):
+        for p, c in passed.get(n, {}).items():
+            ws = p.split(" ")
+            for sub in (" ".join(ws[: n - 1]), " ".join(ws[1:])):
+                kill[sub] = max(kill.get(sub, 0), c)
+    exp = sorted(
+        (p, n, c)
+        for n in range(N_MIN, N_MAX + 1)
+        for p, c in passed.get(n, {}).items()
+        if kill.get(p, 0) < c
+    )
+    assert got == exp, (docs, min_count, got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="ab the of#. ", max_size=30), min_size=1, max_size=8),
+)
+def test_quality_filter_matches_python(_spark, texts):
+    """The composite C4/Gopher gate replays rule-by-rule: word bounds,
+    mean word length, symbol-to-word ratio, stopword evidence, dup-
+    bigram cap, and keep = AND of all (thresholds loosened so both
+    branches exercise)."""
+    import re
+
+    from backend_spark.llm import quality_filter
+
+    kw = dict(
+        min_words=2, max_words=20, min_mean_word_len=1.0, max_mean_word_len=3.0,
+        max_symbol_word_ratio=0.5, min_stopword_hits=1, max_dup_ngram_frac=0.5,
+    )
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n_words, r.mean_word_len, r.symbol_word_ratio, r.stop_hits, r.dup_ngram_frac, r.keep)
+        for r in quality_filter(df, "id", "text", **kw).collect()
+    }
+    stop_en = {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"}
+    for i, t in rows:
+        toks = _py_tokens(t)
+        n = len(toks)
+        safe = max(float(n), 1.0)
+        mean_len = _round_half_up(sum(map(len, toks)) / safe, 6)
+        sym = _round_half_up(len(re.findall(r"[#%@$^*+=~|<>]", t)) / safe, 6)
+        hits = sum(1 for w in toks if w in stop_en)
+        grams = [tuple(toks[j : j + 2]) for j in range(n - 1)]
+        dup = 0.0 if not grams else _round_half_up(1.0 - len(set(grams)) / len(grams), 6)
+        keep = (
+            kw["min_words"] <= n <= kw["max_words"]
+            and kw["min_mean_word_len"] <= mean_len <= kw["max_mean_word_len"]
+            and sym <= kw["max_symbol_word_ratio"]
+            and hits >= kw["min_stopword_hits"]
+            and dup <= kw["max_dup_ngram_frac"]
+        )
+        assert got[i] == (n, mean_len, sym, hits, dup, keep), (t, got[i])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.lists(
+                st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+                min_size=3,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_group_centroid_matches_python_quantized(_spark, rows):
+    """The hash-exact centroid replays: per-component quantize to
+    round(x*qscale) BIGINT, integer sums, then the fixed double chain
+    (sum/qscale)/n rounded to 6."""
+    from backend_spark.llm import group_centroid
+
+    data = [(g, [float(x) for x in v]) for g, v in rows]
+    df = _spark.createDataFrame(data, "grp string, vec array<double>")
+    got = {r.grp: (r.n_vecs, list(r.centroid)) for r in group_centroid(df, "grp", "vec").collect()}
+
+    by_g = {}
+    for g, v in data:
+        by_g.setdefault(g, []).append(v)
+    for g, vecs in by_g.items():
+        comps = []
+        for d in range(3):
+            s = sum(int(_round_half_up(v[d] * 1e6, 0)) for v in vecs)
+            comps.append(_round_half_up((s / 1e6) / len(vecs), 6))
+        assert got[g][0] == len(vecs)
+        assert got[g][1] == pytest.approx(comps, abs=2e-6), (rows, g)
