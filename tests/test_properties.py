@@ -3809,3 +3809,107 @@ def test_group_centroid_matches_python_quantized(_spark, rows):
             comps.append(_round_half_up((s / 1e6) / len(vecs), 6))
         assert got[g][0] == len(vecs)
         assert got[g][1] == pytest.approx(comps, abs=2e-6), (rows, g)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abc", min_size=1, max_size=12), min_size=2, max_size=10, unique=True),
+    threshold=st.sampled_from([0.3, 0.8]),
+)
+def test_minhash_lsh_pairs_full_bit_replay(_spark, texts, threshold):
+    """The entire LSH pair pipeline replays bit-for-bit in python:
+    md5 shingle hashes, XOR-min permutations with md5('perm#i')
+    constants, band keys, candidate generation, exact-Jaccard verify.
+    LSH recall randomness is fully deterministic here — even missed
+    pairs must be missed identically."""
+    from backend_spark.llm import minhash_lsh_pairs
+
+    NUM_PERM, BANDS, SH_N = 8, 4, 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        (r.id1, r.id2, r.jaccard)
+        for r in minhash_lsh_pairs(
+            df, "id", "text", num_perm=NUM_PERM, bands=BANDS,
+            shingle_n=SH_N, jaccard_threshold=threshold,
+        ).collect()
+    )
+
+    def shingles(t):
+        s = _py_normalize(t)
+        if len(s) <= SH_N:
+            return [s] if s or True else []
+        seen, out = set(), []
+        for j in range(len(s) - SH_N + 1):
+            g = s[j : j + SH_N]
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    perm = [_md5_60(f"perm#{i}") for i in range(NUM_PERM)]
+    hs = {i: [_md5_60(g) for g in shingles(t)] for i, t in rows}
+    sig = {i: [min(h ^ p for h in hlist) for p in perm] for i, hlist in hs.items() if hlist}
+    rpb = NUM_PERM // BANDS
+    buckets = {}
+    for i, s in sig.items():
+        for b in range(BANDS):
+            key = (b, "-".join(str(x) for x in s[b * rpb : (b + 1) * rpb]))
+            buckets.setdefault(key, []).append(i)
+    cands = set()
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    cands.add((a, b))
+    exp = []
+    for a, b in sorted(cands):
+        s1, s2 = set(hs[a]), set(hs[b])
+        inter = len(s1 & s2)
+        jac = _round_half_up(inter / (len(s1) + len(s2) - inter), 6)
+        if jac >= threshold:
+            exp.append((a, b, jac))
+    assert got == sorted(exp), (texts, threshold, got, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-5, 5), min_size=4, max_size=4),
+        min_size=3,
+        max_size=12,
+        unique_by=lambda v: tuple(v),
+    ),
+    k=st.sampled_from([1, 3]),
+)
+def test_ann_topk_bruteforce_matches_numpy(_spark, vecs, k):
+    """Exact cosine top-k replays against numpy: per query, neighbors
+    ranked by (cosine desc, id asc); zero vectors produce NULL cosine
+    and sort last (Spark desc places NULL last)."""
+    import numpy as np
+
+    from backend_spark.llm import ann_topk_bruteforce
+
+    data = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = _spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    qdf = df.limit(2)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in ann_topk_bruteforce(df, qdf, k=k).collect()
+    )
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return None
+        return _round_half_up(float(np.dot(a, b) / (na * nb)), 6)
+
+    arr = {i: np.array(v, dtype=float) for i, v in data}
+    exp = []
+    for q in sorted(arr)[:2]:
+        scored = [(cos(arr[q], arr[n]), n) for n in arr if n != q]
+        # cosine desc with NULL last, neighbor id asc
+        scored.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]))
+        for c, n in scored[:k]:
+            exp.append((q, n, c))
+    assert got == sorted(exp), (vecs, k, got, exp)
