@@ -3913,3 +3913,80 @@ def test_ann_topk_bruteforce_matches_numpy(_spark, vecs, k):
         for c, n in scored[:k]:
             exp.append((q, n, c))
     assert got == sorted(exp), (vecs, k, got, exp)
+
+
+# -- eval tier-1 compiler fuzz: random expression trees rendered to
+# -- source, compiled to Columns, and cross-checked against python eval
+# -- row-by-row (the reference's semantics ARE python eval).
+
+_EXPR_LEAVES_NUM = ["a", "b", "0", "1", "2", "5", "len(s)"]
+_EXPR_LEAVES_BOOL = ["a < b", "a == b", "b >= 2", "s == 'ab'", "'a' in s"]
+
+
+def _num_expr(depth):
+    if depth <= 0:
+        return st.sampled_from(_EXPR_LEAVES_NUM)
+    sub = _num_expr(depth - 1)
+    return st.one_of(
+        st.sampled_from(_EXPR_LEAVES_NUM),
+        st.tuples(sub, st.sampled_from(["+", "-", "*", "/"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        st.tuples(_bool_expr(depth - 1), sub, sub).map(
+            lambda t: f"({t[1]} if {t[0]} else {t[2]})"
+        ),
+        sub.map(lambda e: f"(-{e})"),
+    )
+
+
+def _bool_expr(depth):
+    if depth <= 0:
+        return st.sampled_from(_EXPR_LEAVES_BOOL)
+    sub = _bool_expr(depth - 1)
+    n = _num_expr(depth - 1)
+    return st.one_of(
+        st.sampled_from(_EXPR_LEAVES_BOOL),
+        st.tuples(sub, st.sampled_from(["and", "or"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        sub.map(lambda e: f"(not {e})"),
+        st.tuples(n, st.sampled_from(["<", "<=", ">", ">=", "==", "!="]), n).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(expr=st.one_of(_num_expr(3), _bool_expr(3)))
+def test_eval_tier1_compiler_matches_python_eval(_spark, expr):
+    """Fuzz the tier-1 AST->Column compiler: any expression in the
+    grammar (arithmetic incl. try_divide'd /, ternaries, boolean logic,
+    comparisons, len, string equality/membership) must produce exactly
+    python eval's value per row — with ZeroDivisionError mapping to
+    NULL (the reference's safeeval per-row error contract)."""
+    from backend_spark.expr.compiler import compile_expr
+
+    rows = [
+        (0, 0, ""), (1, 2, "ab"), (2, 1, "ba"), (3, 3, "abc"), (5, 0, "a"), (6, 4, "ab"),
+    ]
+    df = _spark.createDataFrame(rows, "a long, b long, s string")
+    got = [r.v for r in df.select(compile_expr(expr, df).alias("v")).collect()]
+
+    exp = []
+    for a, b, s in rows:
+        try:
+            v = eval(expr, {"__builtins__": {"len": len}}, {"a": a, "b": b, "s": s})
+        except ZeroDivisionError:
+            v = None
+        exp.append(v)
+
+    assert len(got) == len(exp)
+    for g, e, row in zip(got, exp, rows):
+        if e is None:
+            assert g is None, (expr, row, g)
+        elif isinstance(e, bool):
+            assert bool(g) == e, (expr, row, g)
+        elif isinstance(e, float) or isinstance(g, float):
+            assert g == pytest.approx(e, rel=1e-12, abs=1e-12), (expr, row, g)
+        else:
+            assert g == e, (expr, row, g)
