@@ -517,29 +517,34 @@ def simhash64(tokens: Column, bits: int = 60) -> Column:
     Column-only: aggregate over tokens accumulating a vote vector, then
     pack sign bits.  No UDF, no shuffle.
     """
+    # bit masks are python-int literals: F.shiftleft/shiftright require a
+    # literal shift count (a lambda-bound Column there fails to construct
+    # under pyspark 4), and literal masks also skip the per-element shift
+    # work.  The token hash binds once per token via transform, so the
+    # `bits` mask tests reference a computed value, not the md5 chain.
+    hashes = F.transform(tokens, lambda t: md5_long(t))
     votes = F.aggregate(
-        tokens,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(
-                    F.shiftright(
-                        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), i
-                    ).bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(-1).cast("long")),
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for i in range(bits)
+                ]
             ),
             lambda a, b: a + b,
         ),
     )
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
     return F.aggregate(
         F.zip_with(
             votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),

@@ -3990,3 +3990,52 @@ def test_eval_tier1_compiler_matches_python_eval(_spark, expr):
             assert g == pytest.approx(e, rel=1e-12, abs=1e-12), (expr, row, g)
         else:
             assert g == e, (expr, row, g)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abcd ", max_size=20), min_size=1, max_size=8),
+    window=st.sampled_from([2, 4]),
+)
+def test_doc_fingerprint_matches_python_winnowing(_spark, texts, window):
+    """Winnowing replays: char k-gram md5 hashes, rolling window min,
+    sorted distinct mins — including the short-text whole-string gram
+    and the shorter-than-window rolling edge."""
+    from backend_spark.llm import doc_fingerprint
+
+    K = 5
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = _spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: list(r.fp) for r in doc_fingerprint(df, "id", "text", k=K, window=window).collect()}
+    for i, t in rows:
+        s = _py_normalize(t)
+        grams = [s] if len(s) <= K else [s[j : j + K] for j in range(len(s) - K + 1)]
+        hs = [_md5_60(g) for g in grams]
+        n_win = max(len(hs) - (window - 1), 1)
+        mins = [min(hs[j : j + window]) for j in range(n_win)]
+        assert got[i] == sorted(set(mins)), (t, window)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    toks=st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=8),
+)
+def test_simhash64_matches_python_bit_replay(_spark, toks):
+    """The simhash pack replays bit-for-bit: per-bit +-1 votes from the
+    60-bit md5 hash of each token, sign-packed into a bigint."""
+    from backend_spark import functions as fn
+
+    df = _spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(fn.simhash64(F.col("toks")).alias("h")).collect()[0].h
+
+    bits = 60
+    votes = [0] * bits
+    for t in toks:
+        h = _md5_60(t)
+        for i in range(bits):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    exp = 0
+    for i in range(bits):
+        if votes[i] > 0:
+            exp |= 1 << i
+    assert got == exp, (toks, got, exp)
