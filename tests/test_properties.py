@@ -4039,3 +4039,121 @@ def test_simhash64_matches_python_bit_replay(_spark, toks):
         if votes[i] > 0:
             exp |= 1 << i
     assert got == exp, (toks, got, exp)
+
+
+_STREAM_SEQ = [0]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                                   # key
+            st.one_of(st.none(), st.integers(-10, 10)),          # value
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    n_files=st.sampled_from([2, 3]),
+)
+def test_locf_stream_multibatch_equals_batch(_spark, rows, n_files, tmp_path_factory):
+    """State carried across micro-batches: LOCF over an in-order stream
+    split at arbitrary batch boundaries equals batch fill_forward —
+    the second batch's leading NULLs fill from the first batch's tail."""
+    import os
+
+    from backend_spark import streaming
+    from backend_spark.features import fill_forward
+
+    data = [
+        (i, k, i * 10, None if v is None else float(v))
+        for i, (k, v) in enumerate(rows)
+    ]
+    root = str(tmp_path_factory.mktemp("locf"))
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    per = max(1, len(data) // n_files)
+    for fi in range(0, len(data), per):
+        _spark.createDataFrame(
+            data[fi : fi + per],
+            "event_id long, user_id long, us long, value double",
+        ).coalesce(1).write.parquet(f"{src}/f{fi:04d}")
+    sdf = streaming.read_stream(
+        _spark, src + "/*", max_files_per_trigger=1,
+        schema="event_id long, user_id long, us long, value double",
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"t_locf_prop_{_STREAM_SEQ[0]}"
+    out = streaming.locf_stream(sdf, "user_id", "us", "value", tiebreak_col="event_id")
+    streaming.run_to_memory(out, name, checkpoint=os.path.join(root, "ck"))
+    got = {
+        (r.user_id, r.us): r.value
+        for r in _spark.sql(f"SELECT user_id, us, value FROM {name}").collect()
+    }
+    bdf = _spark.createDataFrame(data, "event_id long, user_id long, us long, value double")
+    want = {
+        (r.user_id, r.us): r.value
+        for r in fill_forward(bdf, "user_id", ["us", "event_id"], "value").collect()
+    }
+    assert got == want, (rows, n_files)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-6, 6)), min_size=2, max_size=14
+    ),
+    n_files=st.sampled_from([2, 3]),
+)
+def test_cusum_stream_multibatch_matches_python_recursion(_spark, vals, n_files, tmp_path_factory):
+    """The exact-integer CUSUM recursion survives micro-batch
+    boundaries: S_hi/S_lo carried in the state store reproduce the
+    single-pass python fold regardless of where batches split; NULLs
+    carry the standing statistic."""
+    import math
+    import os
+
+    from backend_spark import streaming
+
+    TARGET, K, H, SCALE = 1.0, 0.5, 3.0, 1_000_000
+    data = [(i, 0, i * 10, None if v is None else float(v)) for i, v in enumerate(vals)]
+    root = str(tmp_path_factory.mktemp("cusum"))
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    per = max(1, len(data) // n_files)
+    for fi in range(0, len(data), per):
+        _spark.createDataFrame(
+            data[fi : fi + per],
+            "event_id long, user_id long, us long, value double",
+        ).coalesce(1).write.parquet(f"{src}/f{fi:04d}")
+    sdf = streaming.read_stream(
+        _spark, src + "/*", max_files_per_trigger=1,
+        schema="event_id long, user_id long, us long, value double",
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"t_cusum_prop_{_STREAM_SEQ[0]}"
+    out = streaming.cusum_stream(
+        sdf, "user_id", "us", "value", target=TARGET, k=K, h=H,
+        scale=SCALE, tiebreak_col="event_id",
+    )
+    streaming.run_to_memory(out, name, checkpoint=os.path.join(root, "ck"))
+    got = {
+        r.us: (r.cusum_hi, r.cusum_lo, r.cusum_alarm)
+        for r in _spark.sql(f"SELECT us, cusum_hi, cusum_lo, cusum_alarm FROM {name}").collect()
+    }
+
+    def half_up(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    s_hi = s_lo = 0
+    h_scaled = int(round(H * SCALE))
+    for i, v in enumerate(vals):
+        if v is not None:
+            s_hi = max(0, s_hi + half_up((v - TARGET - K) * SCALE))
+            s_lo = max(0, s_lo + half_up((TARGET - v - K) * SCALE))
+        exp = (
+            round(s_hi / SCALE, 6),
+            round(s_lo / SCALE, 6),
+            int(s_hi > h_scaled or s_lo > h_scaled),
+        )
+        assert got[i * 10] == exp, (vals, i, got[i * 10], exp)
