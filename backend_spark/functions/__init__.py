@@ -392,8 +392,10 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
 
 
 def float_val(c: Column) -> Column:
-    """float(x) with 0.0 on failure (tools.py:25-29)."""
-    return F.coalesce(c.cast("double"), F.lit(0.0))
+    """float(x) with 0.0 on failure (tools.py:25-29).  try_cast, not
+    cast: under ANSI mode (the Spark 4 default) a plain cast THROWS on
+    malformed input — the reference's contract is coerce, never raise."""
+    return F.coalesce(c.try_cast("double"), F.lit(0.0))
 
 
 def parsedate(c: Column, fmt: str = "%Y%m%d") -> Column:

@@ -4157,3 +4157,124 @@ def test_cusum_stream_multibatch_matches_python_recursion(_spark, vals, n_files,
             int(s_hi > h_scaled or s_lo > h_scaled),
         )
         assert got[i * 10] == exp, (vals, i, got[i * 10], exp)
+
+
+# -- function-catalog tail: exports with no in-repo caller still carry
+# -- the reference contract (tools.py semantics) and must stay correct.
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    a=st.text(alphabet="abcd", max_size=7),
+    b=st.text(alphabet="abcd", max_size=7),
+)
+def test_damerau_levenshtein_udf_matches_python_osa(_spark, a, b):
+    """The Arrow Damerau UDF equals an independently written OSA DP,
+    and transposition costs exactly 1 where plain Levenshtein says 2."""
+    from backend_spark import functions as fn
+
+    def osa(x, y):
+        import itertools
+
+        d = {(-1, -1): 0}
+        for i in range(len(x)):
+            d[(i, -1)] = i + 1
+        for j in range(len(y)):
+            d[(-1, j)] = j + 1
+        for i, j in itertools.product(range(len(x)), range(len(y))):
+            cost = 0 if x[i] == y[j] else 1
+            best = min(d[(i - 1, j)] + 1, d[(i, j - 1)] + 1, d[(i - 1, j - 1)] + cost)
+            if i > 0 and j > 0 and x[i] == y[j - 1] and x[i - 1] == y[j]:
+                best = min(best, d[(i - 2, j - 2)] + cost)
+            d[(i, j)] = best
+        return d[(len(x) - 1, len(y) - 1)]
+
+    df = _spark.createDataFrame([(a, b)], "a string, b string")
+    got = df.select(fn.damerau_levenshtein(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    assert got == osa(a, b), (a, b)
+    # symmetry via the same engine path
+    rev = df.select(fn.damerau_levenshtein(F.col("b"), F.col("a")).alias("d")).collect()[0].d
+    assert rev == got, (a, b)
+
+
+def test_function_catalog_tail_contracts(spark):
+    """Direct contracts for the no-caller exports: row_hash
+    (sha256-of-json stability + sensitivity), strptime_to_java /
+    parsedate (coerce-to-null), minhash_signature (== staged
+    from_hashes path == python replay), geopoint WKT extraction,
+    haversine_km (python formula replay), float_val fallback,
+    levenshtein_norm_max (best pair over list cross-product)."""
+    import hashlib
+    import json
+    import math
+
+    from backend_spark import functions as fn
+
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (1, "y")], "a long, s string")
+    hashes = [r.h for r in df.select(fn.row_hash(F.col("a"), F.col("s")).alias("h")).collect()]
+    assert len(set(hashes)) == 3  # any column change changes the hash
+    exp0 = hashlib.sha256(json.dumps({"a": 1, "s": "x"}, separators=(",", ":")).encode()).hexdigest()
+    assert hashes[0] == exp0  # replayable: sha256 of Spark's compact JSON
+
+    assert fn.strptime_to_java("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+    d2 = spark.createDataFrame(
+        [("20240229",), ("20230229",), ("garbage",)], "s string"
+    ).select(fn.parsedate(F.col("s")).alias("ts"))
+    vals = [r.ts for r in d2.collect()]
+    assert vals[0] is not None and str(vals[0])[:10] == "2024-02-29"
+    assert vals[1] is None and vals[2] is None  # coerce, not raise
+
+    toks = spark.createDataFrame([(["ab", "cd", "ef"],)], "t array<string>")
+    got_sig = toks.select(fn.minhash_signature(F.col("t"), 4).alias("g")).collect()[0].g
+    staged = toks.select(
+        fn.minhash_signature_from_hashes(
+            F.transform(F.col("t"), lambda x: fn.md5_long(x)), 4
+        ).alias("g")
+    ).collect()[0].g
+    perm = [
+        int(hashlib.md5(f"perm#{i}".encode()).hexdigest()[:15], 16) for i in range(4)
+    ]
+    hs = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in ("ab", "cd", "ef")]
+    exp_sig = [min(h ^ p for h in hs) for p in perm]
+    assert list(got_sig) == list(staged) == exp_sig
+
+    g = spark.createDataFrame([("POINT(2.35 48.85)",)], "wkt string").select(
+        fn.geopoint_lon(F.col("wkt")).alias("lon"), fn.geopoint_lat(F.col("wkt")).alias("lat")
+    ).collect()[0]
+    assert (g.lon, g.lat) == (2.35, 48.85)
+
+    pts = spark.createDataFrame([(48.85, 2.35, 51.51, -0.13)], "lat1 double, lon1 double, lat2 double, lon2 double")
+    km = pts.select(fn.haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("km")).collect()[0].km
+    rl1, rl2 = math.radians(48.85), math.radians(51.51)
+    dlat, dlon = math.radians(51.51 - 48.85) / 2, math.radians(-0.13 - 2.35) / 2
+    a = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
+    assert km == round(2.0 * 6371.0088 * math.asin(math.sqrt(a)), 1)  # Paris-London ~343.6
+
+    fv = spark.createDataFrame([("3.5",), ("nope",), (None,)], "s string").select(
+        fn.float_val(F.col("s")).alias("v")
+    ).collect()
+    assert [r.v for r in fv] == [3.5, 0.0, 0.0]
+
+    lnm = spark.createDataFrame(
+        [(["martha", "marta"], ["marhta"])], "a array<string>, b array<string>"
+    ).select(fn.levenshtein_norm_max(F.col("a"), F.col("b")).alias("m")).collect()[0].m
+
+    def norm(x, y):
+        import math as _m
+
+        lv_prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i] + [0] * len(y)
+            for j, cy in enumerate(y, 1):
+                cur[j] = min(lv_prev[j] + 1, cur[j - 1] + 1, lv_prev[j - 1] + (cx != cy))
+            lv_prev = cur
+        lv = lv_prev[-1]
+        raw = 100.0 - 100.0 * lv / (1.0 + min(len(x), len(y)))
+        # F.rint = round-half-even on the double
+        f = _m.floor(raw)
+        frac = raw - f
+        if frac > 0.5 or (frac == 0.5 and f % 2 == 1):
+            f += 1
+        return f / 100.0
+
+    assert lnm == max(norm(x, y) for x in ("martha", "marta") for y in ("marhta",))
