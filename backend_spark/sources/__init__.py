@@ -143,7 +143,17 @@ def write_dataset(
     elif fmt == "orc":
         writer.orc(path)
     elif fmt == "csv":
-        writer.option("header", header).option("sep", sep).option("emptyValue", "").csv(path)
+        # ignore*WhiteSpace default TRUE on write (unlike read): Spark
+        # would silently trim leading/trailing spaces inside values —
+        # the reference's pandas to_csv preserves them, so must we
+        (
+            writer.option("header", header)
+            .option("sep", sep)
+            .option("emptyValue", "")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(path)
+        )
     elif fmt in ("jsonl", "json"):
         writer.json(path)
     elif fmt == "fwf":

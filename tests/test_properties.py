@@ -4278,3 +4278,62 @@ def test_function_catalog_tail_contracts(spark):
         return f / 100.0
 
     assert lnm == max(norm(x, y) for x in ("martha", "marta") for y in ("marhta",))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 9999),
+            st.text(alphabet='ab,"; x', max_size=10),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    fmt=st.sampled_from(["csv", "jsonl", "orc"]),
+)
+def test_dataset_roundtrip_property(_spark, rows, fmt, tmp_path_factory):
+    """write_dataset -> read_dataset round-trips arbitrary strings
+    (separators, quotes, blanks) for csv/jsonl/orc.  csv collapses
+    empty string to NULL on read (the documented stringly contract) —
+    every other value survives byte-identically."""
+    import os
+
+    from backend_spark.sources import read_dataset, write_dataset
+
+    path = os.path.join(str(tmp_path_factory.mktemp("rt")), "d")
+    df = _spark.createDataFrame(rows, "id long, s string")
+    write_dataset(df, path, fmt=fmt)
+    schema = "id long, s string" if fmt != "csv" else None
+    back = read_dataset(_spark, path, fmt=fmt, schema=schema)
+    got = {r.id if not isinstance(r.id, str) else int(r.id): r.s for r in back.collect()}
+    exp = {i: (None if fmt == "csv" and s == "" else s) for i, s in rows}
+    assert {int(k): v for k, v in got.items()} == exp, (rows, fmt)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 999), st.text(alphabet="abx ", max_size=6)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_fwf_roundtrip_property(_spark, rows, tmp_path_factory):
+    """Fixed-width write -> read round-trips: rpad on write, substring
+    + trim on read, so values survive modulo the documented trailing-
+    space trim."""
+    import os
+
+    from backend_spark.sources import read_dataset, write_dataset
+
+    widths = [("id", 8), ("s", 10)]
+    path = os.path.join(str(tmp_path_factory.mktemp("fwf")), "d")
+    df = _spark.createDataFrame(rows, "id long, s string")
+    write_dataset(df, path, fmt="fwf", fwf_widths=widths)
+    back = read_dataset(_spark, path, fmt="fwf", fwf_widths=widths, empty_as_null=True)
+    got = {int(r.id): r.s for r in back.collect()}
+    exp = {i: (s.strip() if s.strip() else None) for i, s in rows}
+    assert got == exp, (rows,)
