@@ -3128,9 +3128,10 @@ def test_bloom_bits_and_decontaminate_match_python(_spark, bench, corpus):
         )
         frac = hits / len(gs)
         assert got[i] == (len(gs), _round_half_up(frac, 6), frac >= 0.5), (bench, t)
-        # no false negatives: a gram also in the benchmark always hits
+        # no false negatives: a gram also in the benchmark always hits,
+        # so the hit fraction is bounded below by the true-overlap share
         if gs & bench_grams:
-            assert got[i][1] >= _round_half_up(len(gs & bench_grams) / len(gs), 6) or got[i][1] > 0
+            assert got[i][1] >= _round_half_up(len(gs & bench_grams) / len(gs), 6)
 
 
 @settings(max_examples=10, deadline=None)
