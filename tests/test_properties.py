@@ -4338,3 +4338,124 @@ def test_fwf_roundtrip_property(_spark, rows, tmp_path_factory):
     got = {int(r.id): r.s for r in back.collect()}
     exp = {i: (s.strip() if s.strip() else None) for i, s in rows}
     assert got == exp, (rows,)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=6),
+        min_size=2,
+        max_size=8,
+    ),
+    queries=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=3),
+        min_size=1,
+        max_size=3,
+    ),
+    k=st.sampled_from([2, 5]),
+)
+def test_bm25_topk_matches_python(_spark, docs, queries, k):
+    """Lucene BM25 replays: idf = ln(1+(N-df+.5)/(df+.5)), tf saturation
+    with length normalization against the corpus avgdl, summed over
+    distinct query terms, ranked on (rounded score desc, doc id)."""
+    import math
+
+    from backend_spark.llm import bm25_topk
+
+    K1, B = 1.2, 0.75
+    ddf = _spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    qdf = _spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(queries)], "query_id long, text string"
+    )
+    got = sorted(
+        (r.query_id, r.hit_id, r.score)
+        for r in bm25_topk(qdf, ddf, "query_id", "doc_id", k=k).collect()
+    )
+
+    tf = {}
+    dl = {}
+    for i, toks in enumerate(docs):
+        dl[i] = len(toks)
+        for w in toks:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    dfreq = {}
+    for (i, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    n, avgdl = len(docs), sum(dl.values()) / len(docs)
+    exp = []
+    for qi, qtoks in enumerate(queries):
+        scored = []
+        for di in dl:
+            s = 0.0
+            for w in set(qtoks):
+                if (di, w) in tf:
+                    idf = math.log(1.0 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+                    f = tf[(di, w)]
+                    s += idf * (f * (K1 + 1)) / (f + K1 * (1 - B + B * dl[di] / avgdl))
+            if s > 0:
+                scored.append((_round_half_up(s, 4), di))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        exp.extend((qi, di, s) for s, di in scored[:k])
+    assert got == sorted(exp), (docs, queries, k)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_zorder_key_matches_python_morton(_spark, pts):
+    """The Morton interleave replays: bit j of column i lands at
+    position j*n+i, and sorting by the key groups spatially-near rows."""
+    from backend_spark.scale import zorder_key
+
+    df = _spark.createDataFrame(pts, "x long, y long")
+    got = [r.z for r in df.select(zorder_key(["x", "y"], bits=10).alias("z")).collect()]
+    for (x, y), z in zip(pts, got):
+        exp = 0
+        for j in range(10):
+            exp |= ((x >> j) & 1) << (j * 2)
+            exp |= ((y >> j) & 1) << (j * 2 + 1)
+        assert z == exp, (x, y, z, exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 12)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 12)), min_size=1, max_size=12
+    ),
+    bin_width=st.sampled_from([2.0, 5.0]),
+)
+def test_interval_join_matches_bruteforce(_spark, lefts, rights, bin_width):
+    """The binned interval join finds exactly the brute-force half-open
+    overlaps (l.lo < r.hi AND r.lo < l.hi), each pair exactly once —
+    the first-shared-bin dedup rule leaves no duplicates and loses no
+    pair."""
+    from backend_spark.operators.joins import interval_join
+
+    l = _spark.createDataFrame(
+        [(i, float(lo), float(lo + n)) for i, (lo, n) in enumerate(lefts)],
+        "lid long, lo double, hi double",
+    )
+    r = _spark.createDataFrame(
+        [(j, float(lo), float(lo + n)) for j, (lo, n) in enumerate(rights)],
+        "rid long, lo double, hi double",
+    )
+    out = interval_join(l, r, "lo", "hi", "lo", "hi", bin_width=bin_width)
+    got = sorted((x.lid, x.iv_rid) for x in out.collect())
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    exp = sorted(
+        (i, j)
+        for i, (llo, ln) in enumerate(lefts)
+        for j, (rlo, rn) in enumerate(rights)
+        if llo < rlo + rn and rlo < llo + ln
+    )
+    assert got == exp, (lefts, rights, bin_width)
