@@ -4459,3 +4459,64 @@ def test_interval_join_matches_bruteforce(_spark, lefts, rights, bin_width):
         if llo < rlo + rn and rlo < llo + ln
     )
     assert got == exp, (lefts, rights, bin_width)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 99),
+            st.lists(st.integers(-4, 4), min_size=2, max_size=2),
+        ),
+        min_size=3,
+        max_size=14,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_kmeans_assign_matches_python_lloyd(_spark, vecs, k, tmp_path_factory):
+    """Deterministic Lloyd's replays end-to-end: md5-hash-rank init,
+    argmin over round(d2,6) with smaller-cluster tie-break, quantized
+    BIGINT means (empty clusters keep their centroid), n_iter rounds."""
+    import math
+
+    from backend_spark.llm import kmeans_assign
+
+    SCALE, N_ITER = 1_000_000, 3
+    data = [(i, [float(x) for x in v]) for i, v in vecs]
+    df = _spark.createDataFrame(data, "id long, vec array<double>")
+    got = {r.id: (r.cluster, r.dist) for r in kmeans_assign(df, "id", "vec", k=k, n_iter=N_ITER).collect()}
+
+    ids = [i for i, _ in data]
+    by_id = dict(data)
+    init_order = sorted(ids, key=lambda i: (_md5_60(f"km:{i}"), i))[:k]
+    cents = {ci: list(by_id[i]) for ci, i in enumerate(init_order)}
+
+    def assign(cents):
+        out = {}
+        for i, v in data:
+            best = min(
+                (round(sum((x - y) ** 2 for x, y in zip(v, cv)), 6), ci)
+                for ci, cv in cents.items()
+            )
+            out[i] = best
+        return out
+
+    for _ in range(N_ITER):
+        asg = assign(cents)
+        sums = {}
+        for i, (d, ci) in asg.items():
+            v = by_id[i]
+            s, n = sums.get(ci, ([0] * len(v), 0))
+            s = [a + int(math.floor(x * SCALE + 0.5)) for a, x in zip(s, v)]
+            sums[ci] = (s, n + 1)
+        cents = {
+            ci: ([x / (n * SCALE) for x in s] if ci in sums else old)
+            for ci, old in cents.items()
+            for s, n in [sums.get(ci, ([0], 1))]
+        }
+    final = assign(cents)
+    for i, (d, ci) in final.items():
+        gc, gd = got[i]
+        assert gc == ci, (vecs, k, i, got[i], (d, ci))
+        assert gd == pytest.approx(d, abs=2e-6), (vecs, k, i)
