@@ -34,10 +34,11 @@ import sys
 import time
 
 RUNS = 3
-# per-query overrides: dup_report's CC-iteration count makes a single
-# median-of-3 swing 6.3-8.0s between identical runs (BENCH_NOTES,
-# rounds 10-11); extra samples tighten its median without slowing the
-# whole suite
+# per-query overrides: dup_report's median-of-3 swings 6.3-8.0s
+# between identical runs (BENCH_NOTES rounds 10-12; the r12 anatomy
+# puts the cost in the md5/shingle signature stage + fixed per-round
+# CC overhead, and the swing in JVM/GC variance across its ~30 jobs);
+# extra samples tighten its median without slowing the whole suite
 EXTRA_RUNS = {"dup_report": 7}
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
