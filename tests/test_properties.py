@@ -4520,3 +4520,90 @@ def test_kmeans_assign_matches_python_lloyd(_spark, vecs, k, tmp_path_factory):
         gc, gd = got[i]
         assert gc == ci, (vecs, k, i, got[i], (d, ci))
         assert gd == pytest.approx(d, abs=2e-6), (vecs, k, i)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=8), min_size=1, max_size=10
+    ),
+    min_count=st.sampled_from([1, 2]),
+)
+def test_collocations_matches_python_pmi(_spark, docs, min_count):
+    """PMI collocation scores replay: bigram/unigram corpus counts,
+    ln of the probability ratio, rounded to 4."""
+    import math
+
+    from backend_spark.llm import collocations
+
+    df = _spark.createDataFrame([(i, " ".join(t)) for i, t in enumerate(docs)], "id long, text string")
+    got = {r.pair: (r.cab, r.c1, r.c2, r.pmi) for r in collocations(df, "id", "text", min_count=min_count).collect()}
+
+    uni, bi = {}, {}
+    for toks in docs:
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    nu, nb = sum(uni.values()), sum(bi.values())
+    exp = {}
+    for (a, b), cab in bi.items():
+        if cab >= min_count:
+            pmi = math.log((cab / nb) / ((uni[a] / nu) * (uni[b] / nu)))
+            exp[f"{a} {b}"] = (cab, uni[a], uni[b], round(pmi, 4))
+    assert set(got) == set(exp), (docs, min_count)
+    for k in exp:
+        assert got[k][:3] == exp[k][:3]
+        assert got[k][3] == pytest.approx(exp[k][3], abs=2e-4), (docs, k)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+        min_size=2,
+        max_size=8,
+    ),
+)
+def test_quantize_embeddings_matches_python(_spark, vec):
+    """Per-vector affine int8 quantization replays: q = floor((x-min)/
+    scale + .5), scale = (max-min)/255, constant vectors all-zero, and
+    max_err bounds the dequantization round-trip."""
+    import json
+    import math
+
+    from backend_spark.llm import quantize_embeddings
+
+    v = [float(x) for x in vec]
+    df = _spark.createDataFrame([(0, v)], "id long, vec array<double>")
+    r = quantize_embeddings(df, "id", "vec").collect()[0]
+    lo, hi = min(v), max(v)
+    scale = (hi - lo) / 255.0
+    if scale == 0:
+        exp_q = [0] * len(v)
+    else:
+        exp_q = [int(math.floor((x - lo) / scale + 0.5)) for x in v]
+    assert json.loads(r.q) == exp_q, (v,)
+    assert r.scale == pytest.approx(round(scale, 6), abs=2e-6)
+    assert r.offset == pytest.approx(round(lo, 6), abs=2e-6)
+    if scale > 0:
+        errs = [abs(q * scale + lo - x) for q, x in zip(exp_q, v)]
+        assert r.max_err == pytest.approx(round(max(errs), 6), abs=2e-6)
+        assert all(0 <= q <= 255 for q in exp_q)
+
+
+def test_caverphone_published_vectors(spark):
+    """Caverphone 2.0 published vectors plus the documented empty-input
+    divergence (blocking-useless all-1s key -> '')."""
+    from backend_spark import functions as fn
+
+    cases = [
+        ("Peter", "PTA1111111"),
+        ("Stevenson", "STFNSN1111"),
+        ("", ""),
+        ("123", ""),
+        (None, ""),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [r.k for r in df.select(fn.caverphone(F.col("s")).alias("k")).collect()]
+    assert got == [k for _, k in cases], got
