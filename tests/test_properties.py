@@ -4607,3 +4607,90 @@ def test_caverphone_published_vectors(spark):
     df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
     got = [r.k for r in df.select(fn.caverphone(F.col("s")).alias("k")).collect()]
     assert got == [k for _, k in cases], got
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lat=st.floats(min_value=-89.99, max_value=89.99, allow_nan=False),
+    lon=st.floats(min_value=-179.99, max_value=179.99, allow_nan=False),
+    precision=st.sampled_from([1, 5, 8, 12]),
+)
+def test_geohash_matches_textbook_bisection(_spark, lat, lon, precision):
+    """The arithmetic Morton-interleave geohash equals the textbook
+    bisection encoder (independent derivation) for any realistic point
+    and every supported precision.  Inputs are rounded to 6 decimals
+    (~0.1 m): offsets below ~1.4e-14 deg are absorbed by the
+    (coord+180)/360 quantization (180 + 1e-192 == 180.0 in doubles),
+    where the arithmetic form lands on the boundary cell while
+    bisection compares the unquantized sign — a sub-picometer
+    construction property shared bit-for-bit by the SQL oracle, not a
+    defect the generator should chase."""
+    from backend_spark import functions as fn
+
+    lat, lon = round(lat, 6), round(lon, 6)
+    df = _spark.createDataFrame([(lat, lon)], "lat double, lon double")
+    got = df.select(fn.geohash(F.col("lat"), F.col("lon"), precision).alias("g")).collect()[0].g
+
+    base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+    bits, ch, out, even = 0, 0, [], True
+    while len(out) < precision:
+        rng, v = (lon_rng, lon) if even else (lat_rng, lat)
+        mid = (rng[0] + rng[1]) / 2
+        ch <<= 1
+        if v >= mid:
+            ch |= 1
+            rng[0] = mid
+        else:
+            rng[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(base32[ch])
+            bits, ch = 0, 0
+    assert got == "".join(out), (lat, lon, precision, got, "".join(out))
+
+
+def test_soundex_canonical_vectors(spark):
+    """American Soundex canonical vectors, including the H/W collapse
+    (Ashcraft), kept-letter collapse (Pfister), and vowel separation
+    (Tymczak); empty/non-alpha -> ''."""
+    from backend_spark import functions as fn
+
+    cases = [
+        ("Robert", "R163"), ("Rupert", "R163"), ("Ashcraft", "A261"),
+        ("Ashcroft", "A261"), ("Tymczak", "T522"), ("Pfister", "P236"),
+        ("Honeyman", "H555"), ("a", "A000"), ("", ""), ("42", ""), (None, ""),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [r.k for r in df.select(fn.soundex(F.col("s")).alias("k")).collect()]
+    assert got == [k for _, k in cases], got
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    parts=st.lists(
+        st.sampled_from(
+            ["plain", "<p>", "</p>", "<a href='x'>", "&amp;", "&lt;", "&nbsp;",
+             "word", "<div class=\"y\">", "&amp;lt;", "a<b>c"]
+        ),
+        max_size=8,
+    ),
+)
+def test_strip_html_matches_python(_spark, parts):
+    """Markup stripping replays: tags -> space, the six entities decode
+    single-pass with &amp; LAST (so &amp;lt; -> &lt; not <), whitespace
+    squeezed."""
+    import re
+
+    from backend_spark import functions as fn
+
+    text = " ".join(parts)
+    df = _spark.createDataFrame([(text,)], "s string")
+    got = df.select(fn.strip_html(F.col("s")).alias("c")).collect()[0].c
+    x = re.sub(r"<[^>]*>", " ", text)
+    for ent, ch in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]:
+        x = x.replace(ent, ch)
+    exp = re.sub(r"\s+", " ", x).strip()
+    assert got == exp, (text, got, exp)
