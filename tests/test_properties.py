@@ -4694,3 +4694,58 @@ def test_strip_html_matches_python(_spark, parts):
         x = x.replace(ent, ch)
     exp = re.sub(r"\s+", " ", x).strip()
     assert got == exp, (text, got, exp)
+
+
+def test_refined_soundex_vectors(spark):
+    """Refined Soundex (commons-codec variant) vectors: every letter
+    coded, adjacent equal codes collapsed, no truncation."""
+    from backend_spark import functions as fn
+
+    cases = [
+        ("testing", "T6036084"),
+        ("TESTING", "T6036084"),
+        ("The", "T60"),
+        ("quick", "Q503"),
+        ("", ""),
+        ("9!", ""),
+        (None, ""),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [r.k for r in df.select(fn.refined_soundex(F.col("s")).alias("k")).collect()]
+    assert got == [k for _, k in cases], got
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed_rows=st.lists(
+        st.tuples(st.integers(-3, 3), st.integers(-1, 1)),
+        min_size=8,
+        max_size=20,
+    ),
+)
+def test_pca_top_aligns_with_numpy_eig(_spark, seed_rows):
+    """pca_top's exact-integer power iteration finds numpy's dominant
+    covariance eigenvector (up to sign) and eigenvalue on data with a
+    clearly dominant direction."""
+    import numpy as np
+    from hypothesis import assume
+
+    from backend_spark.llm import pca_top
+
+    assume(len(set(seed_rows)) >= 3)  # constant input -> zero covariance raises by design
+    # stretch the x-axis so the spectrum is well separated
+    data = [[float(10 * a + 1), float(b)] for a, b in seed_rows]
+    arr = np.array(data)
+    cov = np.cov(arr.T, bias=True) * len(data)  # matches n * covariance scale
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+
+    df = _spark.createDataFrame([(v,) for v in data], "vec array<double>")
+    out = {r.dim: (r.loading, r.eigenvalue) for r in pca_top(df, "vec", dim=2).collect()}
+    loading = np.array([out[0][0], out[1][0]])
+    cos = abs(float(loading @ top) / (np.linalg.norm(loading) * np.linalg.norm(top)))
+    assert cos > 0.999, (seed_rows, loading, top)
+    # eigenvalue reported in original variance units: n-scaled cov eig / n
+    assert out[0][1] == pytest.approx(evals[-1] / len(data), rel=0.01), (
+        seed_rows, out[0][1], evals[-1] / len(data),
+    )
