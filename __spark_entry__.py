@@ -4598,67 +4598,15 @@ def _q_session_stats(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples
     # a 50-query prefix per round; tools/staleness_report.py prints the
-    # mechanical queue).  Round-12 rotation (the round-11 verdict's #1):
-    # the prefix is the 10 remaining r5-certified rows plus the 40
-    # oldest r6 rows; every later group follows in evidence order
-    # (r6 remainder, r8, r9, r10, r11).  The three rows with no exact
+    # mechanical queue).  Round-13 rotation (the round-12 verdict's #1):
+    # the prefix is the 9 remaining r6-certified rows plus the 41
+    # oldest r8 rows; every later group follows in evidence order
+    # (r8 remainder, r9, r10, r11, r12).  The three rows with no exact
     # cross-engine oracle (closeness_approx, build_model, apply_model)
     # sit at the very tail so no future 50-slot prefix spends slots on
     # rows that can never hash-match.
     return {
-        # --- r5-evidence rows (oldest first) ---
-        "row_ids": _q_row_ids,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "embed_neardup": _q_embed_neardup,
-        "multimodal": _q_multimodal,
-        "simhash_neardup": _q_simhash_neardup,
-        "audio_features": _q_audio_features,
-        "video_frames": _q_video_frames,
-        "text_stats": _q_text_stats,
-        "language_id": _q_language_id,
-        "token_count": _q_token_count,
         # --- r6-evidence rows (oldest first) ---
-        "char_entropy": _q_char_entropy,
-        "pack_sequences": _q_pack,
-        "semdedup": _q_semdedup,
-        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
-        "nb_classify": _q_nb_classify,
-        "dup_ngrams": _q_dup_ngrams,
-        "cube": _q_cube,
-        "temperature_sample": _q_temperature_sample,
-        "dq_check": _q_dq_check,
-        "rollup": _q_rollup,
-        "bpe_train": _q_bpe_train,
-        "chunk_documents": _q_chunk_documents,
-        "source_mix": _q_source_mix,
-        "bigram_logprob": _q_bigram_logprob,
-        "closeness_anf_exact": _q_closeness_anf_exact,
-        "stream_pack": _q_stream_pack,
-        "model_features": _q_model_features,
-        "recipe_pipeline": _q_recipe,
-        "map": _q_map,
-        "rename": _q_rename,
-        "keep_where": _q_keep_where,
-        "delete": _q_delete,
-        "fillna": _q_fillna,
-        "to_integer": _q_to_integer,
-        "to_float": _q_to_float,
-        "parsedate": _q_parsedate,
-        "replace": _q_replace,
-        "normalize": _q_normalize,
-        "eval_tier1": _q_eval_tier1,
-        "eval_tier2": _q_eval_tier2,
-        "exec": _q_exec,
-        "shuffle": _q_shuffle,
-        "groupby_agg": _q_groupby_agg,
-        "groupby_agg_list": _q_groupby_agg_list,
-        "groupby_transform": _q_groupby_transform,
-        "groupby_rank": _q_groupby_rank,
-        "unfold": _q_unfold,
-        "unnest": _q_unnest,
-        "nest": _q_nest,
-        "ngram": _q_ngram,
-        # --- 50-query-prefix boundary (10 r5 + 40 oldest r6 above) ---
         "join_strict": _q_join_strict,
         "join_fuzzy": _q_join_fuzzy,
         "join_topk": _q_join_topk,
@@ -4668,7 +4616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metrics": _q_graph_metrics,
         "pagerank": _q_pagerank,
         "dedup_exact": _q_dedup_exact,
-        # --- r8-evidence rows (oldest first) ---
+        # --- r8-evidence rows (41 oldest) ---
         "interval_join": _q_interval_join,
         "scd2": _q_scd2,
         "er_golden": _q_er_golden,
@@ -4710,6 +4658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms": _q_cms,
         "ngram_novelty": _q_ngram_novelty,
         "geo_join": _q_geo_join,
+        # --- 50-query-prefix boundary (9 r6 + 41 oldest r8 above) ---
         "pq_encode": _q_pq_encode,
         "retention": _q_retention,
         "histogram": _q_histogram,
@@ -4869,6 +4818,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": _q_stream_join,
         "stream_compact": _q_stream_compact,
         "salted_agg": _q_salted_agg,
+        # --- r12-evidence rows (certified last round, freshest) ---
+        "row_ids": _q_row_ids,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embed_neardup": _q_embed_neardup,
+        "multimodal": _q_multimodal,
+        "simhash_neardup": _q_simhash_neardup,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
+        "text_stats": _q_text_stats,
+        "language_id": _q_language_id,
+        "token_count": _q_token_count,
+        "char_entropy": _q_char_entropy,
+        "pack_sequences": _q_pack,
+        "semdedup": _q_semdedup,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "nb_classify": _q_nb_classify,
+        "dup_ngrams": _q_dup_ngrams,
+        "cube": _q_cube,
+        "temperature_sample": _q_temperature_sample,
+        "dq_check": _q_dq_check,
+        "rollup": _q_rollup,
+        "bpe_train": _q_bpe_train,
+        "chunk_documents": _q_chunk_documents,
+        "source_mix": _q_source_mix,
+        "bigram_logprob": _q_bigram_logprob,
+        "closeness_anf_exact": _q_closeness_anf_exact,
+        "stream_pack": _q_stream_pack,
+        "model_features": _q_model_features,
+        "recipe_pipeline": _q_recipe,
+        "map": _q_map,
+        "rename": _q_rename,
+        "keep_where": _q_keep_where,
+        "delete": _q_delete,
+        "fillna": _q_fillna,
+        "to_integer": _q_to_integer,
+        "to_float": _q_to_float,
+        "parsedate": _q_parsedate,
+        "replace": _q_replace,
+        "normalize": _q_normalize,
+        "eval_tier1": _q_eval_tier1,
+        "eval_tier2": _q_eval_tier2,
+        "exec": _q_exec,
+        "shuffle": _q_shuffle,
+        "groupby_agg": _q_groupby_agg,
+        "groupby_agg_list": _q_groupby_agg_list,
+        "groupby_transform": _q_groupby_transform,
+        "groupby_rank": _q_groupby_rank,
+        "unfold": _q_unfold,
+        "unnest": _q_unnest,
+        "nest": _q_nest,
+        "ngram": _q_ngram,
         # --- registry tail: no exact oracle by construction (driver
         # records rows-only) — parked so prefixes stay hash-checkable ---
         "closeness_approx": _q_closeness_approx,
