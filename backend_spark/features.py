@@ -1895,7 +1895,7 @@ def ks_test(
             "__pid",
             F.sum("__ca").over(wr).alias("__la"),
             F.sum("__cb").over(wr).alias("__lb"),
-        ).transform(stage, eager=False)
+        ).transform(stage, eager=False, pin=True)
         ptot = local.groupBy("__pid").agg(
             F.max("__la").alias("__ta"), F.max("__lb").alias("__tb")
         )

@@ -394,8 +394,18 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
 def float_val(c: Column) -> Column:
     """float(x) with 0.0 on failure (tools.py:25-29).  try_cast, not
     cast: under ANSI mode (the Spark 4 default) a plain cast THROWS on
-    malformed input — the reference's contract is coerce, never raise."""
-    return F.coalesce(c.try_cast("double"), F.lit(0.0))
+    malformed input — the reference's contract is coerce, never raise.
+
+    Python's ``float`` accepts PEP 515 digit grouping (``'1_0'`` →
+    10.0) which Spark's cast does not, so single underscores BETWEEN
+    digits are stripped first (lookaround regex: ``'1__0'`` keeps its
+    underscores, fails the cast, and yields 0.0 — exactly like
+    ``float('1__0')`` raising)."""
+    stripped = F.when(
+        c.cast("string").contains("_"),
+        F.regexp_replace(c.cast("string"), "(?<=[0-9])_(?=[0-9])", ""),
+    ).otherwise(c.cast("string"))
+    return F.coalesce(stripped.try_cast("double"), F.lit(0.0))
 
 
 def parsedate(c: Column, fmt: str = "%Y%m%d") -> Column:

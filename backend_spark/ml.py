@@ -660,9 +660,11 @@ def auc_score(
     boundaries; under the default ``local`` mode the pinned blocks are
     non-replayable (executor loss aborts the query — acceptable on
     local/on-demand fleets), while ``stage.mode=reliable`` keeps the
-    same exactness with fault tolerance.  ``persist`` mode is NOT safe
-    here: a recomputed partition could re-sample range boundaries (see
-    SCALING.md "Lineage cuts and fault tolerance").
+    same exactness with fault tolerance.  Plain ``persist`` would NOT
+    be safe here — a recomputed partition could re-sample range
+    boundaries — so the cut passes ``pin=True`` and ``stage`` upgrades
+    it to ``reliable``/``local`` under ``persist`` mode (see SCALING.md
+    "Lineage cuts and fault tolerance").
 
     Returns one row: (auc, n_pos, n_neg).  Degenerate inputs (no
     positives or no negatives) yield NULL auc rather than a division
@@ -699,7 +701,7 @@ def auc_score(
         "__cnt",
         "__pos",
         F.sum("__cnt").over(w_local).alias("__lcum"),
-    ).transform(stage, eager=False)
+    ).transform(stage, eager=False, pin=True)
     ptot = local.groupBy("__pid").agg(F.max("__lcum").alias("__t"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = ptot.select(

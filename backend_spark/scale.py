@@ -10,11 +10,14 @@ bucketed storage removes the shuffle entirely.
 from __future__ import annotations
 
 import functools
+import logging
 import operator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+_LOG = logging.getLogger(__name__)
 
 _AGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
@@ -23,13 +26,23 @@ STAGE_DIR_CONF = "spark.backend_spark.stage.dir"
 _STAGE_MODES = ("local", "reliable", "persist")
 
 
-def stage(df: DataFrame, eager: bool = False) -> DataFrame:
+def stage(df: DataFrame, eager: bool = False, pin: bool = False) -> DataFrame:
     """Cut lineage / pin an intermediate result, with the storage
     strategy selected at runtime by the session conf
     ``spark.backend_spark.stage.mode`` — the single funnel for every
     lineage cut in the engine (use ``df.transform(stage, eager=...)``
     in operator code; raw ``DataFrame.localCheckpoint`` is reserved to
     this helper).
+
+    ``pin=True`` marks a CORRECTNESS pin: the cut freezes a
+    nondeterministic upstream (sampled ``repartitionByRange``
+    boundaries) that two downstream reads must see identically
+    (``assign_row_ids``, ``auc_score``, ``ks_test``,
+    ``compaction_plan``).  ``persist`` mode keeps lineage, so a lost
+    block would be *recomputed* — silently re-rolling the boundaries
+    and corrupting the result.  A pinned cut therefore refuses plain
+    ``persist``: it upgrades to ``reliable`` when a checkpoint
+    directory is configured, else to ``local`` (logged either way).
 
     Modes (see SCALING.md "Lineage cuts and fault tolerance"):
 
@@ -49,11 +62,11 @@ def stage(df: DataFrame, eager: bool = False) -> DataFrame:
     * ``persist`` — ``persist(DISK_ONLY)``: spills to executor-local
       disk but KEEPS lineage, so lost blocks are recomputed instead of
       failing the job.  Caveats: recomputation re-rolls
-      nondeterministic expressions (do not use under ``auc_score`` /
-      ``ks_test`` / ``assign_row_ids``-style boundary pinning if
-      executors may be lost), and iterative loops (connected
-      components, pagerank, BFS) grow their analyzed plans per
-      iteration because nothing truncates lineage.
+      nondeterministic expressions — which is why correctness pins
+      (``pin=True``) refuse this mode and upgrade themselves — and
+      iterative loops (connected components, pagerank, BFS) grow
+      their analyzed plans per iteration because nothing truncates
+      lineage.
 
     ``eager`` forces materialization now (``local``/``reliable``
     honor it natively; ``persist`` is always lazy — the first action
@@ -62,6 +75,20 @@ def stage(df: DataFrame, eager: bool = False) -> DataFrame:
     """
     spark = df.sparkSession
     mode = spark.conf.get(STAGE_MODE_CONF, "local")
+    if mode == "persist" and pin:
+        sc = spark.sparkContext
+        has_ckdir = sc.getCheckpointDir() is not None or bool(
+            spark.conf.get(STAGE_DIR_CONF, None)
+        )
+        upgraded = "reliable" if has_ckdir else "local"
+        _LOG.warning(
+            "%s=persist is unsafe for a correctness pin (recomputation "
+            "re-rolls sampled range boundaries); upgrading this cut to "
+            "%r",
+            STAGE_MODE_CONF,
+            upgraded,
+        )
+        mode = upgraded
     if mode == "local":
         return df.localCheckpoint(eager=eager)
     if mode == "reliable":
@@ -286,7 +313,7 @@ def assign_row_ids(
     w_local = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
     local = base.withColumn(
         "__local", F.row_number().over(w_local).cast("long")
-    ).transform(stage, eager=False)
+    ).transform(stage, eager=False, pin=True)
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.withColumn(
@@ -727,7 +754,7 @@ def compaction_plan(
     w_local = Window.partitionBy("__pid").orderBy(F.col("bytes").desc(), F.col("path"))
     local = base.withColumn(
         "__run", F.sum("bytes").over(w_local).cast("long")
-    ).transform(stage, eager=False)
+    ).transform(stage, eager=False, pin=True)
     totals = local.groupBy("__pid").agg(F.sum("bytes").alias("__t"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = totals.withColumn(

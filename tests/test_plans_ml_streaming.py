@@ -2559,6 +2559,50 @@ def test_stage_modes_agree_on_iterative_query(spark, tmp_path):
         spark.conf.set(STAGE_MODE_CONF, "local")
 
 
+def test_stage_persist_mode_upgrades_correctness_pins(spark, tmp_path, caplog):
+    """A correctness pin (pin=True) under stage.mode=persist must NOT
+    be honored as persist(DISK_ONLY) — recomputation after block loss
+    would re-roll sampled range boundaries and silently corrupt
+    row ids / AUC / KS (VERDICT r12 #2).  The pinned cut upgrades to
+    reliable/local (logged); unpinned cuts still persist as asked."""
+    import logging as _logging
+
+    from pyspark.storagelevel import StorageLevel
+
+    from backend_spark.scale import (
+        STAGE_MODE_CONF,
+        assign_row_ids,
+        stage,
+    )
+
+    df = spark.range(100).toDF("x")
+    try:
+        spark.conf.set(STAGE_MODE_CONF, "persist")
+
+        # pinned cut: refused persist, upgraded to a checkpoint variant
+        with caplog.at_level(_logging.WARNING, logger="backend_spark.scale"):
+            pinned = stage(df, eager=True, pin=True)
+        assert pinned.storageLevel != StorageLevel.DISK_ONLY
+        # both upgrade targets (localCheckpoint / checkpoint) truncate
+        # lineage to a LogicalRDD scan; persist would keep Range
+        assert "LogicalRDD" in pinned._jdf.queryExecution().analyzed().toString()
+        assert any("upgrading" in r.message for r in caplog.records)
+        assert pinned.count() == 100
+
+        # unpinned cut: persist honored exactly as before
+        plain = stage(df)
+        assert plain.storageLevel == StorageLevel.DISK_ONLY
+        plain.unpersist()
+
+        # end-to-end: the id producer stays dense and deterministic
+        # under the global persist switch
+        ids = assign_row_ids(df, "x", out_col="rid")
+        got = sorted((r.x, r.rid) for r in ids.collect())
+        assert got == [(i, i + 1) for i in range(100)]
+    finally:
+        spark.conf.set(STAGE_MODE_CONF, "local")
+
+
 def test_rollup_merge_equals_direct(spark):
     from pyspark.sql import functions as F
 

@@ -2921,6 +2921,26 @@ def test_dq_check_matches_python_counts(_spark, vals):
         assert got[rid] == (v, n, v == 0), (vals, rid, got)
 
 
+def test_dq_check_empty_table_all_rules_pass(_spark):
+    """Zero-row input: every rule type must report violations=0 /
+    passed=True (SUM over no rows is NULL — the coalesce guard), and
+    the report still carries one row per rule."""
+    from backend_spark.quality import dq_check
+
+    df = _spark.createDataFrame([], "x int")
+    rules = [
+        {"col": "x", "check": "not_null"},
+        {"col": "x", "check": "min", "value": 0},
+        {"col": "x", "check": "max", "value": 10},
+        {"col": "x", "check": "in_set", "values": [0, 1]},
+        {"col": "x", "check": "unique"},
+    ]
+    rows = dq_check(df, rules).collect()
+    assert len(rows) == len(rules)
+    for r in rows:
+        assert (r.violations, r.n_rows, r.passed) == (0, 0, True), r
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     texts=st.lists(st.text(alphabet="abc ", max_size=20), min_size=1, max_size=10),
@@ -4251,10 +4271,21 @@ def test_function_catalog_tail_contracts(spark):
     a = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
     assert km == round(2.0 * 6371.0088 * math.asin(math.sqrt(a)), 1)  # Paris-London ~343.6
 
-    fv = spark.createDataFrame([("3.5",), ("nope",), (None,)], "s string").select(
+    # underscore vectors: PEP 515 grouping that python's float() takes
+    # ('1_0', '1_000.5', '1e1_0') plus the rejections it raises on
+    # ('1__0', '_1', '1_') — each must match float(x)-with-0.0-fallback
+    fv_vecs = ["3.5", "nope", None, "1_0", "1_000.5", "1e1_0", "1__0", "_1", "1_"]
+
+    def _py_float_val(x):
+        try:
+            return float(x)
+        except (TypeError, ValueError):
+            return 0.0
+
+    fv = spark.createDataFrame([(s,) for s in fv_vecs], "s string").select(
         fn.float_val(F.col("s")).alias("v")
     ).collect()
-    assert [r.v for r in fv] == [3.5, 0.0, 0.0]
+    assert [r.v for r in fv] == [_py_float_val(s) for s in fv_vecs]
 
     lnm = spark.createDataFrame(
         [(["martha", "marta"], ["marhta"])], "a array<string>, b array<string>"
