@@ -59,14 +59,19 @@ def stage(df: DataFrame, eager: bool = False, pin: bool = False) -> DataFrame:
       Survives any executor loss and still freezes nondeterminism;
       costs one DFS write+read per cut.  The right mode for long jobs
       on preemptible fleets.
-    * ``persist`` — ``persist(DISK_ONLY)``: spills to executor-local
-      disk but KEEPS lineage, so lost blocks are recomputed instead of
-      failing the job.  Caveats: recomputation re-rolls
-      nondeterministic expressions — which is why correctness pins
-      (``pin=True``) refuse this mode and upgrade themselves — and
-      iterative loops (connected components, pagerank, BFS) grow
-      their analyzed plans per iteration because nothing truncates
-      lineage.
+    * ``persist`` — ``persist(DISK_ONLY)`` + LOGICAL-PLAN TRUNCATION:
+      the persisted frame is re-wrapped as a ``LogicalRDD`` over its
+      own physical RDD (the same re-rooting ``Dataset.checkpoint``
+      performs, minus the RDD checkpoint), so iterative loops keep a
+      bounded analyzed plan — without the truncation, pagerank's
+      power iteration grew its plan until Catalyst hung (measured,
+      round 13) — while RDD-level lineage survives: lost blocks are
+      recomputed instead of failing the job.  Remaining caveats:
+      recomputation re-rolls nondeterministic expressions — which is
+      why correctness pins (``pin=True``) refuse this mode and
+      upgrade themselves — and cache entries live until session end
+      (loop cuts are never unpersisted; executor-disk usage grows
+      with iteration count).
 
     ``eager`` forces materialization now (``local``/``reliable``
     honor it natively; ``persist`` is always lazy — the first action
@@ -104,7 +109,14 @@ def stage(df: DataFrame, eager: bool = False, pin: bool = False) -> DataFrame:
             sc.setCheckpointDir(ckdir)
         return df.checkpoint(eager=eager)
     if mode == "persist":
-        return df.persist(StorageLevel.DISK_ONLY)
+        cached = df.persist(StorageLevel.DISK_ONLY)
+        # re-root the plan on the persisted frame's physical RDD:
+        # bounded plans for loops, recomputable lineage for block loss
+        jdf = cached._jdf
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jnew, cached.sparkSession)
     raise ValueError(
         f"unknown {STAGE_MODE_CONF} {mode!r}; expected one of {_STAGE_MODES}"
     )

@@ -2512,9 +2512,12 @@ def test_stage_modes_switch_mechanism(spark, tmp_path):
 
         spark.conf.set(STAGE_MODE_CONF, "persist")
         outp = stage(df)
-        assert outp.storageLevel == StorageLevel.DISK_ONLY
+        # persist mode = DISK_ONLY cache + plan re-rooted on the
+        # persisted RDD (bounded loop plans, recomputable lineage)
+        assert "LogicalRDD" in outp._jdf.queryExecution().analyzed().toString()
         assert outp.count() == 50
-        outp.unpersist()
+        assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        spark.catalog.clearCache()
 
         spark.conf.set(STAGE_MODE_CONF, "bogus")
         with pytest.raises(ValueError, match="unknown"):
@@ -2580,19 +2583,21 @@ def test_stage_persist_mode_upgrades_correctness_pins(spark, tmp_path, caplog):
         spark.conf.set(STAGE_MODE_CONF, "persist")
 
         # pinned cut: refused persist, upgraded to a checkpoint variant
+        # (a checkpoint is a LogicalRDD scan and registers NO cache)
+        spark.catalog.clearCache()
         with caplog.at_level(_logging.WARNING, logger="backend_spark.scale"):
             pinned = stage(df, eager=True, pin=True)
         assert pinned.storageLevel != StorageLevel.DISK_ONLY
-        # both upgrade targets (localCheckpoint / checkpoint) truncate
-        # lineage to a LogicalRDD scan; persist would keep Range
         assert "LogicalRDD" in pinned._jdf.queryExecution().analyzed().toString()
         assert any("upgrading" in r.message for r in caplog.records)
         assert pinned.count() == 100
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
-        # unpinned cut: persist honored exactly as before
+        # unpinned cut: persist honored — DISK_ONLY cache registered
         plain = stage(df)
-        assert plain.storageLevel == StorageLevel.DISK_ONLY
-        plain.unpersist()
+        assert plain.count() == 100
+        assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        spark.catalog.clearCache()
 
         # end-to-end: the id producer stays dense and deterministic
         # under the global persist switch

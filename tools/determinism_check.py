@@ -18,8 +18,11 @@ eventually diverge from its oracle on some machine.
 Usage: python tools/determinism_check.py [name ...]   (exit 1 on diff)
        python tools/determinism_check.py --cluster [name ...]
          — fourth shape: re-run (default: the checkpoint-heavy set) on
-         a real 2-executor ``local-cluster[2,8,4096]`` under BOTH
-         ``stage.mode=local`` and ``=reliable`` and diff vs local[*].
+         a real 2-executor ``local-cluster[2,8,4096]`` under ALL THREE
+         ``stage.mode`` settings (local / reliable / persist) and diff
+         vs local[*].  persist joined in round 13: with pin=True
+         upgrading the sampled-boundary cuts, the persist switch is
+         result-identical end-to-end and certifiable.
 """
 
 from __future__ import annotations
@@ -96,7 +99,7 @@ def main_cluster(only=None) -> int:
     spark2.sparkContext.setLogLevel("WARN")
     bad, errs = [], []
     try:
-        for mode in ("local", "reliable"):
+        for mode in ("local", "reliable", "persist"):
             spark2.conf.set(STAGE_MODE_CONF, mode)
             if mode == "reliable":
                 spark2.conf.set(
@@ -120,7 +123,7 @@ def main_cluster(only=None) -> int:
     finally:
         spark2.stop()
     print(f"\ncluster shape: {len(bad)} divergent, {len(errs)} errored "
-          f"of {2 * len(names)} runs")
+          f"of {3 * len(names)} runs")
     return 1 if (bad or errs) else 0
 
 
