@@ -2604,6 +2604,19 @@ def test_stage_persist_mode_upgrades_correctness_pins(spark, tmp_path, caplog):
         ids = assign_row_ids(df, "x", out_col="rid")
         got = sorted((r.x, r.rid) for r in ids.collect())
         assert got == [(i, i + 1) for i in range(100)]
+
+        # the hang regression: a 25-round loop cutting via stage each
+        # iteration must keep a BOUNDED analyzed plan under persist
+        # (pre-re-rooting the plan grew per round until Catalyst
+        # choked on pagerank) and still compute the right answer
+        from pyspark.sql import functions as F
+
+        cur = df.withColumn("v", F.col("x"))
+        for _ in range(25):
+            cur = stage(cur.withColumn("v", F.col("v") + 1))
+        assert len(cur._jdf.queryExecution().analyzed().toString()) < 2000
+        assert cur.agg(F.sum("v")).collect()[0][0] == sum(range(100)) + 25 * 100
+        spark.catalog.clearCache()
     finally:
         spark.conf.set(STAGE_MODE_CONF, "local")
 
