@@ -2621,6 +2621,62 @@ def test_stage_persist_mode_upgrades_correctness_pins(spark, tmp_path, caplog):
         spark.conf.set(STAGE_MODE_CONF, "local")
 
 
+def test_stage_persist_reroot_roundtrips_exotic_types(spark):
+    """The persist-mode re-root crosses internalCreateDataFrame with
+    raw InternalRows, so every type's binary layout must survive:
+    NaN/Inf/-0.0 doubles, unicode, dates, microsecond timestamps,
+    decimal(38,10), arrays/maps/structs with NULLs, binary, and
+    all-NULL rows round-trip byte-exact."""
+    import datetime
+    import decimal
+    import math
+
+    from pyspark.sql import Row
+
+    from backend_spark.scale import STAGE_MODE_CONF, stage
+
+    rows = [
+        Row(i=1, d=float("nan"), s="héllo \U0001f30d", b=True,
+            dt=datetime.date(2024, 2, 29),
+            ts=datetime.datetime(2024, 1, 1, 12, 0, 0, 123456),
+            dec=decimal.Decimal("12345.6789012345"),
+            arr=[1, 2, None], mp={"a": 1}, st=Row(x=1, y="z"),
+            bin=bytearray(b"\x00\xffraw")),
+        Row(i=None, d=-0.0, s=None, b=None, dt=None, ts=None, dec=None,
+            arr=None, mp=None, st=None, bin=None),
+        Row(i=-2**62, d=float("inf"), s="", b=False,
+            dt=datetime.date(1900, 1, 1),
+            ts=datetime.datetime(1969, 12, 31, 23, 59, 59),
+            dec=decimal.Decimal("-0.0000000001"),
+            arr=[], mp={}, st=Row(x=None, y=None), bin=bytearray(b"")),
+    ]
+    schema = (
+        "i long, d double, s string, b boolean, dt date, ts timestamp, "
+        "dec decimal(38,10), arr array<int>, mp map<string,int>, "
+        "st struct<x:int,y:string>, bin binary"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    def canon(rs):
+        out = []
+        for r in rs:
+            out.append(tuple(
+                "nan" if isinstance(v, float) and math.isnan(v) else repr(v)
+                for v in r
+            ))
+        return sorted(out)
+
+    base = canon(df.collect())
+    try:
+        spark.conf.set(STAGE_MODE_CONF, "persist")
+        staged = stage(df)
+        assert staged.schema == df.schema
+        assert canon(staged.collect()) == base
+    finally:
+        spark.conf.set(STAGE_MODE_CONF, "local")
+        spark.catalog.clearCache()
+
+
 def test_rollup_merge_equals_direct(spark):
     from pyspark.sql import functions as F
 
