@@ -680,6 +680,15 @@ def simhash_neardup_pairs(
         ]
     )
     banded = sig.select(F.col(id_col), F.col("simhash"), F.explode(slices).alias("__s"))
+    # Round-robin rebalance AFTER the explode (round-13 scale probe):
+    # AQE sizes the signature aggregate's partitions by its tiny byte
+    # count (a handful of partitions at mid-scale), the explode and the
+    # quadratic probe of the band join inherit them, and when Catalyst
+    # picks a broadcast join for the banded table there is no later
+    # exchange to restore parallelism — measured 29.9 s -> 7.7 s at the
+    # 80k-doc probe point (most cores idle otherwise).  Rows are
+    # ids+hash only, so this linear shuffle is noise next to the probe.
+    banded = banded.repartition(df.sparkSession.sparkContext.defaultParallelism)
     left = banded.select(
         F.col(id_col).alias("id1"), F.col("simhash").alias("__h1"), "__s"
     )
