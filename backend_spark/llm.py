@@ -1700,13 +1700,19 @@ def tfidf_cosine_pairs(
     scale cancels in the ratio.
 
     Scale shape: inverted-index self-join on ``term`` + ONE (id1,id2)
-    aggregate — never an all-pairs stage.  The document-frequency cap
-    (``max_df`` absolute, else ``max_df_frac * N``) is the skew guard:
-    it bounds every posting list, hence the worst per-term pair
-    fan-out, and drops stop-words whose idf ~ 0 contributes nothing
-    anyway.  ``df >= 2`` prunes hapax terms (they cannot link a pair).
-    At web scale set ``max_df`` absolute (e.g. 10^4): a 0.5-fraction
-    cap on 10^10 documents still admits a quadratic hot key.
+    aggregate — no explicit all-pairs stage, but the per-term fan-out
+    is C(df, 2), so the document-frequency cap (``max_df`` absolute,
+    else ``max_df_frac * N``) IS the complexity bound, not a mere skew
+    guard.  The fractional default does NOT scale: candidates grow as
+    ``(max_df_frac * N)^2`` per admitted hot term — the round-13 scale
+    probe measured the default cap OOMing an 8 GB heap at an 80k-doc
+    corpus (the ×16 self-union; every query around it at the same
+    size ran fine).  Above ~20k documents set ``max_df`` ABSOLUTE
+    (e.g. 10^3-10^4): that makes total candidate work O(N * max_df)
+    — linear in the corpus — at the documented cost of ignoring terms
+    more common than the cap (whose idf contribution is near zero
+    anyway).  ``df >= 2`` prunes hapax terms (they cannot link a
+    pair).
     """
     dec = "decimal(38,0)"
     tf = (
