@@ -1667,6 +1667,22 @@ def _q_ann(spark, sf):
     return llm.ann_topk_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
+def _q_ann_zero(spark, sf):
+    """Zero-norm-vector robustness variant of ann_topk (round-14, for the
+    fn.cosine_similarity try_divide fix): vec_id 3's embedding is zeroed,
+    so every cosine involving it is NULL — the zero-vector query returns
+    k NULL-cosine rows ordered by neighbor_id (desc sort places NULLs
+    last), and legal-but-degenerate input no longer ANSI-crashes."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 3,
+            F.transform("embedding", lambda x: (x * 0).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    return llm.ann_topk_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
 def _q_ann_ivf_index(spark, sf):
     # persisted-index path: build once (cell-partitioned parquet), then
     # search loads cells+centroids and skips the fit.  Exhaustive probe
@@ -4598,67 +4614,16 @@ def _q_session_stats(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples
     # a 50-query prefix per round; tools/staleness_report.py prints the
-    # mechanical queue).  Round-13 rotation (the round-12 verdict's #1):
-    # the prefix is the 9 remaining r6-certified rows plus the 41
-    # oldest r8 rows; every later group follows in evidence order
-    # (r8 remainder, r9, r10, r11, r12).  The three rows with no exact
+    # mechanical queue).  Round-14 rotation (the round-13 verdict's #2,
+    # the FINAL rotation of the re-certification cycle begun r10): the
+    # prefix is the 9 remaining r8-certified rows plus the 41 oldest r9
+    # rows; every later group follows in evidence order (r9 remainder +
+    # ann_zero_vec, r10, r11, r12, r13).  The three rows with no exact
     # cross-engine oracle (closeness_approx, build_model, apply_model)
     # sit at the very tail so no future 50-slot prefix spends slots on
     # rows that can never hash-match.
     return {
-        # --- r6-evidence rows (oldest first) ---
-        "join_strict": _q_join_strict,
-        "join_fuzzy": _q_join_fuzzy,
-        "join_topk": _q_join_topk,
-        "clique": _q_clique,
-        "clique_list": _q_clique_list,
-        "closeness": _q_closeness,
-        "graph_metrics": _q_graph_metrics,
-        "pagerank": _q_pagerank,
-        "dedup_exact": _q_dedup_exact,
-        # --- r8-evidence rows (41 oldest) ---
-        "interval_join": _q_interval_join,
-        "scd2": _q_scd2,
-        "er_golden": _q_er_golden,
-        "caverphone": _q_caverphone,
-        "zorder": _q_zorder,
-        "trim_dup_spans": _q_trim_dup_spans,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "strip_html": _q_strip_html,
-        "quantize_emb": _q_quantize_emb,
-        "oversample": _q_oversample,
-        "kmeans": _q_kmeans,
-        "c4_lines": _q_c4_lines,
-        "blocklist": _q_blocklist,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "shuffle_order": _q_shuffle_order,
-        "stratified_topn": _q_stratified_topn,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "label_prop": _q_label_prop,
-        "link_predict": _q_link_predict,
-        "dsir": _q_dsir,
-        "skew_report": _q_skew_report,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "modularity": _q_modularity,
-        "kn_bigram": _q_kn_bigram,
-        "kcenter": _q_kcenter,
-        "stream_enrich": _q_stream_enrich,
-        "classifier_eval": _q_classifier_eval,
-        "winsorize": _q_winsorize,
-        "containment": _q_containment,
-        "robust_scale": _q_robust_scale,
-        "rolling_agg": _q_rolling_agg,
-        "hll_distinct": _q_hll_distinct,
-        "soundex": _q_soundex,
-        "mmr": _q_mmr,
-        "k_anonymity": _q_k_anonymity,
-        "snapshot_diff": _q_snapshot_diff,
-        "training_shards": _q_training_shards,
-        "split_corpus": _q_split_corpus,
-        "cms": _q_cms,
-        "ngram_novelty": _q_ngram_novelty,
-        "geo_join": _q_geo_join,
-        # --- 50-query-prefix boundary (9 r6 + 41 oldest r8 above) ---
+        # --- r8-evidence rows (the final 9) ---
         "pq_encode": _q_pq_encode,
         "retention": _q_retention,
         "histogram": _q_histogram,
@@ -4668,7 +4633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "ann_topk": _q_ann,
         "bm25_topk": _q_bm25,
-        # --- r9-evidence rows (oldest first) ---
+        # --- r9-evidence rows (41 oldest) ---
         "ridge_train": _q_ridge_train,
         "ridge_score": _q_ridge_score,
         "ridge_apply": _q_ridge_apply,
@@ -4710,6 +4675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": _q_vocab,
         "tfidf_topk": _q_tfidf,
         "unigram_logprob": _q_unigram_lp,
+        # --- 50-query-prefix boundary (9 r8 + 41 oldest r9 above) ---
+        # ann_zero_vec: round-14 addition (zero-norm-vector oracle variant
+        # for the cosine try_divide fix) — first in the next-round queue
+        "ann_zero_vec": _q_ann_zero,
+        # --- r9-evidence rows (remaining 9) ---
         "dedup_incremental": _q_dedup_incremental,
         "collocations": _q_collocations,
         "percentile_gate": _q_percentile_gate,
@@ -4818,7 +4788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": _q_stream_join,
         "stream_compact": _q_stream_compact,
         "salted_agg": _q_salted_agg,
-        # --- r12-evidence rows (certified last round, freshest) ---
+        # --- r12-evidence rows (oldest first) ---
         "row_ids": _q_row_ids,
         "ngram_jaccard": _q_ngram_jaccard,
         "embed_neardup": _q_embed_neardup,
@@ -4869,6 +4839,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unnest": _q_unnest,
         "nest": _q_nest,
         "ngram": _q_ngram,
+        # --- r13-evidence rows (certified last round, freshest) ---
+        "join_strict": _q_join_strict,
+        "join_fuzzy": _q_join_fuzzy,
+        "join_topk": _q_join_topk,
+        "clique": _q_clique,
+        "clique_list": _q_clique_list,
+        "closeness": _q_closeness,
+        "graph_metrics": _q_graph_metrics,
+        "pagerank": _q_pagerank,
+        "dedup_exact": _q_dedup_exact,
+        "interval_join": _q_interval_join,
+        "scd2": _q_scd2,
+        "er_golden": _q_er_golden,
+        "caverphone": _q_caverphone,
+        "zorder": _q_zorder,
+        "trim_dup_spans": _q_trim_dup_spans,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "strip_html": _q_strip_html,
+        "quantize_emb": _q_quantize_emb,
+        "oversample": _q_oversample,
+        "kmeans": _q_kmeans,
+        "c4_lines": _q_c4_lines,
+        "blocklist": _q_blocklist,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "shuffle_order": _q_shuffle_order,
+        "stratified_topn": _q_stratified_topn,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "label_prop": _q_label_prop,
+        "link_predict": _q_link_predict,
+        "dsir": _q_dsir,
+        "skew_report": _q_skew_report,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "modularity": _q_modularity,
+        "kn_bigram": _q_kn_bigram,
+        "kcenter": _q_kcenter,
+        "stream_enrich": _q_stream_enrich,
+        "classifier_eval": _q_classifier_eval,
+        "winsorize": _q_winsorize,
+        "containment": _q_containment,
+        "robust_scale": _q_robust_scale,
+        "rolling_agg": _q_rolling_agg,
+        "hll_distinct": _q_hll_distinct,
+        "soundex": _q_soundex,
+        "mmr": _q_mmr,
+        "k_anonymity": _q_k_anonymity,
+        "snapshot_diff": _q_snapshot_diff,
+        "training_shards": _q_training_shards,
+        "split_corpus": _q_split_corpus,
+        "cms": _q_cms,
+        "ngram_novelty": _q_ngram_novelty,
+        "geo_join": _q_geo_join,
         # --- registry tail: no exact oracle by construction (driver
         # records rows-only) — parked so prefixes stay hash-checkable ---
         "closeness_approx": _q_closeness_approx,
@@ -6494,6 +6515,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
             QUALIFY row_number() OVER (PARTITION BY q.vec_id
                                        ORDER BY cosine DESC, c.vec_id) <= 5
+        """,
+        # zero-norm variant: dot/NULLIF(|a||b|,0) instead of DuckDB's
+        # list_cosine_similarity (which raises on a zero vector); NULL
+        # cosine sorts last under DESC in both engines (Spark desc default
+        # is nulls-last; DuckDB made explicit here)
+        "ann_zero_vec": """
+            WITH e AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id = 3
+                            THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
+                            ELSE embedding END AS embedding
+                FROM embeddings
+            )
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[]))
+                         / NULLIF(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                        CAST(q.embedding AS DOUBLE[])))
+                                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                          CAST(c.embedding AS DOUBLE[]))),
+                                  0), 6) AS cosine
+            FROM e q CROSS JOIN e c
+            WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+            QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY cosine DESC NULLS LAST, c.vec_id) <= 5
         """,
         # IVF with n_probe = n_centroids is exhaustive -> same exact oracle
         "ann_ivf": """

@@ -565,7 +565,13 @@ def simhash64(tokens: Column, bits: int = 60) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine over two array<float|double> columns — zip_with + aggregate,
-    JVM-side (no UDF)."""
+    JVM-side (no UDF).
+
+    Zero-norm vectors produce NULL (not an ANSI ``DIVIDE_BY_ZERO`` crash):
+    ``try_divide`` yields NULL on a zero divisor, and a descending sort on
+    the similarity places NULLs last — the semantics the ANN/embedding
+    family specifies for degenerate embeddings.
+    """
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -573,7 +579,7 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 _SOUNDEX_CODES = (

@@ -3936,6 +3936,32 @@ def test_ann_topk_bruteforce_matches_numpy(_spark, vecs, k):
     assert got == sorted(exp), (vecs, k, got, exp)
 
 
+def test_cosine_zero_vector_is_null_not_crash(_spark):
+    """Deterministic regression for the round-13 ANSI DIVIDE_BY_ZERO bug
+    (functions/__init__.py cosine_similarity): a zero-norm embedding must
+    yield NULL cosine (try_divide), sort last under desc, and never abort
+    the query — the exact case hypothesis drew in the property test above,
+    pinned so it runs on every suite pass without the fuzz budget."""
+    from backend_spark.llm import ann_topk_bruteforce
+
+    data = [
+        (0, [0.0, 0.0, 0.0]),  # zero-norm query AND corpus vector
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 1.0, 0.0]),
+    ]
+    df = _spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_topk_bruteforce(df, df, k=3).collect()
+    }
+    # zero-vector query: every cosine NULL, all neighbors still returned
+    assert got[(0, 1)] is None and got[(0, 2)] is None and got[(0, 3)] is None
+    # zero-vector corpus entry is NULL for other queries and ranks last
+    assert got[(1, 0)] is None
+    assert got[(1, 3)] == 0.707107 and got[(1, 2)] == 0.0
+
+
 # -- eval tier-1 compiler fuzz: random expression trees rendered to
 # -- source, compiled to Columns, and cross-checked against python eval
 # -- row-by-row (the reference's semantics ARE python eval).
