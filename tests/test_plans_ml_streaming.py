@@ -1021,6 +1021,33 @@ def test_tfidf_cosine_pairs_handcomputed(spark):
     assert {(1, 4), (2, 4)} <= pairs3
 
 
+def test_tfidf_cosine_quadratic_guard_fails_fast(spark):
+    """The fractional df cap must fail fast (raise_error with an
+    actionable message), not OOM, once it would admit terms with df >
+    _TFIDF_QUADRATIC_LIMIT documents; an absolute max_df or explicit
+    allow_quadratic=True proceeds (round-13 verdict #2)."""
+    import pytest
+
+    from backend_spark import llm
+
+    n = 2 * llm._TFIDF_QUADRATIC_LIMIT + 10  # fractional cap 0.5*n > limit
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shared tok"), (F.col("id") % 5).cast("string")).alias("text"),
+    )
+    with pytest.raises(Exception, match="allow_quadratic"):
+        llm.tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.9).count()
+    # absolute cap: same corpus completes (linear O(N*max_df) plan)
+    assert llm.tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=1.01, max_df=5
+    ).count() == 0
+    # explicit opt-in on a small slice completes
+    assert llm.tfidf_cosine_pairs(
+        docs.where(F.col("doc_id") < 50), "doc_id", "text",
+        threshold=0.0, allow_quadratic=True,
+    ).count() > 0
+
+
 def test_cross_dup_spans_finds_shared_boilerplate(spark):
     from backend_spark import llm
 
