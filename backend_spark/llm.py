@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from backend_spark import functions as fn
 from backend_spark.operators.graph import connected_components
-from backend_spark.scale import stage
+from backend_spark.scale import LoopCuts, stage
 
 
 # ---------------------------------------------------------------------------
@@ -3511,6 +3511,7 @@ def bpe_train(
     ).transform(stage, eager=False)
 
     merges: list[tuple] = []
+    cuts = LoopCuts()  # persist mode: unpersist seqs >2 merge ranks old
     for rank in range(1, n_merges + 1):
         toks = F.split(F.trim("seq"), " +")
         adj = F.zip_with(
@@ -3534,7 +3535,7 @@ def bpe_train(
         seqs = seqs.select(
             F.replace("seq", F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs + rhs} ")).alias("seq"),
             "wf",
-        ).transform(stage, eager=False)
+        ).transform(cuts.cut, eager=False)
 
     return df.sparkSession.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, cnt bigint"

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from backend_spark.scale import stage
+from backend_spark.scale import LoopCuts, stage
 
 
 def connected_components(
@@ -51,6 +51,7 @@ def connected_components(
         .transform(stage, eager=True)
     )
 
+    cuts = LoopCuts()  # persist mode: unpersist cuts >2 iterations old
     for _ in range(max_iter):
         # candidate: the smallest label among each node's neighbors
         nbr_min = (
@@ -80,7 +81,7 @@ def connected_components(
                 (F.col("__chg") | (F.col("__gcomp") < F.col("comp"))).alias("__chg"),
             )
         )
-        new_labels = new_labels.transform(stage, eager=True)
+        new_labels = cuts.cut(new_labels, eager=True)
         changed = new_labels.where(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
@@ -216,6 +217,7 @@ def pagerank(
         return deg.select("node", F.lit(0.0).alias("pagerank"))
     base = (1.0 - alpha) / n_nodes
     ranks = deg.withColumn("__r", F.lit(1.0 / n_nodes))
+    cuts = LoopCuts()
     for _ in range(max_iter):
         contribs = (
             sym.join(ranks.withColumnRenamed("node", "a"), "a")
@@ -231,7 +233,7 @@ def pagerank(
             )
             # eager: truncate lineage NOW so the loop never builds a
             # max_iter-deep nested plan for Catalyst to re-analyze
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
         if tol > 0:
             delta = (
@@ -292,6 +294,7 @@ def k_truss(
     )
     n_edges = e.count()
     supp = None
+    cuts = LoopCuts(keep=4)  # two cuts per round -> keep two rounds
     for _ in range(max_rounds):
         sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         n1 = sym.select(F.col("a").alias("__u"), F.col("b").alias("__w"))
@@ -305,9 +308,9 @@ def k_truss(
         scored = (
             e.join(tri, ["a", "b"], "left")
             .select("a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support"))
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
-        e2 = scored.where(F.col("support") >= k - 2).transform(stage, eager=True)
+        e2 = scored.where(F.col("support") >= k - 2).transform(cuts.cut, eager=True)
         n2_edges = e2.count()
         supp = e2
         e = e2.select("a", "b")
@@ -351,6 +354,7 @@ def personalized_pagerank(
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
     tele = F.when(F.col("node").isin(seeds), F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
     ranks = deg.withColumn("__r", tele)
+    cuts = LoopCuts()
     for _ in range(max_iter):
         contribs = (
             sym.join(ranks.withColumnRenamed("node", "a"), "a")
@@ -367,7 +371,7 @@ def personalized_pagerank(
                     + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("__r"),
             )
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
     out = ranks.select("node", F.col("__r").alias("ppr"))
     if round_to is not None:
@@ -419,6 +423,7 @@ def hits(
     )
     hv = nodes.withColumn("__h", F.lit(1).cast("long"))
     av = None
+    cuts = LoopCuts(keep=4)  # av + hv cuts per round -> keep two rounds
     for _ in range(max_iter):
         a_in = (
             e.join(hv.withColumnRenamed("node", "s"), "s")
@@ -428,7 +433,7 @@ def hits(
         av = (
             nodes.join(a_in, "node", "left")
             .select("node", F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("__a"))
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
         h_out = (
             e.join(av.withColumnRenamed("node", "d"), "d")
@@ -438,7 +443,7 @@ def hits(
         hv = (
             nodes.join(h_out, "node", "left")
             .select("node", F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("__h"))
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
     joined = hv.join(av, "node")
     totals = joined.agg(
@@ -595,17 +600,18 @@ def closeness_centrality(
         F.col("node").alias("s"), F.col("node").alias("v"), F.lit(0).alias("d")
     ).transform(stage, eager=True)
     frontier = known
+    cuts = LoopCuts(keep=4)  # nxt + known cuts per hop -> keep two hops
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(sym, frontier["v"] == sym["a"])
             .select("s", F.col("b").alias("v"), F.lit(hop).alias("d"))
             .distinct()
             .join(known.select("s", "v"), ["s", "v"], "left_anti")
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
         if nxt.isEmpty():
             break
-        known = known.unionByName(nxt).transform(stage, eager=True)
+        known = known.unionByName(nxt).transform(cuts.cut, eager=True)
         frontier = nxt
     per_src = known.groupBy("s").agg(
         F.count(F.lit(1)).alias("__r"), F.sum("d").alias("__sum")
@@ -660,6 +666,7 @@ def eigenvector_centrality(
     ordered_sum = lambda col: F.aggregate(  # noqa: E731 — fixed-order float fold
         F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, v: a + v["v"]
     )
+    cuts = LoopCuts()
     for _ in range(max_iter):
         contrib = (
             sym.join(x.select(F.col("node").alias("a"), "__x"), "a")
@@ -688,7 +695,7 @@ def eigenvector_centrality(
                 "node",
                 (F.col("__u") / F.when(F.col("__norm") > 0, F.col("__norm")).otherwise(F.lit(1.0))).alias("__x"),
             )
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
         if tol > 0:
             delta = (
@@ -843,6 +850,7 @@ def closeness_centrality_approx(
     n_nodes = state.count()
     if n_nodes == 0:
         return state.select("node", F.lit(0.0).alias("closeness"))
+    cuts = LoopCuts()
     for hop in range(1, max_hops + 1):
         nbr = (
             sym.join(state.select(F.col("node").alias("a"), "__sk"), "a")
@@ -866,7 +874,7 @@ def closeness_centrality_approx(
                 + F.lit(float(hop)) * F.greatest(F.col("__est") - F.col("__prev"), F.lit(0)),
             )
             .drop("__prev")
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
         grew = new_state.join(
             state.select("node", F.col("__est").alias("__old")), "node"
@@ -911,6 +919,7 @@ def k_core(
     """
     alive = _sym_edges(edges, src, dst).transform(stage, eager=True)
     n_alive = alive.count()
+    cuts = LoopCuts()
     for _ in range(max_iter):
         deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
         keep = deg.where(F.col("__d") >= k).select("a")
@@ -918,7 +927,7 @@ def k_core(
             alive.join(keep, "a")
             .join(keep.withColumnRenamed("a", "b"), "b")
             .select("a", "b")
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
         n_pruned = pruned.count()
         converged = n_pruned == n_alive
@@ -969,6 +978,7 @@ def label_propagation(
         .transform(stage, eager=True)
     )
     w = Window.partitionBy("a").orderBy(F.col("__c").desc(), F.col("lbl").asc())
+    cuts = LoopCuts()
     for _ in range(n_rounds):
         freq = (
             sym.join(labels.select(F.col("node").alias("b"), "lbl"), "b")
@@ -979,7 +989,7 @@ def label_propagation(
             freq.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .select(F.col("a").alias("node"), "lbl")
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
 
@@ -1180,6 +1190,7 @@ def shortest_paths(
     )
     frontier = dist
     n_frontier = frontier.count()
+    cuts = LoopCuts(keep=4)  # frontier + dist cuts per round -> keep two rounds
     for _ in range(max_iter):
         if n_frontier == 0:
             break
@@ -1194,12 +1205,12 @@ def shortest_paths(
         # since the eager checkpoint materializes the count for free)
         frontier = (
             reached.join(dist.select("node"), "node", "left_anti")
-            .transform(stage, eager=True)
+            .transform(cuts.cut, eager=True)
         )
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
-        dist = dist.unionByName(frontier).transform(stage, eager=True)
+        dist = dist.unionByName(frontier).transform(cuts.cut, eager=True)
     return dist
 
 

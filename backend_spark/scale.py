@@ -111,15 +111,70 @@ def stage(df: DataFrame, eager: bool = False, pin: bool = False) -> DataFrame:
     if mode == "persist":
         cached = df.persist(StorageLevel.DISK_ONLY)
         # re-root the plan on the persisted frame's physical RDD:
-        # bounded plans for loops, recomputable lineage for block loss
+        # bounded plans for loops, recomputable lineage for block loss.
+        # Caveat (round-13 advisor): unlike Dataset.checkpoint's re-root,
+        # internalCreateDataFrame yields a LogicalRDD with
+        # UnknownPartitioning — downstream joins/aggs on the staged
+        # frame may add an exchange that local/reliable modes avoid —
+        # and stage() must be called on a freshly built frame: if the
+        # Dataset's executedPlan was already forced (an explain/action
+        # on the SAME object), the lazy withCachedData substitution
+        # never sees the new cache entry and the re-rooted RDD bypasses
+        # the DISK_ONLY cache, recomputing full lineage per action.
+        # Every in-engine call site builds the frame immediately before
+        # the cut (df.transform(stage) idiom), so both stay theoretical
+        # here; threading outputPartitioning through would need the
+        # Scala checkpoint path.
         jdf = cached._jdf
         jnew = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
-        return DataFrame(jnew, cached.sparkSession)
+        out = DataFrame(jnew, cached.sparkSession)
+        # handle for LoopCuts: the persisted frame this cut reads through
+        out._sg_persist_handle = cached
+        return out
     raise ValueError(
         f"unknown {STAGE_MODE_CONF} {mode!r}; expected one of {_STAGE_MODES}"
     )
+
+
+class LoopCuts:
+    """Bounds persist-mode executor-disk growth in iterative loops
+    (round-14; closes the "loop cuts are never unpersisted" caveat
+    above): a per-loop tracker whose :meth:`cut` stages a frame and, in
+    persist mode, unpersists the cut ``keep`` iterations back —
+    non-blocking, after the newer cut exists, so the loop's convergence
+    read and any downstream consumer always see the latest ``keep``
+    iterations cached.  Unpersisting an older cut is safe by
+    construction in this mode: persist keeps RDD lineage, so a late
+    reader of a superseded frame recomputes instead of failing (the
+    same recompute contract persist mode already accepts for lost
+    blocks).  In ``local``/``reliable`` modes this is a pass-through —
+    those cuts have no cache entry to bound.
+
+    Usage (one tracker per loop, NOT shared across loops — two
+    interleaved loops would evict each other's working set)::
+
+        cuts = LoopCuts()
+        for _ in range(max_iter):
+            frame = cuts.cut(frame, eager=True)
+            ...
+    """
+
+    def __init__(self, keep: int = 2):
+        if keep < 1:
+            raise ValueError(f"keep must be >= 1, got {keep}")
+        self.keep = keep
+        self._handles: list[DataFrame] = []
+
+    def cut(self, df: DataFrame, eager: bool = False, pin: bool = False) -> DataFrame:
+        out = stage(df, eager=eager, pin=pin)
+        handle = getattr(out, "_sg_persist_handle", None)
+        if handle is not None:
+            self._handles.append(handle)
+            while len(self._handles) > self.keep:
+                self._handles.pop(0).unpersist(blocking=False)
+        return out
 
 
 def salted_agg(

@@ -2648,6 +2648,44 @@ def test_stage_persist_mode_upgrades_correctness_pins(spark, tmp_path, caplog):
         spark.conf.set(STAGE_MODE_CONF, "local")
 
 
+def test_loop_cuts_bound_persist_cache(spark):
+    """LoopCuts keeps at most ``keep`` persist-mode cuts cached —
+    superseded iterations are unpersisted (storage level NONE), the
+    retained working set stays DISK_ONLY, results stay correct, and in
+    local mode the tracker is a pass-through (round-13 verdict #8)."""
+    from backend_spark.scale import STAGE_MODE_CONF, LoopCuts
+
+    spark.conf.set(STAGE_MODE_CONF, "persist")
+    try:
+        cuts = LoopCuts(keep=2)
+        cur = spark.range(50).select(F.col("id").alias("v"))
+        for i in range(5):
+            cur = cuts.cut(cur.select((F.col("v") + 1).alias("v")), eager=False)
+            assert cur.agg(F.sum("v")).collect()[0][0] == sum(range(50)) + (i + 1) * 50
+        assert len(cuts._handles) == 2
+        retained = [h.storageLevel.useDisk for h in cuts._handles]
+        assert retained == [True, True]
+        # a superseded cut is recomputable, not cached: rebuild the same
+        # loop tracking every handle to observe the evicted ones directly
+        evicted: list = []
+        cuts2 = LoopCuts(keep=2)
+        cur = spark.range(50).select(F.col("id").alias("v"))
+        for _ in range(5):
+            cur = cuts2.cut(cur.select((F.col("v") + 1).alias("v")), eager=False)
+            cur.count()
+            evicted.append(cuts2._handles[-1])
+        assert [h.storageLevel.useDisk for h in evicted] == [
+            False, False, False, True, True,
+        ]
+        spark.catalog.clearCache()
+    finally:
+        spark.conf.set(STAGE_MODE_CONF, "local")
+    # local mode: no persist handle, nothing tracked
+    cuts3 = LoopCuts()
+    out = cuts3.cut(spark.range(10), eager=True)
+    assert out.count() == 10 and cuts3._handles == []
+
+
 def test_stage_persist_reroot_roundtrips_exotic_types(spark):
     """The persist-mode re-root crosses internalCreateDataFrame with
     raw InternalRows, so every type's binary layout must survive:

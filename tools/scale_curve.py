@@ -54,22 +54,73 @@ OUT_ROOT = "/tmp/sg_scale_curve"
 QUERIES = ["groupby_agg", "simhash_neardup", "dedup_near", "dup_report", "er_pipeline"]
 
 # per-replica key offsets chosen far above the sf0.1 max keys (and, for
-# doc_id, above the +10000 dupe-injection range the probe queries add)
+# doc_id/vec_id, above the +10000 dupe-injection range the probe
+# queries add)
 KEY_OFFSET = {
     "lineitem": ("l_orderkey", 1_000_000),
     "customer": ("c_custkey", 10_000_000),
     "documents": ("doc_id", 1_000_000),
+    "embeddings": ("vec_id", 1_000_000),
 }
+
+# --- iterative graph-loop probes (round-14, VERDICT r13 #7) ----------
+# The registry graph queries run on the 25-node nation ring+chord graph
+# (constant at every SF), so scaled parquet cannot probe their loops.
+# These build a parameterized graph directly: ring i—(i+1)%n plus
+# Lehmer-hash chords i—(i*48271)%n at even i.  The hash chords make the
+# graph expander-like (diameter O(log n)) so the frontier/convergence
+# loops grow with DATA, not with topology length — a scaled plain ring
+# would make sssp run Θ(n) rounds and measure the generator, not the
+# plan (the same artifact class the docstring's alphabet-rotation note
+# guards against).
+GRAPH_BASE_NODES = 25_000
+
+
+def _scaled_edges(spark, n: int):
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    ring = nodes.select(
+        F.col("node").alias("src"), ((F.col("node") + 1) % n).alias("dst")
+    )
+    chords = nodes.where(F.col("node") % 2 == 0).select(
+        F.col("node").alias("src"), ((F.col("node") * 48271) % n).alias("dst")
+    )
+    return ring.unionByName(chords).where(F.col("src") != F.col("dst"))
+
+
+def _graph_probes():
+    from backend_spark.operators.graph import (
+        k_truss,
+        label_propagation,
+        pagerank,
+        shortest_paths,
+    )
+
+    return {
+        "pagerank_loop": lambda spark, n: pagerank(
+            _scaled_edges(spark, n), max_iter=20, tol=0.0
+        ),
+        "label_prop_loop": lambda spark, n: label_propagation(
+            _scaled_edges(spark, n), n_rounds=5
+        ),
+        "sssp_loop": lambda spark, n: shortest_paths(
+            _scaled_edges(spark, n), [0, n // 2]
+        ),
+        "k_truss_loop": lambda spark, n: k_truss(_scaled_edges(spark, n), k=3),
+    }
 
 
 def materialize(spark, k: int) -> str:
     """Write the x{k} tables; no-op if the directory already exists."""
     out = os.path.join(OUT_ROOT, f"x{k}")
     marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
-        return out
     os.makedirs(out, exist_ok=True)
-    for name in ("lineitem", "customer", "documents", "nation"):
+    for name in ("lineitem", "customer", "documents", "nation", "embeddings"):
+        # per-table skip (not the marker alone): lets a new table join
+        # the set without rebuilding the cached ones
+        if os.path.exists(marker) and os.path.exists(
+            os.path.join(out, f"{name}.parquet")
+        ):
+            continue
         base = load_table(spark, SF_DIR, name)
         if name == "nation":
             scaled = base  # dimension: unscaled
@@ -84,6 +135,22 @@ def materialize(spark, k: int) -> str:
                     rot = lo[r:] + lo[:r]
                     rep = rep.withColumn(
                         "text", F.translate("text", lo + hi, rot + rot.upper())
+                    )
+                if name == "embeddings" and r > 0:
+                    # per-replica deterministic jitter: a pure scalar
+                    # multiple would leave cosine DIRECTION identical,
+                    # so semdedup/ann would see every replica as an
+                    # exact near-dup of its original — quadratic
+                    # cross-replica pairs, a generator artifact (same
+                    # lesson as the documents alphabet rotation)
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.transform(
+                            "embedding",
+                            lambda x, i: (
+                                x + F.sin(i.cast("double") * (r * 0.7 + 0.3)) * 0.2
+                            ).cast("float"),
+                        ),
                     )
                 parts.append(rep)
             scaled = parts[0]
@@ -106,22 +173,31 @@ def main() -> None:
 
     spark = get_session("scale-curve")
     qs = entry_mod.queries()
+    probes = _graph_probes()
     results: dict[str, dict[int, float]] = {q: {} for q in names}
 
     for k in scales:
-        sf_dir = materialize(spark, k)
+        sf_dir = materialize(spark, k) if any(q not in probes for q in names) else None
         for q in names:
-            qs[q](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            if q in probes:
+                build = lambda: probes[q](spark, GRAPH_BASE_NODES * k)  # noqa: E731
+            else:
+                build = lambda: qs[q](spark, sf_dir)  # noqa: E731
+            build().write.format("noop").mode("overwrite").save()  # warm
             runs = []
             for _ in range(args.n):
                 t0 = time.time()
-                qs[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                build().write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
             med = round(statistics.median(runs), 3)
             results[q][k] = med
             print(f"x{k} {q}: {med}s  runs={[round(r, 2) for r in runs]}", file=sys.stderr)
 
-    hdr = "| query | " + " | ".join(f"x{k}" for k in scales) + " | x8/x1 | per-row ratio |"
+    hdr = (
+        "| query | "
+        + " | ".join(f"x{k}" for k in scales)
+        + f" | x{scales[-1]}/x{scales[0]} | per-row ratio |"
+    )
     sep = "|---" * (len(scales) + 3) + "|"
     lines = [hdr, sep]
     for q in names:
