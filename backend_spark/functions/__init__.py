@@ -398,14 +398,17 @@ def float_val(c: Column) -> Column:
 
     Python's ``float`` accepts PEP 515 digit grouping (``'1_0'`` →
     10.0) which Spark's cast does not, so single underscores BETWEEN
-    digits are stripped first (lookaround regex: ``'1__0'`` keeps its
-    underscores, fails the cast, and yields 0.0 — exactly like
-    ``float('1__0')`` raising)."""
-    stripped = F.when(
-        c.cast("string").contains("_"),
-        F.regexp_replace(c.cast("string"), "(?<=[0-9])_(?=[0-9])", ""),
-    ).otherwise(c.cast("string"))
-    return F.coalesce(stripped.try_cast("double"), F.lit(0.0))
+    digits are stripped as the FALLBACK (lookaround regex: ``'1__0'``
+    keeps its underscores, fails the cast, and yields 0.0 — exactly
+    like ``float('1__0')`` raising).  The direct try_cast runs first
+    (round-13 advisor): a FloatType input widens binary-exact
+    (``1.1f`` → 1.100000023841858, matching ``float(np.float32)``)
+    instead of taking a value-changing string round-trip, and numeric
+    columns never pay the regex."""
+    stripped = F.regexp_replace(c.cast("string"), "(?<=[0-9])_(?=[0-9])", "")
+    return F.coalesce(
+        c.try_cast("double"), stripped.try_cast("double"), F.lit(0.0)
+    )
 
 
 def parsedate(c: Column, fmt: str = "%Y%m%d") -> Column:
