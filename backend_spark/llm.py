@@ -501,9 +501,15 @@ def semdedup(
     # meets exactly once — in j's band — so results are unchanged and
     # the per-id max aggregates across bands.  B collapses to 1 when
     # n_clusters already covers the cores (the 100 TB regime: SemDeDup
-    # K ~ 10-100k).
+    # K ~ 10-100k).  The 4× oversubscription matters: with cells ≈
+    # shuffle partitions, key-hash collisions make some partitions
+    # carry 2-3 cells of quadratic work — measured as a 2-task
+    # straggler tail holding 30 cores idle for most of the ×16 probe's
+    # join stage; 4× more cells than cores smooths both the collisions
+    # and the uneven cluster sizes.
     n_bands = max(
-        1, corpus.sparkSession.sparkContext.defaultParallelism // max(n_clusters, 1)
+        1,
+        4 * corpus.sparkSession.sparkContext.defaultParallelism // max(n_clusters, 1),
     )
     if n_bands > 1:
         a = a.withColumn(
