@@ -1822,9 +1822,17 @@ def tfidf_cosine_pairs(
         .groupBy("id1", "id2")
         .agg(F.sum((F.col("__w1") * F.col("__w2")).cast(dec)).alias("__dot"))
     )
+    # try_divide, not /: with max_df >= N (reachable via allow_quadratic
+    # or an explicit absolute cap) a term in EVERY doc has idf = ln(1) = 0,
+    # and a doc whose surviving terms all quantize to qw = 0 gets
+    # __s2 = 0 — ANSI `/` would throw DIVIDE_BY_ZERO on the 0/0 (the
+    # round-13 cosine_similarity bug class); NULL cosine fails the
+    # threshold filter, matching DuckDB's NULL-on-zero-divide oracle.
     cos = F.round(
-        F.col("__dot").cast("double")
-        / (F.sqrt(F.col("__n1").cast("double")) * F.sqrt(F.col("__n2").cast("double"))),
+        F.try_divide(
+            F.col("__dot").cast("double"),
+            F.sqrt(F.col("__n1").cast("double")) * F.sqrt(F.col("__n2").cast("double")),
+        ),
         ndigits,
     )
     return (
