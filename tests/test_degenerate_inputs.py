@@ -1,0 +1,123 @@
+"""ANSI-degenerate input gate.
+
+Spark 4 runs with ANSI mode on, where a division whose divisor is a
+data-derived zero THROWS (``DIVIDE_BY_ZERO``) instead of yielding
+NULL/NaN — so any operator dividing by a quantity a legal-but-degenerate
+input can zero out crashes the whole query.  This bug class produced
+one defect per round three rounds running (float_val r12,
+cosine_similarity zero vectors r13, tfidf_cosine idf-zero norms r14);
+this module institutionalizes the check: every division-bearing
+operator runs here against the degenerate input that zeroes its
+divisor and must COMPLETE (NULL / guarded value / filtered row — any
+non-crash contract its docstring states).
+
+These are crash gates, not value oracles — value semantics live in the
+operator suites and the DuckDB cross-checks.
+"""
+
+from pyspark.sql import functions as F
+
+
+def test_cosine_similarity_zero_norm_yields_null(spark):
+    from backend_spark import functions as fn
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0], [1.0, 2.0])], "i long, a array<double>, b array<double>"
+    )
+    row = df.select(
+        fn.cosine_similarity(F.col("a"), F.col("b")).alias("c1"),
+        fn.cosine_similarity(F.col("a"), F.col("a")).alias("c2"),
+    ).collect()[0]
+    assert row.c1 is None and row.c2 is None
+
+
+def test_tfidf_cosine_zero_norm_docs_complete(spark):
+    # max_df = N admits a term in every doc -> idf = ln(1) = 0 -> every
+    # surviving weight quantizes to 0 -> zero squared norms -> 0/0
+    from backend_spark import llm
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out = llm.tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.0, max_df=3)
+    assert out.collect() == []  # NULL cosine fails the threshold filter
+
+
+def test_zscore_constant_column_yields_null(spark):
+    from backend_spark.features import zscore
+
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)], "id long, v double")
+    rows = zscore(df, "v", out_col="z").collect()
+    assert len(rows) == 3 and all(r.z is None for r in rows)
+
+
+def test_histogram_constant_column_single_bin(spark):
+    from backend_spark.features import histogram
+
+    df = spark.createDataFrame([(i, 7.0) for i in range(10)], "id long, v double")
+    rows = histogram(df, "v", bins=4).collect()
+    assert sum(r.cnt for r in rows) == 10  # all rows land somewhere, no crash
+
+
+def test_robust_scale_constant_column_zero(spark):
+    from backend_spark.features import robust_scale
+
+    df = spark.createDataFrame([(i, 3.0) for i in range(5)], "id long, v double")
+    rows = robust_scale(df, "v").collect()
+    assert len(rows) == 5  # MAD = 0 guarded, no crash
+
+
+def test_node_metrics_degree_one_clustering(spark):
+    # a single edge: both endpoints have degree 1 -> degree*(degree-1) = 0
+    from backend_spark.operators.graph import node_metrics
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    rows = node_metrics(edges, metrics=["degree", "clustering"]).collect()
+    assert {r.node for r in rows} == {1, 2}
+    assert all(r.clustering == 0.0 for r in rows)
+
+
+def test_auc_single_class_yields_null(spark):
+    from backend_spark.ml import auc_score
+
+    df = spark.createDataFrame(
+        [(0.9, 1.0), (0.1, 1.0), (0.5, 1.0)], "score double, label double"
+    )
+    row = auc_score(df, "score", "label").collect()[0]
+    assert row.auc is None and row.n_neg == 0
+
+
+def test_gini_all_zero_values_yields_null(spark):
+    from backend_spark.features import gini
+
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", 0.0), ("g", 0.0)], "grp string, v double"
+    )
+    row = gini(df, "grp", "v").collect()[0]
+    assert row.gini is None and row.n == 3
+
+
+def test_modularity_empty_edges_no_crash(spark):
+    from backend_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    communities = spark.createDataFrame([(1, 1)], "node long, community long")
+    rows = modularity(edges, communities).collect()
+    assert len(rows) <= 1  # empty or NULL-modularity row, never a throw
+
+
+def test_levenshtein_norm_empty_strings(spark):
+    from backend_spark import functions as fn
+
+    df = spark.createDataFrame([("", ""), ("", "abc")], "a string, b string")
+    rows = df.select(fn.levenshtein_norm(F.col("a"), F.col("b")).alias("s")).collect()
+    assert rows[0].s is not None and rows[1].s is not None
+
+
+def test_jw_empty_strings(spark):
+    from backend_spark import functions as fn
+
+    df = spark.createDataFrame([("", ""), ("", "abc")], "a string, b string")
+    rows = df.select(fn.jw(F.col("a"), F.col("b")).alias("s")).collect()
+    assert all(r.s is not None for r in rows)
