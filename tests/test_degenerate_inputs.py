@@ -107,6 +107,20 @@ def test_modularity_empty_edges_no_crash(spark):
     assert len(rows) <= 1  # empty or NULL-modularity row, never a throw
 
 
+def test_ks_test_empty_side_yields_null(spark):
+    # a group whose rows all carry one sample label: n_b = 0 -> the
+    # d_stat CASE guard must short-circuit the 0/0 under ANSI
+    from backend_spark.features import ks_test
+
+    df = spark.createDataFrame(
+        [("g1", "a", 1.0), ("g1", "a", 2.0), ("g2", "a", 1.0), ("g2", "b", 2.0)],
+        "grp string, s string, v double",
+    )
+    rows = {r.grp: r for r in ks_test(df, "s", "v", "a", "b", by="grp").collect()}
+    assert rows["g1"].n_b == 0 and rows["g1"].d_stat is None
+    assert rows["g2"].d_stat is not None
+
+
 def test_levenshtein_norm_empty_strings(spark):
     from backend_spark import functions as fn
 
