@@ -427,6 +427,7 @@ def semdedup(
     n_clusters: int = 8,
     threshold: float = 0.95,
     round_to: int = 6,
+    max_cluster_size: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup over an embedding
     column — cluster the corpus, then inside each cluster drop every
@@ -459,7 +460,10 @@ def semdedup(
     independent.  When ``n_clusters`` < cores the pair join is
     band-replicated so parallelism is not capped at ``n_clusters``
     (round-14 ×16 probe: 8 clusters ran 7/32 cores busy before the
-    banding; see the inline comment).
+    banding; see the inline comment).  ``max_cluster_size`` opts into
+    a fail-fast on the quadratic half: a collapsed assignment dies
+    with the offending cluster ids before the pair join instead of
+    OOMing inside it (the shared ``check_cluster_cap`` guard).
     """
     base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     hk = fn.md5_long(F.concat(F.lit("sem:"), F.col("__id").cast("string")))
@@ -485,6 +489,19 @@ def semdedup(
         .where(F.col("__rn") == 1)
         .select("__id", "__v", "cluster", F.col("__s").alias("centroid_sim"))
     )
+    if max_cluster_size is not None:
+        # opt-in fail-fast on the quadratic half (parity with
+        # tfidf_cosine's df-cap guard): in-cluster pair work is
+        # Σ cluster_size², so a collapsed assignment (one centroid
+        # soaking the corpus) should die with the offending cluster ids
+        # before the pair join, not OOM inside it.  One ids-only
+        # aggregate; reuses the shared engine guard.
+        from backend_spark.operators.graph import check_cluster_cap
+
+        assigned = assigned.transform(stage, eager=False)  # cap read + join share the cut
+        check_cluster_cap(
+            assigned, max_cluster_size, "semdedup", node_col="__id", comp_col="cluster"
+        )
     a = assigned.select(
         F.col("__id"), F.col("cluster"), F.col("centroid_sim"), F.col("__v")
     )

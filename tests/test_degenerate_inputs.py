@@ -107,6 +107,25 @@ def test_modularity_empty_edges_no_crash(spark):
     assert len(rows) <= 1  # empty or NULL-modularity row, never a throw
 
 
+def test_semdedup_cluster_cap_fails_fast(spark):
+    # the quadratic half of semdedup is Σ cluster_size²; the opt-in cap
+    # must raise with the offending cluster before the pair join runs,
+    # and a generous cap must not change results
+    import pytest
+
+    from backend_spark import llm
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="cluster"):
+        llm.semdedup(emb, n_clusters=2, max_cluster_size=3).collect()
+    capped = llm.semdedup(emb, n_clusters=2, max_cluster_size=1000).collect()
+    uncapped = llm.semdedup(emb, n_clusters=2).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+
+
 def test_ks_test_empty_side_yields_null(spark):
     # a group whose rows all carry one sample label: n_b = 0 -> the
     # d_stat CASE guard must short-circuit the 0/0 under ANSI
