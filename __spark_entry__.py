@@ -1672,12 +1672,18 @@ def _q_ann_zero(spark, sf):
     fn.cosine_similarity try_divide fix): vec_id 3's embedding is zeroed,
     so every cosine involving it is NULL — the zero-vector query returns
     k NULL-cosine rows ordered by neighbor_id (desc sort places NULLs
-    last), and legal-but-degenerate input no longer ANSI-crashes."""
+    last), and legal-but-degenerate input no longer ANSI-crashes.
+
+    The zeroing ignores the element value — F.lit(0.0), not x*0 — to
+    exactly mirror the oracle's unconditional CAST(0 AS FLOAT): x*0 is
+    NaN/NULL-preserving, and Spark sorts NaN FIRST under cosine DESC
+    where the oracle's NULL sorts last, a latent cross-engine mismatch
+    if the testdata ever gained a NaN element (round-14 advice)."""
     emb = load_table(spark, sf, "embeddings").withColumn(
         "embedding",
         F.when(
             F.col("vec_id") == 3,
-            F.transform("embedding", lambda x: (x * 0).cast("float")),
+            F.transform("embedding", lambda x: F.lit(0.0).cast("float")),
         ).otherwise(F.col("embedding")),
     )
     return llm.ann_topk_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=5)
@@ -4614,72 +4620,19 @@ def _q_session_stats(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = driver-evidence priority (the driver samples
     # a 50-query prefix per round; tools/staleness_report.py prints the
-    # mechanical queue).  Round-14 rotation (the round-13 verdict's #2,
-    # the FINAL rotation of the re-certification cycle begun r10): the
-    # prefix is the 9 remaining r8-certified rows plus the 41 oldest r9
-    # rows; every later group follows in evidence order (r9 remainder +
-    # ann_zero_vec, r10, r11, r12, r13).  The three rows with no exact
-    # cross-engine oracle (closeness_approx, build_model, apply_model)
-    # sit at the very tail so no future 50-slot prefix spends slots on
-    # rows that can never hash-match.
+    # mechanical queue).  Round-15 rotation (the round-14 verdict's #2):
+    # ann_zero_vec — the one row with zero driver evidence, added r14 at
+    # slot 51 — leads, then the 9 remaining r9-certified rows, then the
+    # 40 oldest r10 rows complete the 50-slot prefix.  Every later group
+    # follows in evidence order (r10 remainder, r11, r12, r13, then the
+    # 50 rows the r14 driver run certified).  The three rows with no
+    # exact cross-engine oracle (closeness_approx, build_model,
+    # apply_model) sit at the very tail so no future 50-slot prefix
+    # spends slots on rows that can never hash-match.
     return {
-        # --- r8-evidence rows (the final 9) ---
-        "pq_encode": _q_pq_encode,
-        "retention": _q_retention,
-        "histogram": _q_histogram,
-        "dedup_near": _q_dedup_near,
-        "minhash_sig": _q_minhash_sig,
-        "simhash": _q_simhash,
-        "fingerprint": _q_fingerprint,
-        "ann_topk": _q_ann,
-        "bm25_topk": _q_bm25,
-        # --- r9-evidence rows (41 oldest) ---
-        "ridge_train": _q_ridge_train,
-        "ridge_score": _q_ridge_score,
-        "ridge_apply": _q_ridge_apply,
-        "url_normalize": _q_url_normalize,
-        "fill_forward": _q_fill_forward,
-        "transition_counts": _q_transition_counts,
-        "feature_hash": _q_feature_hash,
-        "readability": _q_readability,
-        "cdf_normalize": _q_cdf_normalize,
-        "mad_outliers": _q_mad_outliers,
-        "sentence_split": _q_sentence_split,
-        "cidr_filter": _q_cidr_filter,
-        "budget_select": _q_budget_select,
-        "group_centroid": _q_group_centroid,
-        "pair_features": _q_pair_features,
-        "blocking_eval": _q_blocking_eval,
-        "interpolate": _q_interpolate,
-        "stream_locf": _q_stream_locf,
-        "er_pipeline": _q_er_pipeline,
-        "extract_links": _q_extract_links,
-        "source_overlap": _q_source_overlap,
-        "refined_soundex": _q_refined_soundex,
-        "xml_roundtrip": _q_xml_roundtrip,
-        "threshold_sweep": _q_threshold_sweep,
-        "calibration_bins": _q_calibration_bins,
-        "auc": _q_auc,
-        "psi": _q_psi,
-        "sssp": _q_sssp,
-        "sorted_neighborhood": _q_sorted_neighborhood,
-        "boilerplate": _q_boilerplate,
-        "standardize": _q_standardize,
-        "oov_rate": _q_oov_rate,
-        "rolling_anomaly": _q_rolling_anomaly,
-        "er_incremental": _q_er_incremental,
-        "geohash": _q_geohash,
-        "stream_anomaly": _q_stream_anomaly,
-        "ann_pq": _q_ann_pq,
-        "bpe_encode": _q_bpe_encode,
-        "build_vocab": _q_vocab,
-        "tfidf_topk": _q_tfidf,
-        "unigram_logprob": _q_unigram_lp,
-        # --- 50-query-prefix boundary (9 r8 + 41 oldest r9 above) ---
-        # ann_zero_vec: round-14 addition (zero-norm-vector oracle variant
-        # for the cosine try_divide fix) — first in the next-round queue
+        # --- never-driver-checked (the r14 addition; slot 1) ---
         "ann_zero_vec": _q_ann_zero,
-        # --- r9-evidence rows (remaining 9) ---
+        # --- r9-evidence rows (the final 9) ---
         "dedup_incremental": _q_dedup_incremental,
         "collocations": _q_collocations,
         "percentile_gate": _q_percentile_gate,
@@ -4689,7 +4642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_index": _q_ann_ivf_index,
         "bpe_pairs": _q_bpe_pairs,
-        # --- r10-evidence rows (oldest first) ---
+        # --- r10-evidence rows (oldest first; the first 40 — through
+        # ab_test — complete the 50-query prefix) ---
         "review_queue": _q_review_queue,
         "negative_edges": _q_negative_edges,
         "priority_sample": _q_priority_sample,
@@ -4890,6 +4844,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms": _q_cms,
         "ngram_novelty": _q_ngram_novelty,
         "geo_join": _q_geo_join,
+        # --- r14-evidence rows (certified last round, freshest: the 9
+        # r8 + 41 oldest-r9 rows CORRECTNESS_r14.json re-certified) ---
+        "pq_encode": _q_pq_encode,
+        "retention": _q_retention,
+        "histogram": _q_histogram,
+        "dedup_near": _q_dedup_near,
+        "minhash_sig": _q_minhash_sig,
+        "simhash": _q_simhash,
+        "fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann,
+        "bm25_topk": _q_bm25,
+        "ridge_train": _q_ridge_train,
+        "ridge_score": _q_ridge_score,
+        "ridge_apply": _q_ridge_apply,
+        "url_normalize": _q_url_normalize,
+        "fill_forward": _q_fill_forward,
+        "transition_counts": _q_transition_counts,
+        "feature_hash": _q_feature_hash,
+        "readability": _q_readability,
+        "cdf_normalize": _q_cdf_normalize,
+        "mad_outliers": _q_mad_outliers,
+        "sentence_split": _q_sentence_split,
+        "cidr_filter": _q_cidr_filter,
+        "budget_select": _q_budget_select,
+        "group_centroid": _q_group_centroid,
+        "pair_features": _q_pair_features,
+        "blocking_eval": _q_blocking_eval,
+        "interpolate": _q_interpolate,
+        "stream_locf": _q_stream_locf,
+        "er_pipeline": _q_er_pipeline,
+        "extract_links": _q_extract_links,
+        "source_overlap": _q_source_overlap,
+        "refined_soundex": _q_refined_soundex,
+        "xml_roundtrip": _q_xml_roundtrip,
+        "threshold_sweep": _q_threshold_sweep,
+        "calibration_bins": _q_calibration_bins,
+        "auc": _q_auc,
+        "psi": _q_psi,
+        "sssp": _q_sssp,
+        "sorted_neighborhood": _q_sorted_neighborhood,
+        "boilerplate": _q_boilerplate,
+        "standardize": _q_standardize,
+        "oov_rate": _q_oov_rate,
+        "rolling_anomaly": _q_rolling_anomaly,
+        "er_incremental": _q_er_incremental,
+        "geohash": _q_geohash,
+        "stream_anomaly": _q_stream_anomaly,
+        "ann_pq": _q_ann_pq,
+        "bpe_encode": _q_bpe_encode,
+        "build_vocab": _q_vocab,
+        "tfidf_topk": _q_tfidf,
+        "unigram_logprob": _q_unigram_lp,
         # --- registry tail: no exact oracle by construction (driver
         # records rows-only) — parked so prefixes stay hash-checkable ---
         "closeness_approx": _q_closeness_approx,

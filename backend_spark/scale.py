@@ -171,9 +171,20 @@ class LoopCuts:
         out = stage(df, eager=eager, pin=pin)
         handle = getattr(out, "_sg_persist_handle", None)
         if handle is not None:
+            # harvest-and-clear (round-15, the round-14 advice): the
+            # handle must be owned by exactly one tracker — if the same
+            # staged frame object reached two cut() calls (or a second
+            # tracker), both would enqueue the same persisted frame and
+            # the earlier eviction would silently drop blocks the other
+            # consumer still reads, degrading every later action to a
+            # full-lineage recompute with no signal.  Deleting the
+            # attribute makes double-harvest impossible.
+            del out._sg_persist_handle
             self._handles.append(handle)
             while len(self._handles) > self.keep:
-                self._handles.pop(0).unpersist(blocking=False)
+                evicted = self._handles.pop(0)
+                _LOG.debug("LoopCuts: unpersisting cut %s", evicted)
+                evicted.unpersist(blocking=False)
         return out
 
 

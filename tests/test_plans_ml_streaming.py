@@ -1022,28 +1022,44 @@ def test_tfidf_cosine_pairs_handcomputed(spark):
 
 
 def test_tfidf_cosine_quadratic_guard_fails_fast(spark):
-    """The fractional df cap must fail fast (raise_error with an
-    actionable message), not OOM, once it would admit terms with df >
-    _TFIDF_QUADRATIC_LIMIT documents; an absolute max_df or explicit
-    allow_quadratic=True proceeds (round-13 verdict #2)."""
+    """The quadratic guard must fire on the OBSERVED document frequency
+    of an ADMITTED term (round-15, the round-14 advice), not on corpus
+    size alone: a term with df > _TFIDF_QUADRATIC_LIMIT that the
+    fractional cap admits raises an actionable error naming it; a
+    same-size corpus whose every term is rare — linear work — completes
+    (the round-14 guard falsely raised there).  An absolute max_df or
+    explicit allow_quadratic=True always proceeds."""
     import pytest
 
     from backend_spark import llm
 
-    n = 2 * llm._TFIDF_QUADRATIC_LIMIT + 10  # fractional cap 0.5*n > limit
-    docs = spark.range(n).select(
+    n = 4 * llm._TFIDF_QUADRATIC_LIMIT  # fractional cap 0.5*n = 2*limit
+    # 'hotterm' on every even doc: df = n/2 = 2*limit -> admitted by the
+    # cap (df <= 0.5*n) AND over the quadratic limit -> must raise
+    hot = spark.range(n).select(
         F.col("id").alias("doc_id"),
-        F.concat(F.lit("shared tok"), (F.col("id") % 5).cast("string")).alias("text"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("hotterm ")).otherwise(F.lit("")),
+            F.lit("tok"),
+            (F.col("id") % 5000).cast("string"),
+        ).alias("text"),
     )
-    with pytest.raises(Exception, match="allow_quadratic"):
-        llm.tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.9).count()
-    # absolute cap: same corpus completes (linear O(N*max_df) plan)
+    with pytest.raises(Exception, match="hotterm"):
+        llm.tfidf_cosine_pairs(hot, "doc_id", "text", threshold=0.9).count()
+    # NO false positive on corpus size: same n docs, every term rare
+    # (df = 8 << limit) -> linear work, must complete without raising
+    rare = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 5000).cast("string")).alias("text"),
+    )
+    assert llm.tfidf_cosine_pairs(rare, "doc_id", "text", threshold=1.01).count() == 0
+    # absolute cap: the hot corpus completes (linear O(N*max_df) plan)
     assert llm.tfidf_cosine_pairs(
-        docs, "doc_id", "text", threshold=1.01, max_df=5
+        hot, "doc_id", "text", threshold=1.01, max_df=5
     ).count() == 0
     # explicit opt-in on a small slice completes
     assert llm.tfidf_cosine_pairs(
-        docs.where(F.col("doc_id") < 50), "doc_id", "text",
+        hot.where(F.col("doc_id") < 50), "doc_id", "text",
         threshold=0.0, allow_quadratic=True,
     ).count() > 0
 
