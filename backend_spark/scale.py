@@ -112,23 +112,56 @@ def stage(df: DataFrame, eager: bool = False, pin: bool = False) -> DataFrame:
         cached = df.persist(StorageLevel.DISK_ONLY)
         # re-root the plan on the persisted frame's physical RDD:
         # bounded plans for loops, recomputable lineage for block loss.
-        # Caveat (round-13 advisor): unlike Dataset.checkpoint's re-root,
-        # internalCreateDataFrame yields a LogicalRDD with
-        # UnknownPartitioning — downstream joins/aggs on the staged
-        # frame may add an exchange that local/reliable modes avoid —
-        # and stage() must be called on a freshly built frame: if the
-        # Dataset's executedPlan was already forced (an explain/action
-        # on the SAME object), the lazy withCachedData substitution
-        # never sees the new cache entry and the re-rooted RDD bypasses
-        # the DISK_ONLY cache, recomputing full lineage per action.
-        # Every in-engine call site builds the frame immediately before
-        # the cut (df.transform(stage) idiom), so both stay theoretical
-        # here; threading outputPartitioning through would need the
-        # Scala checkpoint path.
+        # Preferred path (round-15): the same LogicalRDD.fromDataset
+        # re-root Dataset.checkpoint uses.  Investigating the round-13
+        # advisor's "persist-mode re-root loses outputPartitioning"
+        # caveat showed the REAL cost was lost STATS, not partitioning:
+        # under AQE every checkpoint variant's plan root reports
+        # UnknownPartitioning (AdaptiveSparkPlanExec cannot promise a
+        # layout statically — measured, local mode included), but
+        # internalCreateDataFrame also drops sizeInBytes to
+        # Long.MaxValue, so every downstream join against ANY staged
+        # cut was forced to sort-merge (both sides shuffled) no matter
+        # how small the cut — in a loop that joins a shrinking staged
+        # frontier to a big table, that is a full-data shuffle per
+        # iteration.  fromDataset carries the origin stats (measured:
+        # 4.68 MB vs Long.Max on sf0.01 lineitem; keyed agg+self-join
+        # on a cut, 2 exchanges -> 1, now at parity with local mode —
+        # tools/persist_partitioning_probe.py, SCALING.md).
+        # fromDataset/ofRows are private[sql] (public in bytecode);
+        # fall back to internalCreateDataFrame (no stats, still
+        # correct) if the JVM surface moves.
+        # Caveat (round-13 advisor, unchanged by this): stage() must be
+        # called on a freshly built frame — if the Dataset's
+        # executedPlan was already forced (an explain/action on the
+        # SAME object), the lazy withCachedData substitution never sees
+        # the new cache entry and the re-rooted RDD bypasses the
+        # DISK_ONLY cache, recomputing full lineage per action.  Every
+        # in-engine call site builds the frame immediately before the
+        # cut (df.transform(stage) idiom).
         jdf = cached._jdf
-        jnew = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
+        jrdd = jdf.queryExecution().toRdd()
+        try:
+            jvm = spark._jvm
+            lrdd_mod = getattr(
+                jvm.org.apache.spark.sql.execution, "LogicalRDD$"
+            ).__getattr__("MODULE$")
+            ds_mod = getattr(
+                jvm.org.apache.spark.sql.classic, "Dataset$"
+            ).__getattr__("MODULE$")
+            jnew = ds_mod.ofRows(
+                spark._jsparkSession, lrdd_mod.fromDataset(jrdd, jdf, False)
+            )
+        except Exception:  # pragma: no cover - depends on Spark internals
+            _LOG.warning(
+                "LogicalRDD.fromDataset re-root unavailable; falling back "
+                "to internalCreateDataFrame (staged frame loses "
+                "outputPartitioning — downstream keyed ops may re-shuffle)",
+                exc_info=True,
+            )
+            jnew = spark._jsparkSession.internalCreateDataFrame(
+                jrdd, jdf.schema(), False
+            )
         out = DataFrame(jnew, cached.sparkSession)
         # handle for LoopCuts: the persisted frame this cut reads through
         out._sg_persist_handle = cached

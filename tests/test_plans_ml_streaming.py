@@ -2758,6 +2758,52 @@ def test_stage_persist_reroot_roundtrips_exotic_types(spark):
         spark.catalog.clearCache()
 
 
+def test_stage_persist_reroot_keeps_stats(spark):
+    """The persist-mode re-root preserves the origin frame's stats
+    (round-15, retires the round-13 advisor caveat): the old
+    internalCreateDataFrame re-root reported sizeInBytes=Long.Max, so
+    every downstream join against a staged cut — however small — was
+    forced to sort-merge with both sides shuffled.  The
+    LogicalRDD.fromDataset re-root carries real stats, so a small
+    staged cut joined to a big frame broadcasts, at parity with local
+    mode.  (outputPartitioning itself is UnknownPartitioning under AQE
+    in EVERY mode, local included — measured; stats were the actual
+    cost.  tools/persist_partitioning_probe.py: 2 -> 1 exchanges on
+    the keyed agg+self-join pattern.)"""
+    import re
+
+    from backend_spark.scale import STAGE_MODE_CONF, stage
+
+    _LONG_MAX = 9223372036854775807
+
+    def probe(mode):
+        spark.conf.set(STAGE_MODE_CONF, mode)
+        small = (
+            spark.range(100)
+            .select((F.col("id") % 37).alias("k"), F.col("id").alias("v"))
+        )
+        cut = stage(small, eager=True)
+        size = int(cut._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        big = spark.range(10000).select((F.col("id") % 37).alias("k"))
+        out = big.join(cut, "k")
+        assert out.count() > 0  # force AQE's final plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+        return size, n_ex, "BroadcastHashJoin" in plan
+
+    try:
+        size_l, ex_l, bc_l = probe("local")
+        size_p, ex_p, bc_p = probe("persist")
+        assert size_l < _LONG_MAX and bc_l, "local-mode control not broadcast"
+        assert size_p < _LONG_MAX, "persist cut lost stats (sentinel sizeInBytes)"
+        assert size_p == size_l, f"stats diverge: persist {size_p} vs local {size_l}"
+        assert bc_p, "small persist-staged cut not broadcast downstream"
+        assert ex_p == ex_l, f"exchange count: persist {ex_p} vs local {ex_l}"
+    finally:
+        spark.conf.set(STAGE_MODE_CONF, "local")
+        spark.catalog.clearCache()
+
+
 def test_rollup_merge_equals_direct(spark):
     from pyspark.sql import functions as F
 
