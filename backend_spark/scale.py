@@ -66,12 +66,13 @@ def stage(df: DataFrame, eager: bool = False, pin: bool = False) -> DataFrame:
       bounded analyzed plan — without the truncation, pagerank's
       power iteration grew its plan until Catalyst hung (measured,
       round 13) — while RDD-level lineage survives: lost blocks are
-      recomputed instead of failing the job.  Remaining caveats:
+      recomputed instead of failing the job.  Remaining caveat:
       recomputation re-rolls nondeterministic expressions — which is
       why correctness pins (``pin=True``) refuse this mode and
-      upgrade themselves — and cache entries live until session end
-      (loop cuts are never unpersisted; executor-disk usage grows
-      with iteration count).
+      upgrade themselves.  Executor-disk growth across loop
+      iterations is bounded by :class:`LoopCuts` (every iterative
+      loop in the engine cuts through one); one-shot cuts live until
+      session end or ``clearCache``.
 
     ``eager`` forces materialization now (``local``/``reliable``
     honor it natively; ``persist`` is always lazy — the first action

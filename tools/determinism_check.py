@@ -16,7 +16,7 @@ this tool is nondeterministic under Spark's execution model and will
 eventually diverge from its oracle on some machine.
 
 Usage: python tools/determinism_check.py [name ...]   (exit 1 on diff)
-       python tools/determinism_check.py --cluster [name ...]
+       python tools/determinism_check.py --cluster [--modes m1,m2] [name ...]
          — fourth shape: re-run (default: the checkpoint-heavy set) on
          a real 2-executor ``local-cluster[2,8,4096]`` under ALL THREE
          ``stage.mode`` settings (local / reliable / persist) and diff
@@ -62,7 +62,7 @@ CLUSTER_DEFAULT = (
 )
 
 
-def main_cluster(only=None) -> int:
+def main_cluster(only=None, modes=("local", "reliable", "persist")) -> int:
     import os
     import tempfile
 
@@ -99,7 +99,7 @@ def main_cluster(only=None) -> int:
     spark2.sparkContext.setLogLevel("WARN")
     bad, errs = [], []
     try:
-        for mode in ("local", "reliable", "persist"):
+        for mode in modes:
             spark2.conf.set(STAGE_MODE_CONF, mode)
             if mode == "reliable":
                 spark2.conf.set(
@@ -123,7 +123,7 @@ def main_cluster(only=None) -> int:
     finally:
         spark2.stop()
     print(f"\ncluster shape: {len(bad)} divergent, {len(errs)} errored "
-          f"of {3 * len(names)} runs")
+          f"of {len(modes) * len(names)} runs")
     return 1 if (bad or errs) else 0
 
 
@@ -172,5 +172,10 @@ def main(only=None) -> int:
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "--cluster":
-        sys.exit(main_cluster(set(argv[1:]) or None))
+        argv = argv[1:]
+        modes = ("local", "reliable", "persist")
+        if argv and argv[0] == "--modes":
+            modes = tuple(argv[1].split(","))
+            argv = argv[2:]
+        sys.exit(main_cluster(set(argv) or None, modes=modes))
     sys.exit(main(set(argv) or None))
