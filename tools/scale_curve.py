@@ -61,7 +61,18 @@ KEY_OFFSET = {
     "customer": ("c_custkey", 10_000_000),
     "documents": ("doc_id", 1_000_000),
     "embeddings": ("vec_id", 1_000_000),
+    # events (round-15, the event/window family): offsetting user_id
+    # scales USERS linearly at constant per-user depth — what a real
+    # bigger product does — and event_id gets the same offset to stay
+    # unique (it is a window tie-break key).  The DEEP axis (below) is
+    # the opposite: same users, k-times-longer per-user history.
+    "events": ("user_id", 10_000_000),
 }
+
+# 35 days in nanoseconds (the sf0.1 events table spans 30 days): each
+# deep replica extends every user's history past the previous replica,
+# so per-user sessions/rows grow linearly without cross-replica merges.
+_DEEP_SHIFT_NS = 35 * 86_400 * 1_000_000_000
 
 # --- iterative graph-loop probes (round-14, VERDICT r13 #7) ----------
 # The registry graph queries run on the 25-node nation ring+chord graph
@@ -114,7 +125,7 @@ def materialize(spark, k: int) -> str:
     out = os.path.join(OUT_ROOT, f"x{k}")
     marker = os.path.join(out, "_DONE")
     os.makedirs(out, exist_ok=True)
-    for name in ("lineitem", "customer", "documents", "nation", "embeddings"):
+    for name in ("lineitem", "customer", "documents", "nation", "embeddings", "events"):
         # per-table skip (not the marker alone): lets a new table join
         # the set without rebuilding the cached ones
         if os.path.exists(marker) and os.path.exists(
@@ -135,6 +146,11 @@ def materialize(spark, k: int) -> str:
                     rot = lo[r:] + lo[:r]
                     rep = rep.withColumn(
                         "text", F.translate("text", lo + hi, rot + rot.upper())
+                    )
+                if name == "events":
+                    # second unique key; ts untouched (wide axis)
+                    rep = rep.withColumn(
+                        "event_id", F.col("event_id") + F.lit(r * 10_000_000)
                     )
                 if name == "embeddings" and r > 0:
                     # per-replica deterministic jitter: a pure scalar
@@ -162,11 +178,48 @@ def materialize(spark, k: int) -> str:
     return out
 
 
+def materialize_deep(spark, k: int) -> str:
+    """Write the deep{k} events table: SAME user_ids, k-times-longer
+    per-user history (each replica time-shifted past the last).  This
+    probes the event/window family's real 100 TB hazard — per-user
+    window partitions that grow with history depth (a power user's
+    year lands in ONE task under (key, order) windowing) — separately
+    from the benign more-users axis."""
+    out = os.path.join(OUT_ROOT, f"deep{k}")
+    marker = os.path.join(out, "_DONE")
+    os.makedirs(out, exist_ok=True)
+    if not os.path.exists(marker):
+        base = load_table(spark, SF_DIR, "events")
+        ts_type = dict(base.dtypes)["ts"]
+        parts = []
+        for r in range(k):
+            if ts_type in ("bigint", "long"):  # TIMESTAMP(NANOS) as long
+                shifted = F.col("ts") + F.lit(r * _DEEP_SHIFT_NS)
+            else:  # timestamp / timestamp_ntz
+                shifted = F.col("ts") + F.expr(f"INTERVAL '{r * 35}' DAY")
+            parts.append(
+                base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(r * 10_000_000)
+                ).withColumn("ts", shifted)
+            )
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+        scaled.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=3)
     ap.add_argument("--scales", default="1,2,4,8")
     ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument(
+        "--deep", action="store_true",
+        help="events deep axis: same users, k-times-longer history",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     names = args.queries.split(",")
@@ -177,7 +230,13 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {q: {} for q in names}
 
     for k in scales:
-        sf_dir = materialize(spark, k) if any(q not in probes for q in names) else None
+        needs_tables = any(q not in probes for q in names)
+        if not needs_tables:
+            sf_dir = None
+        elif args.deep:
+            sf_dir = materialize_deep(spark, k)
+        else:
+            sf_dir = materialize(spark, k)
         for q in names:
             if q in probes:
                 build = lambda: probes[q](spark, GRAPH_BASE_NODES * k)  # noqa: E731
