@@ -120,6 +120,78 @@ def _graph_probes():
     }
 
 
+# --- fuzzy-join probes (round-15) ---------------------------------
+# join_fuzzy's FastSS deletion-neighborhood join was never scale-probed
+# (its registry input is the 25-row nation dimension, constant in sf).
+# Two axes, because the operator is asymmetric: the LEFT side's
+# distinct keys explode deletion variants and shuffle; the DICTIONARY
+# side explodes variants into a BROADCAST — so left growth probes the
+# shuffle path and dict growth probes the broadcast ceiling.  Keys are
+# 10-char sha1-hex prefixes (realistic token length, fully distinct);
+# two thirds of left keys carry one deterministic edit (delete or
+# substitute at a rotating position), so distance ∈ {0,1} matches
+# exist for every row and the verify stage does real work.
+FUZZY_LEFT_BASE = 100_000
+FUZZY_DICT_BASE = 5_000
+
+
+def _fuzzy_words(spark, n, alias):
+    return spark.range(n).select(
+        F.substring(F.sha1(F.col("id").cast("string")), 1, 10).alias(alias)
+    )
+
+
+def _fuzzy_left(spark, n_left, n_dict):
+    base = spark.range(n_left).select(
+        F.col("id"),
+        F.substring(
+            F.sha1((F.col("id") % n_dict).cast("string")), 1, 10
+        ).alias("w"),
+    )
+    pos = (F.col("id") % 8 + 1).cast("int")  # edit position 1-8
+    return base.select(
+        "id",
+        F.when(
+            F.col("id") % 3 == 0,  # deletion
+            F.concat(
+                F.substring(F.col("w"), 1, pos - 1),
+                F.col("w").substr(pos + 1, F.lit(10)),
+            ),
+        )
+        .when(
+            F.col("id") % 3 == 1,  # substitution ('z' is not hex)
+            F.concat(
+                F.substring(F.col("w"), 1, pos - 1),
+                F.lit("z"),
+                F.col("w").substr(pos + 1, F.lit(10)),
+            ),
+        )
+        .otherwise(F.col("w"))  # exact
+        .alias("key"),
+    )
+
+
+def _fuzzy_probes():
+    from backend_spark.operators.joins import fuzzy_match
+
+    return {
+        # left axis: k x more distinct noisy keys, dictionary constant
+        "fuzzy_left_scan": lambda spark, k: fuzzy_match(
+            _fuzzy_left(spark, FUZZY_LEFT_BASE * k, FUZZY_DICT_BASE),
+            _fuzzy_words(spark, FUZZY_DICT_BASE, "w"),
+            "key",
+            "w",
+        ),
+        # dict axis: k x more dictionary words (broadcast side), left constant
+        "fuzzy_dict_scan": lambda spark, k: fuzzy_match(
+            _fuzzy_left(spark, FUZZY_LEFT_BASE, FUZZY_DICT_BASE * k),
+            _fuzzy_words(spark, FUZZY_DICT_BASE * k, "w"),
+            "key",
+            "w",
+        ),
+    }
+
+
 def materialize(spark, k: int) -> str:
     """Write the x{k} tables; no-op if the directory already exists."""
     out = os.path.join(OUT_ROOT, f"x{k}")
@@ -226,7 +298,7 @@ def main() -> None:
 
     spark = get_session("scale-curve")
     qs = entry_mod.queries()
-    probes = _graph_probes()
+    probes = {**_graph_probes(), **_fuzzy_probes()}
     results: dict[str, dict[int, float]] = {q: {} for q in names}
 
     for k in scales:
@@ -239,7 +311,8 @@ def main() -> None:
             sf_dir = materialize(spark, k)
         for q in names:
             if q in probes:
-                build = lambda: probes[q](spark, GRAPH_BASE_NODES * k)  # noqa: E731
+                arg = k if q.startswith("fuzzy_") else GRAPH_BASE_NODES * k
+                build = lambda: probes[q](spark, arg)  # noqa: E731
             else:
                 build = lambda: qs[q](spark, sf_dir)  # noqa: E731
             build().write.format("noop").mode("overwrite").save()  # warm
