@@ -2804,6 +2804,35 @@ def test_stage_persist_reroot_keeps_stats(spark):
         spark.catalog.clearCache()
 
 
+def test_stage_persist_recomputes_after_block_loss(spark):
+    """Persist mode's fault-tolerance contract under the round-15
+    fromDataset re-root: after the DISK_ONLY blocks vanish (simulated
+    by unpersisting the handle), actions on the staged frame RECOMPUTE
+    through RDD lineage instead of failing — the property that
+    distinguishes persist from local/reliable checkpoints and makes it
+    usable without a reliable FS."""
+    from backend_spark.scale import STAGE_MODE_CONF, stage
+
+    try:
+        spark.conf.set(STAGE_MODE_CONF, "persist")
+        df = spark.range(10000).select(
+            (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+        )
+        cut = stage(df)
+        first = cut.agg(F.sum("v")).collect()[0][0]  # materialize the cache
+        handle = cut._sg_persist_handle
+        handle.unpersist(blocking=True)  # total block loss
+        assert cut.agg(F.sum("v")).collect()[0][0] == first
+        # downstream keyed join also survives the loss
+        joined = cut.join(
+            cut.groupBy("k").agg(F.count(F.lit(1)).alias("n")), "k"
+        )
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set(STAGE_MODE_CONF, "local")
+        spark.catalog.clearCache()
+
+
 def test_rollup_merge_equals_direct(spark):
     from pyspark.sql import functions as F
 
