@@ -156,8 +156,10 @@ def stage(df: DataFrame, eager: bool = False, pin: bool = False) -> DataFrame:
         except Exception:  # pragma: no cover - depends on Spark internals
             _LOG.warning(
                 "LogicalRDD.fromDataset re-root unavailable; falling back "
-                "to internalCreateDataFrame (staged frame loses "
-                "outputPartitioning — downstream keyed ops may re-shuffle)",
+                "to internalCreateDataFrame (staged frame loses its STATS "
+                "— sizeInBytes reads as Long.Max, so downstream joins "
+                "against the cut lose broadcast eligibility and plan as "
+                "sort-merge; results stay correct)",
                 exc_info=True,
             )
             jnew = spark._jsparkSession.internalCreateDataFrame(

@@ -174,8 +174,16 @@ if __name__ == "__main__":
     if argv and argv[0] == "--cluster":
         argv = argv[1:]
         modes = ("local", "reliable", "persist")
-        if argv and argv[0] == "--modes":
-            modes = tuple(argv[1].split(","))
-            argv = argv[2:]
+        if "--modes" in argv:  # accept the flag at any position
+            i = argv.index("--modes")
+            if i + 1 >= len(argv):
+                sys.exit("--modes requires a comma-separated value, "
+                         "e.g. --modes persist")
+            modes = tuple(argv[i + 1].split(","))
+            bad = [m for m in modes if m not in ("local", "reliable", "persist")]
+            if bad:
+                sys.exit(f"unknown stage mode(s) {bad}; "
+                         "expected local/reliable/persist")
+            argv = argv[:i] + argv[i + 2:]
         sys.exit(main_cluster(set(argv) or None, modes=modes))
     sys.exit(main(set(argv) or None))

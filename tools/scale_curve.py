@@ -295,6 +295,20 @@ def main() -> None:
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     names = args.queries.split(",")
+    if args.deep:
+        # deep dirs materialize ONLY events.parquet; any other table
+        # would fail mid-run after the materialization cost is paid
+        _EVENT_QUERIES = {
+            "sessionize", "session_stats", "attribution", "retention",
+            "decay_agg", "cusum", "funnel", "win_agg",
+        }
+        non_event = [n for n in names if n not in _EVENT_QUERIES]
+        if non_event:
+            sys.exit(
+                f"--deep materializes only the events table; these queries "
+                f"read other tables: {non_event}.  Pass --queries from "
+                f"{sorted(_EVENT_QUERIES)}"
+            )
 
     spark = get_session("scale-curve")
     qs = entry_mod.queries()

@@ -42,7 +42,11 @@ def _source(spark, rows_per_batch: int):
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rows_per_batch)
         .option("startTimestamp", 0)
-        .option("advanceMillisPerBatch", 1000)
+        # 5s of EVENT time per batch: after ~7 batches the 30s watermark
+        # starts passing window/session/dedup horizons, so the probe
+        # exercises state EVICTION, not just slow growth — the plateau in
+        # the state-rows curve is the bounded-state mechanism firing
+        .option("advanceMillisPerBatch", 5000)
         .load()
         .select(
             F.col("timestamp").alias("ts"),
@@ -54,10 +58,8 @@ def _source(spark, rows_per_batch: int):
 
 
 def _run(name, stream_df, batches: int, output_mode: str = "update"):
-    counts = []
-
     def sink(df, _eid):
-        counts.append(df.count())
+        df.count()  # materialize the batch; output itself is not the metric
 
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -65,31 +67,37 @@ def _run(name, stream_df, batches: int, output_mode: str = "update"):
         .trigger(processingTime="0 seconds")
         .start()
     )
-    rates, state_rows, state_bytes = [], 0, 0
+    # one rate sample per BATCH (recentProgress, deduped by batchId) —
+    # polling lastProgress alone would double-count slow batches and
+    # miss fast ones, poll-weighting the median
+    rates_by_batch: dict[int, float] = {}
+    state_curve: dict[int, int] = {}
+    state_rows = state_bytes = 0
     try:
-        seen = 0
         t0 = time.time()
-        while seen < batches and time.time() - t0 < 300:
+        while len(rates_by_batch) < batches and time.time() - t0 < 300:
             time.sleep(0.5)
-            p = q.lastProgress
-            if not p or p["batchId"] < 1:
-                continue
-            seen = p["batchId"]
-            if p["numInputRows"]:
-                rates.append(p["processedRowsPerSecond"])
-            for op in p.get("stateOperators", []):
-                state_rows = op.get("numRowsTotal", 0)
-                state_bytes = op.get("memoryUsedBytes", 0)
+            for p in q.recentProgress:
+                if p["batchId"] < 1 or not p["numInputRows"]:
+                    continue
+                rates_by_batch[p["batchId"]] = p["processedRowsPerSecond"]
+                for op in p.get("stateOperators", []):
+                    state_curve[p["batchId"]] = op.get("numRowsTotal", 0)
+                    state_rows = op.get("numRowsTotal", 0)
+                    state_bytes = op.get("memoryUsedBytes", 0)
     finally:
         q.stop()
+    rates = list(rates_by_batch.values())
     med = statistics.median(rates) if rates else float("nan")
     print(
         f"{name:18s} median {med:>12,.0f} rows/s   "
         f"state {state_rows:>9,} rows / {state_bytes / 1e6:7.1f} MB   "
         f"({len(rates)} steady batches)"
     )
+    curve = [state_curve[b] for b in sorted(state_curve)]
+    print(f"{'':18s} state-rows curve: {curve}")
     return {"rows_per_sec": round(med), "state_rows": state_rows,
-            "state_bytes": state_bytes}
+            "state_bytes": state_bytes, "state_curve": curve}
 
 
 def main() -> None:
