@@ -473,12 +473,19 @@ def semdedup(
     BY DEFAULT (round-15, parity with ``tfidf_cosine_pairs``):
     ``max_cluster_size="auto"`` caps every cluster at
     ``_SEMDEDUP_CLUSTER_LIMIT`` members (~5*10^7 pairs, the shared
-    per-cell budget), so a collapsed assignment dies with the
-    offending cluster ids before the pair join instead of running for
-    days at corpus scale (the shared ``check_cluster_cap`` guard, one
-    ids-only aggregate).  Pass an explicit int to retune, or
+    per-cell budget).  The cap trips whenever ``n_clusters`` is
+    undersized for the corpus — uniform assignments included: with the
+    default ``n_clusters=8`` any corpus over ~8*10^4 vectors raises,
+    BY DESIGN — size ``n_clusters ≳ corpus_size / 1e4`` (SemDeDup's
+    own regime) and the same data sails through with bounded work.
+    A collapsed assignment (one centroid soaking the corpus) raises at
+    any ``n_clusters``.  The guard is the shared ``check_cluster_cap``
+    ids-only aggregate and runs AT PLAN-CONSTRUCTION TIME (one small
+    Spark job, like ``dedup_minhash``/``er_resolve``'s guards; its
+    lineage cut is reused by the pair join, so an executed query pays
+    nothing extra).  Pass an explicit int to retune, or
     ``max_cluster_size=None`` to opt into unbounded quadratic work
-    (small-corpus exactness runs).
+    (small-corpus exactness runs) and a fully lazy plan.
     """
     base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     hk = fn.md5_long(F.concat(F.lit("sem:"), F.col("__id").cast("string")))
@@ -504,7 +511,13 @@ def semdedup(
         .where(F.col("__rn") == 1)
         .select("__id", "__v", "cluster", F.col("__s").alias("centroid_sim"))
     )
-    if max_cluster_size == "auto":
+    if isinstance(max_cluster_size, str):
+        if max_cluster_size != "auto":
+            raise ValueError(
+                f"max_cluster_size={max_cluster_size!r} unrecognized: pass "
+                '"auto" (default cap), an int, or None (unbounded quadratic '
+                "opt-out)"
+            )
         max_cluster_size = _SEMDEDUP_CLUSTER_LIMIT
     if max_cluster_size is not None:
         # default-on fail-fast on the quadratic half (round-15; parity
@@ -517,7 +530,14 @@ def semdedup(
 
         assigned = assigned.transform(stage, eager=False)  # cap read + join share the cut
         check_cluster_cap(
-            assigned, max_cluster_size, "semdedup", node_col="__id", comp_col="cluster"
+            assigned, max_cluster_size, "semdedup",
+            node_col="__id", comp_col="cluster",
+            remedy=(
+                "raise n_clusters so clusters stay under the cap "
+                "(SemDeDup's own regime: K ~ corpus_size / 1e4), raise "
+                "max_cluster_size, or pass max_cluster_size=None to opt "
+                "into unbounded quadratic work"
+            ),
         )
     a = assigned.select(
         F.col("__id"), F.col("cluster"), F.col("centroid_sim"), F.col("__v")

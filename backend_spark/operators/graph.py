@@ -95,6 +95,7 @@ def check_cluster_cap(
     op_name: str,
     node_col: str = "node",
     comp_col: str = "comp",
+    remedy: "str | None" = None,
 ) -> None:
     """Fail fast when a connected component exceeds ``max_cluster_size``
     — the shared guard behind er_resolve / dedup's cluster consumers.
@@ -125,8 +126,10 @@ def check_cluster_cap(
         detail = ", ".join(f"{r[comp_col]}={r['n']}" for r in oversized)
         raise ValueError(
             f"{op_name}: cluster(s) exceed max_cluster_size="
-            f"{max_cluster_size} (largest: {detail}); upstream blocking "
-            "is likely broken — inspect with skew_report or raise the cap"
+            f"{max_cluster_size} (largest: {detail}); "
+            + (remedy if remedy is not None else
+               "upstream blocking is likely broken — inspect with "
+               "skew_report or raise the cap")
         )
 
 

@@ -142,7 +142,12 @@ class RecipeBook:
         if name == "unfold":
             return ops.op_unfold(df, a.get("select"), a.get("fill_na"))
         if name == "unnest":
-            return ops.op_unnest(df, a.get("select"), a.get("prefix", ""))
+            # forward max_keys so a >10k-key map plan can raise the cap
+            # from the spec (the overflow error's stated remedy)
+            return ops.op_unnest(
+                df, a.get("select"), a.get("prefix", ""),
+                max_keys=a.get("max_keys", 10000),
+            )
         if name == "nest":
             return ops.op_nest(df, a.get("select"), a.get("target", "nested"))
         if name == "ngram":

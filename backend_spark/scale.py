@@ -207,14 +207,15 @@ class LoopCuts:
         out = stage(df, eager=eager, pin=pin)
         handle = getattr(out, "_sg_persist_handle", None)
         if handle is not None:
-            # harvest-and-clear (round-15, the round-14 advice): the
-            # handle must be owned by exactly one tracker — if the same
-            # staged frame object reached two cut() calls (or a second
-            # tracker), both would enqueue the same persisted frame and
-            # the earlier eviction would silently drop blocks the other
-            # consumer still reads, degrading every later action to a
-            # full-lineage recompute with no signal.  Deleting the
-            # attribute makes double-harvest impossible.
+            # harvest-and-clear: the tracker takes sole ownership of the
+            # handle.  (stage() mints a fresh frame + fresh handle per
+            # call, so two cut() calls can never see the same handle —
+            # the round-14 advice's double-enqueue race cannot occur on
+            # this path; the delete's actual effect is that a frame
+            # returned by cut() no longer exposes a handle some later
+            # code could unpersist out from under the tracker's
+            # bookkeeping.  Direct stage() callers keep the attribute
+            # for introspection.)
             del out._sg_persist_handle
             self._handles.append(handle)
             while len(self._handles) > self.keep:

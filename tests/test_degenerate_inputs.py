@@ -138,6 +138,13 @@ def test_semdedup_cluster_cap_fails_fast(spark, monkeypatch):
         llm.semdedup(emb, n_clusters=2).collect()
     opted_out = llm.semdedup(emb, n_clusters=2, max_cluster_size=None).collect()
     assert sorted(map(tuple, opted_out)) == sorted(map(tuple, uncapped))
+    # a misspelled sentinel must fail with the valid values named, not
+    # an opaque str-vs-int TypeError deep inside the cap check
+    with pytest.raises(ValueError, match="unrecognized"):
+        llm.semdedup(emb, n_clusters=2, max_cluster_size="Auto")
+    # the undersized-n_clusters raise names the actionable remedy
+    with pytest.raises(ValueError, match="n_clusters"):
+        llm.semdedup(emb, n_clusters=1, max_cluster_size=5).collect()
 
 
 def test_ks_test_empty_side_yields_null(spark):

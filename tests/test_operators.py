@@ -250,6 +250,16 @@ def test_unnest_map_key_cap_fails_fast(spark):
     row = out.collect()[0].asDict()
     assert row["m_k00"] == 0 and row["m_k09"] == 9
     assert len([c for c in out.columns if c.startswith("m_")]) == 10
+    # the plan spec can forward max_keys (the overflow error's stated
+    # remedy must be reachable from declarative plans, round-15 review)
+    from backend_spark.plans import RecipeBook
+
+    conf = {"recipes": {"widen": {"steps": [
+        {"unnest": {"select": "m", "prefix": "p_", "max_keys": 10}}
+    ]}}}
+    book = RecipeBook(conf)
+    got = book.run("widen", df)
+    assert len([c for c in got.columns if c.startswith("p_")]) == 10
 
 
 def test_nest_roundtrip(spark):
