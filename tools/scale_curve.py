@@ -67,6 +67,10 @@ KEY_OFFSET = {
     # unique (it is a window tie-break key).  The DEEP axis (below) is
     # the opposite: same users, k-times-longer per-user history.
     "events": ("user_id", 10_000_000),
+    # orders (round-15, the lakehouse family): offset far above the
+    # +10M synthetic-insert range _q_cdc_apply adds to base keys, so
+    # replica r's base keys never collide with replica r-1's inserts
+    "orders": ("o_orderkey", 100_000_000),
 }
 
 # 35 days in nanoseconds (the sf0.1 events table spans 30 days): each
@@ -197,7 +201,7 @@ def materialize(spark, k: int) -> str:
     out = os.path.join(OUT_ROOT, f"x{k}")
     marker = os.path.join(out, "_DONE")
     os.makedirs(out, exist_ok=True)
-    for name in ("lineitem", "customer", "documents", "nation", "embeddings", "events"):
+    for name in ("lineitem", "customer", "documents", "nation", "embeddings", "events", "orders"):
         # per-table skip (not the marker alone): lets a new table join
         # the set without rebuilding the cached ones
         if os.path.exists(marker) and os.path.exists(
