@@ -54,7 +54,7 @@ from backend_spark.operators import (
 )
 from backend_spark.session import event_ts_us, load_table
 from backend_spark.sources import read_dataset, write_dataset
-from backend_spark.scale import stage
+from backend_spark.scale import spread_scan, stage
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect) mirroring backend_spark.functions
@@ -1193,7 +1193,8 @@ def _sql_zorder(bits: int = 16) -> str:
 def _q_minhash_sig(spark, sf):
     docs = load_table(spark, sf, "documents")
     hs = (
-        docs.select("doc_id", fn.normalize(F.col("text")).alias("__n"))
+        spread_scan(docs.select("doc_id", "text"), by="doc_id")
+        .select("doc_id", fn.normalize(F.col("text")).alias("__n"))
         .withColumn("__sh", fn.shingles(F.col("__n"), 3))
         .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
         .select("doc_id", "__hs")
@@ -2028,7 +2029,9 @@ def _q_video_frames(spark, sf):
 
 
 def _q_text_stats(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    docs = spread_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text"), by="doc_id"
+    )
     return docs.select("doc_id", *llm.text_stats(docs, "text"))
 
 

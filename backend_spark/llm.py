@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from backend_spark import functions as fn
 from backend_spark.operators.graph import connected_components
-from backend_spark.scale import LoopCuts, stage
+from backend_spark.scale import LoopCuts, spread_scan, stage
 
 
 # ---------------------------------------------------------------------------
@@ -80,8 +80,12 @@ def minhash_lsh_pairs(
     # barrier after the hash arrays: the signature's num_perm permutation
     # mins each reference __hs, and an inlined chain would re-run
     # normalize+shingle+md5 once per permutation (measured ~10x cost)
+    # spread before the per-doc hash chain: a single-row-group input is
+    # scanned by one task, and normalize+shingle+md5 is the operator's
+    # dominant compute (guide §2.5 input skew; no-op on well-split input)
     hs_df = (
-        df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
+        .select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
         .withColumn("__sh", fn.shingles(F.col("__n"), shingle_n))
         .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
         .select(F.col(id_col), F.col("__hs"))
@@ -719,7 +723,8 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -
     are python-int literals (``h & (1<<i) != 0`` — md5_long is nonneg).
     """
     staged = (
-        df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
+        .select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
         .withColumn("__toks", fn.tokenize(F.col("__n")))
         .withColumn("__hs", F.transform(F.col("__toks"), lambda t: fn.md5_long(t)))
         # barrier before explode: a computed array re-evaluates per
@@ -1142,7 +1147,10 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str, redact: bool = True) -> 
         for _, pat, tok in PII_PATTERNS:
             red = F.regexp_replace(red, pat, tok)
         cols.append(red.alias("text_redacted"))
-    return df.select(*cols)
+    # eight regex passes per doc dominate; spread a 1-row-group input
+    # (projected to the two referenced columns so the exchange carries
+    # nothing else — guide §2.3 "project before the exchange")
+    return spread_scan(df.select(id_col, text_col), by=id_col).select(*cols)
 
 
 def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
@@ -1186,7 +1194,9 @@ def decontaminate(
     # two barriers per side: one after tokenize (the gram-builder lambda
     # references the token array per element), one after the gram array
     # (explode re-evaluates a computed array per output element)
-    def _grams(src: DataFrame, text: str, extra: list[str]) -> DataFrame:
+    def _grams(src: DataFrame, text: str, extra: list[str], spread: bool = False) -> DataFrame:
+        if spread:  # corpus side only — the benchmark side is tiny
+            src = spread_scan(src.select(*extra, text), by=extra[0] if extra else None)
         toks = src.select(
             *extra, fn.tokenize(fn.normalize(F.col(text))).alias("__toks")
         ).transform(stage, eager=False)
@@ -1201,7 +1211,7 @@ def decontaminate(
         .distinct()
     )
     doc_grams = (
-        _grams(df, text_col, [id_col])
+        _grams(df, text_col, [id_col], spread=True)
         .select(F.col(id_col), F.explode_outer("__gs").alias("__g"))
         .select(id_col, fn.md5_long(F.col("__g")).alias("__h"))
     )
@@ -1238,10 +1248,14 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, ngram_n: int = 2
     # barrier after tokens, and again after grams: both arrays are
     # referenced by multiple downstream expressions (array_distinct +
     # size + explode) and inlined HOF lambdas re-evaluate per reference
-    toks = df.select(
-        F.col(id_col),
-        fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks"),
-    ).transform(stage, eager=False)
+    toks = (
+        spread_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
+        .select(
+            F.col(id_col),
+            fn.tokenize(fn.normalize(F.col(text_col))).alias("__toks"),
+        )
+        .transform(stage, eager=False)
+    )
     base = toks.withColumn(
         "__grams", word_ngrams_from_tokens(F.col("__toks"), ngram_n)
     ).transform(stage, eager=False)
@@ -1960,10 +1974,14 @@ def bm25_topk(
             ),
         )
     )
-    d_toks = corpus.select(
-        F.col(doc_id).alias("__did"),
-        fn.tokenize(fn.normalize(F.col(doc_text))).alias("__toks"),
-    ).transform(stage, eager=False)
+    d_toks = (
+        spread_scan(corpus.select(doc_id, doc_text), by=doc_id)
+        .select(
+            F.col(doc_id).alias("__did"),
+            fn.tokenize(fn.normalize(F.col(doc_text))).alias("__toks"),
+        )
+        .transform(stage, eager=False)
+    )
     postings = (
         d_toks.select("__did", F.size("__toks").alias("__dl"), F.explode("__toks").alias("__t"))
         .groupBy("__did", "__dl", "__t")
@@ -4193,9 +4211,11 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5, windo
     # barrier after normalize: the gram-builder lambda references __n per
     # element, and an inlined normalize would re-run its regex chain once
     # per gram (measured 2x the whole operator's cost at sf0.1)
-    norm = df.select(
-        F.col(id_col), fn.normalize(F.col(text_col)).alias("__n")
-    ).transform(stage, eager=False)
+    norm = (
+        spread_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
+        .select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
+        .transform(stage, eager=False)
+    )
     staged = (
         norm.withColumn(
             "__grams",

@@ -23,7 +23,7 @@ import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from backend_spark.scale import stage
+from backend_spark.scale import spread_scan, stage
 
 
 def _feature_pipeline(df: DataFrame, numerical, categorical):
@@ -374,6 +374,10 @@ def _ridge_sums(df: DataFrame, feature_cols: list[str], label_col: str, qscale: 
     maps 'i'/'ij' index strings over [features..., label] to Python ints.
     """
     cols = [*feature_cols, label_col]
+    # the DECIMAL(38,0) moment sums are the whole cost of training, and
+    # on a 1-row-group input the partial aggregate runs on ONE task —
+    # spread the (projected) rows first; no-op on a well-split input
+    df = spread_scan(df.select(*cols))
     q = [F.round(F.col(c).cast("double") * F.lit(qscale)).cast("long") for c in cols]
     qd = [x.cast("decimal(38,0)") for x in q]
     aggs = [F.count(F.lit(1)).alias("n")]

@@ -579,7 +579,12 @@ def match_cascade(
         lhs = remaining.select(
             "*", *[F.expr(l).alias(k) for k, (l, _) in zip(kcols, keys)]
         )
-        joined = lhs.join(rded, kcols, "left")
+        # ONE cut on the join output (round-15): the matched slice and
+        # the unmatched remainder both read it, so each pass's join is
+        # computed exactly once — cutting only the remainder (as before)
+        # recomputed every pass's join a second time when the final
+        # union evaluated the matched slices
+        joined = lhs.join(rded, kcols, "left").transform(stage, eager=False)
         matched_parts.append(
             joined.where(F.col("__mc_v").isNotNull()).select(
                 *base_cols,
@@ -587,11 +592,7 @@ def match_cascade(
                 F.lit(p["name"]).alias(pass_col),
             )
         )
-        remaining = (
-            joined.where(F.col("__mc_v").isNull())
-            .select(*base_cols)
-            .transform(stage, eager=False)
-        )
+        remaining = joined.where(F.col("__mc_v").isNull()).select(*base_cols)
     unmatched = remaining.select(
         *base_cols,
         *[F.lit(None).cast(ref.schema[c].dataType).alias(n) for n, c in select.items()],

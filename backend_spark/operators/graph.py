@@ -51,22 +51,27 @@ def connected_components(
         .transform(stage, eager=True)
     )
 
+    comp_type = dict(labels.dtypes)["comp"]
     cuts = LoopCuts()  # persist mode: unpersist cuts >2 iterations old
     for _ in range(max_iter):
-        # candidate: the smallest label among each node's neighbors
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("a", "node")
+        # hash-min step as ONE aggregate (round-15): neighbor label
+        # contributions union'd with each node's own label, min'd per
+        # node — replaces the old (neighbor groupBy-min + re-join with
+        # labels) pair, saving a full join of the label table per
+        # iteration (guide §2.4: two operations keyed the same way
+        # share one exchange).  The own label rides along as ``__own``
+        # so the change flag needs no second look at the old labels.
+        contrib = sym.join(labels.withColumnRenamed("node", "b"), "b").select(
+            F.col("a").alias("node"),
+            F.col("comp"),
+            F.lit(None).cast(comp_type).alias("__own"),
         )
+        own = labels.select("node", "comp", F.col("comp").alias("__own"))
         stepped = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("__chg"),
-            )
+            contrib.unionByName(own)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"), F.min("__own").alias("__own"))
+            .select("node", "comp", (F.col("comp") < F.col("__own")).alias("__chg"))
         )
         # pointer jumping: label(v) := label(label(v)) — halves the depth
         # of label chains each round, making long paths O(log n)
@@ -81,8 +86,12 @@ def connected_components(
                 (F.col("__chg") | (F.col("__gcomp") < F.col("comp"))).alias("__chg"),
             )
         )
-        new_labels = cuts.cut(new_labels, eager=True)
-        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        # lazy cut + counting convergence read: the aggregate action
+        # materializes the checkpoint AND returns the change count in
+        # the same job — the old (eager cut job, then limit-1 count
+        # job) pattern paid two scheduler round-trips per iteration
+        new_labels = cuts.cut(new_labels, eager=False)
+        changed = new_labels.agg(F.count_if("__chg")).collect()[0][0]
         labels = new_labels.drop("__chg")
         if changed == 0:
             break

@@ -162,11 +162,18 @@ def fuzzy_match(
             .withColumn("__d", F.levenshtein("__k", "__w"))
             .where(F.col("__d") <= max_dist)
         )
-        w = Window.partitionBy("__k").orderBy(F.col("__d").asc(), F.col("__w").asc())
+        # argmin via one hash aggregate instead of a row_number window:
+        # struct ordering is field-by-field, so min(struct(d, w)) IS the
+        # (distance asc, word asc) tie-break — and unlike the window the
+        # aggregate combines map-side (guide §2.3) and needs no sort
         best = (
-            cand.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(F.col("__k"), F.col("__w").alias(out_col))
+            cand.groupBy("__k")
+            .agg(
+                F.min(
+                    F.struct(F.col("__d").alias("d"), F.col("__w").alias("w"))
+                ).alias("__best")
+            )
+            .select(F.col("__k"), F.col("__best.w").alias(out_col))
         )
     else:
         raise ValueError(f"unknown fuzzy method {method!r} (automata|fastcomp|jellyfish|jw)")
@@ -206,11 +213,17 @@ def _jw_best_match(df: DataFrame, words: DataFrame, left_col: str, word_col: str
         .withColumn("__s", fn.jw(F.col("__k"), F.col("__w")))
         .where(F.col("__s") >= 0.95)
     )
-    w = Window.partitionBy("__k").orderBy(F.col("__s").desc(), F.col("__w").asc())
+    # argmax via one hash aggregate (see the automata path): negating
+    # the score makes min(struct) the (score desc, word asc) tie-break;
+    # scores are finite non-null doubles, so the sign flip is exact
     return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("__k", F.col("__w").alias("__match"))
+        cand.groupBy("__k")
+        .agg(
+            F.min(
+                F.struct((-F.col("__s")).alias("ns"), F.col("__w").alias("w"))
+            ).alias("__best")
+        )
+        .select("__k", F.col("__best.w").alias("__match"))
     )
 
 

@@ -225,6 +225,46 @@ class LoopCuts:
         return out
 
 
+def spread_scan(df: DataFrame, by: "str | None" = None, factor: int = 1) -> DataFrame:
+    """Raise the parallelism of a compute-heavy pipeline whose INPUT
+    LAYOUT under-splits (guide: input skew / small-file layout, §2.5,
+    §6).  Parquet can only split at row-group boundaries, so a table
+    written as one fat row group is read by ONE task no matter how many
+    cores the cluster has — and every per-row expression downstream of
+    that scan (md5 shingle chains, regex scans, decimal moment sums)
+    runs serially.  The same failure mode appears mid-pipeline: AQE
+    coalesces post-shuffle partitions by BYTE size, which starves
+    compute-bound stages whose cost per byte is high.
+
+    This helper round-robins (or hash-partitions, when ``by`` is given)
+    the frame to ``factor * defaultParallelism`` partitions — but ONLY
+    when the frame's current partitioning is below that target, so on a
+    well-laid-out 100 TB input (thousands of splits) it is a provable
+    no-op and costs nothing.  The repartition ships each row once;
+    callers should project to the needed columns first so the exchange
+    carries only what the downstream compute reads.
+
+    Content-neutral: repartitioning never changes row multiset, and
+    every result in this engine is partition-order-independent by the
+    hash-exactness design (integer/decimal folds, keyed windows).  Do
+    NOT insert it upstream of ``spark_partition_id``-dependent logic
+    (``assign_row_ids``/global ``ks_test`` manage their own layout).
+
+    Call it on SCAN or STAGED (checkpointed) frames only: the partition
+    probe materializes the physical plan, and under AQE a frame with a
+    pending Exchange would execute its upstream stages right there.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning failure => leave as-is
+        return df
+    if parts >= target:
+        return df
+    return df.repartition(target, F.col(by)) if by else df.repartition(target)
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
