@@ -34,17 +34,24 @@ from backend_spark.scale import LoopCuts, spread_scan, stage
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str, normalize: bool = False) -> DataFrame:
     """Exact dedup: one row per distinct text, keeping the smallest id
-    (deterministic).  One hash-aggregate — map-side combined, a single
-    shuffle on the text hash; the text itself never shuffles twice.
+    (deterministic).  ONE ``min_by`` hash-aggregate — map-side combined
+    (each task keeps one candidate row per distinct key before the
+    exchange), a single shuffle keyed on the text, and the surviving
+    row comes straight out of the aggregate.  The previous shape
+    (min-id per key + join back) scanned the corpus twice and — when
+    the survivor table is too big to broadcast, i.e. at any real corpus
+    size — shuffled the full rows a second time for the join
+    (guide §2.4: remove shuffles outright).  ``id_col`` is unique by
+    contract, so ``min_by`` is deterministic.
     """
     key = fn.normalize(F.col(text_col)) if normalize else F.col(text_col)
-    keep = (
-        df.select(F.col(id_col), key.alias("__k"))
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.select(row.alias("__r"), key.alias("__k"))
         .groupBy("__k")
-        .agg(F.min(id_col).alias(id_col))
-        .drop("__k")
+        .agg(F.min_by("__r", F.col("__r")[id_col]).alias("__r"))
+        .select("__r.*")
     )
-    return df.join(keep, id_col, "inner")
 
 
 def minhash_lsh_pairs(

@@ -44,10 +44,19 @@ def connected_components(
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.transform(stage, eager=True)
 
+    # seed labels with min(self, neighbors) — the same single aggregate
+    # the old distinct-nodes init cost, but it IS the first hash-min
+    # propagation, so the loop starts one round ahead (a pair/star
+    # cluster is already converged and pays only the confirming
+    # iteration).  Any component-consistent monotone init converges to
+    # the same min labels.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy("a")
+        .agg(F.min("b").alias("__nb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("__nb")).alias("comp"),
+        )
         .transform(stage, eager=True)
     )
 

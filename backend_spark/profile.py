@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
+from backend_spark.scale import spread_scan
+
 
 def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = False) -> DataFrame:
     """Per-column stats: ``(col_name, n, n_null, n_distinct, min_num,
@@ -32,6 +34,9 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = False
     formatting in the output).
     """
     cols = columns or df.columns
+    # the partial aggregate (with exact=True, K-fold Expand included)
+    # runs inside the scan stage — spread a 1-row-group input first
+    df = spread_scan(df.select(*cols))
     distinct = F.countDistinct if exact else F.approx_count_distinct
     aggs = []
     for c in cols:
