@@ -23,7 +23,7 @@ import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from backend_spark.scale import spread_scan, stage
+from backend_spark.scale import stage
 
 
 def _feature_pipeline(df: DataFrame, numerical, categorical):
@@ -374,10 +374,12 @@ def _ridge_sums(df: DataFrame, feature_cols: list[str], label_col: str, qscale: 
     maps 'i'/'ij' index strings over [features..., label] to Python ints.
     """
     cols = [*feature_cols, label_col]
-    # the DECIMAL(38,0) moment sums are the whole cost of training, and
-    # on a 1-row-group input the partial aggregate runs on ONE task —
-    # spread the (projected) rows first; no-op on a well-split input
-    df = spread_scan(df.select(*cols))
+    # Deliberately NOT spread_scan'd (round-15, measured): the decimal
+    # moment sums over sf0.1 lineitem cost ~1.3 s single-task, and a
+    # round-robin exchange of the 600k projected rows costs about the
+    # same — the shuffle cancels the parallelism win (guide §1.2: the
+    # per-task work is decimal arithmetic, and moving rows to spread it
+    # ships every byte the aggregate would otherwise fold in place).
     q = [F.round(F.col(c).cast("double") * F.lit(qscale)).cast("long") for c in cols]
     qd = [x.cast("decimal(38,0)") for x in q]
     aggs = [F.count(F.lit(1)).alias("n")]

@@ -661,20 +661,28 @@ def cdc_apply(
             f"cdc_apply: column(s) {sorted(reserved)} collide with reserved "
             "internal names"
         )
-    from pyspark.sql import Window
-
     # quote key references (`` = literal backtick) so arbitrary column
     # names — including ones containing backticks — parse correctly
     def _qcol(name: str, prefix: str = ""):
         return F.col(prefix + "`" + name.replace("`", "``") + "`")
 
-    w = Window.partitionBy(*[_qcol(k) for k in key_list]).orderBy(
-        F.col(seq_col).desc(), F.col(op_col).desc()
-    )
+    # latest change per key as ONE max_by aggregate (round-15): struct
+    # ordering is field-by-field, so max over struct(seq, op) IS the
+    # (seq desc, op desc) pick the old row_number window made — but the
+    # aggregate combines map-side (each task keeps one candidate per
+    # key before the exchange) and needs no partition sort (guide
+    # §2.3/§2.4).  Same caveat as before: ties on (seq, op) are
+    # arbitrary — give changes unique seqs per key.
+    change_cols = list(changes.columns)
     latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        changes.groupBy(*[_qcol(k) for k in key_list])
+        .agg(
+            F.max_by(
+                F.struct(*[_qcol(c).alias(c) for c in change_cols]),
+                F.struct(F.col(seq_col).alias("s"), F.col(op_col).alias("o")),
+            ).alias("__cdc_r")
+        )
+        .select("__cdc_r.*")
     )
     # null-safe anti-join: the latest-change window above groups NULL
     # keys together (partitionBy treats NULL as a value), so the anti
