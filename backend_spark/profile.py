@@ -22,8 +22,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
-from backend_spark.scale import spread_scan
-
 
 def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = False) -> DataFrame:
     """Per-column stats: ``(col_name, n, n_null, n_distinct, min_num,
@@ -34,9 +32,13 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = False
     formatting in the output).
     """
     cols = columns or df.columns
-    # the partial aggregate (with exact=True, K-fold Expand included)
-    # runs inside the scan stage — spread a 1-row-group input first
-    df = spread_scan(df.select(*cols))
+    # Deliberately NOT spread_scan'd (round-15, measured): spreading a
+    # 1-row-group input before the stats aggregate TRIPLED the query
+    # (0.35 s -> 0.98 s median at sf0.1) — the exact-distinct partial
+    # state is near-fully deduplicated when one task folds the whole
+    # scan, and spreading multiplies the per-partition distinct sets
+    # the exchange must carry (guide §2.3: aggregate before you
+    # shuffle).
     distinct = F.countDistinct if exact else F.approx_count_distinct
     aggs = []
     for c in cols:
