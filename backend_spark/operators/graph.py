@@ -245,28 +245,31 @@ def pagerank(
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__in"))
         )
-        new_ranks = (
-            deg.join(contribs, "node", "left")
-            .select(
-                "node",
-                "__deg",
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))).alias("__r"),
-            )
-            # eager: truncate lineage NOW so the loop never builds a
-            # max_iter-deep nested plan for Catalyst to re-analyze
-            .transform(cuts.cut, eager=True)
-        )
+        # ranks (not deg) on the build side: ``__deg`` rides along, so
+        # the loop never re-aggregates degrees from the edge list — one
+        # fewer shuffle stage per iteration (round-15, guide §2.3); and
+        # with the old rank in hand the L1 delta is computed INLINE
+        # (``__d``), replacing the separate new×old join + collect of
+        # the previous shape (guide §2.4: the convergence read rides
+        # the cut's materializing action, the CC fusion pattern).
+        new_r = F.lit(base) + F.lit(alpha) * F.coalesce(F.col("__in"), F.lit(0.0))
+        cols = ["node", "__deg", new_r.alias("__r")]
         if tol > 0:
-            delta = (
-                new_ranks.select("node", "__r")
-                .join(ranks.select("node", F.col("__r").alias("__old")), "node")
-                .agg(F.sum(F.abs(F.col("__r") - F.col("__old"))).alias("d"))
-                .collect()[0].d
-            )
+            cols.append(F.abs(new_r - F.col("__r")).alias("__d"))
+        new_ranks = ranks.join(contribs, "node", "left").select(*cols)
+        if tol > 0:
+            # lazy cut + summing convergence read: ONE job materializes
+            # the checkpoint and returns the delta
+            new_ranks = cuts.cut(new_ranks, eager=False)
+            delta = new_ranks.agg(F.sum("__d").alias("d")).collect()[0].d
+            ranks = new_ranks.drop("__d")
             if delta is not None and delta < n_nodes * tol:
-                ranks = new_ranks
                 break
-        ranks = new_ranks
+        else:
+            # fixed-round mode has no convergence read; eager cut is
+            # the per-round action that truncates lineage NOW so the
+            # loop never builds a max_iter-deep plan for Catalyst
+            ranks = cuts.cut(new_ranks, eager=True)
     out = ranks.select("node", F.col("__r").alias("pagerank"))
     if round_to is not None:
         out = out.withColumn("pagerank", F.round("pagerank", round_to))
@@ -315,7 +318,7 @@ def k_truss(
     )
     n_edges = e.count()
     supp = None
-    cuts = LoopCuts(keep=4)  # two cuts per round -> keep two rounds
+    cuts = LoopCuts()  # one cut per round -> keep two rounds
     for _ in range(max_rounds):
         sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         n1 = sym.select(F.col("a").alias("__u"), F.col("b").alias("__w"))
@@ -326,13 +329,19 @@ def k_truss(
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("support"))
         )
+        # lazy cut + counting read (round-15 fusion, the CC pattern):
+        # one job materializes the scored checkpoint AND returns the
+        # surviving-edge count; the peel filter is a plain projection
+        # over the cached cut (no second checkpoint per round)
         scored = (
             e.join(tri, ["a", "b"], "left")
             .select("a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support"))
-            .transform(cuts.cut, eager=True)
+            .transform(cuts.cut, eager=False)
         )
-        e2 = scored.where(F.col("support") >= k - 2).transform(cuts.cut, eager=True)
-        n2_edges = e2.count()
+        n2_edges = scored.agg(
+            F.count_if(F.col("support") >= k - 2).alias("n")
+        ).collect()[0].n
+        e2 = scored.where(F.col("support") >= k - 2)
         supp = e2
         e = e2.select("a", "b")
         if n2_edges == n_edges:
@@ -382,8 +391,10 @@ def personalized_pagerank(
             .groupBy(F.col("b").alias("node"))
             .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__in"))
         )
+        # ranks carries __deg, so the loop never re-aggregates degrees
+        # from the edge list (round-15; same rewrite as pagerank)
         ranks = (
-            deg.join(contribs, "node", "left")
+            ranks.join(contribs, "node", "left")
             .select(
                 "node",
                 "__deg",
@@ -454,7 +465,9 @@ def hits(
         av = (
             nodes.join(a_in, "node", "left")
             .select("node", F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("__a"))
-            .transform(cuts.cut, eager=True)
+            # lazy: hv's eager cut below reads av, so ONE action per
+            # round materializes both checkpoints (round-15 fusion)
+            .transform(cuts.cut, eager=False)
         )
         h_out = (
             e.join(av.withColumnRenamed("node", "d"), "d")
@@ -623,16 +636,21 @@ def closeness_centrality(
     frontier = known
     cuts = LoopCuts(keep=4)  # nxt + known cuts per hop -> keep two hops
     for hop in range(1, max_hops + 1):
+        # lazy cuts + ONE counting action per hop (round-15 fusion):
+        # nxt.count() materializes the nxt checkpoint — and, because
+        # nxt anti-joins against known, the previous hop's lazy known
+        # cut — in the same job; the old shape paid eager-cut + isEmpty
+        # + eager-cut (3 scheduler round-trips per hop)
         nxt = (
             frontier.join(sym, frontier["v"] == sym["a"])
             .select("s", F.col("b").alias("v"), F.lit(hop).alias("d"))
             .distinct()
             .join(known.select("s", "v"), ["s", "v"], "left_anti")
-            .transform(cuts.cut, eager=True)
+            .transform(cuts.cut, eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        known = known.unionByName(nxt).transform(cuts.cut, eager=True)
+        known = known.unionByName(nxt).transform(cuts.cut, eager=False)
         frontier = nxt
     per_src = known.groupBy("s").agg(
         F.count(F.lit(1)).alias("__r"), F.sum("d").alias("__sum")
@@ -694,10 +712,12 @@ def eigenvector_centrality(
             .groupBy(F.col("b").alias("node"))
             .agg(ordered_sum(F.struct(F.col("a").alias("k"), F.col("__x").alias("v"))).alias("__in"))
         )
-        unnorm = (
-            x.join(contrib, "node", "left")
-            .select("node", (F.col("__x") + F.coalesce(F.col("__in"), F.lit(0.0))).alias("__u"))
-        )
+        unnorm_cols = ["node", (F.col("__x") + F.coalesce(F.col("__in"), F.lit(0.0))).alias("__u")]
+        if tol > 0:
+            # carry the old value so the L1 delta is computed inline —
+            # no separate new×old join + collect per round (round-15)
+            unnorm_cols.append(F.col("__x").alias("__old"))
+        unnorm = x.join(contrib, "node", "left").select(*unnorm_cols)
         norm_df = unnorm.agg(
             F.sqrt(
                 F.aggregate(
@@ -710,25 +730,22 @@ def eigenvector_centrality(
         )
         # norm stays in-plan (broadcast 1-row cross join): one job per
         # round instead of a collect + a checkpoint job
-        new_x = (
-            unnorm.crossJoin(F.broadcast(norm_df))
-            .select(
-                "node",
-                (F.col("__u") / F.when(F.col("__norm") > 0, F.col("__norm")).otherwise(F.lit(1.0))).alias("__x"),
-            )
-            .transform(cuts.cut, eager=True)
-        )
+        norm_x = F.col("__u") / F.when(F.col("__norm") > 0, F.col("__norm")).otherwise(F.lit(1.0))
+        new_cols = ["node", norm_x.alias("__x")]
         if tol > 0:
-            delta = (
-                new_x.join(x.select("node", F.col("__x").alias("__old")), "node")
-                .agg(F.sum(F.abs(F.col("__x") - F.col("__old"))).alias("d"))
-                .collect()[0].d
-            )
+            new_cols.append(F.abs(norm_x - F.col("__old")).alias("__d"))
+        new_x = unnorm.crossJoin(F.broadcast(norm_df)).select(*new_cols)
+        if tol > 0:
+            # lazy cut + summing convergence read: ONE job per round
+            # materializes the checkpoint and returns the L1 delta
+            new_x = cuts.cut(new_x, eager=False)
+            delta = new_x.agg(F.sum("__d").alias("d")).collect()[0].d
+            x = new_x.drop("__d")
             if delta is not None and delta < n_nodes * tol:
-                x = new_x
                 converged = True
                 break
-        x = new_x
+        else:
+            x = cuts.cut(new_x, eager=True)
     else:
         converged = tol <= 0  # tol=0 is the explicit fixed-round mode
     if not converged:
@@ -878,6 +895,10 @@ def closeness_centrality_approx(
             .groupBy(F.col("b").alias("node"))
             .agg(union_agg(F.col("__sk")).alias("__nsk"))
         )
+        # __prev stays aboard through the cut: the growth check is an
+        # inline count_if in the SAME job that materializes the
+        # checkpoint — the old shape paid an eager cut plus a
+        # new×old join + isEmpty action per hop (round-15 fusion)
         new_state = (
             state.join(nbr, "node", "left")
             .select(
@@ -894,14 +915,13 @@ def closeness_centrality_approx(
                 F.col("__sumdist")
                 + F.lit(float(hop)) * F.greatest(F.col("__est") - F.col("__prev"), F.lit(0)),
             )
-            .drop("__prev")
-            .transform(cuts.cut, eager=True)
+            .transform(cuts.cut, eager=False)
         )
-        grew = new_state.join(
-            state.select("node", F.col("__est").alias("__old")), "node"
-        ).where(F.col("__est") > F.col("__old")).isEmpty()
-        state = new_state
-        if grew:  # no sketch grew -> every neighborhood is complete
+        n_grew = new_state.agg(
+            F.count_if(F.col("__est") > F.col("__prev")).alias("n")
+        ).collect()[0].n
+        state = new_state.drop("__prev")
+        if n_grew == 0:  # no sketch grew -> every neighborhood is complete
             break
     c = (
         F.when(F.col("__sumdist") > 0,
@@ -948,7 +968,9 @@ def k_core(
             alive.join(keep, "a")
             .join(keep.withColumnRenamed("a", "b"), "b")
             .select("a", "b")
-            .transform(cuts.cut, eager=True)
+            # lazy: the count below materializes the checkpoint in the
+            # same job (round-15 fusion; was eager cut + count)
+            .transform(cuts.cut, eager=False)
         )
         n_pruned = pruned.count()
         converged = n_pruned == n_alive
@@ -985,12 +1007,10 @@ def label_propagation(
     pattern as :func:`pagerank` with ``tol=0``).
 
     Each round costs one equi-join on neighbor id plus one (node,
-    label) count aggregate and one per-node arg-max window — all keyed
+    label) count aggregate and one per-node arg-max — all keyed
     on node ids, map-side combinable, no driver-side state; lineage is
     truncated per round.  Returns (node, community).
     """
-    from pyspark.sql import Window
-
     sym = _sym_edges(edges, src, dst).transform(stage, eager=False)
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -998,7 +1018,6 @@ def label_propagation(
         .withColumn("lbl", F.col("node"))
         .transform(stage, eager=True)
     )
-    w = Window.partitionBy("a").orderBy(F.col("__c").desc(), F.col("lbl").asc())
     cuts = LoopCuts()
     for _ in range(n_rounds):
         freq = (
@@ -1006,10 +1025,19 @@ def label_propagation(
             .groupBy("a", "lbl")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
+        # arg-max as a min(struct) hash aggregate (round-15; the
+        # fuzzy_match pattern): min over (-count, label) picks the
+        # most frequent label, smallest label on ties — identical to
+        # the old row_number window pick, but map-side combinable and
+        # sort-free (guide §2.3)
         labels = (
-            freq.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(F.col("a").alias("node"), "lbl")
+            freq.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__c")).alias("c"), F.col("lbl").alias("l"))
+                ).alias("__m")
+            )
+            .select(F.col("a").alias("node"), F.col("__m.l").alias("lbl"))
             .transform(cuts.cut, eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
@@ -1222,16 +1250,19 @@ def shortest_paths(
         )
         # BFS layers: every frontier node carries the same dist, so an
         # unseen neighbor's min is exactly layer+1 — the only check
-        # needed is "not settled yet" (one anti-join, one job per round
-        # since the eager checkpoint materializes the count for free)
+        # needed is "not settled yet" (one anti-join).  Lazy cuts +
+        # ONE counting action per round (round-15 fusion): the count
+        # materializes the frontier checkpoint and — through the
+        # anti-join — the previous round's lazy dist cut in the same
+        # job; the old shape paid eager cut + count + eager cut.
         frontier = (
             reached.join(dist.select("node"), "node", "left_anti")
-            .transform(cuts.cut, eager=True)
+            .transform(cuts.cut, eager=False)
         )
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
-        dist = dist.unionByName(frontier).transform(cuts.cut, eager=True)
+        dist = dist.unionByName(frontier).transform(cuts.cut, eager=False)
     return dist
 
 

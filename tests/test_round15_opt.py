@@ -10,7 +10,14 @@ survival, and the CC seed's head-start invariant.
 from pyspark.sql import functions as F
 
 from backend_spark import llm
-from backend_spark.operators.graph import connected_components
+from backend_spark.operators.graph import (
+    connected_components,
+    eigenvector_centrality,
+    k_truss,
+    label_propagation,
+    pagerank,
+    shortest_paths,
+)
 from backend_spark.operators.joins import fuzzy_match
 from backend_spark.scale import spread_scan
 
@@ -58,6 +65,82 @@ def test_dedup_exact_survivor_keeps_all_columns(spark):
     )
     out = {r.doc_id: r.extra for r in llm.dedup_exact(df, "doc_id", "text").collect()}
     assert out == {1: "keep1", 3: "keep3"}
+
+
+def test_label_propagation_argmax_tiebreak(spark):
+    # node 3 sees labels {1, 2, 4, 5} once each in round 1 — the
+    # min(struct(-count, label)) aggregate must reproduce the old
+    # row_number (count desc, label asc) pick: smallest label 1 wins;
+    # and a strict majority must beat a smaller minority label
+    edges = spark.createDataFrame(
+        [(3, 1), (3, 2), (3, 4), (3, 5)], "src long, dst long"
+    )
+    out = {r.node: r.community for r in label_propagation(edges, n_rounds=1).collect()}
+    assert out[3] == 1  # tie on count=1 -> smallest neighbor label
+    # majority case: node 0 has neighbors {7, 8, 9} all labeled 7 after
+    # round 1 would need 2 rounds; simpler: star where two leaves share
+    # a label via a triangle
+    edges2 = spark.createDataFrame(
+        [(0, 7), (0, 8), (0, 1), (7, 8)], "src long, dst long"
+    )
+    # round 1: node 0's neighbor labels are {7, 8, 1} (one each) -> 1;
+    # nodes 7 and 8 see {0, 8, 7} resp {0, 7, 8} -> 0 each.  round 2:
+    # node 0 sees lbl(7)=0, lbl(8)=0, lbl(1)=0 -> 0 by majority even
+    # though label 1's holder is smaller
+    out2 = {r.node: r.community for r in label_propagation(edges2, n_rounds=2).collect()}
+    assert out2[0] == 0
+
+
+def test_pagerank_tol_path_no_helper_columns(spark):
+    # the inline-delta rewrite must not leak __d/__deg into the output,
+    # and the converged ranks must be symmetric and sum to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    out = pagerank(edges, max_iter=50, tol=1.0e-9, round_to=None)
+    assert out.columns == ["node", "pagerank"]
+    ranks = {r.node: r.pagerank for r in out.collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert ranks[2] == ranks[3] == ranks[4]
+    assert ranks[1] > ranks[2]
+
+
+def test_eigenvector_tol_path_converges_symmetric(spark):
+    # ring of 4: every node symmetric -> 0.5 each after L2 norm; the
+    # tol>0 path (inline __d delta, lazy cut) must converge and must
+    # not leak helper columns
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    out = eigenvector_centrality(edges, max_iter=50, tol=1.0e-8)
+    assert out.columns == ["node", "eigenvector"]
+    vals = {r.node: r.eigenvector for r in out.collect()}
+    assert vals == {1: 0.5, 2: 0.5, 3: 0.5, 4: 0.5}
+
+
+def test_shortest_paths_multi_source_layers(spark):
+    # path 1-2-3-4-5 from sources {1, 5}: the fused one-action-per-round
+    # loop must still settle each BFS layer exactly once
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r.node: r.dist for r in shortest_paths(edges, sources=[1, 5]).collect()}
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_k_truss_cascade_to_empty_and_supports(spark):
+    # K4 on {1..4} + node 5 on {1,2,3}: at k=5 the peel cascades — round
+    # 1 removes the support-2 edges, round 2 starves triangle {1,2,3} —
+    # the count_if fused fixpoint read must drive the loop to empty
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (2, 5), (3, 5)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    assert k_truss(edges, k=5).count() == 0
+    # two triangles sharing edge (2,3): all survive k=3 with exact supports
+    edges2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out = {(r.a, r.b): r.support for r in k_truss(edges2, k=3).collect()}
+    assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (2, 4): 1, (3, 4): 1}
 
 
 def test_connected_components_seed_not_a_fixed_point(spark):
