@@ -2854,11 +2854,14 @@ def kmeans_assign(
     (cluster, dim) BIGINT aggregate — map-side combinable, no
     collect of row data, nothing quadratic.
     """
-    spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).transform(stage, eager=False)
+    )
+    # map-side assignment below does ALL the distance compute in the
+    # scan stage: spread a single-split input first (guide §2.5; no-op
+    # on well-laid-out inputs)
+    base = spread_scan(base, by="__id").transform(stage, eager=False)
 
     init = (
         base.withColumn(
@@ -2871,21 +2874,42 @@ def kmeans_assign(
     centroids = {ci: list(r["__v"]) for ci, r in enumerate(init)}
 
     def _assign(cents):
-        cent_df = spark.createDataFrame(
-            [(ci, v) for ci, v in sorted(cents.items())], "cluster int, cv array<double>"
+        # centroids are bounded k×dim driver state, so the argmin is a
+        # pure per-row expression over a LITERAL centroid array — no
+        # broadcast join, no n×k row blow-up, no per-id window
+        # shuffle+sort (round-15; was broadcast join + row_number).
+        # array_min over (rounded d², cluster) structs reproduces the
+        # old (\_\_d asc, cluster asc) pick exactly: struct ordering is
+        # field-by-field, and the same IEEE fold + round feed it.
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("cluster"),
+                    F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                )
+                for ci, cv in sorted(cents.items())
+            ]
         )
-        d2 = F.aggregate(
-            F.zip_with(F.col("__v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        best = F.array_min(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("__v"), c["cv"], lambda x, y: (x - y) * (x - y)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        ndigits,
+                    ).alias("__d"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
         )
-        w = Window.partitionBy("__id").orderBy(F.col("__d").asc(), F.col("cluster").asc())
-        return (
-            base.join(F.broadcast(cent_df))
-            .withColumn("__d", F.round(d2, ndigits))
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("__id", "__v", "cluster", "__d")
+        return base.select(
+            "__id", "__v", best["cluster"].alias("cluster"), best["__d"].alias("__d")
         )
 
     for _ in range(n_iter):

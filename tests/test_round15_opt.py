@@ -152,3 +152,25 @@ def test_connected_components_seed_not_a_fixed_point(spark):
     )
     cc = {r.node: r.comp for r in connected_components(edges).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_kmeans_assign_argmin_tiebreak_smaller_cluster(spark):
+    # three standard basis vectors form an EXACT equilateral set
+    # (pairwise d² = 2.0, exact in binary floats): with k=2, n_iter=0,
+    # whichever two points the hash-ranked init seeds, the third is
+    # exactly tied between both centroids.  The old row_number window
+    # ordered (__d asc, cluster asc) — the literal-array
+    # array_min(struct(d, cluster)) must pick the SAME smaller cluster
+    # index on the tie, and report the rounded d².
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0]), ("b", [0.0, 1.0, 0.0]), ("c", [0.0, 0.0, 1.0])],
+        "id string, vec array<float>",
+    )
+    out = {r.id: (r.cluster, r.dist) for r in
+           llm.kmeans_assign(df, "id", "vec", k=2, n_iter=0).collect()}
+    seeds = [i for i, (_, d) in out.items() if d == 0.0]
+    others = [i for i, (_, d) in out.items() if d != 0.0]
+    assert len(seeds) == 2 and len(others) == 1
+    assert {out[s][0] for s in seeds} == {0, 1}
+    # the tied point: d² = 2.0 from BOTH seeds -> smaller cluster wins
+    assert out[others[0]] == (0, 2.0)
