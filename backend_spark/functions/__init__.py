@@ -575,14 +575,31 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     the similarity places NULLs last — the semantics the ANN/embedding
     family specifies for degenerate embeddings.
     """
-    dot = F.aggregate(
+    return F.try_divide(cosine_dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def cosine_dot(a: Column, b: Column) -> Column:
+    """The dot-product fold :func:`cosine_similarity` uses — exposed so
+    pair verifiers that precompute per-row norms keep the identical
+    IEEE fold order for the numerator."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return F.try_divide(dot, na * nb)
+
+
+def l2_norm(a: Column) -> Column:
+    """The exact norm fold :func:`cosine_similarity` uses — exposed so
+    pair verifiers can compute each ROW's norm once instead of twice
+    per PAIR (the norm is a per-row quantity; recomputing it inside a
+    quadratic verify triples the fold work).  Same expression, same
+    fold order — combining ``try_divide(cosine_dot(a, b),
+    l2_norm(a) * l2_norm(b))`` is bit-identical to
+    :func:`cosine_similarity`."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
 
 
 _SOUNDEX_CODES = (

@@ -19,6 +19,8 @@ needs.  Design rules:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -390,13 +392,34 @@ def embed_cosine_pairs(
     """
     base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if n_planes <= 0:
-        a = base.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1"))
-        b = base.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
+        # exact mode: the norm is a PER-ROW quantity — computing it on
+        # each side before the cross join does 2N folds instead of 2N²
+        # (guide §2.3 compute-before-the-blowup); the dot fold + the
+        # norm product below are the identical IEEE expressions
+        # cosine_similarity folds, so the result is bit-identical.
+        # spread_scan gives the streamed side of the nested-loop join
+        # real parallelism on single-row-group inputs (guide §2.5).
+        a = spread_scan(
+            base.select(
+                F.col("__id").alias("id1"),
+                F.col("__v").alias("__v1"),
+                fn.l2_norm(F.col("__v")).alias("__na"),
+            ),
+            by="id1",
+        )
+        b = base.select(
+            F.col("__id").alias("id2"),
+            F.col("__v").alias("__v2"),
+            fn.l2_norm(F.col("__v")).alias("__nb"),
+        )
         cand = a.crossJoin(b).where(F.col("id1") < F.col("id2"))
     else:
         # stage the signatures: explode re-evaluates the producing
         # expression per output element, and the per-band bit folds are
-        # the expensive part — materialize them once
+        # the expensive part — materialize them once.  (Round-15 note:
+        # spreading this scan was measured 2-3× WORSE at sf0.1 — with
+        # literal plane coefficients the folds are cheap enough that
+        # the extra exchange + downstream plan change dominate.)
         sig = base.select(
             "__id",
             *[
@@ -428,12 +451,33 @@ def embed_cosine_pairs(
             .select("id1", "id2")
             .distinct()
         )
+        # norms ride the re-attach joins — computed once per row, not
+        # per candidate pair (same bit-identical split as exact mode)
         cand = ids.join(
-            base.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1")), "id1"
-        ).join(base.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2")), "id2")
+            base.select(
+                F.col("__id").alias("id1"),
+                F.col("__v").alias("__v1"),
+                fn.l2_norm(F.col("__v")).alias("__na"),
+            ),
+            "id1",
+        ).join(
+            base.select(
+                F.col("__id").alias("id2"),
+                F.col("__v").alias("__v2"),
+                fn.l2_norm(F.col("__v")).alias("__nb"),
+            ),
+            "id2",
+        )
     return (
         cand.withColumn(
-            "cosine", F.round(fn.cosine_similarity(F.col("__v1"), F.col("__v2")), round_to)
+            "cosine",
+            F.round(
+                F.try_divide(
+                    fn.cosine_dot(F.col("__v1"), F.col("__v2")),
+                    F.col("__na") * F.col("__nb"),
+                ),
+                round_to,
+            ),
         )
         .where(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
@@ -875,17 +919,23 @@ def _hyperplane_bits(vec: Column, n_planes: int, dim: int, seed: str = "plane") 
     md5-derived value in [-1, 1] (seeded by (seed, p, j) only — no RNG
     state, reproducible anywhere).  Returns an int bucket id from sign
     bits."""
+    # The plane coefficients depend only on (seed, p, j) — constants —
+    # yet the old expression recomputed them per ROW: n_planes × dim
+    # md5_long folds each time (4096 md5s/row for embed_cosine_pairs'
+    # 4-band default).  Precompute them ONCE on the driver with an
+    # exact md5_long replica (first 15 md5 hex digits → non-negative
+    # int, so Python % == Spark %) and embed literal arrays; the
+    # zip_with fold below is unchanged, so every dot — and every sign
+    # bit — is bit-identical (guide §2.3 hoist loop-invariant compute).
+    def _coeff(p: int, j: int) -> float:
+        h = int(hashlib.md5(f"{seed}_{p}_{j}".encode()).hexdigest()[:15], 16)
+        return float(h % 20001 - 10000) / 10000.0
+
     def plane_dot(p):
         return F.aggregate(
             F.zip_with(
                 vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j: (
-                        fn.md5_long(F.concat_ws("_", F.lit(seed), p.cast("string"), j.cast("string")))
-                        % 20001 - 10000
-                    ).cast("double") / 10000.0,
-                ),
+                F.array(*[F.lit(_coeff(p, j)) for j in range(dim)]),
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0),
@@ -895,9 +945,11 @@ def _hyperplane_bits(vec: Column, n_planes: int, dim: int, seed: str = "plane") 
     # bucket id = Σ bit_p · 2^p, folded as acc*2 + bit (F.shiftleft only
     # accepts a literal shift count, not a per-plane Column)
     return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda p: F.when(plane_dot(p) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        F.array(
+            *[
+                F.when(plane_dot(p) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+                for p in range(n_planes)
+            ]
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc * 2 + x,

@@ -9,6 +9,7 @@ survival, and the CC seed's head-start invariant.
 
 from pyspark.sql import functions as F
 
+from backend_spark import functions as fn
 from backend_spark import llm
 from backend_spark.operators.graph import (
     connected_components,
@@ -174,3 +175,37 @@ def test_kmeans_assign_argmin_tiebreak_smaller_cluster(spark):
     assert {out[s][0] for s in seeds} == {0, 1}
     # the tied point: d² = 2.0 from BOTH seeds -> smaller cluster wins
     assert out[others[0]] == (0, 2.0)
+
+
+def test_hyperplane_coeff_literal_matches_md5_long(spark):
+    # _hyperplane_bits now precomputes plane coefficients on the driver
+    # (hashlib.md5 replica) instead of folding fn.md5_long per row —
+    # the two must agree exactly for any (seed, p, j)
+    import hashlib
+    probes = [("band0", 0, 0), ("band3", 15, 63), ("plane", 5, 31), ("x_y", 2, 7)]
+    rows = spark.createDataFrame(probes, "seed string, p int, j int").select(
+        "seed", "p", "j",
+        ((fn.md5_long(F.concat_ws("_", F.col("seed"), F.col("p").cast("string"),
+                                  F.col("j").cast("string"))) % 20001 - 10000
+          ).cast("double") / 10000.0).alias("engine")
+    ).collect()
+    for r in rows:
+        h = int(hashlib.md5(f"{r.seed}_{r.p}_{r.j}".encode()).hexdigest()[:15], 16)
+        assert float(h % 20001 - 10000) / 10000.0 == r.engine, (r.seed, r.p, r.j)
+
+
+def test_embed_cosine_pairs_precomputed_norms_exact(spark):
+    # the norm-split verify (try_divide(dot, na*nb)) must reproduce
+    # fn.cosine_similarity bit-for-bit, including the zero-norm -> no
+    # pair (NULL cosine) case, in BOTH the exact and banded paths
+    data = [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.001]), (3, [0.0, 0.0, 0.0]),
+            (4, [-1.0, -2.0, -3.0])]
+    df = spark.createDataFrame(data, "vec_id int, embedding array<double>")
+    exact = {(r.id1, r.id2): r.cosine for r in
+             llm.embed_cosine_pairs(df, threshold=0.99, n_planes=0).collect()}
+    assert (1, 2) in exact and exact[(1, 2)] >= 0.99
+    assert all(3 not in pair for pair in exact)  # zero-norm never pairs
+    banded = {(r.id1, r.id2): r.cosine for r in
+              llm.embed_cosine_pairs(df, threshold=0.99).collect()}
+    for pair, cos in banded.items():
+        assert exact[pair] == cos  # banded candidates verify to the same cosine
