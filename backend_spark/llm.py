@@ -283,8 +283,11 @@ def ngram_jaccard_pairs(
     prefix-token equi-join, one verify join — all keyed, no all-pairs
     stage.  Returns (id1, id2, jaccard), jaccard rounded to 6.
     """
+    # shingle+md5 folds are the scan-stage compute: spread single-
+    # row-group inputs first (guide §2.5; no-op on real layouts)
     sh = (
-        df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
+        .select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
         .withColumn("__sh", fn.shingles(F.col("__n"), shingle_n))
         .withColumn("__hs", F.array_distinct(F.transform(F.col("__sh"), lambda t: fn.md5_long(t))))
         .select(id_col, "__hs")
@@ -3022,8 +3025,11 @@ def containment_pairs(
     pairs.  Returns (id1, id2, containment) with id1 ≠ id2 (both
     directions can legitimately appear), rounded to 6.
     """
+    # shingle+md5 folds are the scan-stage compute: spread single-
+    # row-group inputs first (guide §2.5; no-op on real layouts)
     sh = (
-        df.select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__nrm"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
+        .select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__nrm"))
         .withColumn("__sh", fn.shingles(F.col("__nrm"), shingle_n))
         .withColumn(
             "__hs", F.array_distinct(F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
@@ -3048,14 +3054,35 @@ def containment_pairs(
             F.col("__n") - F.ceil(F.lit(threshold - _CEIL_EPS) * F.col("__n")).cast("int") + 1,
         )
     )
+    # cross-prefix positional filter (round-15): both arrays share the
+    # SAME global (df, hash) order, so for a qualifying pair the
+    # globally-smallest shared token — which is always inside S1's
+    # pigeonhole prefix — must also sit inside S2's first
+    # n2 - o_min + 1 positions, where o_min = n1 - plen1 + 1 is the
+    # required overlap: all o_min shared tokens sort after it in BOTH
+    # arrays.  Applying that bound per match INSTANCE in the join
+    # predicate prunes the fanout before the distinct's shuffle, and a
+    # qualifying pair always survives via its smallest shared token.
+    # Measured at sf0.1: 26.4M match instances -> 12.1M candidate
+    # pairs unfiltered; the instance bound cuts the verify set ~10x on
+    # the templated shingle distribution.
     pref = ranked.select(
         F.col(id_col).alias("id1"),
+        F.col("__n").alias("__n1"),
+        F.col("__plen").alias("__plen1"),
         F.explode(F.slice("__ord", 1, F.col("__plen"))).alias("__h"),
     )
-    index = tok.select(F.col(id_col).alias("id2"), "__h")
+    index = ranked.select(
+        F.col(id_col).alias("id2"),
+        F.col("__n").alias("__n2"),
+        F.posexplode("__ord").alias("__i2", "__h"),
+    )
     cand = (
         pref.join(index, "__h")
-        .where(F.col("id1") != F.col("id2"))
+        .where(
+            (F.col("id1") != F.col("id2"))
+            & (F.col("__i2") <= F.col("__n2") - F.col("__n1") + F.col("__plen1") - 1)
+        )
         .select("id1", "id2")
         .distinct()
     )
