@@ -3241,6 +3241,135 @@ def mmr_rerank(
     )
 
 
+def _pq_kmeans(
+    base: DataFrame,
+    id_col: str,
+    m: int,
+    dsub: int,
+    k: int,
+    n_iter: int,
+    salt: str,
+    ndigits: int,
+    scale: int = 1_000_000,
+):
+    """All ``m`` PQ sub-quantizers trained in ONE fused Lloyd's loop
+    (round-15).  Bit-identical to ``m`` independent
+    ``kmeans_assign(salt=f"{salt}{s}")`` calls over the subvector
+    slices — same hash-rank init per subspace (``md5_long("{salt}{s}:"
+    || id)``, ties by id), same literal-centroid rounded-d² argmin,
+    same scaled-BIGINT integer means — but the JOB structure is fused
+    over an exploded (id, subspace, subvector) frame: one driver
+    action for all m inits, one per iteration for all m updates,
+    instead of 3+ actions per subspace (driver round-trips scale with
+    m × iterations at any cluster size; guide §1.4/§2.4).
+
+    Returns ``(asg, centroids)``: ``asg`` = (id, __s, cluster, __d)
+    lazily re-derived from the final codebooks, ``centroids`` =
+    ``{s: {ci: [float, ...]}}`` driver state (m·k·dsub bounded).
+    """
+    sub = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("__s"),
+                        F.slice("__v", s * dsub + 1, dsub).alias("__sub"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select(id_col, F.col("__e.__s").alias("__s"), F.col("__e.__sub").alias("__sub"))
+    sub = spread_scan(sub, by=id_col).transform(stage, eager=False)
+
+    hk = fn.md5_long(
+        F.concat(
+            F.lit(salt),
+            F.col("__s").cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy("__s").orderBy(F.col("__hk").asc(), F.col(id_col).asc())
+    init_rows = (
+        sub.withColumn("__hk", hk)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("__s", "__rn", "__sub")
+        .collect()
+    )
+    centroids: dict = {s: {} for s in range(m)}
+    for r in init_rows:
+        centroids[r["__s"]][r["__rn"] - 1] = list(r["__sub"])
+
+    def _assign(cents):
+        per_s = [
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("cluster"),
+                        F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                    )
+                    for ci, cv in sorted(cents[s].items())
+                ]
+            )
+            for s in range(m)
+        ]
+        pick = F.element_at(F.array(*per_s), F.col("__s") + 1)
+        best = F.array_min(
+            F.transform(
+                pick,
+                lambda c: F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("__sub"), c["cv"], lambda x, y: (x - y) * (x - y)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        ndigits,
+                    ).alias("__d"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        return sub.select(
+            id_col, "__s", "__sub", best["cluster"].alias("cluster"), best["__d"].alias("__d")
+        )
+
+    for _ in range(n_iter):
+        sums = (
+            _assign(centroids)
+            .select(
+                "__s",
+                "cluster",
+                F.posexplode(
+                    F.transform("__sub", lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+                ).alias("dim", "xs"),
+            )
+            .groupBy("__s", "cluster", "dim")
+            .agg(F.sum("xs").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new: dict = {s: {} for s in range(m)}
+        for r in sums:
+            new[r["__s"]].setdefault(r["cluster"], {})[r["dim"]] = r["sm"] / (r["n"] * scale)
+        centroids = {
+            s: {
+                ci: [new[s][ci][d] for d in range(len(old))] if ci in new[s] else old
+                for ci, old in centroids[s].items()
+            }
+            for s in range(m)
+        }
+
+    asg = _assign(centroids).select(
+        id_col, "__s", "cluster", F.col("__d").alias("dist")
+    )
+    return asg, centroids
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str,
@@ -3288,20 +3417,9 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} is not divisible by m={m}")
     dsub = dim // m
-    parts = []
-    for s in range(m):
-        sub = base.select(
-            F.col(id_col), F.slice("__v", s * dsub + 1, dsub).alias("__sub")
-        )
-        asg = kmeans_assign(
-            sub, id_col, "__sub", k=k, n_iter=n_iter, salt=f"{salt}{s}", ndigits=ndigits
-        )
-        parts.append(
-            asg.select(F.col(id_col), F.lit(s).alias("__s"), "cluster", "dist")
-        )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
+    # fused multi-subspace Lloyd's (round-15): one driver action per
+    # iteration for ALL m sub-quantizers — see _pq_kmeans
+    allp, _cents = _pq_kmeans(base, id_col, m, dsub, k, n_iter, salt, ndigits)
     return allp.groupBy(id_col).agg(
         F.to_json(
             F.transform(
@@ -3373,25 +3491,19 @@ def ann_pq(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     ).collect()
 
-    code_parts = []
+    # fused multi-subspace Lloyd's (round-15): one driver action per
+    # iteration for ALL m sub-quantizers — see _pq_kmeans
+    asg, cents_by_s = _pq_kmeans(base, id_col, m, dsub, k, n_iter, salt, ndigits)
+    codes = asg.select(F.col(id_col), F.col("__s").alias("s"), "cluster")
     tbl_rows = []
     for s in range(m):
-        sub = base.select(F.col(id_col), F.slice("__v", s * dsub + 1, dsub).alias("__sub"))
-        asg, cents = kmeans_assign(
-            sub, id_col, "__sub", k=k, n_iter=n_iter, salt=f"{salt}{s}",
-            ndigits=ndigits, return_centroids=True,
-        )
-        code_parts.append(asg.select(F.col(id_col), F.lit(s).alias("s"), "cluster"))
         for q in qrows:
             qs = q["qv"][s * dsub : (s + 1) * dsub]
-            for ci, cv in sorted(cents.items()):
+            for ci, cv in sorted(cents_by_s[s].items()):
                 d = 0.0  # same left-to-right IEEE fold as the JVM d2
                 for a, b in zip(qs, cv):
                     d += (a - b) * (a - b)
                 tbl_rows.append((q["qid"], s, ci, d))
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.unionByName(p)
     tbl = spark.createDataFrame(tbl_rows, "qid long, s int, cluster int, qd double")
     pairs = codes.join(F.broadcast(tbl), ["s", "cluster"]).select(
         "qid", F.col(id_col), "s", F.round("qd", ndigits).alias("__qd")

@@ -119,9 +119,9 @@ EXPECT = {
     # per-row explode + hash gate — the copy blow-up is the contract,
     # but it must stay a narrow map stage, never a shuffle
     "oversample": ([], ["Exchange", "CartesianProduct"]),
-    # k-row centroid table broadcast (NLJ on purpose, like ann_topk);
-    # the corpus side must never sort-merge or cartesian
-    "kmeans": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # round-15: assignment is a map-side literal-centroid argmin —
+    # join-free by design; nothing may shuffle or cartesian
+    "kmeans": ([], ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin", "Window"]),
     # both are pure array-Column projections over the scan
     "c4_lines": ([], ["Exchange", "CartesianProduct"]),
     "blocklist": ([], ["Exchange", "CartesianProduct"]),
@@ -149,9 +149,9 @@ EXPECT = {
     "classifier_eval": ([], ["CartesianProduct"]),
     # one keyed register agg (map-side combined) + per-group fold
     "hll_distinct": ([], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"]),
-    # per-subspace kmeans assignments: k-row centroid broadcast (NLJ by
-    # design, the kmeans pattern); corpus must never sort-merge
-    "pq_encode": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # round-15: fused multi-subspace literal-centroid argmin — the
+    # per-subspace broadcast joins are gone; corpus must never sort-merge
+    "pq_encode": ([], ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
     # code join against the broadcast distance table is keyed
     "ann_pq": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
     # QI-keyed aggregate only
