@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from backend_spark.scale import stage
+from backend_spark.scale import spread_scan, stage
 
 
 def quantile_bins(
@@ -737,7 +737,13 @@ def pareto_front(
                     front.append(i)
                 yield g.iloc[order[front]]
 
-    cand = oriented.mapInPandas(_local_front, schema=out_fields)
+    # the numpy local prune runs once per input partition: spread
+    # few-row-group inputs so the prune parallelizes (guide §2.5;
+    # round-robin — hashing by group would collapse to |groups| tasks).
+    # Result-neutral: the global frontier is exact for ANY partition
+    # layout (dominance is transitive, the verify join is exact on any
+    # candidate superset).
+    cand = spread_scan(oriented).mapInPandas(_local_front, schema=out_fields)
     cand = cand.transform(stage, eager=False)  # both join sides see one prune
 
     right = cand.select(

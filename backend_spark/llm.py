@@ -2587,6 +2587,9 @@ def nb_train(
     labels), built from two map-side-combinable aggregates over the
     token stream; AQE broadcasts it in :func:`nb_score`.
     """
+    # (round-15: spreading this scan was measured 2x WORSE at sf0.1 —
+    # the explode's fanout already spreads at the first shuffle and the
+    # extra exchange dominates; left unspread deliberately)
     toks = df.select(
         F.col(label_col).alias("label"),
         F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("token"),
@@ -2644,6 +2647,8 @@ def nb_score(
     token stream joins the vocabulary-sized model with AQE broadcast,
     so the corpus shuffles once (the per-doc fold).
     """
+    # (round-15: spreading this scan was measured 2x WORSE at sf0.1 —
+    # see nb_train; left unspread deliberately)
     pos = df.select(
         F.col(id_col),
         F.posexplode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("pos", "token"),
