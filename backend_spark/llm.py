@@ -330,31 +330,31 @@ def ngram_jaccard_pairs(
         & (F.col("__n1") >= F.ceil(F.lit(threshold - _CEIL_EPS) * F.col("__n2")))
         & (F.col("__n2") >= F.ceil(F.lit(threshold - _CEIL_EPS) * F.col("__n1")))
     )
-    # positional filter: both arrays are sorted by the same global order,
-    # so the earliest shared prefix token sits at (min i1, min i2); the
-    # overlap can't exceed 1 + min(remaining suffix lengths) and Jaccard
-    # >= t needs overlap >= ceil(t/(1+t) * (n1+n2)).  This is a pure
-    # int aggregate over the match instances — the expensive array
-    # intersect below only runs on the few survivors.
+    # positional filter, applied per match INSTANCE (round-15): both
+    # arrays are sorted by the same global order, and Jaccard >= t
+    # needs overlap >= alpha = ceil(t/(1+t) * (n1+n2)).  For a
+    # qualifying pair the globally-smallest shared token sits inside
+    # BOTH prefixes (alpha >= ceil(t*n) follows from the length
+    # filter) and every other shared token sorts after it in both
+    # arrays — so its instance satisfies 1 + min(n1-1-i1, n2-1-i2) >=
+    # alpha, and the pair always survives the instance-level bound.
+    # This is strictly stronger than the previous pair-level filter on
+    # (min i1, min i2) — which mixed the best positions of DIFFERENT
+    # instances — and it prunes before the distinct's shuffle, so the
+    # expensive array-intersect verify below runs on fewer survivors.
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold) - _CEIL_EPS) * (F.col("__n1") + F.col("__n2"))
     )
     cand = (
-        matches.groupBy("id1", "id2")
-        .agg(
-            F.min("__i1").alias("__mi1"),
-            F.min("__i2").alias("__mi2"),
-            F.first("__n1").alias("__n1"),
-            F.first("__n2").alias("__n2"),
-        )
-        .where(
+        matches.where(
             1
             + F.least(
-                F.col("__n1") - 1 - F.col("__mi1"), F.col("__n2") - 1 - F.col("__mi2")
+                F.col("__n1") - 1 - F.col("__i1"), F.col("__n2") - 1 - F.col("__i2")
             )
             >= alpha
         )
         .select("id1", "id2")
+        .distinct()
     )
     s1 = sh.select(F.col(id_col).alias("id1"), F.col("__hs").alias("__h1"))
     s2 = sh.select(F.col(id_col).alias("id2"), F.col("__hs").alias("__h2"))
