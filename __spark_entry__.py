@@ -2771,8 +2771,12 @@ def _q_winsorize(spark, sf):
 def _q_classifier_eval(spark, sf):
     from backend_spark.ml import classifier_eval
 
+    from backend_spark.scale import spread_scan
+
     docs = load_table(spark, sf, "documents")
-    scored = docs.select(
+    # language_id's tokenize + per-language stopword folds run in the
+    # scan stage: spread the single-row-group input (guide §2.5)
+    scored = spread_scan(docs.select("doc_id", "lang", "text"), by="doc_id").select(
         F.col("lang"), llm.language_id(F.col("text")).alias("pred")
     )
     return classifier_eval(scored, "lang", "pred")

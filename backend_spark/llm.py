@@ -1832,7 +1832,10 @@ def cross_dup_spans(
         F.length(norm) >= span_len,
         F.sequence(F.lit(1), F.length(norm) - span_len + 1, F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
-    spans = df.select(
+    # ~len/stride substring+md5 evaluations per row happen in the scan
+    # stage, before the span aggregate's shuffle: spread single-row-
+    # group inputs first (guide §2.5; no-op on real layouts)
+    spans = spread_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col).select(
         F.col(id_col),
         norm.alias("__t"),
         F.explode(positions).alias("__p"),
