@@ -694,9 +694,21 @@ def crosscorpus_neardup(
         )
     rows_per_band = num_perm // bands
 
-    def _sig(df: DataFrame, idc: str, txt: str) -> DataFrame:
+    def _sig(df: DataFrame, idc: str, txt: str, spread: bool = False) -> DataFrame:
+        # The corpus side carries the heavy per-row compute (normalize +
+        # shingle md5 chain + num_perm minhash folds) and on a coarse
+        # layout (one row group) would run it on one task — spread it.
+        # The bench side is small by contract and gets broadcast; the
+        # extra exchange there would cost more than it spreads.
+        src = df.select(F.col(idc), F.col(txt))
+        if spread:
+            src = spread_scan(src, by=idc)
+        # The post-shingle cut is load-bearing: __hs is referenced
+        # inside num_perm higher-order lambdas downstream, and a
+        # *computed* array re-evaluates per lambda — the cut makes it an
+        # attribute so the md5 chain runs once per row, not 16x.
         hs = (
-            df.select(F.col(idc), fn.normalize(F.col(txt)).alias("__n"))
+            src.select(F.col(idc), fn.normalize(F.col(txt)).alias("__n"))
             .withColumn("__sh", fn.shingles(F.col("__n"), shingle_n))
             .withColumn("__hs", F.transform(F.col("__sh"), lambda t: fn.md5_long(t)))
             .select(F.col(idc), F.col("__hs"))
@@ -726,7 +738,7 @@ def crosscorpus_neardup(
             ).alias("__b"),
         ).select(idc, F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
 
-    csig = _sig(corpus, corpus_id, corpus_text)
+    csig = _sig(corpus, corpus_id, corpus_text, spread=True)
     bsig = _sig(bench, bench_id, bench_text)
     cand = (
         _banded(csig, corpus_id)
