@@ -2610,8 +2610,13 @@ def nb_train(
         F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("token"),
     )
     counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("__c"))
-    n_label = toks.groupBy("label").agg(F.count(F.lit(1)).alias("__n"))
-    vocab = toks.select("token").distinct()
+    # n_label / vocab fold the (label, token) count table, not the raw
+    # token stream: Σ __c per label == per-label token count and the
+    # count table's distinct tokens == the corpus vocabulary, so the
+    # model is unchanged while the corpus is tokenized ONCE (the counts
+    # exchange is reused) instead of three times (round 15)
+    n_label = counts.groupBy("label").agg(F.sum("__c").alias("__n"))
+    vocab = counts.select("token").distinct()
     v = vocab.agg(F.count(F.lit(1)).alias("__v"))
     doc_prior = (
         df.groupBy(F.col(label_col).alias("label"))
@@ -2658,42 +2663,95 @@ def nb_score(
     a single label).
 
     The float fold runs in fixed position order per (doc, label) — the
-    same hash-stability rationale as :func:`char_entropy` — and the
-    token stream joins the vocabulary-sized model with AQE broadcast,
-    so the corpus shuffles once (the per-doc fold).
+    same hash-stability rationale as :func:`char_entropy`.
+
+    Scale shape (round 15): the vocabulary-sized model is BOUNDED
+    driver state by the classifier contract (a handful of labels ×
+    vocab — the same assumption the previous shape leaned on when it
+    AQE-broadcast the model into the token stream), so it is collected
+    ONCE and scoring becomes a single map-only Arrow stage: per doc,
+    the in-vocab ``log_cond`` rows fold in position order via
+    ``np.cumsum`` (sequential IEEE additions — bit-identical to the
+    ordered SQL fold and to the old collect_list→array_sort→aggregate
+    path, since ``0.0 + x == x`` for every finite nonzero log), then
+    ``log_prior`` adds last, exactly as before.  The corpus now
+    shuffles ZERO times (the old shape shuffled |labels| × corpus
+    position structs into a per-(doc,label) sort aggregate and then a
+    window).  Argmax tie-break (score desc, label asc) and margin
+    (lead over the runner-up, null for single-label models) are
+    computed per doc inside the same stage.
     """
-    # (round-15: spreading this scan was measured 2x WORSE at sf0.1 —
-    # see nb_train; left unspread deliberately)
-    pos = df.select(
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    mrows = model.select("label", "token", "log_cond", "log_prior").collect()
+    labels = sorted({r.label for r in mrows})
+    lab_ix = {l: j for j, l in enumerate(labels)}
+    n_lab = len(labels)
+    vocab_ix: dict = {}
+    for r in mrows:
+        if r.token not in vocab_ix:
+            vocab_ix[r.token] = len(vocab_ix)
+    import numpy as np
+
+    lc = np.zeros((len(vocab_ix), n_lab), dtype=np.float64)
+    prior = np.zeros(n_lab, dtype=np.float64)
+    for r in mrows:
+        lc[vocab_ix[r.token], lab_ix[r.label]] = r.log_cond
+        prior[lab_ix[r.label]] = r.log_prior
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField("label", StringType(), True),
+            StructField("score", DoubleType(), True),
+            StructField("margin", DoubleType(), True),
+        ]
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, labs, scs, mgs = [], [], [], []
+            for doc_id, toks in zip(pdf["__nbid"], pdf["__nbt"]):
+                if toks is None:
+                    continue
+                idx = [vocab_ix[t] for t in toks if t in vocab_ix]
+                if not idx:
+                    continue
+                # cumsum is the sequential left fold: s_i = s_{i-1} + x_i
+                # in position order — the exact float the old per-(doc,
+                # label) ordered aggregate produced
+                sums = np.cumsum(lc[idx], axis=0)[-1]
+                scores = [float(prior[j] + sums[j]) for j in range(n_lab)]
+                order = sorted(range(n_lab), key=lambda j: (-scores[j], labels[j]))
+                best = order[0]
+                ids.append(doc_id)
+                labs.append(labels[best])
+                scs.append(scores[best])
+                mgs.append(scores[best] - scores[order[1]] if n_lab > 1 else None)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=object),
+                    "label": pd.Series(labs, dtype=object),
+                    "score": pd.Series(scs, dtype="float64"),
+                    "margin": pd.array(mgs, dtype="Float64"),
+                }
+            )
+
+    staged = spread_scan(
+        df.select(
+            F.col(id_col).alias("__nbid"),
+            fn.tokenize(fn.normalize(F.col(text_col))).alias("__nbt"),
+        )
+    )
+    scored = staged.mapInPandas(_score, schema=out_schema)
+    return scored.select(
         F.col(id_col),
-        F.posexplode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("pos", "token"),
-    )
-    per_label = (
-        pos.join(model, "token")
-        .groupBy(id_col, "label")
-        .agg(
-            F.first("log_prior").alias("__p"),
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos").alias("k"), F.col("log_cond").alias("v")))
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x["v"],
-            ).alias("__s"),
-        )
-        .select(F.col(id_col), "label", (F.col("__p") + F.col("__s")).alias("__score"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(), F.col("label").asc())
-    return (
-        per_label.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__next", F.lead("__score").over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            F.col(id_col),
-            "label",
-            F.round("__score", ndigits).alias("score"),
-            F.round(F.col("__score") - F.col("__next"), ndigits).alias("margin"),
-        )
+        "label",
+        F.round("score", ndigits).alias("score"),
+        F.round("margin", ndigits).alias("margin"),
     )
 
 
