@@ -955,9 +955,13 @@ def bloom_filter_join(
 
     This is what Spark's runtime row-level filtering (DPP/Bloom
     pushdown) does when the optimizer chooses to; this operator makes
-    the plan explicit, deterministic (md5 positions — the
-    :func:`~backend_spark.llm.bloom_bits` convention), and available
-    on any join the optimizer declines.
+    the plan explicit, deterministic, and available on any join the
+    optimizer declines.  The hash is ``xxhash64(key_str, seed_i)`` —
+    bit positions never reach any result (no false negatives means the
+    output equals the plain exact join regardless of hash), so the
+    cheap JVM-native hash is used instead of the md5 convention
+    (round 15: the 4-md5 probe chain alone cost more than the rest of
+    the query at sf0.1).
 
     ``how``: 'left_semi' (big rows with a match) or 'inner' (full
     join result, small's columns retained).
@@ -966,17 +970,17 @@ def bloom_filter_join(
         raise ValueError(f"bloom_filter_join supports left_semi/inner, got {how!r}")
     if m_bits <= 0 or k <= 0:
         raise ValueError(f"m_bits and k must be positive, got {m_bits}, {k}")
-    from backend_spark import functions as fn
 
     keys = small.select(F.col(on).cast("string").alias("__kv")).where(
         F.col("__kv").isNotNull()
     ).distinct()
+    # hash (key, i) as two columns — build and probe must agree on the
+    # exact argument types (string, int)
     pos = keys.select(
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i"), "__kv"
     ).select(
         F.pmod(
-            fn.md5_long(F.concat_ws("#", F.col("__kv"), F.col("__i").cast("string"))),
-            F.lit(m_bits),
+            F.xxhash64(F.col("__kv"), F.col("__i").cast("int")), F.lit(m_bits)
         ).alias("__pos")
     )
     bits = (
@@ -987,15 +991,40 @@ def bloom_filter_join(
         .groupBy("__w")
         .agg(F.bit_or("__m").alias("__mask"))
     )
+    def _probe_pos(i: int) -> Column:
+        return F.pmod(
+            F.xxhash64(F.col(on).cast("string"), F.lit(i).cast("int")),
+            F.lit(m_bits),
+        )
+
+    m_words = (m_bits + 31) // 32
+    if m_words <= (1 << 17):
+        # the bitset is bounded driver state (m_words longs — ~64 KB at
+        # the 2^18-bit default, independent of key count), so collect it
+        # once and probe with a pure per-row expression: k hashes + k
+        # array lookups, ZERO joins before the exact join (round 15; the
+        # guide's manual-Bloom build, the kmeans literal-centroid
+        # pattern).  The array literal is built through ONE parsed SQL
+        # expression — F.lit(list) costs a py4j round-trip per element.
+        # Words the build side never set read 0 -> bit test fails,
+        # exactly like the old left-join's null-mask path.
+        words = [0] * m_words
+        for r in bits.collect():
+            words[int(r["__w"])] = int(r["__mask"])
+        warr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+        cond = F.lit(True)
+        for i in range(k):
+            p = _probe_pos(i)
+            mask = F.element_at(warr, (F.floor(p / F.lit(32)) + 1).cast("int"))
+            bit = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (p % 32).cast("int")
+            )
+            cond = cond & (mask.bitwiseAND(bit) != 0)
+        return big.where(cond).join(small, on, how)
     survivors = big
     cond = F.lit(True)
     for i in range(k):
-        p = F.pmod(
-            fn.md5_long(
-                F.concat_ws("#", F.col(on).cast("string"), F.lit(str(i)))
-            ),
-            F.lit(m_bits),
-        )
+        p = _probe_pos(i)
         w = F.floor(p / F.lit(32)).cast("long")
         survivors = survivors.withColumn(f"__w{i}", w).withColumn(f"__b{i}", p % 32)
         survivors = survivors.join(
