@@ -3197,7 +3197,11 @@ def _q_mad_outliers(spark, sf):
     two tiny percentile aggregates broadcast back, rounded boundary."""
     from backend_spark.features import mad_outliers
 
-    li = load_table(spark, sf, "lineitem")
+    # project before the op (round 15): its spread exchange and both
+    # percentile passes then carry only the 4 columns the result reads
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
     out = mad_outliers(li, "l_returnflag", "l_extendedprice", k=3.0)
     return out.select("l_orderkey", "l_linenumber", "dev", "mad", "is_outlier")
 

@@ -233,6 +233,9 @@ def robust_scale(
     group identical) scores 0.0, mirroring zscore's σ=0 rule.
     """
     out = out_col or f"{col}_rs"
+    # spread the scan (round 15): same exact-percentile partial-state
+    # rationale as mad_outliers; no-op on well-split layouts
+    df = spread_scan(df)
     med_agg = F.percentile(F.col(col), F.lit(0.5)).alias("__med")
     if group_col is not None:
         # null-safe group joins, same rationale as winsorize
@@ -540,6 +543,11 @@ def mad_outliers(
     flags any deviating row, which is the intended degenerate case.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    # spread the scan (round 15): the exact-percentile partial state
+    # (an OpenHashMap over the value distribution) is built per input
+    # partition, so an under-split layout serialises it; no-op on
+    # well-split 100 TB inputs
+    df = spread_scan(df)
     v = F.col(value_col).cast("double")
     med = df.groupBy(*groups).agg(F.percentile(v, F.lit(0.5)).alias("__med"))
     j = df.join(F.broadcast(med), groups)

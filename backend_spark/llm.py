@@ -2293,7 +2293,10 @@ def count_min_sketch(
     """
     if width < 1 or depth < 1:
         raise ValueError(f"width and depth must be positive, got {width}, {depth}")
-    toks = df.select(
+    # spread the text scan (round 15): tokenize + depth md5s per token
+    # otherwise run on the input's row-group count; the (r, cell)
+    # aggregate itself is bounded (<= depth*width cells) either way
+    toks = spread_scan(df.select(F.col(text_col))).select(
         F.explode(fn.tokenize(fn.normalize(F.col(text_col)))).alias("__t")
     )
     cells = toks.select(
@@ -2826,9 +2829,11 @@ def ngram_novelty(
     before any shuffle, one gram-keyed min-owner aggregate (map-side
     combined), one join back, one per-doc ratio.  Docs with fewer than
     ``n`` tokens have no grams and are absent.  Returns
-    (id, n_grams, novel_frac).
+    (id, n_grams, novel_frac).  The text scan is spread before the
+    tokenize/shingle/md5 chain (round 15 — no-op on well-split
+    layouts).
     """
-    staged = df.select(
+    staged = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), fn.tokenize(fn.normalize(F.col(text_col))).alias("__t")
     )
     grams = staged.select(
@@ -3621,9 +3626,12 @@ def quantize_embeddings(
 
     Returns (id, scale, offset, q, max_err) — ``q`` JSON-encoded,
     ``max_err`` the worst absolute dequantization error, the number a
-    recall-regression gate thresholds on.  Pure Column expressions over
-    the scan: shuffle-free, codegen'd.
+    recall-regression gate thresholds on.  Pure Column expressions,
+    codegen'd; the scan is spread (round 15 — no-op on well-split
+    layouts) because the per-row transform/to_json chain dominates and
+    would otherwise run on the input's row-group count.
     """
+    df = spread_scan(df.select(id_col, vec_col))
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     lo = F.array_min(v)
     hi = F.array_max(v)

@@ -114,8 +114,12 @@ EXPECT = {
     "perplexity_buckets": (["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     # pure Column regex/replace chain over the scan — shuffle-free
     "strip_html": ([], ["Exchange", "CartesianProduct"]),
-    # per-vector affine quantize: array transforms over the scan
-    "quantize_emb": ([], ["Exchange", "CartesianProduct"]),
+    # per-vector affine quantize: array transforms over the scan; ONE
+    # round-robin exchange allowed — spread_scan fires on the
+    # 1-row-group testdata layout so the transform/to_json chain
+    # parallelizes (r15; no-op on well-split input, so not pinned
+    # present)
+    "quantize_emb": ([], ["CartesianProduct", "SortMergeJoin"]),
     # per-row explode + hash gate — the copy blow-up is the contract,
     # but it must stay a narrow map stage, never a shuffle
     "oversample": ([], ["Exchange", "CartesianProduct"]),
