@@ -4332,9 +4332,14 @@ def dsir_weights(
 
     def _bucketed(df: DataFrame, keep_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if keep_id else []
+        # spread the text scan (round 15): tokenize + bigram + md5 per
+        # feature otherwise run on the input's row-group count — this
+        # serialised BOTH distribution builds and the scoring pass
+        # (no-op on well-split layouts)
+        src = spread_scan(df.select(*cols, F.col(text_col)))
         # stage the token array once — word_ngrams_from_tokens re-evaluates
         # its argument per reference if handed the raw expression
-        staged = df.select(*cols, fn.tokenize(fn.normalize(F.col(text_col))).alias("__t"))
+        staged = src.select(*cols, fn.tokenize(fn.normalize(F.col(text_col))).alias("__t"))
         grams = F.concat(F.col("__t"), word_ngrams_from_tokens(F.col("__t"), 2))
         return staged.select(*cols, F.explode(grams).alias("__g")).select(
             *cols,
