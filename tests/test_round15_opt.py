@@ -209,3 +209,66 @@ def test_embed_cosine_pairs_precomputed_norms_exact(spark):
               llm.embed_cosine_pairs(df, threshold=0.99).collect()}
     for pair, cos in banded.items():
         assert exact[pair] == cos  # banded candidates verify to the same cosine
+
+
+def test_nb_score_mapinpandas_fold_matches_ordered_sql_fold(spark):
+    # part-4 rewrite: the collected-model np.cumsum fold must equal the
+    # old ordered collect_list fold bit-for-bit.  Replay the fold in
+    # plain python (sequential float adds in position order) and demand
+    # exact equality on the UNROUNDED reconstruction to 1e-12, plus the
+    # tie-break/margin/single-label contracts.
+    train = spark.createDataFrame(
+        [("a", "x y x z"), ("a", "x x q"), ("b", "y z z w"), ("b", "z w w")],
+        "label string, text string",
+    )
+    model = llm.nb_train(train, "label", "text")
+    mrows = model.collect()
+    lc = {(r.label, r.token): r.log_cond for r in mrows}
+    prior = {r.label: r.log_prior for r in mrows}
+    vocab = {r.token for r in mrows}
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "w w w y"), (3, "zzzz oov only"), (4, "q")],
+        "id long, text string",
+    )
+    got = {r.id: r for r in llm.nb_score(docs, model, "id", "text").collect()}
+    assert 3 not in got  # all-OOV doc absent
+    for i, text in [(1, "x y z"), (2, "w w w y"), (4, "q")]:
+        toks = [t for t in text.split() if t in vocab]
+        per = []
+        for lab in sorted(prior):
+            s = 0.0
+            for t in toks:
+                s = s + lc[(lab, t)]  # sequential fold, position order
+            per.append((-(prior[lab] + s), lab))
+        per.sort()
+        best_s, best_l = -per[0][0], per[0][1]
+        margin = best_s - (-per[1][0])
+        assert got[i].label == best_l
+        assert got[i].score == round(best_s, 4)
+        assert got[i].margin == round(margin, 4)
+    # single-label model: margin must be NULL (the old lead() contract)
+    one = llm.nb_train(train.where(F.col("label") == "a"), "label", "text")
+    o = llm.nb_score(docs.where(F.col("id") == 1), one, "id", "text").collect()
+    assert len(o) == 1 and o[0].margin is None
+
+
+def test_bloom_filter_join_literal_and_fallback_paths_agree(spark):
+    # part-4 rewrite: the literal-bitset probe (m_words <= 2^17) and the
+    # broadcast-join fallback must produce the same exact result — both
+    # are exactness-preserving, so both must equal the plain semi-join
+    from backend_spark.scale import bloom_filter_join
+
+    big = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(300)], "k long, payload string"
+    )
+    small = spark.createDataFrame([(i * 11,) for i in range(20)], "k long")
+    expect = sorted(map(tuple, big.join(small, "k", "left_semi").collect()))
+    lit_path = bloom_filter_join(big, small, "k", m_bits=1 << 10, k=3)
+    assert sorted(map(tuple, lit_path.collect())) == expect
+    # literal path plans ZERO bitset-word joins before the exact one
+    plan = lit_path._jdf.queryExecution().executedPlan().toString()
+    assert "__w" not in plan
+    fallback = bloom_filter_join(big, small, "k", m_bits=1 << 28, k=3)
+    assert sorted(map(tuple, fallback.collect())) == expect
+    fplan = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "__w0" in fplan  # the join-table path actually exercised
