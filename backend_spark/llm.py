@@ -106,38 +106,59 @@ def minhash_lsh_pairs(
 
     # verify on the (distinct) shingle *hashes*: same set cardinalities
     # as the string shingles (md5_long is collision-free at corpus
-    # scale), but the 363k-pair intersect works on bigints, not strings
-    hash_tbl = sig.select(F.col(id_col), F.col("__hs"), F.size("__hs").alias("__n"))
+    # scale), but the 363k-pair intersect works on bigints, not strings.
+    # The arrays are SORTED here (content-neutral for the set intersect)
+    # so the verify stage can run the PPJoin-style prefix-overlap prune
+    # below — position in a sorted array is what makes the pigeonhole
+    # bound checkable.
+    hash_tbl = sig.select(
+        F.col(id_col), F.array_sort("__hs").alias("__hs"), F.size("__hs").alias("__n")
+    )
 
-    # band the *ids only* — the heavy shingle arrays never enter the
-    # band self-join shuffle (they would otherwise ship `bands` copies
-    # of every array); candidates re-join the shingle table once each
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
+    # band the ids + the per-doc band-key array — the heavy shingle
+    # arrays still never enter the band self-join shuffle, and the
+    # `bands` short key strings riding each (id, band, key) row are what
+    # lets a pure codegen predicate keep exactly the pair instance whose
+    # join band is the pair's FIRST agreeing band (the simhash_neardup
+    # first-agree trick).  That replaces the old candidate `distinct` —
+    # a full exchange + hash aggregate of every match instance — with an
+    # in-stage filter, so candidates flow straight into the verify join
+    # (guide §2.4: remove shuffles outright; round-15 measurement:
+    # instances 1.60M -> the same 1.48M distinct pairs, one exchange
+    # round cheaper).
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            "-",
             F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        "-",
-                        F.transform(
-                            F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("key"),
-                ),
-            )
-        ).alias("__b"),
-    ).select(id_col, F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
+                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        ),
+    )
+    banded = sig.select(F.col(id_col), keys.alias("__keys")).select(
+        F.col(id_col),
+        F.col("__keys"),
+        F.posexplode("__keys").alias("__band", "__key"),
+    )
 
-    left = banded.select(F.col(id_col).alias("id1"), "__band", "__key")
-    right = banded.select(F.col(id_col).alias("id2"), "__band", "__key")
+    left = banded.select(
+        F.col(id_col).alias("id1"), "__band", "__key", F.col("__keys").alias("__k1")
+    )
+    right = banded.select(
+        F.col(id_col).alias("id2"), "__band", "__key", F.col("__keys").alias("__k2")
+    )
+    # posexplode's band index is 0-based; array_position is 1-based
+    first_agree = (
+        F.array_position(
+            F.zip_with("__k1", "__k2", lambda a, b: a == b), F.lit(True)
+        )
+        - 1
+    )
     cand = (
         left.join(right, ["__band", "__key"])
-        .where(F.col("id1") < F.col("id2"))
+        .where((F.col("id1") < F.col("id2")) & (F.col("__band") == first_agree))
         .select("id1", "id2")
-        .distinct()
     )
     s1 = hash_tbl.select(F.col(id_col).alias("id1"), F.col("__hs").alias("__h1"), F.col("__n").alias("__n1"))
     s2 = hash_tbl.select(F.col(id_col).alias("id2"), F.col("__hs").alias("__h2"), F.col("__n").alias("__n2"))
@@ -153,6 +174,27 @@ def minhash_lsh_pairs(
         >= (F.lit(float(jaccard_threshold)) - F.lit(1e-6))
         * F.greatest("__n1", "__n2").cast("double")
     )
+    if jaccard_threshold > 1e-6:
+        # PPJoin prefix-overlap prune (exact, pigeonhole): a qualifying
+        # pair has i = |A∩B| >= alpha := ceil((t - 1e-6) * max(n1, n2))
+        # common hashes (same slack argument as the size-ratio prune),
+        # and in a SORTED array the smallest common element must sit
+        # within the first n - alpha + 1 positions of BOTH sides — so if
+        # the two prefixes share nothing, the pair cannot verify.  The
+        # overlap probe touches ~(1-t) of each array instead of all of
+        # it; only prefix-colliding pairs (the real matches plus a thin
+        # margin) pay the full intersect.  Round-15 measurement on the
+        # bench corpus: 1.48M candidates, 256 verified — the prune is
+        # where the verify stage's time was going.
+        alpha = F.ceil(
+            (F.lit(float(jaccard_threshold)) - F.lit(1e-6))
+            * F.greatest("__n1", "__n2").cast("double")
+        ).cast("int")
+        p1 = F.greatest(F.col("__n1") - alpha + 1, F.lit(0))
+        p2 = F.greatest(F.col("__n2") - alpha + 1, F.lit(0))
+        verified = verified.where(
+            F.arrays_overlap(F.slice("__h1", 1, p1), F.slice("__h2", 1, p2))
+        )
     inter = F.size(F.array_intersect("__h1", "__h2")).cast("double")
     union = (F.col("__n1") + F.col("__n2")).cast("double") - inter
     return (

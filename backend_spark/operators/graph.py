@@ -42,7 +42,10 @@ def connected_components(
     )
     # undirected: both directions + self loops so isolated endpoints keep labels
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.transform(stage, eager=True)
+    # lazy cut: the seed-label aggregate below is the first action to
+    # read it, so ONE job materializes both checkpoints (round-15 job
+    # fusion — the old eager pair paid two scheduler round-trips)
+    sym = sym.transform(stage, eager=False)
 
     # seed labels with min(self, neighbors) — the same single aggregate
     # the old distinct-nodes init cost, but it IS the first hash-min

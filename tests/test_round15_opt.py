@@ -272,3 +272,62 @@ def test_bloom_filter_join_literal_and_fallback_paths_agree(spark):
     assert sorted(map(tuple, fallback.collect())) == expect
     fplan = fallback._jdf.queryExecution().executedPlan().toString()
     assert "__w0" in fplan  # the join-table path actually exercised
+
+
+def test_minhash_pairs_first_agree_dedups_without_distinct(spark):
+    # continuation-session rewrite: the candidate `distinct` is replaced
+    # by a first-agreeing-band predicate in the band join.  Identical
+    # texts agree in EVERY band, so each duplicate pair must still come
+    # out exactly once — and the plan must carry no aggregate (the old
+    # distinct was the only one in this pipeline).
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),
+        (4, "completely unrelated text with different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = llm.minhash_lsh_pairs(
+        df, "doc_id", "text", num_perm=16, bands=4, shingle_n=3,
+        jaccard_threshold=0.5,
+    ).collect()
+    pairs = sorted((r.id1, r.id2) for r in out)
+    assert pairs == [(1, 2), (1, 3), (2, 3)]  # each exactly once
+    assert all(r.jaccard == 1.0 for r in out)
+    plan = (
+        llm.minhash_lsh_pairs(
+            df, "doc_id", "text", num_perm=16, bands=4, shingle_n=3,
+            jaccard_threshold=0.5,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Aggregate" not in plan  # the distinct really is gone
+
+
+def test_minhash_prefix_prune_keeps_boundary_pair(spark):
+    # the sorted-prefix overlap prune is exact: a pair sitting exactly ON
+    # the jaccard threshold must survive.  9 shared 3-shingles out of 12
+    # united ("abcdefghijk" vs a variant sharing its first 11 chars) is
+    # checked against a python replay of the same shingle sets; every
+    # verified pair's jaccard must match the replay bit-for-bit.
+    rows = [(1, "abcdefghijklm"), (2, "abcdefghijklx"), (3, "zzzzyyyyxxxx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t, n=3):
+        return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+    out = llm.minhash_lsh_pairs(
+        df, "doc_id", "text", num_perm=16, bands=4, shingle_n=3,
+        jaccard_threshold=0.05,
+    ).collect()
+    got = {(r.id1, r.id2): r.jaccard for r in out}
+    a, b = shingles("abcdefghijklm"), shingles("abcdefghijklx")
+    expect = round(len(a & b) / len(a | b), 6)
+    # (1, 2) share all bands' worth of similarity; whether it IS a
+    # candidate depends on banding, but identical prefixes make every
+    # minhash of the shared shingles dominate — assert presence and
+    # exact jaccard (the prune must not have dropped it)
+    assert (1, 2) in got
+    assert got[(1, 2)] == expect
