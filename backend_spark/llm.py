@@ -760,37 +760,75 @@ def crosscorpus_neardup(
             "__sig", fn.minhash_signature_from_hashes(F.col("__hs"), num_perm)
         ).transform(stage, eager=False)
 
-    def _banded(sig: DataFrame, idc: str) -> DataFrame:
-        return sig.select(
-            F.col(idc),
-            F.explode(
+    def _banded(sig: DataFrame, idc: str, kname: str) -> DataFrame:
+        # carries the full band-key array so the join can keep only each
+        # pair's FIRST agreeing band (see minhash_lsh_pairs — the same
+        # first-agree dedup that replaces the candidate `distinct`)
+        keys = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.concat_ws(
+                "-",
                 F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.concat_ws(
-                            "-",
-                            F.transform(
-                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("key"),
-                    ),
-                )
-            ).alias("__b"),
-        ).select(idc, F.col("__b.band").alias("__band"), F.col("__b.key").alias("__key"))
+                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            ),
+        )
+        return sig.select(F.col(idc), keys.alias(kname)).select(
+            F.col(idc),
+            F.col(kname),
+            F.posexplode(kname).alias("__band", "__key"),
+        )
 
     csig = _sig(corpus, corpus_id, corpus_text, spread=True)
     bsig = _sig(bench, bench_id, bench_text)
-    cand = (
-        _banded(csig, corpus_id)
-        .join(F.broadcast(_banded(bsig, bench_id)), ["__band", "__key"])
-        .select(corpus_id, bench_id)
-        .distinct()
+    # posexplode's band index is 0-based; array_position is 1-based.
+    # A (corpus, bench) pair agreeing in several bands joins once per
+    # agreeing band; keeping only the first-agreeing instance yields
+    # exactly the old distinct's pair set without its exchange + hash
+    # aggregate (guide §2.4) — candidates flow straight into the verify
+    # join.
+    first_agree = (
+        F.array_position(
+            F.zip_with("__kc", "__kb", lambda a, b: a == b), F.lit(True)
+        )
+        - 1
     )
-    s1 = csig.select(F.col(corpus_id), F.col("__hs").alias("__h1"), F.size("__hs").alias("__n1"))
-    s2 = bsig.select(F.col(bench_id), F.col("__hs").alias("__h2"), F.size("__hs").alias("__n2"))
+    cand = (
+        _banded(csig, corpus_id, "__kc")
+        .join(F.broadcast(_banded(bsig, bench_id, "__kb")), ["__band", "__key"])
+        .where(F.col("__band") == first_agree)
+        .select(corpus_id, bench_id)
+    )
+    # verify arrays sorted once per doc (content-neutral for the set
+    # intersect) so the exact PPJoin prefix-overlap prune below works
+    s1 = csig.select(
+        F.col(corpus_id), F.array_sort("__hs").alias("__h1"), F.size("__hs").alias("__n1")
+    )
+    s2 = bsig.select(
+        F.col(bench_id), F.array_sort("__hs").alias("__h2"), F.size("__hs").alias("__n2")
+    )
     verified = cand.join(s1, corpus_id).join(F.broadcast(s2), bench_id)
+    if jaccard_threshold > 1e-6:
+        # exact pre-prunes lifted from minhash_lsh_pairs (size ratio,
+        # then sorted-prefix overlap): both are necessary conditions for
+        # round(i/u, 6) >= t with the same 1e-6 slack, so no qualifying
+        # pair is ever dropped; non-matching candidates skip the full
+        # intersect.
+        verified = verified.where(
+            F.least("__n1", "__n2").cast("double")
+            >= (F.lit(float(jaccard_threshold)) - F.lit(1e-6))
+            * F.greatest("__n1", "__n2").cast("double")
+        )
+        alpha = F.ceil(
+            (F.lit(float(jaccard_threshold)) - F.lit(1e-6))
+            * F.greatest("__n1", "__n2").cast("double")
+        ).cast("int")
+        p1 = F.greatest(F.col("__n1") - alpha + 1, F.lit(0))
+        p2 = F.greatest(F.col("__n2") - alpha + 1, F.lit(0))
+        verified = verified.where(
+            F.arrays_overlap(F.slice("__h1", 1, p1), F.slice("__h2", 1, p2))
+        )
     inter = F.size(F.array_intersect("__h1", "__h2")).cast("double")
     union = (F.col("__n1") + F.col("__n2")).cast("double") - inter
     return (
