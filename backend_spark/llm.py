@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from backend_spark import functions as fn
 from backend_spark.operators.graph import connected_components
-from backend_spark.scale import LoopCuts, spread_scan, stage
+from backend_spark.scale import LoopCuts, spread_scan, stage, undersplit
 
 
 # ---------------------------------------------------------------------------
@@ -326,7 +326,11 @@ def ngram_jaccard_pairs(
     stage.  Returns (id1, id2, jaccard), jaccard rounded to 6.
     """
     # shingle+md5 folds are the scan-stage compute: spread single-
-    # row-group inputs first (guide §2.5; no-op on real layouts)
+    # row-group inputs first (guide §2.5; no-op on real layouts).  The
+    # same degenerate-layout signal gates the prefix-join parallelism
+    # pin below.
+    spread = undersplit(df.select(F.col(id_col)))
+    p = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         spread_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
         .select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__n"))
@@ -353,6 +357,17 @@ def ngram_jaccard_pairs(
             F.col("__n") - F.ceil(F.lit(threshold - _CEIL_EPS) * F.col("__n")).cast("int") + 1,
         )
     )
+    if spread:
+        # the self-join probe stage rides ``ranked``'s exchange, which
+        # AQE byte-coalesces to a handful of tasks on a physically tiny
+        # pipeline, starving the operator's dominant compute (guide
+        # §2.5 — measured 2.7x at sf0.1 with the default 1m floor).
+        # Pin with an explicit-count ROUND-ROBIN repartition (a user-
+        # numbered shuffle AQE never coalesces; keying by id would
+        # collapse into the groupBy's coalescible exchange) in the
+        # cheap ARRAY form before the explode.  Gated on the
+        # degenerate-layout signal: no-op at real scale.
+        ranked = ranked.repartition(p)
     # posexplode keeps each prefix token's position in the globally-ordered
     # array — fuel for the PPJoin positional filter below
     pref = ranked.select(
@@ -366,6 +381,16 @@ def ngram_jaccard_pairs(
     right = pref.select(
         F.col(id_col).alias("id2"), F.col("__n").alias("__n2"), F.col("__i").alias("__i2"), "__h"
     )
+    if spread:
+        # unlike containment's broadcast probe, this SELF-join sort-
+        # merges on __h, so its own ENSURE exchange (coalescible) feeds
+        # the dominant reduce stage (measured: 130 s executor time on
+        # 10 tasks at sf0.1/1m floor).  An explicit-count repartition
+        # on the join key REPLACES that exchange (the join reuses the
+        # partitioning — same key, same count), so this ships zero
+        # extra bytes while pinning the reduce at full parallelism.
+        left = left.repartition(p, "__h")
+        right = right.repartition(p, "__h")
     # length filter in the join condition: Jaccard >= t forces t*|y| <= |x|
     matches = left.join(right, "__h").where(
         (F.col("id1") < F.col("id2"))
@@ -398,6 +423,13 @@ def ngram_jaccard_pairs(
         .select("id1", "id2")
         .distinct()
     )
+    if spread:
+        # the array-intersect verify below runs in whatever stage the
+        # distinct's (coalescible) exchange feeds; a round-robin user-
+        # numbered repartition of the DEDUPED pairs (small rows, after
+        # the map-side partial distinct has done its work) pins the
+        # verify at full parallelism.
+        cand = cand.repartition(p)
     s1 = sh.select(F.col(id_col).alias("id1"), F.col("__hs").alias("__h1"))
     s2 = sh.select(F.col(id_col).alias("id2"), F.col("__hs").alias("__h2"))
     inter = F.size(F.array_intersect("__h1", "__h2")).cast("double")
@@ -3189,7 +3221,11 @@ def containment_pairs(
     directions can legitimately appear), rounded to 6.
     """
     # shingle+md5 folds are the scan-stage compute: spread single-
-    # row-group inputs first (guide §2.5; no-op on real layouts)
+    # row-group inputs first (guide §2.5; no-op on real layouts).  The
+    # same degenerate-layout signal gates the prefix-join parallelism
+    # pin below.
+    spread = undersplit(df.select(F.col(id_col)))
+    p = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         spread_scan(df.select(F.col(id_col), F.col(text_col)), by=id_col)
         .select(F.col(id_col), fn.normalize(F.col(text_col)).alias("__nrm"))
@@ -3229,6 +3265,20 @@ def containment_pairs(
     # Measured at sf0.1: 26.4M match instances -> 12.1M candidate
     # pairs unfiltered; the instance bound cuts the verify set ~10x on
     # the templated shingle distribution.
+    if spread:
+        # the probe stage of the prefix join — posexplode of the full
+        # inverted index + the broadcast-join probe + instance filter —
+        # runs on whatever partitioning ``ranked``'s exchange left
+        # behind, and AQE byte-coalesces that tiny exchange (~14 MB at
+        # sf0.1) down to a handful of tasks, starving the operator's
+        # dominant compute (measured: 268 s executor time on 10 tasks
+        # with the default 1m floor).  Pin it with an explicit-count
+        # ROUND-ROBIN repartition — AQE never coalesces a user-numbered
+        # shuffle, and keying it by id would collapse into the groupBy's
+        # (coalescible) exchange — in the cheap ARRAY form, before the
+        # explode multiplies the bytes ~9x.  Gated on the degenerate-
+        # layout signal: no-op at real scale (guide §2.5).
+        ranked = ranked.repartition(p)
     pref = ranked.select(
         F.col(id_col).alias("id1"),
         F.col("__n").alias("__n1"),
@@ -3249,6 +3299,13 @@ def containment_pairs(
         .select("id1", "id2")
         .distinct()
     )
+    if spread:
+        # the array-intersect verify below runs in whatever stage the
+        # distinct's (coalescible) exchange feeds; a round-robin user-
+        # numbered repartition of the DEDUPED pairs (small rows, after
+        # the map-side partial distinct has done its work) pins the
+        # verify at full parallelism.
+        cand = cand.repartition(p)
     s1 = sh.select(F.col(id_col).alias("id1"), F.col("__hs").alias("__h1"))
     s2 = sh.select(F.col(id_col).alias("id2"), F.col("__hs").alias("__h2"))
     inter = F.size(F.array_intersect("__h1", "__h2")).cast("double")

@@ -265,6 +265,26 @@ def spread_scan(df: DataFrame, by: "str | None" = None, factor: int = 1) -> Data
     return df.repartition(target, F.col(by)) if by else df.repartition(target)
 
 
+def undersplit(df: DataFrame) -> bool:
+    """True when ``df``'s physical partitioning sits below
+    ``defaultParallelism`` — the :func:`spread_scan` trigger condition,
+    exposed for operators that must pin DOWNSTREAM shuffle parallelism
+    (not just the scan's).  AQE coalesces post-shuffle partitions by
+    BYTE size, which starves compute-dense stages whose cost per byte
+    is high (prefix joins, array-intersect verifies) whenever the whole
+    pipeline's data is physically tiny; on a well-split 100 TB layout
+    this returns False and callers leave AQE fully in charge.
+
+    Same caveat as :func:`spread_scan`: call it on SCAN or STAGED
+    frames only — the partition probe materializes the physical plan.
+    """
+    spark = df.sparkSession
+    try:
+        return df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - planning failure => assume well-split
+        return False
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
