@@ -3256,7 +3256,12 @@ def _q_er_pipeline(spark, sf):
 
     cust = load_table(spark, sf, "customer")
     k = F.col("c_custkey")
-    mx = cust.agg(F.max("c_custkey")).collect()[0][0]
+    # round-16: keep max(c_custkey) IN-PLAN (1-row broadcast cross
+    # join) instead of collecting it at build time — same value, same
+    # decoy ids, one driver action + its planning gap removed from
+    # every rebuild (guide §1.4; the oracle computes the max as a
+    # scalar subquery the same way)
+    mx1 = cust.agg(F.max("c_custkey").alias("__mm"))
     base = cust.select(
         k.alias("rid"), F.col("c_name").alias("name"),
         F.lower("c_name").alias("nname"), F.col("c_acctbal").alias("bal"),
@@ -3269,7 +3274,10 @@ def _q_er_pipeline(spark, sf):
     cand = cust.select(
         k.alias("left_id"), (k + 1000000).alias("right_id")
     ).unionByName(
-        cust.select(k.alias("left_id"), (F.lit(1000000) + (k % mx) + 1).alias("right_id"))
+        cust.crossJoin(F.broadcast(mx1)).select(
+            k.alias("left_id"),
+            (F.lit(1000000) + (k % F.col("__mm")) + 1).alias("right_id"),
+        )
     )
     feats = pair_features(recs, cand, "rid", {"nname": "lev_norm", "bal": "abs_diff"})
     lab = feats.withColumn(

@@ -62,16 +62,23 @@ def er_resolve(
     blank blocking key matching everything).  If any cluster exceeds
     the cap, raise with the offending cluster ids and sizes instead of
     letting the aggregate die opaquely mid-shuffle; the fix belongs
-    upstream (see ``skew_report``).  Pass ``None`` to disable.  The
-    check is a count-only aggregate on the (node, comp) labels — it
-    never materializes row data and adds no shuffle beyond the
-    comp-keyed one the survivorship groupBy needs anyway.
+    upstream (see ``skew_report``).  Pass ``None`` to disable.  With a
+    ``mode`` rule the check runs up front as its own count-only job
+    (it must fail BEFORE the unbounded collect_list aggregate); without
+    one every aggregate carries bounded state, so the guard rides the
+    survivorship aggregate itself (zero extra jobs) and raises at
+    action time with the offending cluster id.
     """
     for attr, rule in survivorship.items():
         if rule not in _RULES:
             raise ValueError(f"unknown survivorship rule {rule!r} for {attr!r}")
         if attr not in records.columns:
             raise ValueError(f"survivorship attr {attr!r} not in records")
+    if max_cluster_size is not None and max_cluster_size < 1:
+        raise ValueError(
+            f"max_cluster_size must be >= 1 or None, got {max_cluster_size}"
+        )
+    mode_attrs = [a for a, r in survivorship.items() if r == "mode"]
     edges = (
         pairs.select(F.col(pair_left).alias("src"), F.col(pair_right).alias("dst"))
         # self-loops: singletons keep a cluster label
@@ -80,13 +87,42 @@ def er_resolve(
         )
     )
     comp = connected_components(edges)  # (node, comp)
-    check_cluster_cap(comp, max_cluster_size, "er_resolve")
+    if mode_attrs:
+        # the mode rule folds a per-cluster collect_list, which a
+        # mega-cluster turns into an executor OOM mid-aggregate — the
+        # guard must run (and fail) BEFORE that aggregate, as its own
+        # count-only job
+        check_cluster_cap(comp, max_cluster_size, "er_resolve")
+    n = F.count(F.lit(1))
+    if max_cluster_size is not None and not mode_attrs:
+        # round-16 (guide §1.4/§2.4): without a mode rule every
+        # survivorship aggregate carries bounded state (min/min_by/max/
+        # sum), so a mega-cluster cannot OOM the aggregate itself and
+        # the guard doesn't need its own up-front job — fold it into
+        # the n_members expression of the survivorship aggregate,
+        # raising with the offending cluster id DURING that single
+        # pass.  One driver action saved per call; the guard still
+        # fires before any downstream consumer sees an oversized
+        # entity.
+        n = F.when(n <= F.lit(max_cluster_size), n).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("er_resolve: cluster "),
+                    F.col("comp").cast("string"),
+                    F.lit(
+                        f" exceeds max_cluster_size={max_cluster_size}; "
+                        "upstream blocking is likely broken — inspect "
+                        "with skew_report or raise the cap"
+                    ),
+                )
+            ).cast("long")
+        )
     members = records.join(
         comp.withColumnRenamed("node", id_col), id_col, "inner"
     )
     aggs = [
         F.min(id_col).alias("entity_id"),
-        F.count(F.lit(1)).alias("n_members"),
+        n.alias("n_members"),
     ]
     for attr, rule in survivorship.items():
         if rule == "first":
@@ -113,7 +149,6 @@ def er_resolve(
         else:
             aggs.append(getattr(F, rule)(attr).alias(attr))
 
-    mode_attrs = [a for a, r in survivorship.items() if r == "mode"]
     if mode_attrs:
         # one value-histogram window pass per mode attr (runs on the
         # same comp partitioning), then the groupBy folds it

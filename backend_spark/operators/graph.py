@@ -721,6 +721,14 @@ def eigenvector_centrality(
             # no separate new×old join + collect per round (round-15)
             unnorm_cols.append(F.col("__x").alias("__old"))
         unnorm = x.join(contrib, "node", "left").select(*unnorm_cols)
+        # round-16: cut UNNORM, not just the round output — the norm
+        # aggregate and the normalized projection both read it, and
+        # without the cut the whole contrib-join subtree is planned
+        # (and its exchanges executed) TWICE per round (verified in the
+        # executed plan: duplicated SortMergeJoin/Exchange chains).
+        # One cut computes it once and bounds the plan, so the round
+        # output needs no cut of its own in fixed-round mode.
+        unnorm = cuts.cut(unnorm, eager=False)
         norm_df = unnorm.agg(
             F.sqrt(
                 F.aggregate(
@@ -731,8 +739,22 @@ def eigenvector_centrality(
                 )
             ).alias("__norm")
         )
-        # norm stays in-plan (broadcast 1-row cross join): one job per
-        # round instead of a collect + a checkpoint job
+        if tol <= 0:
+            # fixed-round mode has no per-round driver read, so the
+            # norm collect IS the round's single action — it doubles as
+            # the unnorm checkpoint materializer, and the normalized
+            # vector becomes a literal-division projection (no 1-row
+            # broadcast machinery per round).  Exact: Double.toString /
+            # float round-trips bit-identically, and the division tree
+            # is unchanged.
+            norm_v = norm_df.collect()[0]["__norm"]
+            x = unnorm.select(
+                "node",
+                (F.col("__u") / F.lit(norm_v if norm_v and norm_v > 0 else 1.0)).alias("__x"),
+            )
+            continue
+        # tol>0: norm stays in-plan (broadcast 1-row cross join) so the
+        # delta read below stays the round's only driver action
         norm_x = F.col("__u") / F.when(F.col("__norm") > 0, F.col("__norm")).otherwise(F.lit(1.0))
         new_cols = ["node", norm_x.alias("__x")]
         if tol > 0:
@@ -747,8 +769,6 @@ def eigenvector_centrality(
             if delta is not None and delta < n_nodes * tol:
                 converged = True
                 break
-        else:
-            x = cuts.cut(new_x, eager=True)
     else:
         converged = tol <= 0  # tol=0 is the explicit fixed-round mode
     if not converged:

@@ -67,3 +67,30 @@ def test_prefix_operators_pin_is_result_neutral(spark):
             ).collect()
         }
         assert degen == wide and degen, op.__name__
+
+
+def test_er_resolve_nonmode_cap_guard_fused_and_still_fires(spark):
+    """Round-16: without a mode rule the mega-cluster guard rides the
+    survivorship aggregate (no separate count job) but still fails with
+    the op name and offending cluster id — at action time now."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from backend_spark.operators import er_resolve
+
+    recs = spark.createDataFrame([(i, "x") for i in range(40)], "rid long, v string")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "left_id long, right_id long"
+    )
+    out = er_resolve(recs, pairs, "rid", {"v": "first"}, max_cluster_size=10)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="er_resolve: cluster 0"):
+        out.collect()
+    # cap raised / disabled: resolves fine, identical survivorship
+    ok = er_resolve(recs, pairs, "rid", {"v": "first"}, max_cluster_size=40).collect()
+    assert [(r.entity_id, r.n_members, r.v) for r in ok] == [(0, 40, "x")]
+    ok = er_resolve(recs, pairs, "rid", {"v": "first"}, max_cluster_size=None).collect()
+    assert [(r.entity_id, r.n_members) for r in ok] == [(0, 40)]
+    # eager validation contract unchanged
+    with pytest.raises(ValueError, match="must be >= 1"):
+        er_resolve(recs, pairs, "rid", {"v": "first"}, max_cluster_size=0)
